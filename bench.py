@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The metric is total wall time over the headline set (lower is better).
+Each query is executed with a count-style action that forces the full
+plan without collecting result rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from fdf_spark.queries import load_all  # noqa: E402
+from fdf_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries: one per operator family, weighted toward the
+#: shuffle/join-heavy plans that dominate at scale.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filtered_revenue",
+    "q03_revenue_by_nation",
+    "q10_topk_orders_per_customer",
+    "q15_small_quantity_parts",
+    "q19_rollup_revenue",
+    "q21_distinct_counts",
+    "q40_nearest_event",
+    "q41_asof_join",
+    "q44_baseline_subtract",
+    "q50_tumbling_window",
+    "q60_exact_dedup",
+    "q61_minhash_signatures",
+    "q63_ngram_jaccard_pairs",
+    "q65_cosine_topk",
+    "q70_text_quality",
+]
+
+
+def main() -> None:
+    spark = get_spark("fdf_spark_bench")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm the JVM + parquet footers once (not timed): cheap count on a dim
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, SF_DIR)
+        # force full execution without driver-side result transfer
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

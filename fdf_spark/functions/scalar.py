@@ -1,0 +1,106 @@
+"""Scalar / aggregate function library (SURVEY §2.8 F1-F12, §2.4).
+
+Everything here is a native Column expression — JVM-side, codegen'd,
+no Python UDFs — so the hot path stays inside whole-stage codegen at
+any scale.
+
+Oracle-stability note (drives the ``dsum``/``davg`` shape): summing
+doubles is order-dependent, and a 1000-partition shuffle sums in a
+different order than DuckDB's single-threaded fold. We therefore do
+exact decimal accumulation (associative, order-independent) and cast
+the final result back to double. The SQL-oracle twin of
+``dsum(x)`` is ``CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: decimal type used for exact, order-independent accumulation.
+ACC_DECIMAL = "decimal(25,6)"
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent sum of a double column (exact decimal accumulate)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(ACC_DECIMAL)).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent mean: exact decimal sum / count, then double.
+
+    (Doing the division in double keeps Spark's and DuckDB's decimal
+    division scale rules out of the comparison.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+def sql_dsum(expr: str) -> str:
+    """SQL twin of :func:`dsum` for DuckDB oracles."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    """SQL twin of :func:`davg`."""
+    return f"{sql_dsum(expr)} / COUNT({expr})"
+
+
+# --- unit conversions (reference post-process hooks) -----------------------
+
+def cm_to_m(col: Column) -> Column:
+    """cm → m (modules/mpts/_postprocess.py:11 — ``data/100``)."""
+    return col / F.lit(100.0)
+
+
+def ms_to_s(col: Column) -> Column:
+    """ms → s (ip/plot.py:19, vloop/plot.py:18 — ``t/1000``)."""
+    return col / F.lit(1000.0)
+
+
+# --- dates ------------------------------------------------------------------
+
+def rundate_to_date(col: Column) -> Column:
+    """Decode a ``YYYYMMDD`` int to DATE (factory.py:589-593)."""
+    return F.to_date(col.cast("string"), "yyyyMMdd")
+
+
+def date_to_rundate(col: Column) -> Column:
+    """Inverse encode, DATE → YYYYMMDD int."""
+    return F.date_format(col, "yyyyMMdd").cast("int")
+
+
+# --- strings ----------------------------------------------------------------
+
+def zero_pad(col: Column, width: int) -> Column:
+    """``str(n).zfill(w)`` (factory.py:951-959 channel names)."""
+    return F.lpad(col.cast("string"), width, "0")
+
+
+def pad_width(maxval: Column) -> Column:
+    """``int(ceil(log10(n)))`` pad-width inference (factory.py:949)."""
+    return F.ceil(F.log10(maxval)).cast("int")
+
+
+# --- byte packing (event payload codec, factory.py:295-320) -----------------
+
+def encode_shot_bytes(shot: Column) -> Column:
+    """Shot int → 4 little-endian base-256 bytes (factory.py:298-299:
+    ``[shot / 256**i % 256 for i in range(4)]``)."""
+    return F.array(
+        *[F.shiftright(shot, 8 * i).bitwiseAND(F.lit(255)).cast("int") for i in range(4)]
+    )
+
+
+def decode_shot_bytes(bytes_col: Column) -> Column:
+    """4 bytes → shot int (factory.py:317: ``sum(data * 256**arange(4))``).
+
+    Uses ``F.aggregate`` — a fold over the array, fully JVM-side.
+    """
+    indexed = F.zip_with(
+        bytes_col,
+        F.sequence(F.lit(0), F.lit(3)),
+        lambda b, i: b.cast("long") * F.pow(F.lit(256.0), i.cast("double")).cast("long"),
+    )
+    return F.aggregate(indexed, F.lit(0).cast("long"), lambda acc, x: acc + x)

@@ -1,0 +1,634 @@
+"""Relational operator surface (SURVEY §2.2-2.8) as oracle-checked queries.
+
+These queries exercise, on the driver's TPC-H-ish fixtures, every
+relational primitive the engine declares: projection/filter (P1, P6,
+P7), equi/semi/anti joins with broadcast dims (J2, J5, J6), grouped and
+windowed aggregation (A1-A6, §2.5), sorts/limits (O1-O4), set ops
+(U1-U3, §2.7), and the scalar function library (F1-F12).
+
+Float discipline: every double aggregate uses the exact-decimal
+``dsum``/``davg`` pattern (see fdf_spark.functions.scalar) so results
+are bit-identical regardless of partitioning — the property that makes
+a 1000-executor run hash-match a single-threaded DuckDB oracle.
+
+Scale notes inline per query; the common ones:
+- dimension joins (region/nation/customer at this ratio) are explicit
+  ``F.broadcast`` so no shuffle of the fact side;
+- fact-fact joins rely on AQE to pick sort-merge + skew splitting;
+- all filters are plain Column predicates → parquet pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fdf_spark.functions.scalar import (
+    davg,
+    decode_shot_bytes,
+    dsum,
+    encode_shot_bytes,
+    sql_davg,
+    sql_dsum,
+)
+from fdf_spark.queries import query
+from fdf_spark.sources.tables import load_table as T
+
+# ---------------------------------------------------------------------------
+# Aggregation core
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('(l_extendedprice * (1 - l_discount)) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    operators=("A2", "A5", "A6", "P6", "P7"),
+    doc="TPC-H Q1 shape: scan-filter-group-agg, the map-side-combine workhorse.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_filtered_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+    operators=("P6", "P7", "A2"),
+    doc="TPC-H Q6 shape: pure pushdown filter + global agg (no shuffle but one partial-agg exchange).",
+)
+def q02_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_revenue_by_nation",
+    f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    operators=("J2", "J3", "P6"),
+    doc="Star join: fact-fact sort-merge (lineitem⋈orders) + broadcast dims; "
+    "region filter prunes before the big join (Catalyst pushes through).",
+)
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    # dims are broadcast: nation/region bounded (25/5 rows at any SF);
+    # customer⋈nation⋈region collapses to a small keyed side at this ratio.
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name").isin("ASIA", "EUROPE"))), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("nation")
+    )
+
+
+@query(
+    "q04_top_orders",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice, o.o_orderdate
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    operators=("O1", "O2", "O3", "J2"),
+    doc="Global top-k: TakeOrderedAndProject (no full sort at scale); orderkey tiebreak for determinism.",
+)
+def q04_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_active_customers_by_segment",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    operators=("J5", "P8", "A6"),
+    doc="Left-semi join (the reference's shot-set restriction, factory.py:287-293).",
+)
+def q05_active_customers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q06_idle_customers_by_nation",
+    """
+    SELECT n.n_name AS nation, COUNT(*) AS n_idle
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    operators=("J6", "P8"),
+    doc="Anti join (the reference's efit existence probe inverted, factory.py:495-512).",
+)
+def q06_idle_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_idle"))
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_distinct_brands",
+    """
+    SELECT DISTINCT p_brand FROM part ORDER BY p_brand
+    """,
+    operators=("A3",),
+    doc="SELECT DISTINCT (factory.py:537 shotlist dedup).",
+)
+def q07_distinct_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "part").select("p_brand").distinct().orderBy("p_brand")
+
+
+@query(
+    "q08_union_dedup_custkeys",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ORDER BY c_custkey
+    """,
+    operators=("U1", "U2", "U3", "A3"),
+    doc="Union of shot sources + dedup (factory.py:232-242: explicit ∪ xp ∪ date).",
+)
+def q08_union_dedup_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.unionByName(b).distinct().orderBy("c_custkey")
+
+
+@query(
+    "q09_nation_set_ops",
+    """
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT nationkey, 'both' AS membership FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS membership FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+    ORDER BY membership, nationkey
+    """,
+    operators=("U1", "A3"),
+    doc="intersect / except surface (§2.7 declared ops).",
+)
+def q09_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cn.intersect(sn).withColumn("membership", F.lit("both"))
+    conly = cn.exceptAll(sn.intersect(cn)).withColumn("membership", F.lit("customer_only"))
+    return both.unionByName(conly).orderBy("membership", "nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    operators=("P2", "O4"),
+    doc="row_number top-k per group — the positional-slice primitive (fdf_signal.py:182-231) in relational form.",
+)
+def q10_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q11_running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    operators=("A1", "A5"),
+    doc="Cumulative frame aggregate (the prefix-window pattern behind USXR baseline, usxr/_postprocess.py:11).",
+)
+def q11_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 4))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q12_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INTEGER) AS gap_days
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    operators=("P2",),
+    doc="lag/lead analytics — sample-spacing on non-uniform grids (§2.5 declared).",
+)
+def q12_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)))
+        .select("o_custkey", "o_orderkey", "gap_days")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped filters / conditional aggregation / correlated shapes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_brand_stats_having",
+    f"""
+    SELECT p_brand, COUNT(*) AS n_parts, {sql_davg('p_retailprice')} AS avg_price
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(*) >= 3
+    ORDER BY p_brand
+    """,
+    operators=("A2", "A6", "P6"),
+    doc="GROUP BY + HAVING.",
+)
+def q13_brand_stats_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"), davg("p_retailprice").alias("avg_price"))
+        .filter(F.col("n_parts") >= 3)
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q14_promo_share_by_month",
+    f"""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+           {sql_dsum("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+             AS promo_revenue,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY date_trunc('month', l.l_shipdate)
+    ORDER BY ship_month
+    """,
+    operators=("J3", "A2", "F5"),
+    doc="TPC-H Q14 shape: conditional aggregation over a fact-dim join (part is broadcast).",
+)
+def q14_promo_share_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(dsum(promo).alias("promo_revenue"), dsum(rev).alias("total_revenue"))
+        .orderBy("ship_month")
+    )
+
+
+@query(
+    "q15_small_quantity_parts",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS yearly_loss,
+           COUNT(*) AS n_small
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+    operators=("J3", "A2", "A5"),
+    doc="TPC-H Q17 shape: per-key average re-joined to the fact (decorrelated subquery). "
+    "At 100 TB the agg side is orders of magnitude smaller than the fact → AQE broadcast.",
+)
+def q15_small_quantity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("yearly_loss"),
+            F.count("*").alias("n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (§2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_scalar_functions",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+           substring(o_orderpriority, 1, 1) AS prio_code,
+           ROUND(o_totalprice / 1000.0, 6) AS price_k,
+           ABS(o_totalprice - 100000.0) AS dist_from_100k
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    operators=("F1", "F2", "F3", "F6", "F7", "F8", "F10"),
+    doc="Scalar library: case transform, zero-pad (factory.py:951-959), date parts, "
+    "unit scaling (ip/plot.py:19), abs-distance (fdf_signal.py:298).",
+)
+def q16_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.upper("o_orderpriority").alias("prio_upper"),
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("key_padded"),
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+            F.round(F.col("o_totalprice") / 1000.0, 6).alias("price_k"),
+            F.abs(F.col("o_totalprice") - 100000.0).alias("dist_from_100k"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q17_rundate_roundtrip",
+    """
+    SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS rundate,
+           CAST(strptime(strftime(o_orderdate, '%Y%m%d'), '%Y%m%d') AS DATE) AS decoded
+    FROM orders
+    ORDER BY rundate
+    """,
+    operators=("F5", "A3"),
+    doc="YYYYMMDD int ↔ DATE decode, the logbook rundate codec (factory.py:589-593,619-623).",
+)
+def q17_rundate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    rundate = F.date_format("o_orderdate", "yyyyMMdd").cast("int")
+    return (
+        o.select(
+            rundate.alias("rundate"),
+            F.to_date(rundate.cast("string"), "yyyyMMdd").alias("decoded"),
+        )
+        .distinct()
+        .orderBy("rundate")
+    )
+
+
+@query(
+    "q18_shot_byte_codec",
+    """
+    SELECT event_id,
+           CAST(((event_id >> 0) & 255)
+              + ((event_id >> 8) & 255) * 256
+              + ((event_id >> 16) & 255) * 65536
+              + ((event_id >> 24) & 255) * 16777216 AS BIGINT) AS decoded
+    FROM events
+    WHERE event_id < 4294967296
+    ORDER BY event_id
+    """,
+    operators=("F9", "A7"),
+    doc="Base-256 shot-number codec from the event bus (factory.py:298-299 encode, :317 decode), "
+    "as a JVM-side array fold (F.aggregate).",
+)
+def q18_shot_byte_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") < 2**32)
+        .select(
+            "event_id",
+            decode_shot_bytes(encode_shot_bytes(F.col("event_id"))).alias("decoded"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dim aggregation (rollup / pivot) + approx sketches
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_rollup_revenue",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_extendedprice')} AS sum_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    operators=("A2", "A6"),
+    doc="ROLLUP hierarchy totals (declared OLAP surface).",
+)
+def q19_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_extendedprice").alias("sum_price"), F.count("*").alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q20_pivot_status",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    operators=("A2",),
+    doc="Pivot (wide) aggregation; oracle written as conditional aggs with matching names.",
+)
+def q20_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+    return (
+        piv.select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        ).orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q21_distinct_counts",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+    operators=("A3", "N5"),
+    doc="Exact distinct counts (oracle twin of the approx sketch q22).",
+)
+def q21_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "q22_approx_distinct_sketch",
+    None,  # HLL implementations differ engine-to-engine → rows-only check
+    operators=("N5",),
+    doc="approx_count_distinct (HyperLogLog++) — the 100 TB path where exact distinct "
+    "would shuffle every key; pytest asserts <5%% error vs exact.",
+)
+def q22_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )

@@ -1,0 +1,67 @@
+"""SparkSession bootstrap.
+
+The reference eagerly opens network connections at ``Machine`` init
+(factory.py:83-105: MDSplus pool + SQL Server logbook). Our analog is a
+single tuned SparkSession; "connections" are executor slots Spark
+manages itself (SURVEY §2.1 S3 — the 2-connection MRU pool maps to
+nothing we must hand-roll).
+
+Scale posture (100 TB / 1000 executors):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting and
+  broadcast-join demotion decisions move with data size, so the same
+  code runs at sf0.001 and at 100 TB.
+- shuffle.partitions is a *local* default (~cores); on a real cluster it
+  is expected to be overridden (or left to AQE's coalescing with a high
+  initial value).
+- Arrow enabled: every pandas-interop path (grouped-map FFT, multimodal
+  UDFs, toPandas for plot sinks) is batch-columnar, never per-row.
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-location-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "fdf_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the tuned SparkSession.
+
+    Defaults suit single-node local[N]; on a cluster, pass ``master=None``
+    with a pre-configured spark-submit and only the SQL confs apply.
+    """
+    cpus = int(DEFAULT_LOCAL_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type,
+        # so read as long and convert in the source adapter (tables.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

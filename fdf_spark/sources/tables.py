@@ -1,0 +1,70 @@
+"""Parquet table loaders for the driver fixture schema (TESTDATA.md).
+
+Maps to SURVEY §2.1: S1 (signal scan) and S4 (logbook SQL scan) both
+become ``spark.read.parquet`` — Catalyst gives predicate pushdown and
+column pruning for free, which is the Spark analog of the reference's
+server-side TDI / SQL-WHERE pushdown (factory.py:177,187-191,537-542).
+
+At 100 TB these tables would be directory-partitioned (fact tables by a
+coarse key such as shot/date) so partition pruning kicks in before file
+listing; the loader API is path-based so that layout change is
+transparent to every operator above it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: all driver-provided tables (TESTDATA.md + FIXTURES.md Group B)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: dimension tables small enough to broadcast at ANY scale factor —
+#: region/nation are bounded by geography (25 nations) the way the
+#: reference's machine list is bounded (fdf_globals.py machine aliases).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Lazy: no job runs until an action.
+
+    Schema normalization happens here (the "source adapter" layer):
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    reads as a nanos long (``spark.sql.legacy.parquet.nanosAsLong``);
+    we floor-divide to microseconds — exactly DuckDB's NS→US coercion —
+    so both engines see identical microsecond timestamps.
+    """
+    if name == "events":
+        # settable at runtime, so this works under any caller's session
+        # (the driver builds its own SparkSession without our defaults)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(prefix + name)
+    return dfs
