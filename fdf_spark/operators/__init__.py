@@ -1,0 +1,7 @@
+from fdf_spark.operators.asof import asof_join  # noqa: F401
+from fdf_spark.operators.selection import (  # noqa: F401
+    nearest_sample,
+    positional_slice,
+    value_window,
+)
+from fdf_spark.operators.windows import baseline_subtract  # noqa: F401

@@ -1,0 +1,202 @@
+"""Fusion-signal selection semantics, oracle-checked on the events table
+(SURVEY §2.2 P2/P4/P5, §2.3 J4, §2.4 A1/A4, §2.5).
+
+The events table plays the role of a non-uniform-grid signal: ``ts``
+is the time axis, ``user_id`` the shot/channel key, ``value`` the
+sample. Each query drives one of the library operators in
+``fdf_spark.operators`` and pins its exact reference convention
+against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fdf_spark.functions.scalar import davg, sql_davg
+from fdf_spark.operators.asof import asof_join
+from fdf_spark.operators.selection import nearest_sample, positional_slice, value_window
+from fdf_spark.operators.windows import baseline_subtract
+from fdf_spark.queries import query
+from fdf_spark.sources.tables import load_table as T
+
+TS0 = "2024-01-15 12:00:00"
+TS_LO = "2024-01-10 00:00:00"
+TS_HI = "2024-01-20 00:00:00"
+
+
+@query(
+    "q40_nearest_event",
+    f"""
+    SELECT user_id, event_id, ts, value FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY abs(epoch_us(ts) - epoch_us(TIMESTAMP '{TS0}')), ts) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    operators=("P5", "A4", "O4", "J4"),
+    doc="Nearest-sample point lookup per group — Signal.__call__ scalar path "
+    "(fdf_signal.py:298-300), argmin-first tie-break.",
+)
+def q40_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        nearest_sample(ev, "ts", TS0, by=["user_id"])
+        .select("user_id", "event_id", "ts", "value")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q41_asof_attribution",
+    """
+    SELECT p.user_id, p.event_id, p.ts,
+           c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.user_id, p.ts
+    """,
+    operators=("J4",),
+    doc="Backward as-of join (purchase ← latest click), union-trick plan; "
+    "oracle is DuckDB's native ASOF JOIN.",
+)
+def q41_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id", "value")
+    return (
+        asof_join(purchases, clicks, on="ts", by=["user_id"], direction="backward")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.col("event_id_right").alias("click_id"),
+            F.col("ts_right").alias("click_ts"),
+            F.col("value_right").alias("click_value"),
+        )
+        .orderBy("user_id", "ts")
+    )
+
+
+@query(
+    "q42_value_window_snap",
+    f"""
+    WITH lo AS (
+      SELECT user_id, ts AS t_lo FROM (
+        SELECT user_id, ts, ROW_NUMBER() OVER (
+          PARTITION BY user_id
+          ORDER BY abs(epoch_us(ts) - epoch_us(TIMESTAMP '{TS_LO}')), ts) AS rn
+        FROM events) WHERE rn = 1),
+    hi AS (
+      SELECT user_id, ts AS t_hi FROM (
+        SELECT user_id, ts, ROW_NUMBER() OVER (
+          PARTITION BY user_id
+          ORDER BY abs(epoch_us(ts) - epoch_us(TIMESTAMP '{TS_HI}')), ts) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT e.user_id, e.event_id, e.ts
+    FROM events e JOIN lo USING (user_id) JOIN hi USING (user_id)
+    WHERE e.ts >= lo.t_lo AND e.ts < hi.t_hi
+    ORDER BY e.user_id, e.ts
+    """,
+    operators=("P4", "P3"),
+    doc="Value-based axis window with nearest-endpoint snap, hi EXCLUDED — "
+    "Signal.__call__ range path (fdf_signal.py:296-297,301).",
+)
+def q42_value_window_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        value_window(ev, "ts", TS_LO, TS_HI, by=["user_id"])
+        .select("user_id", "event_id", "ts")
+        .orderBy("user_id", "ts")
+    )
+
+
+@query(
+    "q43_positional_slice",
+    """
+    SELECT user_id, event_id, ts, CAST(rn - 1 AS BIGINT) AS pos FROM (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn - 1 >= 10 AND rn - 1 < 20 AND (rn - 1 - 10) % 2 = 0
+    ORDER BY user_id, pos
+    """,
+    operators=("P2", "P3"),
+    doc="numpy positional slice [10:20:2] per group — Signal.__getitem__ "
+    "(fdf_signal.py:182-231), 0-based half-open with step.",
+)
+def q43_positional_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        positional_slice(ev, order=["ts", "event_id"], start=10, stop=20, step=2, by=["user_id"])
+        .select("user_id", "event_id", "ts", F.col("__pos").cast("bigint").alias("pos"))
+        .orderBy("user_id", "pos")
+    )
+
+
+@query(
+    "q44_baseline_subtract",
+    """
+    WITH ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events),
+    b AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value) AS baseline
+      FROM ranked WHERE rn <= 10
+      GROUP BY user_id, event_type)
+    SELECT e.user_id, e.event_type, e.event_id, e.value,
+           e.value - b.baseline AS value_adj
+    FROM events e JOIN b USING (user_id, event_type)
+    ORDER BY e.event_id
+    """,
+    operators=("A1", "A5", "F2", "X2"),
+    doc="Baseline mean subtraction: value − mean(first 10 samples) per group "
+    "(usxr/_postprocess.py:10-12 with n=1000→10 for fixture size).",
+)
+def q44_baseline_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        baseline_subtract(
+            ev, value="value", order=["ts", "event_id"], n=10,
+            by=["user_id", "event_type"], out="value_adj",
+        )
+        .select("user_id", "event_type", "event_id", "value", "value_adj")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q45_sample_spacing",
+    f"""
+    SELECT user_id,
+           {sql_davg("(epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0")} AS avg_gap_sec,
+           COUNT(prev_ts) AS n_gaps
+    FROM (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    operators=("P2",),
+    doc="lag-based sample spacing on a non-uniform grid (§2.5 declared "
+    "analytic surface; grid diagnostics for nearest-sample ops).",
+)
+def q45_sample_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1_000_000.0
+    return (
+        ev.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(davg("gap").alias("avg_gap_sec"), F.count("gap").alias("n_gaps"))
+        .orderBy("user_id")
+    )
