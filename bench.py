@@ -35,7 +35,7 @@ HEADLINE = [
     "q19_rollup_revenue",
     "q21_distinct_counts",
     "q40_nearest_event",
-    "q41_asof_join",
+    "q41_asof_attribution",
     "q44_baseline_subtract",
     "q50_tumbling_window",
     "q60_exact_dedup",

@@ -1,0 +1,189 @@
+"""Deduplication operators (N1, N2) for document corpora.
+
+Four tiers, trading recall for cost at 100 TB:
+
+1. **exact_dedup** — content-hash groupBy. One shuffle on a 64-char
+   key; the canonical first pass.
+2. **ngram_jaccard_pairs** — exact set-similarity via shingle
+   self-join. Quadratic in the worst case; the ``max_shingle_freq``
+   cap drops ubiquitous shingles (which contribute candidates but
+   almost no Jaccard mass), bounding the join fan-out — the standard
+   trick for web-scale corpora.
+3. **minhash_signatures / lsh_candidate_pairs** — MinHash + banded
+   LSH: linear signature pass, then a bucket join that only pairs
+   documents agreeing on a full band. This is THE scale path: at 100 TB
+   the shingle self-join is infeasible but signatures are ~100 bytes/doc.
+4. **simhash** — near-dup fingerprint whose Hamming distance tracks
+   cosine similarity of token multisets; pairs found by exact-prefix
+   bucketing on the fingerprint.
+
+All hashing in the oracle-checked paths uses the portable 60-bit md5
+hash (fdf_spark.llm.hashing) so DuckDB can replay them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fdf_spark.llm.hashing import portable_hash60
+
+
+def word_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3, distinct: bool = True) -> DataFrame:
+    """→ (id_col, shingle): lowercase word n-grams of each document."""
+    words = F.split(F.lower(F.col(text)), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    # guard: sequence(1, 0) would infer step -1 and yield [1, 0]
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N1: keep the smallest id per sha2-256 content hash.
+
+    Returns (id_col, content_hash, n_copies). One hash-shuffle; at
+    scale prefer hashing to raw-text groupBy (64-byte keys, stable
+    distribution).
+    """
+    h = F.sha2(F.col(text), 256).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """N2 (exact): document pairs with word-n-gram Jaccard ≥ threshold.
+
+    → (id_a, id_b, jaccard), id_a < id_b. ``max_shingle_freq`` drops
+    shingles shared by more than that many documents before the
+    self-join (recall-safe for high thresholds, bounds fan-out).
+    """
+    sh = word_shingles(df, text, id_col, n).withColumnRenamed(id_col, "id")
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
+        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle").drop("__f")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")
+    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")
+    jac = F.col("inter") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """N2 (sketch): long-format MinHash signature → (id_col, seed, minhash).
+
+    min over shingles of a seeded portable hash; one explode + one
+    partial-aggregated groupBy (min is associative → map-side combine).
+    Long format keeps it oracle-comparable and lets band grouping
+    reshape freely.
+    """
+    sh = word_shingles(df, text, id_col, n, distinct=False)
+    seeded = sh.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    h = portable_hash60(F.col("shingle"), F.col("seed"))
+    return (
+        seeded.withColumn("h", h)
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows = num_hashes/bands) and emit pairs that
+    collide on at least one full band → (id_a, id_b).
+
+    The banded join touches only colliding buckets: linear in corpus
+    size + output, never all-pairs. Verify candidates with
+    ``ngram_jaccard_pairs`` on the (tiny) candidate set.
+    """
+    rows_per_band = num_hashes // bands
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
+        .withColumn("bucket", F.sha2(F.to_json(F.struct("band", "sig")), 256))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+) -> DataFrame:
+    """N2: SimHash fingerprint → (id_col, simhash).
+
+    Classic Charikar scheme over the token multiset: each token votes
+    ±1 on every bit of its hash; the fingerprint's bit b is 1 iff the
+    vote sum is ≥ 0. 48 bits keeps every intermediate in int64 range
+    of both engines (oracle-portable).
+    """
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("tok")
+    )
+    hashed = tokens.withColumn("h", portable_hash60(F.col("tok")))
+    votes = hashed.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for b in range(bits)
+                ]
+            )
+        ).alias("pos", "vote"),
+    )
+    bit = F.when(F.sum("vote") >= 0, F.lit(1)).otherwise(F.lit(0))
+    per_bit = votes.groupBy(id_col, "pos").agg(bit.alias("bit"))
+    weight = F.expr("shiftleft(CAST(bit AS BIGINT), pos)")
+    return per_bit.groupBy(id_col).agg(F.sum(weight).alias("simhash"))

@@ -1,0 +1,103 @@
+"""Text analysis operators (N4): token counts, quality scoring,
+language ID, fingerprinting — all pure Column expressions (JVM-side,
+whole-stage codegen; zero Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny multilingual stopword marker sets for the n-gram/stopword
+#: language heuristic (public common-word lists)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+}
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+TOKEN_SPLIT = r"\s+"
+#: BPE-ish lexer: words / single digits / punctuation runs
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(text), TOKEN_SPLIT)
+
+
+def text_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: token/char counts, word-length, ratios,
+    and a deterministic linear quality score."""
+    t = F.col(text)
+    words = _words(t)
+    n_tokens = F.size(words)
+    n_chars = F.length(t)
+    alpha_chars = n_chars - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    digit_chars = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
+    punct_chars = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
+    avg_word_len = (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
+    bpe_tokens = F.regexp_count(t, F.lit(BPE_TOKEN_RE))
+    stop_ratio = stop_hits * 1.0 / n_tokens
+    quality = F.round(
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.4) * (alpha_chars * 1.0 / n_chars)
+        - F.lit(0.2) * (punct_chars * 1.0 / n_chars),
+        6,
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        bpe_tokens.alias("n_bpe_tokens"),
+        n_chars.alias("n_chars_calc"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(digit_chars * 1.0 / n_chars, 6).alias("digit_ratio"),
+        F.round(punct_chars * 1.0 / n_chars, 6).alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID → (id_col, pred_lang, lang_score).
+
+    CJK codepoints → 'zh'; otherwise argmax of per-language stopword-
+    marker hit ratios (deterministic tie-break by language code).
+    A deliberately simple, fully-declarative classifier — the point is
+    the *shape* (scored multi-way CASE over token sets), which scales
+    to real char-n-gram profile tables joined in as data.
+    """
+    words = _words(F.col(text))
+    n = F.size(words)
+
+    def marker_hits(markers):
+        # closure factory: a default-arg lambda would have 2 params and
+        # F.filter would bind the array INDEX to the second one
+        return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+    scores = {lang: marker_hits(m) * 1.0 / n for lang, m in LANG_MARKERS.items()}
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in sorted(LANG_MARKERS, reverse=True):  # reverse so earlier codes win ties
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score <= 0, F.lit("unknown")).otherwise(pred)
+    has_cjk = F.regexp_count(F.col(text), F.lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    return df.select(
+        F.col(id_col),
+        F.when(has_cjk, F.lit("zh")).otherwise(pred).alias("pred_lang"),
+        F.round(F.when(has_cjk, F.lit(1.0)).otherwise(best_score), 6).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized-content fingerprint (md5 of lowercased, punctuation-
+    stripped, whitespace-collapsed text) → (id_col, fp). The standard
+    'same modulo formatting' dedup key."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text)), "[^a-z0-9\\s]", ""), "\\s+", " "
+        )
+    )
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

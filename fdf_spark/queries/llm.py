@@ -1,0 +1,300 @@
+"""LLM-pipeline operators, oracle-checked on documents/embeddings
+(SURVEY §2.11 N1-N5). Approximate operators (LSH candidates, ANN) have
+no SQL oracle — they are recall-tested against their exact twins in
+pytest instead; everything else replays bit-for-bit in DuckDB via the
+portable 60-bit md5 hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fdf_spark.llm.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from fdf_spark.llm.similarity import cosine_topk, knn_predict
+from fdf_spark.llm.textstats import LANG_MARKERS, language_id, fingerprint, text_stats
+from fdf_spark.queries import query
+from fdf_spark.sources.tables import load_table as T
+
+# --- shared DuckDB fragments ------------------------------------------------
+
+SQL_SHINGLES = r"""
+docs AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+sh_raw AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                               i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+  FROM docs)
+"""
+
+SQL_COS = """
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         round(
+           list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(64), i -> CAST(q.embedding[i+1] AS DOUBLE) * CAST(q.embedding[i+1] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(64), i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(c.embedding[i+1] AS DOUBLE))))),
+           6) AS cos_sim
+  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id != c.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM p)
+"""
+
+
+@query(
+    "q60_exact_dedup",
+    """
+    SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash, COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    ORDER BY doc_id
+    """,
+    operators=("N1", "A3"),
+    doc="Exact dedup by sha2-256 content hash, keep smallest doc_id.",
+)
+def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(T(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q61_minhash_signatures",
+    f"""
+    WITH {SQL_SHINGLES}
+    SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+           min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15) AS BIGINT)) AS minhash
+    FROM sh_raw CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    GROUP BY doc_id, seed
+    ORDER BY doc_id, seed
+    """,
+    operators=("N2",),
+    doc="MinHash signatures (16 portable md5-hashes over word trigrams), long format.",
+)
+def q61_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        minhash_signatures(T(spark, sf_dir, "documents"), num_hashes=16)
+        .orderBy("doc_id", "seed")
+    )
+
+
+@query(
+    "q62_simhash",
+    r"""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+    votes AS (
+      SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(48)) AS bit) bits
+      GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id ORDER BY doc_id
+    """,
+    operators=("N2",),
+    doc="48-bit SimHash fingerprint (Charikar) over the token multiset.",
+)
+def q62_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(T(spark, sf_dir, "documents"), bits=48).orderBy("doc_id")
+
+
+@query(
+    "q63_ngram_jaccard_pairs",
+    f"""
+    WITH {SQL_SHINGLES},
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+    operators=("N2",),
+    doc="Exact word-trigram Jaccard near-dup pairs (threshold 0.2) via shingle self-join.",
+)
+def q63_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ngram_jaccard_pairs(T(spark, sf_dir, "documents"), threshold=0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q64_lsh_candidates",
+    None,  # approximate candidate generation — recall-tested in pytest
+    operators=("N2",),
+    doc="Banded MinHash-LSH candidate pairs (16 hashes, 4 bands) — the 100 TB "
+    "near-dup path; pytest asserts recall vs exact Jaccard pairs.",
+)
+def q64_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(T(spark, sf_dir, "documents"), num_hashes=16)
+    return lsh_candidate_pairs(sigs, num_hashes=16, bands=4).orderBy("id_a", "id_b")
+
+
+@query(
+    "q65_cosine_topk",
+    f"""
+    WITH {SQL_COS}
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    operators=("N3",),
+    doc="Exact brute-force top-5 cosine neighbors for query vectors 0-4.",
+)
+def q65_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
+@query(
+    "q66_knn_label",
+    f"""
+    WITH {SQL_COS},
+    top AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 5),
+    votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS votes
+      FROM top t JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2)
+    SELECT query_id, label AS pred_label FROM (
+      SELECT query_id, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+      FROM votes) WHERE rn = 1
+    ORDER BY query_id
+    """,
+    operators=("N3",),
+    doc="kNN label vote over the top-5 neighbors (tie → smaller label).",
+)
+def q66_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = cosine_topk(queries, emb, k=5)
+    return knn_predict(top, emb).orderBy("query_id")
+
+
+@query(
+    "q67_similar_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))),
+             6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+             list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))),
+             6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    operators=("N2", "N3"),
+    doc="Embedding near-dup pairs: all-pairs cosine >= 0.3 (exact twin of the LSH path).",
+)
+def q67_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    from fdf_spark.llm.similarity import cosine
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_STOP = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+
+
+@query(
+    "q70_text_quality",
+    rf"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_calc,
+           round((length(text) - (len(string_split_regex(lower(text), '\s+')) - 1)) * 1.0
+                 / len(string_split_regex(lower(text), '\s+')), 6) AS avg_word_len,
+           round(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ({_STOP}))) * 1.0
+                 / len(string_split_regex(lower(text), '\s+')), 6) AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 6) AS digit_ratio,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+           round(0.4 * (len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ({_STOP}))) * 1.0
+                        / len(string_split_regex(lower(text), '\s+')))
+               + 0.4 * ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text))
+               - 0.2 * (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text)), 6) AS quality_score
+    FROM documents ORDER BY doc_id
+    """,
+    operators=("N4", "F3", "F8"),
+    doc="Per-document token counts, BPE-ish lexer count, ratios, linear quality score.",
+)
+def q70_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(T(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _sql_lang_score(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        rf"len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ({markers}))) * 1.0"
+        rf" / len(string_split_regex(lower(text), '\s+'))"
+    )
+
+
+@query(
+    "q71_language_id",
+    rf"""
+    WITH s AS (
+      SELECT doc_id, text,
+             {_sql_lang_score('en')} AS s_en, {_sql_lang_score('es')} AS s_es,
+             {_sql_lang_score('de')} AS s_de, {_sql_lang_score('fr')} AS s_fr,
+             regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') AS cjk
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN cjk THEN 'zh'
+                WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'unknown'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           round(CASE WHEN cjk THEN 1.0 ELSE greatest(s_en, s_es, s_de, s_fr) END, 6) AS lang_score
+    FROM s ORDER BY doc_id
+    """,
+    operators=("N4",),
+    doc="Stopword-marker + CJK-charset language heuristic (deterministic argmax).",
+)
+def q71_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(T(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q72_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+    operators=("N1", "N4"),
+    doc="Normalized-content md5 fingerprint (formatting-insensitive dedup key).",
+)
+def q72_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(T(spark, sf_dir, "documents")).orderBy("doc_id")
