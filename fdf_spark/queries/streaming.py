@@ -1,0 +1,135 @@
+"""Streaming-surface queries (SURVEY §2.9), oracle-checked by batch
+equivalence: the windowed aggregations run as REAL micro-batch
+streaming queries (file source → memory sink) inside the query
+function; the DuckDB oracle is the relational twin of the same window
+math. With the full fixture present, stream result == batch result —
+that equivalence is exactly what the driver verifies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fdf_spark.functions.scalar import dsum, sql_dsum
+from fdf_spark.queries import query
+from fdf_spark.sources.tables import load_table as T
+from fdf_spark.streaming.events import (
+    event_stream,
+    run_stream_to_batch,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+SQL_WINDOW_AGG = f"""
+  COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+"""
+
+
+@query(
+    "q50_tumbling_window",
+    f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type, {SQL_WINDOW_AGG}
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    operators=("ST1", "ST3", "S7"),
+    doc="Tumbling 1h windows per event_type, executed as a real Structured "
+    "Streaming query (parquet file source → memory sink); oracle is the "
+    "batch twin.",
+)
+def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    out = run_stream_to_batch(spark, tumbling_agg(stream.withWatermark("ts", "10 minutes")))
+    return out.orderBy("window_start", "event_type")
+
+
+@query(
+    "q51_sliding_window",
+    f"""
+    WITH offs AS (SELECT unnest(range(2)) AS o),
+    win AS (
+      SELECT make_timestamp(((epoch_us(ts) // 1800000000) - o) * 1800000000) AS window_start,
+             event_type, value
+      FROM events CROSS JOIN offs)
+    SELECT window_start,
+           CAST(window_start + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+           event_type, {SQL_WINDOW_AGG}
+    FROM win
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+    operators=("ST3",),
+    doc="Sliding windows (1h width, 30m slide): every event in 2 windows; "
+    "oracle materializes the window set relationally.",
+)
+def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return sliding_agg(ev).orderBy("window_start", "event_type")
+
+
+@query(
+    "q52_session_window",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked)
+    SELECT MIN(ts) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           user_id, {SQL_WINDOW_AGG}
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    operators=("ST3",),
+    doc="Gap-based session windows per user (session_window ≡ lag/cumsum "
+    "sessionization; end = last event + gap).",
+)
+def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return session_agg(ev).orderBy("user_id", "session_start")
+
+
+@query(
+    "q53_stream_event_decode",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(((event_id >> 0) & 255)
+              + ((event_id >> 8) & 255) * 256
+              + ((event_id >> 16) & 255) * 65536
+              + ((event_id >> 24) & 255) * 16777216 AS BIGINT)) AS BIGINT) AS shot_sum
+    FROM events WHERE event_id < 4294967296
+    GROUP BY event_type ORDER BY event_type
+    """,
+    operators=("S7", "S8", "ST1", "F9", "A7"),
+    doc="Streaming consume + payload byte-codec: run the event-decode "
+    "aggregation through a real micro-batch stream (wfevent's decode, "
+    "factory.py:317, applied in bulk).",
+)
+def q53_stream_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.functions.scalar import decode_shot_bytes, encode_shot_bytes
+
+    stream = event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    decoded = (
+        stream.filter(F.col("event_id") < 2**32)
+        .withColumn("shot", decode_shot_bytes(encode_shot_bytes(F.col("event_id"))))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("shot").alias("shot_sum"))
+    )
+    return run_stream_to_batch(spark, decoded).orderBy("event_type")

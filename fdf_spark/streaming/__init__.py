@@ -1,0 +1,9 @@
+from fdf_spark.streaming.events import (  # noqa: F401
+    event_stream,
+    run_stream_to_batch,
+    session_agg,
+    setevent,
+    sliding_agg,
+    tumbling_agg,
+    wfevent,
+)

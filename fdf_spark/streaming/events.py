@@ -1,0 +1,183 @@
+"""Event bus on Structured Streaming (SURVEY §2.9 S7/S8/ST1-ST3).
+
+The reference's event layer is a blocking remote TDI call pair:
+``setevent`` publishes a named event with a 4-byte shot payload
+(factory.py:295-305) and ``wfevent`` blocks until it arrives
+(factory.py:307-320). Here the bus is a directory any Spark file
+stream can tail: publishers append parquet rows; consumers run a
+filtered ``readStream``. On a cluster the same code points at Kafka by
+swapping the source format — every transformation below is
+source-agnostic.
+
+Windowed aggregation (ST3, new surface beyond the reference) is
+defined ONCE as batch-compatible column logic: the same function body
+runs in a batch job (giving the DuckDB-checkable oracle twin) and in a
+micro-batch stream (``run_stream_to_batch`` drives it through a real
+streaming query with a memory sink). Watermarks bound state at scale;
+correctness of the window math is batch-equivalence-checked.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fdf_spark.functions.scalar import decode_shot_bytes, dsum, encode_shot_bytes
+
+#: physical schema of the events parquet (ts is TIMESTAMP(NANOS) → long)
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def event_stream(spark: SparkSession, path: str, nanos_ts: bool = True) -> DataFrame:
+    """S7: streaming scan of an events directory (or a single file —
+    the file source needs a directory, so a file path becomes
+    dir + pathGlobFilter on its basename)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    if nanos_ts:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# --- windowed aggregations (batch & streaming share the body) ---------------
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """ST3: tumbling window per event_type → (window_start, window_end,
+    event_type, n_events, total_value)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """ST3: sliding window (each event lands in width/slide windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """ST3: session windows per user (gap-based) → session bounds + stats.
+
+    Spark's ``session_window`` end = last event + gap; the relational
+    twin is lag/cumsum sessionization (see q52's oracle).
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_batch(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a (finite) streaming DataFrame through a real micro-batch
+    query into a memory sink and return the materialized result.
+
+    This is the ST1 'blocking consume' shape and the batch-equivalence
+    harness: with all input present, the result must equal the batch
+    run of the same logic (the driver's DuckDB oracle checks that).
+    """
+    name = f"fdf_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# --- event bus (wfevent / setevent) ----------------------------------------
+
+def setevent(spark: SparkSession, bus_dir: str, name: str, shot: int) -> None:
+    """S8/ST2: publish a named event with a base-256-encoded shot payload
+    (factory.py:295-305). Appends one parquet row to the bus directory."""
+    row = spark.createDataFrame([(name, int(shot))], "event_name string, shot long")
+    out = row.select(
+        "event_name",
+        encode_shot_bytes(F.col("shot")).alias("payload"),
+        F.current_timestamp().alias("published_at"),
+    )
+    out.write.mode("append").parquet(bus_dir)
+
+
+def wfevent(spark: SparkSession, bus_dir: str, name: str, timeout_sec: float = 10.0) -> int | None:
+    """S7/ST1: block until the named event arrives on the bus; decode and
+    return the shot number, or None on timeout (factory.py:307-320:
+    ``sum(shot_data * 256**arange(4))``)."""
+    got: list[int] = []
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        rows = (
+            batch.filter(F.col("event_name") == name)
+            .select(decode_shot_bytes(F.col("payload")).alias("shot"))
+            .take(1)
+        )
+        if rows:
+            got.append(rows[0]["shot"])
+
+    schema = "event_name string, payload array<int>, published_at timestamp"
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(bus_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.monotonic() + timeout_sec
+    try:
+        while not got and time.monotonic() < deadline:
+            time.sleep(0.1)
+    finally:
+        q.stop()
+    return got[0] if got else None

@@ -1,0 +1,92 @@
+"""Streaming semantics that batch equivalence can't cover: the event
+bus round-trip (setevent → wfevent), late-data watermark drop across
+micro-batches, and stream/batch window agreement."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fdf_spark.sources.tables import load_table
+from fdf_spark.streaming.events import (
+    event_stream,
+    run_stream_to_batch,
+    setevent,
+    tumbling_agg,
+    wfevent,
+)
+from tests.conftest import SMOKE_DIR
+
+
+def test_event_bus_roundtrip(spark, tmp_path):
+    bus = str(tmp_path / "bus")
+    os.makedirs(bus)
+    # publisher fires shortly after the consumer starts blocking
+    t = threading.Thread(
+        target=lambda: (time.sleep(1.0), setevent(spark, bus, "new_shot", 141000))
+    )
+    t.start()
+    shot = wfevent(spark, bus, "new_shot", timeout_sec=30.0)
+    t.join()
+    assert shot == 141000  # factory.py:298-299 encode → :317 decode
+
+
+def test_wfevent_timeout(spark, tmp_path):
+    bus = str(tmp_path / "bus2")
+    os.makedirs(bus)
+    setevent(spark, bus, "other_event", 1)
+    assert wfevent(spark, bus, "wanted_event", timeout_sec=3.0) is None
+
+
+def test_stream_batch_equivalence(spark):
+    ev = load_table(spark, SMOKE_DIR, "events")
+    batch = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in tumbling_agg(ev).collect()
+    }
+    stream = event_stream(spark, os.path.join(SMOKE_DIR, "events.parquet"))
+    streamed = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in run_stream_to_batch(spark, tumbling_agg(stream)).collect()
+    }
+    assert batch == streamed
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Batch 1 advances the watermark to 12:49 (max 12:59 − 10 min); batch 2
+    then carries an event at 10:10 — beyond the watermark — which must be
+    dropped, so the 10:00 window never updates past n_events=1. Update
+    output mode makes the drop observable deterministically (every state
+    change emits a row; an accepted late event would emit n_events=2)."""
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    from datetime import datetime
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    on_time = [(1, datetime(2024, 1, 1, 10, 5), 1, "click", 1.0, "{}"),
+               (2, datetime(2024, 1, 1, 12, 59), 1, "click", 1.0, "{}")]
+    late = [(3, datetime(2024, 1, 1, 10, 10), 1, "click", 1.0, "{}")]  # 2h39m late
+
+    name = "late_test_out"
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = tumbling_agg(stream.withWatermark("ts", "10 minutes"))
+    mk(on_time).write.mode("append").parquet(src)
+    q = (
+        agg.writeStream.outputMode("update").format("memory").queryName(name)
+        .trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()  # on-time batch done → watermark = 12:49
+        mk(late).write.mode("append").parquet(src)
+        q.processAllAvailable()  # late batch runs against the 12:49 watermark
+        out = spark.table(name).collect()
+    finally:
+        q.stop()
+    w10 = [r for r in out if str(r["window_start"]).startswith("2024-01-01 10:00")]
+    assert len(w10) >= 1  # the on-time event produced the window
+    assert all(r["n_events"] == 1 for r in w10)  # late event never merged in
