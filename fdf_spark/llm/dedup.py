@@ -29,9 +29,23 @@ from pyspark.sql import functions as F
 
 from fdf_spark.llm.hashing import portable_hash60
 
+#: Mersenne prime 2^31-1: universal-hash modulus for the MinHash family.
+#: Keeps every a_i*x+b_i product under 2^62 (no int64 overflow in Spark's
+#: ANSI mode or DuckDB).
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeff(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for the i-th universal hash
+    h_i(x) = (a_i*x + b_i) mod MINHASH_P — LCG-spread constants, a_i != 0."""
+    return (1103515245 * (i + 1) + 12345) % MINHASH_P, ((i + 1) * 12345) % MINHASH_P
+
 
 def word_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3, distinct: bool = True) -> DataFrame:
     """→ (id_col, shingle): lowercase word n-grams of each document."""
+    from fdf_spark.sources.tables import spread
+
+    df = spread(df)
     words = F.split(F.lower(F.col(text)), r"\s+")
     idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
     # guard: sequence(1, 0) would infer step -1 and yield [1, 0]
@@ -73,14 +87,19 @@ def ngram_jaccard_pairs(
     shingles shared by more than that many documents before the
     self-join (recall-safe for high thresholds, bounds fan-out).
     """
-    sh = word_shingles(df, text, id_col, n).withColumnRenamed(id_col, "id")
+    # join on the 60-bit shingle hash, not the string: 8-byte shuffle/compare
+    # keys instead of ~25-byte text (collisions are negligible at 2^60 and,
+    # because the oracle hashes identically, exactly mirrored there)
+    sh = word_shingles(df, text, id_col, n).select(
+        F.col(id_col).alias("id"), portable_hash60(F.col("shingle")).alias("sh")
+    )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("__f"))
-        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "shingle").drop("__f")
+        freq = sh.groupBy("sh").agg(F.count("*").alias("__f"))
+        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "sh").drop("__f")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -104,22 +123,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """N2 (sketch): long-format MinHash signature → (id_col, seed, minhash).
 
-    min over shingles of a seeded portable hash; one explode + one
-    partial-aggregated groupBy (min is associative → map-side combine).
-    Long format keeps it oracle-comparable and lets band grouping
-    reshape freely.
+    Universal-hash family over one base md5 hash per shingle:
+    ``h_i(x) = (a_i*x + b_i) mod 2^31-1`` with ``x = md5_60(shingle) mod p``
+    — ONE expensive hash per shingle, then ``num_hashes`` multiply-add-mod
+    expressions folded into a single wide groupBy (all mins combine
+    map-side; the shuffle carries one row per document, not one per
+    (shingle, seed)). posexplode reshapes to long format afterwards at
+    per-document cost. min over the distinct shingle set == min over the
+    multiset, so the distinct shingle pass feeds this too.
     """
-    sh = word_shingles(df, text, id_col, n, distinct=False)
-    seeded = sh.select(
+    sh = word_shingles(df, text, id_col, n, distinct=True)
+    x = portable_hash60(F.col("shingle")) % MINHASH_P
+    mins = []
+    for i in range(num_hashes):
+        a, b = minhash_coeff(i)
+        mins.append(F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"m{i}"))
+    wide = sh.withColumn("x", x).groupBy(id_col).agg(*mins)
+    return wide.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("shingle"),
-    )
-    h = portable_hash60(F.col("shingle"), F.col("seed"))
-    return (
-        seeded.withColumn("h", h)
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(num_hashes)])).alias(
+            "seed", "minhash"
+        ),
     )
 
 
@@ -166,7 +190,9 @@ def simhash(
     vote sum is ≥ 0. 48 bits keeps every intermediate in int64 range
     of both engines (oracle-portable).
     """
-    tokens = df.select(
+    from fdf_spark.sources.tables import spread
+
+    tokens = spread(df).select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("tok")
     )
     hashed = tokens.withColumn("h", portable_hash60(F.col("tok")))

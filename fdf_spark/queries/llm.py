@@ -68,15 +68,21 @@ def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q61_minhash_signatures",
     f"""
-    WITH {SQL_SHINGLES}
+    WITH {SQL_SHINGLES},
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    x AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS x
+          FROM sh)
     SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-           min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 15) AS BIGINT)) AS minhash
-    FROM sh_raw CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+           min((((1103515245 * (seed + 1) + 12345) % 2147483647) * x
+                + ((seed + 1) * 12345) % 2147483647) % 2147483647) AS minhash
+    FROM x CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
     GROUP BY doc_id, seed
     ORDER BY doc_id, seed
     """,
     operators=("N2",),
-    doc="MinHash signatures (16 portable md5-hashes over word trigrams), long format.",
+    doc="MinHash signatures: 16 universal hashes (a*x+b mod 2^31-1) over one "
+    "portable md5 base hash per word-trigram shingle, long format.",
 )
 def q61_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -110,11 +116,12 @@ def q62_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_ngram_jaccard_pairs",
     f"""
     WITH {SQL_SHINGLES},
-    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    sh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM shd),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
     FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id

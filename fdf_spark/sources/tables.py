@@ -60,6 +60,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow input up to the session's default parallelism.
+
+    Small fixture tables arrive as ONE parquet file → one input split →
+    CPU-heavy per-row stages (hashing, shingling, vector math) run on a
+    single core no matter how many are available. A round-robin
+    repartition of the (small) raw rows unlocks the map side. On a real
+    cluster wide inputs already have >= defaultParallelism splits, so
+    this is a no-op there — the check is on actual partition count, not
+    data size.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
