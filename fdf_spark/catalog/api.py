@@ -1,0 +1,539 @@
+"""Machine → Shot → Container → Signal: the reference's object graph
+on lazy DataFrames.
+
+Parity map (all lazy — nothing touches storage until an action, the
+Spark analog of the reference's ``_empty`` fill-on-access,
+fdf_signal.py:73,215-220):
+
+- ``Machine`` (factory.py:43-147): shot container + logbook + events.
+- ``Machine.filter_shots`` → ``ImmutableMachine`` (factory.py:287-293,
+  331-375): frozen shot-set view (semi-join semantics).
+- ``Shot`` (factory.py:378-436): lazy diagnostic modules; ``xp``/
+  ``date`` resolved from the logbook on first access (factory.py:438-455).
+- ``Container`` (factory.py:689-871): catalog-driven attribute access;
+  ``equilibria`` runs efit discovery on build (factory.py:495-512,
+  equilibria/_preprocess.py:13-43).
+- ``SignalFrame`` (fdf_signal.py:30-302): long-format DataFrame with
+  axis metadata; ``sig(time=…)`` value selection with nearest-sample
+  snapping, ``sig[a:b]`` positional slicing, transforms applied from
+  the catalog (factory.py:198-201).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import MutableMapping
+from functools import cached_property
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fdf_spark.catalog.registry import (
+    TRANSFORM_UNITS,
+    TRANSFORMS,
+    Catalog,
+    CatalogEntry,
+    ContainerEntry,
+    get_catalog,
+)
+from fdf_spark.operators.selection import nearest_sample, positional_slice, value_window
+
+
+class Machine(MutableMapping):
+    """Dict-like shot container bound to a data directory of Parquet
+    tables (factory.py:43-147). ``machine[141000]`` / ``machine.s141000``
+    / ``machine.shot(141000)`` all resolve the same lazy Shot."""
+
+    def __init__(self, spark: SparkSession, data_dir: str, name: str = "nstx", catalog: Catalog | None = None):
+        self._spark = spark
+        self._data_dir = data_dir
+        self._name = name.lower()
+        self._catalog = catalog or get_catalog()
+        self._shots: dict[int, Shot] = {}
+
+    # -- table access -------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return self._spark.read.parquet(os.path.join(self._data_dir, f"{name}.parquet"))
+
+    @cached_property
+    def logbook(self) -> DataFrame:
+        """Live logbook rows (``voided IS NULL`` pushed to the scan,
+        factory.py:537-542)."""
+        return self.table("logbook").filter(F.col("voided").isNull())
+
+    # -- shot resolution (factory.py:107-116) --------------------------------
+
+    def shot(self, number: int) -> "Shot":
+        if number not in self._shots:
+            self._shots[number] = Shot(self, int(number))
+        return self._shots[number]
+
+    def __getattr__(self, attr: str):
+        if attr.startswith("s") and attr[1:].isdigit():
+            return self.shot(int(attr[1:]))
+        raise AttributeError(attr)
+
+    # -- MutableMapping (factory.py:118-147) ---------------------------------
+
+    def __getitem__(self, key: int) -> "Shot":
+        return self.shot(key)
+
+    def __setitem__(self, key: int, value) -> None:  # parity: no-op assign
+        raise TypeError("shots are created via machine[shot]/addshot")
+
+    def __delitem__(self, key: int) -> None:
+        self._shots.pop(key, None)
+
+    def __iter__(self):
+        return iter(sorted(self._shots))
+
+    def __len__(self) -> int:
+        return len(self._shots)
+
+    # -- shot algebra (factory.py:213-293, 596-633) --------------------------
+
+    def get_shotlist(self, date=None, xp=None, limit: int | None = 500) -> DataFrame:
+        """Distinct shots for dates/XPs, ordered (Logbook.get_shotlist
+        factory.py:596-633 incl. the SET ROWCOUNT 500 guard :572). The
+        reference's per-date/per-XP query loop collapses into one plan."""
+        lb = self.logbook
+        conds = []
+        if date is not None:
+            dates = [date] if not isinstance(date, (list, tuple)) else list(date)
+            conds.append(F.col("rundate").isin(dates))
+        if xp is not None:
+            xps = [xp] if not isinstance(xp, (list, tuple)) else list(xp)
+            conds.append(F.col("xp").isin(xps))
+        if conds:
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            lb = lb.filter(cond)
+        out = lb.select("shot").distinct().orderBy("shot")
+        return out.limit(limit) if limit else out
+
+    def addshot(self, shotlist=None, date=None, xp=None) -> list[int]:
+        """Materialize Shot objects for explicit ids ∪ date-query ∪
+        XP-query, deduped (factory.py:213-244)."""
+        ids = set(int(s) for s in (shotlist or []))
+        if date is not None or xp is not None:
+            ids.update(r["shot"] for r in self.get_shotlist(date=date, xp=xp).collect())
+        for s in sorted(ids):
+            self.shot(s)
+        return sorted(ids)
+
+    def filter_shots(self, date=None, xp=None) -> "ImmutableMachine":
+        """Frozen sub-view restricted to the query's shots
+        (factory.py:287-293)."""
+        shots = [r["shot"] for r in self.get_shotlist(date=date, xp=xp).collect()]
+        return ImmutableMachine(self, shots)
+
+    # -- events (factory.py:295-320) -----------------------------------------
+
+    def setevent(self, name: str, shot: int, bus_dir: str | None = None) -> None:
+        from fdf_spark.streaming.events import setevent
+
+        setevent(self._spark, bus_dir or os.path.join(self._data_dir, "events_bus"), name, shot)
+
+    def wfevent(self, name: str, timeout: float = 10.0, bus_dir: str | None = None):
+        from fdf_spark.streaming.events import wfevent
+
+        return wfevent(
+            self._spark, bus_dir or os.path.join(self._data_dir, "events_bus"), name, timeout
+        )
+
+    def __repr__(self) -> str:
+        return f"<machine {self._name.upper()}>"
+
+
+class ImmutableMachine(MutableMapping):
+    """Frozen shotlist view (factory.py:331-375): reads resolve through
+    the parent, writes raise."""
+
+    def __init__(self, parent: Machine, shots: list[int]):
+        self._parent = parent
+        self._shotset = sorted(set(int(s) for s in shots))
+
+    def __getitem__(self, key: int) -> "Shot":
+        if int(key) not in self._shotset:
+            raise KeyError(key)
+        return self._parent.shot(int(key))
+
+    def __getattr__(self, attr: str):
+        if attr.startswith("s") and attr[1:].isdigit():
+            return self[int(attr[1:])]
+        raise AttributeError(attr)
+
+    def __setitem__(self, key, value):
+        raise TypeError("ImmutableMachine is read-only (factory.py:340-346)")
+
+    def __delitem__(self, key):
+        raise TypeError("ImmutableMachine is read-only (factory.py:340-346)")
+
+    def __iter__(self):
+        return iter(self._shotset)
+
+    def __len__(self) -> int:
+        return len(self._shotset)
+
+
+class Shot:
+    """One discharge; diagnostic containers materialize lazily on
+    attribute access (factory.py:378-436)."""
+
+    def __init__(self, machine: Machine, number: int):
+        self.machine = machine
+        self.shot = number
+        self._containers: dict[str, Container] = {}
+
+    # -- logbook enrichment (factory.py:438-455, 635-648) --------------------
+
+    @cached_property
+    def _xp_date(self) -> tuple[int | None, int | None]:
+        row = (
+            self.machine.logbook.filter(F.col("shot") == self.shot)
+            .select("xp", "rundate")
+            .head(1)
+        )
+        return (row[0]["xp"], row[0]["rundate"]) if row else (None, None)
+
+    @property
+    def xp(self) -> int | None:
+        return self._xp_date[0]
+
+    @property
+    def date(self) -> int | None:
+        return self._xp_date[1]
+
+    @property
+    def logbook(self) -> DataFrame:
+        """This shot's entries, entry-order (factory.py:577-594,583-585)."""
+        return (
+            self.machine.logbook.filter(F.col("shot") == self.shot)
+            .orderBy("shot", "entered")
+        )
+
+    def check_efit(self) -> list[str]:
+        """Available equilibrium trees for this shot — existence probe
+        against the availability table (factory.py:495-512: 18 candidate
+        trees filtered by userid-node existence)."""
+        avail = (
+            self.machine.table("efit_availability")
+            .filter(F.col("shot") == self.shot)
+            .select("efit")
+            .distinct()
+        )
+        return sorted(r["efit"] for r in avail.collect())
+
+    def __getattr__(self, attr: str):
+        cat = self.machine._catalog
+        if attr in cat.containers and "." not in attr:
+            if attr not in self._containers:
+                self._containers[attr] = Container(self, cat.containers[attr])
+            return self._containers[attr]
+        raise AttributeError(f"shot {self.shot} has no diagnostic '{attr}'")
+
+    def __dir__(self):
+        roots = [p for p in self.machine._catalog.containers if "." not in p]
+        return sorted(set(list(super().__dir__()) + roots))
+
+    def __repr__(self) -> str:
+        return f"<shot {self.shot}>"
+
+
+class Node:
+    """Scalar metadata leaf fetched on repr (factory.py:1072-1101)."""
+
+    def __init__(self, shot: Shot, container_path: str, name: str):
+        self._shot = shot
+        self._path = container_path
+        self._name = name
+
+    @cached_property
+    def value(self) -> str | None:
+        rows = (
+            self._shot.machine.table("signal_nodes")
+            .filter(
+                (F.col("shot") == self._shot.shot)
+                & (F.col("container_path") == self._path)
+                & (F.col("node") == self._name)
+            )
+            .select("value")
+            .head(1)
+        )
+        return rows[0]["value"] if rows else None
+
+    def __repr__(self) -> str:
+        return str(self.value)
+
+
+class Container:
+    """Catalog-driven node of the diagnostic tree (factory.py:689-871).
+    Attribute access resolves signals, sub-containers, metadata nodes
+    and bound methods, in that order (factory.py:793-818)."""
+
+    def __init__(self, shot: Shot, entry: ContainerEntry):
+        self.shot = shot
+        self._entry = entry
+        if entry.preprocess == "efit_discovery":
+            self._run_efit_discovery()
+            self._entry = shot.machine._catalog.containers[entry.path]
+
+    def _run_efit_discovery(self) -> None:
+        # X3: runtime schema instantiation from the availability probe
+        # (equilibria/_preprocess.py:13-43)
+        cat = self.shot.machine._catalog
+        for tree in self.shot.check_efit():
+            cat.instantiate_efit(tree)
+
+    def __getattr__(self, attr: str):
+        cat = self.shot.machine._catalog
+        e = self._entry
+        q = f"{e.path}.{attr}"
+        if q in cat.signals:
+            return SignalFrame(self.shot, cat.signals[q])
+        if q in cat.containers:
+            # efit children exist in the shared catalog even when another
+            # shot instantiated them; only expose trees THIS shot has
+            if e.preprocess == "efit_discovery" and attr not in self.shot.check_efit():
+                raise AttributeError(f"{e.path}: tree '{attr}' not available for shot {self.shot.shot}")
+            return Container(self.shot, cat.containers[q])
+        if attr in e.nodes:
+            return Node(self.shot, e.path, attr)
+        if attr in e.methods:
+            return _bind_method(self, attr)
+        raise AttributeError(f"{e.path} has no attribute '{attr}'")
+
+    def signals(self) -> list[str]:
+        return sorted(self._entry.signals)
+
+    def __dir__(self):
+        e = self._entry
+        subs = [p.rsplit(".", 1)[1] for p in e.containers]
+        return sorted(
+            set(list(super().__dir__()) + list(e.signals) + subs + list(e.nodes) + list(e.methods))
+        )
+
+    def __repr__(self) -> str:
+        return f"<container {self._entry.path} shot={self.shot.shot}>"
+
+
+class SignalFrame:
+    """A lazy long-format signal: DataFrame + axis/units metadata.
+
+    The DataFrame carries one row per sample with logical axis columns
+    (time-major order per parse_axes factory.py:970-987), ``value`` and
+    optional ``err``. Slicing/selection return plain DataFrames — in
+    long format axis lock-step propagation (fdf_signal.py:118-169) is
+    inherent: a row filter slices data and every axis at once.
+    """
+
+    def __init__(self, shot: Shot, entry: CatalogEntry):
+        self.shot = shot
+        self.entry = entry
+
+    # -- metadata ------------------------------------------------------------
+
+    @property
+    def axes(self) -> list[str]:
+        return list(self.entry.axes)
+
+    @property
+    def units(self) -> str | None:
+        return self.entry.units
+
+    def axis_units(self, axis: str) -> str | None:
+        """Units of one axis, after transform rewrites
+        (mpts/_postprocess.py:12: cm → m)."""
+        base = dict(self.entry.axis_units).get(axis)
+        rewritten = TRANSFORM_UNITS.get(self.entry.transform or "", {})
+        return rewritten.get(axis, base)
+
+    # -- the lazy plan -------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        """shot filter + key filters + axis projection + transform —
+        all Catalyst-visible (pushdown reaches the Parquet scan)."""
+        e = self.entry
+        df = self.shot.machine.table(e.table).filter(F.col("shot") == self.shot.shot)
+        for col, val in e.where:
+            df = df.filter(F.col(col) == val)
+        cols = [F.col("shot")]
+        for name, phys in e.axis_cols:
+            cols.append(F.col(phys).alias(name))
+        cols.append(F.col(e.value_col).alias("value"))
+        if e.err_col:
+            cols.append(F.col(e.err_col).alias("err"))
+        df = df.select(*cols)
+        if e.transform:
+            df = TRANSFORMS[e.transform](e, df)
+        return df
+
+    # -- selection semantics (fdf_signal.py:283-302) -------------------------
+
+    def __call__(self, **axis_sel) -> DataFrame:
+        """``sig(time=0.3)`` → nearest sample; ``sig(time=[lo,hi])`` →
+        nearest-snapped half-open window. Multiple axes compose."""
+        df = self.df
+        for axis, sel in axis_sel.items():
+            if axis not in self.entry.axes:
+                raise KeyError(f"{self.entry.qualified} has no axis '{axis}'")
+            if isinstance(sel, (list, tuple)):
+                lo, hi = sel
+                df = value_window(df, axis, lo, hi, by=["shot"])
+            else:
+                # scalar: snap to the one nearest DISTINCT axis value,
+                # keeping every sample at that coordinate (a timeslice of
+                # a 2-D profile is all radii at the snapped time)
+                axis_vals = df.select("shot", axis).distinct()
+                snapped = nearest_sample(axis_vals, axis, sel, by=["shot"])
+                df = df.join(F.broadcast(snapped), ["shot", axis])
+        return df
+
+    def __getitem__(self, idx) -> DataFrame:
+        """Positional slice along the axes in declared order
+        (Signal.__getitem__/parseindex fdf_signal.py:182-231). Integer
+        indexes select one coordinate; slices keep a range. Missing
+        trailing axes default to ':' (parseindex pads, :195-206)."""
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        df = self.df
+        for axis, sel in zip(self.entry.axes, idx):
+            if isinstance(sel, slice):
+                if sel.start is None and sel.stop is None and sel.step in (None, 1):
+                    continue
+                start, stop, step = sel.start or 0, sel.stop, sel.step or 1
+            elif isinstance(sel, int):
+                start, stop, step = sel, sel + 1, 1
+            else:
+                raise TypeError(f"unsupported index {sel!r}")
+            # rank DISTINCT axis values, pick the window, keep all samples
+            axis_vals = df.select("shot", axis).distinct()
+            picked = positional_slice(
+                axis_vals, order=[axis], start=start, stop=stop, step=step, by=["shot"]
+            ).drop("__pos")
+            df = df.join(F.broadcast(picked), ["shot", axis])
+        return df
+
+    # -- materialization helpers --------------------------------------------
+
+    def to_pandas(self):
+        order = ["shot"] + list(self.entry.axes)
+        return self.df.orderBy(*order).toPandas()
+
+    def to_numpy(self):
+        """Dense ndarray in axis order (the reference's native form) —
+        driver-side, for plotting/tests only."""
+        import numpy as np
+
+        pdf = self.to_pandas()
+        axes_vals = [np.sort(pdf[a].unique()) for a in self.entry.axes]
+        shape = [len(v) for v in axes_vals]
+        arr = np.full(shape, np.nan)
+        idx = tuple(
+            np.searchsorted(vals, pdf[a].to_numpy())
+            for a, vals in zip(self.entry.axes, axes_vals)
+        )
+        arr[idx] = pdf["value"].to_numpy()
+        return arr, axes_vals
+
+    # -- bound methods (X1) --------------------------------------------------
+
+    def plot(self, **kwargs):
+        return _plot_signal(self, **kwargs)
+
+    def __repr__(self) -> str:
+        e = self.entry
+        return f"<signal {e.qualified} shot={self.shot.shot} units={e.units!r} axes={list(e.axes)}>"
+
+
+# --------------------------------------------------------------------------
+# Method registry (X1): parse_method factory.py:893-909 — names bound in
+# the catalog resolve to engine callables at access time.
+# --------------------------------------------------------------------------
+
+def _method_myfft(container: Container, n_bins: int | None = 64, **kwargs) -> DataFrame:
+    """bes.xml:3 ``myfft`` (modules/bes/fft.py): power spectrum per
+    (shot, channel) over the container's channel table via
+    applyInPandas."""
+    from fdf_spark.operators.fft import fft_power
+
+    cat = container.shot.machine._catalog
+    entries = [cat.signals[f"{container._entry.path}.{s}"] for s in container._entry.signals]
+    tables = {e.table for e in entries}
+    if len(tables) != 1:
+        raise ValueError("myfft needs a single channel table")
+    df = container.shot.machine.table(tables.pop()).filter(
+        F.col("shot") == container.shot.shot
+    )
+    return fft_power(df, by=["shot", "channel"], n_bins=n_bins, **kwargs)
+
+
+def _method_plot(container: Container, **kwargs):
+    """Generic multi-line overlay (Shot.plot factory.py:469-493,
+    methods.plot_multi methods.py:45-63): every 1-D signal of the
+    container on one axis. Driver-side sink (S9)."""
+    sigs = [
+        SignalFrame(container.shot, container.shot.machine._catalog.signals[f"{container._entry.path}.{s}"])
+        for s in container._entry.signals
+    ]
+    return _plot_overlay(sigs, **kwargs)
+
+
+_METHODS = {"myfft": _method_myfft, "plot": _method_plot}
+
+
+def _bind_method(container: Container, name: str):
+    fn = _METHODS[name]
+
+    def bound(*args, **kwargs):
+        return fn(container, *args, **kwargs)
+
+    bound.__name__ = name
+    return bound
+
+
+# --------------------------------------------------------------------------
+# Plot sink (S9) — matplotlib is optional; the data path (collect via
+# toPandas) is exercised even without it.
+# --------------------------------------------------------------------------
+
+def _plot_signal(sig: SignalFrame, ax=None, **kwargs):
+    pdf = sig.to_pandas()
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return pdf  # headless container: return the collected frame
+    if ax is None:
+        _, ax = plt.subplots()
+    if len(sig.entry.axes) == 1:
+        ax.plot(pdf[sig.entry.axes[0]], pdf["value"], **kwargs)
+        ax.set_xlabel(f"{sig.entry.axes[0]} [{sig.axis_units(sig.entry.axes[0])}]")
+        ax.set_ylabel(f"{sig.entry.signal} [{sig.units}]")
+    else:
+        x, y = sig.entry.axes[1], sig.entry.axes[0]
+        ax.tricontourf(pdf[x], pdf[y], pdf["value"])
+        ax.set_xlabel(x)
+        ax.set_ylabel(y)
+    return ax
+
+
+def _plot_overlay(sigs: list[SignalFrame], **kwargs):
+    frames = [(s, s.to_pandas()) for s in sigs if len(s.entry.axes) == 1]
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return {s.entry.signal: pdf for s, pdf in frames}
+    _, ax = plt.subplots()
+    for s, pdf in frames:
+        ax.plot(pdf[s.entry.axes[0]], pdf["value"], label=s.entry.signal, **kwargs)
+    ax.legend()
+    return ax

@@ -1,0 +1,69 @@
+"""Per-group spectral analysis via Arrow-batched grouped-map UDF (X4).
+
+The reference declares an FFT method for BES fluctuation data
+(modules/bes/fft.py:3-9, bound by bes.xml:3 and dispatched through
+parse_method factory.py:893-909) but never implements it — the stub
+just prints. This is the canonical operator that Spark's built-in
+expression library genuinely cannot express, so it is the engine's
+flagship ``applyInPandas`` surface: one numpy FFT per (shot, channel)
+group, Arrow-batched, executing in parallel across executors.
+
+Scale: groups are independent → shuffle on the group key only; each
+group's samples must fit one worker's memory (a BES channel is ~1e6
+samples — fine). Output is |groups| × n_bins rows, far smaller than
+the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def fft_power(
+    df: DataFrame,
+    value: str = "value",
+    time: str = "time",
+    by: Sequence[str] = ("shot", "channel"),
+    n_bins: int | None = None,
+    detrend: bool = True,
+) -> DataFrame:
+    """One-sided power spectrum per group → (by…, bin, freq_hz, power).
+
+    Samples are sorted by ``time`` inside the worker (micro-sort per
+    group, no global sort); the sample interval is the median time
+    delta, so slightly non-uniform grids degrade gracefully. ``power``
+    is ``|rfft|^2 / n`` (unnormalized periodogram); bin 0 is dropped
+    when ``detrend`` (mean removal) is on, since it is then ~0.
+    """
+    by = list(by)
+    out_schema = (
+        ", ".join(f"{c} {dict(df.dtypes)[c]}" for c in by)
+        + ", bin int, freq_hz double, power double"
+    )
+
+    def _one_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time)
+        x = pdf[value].to_numpy(dtype=np.float64)
+        t = pdf[time].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame(columns=by + ["bin", "freq_hz", "power"])
+        if detrend:
+            x = x - x.mean()
+        dt = float(np.median(np.diff(t))) or 1.0
+        spec = np.fft.rfft(x)
+        power = (spec.real**2 + spec.imag**2) / n
+        freqs = np.fft.rfftfreq(n, d=dt)
+        start = 1 if detrend else 0
+        k = slice(start, None if n_bins is None else start + n_bins)
+        bins = np.arange(len(power))[k]
+        out = pd.DataFrame({"bin": bins, "freq_hz": freqs[k], "power": power[k]})
+        for c in by:
+            out[c] = pdf[c].iloc[0]
+        return out[by + ["bin", "freq_hz", "power"]]
+
+    return df.groupBy(*by).applyInPandas(_one_group, schema=out_schema)

@@ -41,6 +41,6 @@ def query(name: str, sql: str | None, operators: tuple[str, ...] = (), doc: str 
 
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
-    from fdf_spark.queries import fusion, llm, relational, streaming  # noqa: F401
+    from fdf_spark.queries import catalog, fusion, llm, relational, streaming  # noqa: F401
 
     return REGISTRY
