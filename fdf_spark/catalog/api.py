@@ -273,9 +273,10 @@ class Container:
     Attribute access resolves signals, sub-containers, metadata nodes
     and bound methods, in that order (factory.py:793-818)."""
 
-    def __init__(self, shot: Shot, entry: ContainerEntry):
+    def __init__(self, shot: Shot, entry: ContainerEntry, parent=None):
         self.shot = shot
         self._entry = entry
+        self._parent = parent if parent is not None else shot
         if entry.preprocess == "efit_discovery":
             self._run_efit_discovery()
             self._entry = shot.machine._catalog.containers[entry.path]
@@ -288,22 +289,31 @@ class Container:
             cat.instantiate_efit(tree)
 
     def __getattr__(self, attr: str):
+        if attr.startswith("_") or attr == "shot":  # no recursion pre-init
+            raise AttributeError(attr)
         cat = self.shot.machine._catalog
         e = self._entry
         q = f"{e.path}.{attr}"
         if q in cat.signals:
-            return SignalFrame(self.shot, cat.signals[q])
+            return SignalFrame(self.shot, cat.signals[q], parent=self)
         if q in cat.containers:
             # efit children exist in the shared catalog even when another
             # shot instantiated them; only expose trees THIS shot has
             if e.preprocess == "efit_discovery" and attr not in self.shot.check_efit():
                 raise AttributeError(f"{e.path}: tree '{attr}' not available for shot {self.shot.shot}")
-            return Container(self.shot, cat.containers[q])
+            return Container(self.shot, cat.containers[q], parent=self)
         if attr in e.nodes:
             return Node(self.shot, e.path, attr)
         if attr in e.methods:
             return _bind_method(self, attr)
-        raise AttributeError(f"{e.path} has no attribute '{attr}'")
+        # X5: delegate misses up the parent chain (container → parent
+        # container → shot), the reference's inheritance walk
+        # (factory.py:806-818; fdf_signal.py:234-245). Terminates at Shot,
+        # whose own __getattr__ raises for unknown names.
+        try:
+            return getattr(self._parent, attr)
+        except AttributeError:
+            raise AttributeError(f"{e.path} has no attribute '{attr}'") from None
 
     def signals(self) -> list[str]:
         return sorted(self._entry.signals)
@@ -329,9 +339,23 @@ class SignalFrame:
     inherent: a row filter slices data and every axis at once.
     """
 
-    def __init__(self, shot: Shot, entry: CatalogEntry):
+    def __init__(self, shot: Shot, entry: CatalogEntry, parent: "Container | None" = None):
         self.shot = shot
         self.entry = entry
+        self._parent = parent
+
+    def __getattr__(self, attr: str):
+        # X5: signals inherit their container's methods/nodes, rebound to
+        # the signal (fdf_signal.py:234-245); then the chain continues up.
+        # (__dict__ access avoids recursion during __init__.)
+        if attr.startswith("_"):
+            raise AttributeError(attr)
+        parent = self.__dict__.get("_parent")
+        if parent is not None:
+            if attr in parent._entry.methods:
+                return _bind_method(self, attr)
+            return getattr(parent, attr)
+        raise AttributeError(attr)
 
     # -- metadata ------------------------------------------------------------
 
@@ -454,12 +478,20 @@ class SignalFrame:
 # the catalog resolve to engine callables at access time.
 # --------------------------------------------------------------------------
 
-def _method_myfft(container: Container, n_bins: int | None = 64, **kwargs) -> DataFrame:
+def _method_myfft(owner, n_bins: int | None = 64, **kwargs) -> DataFrame:
     """bes.xml:3 ``myfft`` (modules/bes/fft.py): power spectrum per
-    (shot, channel) over the container's channel table via
-    applyInPandas."""
+    (shot, channel) via applyInPandas. Bound to a container it spans
+    every channel; rebound to one signal (X5 inheritance) it covers just
+    that channel's rows."""
     from fdf_spark.operators.fft import fft_power
 
+    if isinstance(owner, SignalFrame):
+        e = owner.entry
+        df = owner.shot.machine.table(e.table).filter(F.col("shot") == owner.shot.shot)
+        for col, val in e.where:
+            df = df.filter(F.col(col) == val)
+        return fft_power(df, by=["shot", "channel"], n_bins=n_bins, **kwargs)
+    container = owner
     cat = container.shot.machine._catalog
     entries = [cat.signals[f"{container._entry.path}.{s}"] for s in container._entry.signals]
     tables = {e.table for e in entries}

@@ -107,7 +107,7 @@ def _catalog_values_sql() -> str:
     FROM {_catalog_values_sql()}
     ORDER BY container_path, signal
     """,
-    operators=("S5", "P1", "X1", "X2"),
+    operators=("S5", "P1", "J1", "F4", "X1", "X2"),
     doc="The compiled signal catalog as a relation (S5 catalog scan): every "
     "concrete signal with axes (time-major), units, error node, transform "
     "binding and physical table — the engine's analog of the XML module "
@@ -145,6 +145,116 @@ def q81_catalog_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q82_dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events")
     return ev.filter(F.col("user_id") == 7).select("ts").distinct().orderBy("ts")
+
+
+@query(
+    "q84_contour_levels",
+    """
+    WITH vmax AS (
+      SELECT event_type, max(value) AS vmax
+      FROM events
+      WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-25 00:00:00'
+      GROUP BY event_type)
+    SELECT event_type, CAST(i AS INTEGER) AS level_idx, (i * vmax) / 9 AS level
+    FROM vmax CROSS JOIN (SELECT unnest(range(10)) AS i) idx
+    ORDER BY event_type, level_idx
+    """,
+    operators=("F11", "A2", "P7"),
+    doc="Contour-level linspace: boolean time window, per-group max, 10 "
+    "evenly spaced levels 0..max (mpts/plot.py:59-62: np.linspace(0, "
+    "windowed max, levels)).",
+)
+def q84_contour_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    vmax = (
+        ev.filter(
+            F.col("ts").between("2024-01-05 00:00:00", "2024-01-25 00:00:00")
+        )
+        .groupBy("event_type")
+        .agg(F.max("value").alias("vmax"))
+    )
+    return (
+        vmax.select(
+            "event_type", "vmax", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i")
+        )
+        .select(
+            "event_type",
+            F.col("i").cast("int").alias("level_idx"),
+            ((F.col("i") * F.col("vmax")) / 9).alias("level"),
+        )
+        .orderBy("event_type", "level_idx")
+    )
+
+
+@query(
+    "q85_payload_chr_decode",
+    """
+    SELECT event_id,
+           chr(65 + CAST((event_id >> 0)  & 255 AS INTEGER) % 26) ||
+           chr(65 + CAST((event_id >> 8)  & 255 AS INTEGER) % 26) ||
+           chr(65 + CAST((event_id >> 16) & 255 AS INTEGER) % 26) ||
+           chr(65 + CAST((event_id >> 24) & 255 AS INTEGER) % 26) AS code
+    FROM events
+    WHERE event_id % 97 = 0
+    ORDER BY event_id
+    """,
+    operators=("F12", "F9"),
+    doc="Byte-wise chr/join decode of a packed id (wfevent payload decode, "
+    "factory.py:316-319: bytes → chr → ''.join), alphabet-folded so both "
+    "engines emit printable ASCII.",
+)
+def q85_payload_chr_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    byte = lambda k: (F.shiftright(F.col("event_id"), k).bitwiseAND(F.lit(255))).cast("int")
+    code = F.concat(*[F.char(F.lit(65) + byte(k) % 26) for k in (0, 8, 16, 24)])
+    return (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select("event_id", code.alias("code"))
+        .orderBy("event_id")
+    )
+
+
+def _availability_values() -> list[tuple[int, str]]:
+    """Deterministic availability relation (mirrors the fixture rule):
+    even shots run efit01+efit02, odd shots efit01+lrdfit01."""
+    rows = []
+    for i, shot in enumerate(range(141000, 141008)):
+        for tree in (["efit01", "efit02"] if i % 2 == 0 else ["efit01", "lrdfit01"]):
+            rows.append((shot, tree))
+    return rows
+
+
+@query(
+    "q86_efit_discovery",
+    f"""
+    WITH cand AS (SELECT unnest(['efit0' || CAST(i AS VARCHAR) for i in range(1, 7)]) AS efit
+                  UNION ALL
+                  SELECT unnest([printf('lrdfit%02d', CAST(i AS INTEGER)) for i in range(1, 13)])),
+    avail(shot, efit) AS (VALUES {", ".join(f"({s}, '{t}')" for s, t in _availability_values())}),
+    shots AS (SELECT DISTINCT shot FROM avail)
+    SELECT s.shot, c.efit,
+           EXISTS(SELECT 1 FROM avail a WHERE a.shot = s.shot AND a.efit = c.efit) AS available
+    FROM shots s CROSS JOIN cand c
+    ORDER BY shot, efit
+    """,
+    operators=("X3", "J6", "P8"),
+    doc="efit tree discovery as a relation: 18 candidate trees probed per "
+    "shot against the availability table (check_efit factory.py:495-512); "
+    "drives runtime view instantiation (X3, equilibria/_preprocess.py:13-43).",
+)
+def q86_efit_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.catalog.descriptors import EFIT_CANDIDATES
+
+    avail = spark.createDataFrame(_availability_values(), "shot long, efit string")
+    cand = spark.createDataFrame([(t,) for t in EFIT_CANDIDATES], "efit string")
+    shots = avail.select("shot").distinct()
+    probe = shots.crossJoin(F.broadcast(cand))
+    hit = avail.withColumn("available", F.lit(True))
+    return (
+        probe.join(hit, ["shot", "efit"], "left")
+        .select("shot", "efit", F.coalesce("available", F.lit(False)).alias("available"))
+        .orderBy("shot", "efit")
+    )
 
 
 @query(

@@ -168,7 +168,7 @@ def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o.o_totalprice DESC, o.o_orderkey
     LIMIT 10
     """,
-    operators=("O1", "O2", "O3", "J2"),
+    operators=("O1", "O2", "O3", "J2", "S4"),
     doc="Global top-k: TakeOrderedAndProject (no full sort at scale); orderkey tiebreak for determinism.",
 )
 def q04_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

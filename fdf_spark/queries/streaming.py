@@ -117,7 +117,7 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events WHERE event_id < 4294967296
     GROUP BY event_type ORDER BY event_type
     """,
-    operators=("S7", "S8", "ST1", "F9", "A7"),
+    operators=("S7", "S8", "ST1", "ST2", "F9", "A7"),
     doc="Streaming consume + payload byte-codec: run the event-decode "
     "aggregation through a real micro-batch stream (wfevent's decode, "
     "factory.py:317, applied in bulk).",

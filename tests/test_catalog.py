@@ -262,6 +262,18 @@ def test_to_numpy_roundtrip(shot, fusion_dir):
     np.testing.assert_allclose(arr[0, :], one)
 
 
+def test_attribute_inheritance_chain(shot):
+    # X5 (factory.py:806-818, fdf_signal.py:234-245): misses delegate up
+    # container → parent container → shot; methods rebind to the caller
+    assert repr(shot.mpts.spline.comment) == "shot 141000 ok"  # node from parent
+    per_sig = shot.bes.ch03.myfft(n_bins=4)  # method inherited by signal
+    rows = per_sig.select("channel").distinct().collect()
+    assert [r["channel"] for r in rows] == [3]  # rebound: one channel only
+    # chain terminates with a clean AttributeError
+    with pytest.raises(AttributeError):
+        shot.mpts.spline.not_a_thing
+
+
 def test_catalog_relation(spark):
     cat = Catalog()
     df = cat.to_df(spark)
