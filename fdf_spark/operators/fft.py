@@ -66,4 +66,15 @@ def fft_power(
             out[c] = pdf[c].iloc[0]
         return out[by + ["bin", "freq_hz", "power"]]
 
-    return df.groupBy(*by).applyInPandas(_one_group, schema=out_schema)
+    # Pin the group shuffle width: AQE sees a few MB and coalesces to ONE
+    # post-shuffle partition, serializing every pandas group through a
+    # single task — but this stage is CPU-bound in Python, not IO-bound,
+    # so bytes are the wrong signal. An explicit hash repartition on the
+    # group key satisfies applyInPandas's required distribution (no second
+    # exchange) and keeps all cores busy.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(parallelism, *by)
+        .groupBy(*by)
+        .applyInPandas(_one_group, schema=out_schema)
+    )

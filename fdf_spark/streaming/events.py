@@ -121,17 +121,27 @@ def run_stream_to_batch(
     run of the same logic (the driver's DuckDB oracle checks that).
     """
     name = f"fdf_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # stateful-stream shuffle width: the batch session's 32 partitions
+    # mean 32 state-store tasks per micro-batch — pure overhead for the
+    # bounded state here. 8 is plenty locally; a production stream sizes
+    # this to its key cardinality at stream start (it is fixed into the
+    # checkpoint thereafter).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(prev))))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
