@@ -294,6 +294,50 @@ def q71_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q68_multimodal_features",
+    """
+    SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           COUNT(*) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*) AS avg_feat0
+    FROM documents
+    GROUP BY 1 ORDER BY media_type
+    """,
+    operators=("N6",),
+    doc="Multimodal plumbing end-to-end: documents → binary asset table "
+    "(payload = utf-8 bytes, typed media metadata) → Arrow-batched "
+    "mapInPandas feature extraction (deterministic fake codec) → per-type "
+    "rollup. The oracle re-derives the byte-length feature relationally; "
+    "feat[0] is defined as the payload byte count, so avg_feat0 checks the "
+    "decode path itself (exact: integer-valued doubles).",
+)
+def q68_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import extract_features
+    from fdf_spark.sources.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(assets, codec="fake")
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            (F.sum(F.element_at("feat", 1)) / F.count("*")).alias("avg_feat0"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,
