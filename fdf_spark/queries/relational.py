@@ -632,3 +632,88 @@ def q22_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
     )
+
+
+@query(
+    "q23_salted_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    operators=("A3", "N5"),
+    doc="Exact per-key distinct via two salted phases (hash(value)%n "
+    "sub-keys partition the distinct space, per-bucket counts add up) — "
+    "the skew-safe plan for hot keys that AQE cannot split; result is "
+    "salt-invariant, which is exactly what the oracle checks.",
+)
+def q23_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.skew import salted_count_distinct
+
+    ev = T(spark, sf_dir, "events")
+    return salted_count_distinct(ev, ["event_type"], "user_id", salt_n=16).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "q24_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    operators=("N5", "A2"),
+    doc="Exact continuous percentiles per group (Spark percentile == "
+    "DuckDB quantile_cont, both linear-interpolation); the approximate "
+    "twin at scale is approx_percentile (t-digest) — pytest checks its "
+    "error envelope.",
+)
+def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q25_value_tier_range_join",
+    """
+    WITH tiers(tier, lo, hi) AS (VALUES
+      ('t0', 0.0, 50.0), ('t1', 50.0, 100.0), ('t2', 100.0, 150.0),
+      ('t3', 150.0, 250.0), ('t4', 250.0, 400.0), ('t5', 400.0, 500.0)),
+    j AS (
+      SELECT t.tier, e.value FROM events e
+      JOIN tiers t ON e.value >= t.lo AND e.value < t.hi)
+    SELECT tier, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM j GROUP BY tier ORDER BY tier
+    """,
+    operators=("J3", "J7"),
+    doc="Point-in-interval join via domain bucketing (equi-join on "
+    "floor(value/width) + exact re-check) instead of the "
+    "BroadcastNestedLoopJoin Spark would plan for the raw theta join.",
+)
+def q25_value_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.functions.scalar import dsum
+    from fdf_spark.operators.rangejoin import range_join
+
+    ev = T(spark, sf_dir, "events").select("event_id", "value")
+    tiers = spark.createDataFrame(
+        [("t0", 0.0, 50.0), ("t1", 50.0, 100.0), ("t2", 100.0, 150.0),
+         ("t3", 150.0, 250.0), ("t4", 250.0, 400.0), ("t5", 400.0, 500.0)],
+        "tier string, lo double, hi double",
+    )
+    joined = range_join(ev, "value", tiers, "lo", "hi", bucket_width=50.0)
+    return (
+        joined.groupBy("tier")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .orderBy("tier")
+    )

@@ -107,6 +107,36 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q54_stateful_dedup_count",
+    """
+    SELECT CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique FROM documents
+    """,
+    operators=("ST1", "ST3", "N1"),
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "first-seen content-hash filter over a document stream; the emitted "
+    "row count must equal the batch COUNT(DISTINCT hash) whatever the "
+    "micro-batch slicing — that invariant is the oracle.",
+)
+def q54_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.hashing import portable_hash60
+    from fdf_spark.streaming.stateful import running_dedup
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    path = os.path.join(sf_dir, "documents.parquet")
+    reader = spark.readStream.schema(schema)
+    if not os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    docs = reader.parquet(path).select(
+        (portable_hash60(F.col("text")) % 64).cast("int").alias("bucket"),
+        "doc_id",
+        F.sha2("text", 256).alias("content_hash"),
+    )
+    out = run_stream_to_batch(spark, running_dedup(docs), output_mode="append")
+    return out.agg(F.count("*").alias("n_unique"))
+
+
+@query(
     "q53_stream_event_decode",
     """
     SELECT event_type, COUNT(*) AS n,

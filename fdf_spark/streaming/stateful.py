@@ -1,0 +1,125 @@
+"""Custom stateful streaming operators (SURVEY §2.9 ST1/ST3 extension).
+
+The reference's only stateful consumer is the blocking ``wfevent`` loop
+(factory.py:307-320): wait for a named event, decode the shot payload,
+hand it to the caller. At scale that pattern becomes *per-key state
+machines over an unbounded stream*. Spark's primitive for that is
+``applyInPandasWithState`` (Arrow-batched grouped state with event- or
+processing-time timeouts) — the one streaming surface that tumbling/
+sliding/session windows cannot express.
+
+Two operators:
+
+- ``shot_monitor``: per event-name state machine — counts arrivals and
+  carries the last decoded payload, emitting one row per update (the
+  distributed generalization of ``wfevent``'s single-consumer loop).
+- ``running_dedup``: streaming exact-dedup — remembers content hashes
+  per key and emits only first-seen rows; the streaming twin of the
+  batch ``exact_dedup`` (N1) for continuous ingest pipelines.
+
+State size is bounded by key cardinality (monitor) / hash retention
+(dedup); production deployments add timeouts to expire idle keys —
+``shot_monitor`` demonstrates ``GroupStateTimeout.ProcessingTimeTimeout``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+MONITOR_STATE_SCHEMA = "n_events long, last_shot long"
+MONITOR_OUT_SCHEMA = "event_name string, n_events long, last_shot long, expired boolean"
+
+
+def shot_monitor(events: DataFrame, idle_timeout_ms: int | None = None) -> DataFrame:
+    """Per-event-name arrival monitor with optional idle expiry.
+
+    Input schema: (event_name string, shot long). Emits
+    (event_name, n_events, last_shot, expired) on every update; with
+    ``idle_timeout_ms`` set, a key with no traffic for that long has its
+    state dropped and a final ``expired=true`` row emitted. Note:
+    processing-time timeouts keep scheduling no-data micro-batches, so
+    they pair with a processing-time trigger (never availableNow).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (name,) = key
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"event_name": name, "n_events": n, "last_shot": last, "expired": True}]
+            )
+            return
+        n, last = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            if len(pdf):
+                n += len(pdf)
+                last = int(pdf["shot"].iloc[-1])
+        state.update((n, last))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"event_name": name, "n_events": n, "last_shot": last, "expired": False}]
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("event_name").applyInPandasWithState(
+        update,
+        outputStructType=MONITOR_OUT_SCHEMA,
+        stateStructType=MONITOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+DEDUP_OUT_SCHEMA = "bucket int, doc_id long, content_hash string"
+
+
+def running_dedup(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Streaming first-seen filter: emits a row only the first time a
+    content hash appears. Input: (bucket int, doc_id long, content_hash
+    string) where ``bucket = hash % n_buckets`` bounds per-key state and
+    spreads it across the state store.
+
+    At 100 TB the retained-hash set is the real design decision: state
+    is sharded by bucket (this operator), stored in RocksDB, and expired
+    by retention policy; the emitted stream is the deduplicated corpus.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        seen: list[str] = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
+        out = []
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                h = row["content_hash"]
+                if h not in seen_set:
+                    seen_set.add(h)
+                    seen.append(h)
+                    out.append(
+                        {"bucket": bucket, "doc_id": int(row["doc_id"]), "content_hash": h}
+                    )
+        state.update((seen,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return docs.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,73 @@
+"""applyInPandasWithState operators: per-key state across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from fdf_spark.streaming.stateful import running_dedup, shot_monitor
+
+
+def _run_batches(spark, src_dir, make_stream, batches, name, schema, output_mode="update"):
+    """Write each batch as a separate file and drive the stream through
+    all of them (maxFilesPerTrigger=1 → one micro-batch per file)."""
+    os.makedirs(src_dir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src_dir)
+        time.sleep(0.05)  # distinct mtimes keep batch order deterministic
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    )
+    q = (
+        make_stream(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).collect()
+
+
+def test_shot_monitor_accumulates_state(spark, tmp_path):
+    rows = _run_batches(
+        spark,
+        str(tmp_path / "mon"),
+        shot_monitor,
+        [
+            [("new_shot", 141000), ("new_shot", 141001), ("analysis_done", 7)],
+            [("new_shot", 141002)],
+        ],
+        "monitor_out",
+        "event_name string, shot long",
+    )
+    by_key = {}
+    for r in rows:  # last update per key wins
+        by_key[r["event_name"]] = (r["n_events"], r["last_shot"])
+    assert by_key["new_shot"] == (3, 141002)  # state carried across batches
+    assert by_key["analysis_done"] == (1, 7)
+    assert not any(r["expired"] for r in rows)
+
+
+def test_running_dedup_emits_first_seen_only(spark, tmp_path):
+    batches = [
+        [(0, 1, "aaa"), (0, 2, "bbb"), (1, 3, "ccc")],
+        [(0, 4, "aaa"), (1, 5, "ccc"), (1, 6, "ddd")],  # aaa/ccc are dups
+    ]
+    rows = _run_batches(
+        spark,
+        str(tmp_path / "dedup"),
+        running_dedup,
+        batches,
+        "dedup_out",
+        "bucket int, doc_id long, content_hash string",
+        output_mode="append",
+    )
+    got = sorted((r["content_hash"], r["doc_id"]) for r in rows)
+    assert got == [("aaa", 1), ("bbb", 2), ("ccc", 3), ("ddd", 6)]
