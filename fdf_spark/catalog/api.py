@@ -123,6 +123,22 @@ class Machine(MutableMapping):
             self.shot(s)
         return sorted(ids)
 
+    def get_entries(self, shot=None, date=None, xp=None) -> DataFrame:
+        """Logbook entries for explicit shots ∪ shots-of-date ∪ shots-of-XP,
+        entry-ordered (get_entries factory.py:635-648: shotlist build +
+        per-shot cached queries collapse into one semi-join plan)."""
+        shots = None
+        if shot is not None:
+            ids = [shot] if not isinstance(shot, (list, tuple)) else list(shot)
+            shots = self._spark.createDataFrame([(int(s),) for s in ids], "shot long")
+        if date is not None or xp is not None:
+            q = self.get_shotlist(date=date, xp=xp, limit=None)
+            shots = q if shots is None else shots.unionByName(q).distinct()
+        lb = self.logbook
+        if shots is not None:
+            lb = lb.join(F.broadcast(shots), "shot", "left_semi")
+        return lb.orderBy("shot", "entered")
+
     def filter_shots(self, date=None, xp=None) -> "ImmutableMachine":
         """Frozen sub-view restricted to the query's shots
         (factory.py:287-293)."""

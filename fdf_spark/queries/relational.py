@@ -717,3 +717,33 @@ def q25_value_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
         .orderBy("tier")
     )
+
+
+@query(
+    "q26_sql_text_surface",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    ORDER BY o_custkey, o_orderkey
+    LIMIT 500
+    """,
+    operators=("S4", "P6", "O1", "O3"),
+    doc="The engine's raw-SQL surface: the same ANSI text runs through "
+    "spark.sql over registered views — parity for the reference's "
+    "hand-written logbook SQL (factory.py:537-542, SET ROWCOUNT 500 "
+    "guard :572). DataFrame and SQL entry points share one Catalyst plan.",
+)
+def q26_sql_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+        ORDER BY o_custkey, o_orderkey
+        LIMIT 500
+        """
+    )

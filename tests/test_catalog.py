@@ -262,6 +262,27 @@ def test_to_numpy_roundtrip(shot, fusion_dir):
     np.testing.assert_allclose(arr[0, :], one)
 
 
+def test_get_entries(machine, fusion_dir):
+    ref = pd.read_parquet(f"{fusion_dir}/logbook.parquet")
+    live = ref[ref.voided.isna()]
+    out = machine.get_entries(shot=141000).toPandas()
+    want = live[live.shot == 141000].sort_values(["shot", "entered"])
+    assert list(out.dbkey) == list(want.dbkey)
+    # union path: explicit shot + xp query, deduped by the semi-join
+    both = machine.get_entries(shot=141000, xp=1049).toPandas()
+    want_shots = set(live[live.xp == 1049].shot) | {141000}
+    assert set(both.shot) == want_shots
+
+
+def test_signal_scan_pushdown(shot):
+    # the SignalFrame plan must push the shot/key filters into the parquet
+    # scan and prune to the signal's columns (SURVEY §4: free via Catalyst)
+    plan = shot.bes.ch05.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "EqualTo(shot,141000)" in plan and "EqualTo(channel,5)" in plan
+    assert "ReadSchema" in plan
+
+
 def test_attribute_inheritance_chain(shot):
     # X5 (factory.py:806-818, fdf_signal.py:234-245): misses delegate up
     # container → parent container → shot; methods rebind to the caller
