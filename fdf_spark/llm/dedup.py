@@ -96,6 +96,12 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count("*").alias("__f"))
         sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "sh").drop("__f")
+    # the (id, sh) relation feeds three consumers (both join sides +
+    # sizes); without a materialization Spark recomputes the full
+    # shingle+md5 pass for each. MEMORY_AND_DISK persist trades one
+    # pass's storage (8B hash + id per distinct shingle — ~1% of corpus
+    # bytes) for 2/3 of the CPU.
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -258,6 +258,35 @@ def q86_efit_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q87_sink_roundtrip",
+    """
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id ORDER BY user_id
+    """,
+    operators=("S10",),
+    doc="Partitioned table sink round-trip: aggregate → write parquet "
+    "partitioned by user_id bucket, time-sorted within files → re-scan and "
+    "return. Values must survive the engine's physical layout bit-for-bit.",
+)
+def q87_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.functions.scalar import dsum
+    from fdf_spark.sources.sinks import write_table
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), dsum("value").alias("total")
+    ).withColumn("part", (F.col("user_id") % 8).cast("int"))
+    out_dir = tempfile.mkdtemp(prefix="fdf_sink_")
+    write_table(agg, out_dir, partition_by=("part",), sort_by=("user_id",))
+    back = spark.read.parquet(out_dir)
+    return back.select("user_id", "n", "total").orderBy("user_id")
+
+
+@query(
     "q83_fft_per_series",
     None,  # numpy FFT is not SQL-expressible; driver does the rows-only
     # check; bitwise parity vs numpy is pinned in tests/test_catalog.py
