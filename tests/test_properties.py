@@ -1,0 +1,84 @@
+"""Property-based pinning of the selection conventions (hypothesis).
+
+The reference's selection semantics (fdf_signal.py:283-302) have two
+easy-to-break conventions: scalar lookup keeps exactly the ONE nearest
+sample (first argmin on ties), and range selection keeps
+[argmin(|t-lo|), argmin(|t-hi|)) with the hi-nearest EXCLUDED. The
+oracle queries pin them on fixed fixtures; here hypothesis sweeps
+random non-uniform grids and query points against a literal numpy
+transcription of the reference code.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fdf_spark.operators.selection import nearest_sample, positional_slice, value_window
+
+AXES = st.lists(
+    st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32),
+    min_size=2,
+    max_size=40,
+    unique=True,
+)
+POINTS = st.floats(min_value=-150.0, max_value=150.0, allow_nan=False, width=32)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _np_nearest(t: np.ndarray, v: float) -> float:
+    # fdf_signal.py:298-300: slice(i, i+1), i = argmin(|t - v|)
+    return float(t[int(np.abs(t - v).argmin())])
+
+
+def _np_window(t: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    # fdf_signal.py:296-297,301: [argmin(|t-lo|), argmin(|t-hi|))
+    i0 = int(np.abs(t - lo).argmin())
+    i1 = int(np.abs(t - hi).argmin())
+    return t[i0:i1]
+
+
+def _df(spark, t: np.ndarray):
+    return spark.createDataFrame([(float(x), float(x) * 2) for x in t], "t double, v double")
+
+
+@settings(**_SETTINGS)
+@given(axis=AXES, v=POINTS)
+def test_nearest_sample_matches_numpy(spark, axis, v):
+    t = np.sort(np.asarray(axis, dtype=np.float64))
+    out = nearest_sample(_df(spark, t), "t", v).collect()
+    assert len(out) == 1
+    assert out[0]["t"] == _np_nearest(t, v)
+
+
+@settings(**_SETTINGS)
+@given(axis=AXES, a=POINTS, b=POINTS)
+def test_value_window_matches_numpy(spark, axis, a, b):
+    lo, hi = (a, b) if a <= b else (b, a)
+    t = np.sort(np.asarray(axis, dtype=np.float64))
+    got = sorted(r["t"] for r in value_window(_df(spark, t), "t", lo, hi).collect())
+    want = _np_window(t, lo, hi).tolist()
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    axis=AXES,
+    start=st.integers(min_value=0, max_value=45),
+    stop=st.integers(min_value=0, max_value=45),
+    step=st.integers(min_value=1, max_value=5),
+)
+def test_positional_slice_matches_numpy(spark, axis, start, stop, step):
+    t = np.sort(np.asarray(axis, dtype=np.float64))
+    got = sorted(
+        r["t"]
+        for r in positional_slice(_df(spark, t), ["t"], start, stop, step).collect()
+    )
+    want = sorted(t[start:stop:step].tolist())
+    assert got == want
