@@ -120,6 +120,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-level near-dup REMOVAL: drop every document that has a
+    near-duplicate partner with a smaller id (deterministic survivor
+    rule: the earliest of each duplicate group survives; pair relation
+    is id_a < id_b, so removing all id_b keeps exactly the minimal
+    elements).
+
+    ``pairs`` defaults to the exact shingle-Jaccard relation; at 100 TB
+    pass LSH-verified candidates instead — same removal rule, linear
+    candidate generation.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(df, text, id_col, n, threshold)
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(removed, id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str = "text",

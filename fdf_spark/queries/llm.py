@@ -294,6 +294,42 @@ def q71_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q69_near_dedup",
+    f"""
+    WITH {SQL_SHINGLES},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    sh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM shd),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    removed AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d ANTI JOIN removed r ON d.doc_id = r.doc_id
+    ORDER BY d.doc_id
+    """,
+    operators=("N1", "N2"),
+    doc="End-to-end near-dup removal: pair relation (Jaccard >= 0.5) → "
+    "survivor rule keep-smallest-id → anti-join. The user-facing 'dedupe "
+    "my corpus' composition; at scale the pair stage is LSH-verified "
+    "candidates instead of the exact self-join.",
+)
+def q69_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.dedup import near_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    return (
+        near_dedup(docs, threshold=0.5)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q68_multimodal_features",
     """
     SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
