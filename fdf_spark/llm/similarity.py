@@ -86,6 +86,79 @@ def knn_predict(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: (centroids, corpus-with-cell).
+
+    Centroids are the ``num_cells`` smallest-id corpus vectors —
+    deterministic, so the whole index replays in a SQL oracle (a
+    k-means refinement would drop in here at scale without changing
+    the query shape). Assignment is one broadcast join: the corpus is
+    scanned once, never shuffled; each vector lands in exactly one
+    cell (nearest centroid by cosine, ties to the smaller centroid id).
+    """
+    cents = (
+        corpus.orderBy(corpus_id)
+        .limit(num_cells)
+        .select(F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_vec"))
+    )
+    w = W.partitionBy(corpus_id).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col(corpus_vec), F.col("cent_vec")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(corpus_id, corpus_vec, F.col("cent_id").alias("cell"))
+    )
+    return cents, assigned
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) coarse quantizer.
+
+    Each query probes its ``nprobe`` nearest cells and re-ranks
+    exactly inside them, touching ~``nprobe/num_cells`` of the corpus
+    instead of all of it. At 100 TB the assigned corpus is written
+    partitioned by ``cell`` so a probe is a partition-pruned scan.
+    Deterministic centroids ⇒ unlike LSH, this variant has a full
+    DuckDB oracle (q73).
+    """
+    cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
+    wq = W.partitionBy(query_id).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("cent_sim", cosine(F.col(query_vec), F.col("cent_vec")))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select(query_id, query_vec, F.col("cent_id").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col(query_id) != F.col(corpus_id))
+    w = W.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        cand.withColumn("cos_sim", cosine(F.col(query_vec), F.col(corpus_vec)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -230,6 +230,56 @@ def q67_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine fragment matching fdf_spark.llm.similarity.cosine
+    to the last ulp (double-cast elements, sequential sum, round 6dp)."""
+    dot = f"list_sum(list_transform(range(64), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE)))"
+    na = f"sqrt(list_sum(list_transform(range(64), i -> CAST({a}[i+1] AS DOUBLE) * CAST({a}[i+1] AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform(range(64), i -> CAST({b}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))))"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+@query(
+    "q73_ivf_ann_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qvec, cent_id AS cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cent_id) AS pr
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q CROSS JOIN cents c) WHERE pr <= 2),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {_cos_sql('p.qvec', 'a.embedding')} AS cos_sim
+      FROM assigned a JOIN probes p USING (cell)
+      WHERE p.query_id != a.vec_id)
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    operators=("N3",),
+    doc="IVF ANN: deterministic seed centroids, nprobe=2 of 16 cells, exact re-rank "
+    "inside probed cells only — the partition-pruned scale path for q65.",
+)
+def q73_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.similarity import ivf_ann_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_ann_topk(queries, emb, k=5, num_cells=16, nprobe=2).orderBy("query_id", "rank")
+
+
 _STOP = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
 
 

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from fdf_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard_pairs, simhash
 from fdf_spark.llm.multimodal import ASSET_SCHEMA, extract_features, frame_sample
-from fdf_spark.llm.similarity import cosine_topk, lsh_ann_topk
+from fdf_spark.llm.similarity import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from fdf_spark.sources.tables import load_table
 from tests.conftest import SMOKE_DIR
 
@@ -66,6 +66,35 @@ def test_ann_recall_vs_bruteforce(spark):
     ann_at1 = {r["query_id"]: r["vec_id"] for r in ann}
     hits = sum(1 for q, v in exact_at1.items() if ann_at1.get(q) == v)
     assert hits / len(exact_at1) >= 0.8, f"ANN top-1 recall {hits}/{len(exact_at1)}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF (nprobe=3 of 10 cells) on clustered vectors: recall@1 ≥ 0.8.
+
+    Same honest-benchmark note as the LSH test above; the fixture
+    corpus itself is covered bit-exactly by q73's DuckDB oracle.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    dim, n_clusters, per = 16, 10, 40
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        v = c + rng.normal(scale=0.15, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = (
+        corpus.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    exact = cosine_topk(queries, corpus, k=1).collect()
+    ann = ivf_ann_topk(queries, corpus, k=1, num_cells=10, nprobe=3).collect()
+    exact_at1 = {r["query_id"]: r["vec_id"] for r in exact}
+    ann_at1 = {r["query_id"]: r["vec_id"] for r in ann}
+    hits = sum(1 for q, v in exact_at1.items() if ann_at1.get(q) == v)
+    assert hits / len(exact_at1) >= 0.8, f"IVF top-1 recall {hits}/{len(exact_at1)}"
 
 
 def test_simhash_locality(spark):
