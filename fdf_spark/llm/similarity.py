@@ -86,33 +86,50 @@ def knn_predict(
     )
 
 
+def _cell_scores(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<neg_sim, cent_id>> of (−cosine, id) per centroid.
+
+    Negated similarity so that plain ascending struct ordering
+    (array_min / array_sort) means "most similar first, ties to the
+    smaller centroid id" — the same order the oracle's
+    ``ROW_NUMBER() ... ORDER BY cos DESC, cent_id`` produces.
+    """
+    return F.array(
+        *[
+            F.struct(
+                (-cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))).alias("neg_sim"),
+                F.lit(int(cid)).cast("long").alias("cent_id"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     num_cells: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """IVF index build: (centroids, corpus-with-cell).
 
     Centroids are the ``num_cells`` smallest-id corpus vectors —
     deterministic, so the whole index replays in a SQL oracle (a
     k-means refinement would drop in here at scale without changing
-    the query shape). Assignment is one broadcast join: the corpus is
-    scanned once, never shuffled; each vector lands in exactly one
-    cell (nearest centroid by cosine, ties to the smaller centroid id).
+    the query shape). They are collected to the driver (tiny: cells ×
+    dim floats) and shipped as literals, making assignment a pure
+    per-row expression — the corpus is scanned once and NEVER
+    shuffled (the join+window formulation would hash-exchange the
+    whole corpus on row id just to run a per-row argmin).
     """
-    cents = (
-        corpus.orderBy(corpus_id)
-        .limit(num_cells)
-        .select(F.col(corpus_id).alias("cent_id"), F.col(corpus_vec).alias("cent_vec"))
-    )
-    w = W.partitionBy(corpus_id).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .withColumn("cent_sim", cosine(F.col(corpus_vec), F.col("cent_vec")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(corpus_id, corpus_vec, F.col("cent_id").alias("cell"))
+    cents = [
+        (r[corpus_id], list(r[corpus_vec]))
+        for r in corpus.orderBy(corpus_id).limit(num_cells).select(corpus_id, corpus_vec).collect()
+    ]
+    assigned = corpus.select(
+        corpus_id,
+        corpus_vec,
+        F.array_min(_cell_scores(F.col(corpus_vec), cents))["cent_id"].alias("cell"),
     )
     return cents, assigned
 
@@ -134,19 +151,19 @@ def ivf_ann_topk(
     Each query probes its ``nprobe`` nearest cells and re-ranks
     exactly inside them, touching ~``nprobe/num_cells`` of the corpus
     instead of all of it. At 100 TB the assigned corpus is written
-    partitioned by ``cell`` so a probe is a partition-pruned scan.
-    Deterministic centroids ⇒ unlike LSH, this variant has a full
-    DuckDB oracle (q73).
+    partitioned by ``cell`` so a probe is a partition-pruned scan; in
+    one plan (here) the probe set broadcasts onto an unshuffled corpus
+    scan. Deterministic centroids ⇒ unlike LSH, this variant has a
+    full DuckDB oracle (q73).
     """
     cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
-    wq = W.partitionBy(query_id).orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
-    probes = (
-        queries.join(F.broadcast(cents))
-        .withColumn("cent_sim", cosine(F.col(query_vec), F.col("cent_vec")))
-        .withColumn("__pr", F.row_number().over(wq))
-        .filter(F.col("__pr") <= nprobe)
-        .select(query_id, query_vec, F.col("cent_id").alias("cell"))
-    )
+    probes = queries.select(
+        query_id,
+        query_vec,
+        F.explode(
+            F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
+        ).alias("__pr"),
+    ).select(query_id, query_vec, F.col("__pr")["cent_id"].alias("cell"))
     cand = assigned.join(F.broadcast(probes), "cell")
     if exclude_self:
         cand = cand.filter(F.col(query_id) != F.col(corpus_id))

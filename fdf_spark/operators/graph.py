@@ -1,0 +1,79 @@
+"""Iterative graph operators: connected components over a pair relation.
+
+The near-dup pair relation (fdf_spark.llm.dedup) is an undirected
+graph; "which documents are the same?" is its transitive closure. The
+keep-smallest-partner rule (near_dedup) is correct for removal, but
+cluster analytics (size histograms, canonical representative picking)
+need the actual components.
+
+Algorithm: min-label propagation — every node repeatedly adopts the
+smallest label among itself and its neighbors; converges in
+O(graph diameter) rounds. Dup clusters are near-cliques (diameter ≤ ~3),
+so this beats the O(log n)-round large-star/small-star contraction in
+practice there while staying three joins of plain DataFrame code; for
+long-chain graphs swap in star contraction with the same signature.
+
+Scale notes (100 TB):
+- each round is ONE shuffle of the (node, label) relation on `node`
+  plus an edge join; edges are shuffled on the same key every round,
+  so a pre-`repartition(node)` of both inputs keeps the exchange
+  reused across iterations.
+- `localCheckpoint(eager)` after every round truncates the lineage —
+  without it the plan doubles per iteration and Catalyst analysis
+  time, not the data, becomes the bottleneck.
+- convergence is detected with a count of changed labels (one cheap
+  action per round on the already-materialized checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph → (node, component).
+
+    ``component`` is the smallest node id reachable from ``node``
+    (including itself). ``nodes`` (optional) adds isolated vertices,
+    which come back as singleton components.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    vertices = und.select(F.col("u").alias("node"))
+    if nodes is not None:
+        vertices = vertices.unionByName(
+            nodes.select(F.col(node_col or src).alias("node"))
+        )
+    labels = vertices.distinct().withColumn("component", F.col("node"))
+    und = und.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
+                (F.col("nmin") < F.col("component")).alias("__changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels

@@ -280,6 +280,55 @@ def q73_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(queries, emb, k=5, num_cells=16, nprobe=2).orderBy("query_id", "rank")
 
 
+@query(
+    "q74_dup_clusters",
+    f"""
+    WITH RECURSIVE {SQL_SHINGLES},
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+    sh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM shd),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+    und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+    walk(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT w.u, e.v FROM walk w JOIN und e ON w.v = e.u),
+    comp AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(w.v), d.doc_id)) AS component
+      FROM documents d LEFT JOIN walk w ON w.u = d.doc_id
+      GROUP BY d.doc_id),
+    csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT c.doc_id, c.component, s.cluster_size
+    FROM comp c JOIN csize s USING (component)
+    ORDER BY c.doc_id
+    """,
+    operators=("N1", "N2"),
+    doc="Transitive dup clusters: Jaccard pair graph → connected components "
+    "(iterative min-label propagation; oracle replays it as a recursive "
+    "CTE). Component = smallest reachable doc_id; singletons included.",
+)
+def q74_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.dedup import ngram_jaccard_pairs
+    from fdf_spark.operators.graph import connected_components
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    comp = connected_components(pairs, nodes=docs, node_col="doc_id")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
 _STOP = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
 
 

@@ -97,6 +97,23 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert hits / len(exact_at1) >= 0.8, f"IVF top-1 recall {hits}/{len(exact_at1)}"
 
 
+def test_connected_components_chain(spark):
+    """A→B→C→D chain collapses to one component (transitivity that the
+    pairwise keep-smallest rule alone cannot see); isolated node stays
+    a singleton."""
+    from fdf_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long")
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes, node_col="doc_id").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_simhash_locality(spark):
     """Near-identical docs → small Hamming distance; disjoint docs → large."""
     rows = [
