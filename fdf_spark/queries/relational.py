@@ -747,3 +747,88 @@ def q26_sql_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 500
         """
     )
+
+
+@query(
+    "q27_full_outer_spend",
+    f"""
+    WITH buyers AS (
+      SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS spend
+      FROM orders GROUP BY o_custkey),
+    evens AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0)
+    SELECT COALESCE(e.c_custkey, b.o_custkey) AS custkey,
+           e.c_name AS name,
+           COALESCE(b.n_orders, 0) AS n_orders,
+           COALESCE(b.spend, 0.0) AS spend,
+           (e.c_custkey IS NOT NULL) AS known_customer,
+           (b.o_custkey IS NOT NULL) AS has_orders
+    FROM evens e FULL OUTER JOIN buyers b ON e.c_custkey = b.o_custkey
+    ORDER BY custkey
+    """,
+    operators=("J2", "J3", "P6"),
+    doc="Full outer join with genuine nulls on BOTH sides (even-key "
+    "customers vs order aggregate): coalesced key, null-safe flags. "
+    "Evidence for the declared general-join surface (SURVEY §2.3); "
+    "left/right outer are restrictions of this plan.",
+)
+def q27_full_outer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    buyers = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("spend")
+    )
+    evens = c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    j = evens.join(buyers, evens["c_custkey"] == buyers["o_custkey"], "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+            F.col("c_custkey").isNotNull().alias("known_customer"),
+            F.col("o_custkey").isNotNull().alias("has_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "q28_rank_suite",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(RANK() OVER wt AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER wt AS INTEGER) AS drnk,
+           round(CUME_DIST() OVER wt, 6) AS cdist,
+           LEAD(o_orderkey) OVER wu AS next_orderkey,
+           CAST(NTILE(4) OVER wu AS INTEGER) AS quartile
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-02-01'
+    WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+           wu AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_orderpriority, o_orderdate, o_orderkey
+    """,
+    operators=("P2",),
+    doc="Ranking-window family declared in SURVEY §2.5: rank/dense_rank/"
+    "cume_dist over a tied key (deterministic under ties), lead/ntile "
+    "over a unique key. One hash exchange on the partition key serves "
+    "all five functions (same window frame group).",
+)
+def q28_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-02-01"))
+    )
+    wt = W.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    wu = W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(wt).alias("rnk"),
+            F.dense_rank().over(wt).alias("drnk"),
+            F.round(F.cume_dist().over(wt), 6).alias("cdist"),
+            F.lead("o_orderkey").over(wu).alias("next_orderkey"),
+            F.ntile(4).over(wu).alias("quartile"),
+        )
+        .orderBy("o_orderpriority", F.col("rnk"), "o_orderkey")
+    )
