@@ -90,9 +90,12 @@ def ngram_jaccard_pairs(
     # join on the 60-bit shingle hash, not the string: 8-byte shuffle/compare
     # keys instead of ~25-byte text (collisions are negligible at 2^60 and,
     # because the oracle hashes identically, exactly mirrored there)
-    sh = word_shingles(df, text, id_col, n).select(
+    # hash BEFORE distinct: the dedup shuffle then moves 8-byte keys
+    # instead of ~25-byte shingle text (the oracle dedupes the same
+    # hashed relation, so a 2^-60 collision is mirrored, not a mismatch)
+    sh = word_shingles(df, text, id_col, n, distinct=False).select(
         F.col(id_col).alias("id"), portable_hash60(F.col("shingle")).alias("sh")
-    )
+    ).distinct()
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count("*").alias("__f"))
         sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "sh").drop("__f")
@@ -160,9 +163,10 @@ def minhash_signatures(
     map-side; the shuffle carries one row per document, not one per
     (shingle, seed)). posexplode reshapes to long format afterwards at
     per-document cost. min over the distinct shingle set == min over the
-    multiset, so the distinct shingle pass feeds this too.
+    multiset, so NO distinct pass is needed at all — the only shuffle
+    in this operator is the one-row-per-document final combine.
     """
-    sh = word_shingles(df, text, id_col, n, distinct=True)
+    sh = word_shingles(df, text, id_col, n, distinct=False)
     x = portable_hash60(F.col("shingle")) % MINHASH_P
     mins = []
     for i in range(num_hashes):

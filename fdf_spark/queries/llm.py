@@ -116,8 +116,7 @@ def q62_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_ngram_jaccard_pairs",
     f"""
     WITH {SQL_SHINGLES},
-    shd AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
-    sh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM shd),
+    sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM sh_raw),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -284,8 +283,7 @@ def q73_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q74_dup_clusters",
     f"""
     WITH RECURSIVE {SQL_SHINGLES},
-    shd AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
-    sh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM shd),
+    sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM sh_raw),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -396,8 +394,7 @@ def q71_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q69_near_dedup",
     f"""
     WITH {SQL_SHINGLES},
-    shd AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
-    sh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM shd),
+    sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM sh_raw),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i

@@ -97,6 +97,20 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert hits / len(exact_at1) >= 0.8, f"IVF top-1 recall {hits}/{len(exact_at1)}"
 
 
+def test_ivf_corpus_scan_unshuffled(spark, emb):
+    """The 100 TB property of IVF: cell assignment is a pure per-row
+    expression, so the corpus side reaches the candidate join with NO
+    exchange on the corpus key (the join broadcasts the probe set).
+    Only the per-query top-k window may shuffle (candidates only)."""
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    df = ivf_ann_topk(queries, emb, k=5, num_cells=16, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vec_id" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_connected_components_chain(spark):
     """A→B→C→D chain collapses to one component (transitivity that the
     pairwise keep-smallest rule alone cannot see); isolated node stays

@@ -82,3 +82,50 @@ def test_positional_slice_matches_numpy(spark, axis, start, stop, step):
     )
     want = sorted(t[start:stop:step].tolist())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs union-find reference
+# ---------------------------------------------------------------------------
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # component = min node id in the set
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp[n] = min(m for m in nodes if find(m) == r)
+    return comp
+
+
+@given(edges=EDGES)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_components_match_union_find(spark, edges):
+    """min-label propagation (operators/graph.py) == union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from fdf_spark.operators.graph import connected_components
+
+    nodes = sorted({n for e in edges for n in e})
+    edf = spark.createDataFrame([(int(a), int(b)) for a, b in edges], "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(edf).collect()
+    }
+    assert got == _union_find(edges, nodes)
