@@ -68,6 +68,13 @@ def main() -> None:
     warm.applyInPandas(lambda pdf: pdf, schema="id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # …and the shingle/hash expression pipeline (split+transform+md5+join
+    # codegen shared by the dedup family) on a 64-doc slice
+    from fdf_spark.llm.dedup import minhash_signatures, ngram_jaccard_pairs
+
+    docs64 = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(64)
+    minhash_signatures(docs64).write.format("noop").mode("overwrite").save()
+    ngram_jaccard_pairs(docs64, threshold=0.9).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

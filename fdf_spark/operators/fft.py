@@ -78,3 +78,87 @@ def fft_power(
         .groupBy(*by)
         .applyInPandas(_one_group, schema=out_schema)
     )
+
+
+def fft_power_batched(
+    df: DataFrame,
+    value: str = "value",
+    time: str = "time",
+    by: Sequence[str] = ("shot", "channel"),
+    n_bins: int | None = None,
+    detrend: bool = True,
+) -> DataFrame:
+    """Same spectrum as :func:`fft_power`, shaped for HIGH-CARDINALITY
+    SMALL groups (many series × few samples — e.g. per-user event
+    traces): the group's samples are gathered and time-sorted JVM-side
+    (``collect_list`` + ``array_sort``, map-side partial aggregation),
+    and Python sees one Arrow batch of whole series, paying one
+    ``rfft`` call per series instead of one pandas DataFrame round-trip
+    per group. Ties in ``time`` break by value (array_sort struct
+    order); fft_power's stable sort keeps input order instead — choose
+    per dataset if exact-duplicate timestamps exist.
+
+    For the opposite regime (few groups × ~1e6 samples, e.g. BES
+    channels) keep :func:`fft_power`: per-group overhead is amortized
+    there and it avoids building whole-series arrays in agg buffers.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    by = list(by)
+    pairs = F.array_sort(F.collect_list(F.struct(F.col(time).alias("t"), F.col(value).alias("x"))))
+    g = df.groupBy(*by).agg(pairs.alias("__p"))
+    g = g.select(
+        *by,
+        F.transform("__p", lambda s: s["t"]).alias("__t"),
+        F.transform("__p", lambda s: s["x"]).alias("__x"),
+    )
+
+    out_t = ArrayType(
+        StructType(
+            [
+                StructField("bin", IntegerType()),
+                StructField("freq_hz", DoubleType()),
+                StructField("power", DoubleType()),
+            ]
+        )
+    )
+
+    @pandas_udf(out_t)
+    def _spectra(ts: pd.Series, xs: pd.Series) -> pd.Series:
+        out = []
+        for t_arr, x_arr in zip(ts, xs):
+            x = np.asarray(x_arr, dtype=np.float64)
+            t = np.asarray(t_arr, dtype=np.float64)
+            n = len(x)
+            if n < 2:
+                out.append([])
+                continue
+            if detrend:
+                x = x - x.mean()
+            dt = float(np.median(np.diff(t))) or 1.0
+            spec = np.fft.rfft(x)
+            power = (spec.real**2 + spec.imag**2) / n
+            freqs = np.fft.rfftfreq(n, d=dt)
+            start = 1 if detrend else 0
+            k = slice(start, None if n_bins is None else start + n_bins)
+            bins = np.arange(len(power))[k]
+            out.append(
+                [
+                    {"bin": int(b), "freq_hz": float(f), "power": float(p)}
+                    for b, f, p in zip(bins, freqs[k], power[k])
+                ]
+            )
+        return pd.Series(out)
+
+    exploded = g.select(*by, F.explode(_spectra("__t", "__x")).alias("__r"))
+    return exploded.select(
+        *by, F.col("__r.bin").alias("bin"), F.col("__r.freq_hz").alias("freq_hz"), F.col("__r.power").alias("power")
+    )

@@ -291,15 +291,18 @@ def q87_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # numpy FFT is not SQL-expressible; driver does the rows-only
     # check; bitwise parity vs numpy is pinned in tests/test_catalog.py
     operators=("X4",),
-    doc="Grouped-map FFT (applyInPandas): per-user power spectrum of the "
-    "event value series — the reference's bes.myfft surface (bes.xml:3, "
-    "modules/bes/fft.py) made real, Arrow-batched per group.",
+    doc="Grouped FFT: per-user power spectrum of the event value series — "
+    "the reference's bes.myfft surface (bes.xml:3, modules/bes/fft.py) "
+    "made real. Uses the batched variant (collect_list + one vectorized "
+    "pandas_udf) since this is the many-small-series regime; the "
+    "applyInPandas variant (fft_power) serves wide channels and is "
+    "pinned bit-equal in tests.",
 )
 def q83_fft_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fdf_spark.operators.fft import fft_power
+    from fdf_spark.operators.fft import fft_power_batched
 
     ev = T(spark, sf_dir, "events").withColumn("t", F.unix_micros("ts") / 1e6)
-    out = fft_power(
+    out = fft_power_batched(
         ev.select("user_id", "t", "value"),
         value="value",
         time="t",

@@ -327,6 +327,25 @@ def q74_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q75_lsh_ann_topk",
+    None,  # approximate (random-hyperplane buckets) — recall-tested in
+    # pytest vs the exact q65; driver does the rows-only check
+    operators=("N3",),
+    doc="LSH ANN top-5: multi-table random-hyperplane signatures with "
+    "1-bit multiprobe, exact cosine re-rank inside candidate buckets — "
+    "the bucket-join ANN scale path (IVF q73 is the partition-pruned one).",
+)
+def q75_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.similarity import lsh_ann_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_ann_topk(queries, emb, k=5).orderBy("query_id", "rank")
+
+
 _STOP = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
 
 

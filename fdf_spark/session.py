@@ -59,6 +59,14 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    local = master.startswith("local") if master else not os.environ.get("SPARK_MASTER")
+    if local:
+        # Parallelism FLOOR for scans: the local fixtures are single
+        # parquet files far below maxPartitionBytes, so without this a
+        # 600k-row scan runs as 1-3 tasks on 32 cores. On a cluster the
+        # conf is left default — there, split count comes from file
+        # count/size and a floor this low is a no-op.
+        builder = builder.config("spark.sql.files.minPartitionNum", str(cpus))
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -304,3 +304,32 @@ def test_catalog_relation(spark):
     # every cataloged signal is time-major with a time axis
     bad = df.filter(~F.array_contains("axes", "time")).count()
     assert bad == 0
+
+
+def test_fft_batched_matches_grouped_map(spark):
+    """fft_power (applyInPandas, wide-series regime) and
+    fft_power_batched (collect_list + vectorized pandas_udf,
+    many-small-series regime) are the same operator: bit-equal output
+    on unique-timestamp series."""
+    import numpy as np
+
+    from fdf_spark.operators.fft import fft_power, fft_power_batched
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (g, float(t), float(v))
+        for g in range(6)
+        for t, v in zip(np.sort(rng.uniform(0, 1, 50)), rng.normal(size=50))
+    ]
+    df = spark.createDataFrame(rows, "g long, t double, v double")
+    a = (
+        fft_power(df, value="v", time="t", by=["g"], n_bins=8)
+        .toPandas().sort_values(["g", "bin"]).reset_index(drop=True)
+    )
+    b = (
+        fft_power_batched(df, value="v", time="t", by=["g"], n_bins=8)
+        .toPandas().sort_values(["g", "bin"]).reset_index(drop=True)
+    )
+    assert (a["bin"].values == b["bin"].values).all()
+    np.testing.assert_array_equal(a["power"].values, b["power"].values)
+    np.testing.assert_array_equal(a["freq_hz"].values, b["freq_hz"].values)
