@@ -75,14 +75,27 @@ def main() -> None:
     docs64 = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).limit(64)
     minhash_signatures(docs64).write.format("noop").mode("overwrite").save()
     ngram_jaccard_pairs(docs64, threshold=0.9).write.format("noop").mode("overwrite").save()
+    # …and the Structured Streaming machinery (state-store provider,
+    # memory sink, checkpoint plumbing) on the smallest fixture
+    from fdf_spark.streaming.events import event_stream, run_stream_to_batch, tumbling_agg
 
+    tiny = event_stream(spark, "/root/testdata/sf0.001/events.parquet")
+    run_stream_to_batch(spark, tumbling_agg(tiny.withWatermark("ts", "10 minutes")))
+
+    # two timed executions per query, report the min: measures the
+    # engine's steady state rather than the first-run scheduler/GC
+    # lottery (single-run totals swing ±15% run-to-run; min-of-2 is
+    # stable to a few percent).
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, SF_DIR)
-        # force full execution without driver-side result transfer
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, SF_DIR)
+            # force full execution without driver-side result transfer
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
