@@ -500,3 +500,81 @@ def q68_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q72_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(T(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@query(
+    "q76_training_data_prep",
+    rf"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+    sdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)),
+    docs AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM sdocs),
+    sh_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                                   i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      FROM docs),
+    sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh FROM sh_raw),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    removed AS (
+      SELECT DISTINCT id_b AS doc_id
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+    kept AS (SELECT s.doc_id, s.text FROM sdocs s ANTI JOIN removed r ON s.doc_id = r.doc_id),
+    lang AS (
+      SELECT doc_id,
+             CASE WHEN cjk THEN 'zh'
+                  WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'unknown'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM (
+        SELECT doc_id,
+               {_sql_lang_score('en')} AS s_en, {_sql_lang_score('es')} AS s_es,
+               {_sql_lang_score('de')} AS s_de, {_sql_lang_score('fr')} AS s_fr,
+               regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') AS cjk
+        FROM kept)),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS INTEGER) AS n_tokens,
+             round(0.4 * (len(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x IN ('the','and','of','to','a','in','is'))) * 1.0
+                          / len(string_split_regex(lower(text), '\s+')))
+                 + 0.4 * ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / length(text))
+                 - 0.2 * (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text)), 6) AS quality_score
+      FROM kept)
+    SELECT k.doc_id, st.n_tokens, st.quality_score
+    FROM kept k JOIN lang l ON k.doc_id = l.doc_id JOIN stats st ON k.doc_id = st.doc_id
+    WHERE l.pred_lang = 'en' AND st.quality_score >= 0.35
+    ORDER BY k.doc_id
+    """,
+    operators=("N1", "N2", "N4"),
+    doc="End-to-end corpus preparation — the composition a training-data "
+    "pipeline actually runs: exact dedup (keep smallest id) → near-dup "
+    "removal (Jaccard >= 0.5) → language filter (predicted 'en') → "
+    "quality filter (score >= 0.35) → token counts for the survivors. "
+    "Every stage is an already-oracle-checked operator; this pins the "
+    "composition itself.",
+)
+def q76_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.dedup import near_dedup
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    surv_ids = exact_dedup(docs).select("doc_id")
+    sdocs = docs.join(surv_ids, "doc_id", "left_semi")
+    kept = near_dedup(sdocs, threshold=0.5)
+    lang = language_id(kept).filter(F.col("pred_lang") == "en").select("doc_id")
+    stats = text_stats(kept).select("doc_id", "n_tokens", "quality_score")
+    return (
+        kept.select("doc_id")
+        .join(lang, "doc_id", "left_semi")
+        .join(stats, "doc_id")
+        .filter(F.col("quality_score") >= 0.35)
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )
