@@ -578,3 +578,44 @@ def q76_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "quality_score")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q77_embedding_near_dedup",
+    """
+    WITH removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+             list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(64), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(64), i -> CAST(b.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))))),
+             6) >= 0.3)
+    SELECT e.vec_id, e.label
+    FROM embeddings e ANTI JOIN removed r ON e.vec_id = r.vec_id
+    ORDER BY e.vec_id
+    """,
+    operators=("N1", "N2", "N3"),
+    doc="Embedding-space near-dup removal: drop every vector with a "
+    "higher-similarity (cosine >= 0.3) partner of smaller id — the "
+    "semantic-dedup tier alongside the lexical ones (q69). Exact "
+    "all-pairs here (oracle-checkable); at 100 TB the pair stage is "
+    "LSH (q75) or IVF (q73) candidates with identical survivor rule.",
+)
+def q77_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    removed = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.3)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(removed, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
