@@ -1,0 +1,60 @@
+"""Physical-plan regression pinning (the scale contract, SCALE.md).
+
+Correctness tests prove the queries RIGHT; these prove they stay
+CHEAP: exchange counts, broadcast-vs-sort-merge choices, parquet
+filter pushdown and the no-cartesian rule are asserted on the compiled
+plans, so a refactor that silently adds a shuffle or demotes a
+broadcast fails CI — at sf0.001 compile time, not at 100 TB runtime.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from fdf_spark.queries import load_all
+from tests.conftest import SMOKE_DIR
+
+#: per-query plan expectations. max_exchanges counts `Exchange` nodes
+#: (hash, range and broadcast alike) in the pre-execution plan; AQE can
+#: only coalesce below that at runtime. bnl = BroadcastNestedLoopJoin,
+#: allowed only where a tiny broadcast side makes the cross join the
+#: intended plan (cosine/centroid fan-outs).
+EXPECT: dict[str, dict] = {
+    "q01_pricing_summary": dict(max_exchanges=2, pushed=True),
+    "q02_filtered_revenue": dict(max_exchanges=1, pushed=True),
+    "q03_revenue_by_nation": dict(max_exchanges=4, min_bhj=3, max_smj=1, pushed=True),
+    "q04_top_orders": dict(max_exchanges=1),  # TakeOrderedAndProject, no full sort
+    "q05_active_customers_by_segment": dict(min_bhj=1),
+    "q10_topk_orders_per_customer": dict(max_exchanges=2),
+    "q40_nearest_event": dict(max_exchanges=2),
+    "q41_asof_attribution": dict(max_exchanges=2),
+    "q60_exact_dedup": dict(max_exchanges=2),
+    "q65_cosine_topk": dict(max_bnl=1, max_exchanges=2),
+    "q73_ivf_ann_topk": dict(absent=["hashpartitioning(vec_id"]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECT), ids=sorted(EXPECT))
+def test_plan_shape(spark, name):
+    exp = EXPECT[name]
+    df = load_all()[name].fn(spark, SMOKE_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    n_ex = len(re.findall(r"\bExchange ", plan))
+    if "max_exchanges" in exp:
+        assert n_ex <= exp["max_exchanges"], f"{name}: {n_ex} exchanges"
+    if "min_bhj" in exp:
+        assert plan.count("BroadcastHashJoin") >= exp["min_bhj"], f"{name}: dims not broadcast"
+    if "max_smj" in exp:
+        assert plan.count("SortMergeJoin") <= exp["max_smj"], f"{name}: extra sort-merge join"
+    bnl = plan.count("BroadcastNestedLoopJoin")
+    assert bnl <= exp.get("max_bnl", 0), f"{name}: unexpected nested-loop join"
+    if exp.get("pushed"):
+        assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan, (
+            f"{name}: parquet filter pushdown missing"
+        )
+    for frag in exp.get("absent", ()):
+        assert frag not in plan, f"{name}: forbidden plan fragment {frag!r}"
