@@ -1,0 +1,91 @@
+"""Operator stress at 100-1000× bench scale on generated data.
+
+``python tools/stress.py`` — generates synthetic inputs with
+``spark.range`` (no fixture dependency), runs each core operator at a
+row count chosen so the run finishes in tens of seconds on local[32],
+and prints one line per operator: rows, wall seconds, Mrows/s.
+Results are recorded in SCALE.md; the point is demonstrating the
+row-count headroom of each plan shape, not absolute speed.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from fdf_spark.session import get_spark
+
+
+def timed(name, rows, df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"{name:28s} {rows/1e6:8.1f} Mrows {dt:7.2f} s {rows/dt/1e6:8.1f} Mrows/s", flush=True)
+
+
+def main() -> None:
+    spark = get_spark("fdf_stress", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm JVM + python-free paths
+    spark.range(0, 1_000_000, 1, 32).groupBy((F.col("id") % 8).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # 1) scan-filter-agg (q01 shape): 200M rows
+    n = 200_000_000
+    df = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 7).alias("flag"),
+        (F.col("id") % 1000).cast("double").alias("qty"),
+        ((F.col("id") * 37) % 10000).cast("double").alias("price"),
+    )
+    timed("filter+groupBy agg", n, df.filter(F.col("qty") < 900).groupBy("flag").agg(
+        F.sum("qty"), F.avg("price"), F.count("*")))
+
+    # 2) windowed baseline subtraction (A1 shape): 100M rows, 10k series
+    n = 100_000_000
+    sig = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 10_000).alias("series"),
+        (F.col("id") / 10_000).cast("double").alias("t"),
+        F.sin(F.col("id").cast("double")).alias("v"),
+    )
+    base = sig.filter(F.col("t") < 500).groupBy("series").agg(F.avg("v").alias("b"))
+    timed("baseline subtract (A1)", n, sig.join(F.broadcast(base), "series").select(
+        "series", "t", (F.col("v") - F.col("b")).alias("v0")))
+
+    # 3) as-of join (J4 shape): 50M probes against 1M quotes, 1k keys
+    from fdf_spark.operators.asof import asof_join
+
+    probes = spark.range(0, 50_000_000, 1, 64).select(
+        (F.col("id") % 1_000).alias("k"), (F.col("id") % 997_013).cast("double").alias("t"))
+    quotes = spark.range(0, 1_000_000, 1, 32).select(
+        (F.col("id") % 1_000).alias("k"), (F.col("id")).cast("double").alias("t"),
+        (F.col("id") % 13).cast("double").alias("qv"))
+    timed("as-of join (J4)", 50_000_000, asof_join(probes, quotes, on="t", by=["k"]))
+
+    # 4) exact dedup (N1 shape): 50M short strings, ~10% dups
+    n = 50_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"), F.sha2(F.conv((F.col("id") % (n // 10 * 9)).cast("string"), 10, 16), 256).alias("text"))
+    from fdf_spark.llm.dedup import exact_dedup
+
+    timed("exact dedup (N1)", n, exact_dedup(docs))
+
+    # 5) minhash signatures (N2 shape): 2M synthetic 12-word docs
+    n = 2_000_000
+    words = F.transform(F.sequence(F.lit(0), F.lit(11)), lambda i: F.conv(((F.col("id") * 31 + i * 7) % 50_000).cast("string"), 10, 16))
+    docs = spark.range(0, n, 1, 64).select(F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+    from fdf_spark.llm.dedup import minhash_signatures
+
+    timed("minhash 16 sigs (N2)", n, minhash_signatures(docs, num_hashes=16))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
