@@ -832,3 +832,54 @@ def q28_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", F.col("rnk"), "o_orderkey")
     )
+
+
+_Q29_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    ORDER BY c_custkey
+    """
+
+
+@query(
+    "q29_correlated_exists",
+    _Q29_SQL,
+    operators=("J5", "J6", "P6"),
+    doc="Correlated EXISTS / NOT EXISTS subqueries, identical ANSI text on "
+    "both engines: Catalyst decorrelates to a left-semi + left-anti join "
+    "pair — the declared general-subquery surface beyond the reference's "
+    "hand-written SQL.",
+)
+def q29_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q29_SQL)
+
+
+_Q30_SQL = f"""
+    WITH spend AS (
+      SELECT o_custkey, {sql_dsum('o_totalprice')} AS total FROM orders GROUP BY o_custkey)
+    SELECT s.o_custkey AS custkey, s.total
+    FROM spend s
+    WHERE s.total > (SELECT {sql_davg('total')} FROM spend)
+    ORDER BY custkey
+    """
+
+
+@query(
+    "q30_scalar_subquery",
+    _Q30_SQL,
+    operators=("A2", "P6"),
+    doc="Uncorrelated scalar subquery (spend above corpus average), "
+    "identical text both engines; Catalyst plans the scalar as a "
+    "broadcast single-row subquery, no per-row re-evaluation.",
+)
+def q30_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q30_SQL)
