@@ -99,3 +99,53 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
         assets.filter(F.col("media_type") == "video")
         .select("asset_id", F.explode(idx).alias("frame_idx"))
     )
+
+
+RESIZE_SCHEMA = (
+    "asset_id long, media_type string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+
+def resize_images(assets: DataFrame, width: int, height: int, codec: str = "stub") -> DataFrame:
+    """Arrow-batched image resize: same asset schema out, payload
+    re-encoded at (width, height) and metadata rewritten.
+
+    ``codec='stub'`` raises (PIL not in this container); ``codec='fake'``
+    deterministically re-synthesizes a payload of ``width*height`` bytes
+    by tiling the source bytes — byte-for-byte reproducible, so tests
+    assert the full pipeline (schema, metadata rewrite, batch shapes)
+    without an image library. Non-image rows pass through untouched.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if codec == "stub":
+                raise NotImplementedError(
+                    "real image resize requires PIL; use codec='fake' "
+                    "for the deterministic test codec"
+                )
+
+            def one(row):
+                if row["media_type"] != "image":
+                    return row["payload"], row["meta"]
+                src = bytes(row["payload"]) or b"\0"
+                n = width * height
+                out = (src * (n // len(src) + 1))[:n]
+                meta = dict(row["meta"] or {})
+                meta["width"], meta["height"] = width, height
+                return out, meta
+
+            resized = pdf.apply(one, axis=1, result_type="expand")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": resized[0],
+                    "meta": resized[1],
+                }
+            )
+
+    return assets.select("asset_id", "media_type", "payload", "meta").mapInPandas(
+        run, RESIZE_SCHEMA
+    )

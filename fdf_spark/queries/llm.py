@@ -619,3 +619,48 @@ def q77_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q78_multimodal_resize",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(512 AS BIGINT) AS n_bytes,
+           32 AS width, 16 AS height
+    FROM documents WHERE doc_id % 3 = 0
+    ORDER BY asset_id
+    """,
+    operators=("N6",),
+    doc="Multimodal resize plumbing: documents → binary assets → "
+    "mapInPandas resize to 32x16 (deterministic fake codec tiles the "
+    "source bytes) → payload length + rewritten metadata per image. The "
+    "oracle pins the contract (every image re-encoded to exactly "
+    "width*height bytes, metadata updated, row set preserved).",
+)
+def q78_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import resize_images
+    from fdf_spark.sources.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    resized = resize_images(assets, 32, 16, codec="fake")
+    return (
+        resized.filter(F.col("media_type") == "image")
+        .select(
+            "asset_id",
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+        )
+        .orderBy("asset_id")
+    )

@@ -173,3 +173,27 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample(assets, every_n=10).collect()
     assert [(r["asset_id"], r["frame_idx"]) for r in frames] == [(7, 0), (7, 10), (7, 20)]
+
+
+def test_resize_images_plumbing(spark):
+    """Resize: image payloads re-encoded at the target size with
+    metadata rewritten; non-image rows untouched; stub codec raises."""
+    from fdf_spark.llm.multimodal import ASSET_SCHEMA, resize_images
+
+    rows = [
+        (1, "image", b"abcdef", {"width": 3, "height": 2, "sample_rate": None, "n_frames": None}),
+        (2, "audio", b"xyz", {"width": None, "height": None, "sample_rate": 16000, "n_frames": None}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in resize_images(assets, 4, 2, codec="fake").collect()}
+    img = out[1]
+    assert len(bytes(img["payload"])) == 8
+    assert bytes(img["payload"]) == (b"abcdef" * 3)[:8]
+    assert img["meta"]["width"] == 4 and img["meta"]["height"] == 2
+    aud = out[2]
+    assert bytes(aud["payload"]) == b"xyz" and aud["meta"]["sample_rate"] == 16000
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(assets, 4, 2, codec="stub").collect()
