@@ -883,3 +883,113 @@ def q30_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q30_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Multi-dim aggregation, continued: CUBE / UNPIVOT / range-frame windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_cube_grouping",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    operators=("A2", "A6"),
+    doc="CUBE with grouping_id disambiguation — completes the multi-dim "
+    "OLAP family next to ROLLUP (q19) and PIVOT (q20). grouping_id() "
+    "distinguishes a real NULL group key from a subtotal row; at scale "
+    "CUBE is one Expand + one shuffle-agg (partial map-side combine), "
+    "not 4 scans.",
+)
+def q31_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q32_unpivot_status",
+    f"""
+    WITH piv AS (
+      SELECT l_returnflag,
+             {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+             {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, status, qty FROM (
+      SELECT l_returnflag, 'O' AS status, qty_O AS qty FROM piv
+      UNION ALL
+      SELECT l_returnflag, 'F' AS status, qty_F AS qty FROM piv)
+    WHERE qty IS NOT NULL
+    ORDER BY l_returnflag, status
+    """,
+    operators=("A2", "U2"),
+    doc="UNPIVOT (wide→long melt) — the inverse of q20's pivot, as the "
+    "native DataFrame.unpivot/melt operator (one Expand node, no "
+    "shuffle beyond the feeding agg; null cells dropped per UNPIVOT "
+    "semantics). Oracle spells it as the UNION ALL it desugars to.",
+)
+def q32_unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+    return (
+        piv.unpivot("l_returnflag", ["O", "F"], "status", "qty")
+        .filter(F.col("qty").isNotNull())
+        .orderBy("l_returnflag", "status")
+    )
+
+
+@query(
+    "q33_trailing_spend_window",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS trailing_30d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    operators=("A1", "A5"),
+    doc="RANGE-frame window: per-customer trailing-30-day spend over a "
+    "non-uniform date grid — the value-window analog of q11's ROWS "
+    "frame (SURVEY §2.5; the reference's value-based windows are P4). "
+    "Ordering key is days-since-epoch so the frame is numeric and "
+    "tie rows are frame peers in both engines. One shuffle on "
+    "o_custkey; sort within partitions, no join.",
+)
+def q33_trailing_spend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    days = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, W.currentRow)
+    )
+    return (
+        o.withColumn("trailing_30d", F.round(F.sum("o_totalprice").over(w), 4))
+        .select("o_custkey", "o_orderkey", "trailing_30d")
+        .orderBy("o_custkey", "o_orderkey")
+    )
