@@ -664,3 +664,102 @@ def q78_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array / lateral surface: explode, posexplode, higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_word_topk",
+    """
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+    operators=("N4",),
+    doc="Corpus word-frequency top-20: lowercase → regex tokenize → "
+    "explode → count → deterministic top-k (count desc, word asc). The "
+    "canonical corpus-stats op; at scale the explode is map-side only "
+    "and the count aggregates with partial combine before one shuffle "
+    "on the word key; LIMIT collapses to a TakeOrdered, no full sort.",
+)
+def q34_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.sources.tables import spread
+
+    docs = spread(T(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "q35_vector_components",
+    """
+    SELECT vec_id,
+           unnest(list_transform(range(len(embedding)), i -> CAST(i AS INTEGER))) AS pos,
+           unnest(list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6))) AS comp
+    FROM embeddings
+    WHERE vec_id < 10
+    ORDER BY vec_id, pos
+    """,
+    operators=("N3",),
+    doc="posexplode of an embedding column into (vec_id, pos, comp) long "
+    "form — the lateral-view bridge between the array world and the "
+    "relational one (feeds IVF/LSH bucketing). Oracle uses DuckDB's "
+    "zipped parallel unnests. Map-side only: no shuffle, no join; "
+    "rounds float32 components through double at 6 dp on both sides.",
+)
+def q35_vector_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "comp"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("comp").cast("double"), 6).alias("comp"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@query(
+    "q36_array_hof",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+           round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                  (a, b) -> a + b)), 6) AS l2_norm,
+           round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+    operators=("N3",),
+    doc="Higher-order array functions without exploding: filter+size, "
+    "aggregate (left-fold dot product → L2 norm), transform+array_max. "
+    "Everything stays one row per vector inside whole-stage codegen — "
+    "the no-shuffle path for per-vector features at 100 TB (vs q35's "
+    "explode). Left-fold from 0.0 is bit-identical to DuckDB's "
+    "list_reduce because 0.0 + x1 == x1 exactly; 6-dp round on top.",
+)
+def q36_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    x2 = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(F.sqrt(F.aggregate(x2, F.lit(0.0), lambda a, b: a + b)), 6).alias("l2_norm"),
+        F.round(F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))), 6).alias("max_abs"),
+    ).orderBy("vec_id")
