@@ -763,3 +763,75 @@ def q36_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.aggregate(x2, F.lit(0.0), lambda a, b: a + b)), 6).alias("l2_norm"),
         F.round(F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))), 6).alias("max_abs"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (corpus subsampling for training pipelines)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window as W
+
+from fdf_spark.functions.scalar import dsum as _dsum, sql_dsum as _sql_dsum
+from fdf_spark.llm.hashing import portable_hash60, sql_hash60
+
+_LI_KEY_SQL = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+
+
+@query(
+    "q37_hash_sample",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           {_sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE {sql_hash60(_LI_KEY_SQL)} % 10 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    operators=("N4", "P6"),
+    doc="Deterministic ~10% Bernoulli sample: keep rows whose portable "
+    "key-hash lands in one of ten buckets, then aggregate the sample. "
+    "This is how you subsample a 100 TB corpus reproducibly — no "
+    "rand() (non-replayable across retries/engines), no reservoir "
+    "(driver bottleneck); the predicate is map-side, embarrassingly "
+    "parallel, and stable under repartitioning/task retry.",
+)
+def q37_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    return (
+        li.filter(portable_hash60(key) % 10 == 0)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_rows"), _dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q38_stratified_sample",
+    f"""
+    SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY {sql_hash60(_LI_KEY_SQL)}, l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+    WHERE rn <= 5
+    ORDER BY l_returnflag, l_orderkey, l_linenumber
+    """,
+    operators=("N4", "P2"),
+    doc="Stratified deterministic sample: per stratum keep the k rows "
+    "with the smallest portable key-hash — a replayable 'random' k per "
+    "group (hash order is uniform but fixed). Catalyst runs the "
+    "rank-filter as a windowed top-k with partial TakeOrdered per "
+    "partition before the stratum shuffle, so skewed strata don't "
+    "materialize fully.",
+)
+def q38_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    w = W.partitionBy("l_returnflag").orderBy(portable_hash60(key), "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    )
