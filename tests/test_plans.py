@@ -33,6 +33,17 @@ EXPECT: dict[str, dict] = {
     "q60_exact_dedup": dict(max_exchanges=2),
     "q65_cosine_topk": dict(max_bnl=1, max_exchanges=2),
     "q73_ivf_ann_topk": dict(absent=["hashpartitioning(vec_id"]),
+    # multi-dim agg family: one Expand feeding one shuffled agg, never N scans
+    "q31_cube_grouping": dict(max_exchanges=2),
+    "q32_unpivot_status": dict(max_exchanges=3),
+    # window families: one hash exchange on the partition key + final range sort
+    "q33_trailing_spend_window": dict(max_exchanges=2),
+    "q38_stratified_sample": dict(max_exchanges=2),
+    # explode/HOF paths: map-side only until the final sort/limit
+    "q34_word_topk": dict(max_exchanges=2),  # agg shuffle + TakeOrdered, no full sort
+    "q35_vector_components": dict(max_exchanges=1),
+    "q36_array_hof": dict(max_exchanges=1),
+    "q37_hash_sample": dict(max_exchanges=2),
 }
 
 
