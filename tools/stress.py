@@ -84,6 +84,48 @@ def main() -> None:
 
     timed("minhash 16 sigs (N2)", n, minhash_signatures(docs, num_hashes=16))
 
+    # 6) CUBE multi-dim agg: 200M rows, 7x3 dims -> one Expand + one shuffle
+    n = 200_000_000
+    df = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 3).alias("b"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    timed("CUBE 2-dim agg (q31)", n, df.cube("a", "b").agg(F.sum("v"), F.count("*")))
+
+    # 7) explode + word count (q34 shape): 20M docs x 12 words
+    n = 20_000_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.conv(((F.col("id") * 31 + i * 7) % 50_000).cast("string"), 10, 16),
+    )
+    docs = spark.range(0, n, 1, 64).select(F.explode(words).alias("word"))
+    timed("explode+word topk (q34)", n * 12, docs.groupBy("word").count().orderBy(
+        F.col("count").desc(), "word").limit(20))
+
+    # 8) deterministic hash sample (q37 shape): 200M rows, md5 predicate
+    from fdf_spark.llm.hashing import portable_hash60
+
+    n = 200_000_000
+    df = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 7).alias("flag"), F.col("id").cast("string").alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"))
+    timed("hash-Bernoulli 10% sample (q37)", n, df.filter(
+        portable_hash60(F.col("k")) % 10 == 0).groupBy("flag").agg(F.sum("v"), F.count("*")))
+
+    # 9) RANGE-frame trailing window (q33 shape): 100M rows, 10k series
+    from pyspark.sql import Window as W
+
+    n = 100_000_000
+    sig = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 10_000).alias("series"),
+        (F.col("id") / 10_000).cast("long").alias("t"),
+        F.sin(F.col("id").cast("double")).alias("v"),
+    )
+    w = W.partitionBy("series").orderBy("t").rangeBetween(-30, W.currentRow)
+    timed("trailing range window (q33)", n, sig.select(
+        "series", "t", F.sum("v").over(w).alias("tr")))
+
     spark.stop()
 
 
