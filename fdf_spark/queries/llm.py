@@ -835,3 +835,34 @@ def q38_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_orderkey", "l_linenumber")
         .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "q39_json_roundtrip",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)) AS payload,
+           json_extract_string(to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)), '$.lang') AS lang_out,
+           CAST(json_extract_string(to_json(struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars)), '$.n_chars') AS BIGINT) AS n_chars_out
+    FROM documents
+    WHERE doc_id < 10
+    ORDER BY doc_id
+    """,
+    operators=("N4", "F6"),
+    doc="JSON round-trip: struct → compact JSON string → path "
+    "extraction — the metadata-sidecar pattern of training corpora "
+    "(every record carries a JSON provenance blob). Spark's to_json "
+    "and DuckDB's struct_pack serialization are byte-identical "
+    "(compact, insertion-ordered keys), so the oracle pins the exact "
+    "payload text, not just the extracted fields. All JVM-side "
+    "expressions — no UDF, no shuffle before the final sort.",
+)
+def q39_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    payload = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.get_json_object(payload, "$.lang").alias("lang_out"),
+        F.get_json_object(payload, "$.n_chars").cast("long").alias("n_chars_out"),
+    ).orderBy("doc_id")
