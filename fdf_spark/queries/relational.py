@@ -993,3 +993,30 @@ def q33_trailing_spend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderkey", "trailing_30d")
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+_Q46_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """
+
+
+@query(
+    "q46_grouping_sets",
+    _Q46_SQL,
+    operators=("A2", "A6"),
+    doc="Explicit GROUPING SETS (two disjoint single-column sets + grand "
+    "total) via the shared SQL-text surface — the irregular-lattice "
+    "member of the q19/q31 family, identical text in both engines. "
+    "Catalyst compiles it to the same single Expand + shuffled agg as "
+    "CUBE, just with 3 projections instead of 4.",
+)
+def q46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q46_SQL)
