@@ -22,6 +22,7 @@ from fdf_spark.streaming.events import (
     run_stream_to_batch,
     session_agg,
     sliding_agg,
+    stream_stream_join,
     tumbling_agg,
 )
 
@@ -163,3 +164,32 @@ def q53_stream_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("shot").alias("shot_sum"))
     )
     return run_stream_to_batch(spark, decoded).orderBy("event_type")
+
+
+@query(
+    "q55_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    operators=("ST1", "ST3", "S7", "J7"),
+    doc="Stream-stream interval self-join, run as a real micro-batch "
+    "streaming query: each click paired with the same user's purchases "
+    "in the following 30 minutes. Watermarks on both branches + the "
+    "time bound in the join condition let Spark expire join state, so "
+    "per-side buffers hold only the watermark+interval horizon — the "
+    "property that makes two unbounded streams joinable at all. Oracle "
+    "is the batch interval join of the same relation.",
+)
+def q55_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    joined = stream_stream_join(stream)
+    return run_stream_to_batch(spark, joined, output_mode="append").orderBy(
+        "click_id", "purchase_id"
+    )

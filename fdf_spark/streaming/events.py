@@ -191,3 +191,52 @@ def wfevent(spark: SparkSession, bus_dir: str, name: str, timeout_sec: float = 1
     finally:
         q.stop()
     return got[0] if got else None
+
+
+def stream_stream_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """ST3: stream-stream interval self-join — pair each ``left_type``
+    event with the same user's ``right_type`` events that follow it
+    within ``within``.
+
+    Both branches carry a watermark and the join condition carries the
+    time bound, so Spark can expire buffered rows: per-side state is
+    O(events in the watermark+interval horizon), not O(stream). The
+    reference has no two-stream correlation (its bus is one blocking
+    consumer, factory.py:307-320); this is the declared-surface
+    generalization, and it runs identically in batch (the oracle twin).
+    """
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_id").alias("click_id"),
+        F.col("r_id").alias("purchase_id"),
+        F.col("l_user").alias("user_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+    )
