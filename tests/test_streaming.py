@@ -90,3 +90,44 @@ def test_watermark_drops_late_data(spark, tmp_path):
     w10 = [r for r in out if str(r["window_start"]).startswith("2024-01-01 10:00")]
     assert len(w10) >= 1  # the on-time event produced the window
     assert all(r["n_events"] == 1 for r in w10)  # late event never merged in
+
+
+def test_stream_stream_join_across_batches(spark, tmp_path):
+    """A click buffered in batch 1 must still match a purchase arriving
+    in batch 2 — cross-micro-batch join state, which the single-batch
+    oracle of q55 cannot observe. Out-of-window and wrong-order pairs
+    must not match."""
+    from datetime import datetime
+
+    from fdf_spark.streaming.events import stream_stream_join
+
+    src = str(tmp_path / "ssj_src")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    clicks = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 10, 0), 2, "click", 1.0, "{}"),
+    ]
+    purchases = [
+        (10, datetime(2024, 1, 1, 10, 10), 1, "purchase", 9.0, "{}"),  # match
+        (11, datetime(2024, 1, 1, 11, 0), 2, "purchase", 9.0, "{}"),   # > 30 min
+        (12, datetime(2024, 1, 1, 9, 50), 1, "purchase", 9.0, "{}"),   # precedes click
+    ]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream_stream_join(stream)
+    name = "ssj_test_out"
+    mk(clicks).write.mode("append").parquet(src)
+    q = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()          # clicks buffered, no matches yet
+        mk(purchases).write.mode("append").parquet(src)
+        q.processAllAvailable()          # purchases join against buffered clicks
+        out = [(r["click_id"], r["purchase_id"], r["gap_us"]) for r in spark.table(name).collect()]
+    finally:
+        q.stop()
+    assert out == [(1, 10, 600_000_000)]
