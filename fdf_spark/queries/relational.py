@@ -1020,3 +1020,83 @@ def q46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q46_SQL)
+
+
+@query(
+    "q47_price_histogram",
+    f"""
+    SELECT CAST(FLOOR(l_extendedprice / 10000) + 1 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    operators=("A2", "A6"),
+    doc="Equi-width histogram via width_bucket(price, 0, 120000, 12) — "
+    "the one-pass distributed binning primitive (profiling a 100 TB "
+    "column costs one map-side bucket expr + one 12-key shuffle). "
+    "DuckDB has no width_bucket; the oracle spells out the identical "
+    "floor((x-lo)/width)+1 arithmetic (width 10000 is exactly "
+    "representable, so the doubles divide identically).",
+)
+def q47_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.width_bucket("l_extendedprice", F.lit(0.0), F.lit(120000.0), F.lit(12))
+            .alias("bucket")
+        )
+        .agg(F.count("*").alias("n_rows"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q48_stats_moments",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             {sql_dsum('l_quantity')} AS sx,
+             {sql_dsum('l_quantity * l_quantity')} AS sxx,
+             {sql_dsum('l_extendedprice')} AS sy,
+             {sql_dsum('l_extendedprice * l_extendedprice')} AS syy,
+             {sql_dsum('l_quantity * l_extendedprice')} AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+           round(sqrt((syy - sy * sy / n) / (n - 1)), 6) AS std_price,
+           round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    operators=("A2", "A5"),
+    doc="Statistical aggregates (stddev_samp, Pearson corr) derived from "
+    "decimal-exact raw moments (n, Σx, Σx², Σy, Σy², Σxy) instead of "
+    "the engines' one-pass stddev/corr kernels, whose float "
+    "accumulation is partitioning-dependent. The moment sums are "
+    "order-independent (associative decimal adds), so a 1000-partition "
+    "cluster run reproduces a single-threaded oracle bit-for-bit; one "
+    "shuffle of 6 numbers per group.",
+)
+def q48_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(q).alias("sx"),
+        dsum(q * q).alias("sxx"),
+        dsum(p).alias("sy"),
+        dsum(p * p).alias("syy"),
+        dsum(q * p).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+    return m.select(
+        "l_returnflag",
+        F.round(F.sqrt(vx / (n - 1)), 6).alias("std_qty"),
+        F.round(F.sqrt(vy / (n - 1)), 6).alias("std_price"),
+        F.round((sxy - sx * sy / n) / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
