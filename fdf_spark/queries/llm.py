@@ -866,3 +866,43 @@ def q39_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(payload, "$.lang").alias("lang_out"),
         F.get_json_object(payload, "$.n_chars").cast("long").alias("n_chars_out"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q58_text_normalize",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT d.doc_id, n.norm_text,
+           length(n.norm_text) AS n_chars_norm,
+           levenshtein(substr(lower(d.text), 1, 30), substr(n.norm_text, 1, 30)) AS lev_30
+    FROM documents d JOIN norm n USING (doc_id)
+    WHERE d.doc_id < 15
+    ORDER BY d.doc_id
+    """,
+    operators=("N4", "F8"),
+    doc="Corpus text normalization: lowercase → strip non-alphanumerics → "
+    "collapse runs of spaces → trim, plus an edit-distance column "
+    "(levenshtein over the first 30 chars) quantifying the cleanup — "
+    "the standard pre-tokenization scrub. Pure JVM string expressions "
+    "inside whole-stage codegen, no shuffle before the final sort; the "
+    "regex classes used behave identically in Java and RE2.",
+)
+def q58_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 15)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.levenshtein(
+            F.substring(F.lower(F.col("text")), 1, 30), F.substring(norm, 1, 30)
+        ).cast("long").alias("lev_30"),
+    ).orderBy("doc_id")

@@ -1100,3 +1100,55 @@ def q48_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(vy / (n - 1)), 6).alias("std_price"),
         F.round((sxy - sx * sy / n) / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q49_calendar_spine",
+    f"""
+    WITH spine AS (
+      SELECT CAST(make_timestamp(1992, 1, 1, 0, 0, 0) + INTERVAL (m) MONTH AS TIMESTAMP) AS month
+      FROM (SELECT unnest(range(84)) AS m)),
+    rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             {sql_dsum('o_totalprice')} AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT s.month,
+           COALESCE(r.revenue, 0.0) AS revenue,
+           COALESCE(r.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN rev r ON s.month = r.month
+    ORDER BY s.month
+    """,
+    operators=("A2", "F5", "J3", "F11"),
+    doc="Gap-filling calendar spine: generate an 84-month series "
+    "(F.sequence — the linspace primitive F11, applied to time), left "
+    "join monthly revenue onto it, zero-fill the holes. The standard "
+    "fix for 'missing months silently vanish from time-series output'. "
+    "The spine is 84 rows from one generator row — broadcast side of "
+    "the join; the fact side aggregates down to ≤84 rows before "
+    "joining, so the join moves kilobytes regardless of input scale.",
+)
+def q49_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01 00:00:00").cast("timestamp"),
+                F.lit("1998-12-01 00:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month")
+    )
+    rev = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+    return (
+        spine.join(rev, "month", "left")
+        .select(
+            "month",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
