@@ -44,6 +44,14 @@ EXPECT: dict[str, dict] = {
     "q35_vector_components": dict(max_exchanges=1),
     "q36_array_hof": dict(max_exchanges=1),
     "q37_hash_sample": dict(max_exchanges=2),
+    "q46_grouping_sets": dict(max_exchanges=2),
+    "q47_price_histogram": dict(max_exchanges=2),
+    "q48_stats_moments": dict(max_exchanges=2),
+    # spine side must broadcast; the fact side pre-aggregates to <=84 rows
+    "q49_calendar_spine": dict(max_exchanges=2, min_bhj=1),
+    # pure codegen string/JSON paths: no shuffle before the final sort
+    "q39_json_roundtrip": dict(max_exchanges=1),
+    "q58_text_normalize": dict(max_exchanges=1),
 }
 
 
