@@ -1152,3 +1152,37 @@ def q49_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "q57_date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS DATE) AS plus_3m,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    operators=("F5",),
+    doc="Calendar function suite on the order-date column: last_day, "
+    "add_months, day-of-week, ISO week, quarter — the civil-calendar "
+    "edge cases (leap months, year-start ISO weeks) that YYYYMMDD int "
+    "arithmetic (factory.py:589-593) cannot express. Convention trap "
+    "pinned by the oracle: Spark's dayofweek is 1-based Sunday, "
+    "DuckDB's is 0-based. All codegen'd date expressions, no shuffle.",
+)
+def q57_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.quarter(d).alias("qtr"),
+    ).orderBy("o_orderkey")
