@@ -906,3 +906,38 @@ def q58_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.lower(F.col("text")), 1, 30), F.substring(norm, 1, 30)
         ).cast("long").alias("lev_30"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q59_map_agg",
+    """
+    SELECT source,
+           COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+           COUNT(CASE WHEN lang = 'de' THEN 1 END) AS n_de,
+           CAST(COUNT(DISTINCT lang) AS INTEGER) AS n_langs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    operators=("N4", "A3"),
+    doc="MapType aggregation: collect a per-source lang → count map "
+    "(map_from_entries over a two-level agg) and read it back with "
+    "element_at and map size. The map is the Spark-side data shape — "
+    "the natural per-key feature bag for corpus metadata; the oracle "
+    "checks its observable content through scalar lookups (DuckDB "
+    "MAP output isn't hash-comparable to Spark's). Two shuffles "
+    "(lang-level then source-level agg), both with partial combine.",
+)
+def q59_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    maps = per_lang.groupBy("source").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "n"))).alias("lang_counts")
+    )
+    m = F.col("lang_counts")
+    return maps.select(
+        "source",
+        F.coalesce(F.element_at(m, "en"), F.lit(0)).alias("n_en"),
+        F.coalesce(F.element_at(m, "de"), F.lit(0)).alias("n_de"),
+        F.size(m).alias("n_langs"),
+    ).orderBy("source")
