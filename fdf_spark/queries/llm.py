@@ -682,7 +682,7 @@ def q78_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cnt DESC, word
     LIMIT 20
     """,
-    operators=("N4",),
+    operators=("N4", "N9"),
     doc="Corpus word-frequency top-20: lowercase → regex tokenize → "
     "explode → count → deterministic top-k (count desc, word asc). The "
     "canonical corpus-stats op; at scale the explode is map-side only "
@@ -714,7 +714,7 @@ def q34_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE vec_id < 10
     ORDER BY vec_id, pos
     """,
-    operators=("N3",),
+    operators=("N3", "N9"),
     doc="posexplode of an embedding column into (vec_id, pos, comp) long "
     "form — the lateral-view bridge between the array world and the "
     "relational one (feeds IVF/LSH bucketing). Oracle uses DuckDB's "
@@ -746,7 +746,7 @@ def q35_vector_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE vec_id < 50
     ORDER BY vec_id
     """,
-    operators=("N3",),
+    operators=("N3", "N9"),
     doc="Higher-order array functions without exploding: filter+size, "
     "aggregate (left-fold dot product → L2 norm), transform+array_max. "
     "Everything stays one row per vector inside whole-stage codegen — "
@@ -787,7 +787,7 @@ _LI_KEY_SQL = "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHA
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    operators=("N4", "P6"),
+    operators=("N4", "P6", "N7"),
     doc="Deterministic ~10% Bernoulli sample: keep rows whose portable "
     "key-hash lands in one of ten buckets, then aggregate the sample. "
     "This is how you subsample a 100 TB corpus reproducibly — no "
@@ -817,7 +817,7 @@ def q37_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rn <= 5
     ORDER BY l_returnflag, l_orderkey, l_linenumber
     """,
-    operators=("N4", "P2"),
+    operators=("N4", "P2", "N7"),
     doc="Stratified deterministic sample: per stratum keep the k rows "
     "with the smallest portable key-hash — a replayable 'random' k per "
     "group (hash order is uniform but fixed). Catalyst runs the "
@@ -848,7 +848,7 @@ def q38_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE doc_id < 10
     ORDER BY doc_id
     """,
-    operators=("N4", "F6"),
+    operators=("N4", "F6", "N8"),
     doc="JSON round-trip: struct → compact JSON string → path "
     "extraction — the metadata-sidecar pattern of training corpora "
     "(every record carries a JSON provenance blob). Spark's to_json "
@@ -919,7 +919,7 @@ def q58_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source
     ORDER BY source
     """,
-    operators=("N4", "A3"),
+    operators=("N4", "A3", "N9"),
     doc="MapType aggregation: collect a per-source lang → count map "
     "(map_from_entries over a two-level agg) and read it back with "
     "element_at and map size. The map is the Spark-side data shape — "

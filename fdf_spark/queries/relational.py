@@ -558,7 +558,7 @@ def q18_shot_byte_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
-    operators=("A2", "A6"),
+    operators=("A2", "A6", "A8"),
     doc="ROLLUP hierarchy totals (declared OLAP surface).",
 )
 def q19_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,7 +580,7 @@ def q19_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
-    operators=("A2",),
+    operators=("A2", "A8"),
     doc="Pivot (wide) aggregation; oracle written as conditional aggs with matching names.",
 )
 def q20_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,7 +901,7 @@ def q30_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
-    operators=("A2", "A6"),
+    operators=("A2", "A6", "A8"),
     doc="CUBE with grouping_id disambiguation — completes the multi-dim "
     "OLAP family next to ROLLUP (q19) and PIVOT (q20). grouping_id() "
     "distinguishes a real NULL group key from a subtotal row; at scale "
@@ -941,7 +941,7 @@ def q31_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE qty IS NOT NULL
     ORDER BY l_returnflag, status
     """,
-    operators=("A2", "U2"),
+    operators=("A2", "U2", "A8"),
     doc="UNPIVOT (wide→long melt) — the inverse of q20's pivot, as the "
     "native DataFrame.unpivot/melt operator (one Expand node, no "
     "shuffle beyond the feeding agg; null cells dropped per UNPIVOT "
@@ -1008,7 +1008,7 @@ _Q46_SQL = f"""
 @query(
     "q46_grouping_sets",
     _Q46_SQL,
-    operators=("A2", "A6"),
+    operators=("A2", "A6", "A8"),
     doc="Explicit GROUPING SETS (two disjoint single-column sets + grand "
     "total) via the shared SQL-text surface — the irregular-lattice "
     "member of the q19/q31 family, identical text in both engines. "
@@ -1032,7 +1032,7 @@ def q46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     ORDER BY bucket
     """,
-    operators=("A2", "A6"),
+    operators=("A2", "A6", "A9"),
     doc="Equi-width histogram via width_bucket(price, 0, 120000, 12) — "
     "the one-pass distributed binning primitive (profiling a 100 TB "
     "column costs one map-side bucket expr + one 12-key shuffle). "
@@ -1072,7 +1072,7 @@ def q47_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     ORDER BY l_returnflag
     """,
-    operators=("A2", "A5"),
+    operators=("A2", "A5", "A9"),
     doc="Statistical aggregates (stddev_samp, Pearson corr) derived from "
     "decimal-exact raw moments (n, Σx, Σx², Σy, Σy², Σxy) instead of "
     "the engines' one-pass stddev/corr kernels, whose float "
@@ -1167,7 +1167,7 @@ def q49_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey < 200
     ORDER BY o_orderkey
     """,
-    operators=("F5",),
+    operators=("F5", "F13"),
     doc="Calendar function suite on the order-date column: last_day, "
     "add_months, day-of-week, ISO week, quarter — the civil-calendar "
     "edge cases (leap months, year-start ISO weeks) that YYYYMMDD int "

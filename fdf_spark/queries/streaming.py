@@ -178,7 +178,7 @@ def q53_stream_event_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     ORDER BY click_id, purchase_id
     """,
-    operators=("ST1", "ST3", "S7", "J7"),
+    operators=("ST1", "ST3", "ST4", "S7", "J7"),
     doc="Stream-stream interval self-join, run as a real micro-batch "
     "streaming query: each click paired with the same user's purchases "
     "in the following 30 minutes. Watermarks on both branches + the "
