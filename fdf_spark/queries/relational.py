@@ -1186,3 +1186,39 @@ def q57_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear(d).alias("iso_week"),
         F.quarter(d).alias("qtr"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q56_frame_analytics",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    operators=("P2",),
+    doc="Positional frame analytics (first_value/last_value/nth_value "
+    "over the full-partition frame) — completes the §2.5 window "
+    "family next to ranking (q28) and lag (q12). The explicit "
+    "UNBOUNDED FOLLOWING frame matters: the default frame ends at "
+    "CURRENT ROW, which silently turns last_value into 'this row' in "
+    "both engines. One shuffle on o_custkey.",
+)
+def q56_frame_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    ).orderBy("o_custkey", "o_orderkey")
