@@ -126,6 +126,20 @@ def main() -> None:
     timed("trailing range window (q33)", n, sig.select(
         "series", "t", F.sum("v").over(w).alias("tr")))
 
+    # 10) stream-stream interval join shape (q55, batch twin): 20M x 20M
+    # events over 100k users; the equi-key (user) carries the shuffle,
+    # the time bound prunes pairs — same plan a micro-batch executes.
+    n = 20_000_000
+    clicks = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 100_000).alias("u"), F.col("id").alias("cid"),
+        (F.col("id") % 999_983).cast("long").alias("ct"))
+    buys = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 100_000).alias("u"), F.col("id").alias("pid"),
+        ((F.col("id") * 7) % 999_983).cast("long").alias("pt"))
+    joined = clicks.join(buys, "u").filter(
+        (F.col("pt") > F.col("ct")) & (F.col("pt") <= F.col("ct") + 30))
+    timed("interval join 100k keys (ST4)", 2 * n, joined)
+
     spark.stop()
 
 
