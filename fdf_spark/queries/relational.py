@@ -1222,3 +1222,34 @@ def q56_frame_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+_Q88_SQL = f"""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity < 10) AS n_small,
+           COUNT(*) FILTER (WHERE l_quantity >= 40) AS n_large,
+           {sql_dsum('l_extendedprice')} AS sum_price_all,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS sum_price_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """
+
+
+@query(
+    "q88_filtered_agg",
+    _Q88_SQL,
+    operators=("A2", "P7"),
+    doc="Conditional aggregation with the SQL:2003 FILTER clause — one "
+    "scan computing several differently-filtered aggregates (the "
+    "segmented-metrics pattern that otherwise becomes N scans or N "
+    "CASE-wrapped columns). Shared SQL text runs verbatim in both "
+    "engines; Catalyst folds every FILTER into the same partial agg, "
+    "so the plan is identical to q01's single-pass shape.",
+)
+def q88_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q88_SQL)
