@@ -1253,3 +1253,82 @@ def q88_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q88_SQL)
+
+
+@query(
+    "q89_multiset_ops",
+    """
+    SELECT c_nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT ALL
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+    ) GROUP BY c_nationkey
+    UNION ALL
+    SELECT -1 - c_nationkey AS c_nationkey, COUNT(*) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT ALL
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 0
+    ) GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    operators=("U1", "A3"),
+    doc="Multiset set operations (INTERSECT ALL / EXCEPT ALL) — "
+    "bag semantics with per-row multiplicity, vs the distinct "
+    "variants in q09. intersectAll/exceptAll compile to a "
+    "count-and-replicate aggregation (one shuffle each), not a "
+    "nested-loop; the negative-key branch keeps the two result "
+    "sets disjoint in one relation.",
+)
+def q89_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    positive = c.filter(F.col("c_acctbal") > 0).select("c_nationkey")
+    inter = (
+        building.intersectAll(positive)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    diff = (
+        building.exceptAll(positive)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n"))
+        .select((F.lit(-1) - F.col("c_nationkey")).alias("c_nationkey"), "n")
+    )
+    return inter.unionByName(diff).orderBy("c_nationkey")
+
+
+@query(
+    "q90_null_discipline",
+    """
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'top') AS prio,
+           GREATEST(o_totalprice, 100000.0) AS floored_price,
+           LEAST(o_custkey, 500) AS cust_cap,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_tier,
+           (o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL) AS has_meta
+    FROM orders
+    WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+    operators=("F8", "P6"),
+    doc="Null/conditional expression suite: NULLIF→COALESCE chaining, "
+    "GREATEST/LEAST clamping, searched CASE tiers, null-safe boolean "
+    "composition — the scrubbing idioms every ETL layer leans on. "
+    "All codegen'd expressions; identical three-valued-logic "
+    "behavior pinned against the oracle.",
+)
+def q90_null_discipline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderpriority", F.lit("1-URGENT")), F.lit("top")).alias("prio"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floored_price"),
+        F.least("o_custkey", F.lit(500)).alias("cust_cap"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_tier"),
+        (F.col("o_orderstatus").isNotNull() & F.col("o_orderpriority").isNotNull()).alias("has_meta"),
+    ).orderBy("o_orderkey")
