@@ -1,0 +1,57 @@
+"""Pins the driver-visibility invariant: the external correctness driver
+checks only the FIRST 50 registry entries, so those 50 must cover every
+SURVEY §2 operator id (S3/O5 are n/a-by-design — pool management is
+platform-owned on Spark; S9/X5 are pytest-only by design — plot sink and
+method-inheritance have no tabular oracle surface).
+"""
+
+from __future__ import annotations
+
+from fdf_spark.queries import PRIORITY, load_all
+
+DRIVER_BUDGET = 50
+
+# every §2 operator id that needs a driver-checked representative
+REQUIRED_OPS = {
+    "S1", "S2", "S4", "S5", "S6", "S7", "S8", "S10",
+    "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
+    "J1", "J2", "J3", "J4", "J5", "J6", "J7",
+    "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9",
+    "O1", "O2", "O3", "O4",
+    "U1", "U2", "U3",
+    "F1", "F2", "F3", "F4", "F5", "F6", "F7", "F8", "F9",
+    "F10", "F11", "F12", "F13",
+    "ST1", "ST2", "ST3", "ST4",
+    "X1", "X2", "X3", "X4",
+    "N1", "N2", "N3", "N4", "N5", "N6", "N7", "N8", "N9",
+}
+
+
+def test_priority_names_all_registered():
+    reg = load_all()
+    missing = [n for n in PRIORITY if n not in reg]
+    assert not missing, f"PRIORITY references unregistered queries: {missing}"
+
+
+def test_first_50_cover_all_operators():
+    reg = load_all()
+    window = list(reg.values())[:DRIVER_BUDGET]
+    covered = {op for q in window for op in q.operators}
+    missing = sorted(REQUIRED_OPS - covered)
+    assert not missing, f"operators with no query in the driver's first-{DRIVER_BUDGET} window: {missing}"
+
+
+def test_first_50_mostly_oracle_checked():
+    # at most the known approximate/streaming-special queries may lack a
+    # SQL oracle inside the checked window
+    reg = load_all()
+    window = list(reg.items())[:DRIVER_BUDGET]
+    no_oracle = [n for n, q in window if q.sql is None]
+    assert len(no_oracle) <= 3, f"too many rows-only queries in the checked window: {no_oracle}"
+
+
+def test_registry_order_is_priority_prefix():
+    reg = load_all()
+    names = list(reg)
+    expected = [n for n in PRIORITY if n in reg]
+    assert names[: len(expected)] == expected
