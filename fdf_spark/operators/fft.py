@@ -46,7 +46,10 @@ def fft_power(
     )
 
     def _one_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(time)
+        # tie-break duplicate timestamps by value — the SAME total order
+        # fft_power_batched gets from array_sort over (t, x) structs, so
+        # the two variants are bit-identical on any input
+        pdf = pdf.sort_values([time, value])
         x = pdf[value].to_numpy(dtype=np.float64)
         t = pdf[time].to_numpy(dtype=np.float64)
         n = len(x)
@@ -95,8 +98,8 @@ def fft_power_batched(
     and Python sees one Arrow batch of whole series, paying one
     ``rfft`` call per series instead of one pandas DataFrame round-trip
     per group. Ties in ``time`` break by value (array_sort struct
-    order); fft_power's stable sort keeps input order instead — choose
-    per dataset if exact-duplicate timestamps exist.
+    order) — the same documented total order :func:`fft_power` uses, so
+    both variants agree bit-for-bit even on duplicate timestamps.
 
     For the opposite regime (few groups × ~1e6 samples, e.g. BES
     channels) keep :func:`fft_power`: per-group overhead is amortized

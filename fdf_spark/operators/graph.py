@@ -76,4 +76,11 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    else:
+        # loop exhausted max_iter with labels still moving: returning now
+        # would silently split components (diameter > max_iter chains)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels

@@ -59,7 +59,8 @@ def get_spark(
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
-    local = master.startswith("local") if master else not os.environ.get("SPARK_MASTER")
+    env_master = os.environ.get("SPARK_MASTER", "")
+    local = master.startswith("local") if master else (not env_master or env_master.startswith("local"))
     if local:
         # Parallelism FLOOR for scans: the local fixtures are single
         # parquet files far below maxPartitionBytes, so without this a

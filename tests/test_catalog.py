@@ -309,8 +309,9 @@ def test_catalog_relation(spark):
 def test_fft_batched_matches_grouped_map(spark):
     """fft_power (applyInPandas, wide-series regime) and
     fft_power_batched (collect_list + vectorized pandas_udf,
-    many-small-series regime) are the same operator: bit-equal output
-    on unique-timestamp series."""
+    many-small-series regime) are the same operator: bit-equal output,
+    including on series with exact-duplicate timestamps (shared (t, v)
+    tie-break)."""
     import numpy as np
 
     from fdf_spark.operators.fft import fft_power, fft_power_batched
@@ -320,6 +321,14 @@ def test_fft_batched_matches_grouped_map(spark):
         (g, float(t), float(v))
         for g in range(6)
         for t, v in zip(np.sort(rng.uniform(0, 1, 50)), rng.normal(size=50))
+    ]
+    # group 6: every timestamp duplicated with two distinct values —
+    # exercises the tie-break path in both variants
+    dup_t = np.sort(rng.uniform(0, 1, 25))
+    rows += [
+        (6, float(t), float(v))
+        for t in dup_t
+        for v in rng.normal(size=2)
     ]
     df = spark.createDataFrame(rows, "g long, t double, v double")
     a = (

@@ -128,6 +128,21 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving must raise, not
+    silently return split components (min-label propagation moves one
+    hop per iteration, so a 6-node chain cannot finish in 2)."""
+    import pytest as _pytest
+
+    from fdf_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()
+
+
 def test_simhash_locality(spark):
     """Near-identical docs → small Hamming distance; disjoint docs → large."""
     rows = [
