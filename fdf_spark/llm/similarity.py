@@ -176,6 +176,22 @@ def ivf_ann_topk(
     )
 
 
+def lsh_planes(
+    num_planes: int = 8, num_tables: int = 4, dim: int = 64, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic random-hyperplane tables for :func:`lsh_ann_topk`.
+
+    Exposed so the DuckDB oracle can embed the identical constants as SQL
+    literals (repr round-trips each double exactly) and replay the
+    signature computation bit-for-bit.
+    """
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+        for _ in range(num_tables)
+    ]
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -198,11 +214,7 @@ def lsh_ann_topk(
     candidate set only. Recall/cost dial: more tables → higher recall,
     more candidates; fewer planes → bigger buckets.
     """
-    rng = random.Random(seed)
-    tables = [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
-        for _ in range(num_tables)
-    ]
+    tables = lsh_planes(num_planes, num_tables, dim, seed)
 
     def signature(vec: Column, planes: list[list[float]]) -> Column:
         bits = [

@@ -33,6 +33,21 @@ sh_raw AS (
   FROM docs)
 """
 
+# replays fdf_spark.llm.dedup.minhash_signatures (16 universal hashes over
+# the portable 60-bit md5 base hash) — shared by q61 and the q64 banding
+SQL_MINHASH_SIGS = """
+msh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
+mx AS (SELECT doc_id,
+              CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS x
+       FROM msh),
+sigs AS (
+  SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+         min((((1103515245 * (seed + 1) + 12345) % 2147483647) * x
+              + ((seed + 1) * 12345) % 2147483647) % 2147483647) AS minhash
+  FROM mx CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+  GROUP BY doc_id, seed)
+"""
+
 SQL_COS = """
 p AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -69,15 +84,8 @@ def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_minhash_signatures",
     f"""
     WITH {SQL_SHINGLES},
-    sh AS (SELECT DISTINCT doc_id, shingle FROM sh_raw),
-    x AS (SELECT doc_id,
-                 CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS x
-          FROM sh)
-    SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-           min((((1103515245 * (seed + 1) + 12345) % 2147483647) * x
-                + ((seed + 1) * 12345) % 2147483647) % 2147483647) AS minhash
-    FROM x CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
-    GROUP BY doc_id, seed
+    {SQL_MINHASH_SIGS}
+    SELECT doc_id, seed, minhash FROM sigs
     ORDER BY doc_id, seed
     """,
     operators=("N2",),
@@ -139,10 +147,24 @@ def q63_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q64_lsh_candidates",
-    None,  # approximate candidate generation — recall-tested in pytest
+    f"""
+    WITH {SQL_SHINGLES},
+    {SQL_MINHASH_SIGS},
+    banded AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS sig
+      FROM sigs GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
     operators=("N2",),
     doc="Banded MinHash-LSH candidate pairs (16 hashes, 4 bands) — the 100 TB "
-    "near-dup path; pytest asserts recall vs exact Jaccard pairs.",
+    "near-dup path. Deterministic given the portable hash family, so the "
+    "oracle replays the banding exactly (bucket = the full 4-value band "
+    "signature; Spark's sha2(to_json(...)) bucket key is just a compression "
+    "of the same equality). Recall vs exact Jaccard additionally pytest-pinned.",
 )
 def q64_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(T(spark, sf_dir, "documents"), num_hashes=16)
@@ -327,10 +349,66 @@ def q74_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_sig_sql(vec: str, planes: list[list[float]]) -> str:
+    """Signature of one hyperplane table: sign-bit of each plane dot,
+    packed little-endian — replays lsh_ann_topk's fold order exactly
+    (sequential list_sum == Spark's F.aggregate left fold)."""
+    bits = []
+    for i, p in enumerate(planes):
+        ws = "[" + ", ".join(repr(w) for w in p) + "]"
+        dot = f"list_sum(list_transform(range(64), j -> CAST({vec}[j+1] AS DOUBLE) * ({ws})[j+1]))"
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _lsh_ann_oracle_sql() -> str:
+    from fdf_spark.llm.similarity import lsh_planes
+
+    tables = lsh_planes(num_planes=8, num_tables=4, dim=64, seed=42)
+    csig = "\n      UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, {_lsh_sig_sql('embedding', p)} AS b FROM embeddings"
+        for t, p in enumerate(tables)
+    )
+    qsig = "\n      UNION ALL ".join(
+        f"SELECT vec_id AS query_id, embedding AS query_vec, {t} AS tbl, "
+        f"{_lsh_sig_sql('embedding', p)} AS s FROM embeddings WHERE vec_id < 5"
+        for t, p in enumerate(tables)
+    )
+    probes = ", ".join(["s"] + [f"xor(s, {1 << i})" for i in range(8)])
+    cos = (
+        "round(list_sum(list_transform(range(64), i -> CAST(query_vec[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(range(64), i -> CAST(query_vec[i+1] AS DOUBLE) * CAST(query_vec[i+1] AS DOUBLE))))"
+        "  * sqrt(list_sum(list_transform(range(64), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))))), 6)"
+    )
+    return f"""
+    WITH csig AS (
+      {csig}),
+    qsig AS (
+      {qsig}),
+    qprobe AS (
+      SELECT query_id, query_vec, tbl, unnest([{probes}]) AS b FROM qsig),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id, q.query_vec, c.embedding
+      FROM csig c JOIN qprobe q ON c.tbl = q.tbl AND c.b = q.b
+      WHERE q.query_id != c.vec_id),
+    scored AS (
+      SELECT query_id, vec_id, {cos} AS cos_sim FROM cand),
+    ranked AS (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
 @query(
     "q75_lsh_ann_topk",
-    None,  # approximate (random-hyperplane buckets) — recall-tested in
-    # pytest vs the exact q65; driver does the rows-only check
+    _lsh_ann_oracle_sql(),
+    # "approximate" only relative to brute force — the bucketed candidate
+    # generation itself is a deterministic function of the seeded planes,
+    # so the oracle replays it exactly (plane constants embedded as repr'd
+    # double literals). Recall vs exact q65 additionally pytest-pinned.
     operators=("N3",),
     doc="LSH ANN top-5: multi-table random-hyperplane signatures with "
     "1-bit multiprobe, exact cosine re-rank inside candidate buckets — "
