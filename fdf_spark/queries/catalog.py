@@ -288,15 +288,47 @@ def q87_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q83_fft_per_series",
-    None,  # numpy FFT is not SQL-expressible; driver does the rows-only
-    # check; bitwise parity vs numpy is pinned in tests/test_catalog.py
+    # The FFT is SQL-expressible at fixture scale as the definitional DFT:
+    # power_k = (Σ x_j·cos(2πkj/n))² + (Σ x_j·sin(2πkj/n))², x detrended,
+    # j = rank by the shared (t, value) total order. numpy's butterflies
+    # and the double sum agree to ~4e-11 absolute on this data (powers
+    # ≥3.5), so both sides round power to 3 dp / freq to 12 dp — boundary
+    # collision odds ~1e-8 per value.
+    """
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) / 1e6 AS t, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) / 1e6, value) AS BIGINT) - 1 AS j,
+             COUNT(*) OVER (PARTITION BY user_id) AS n,
+             AVG(value) OVER (PARTITION BY user_id) AS mu
+      FROM events),
+    d AS (
+      SELECT user_id, value - mu AS x, j, n,
+             t - lag(t) OVER (PARTITION BY user_id ORDER BY j) AS dt_step
+      FROM s),
+    dt AS (SELECT user_id,
+                  CASE WHEN median(dt_step) = 0 THEN 1.0 ELSE median(dt_step) END AS dt
+           FROM d WHERE dt_step IS NOT NULL GROUP BY user_id),
+    spec AS (
+      SELECT d.user_id, k.bin, d.n,
+             SUM(d.x * cos(2 * pi() * k.bin * d.j / d.n)) AS re,
+             SUM(d.x * sin(2 * pi() * k.bin * d.j / d.n)) AS im
+      FROM d CROSS JOIN (SELECT unnest(range(1, 9)) AS bin) k
+      WHERE d.n >= 2
+      GROUP BY 1, 2, 3)
+    SELECT s.user_id, CAST(s.bin AS INTEGER) AS bin,
+           round(s.bin / (s.n * dt.dt), 12) AS freq_hz,
+           round((s.re * s.re + s.im * s.im) / s.n, 3) AS power
+    FROM spec s JOIN dt USING (user_id)
+    ORDER BY user_id, bin
+    """,
     operators=("X4",),
     doc="Grouped FFT: per-user power spectrum of the event value series — "
     "the reference's bes.myfft surface (bes.xml:3, modules/bes/fft.py) "
     "made real. Uses the batched variant (collect_list + one vectorized "
     "pandas_udf) since this is the many-small-series regime; the "
     "applyInPandas variant (fft_power) serves wide channels and is "
-    "pinned bit-equal in tests.",
+    "pinned bit-equal in tests. Oracle replays the definitional DFT "
+    "double sum in DuckDB at rounded precision.",
 )
 def q83_fft_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.operators.fft import fft_power_batched
@@ -309,4 +341,9 @@ def q83_fft_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=["user_id"],
         n_bins=8,
     )
-    return out.orderBy("user_id", "bin")
+    return out.select(
+        "user_id",
+        "bin",
+        F.round("freq_hz", 12).alias("freq_hz"),
+        F.round("power", 3).alias("power"),
+    ).orderBy("user_id", "bin")

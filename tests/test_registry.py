@@ -41,13 +41,14 @@ def test_first_50_cover_all_operators():
     assert not missing, f"operators with no query in the driver's first-{DRIVER_BUDGET} window: {missing}"
 
 
-def test_first_50_mostly_oracle_checked():
-    # at most the known approximate/streaming-special queries may lack a
-    # SQL oracle inside the checked window
+def test_first_50_all_oracle_checked():
+    # every query in the checked window carries a DuckDB oracle — even the
+    # "approximate" operators (LSH banding, seeded-hyperplane ANN, DFT)
+    # are deterministic and replayed exactly
     reg = load_all()
     window = list(reg.items())[:DRIVER_BUDGET]
     no_oracle = [n for n, q in window if q.sql is None]
-    assert len(no_oracle) <= 3, f"too many rows-only queries in the checked window: {no_oracle}"
+    assert not no_oracle, f"rows-only queries in the checked window: {no_oracle}"
 
 
 def test_registry_order_is_priority_prefix():
