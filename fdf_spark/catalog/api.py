@@ -36,7 +36,47 @@ from fdf_spark.catalog.registry import (
     ContainerEntry,
     get_catalog,
 )
-from fdf_spark.operators.selection import nearest_sample, positional_slice, value_window
+from fdf_spark.operators.selection import (
+    nearest_sample,
+    positional_slice,
+    positional_take,
+    value_window,
+)
+
+
+def _parse_index(index, dims: int) -> list:
+    """The reference's ``parseindex`` (fdf_signal.py:189-206): normalize
+    any single index / tuple to one entry per axis — floats and numpy
+    scalars cast to int, ``Ellipsis`` expands to the skipped axes'
+    ``:``, missing trailing axes pad with ``:``. Int-arrays (fancy
+    indexes) pass through as Python lists of ints."""
+    def _one(i):
+        if isinstance(i, slice) or i is Ellipsis:
+            return i
+        if isinstance(i, (list, tuple)):
+            return [int(v) for v in i]
+        if hasattr(i, "tolist") and getattr(i, "ndim", 0) >= 1:  # np.ndarray
+            return [int(v) for v in i.tolist()]
+        if isinstance(i, (int, float)) or hasattr(i, "__int__"):
+            return int(i)
+        raise TypeError(f"unsupported index {i!r}")
+
+    if isinstance(index, tuple):
+        parsed = [_one(i) for i in index]
+    else:
+        parsed = [_one(index)]
+    n_ellipsis = sum(1 for i in parsed if i is Ellipsis)
+    if n_ellipsis > 1:
+        raise IndexError("an index can only have a single ellipsis ('...')")
+    if n_ellipsis:
+        at = parsed.index(Ellipsis)
+        pad = [slice(None)] * (dims - len(parsed) + 1)
+        parsed = parsed[:at] + pad + parsed[at + 1 :]
+    else:
+        parsed = parsed + [slice(None)] * (dims - len(parsed))
+    if len(parsed) > dims:
+        raise IndexError(f"too many indices: signal has {dims} axes, got {len(parsed)}")
+    return parsed
 
 
 class Machine(MutableMapping):
@@ -433,28 +473,33 @@ class SignalFrame:
         return df
 
     def __getitem__(self, idx) -> DataFrame:
-        """Positional slice along the axes in declared order
-        (Signal.__getitem__/parseindex fdf_signal.py:182-231). Integer
-        indexes select one coordinate; slices keep a range. Missing
-        trailing axes default to ':' (parseindex pads, :195-206)."""
-        if not isinstance(idx, tuple):
-            idx = (idx,)
+        """Positional index along the axes in declared order — the full
+        ``parseindex`` surface (fdf_signal.py:189-206,269-281): ints
+        (incl. negative, counting from the axis end), floats (cast to
+        int like the reference), slices with negative bounds/steps,
+        ``Ellipsis`` (pads with ``:`` for the skipped axes), and fancy
+        int-array indexes (list/tuple-of-ints selects those coordinates).
+        Missing trailing axes default to ``:``."""
+        axes = list(self.entry.axes)
+        idx = _parse_index(idx, len(axes))
         df = self.df
-        for axis, sel in zip(self.entry.axes, idx):
+        for axis, sel in zip(axes, idx):
+            if isinstance(sel, int):
+                # int2slc (fdf_signal.py:188): -1 needs an open stop
+                sel = slice(-1, None) if sel == -1 else slice(sel, sel + 1)
             if isinstance(sel, slice):
                 if sel.start is None and sel.stop is None and sel.step in (None, 1):
                     continue
-                start, stop, step = sel.start or 0, sel.stop, sel.step or 1
-            elif isinstance(sel, int):
-                start, stop, step = sel, sel + 1, 1
-            else:
-                raise TypeError(f"unsupported index {sel!r}")
             # rank DISTINCT axis values, pick the window, keep all samples
             axis_vals = df.select("shot", axis).distinct()
-            picked = positional_slice(
-                axis_vals, order=[axis], start=start, stop=stop, step=step, by=["shot"]
-            ).drop("__pos")
-            df = df.join(F.broadcast(picked), ["shot", axis])
+            if isinstance(sel, list):
+                picked = positional_take(axis_vals, order=[axis], positions=sel, by=["shot"])
+            else:
+                picked = positional_slice(
+                    axis_vals, order=[axis], start=sel.start, stop=sel.stop,
+                    step=sel.step if sel.step is not None else 1, by=["shot"],
+                )
+            df = df.join(F.broadcast(picked.select("shot", axis).distinct()), ["shot", axis])
         return df
 
     # -- materialization helpers --------------------------------------------

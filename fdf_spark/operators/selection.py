@@ -96,29 +96,106 @@ def value_window(df: DataFrame, axis: str, lo, hi, by: Sequence[str] = ()) -> Da
     )
 
 
+def _with_pos(df: DataFrame, order: Sequence[str | Column], by: Sequence[str]) -> DataFrame:
+    """Input rows + 0-based ``__pos`` (rank in ``order``) and ``__n``
+    (group size). Both window functions share one partitioning, so
+    Catalyst plans a single exchange + sort."""
+    part = W.partitionBy(*by) if by else W.partitionBy()
+    w = part.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order])
+    return df.withColumn("__pos", F.row_number().over(w) - 1).withColumn(
+        "__n", F.count(F.lit(1)).over(part)
+    )
+
+
 def positional_slice(
     df: DataFrame,
     order: Sequence[str | Column],
-    start: int = 0,
+    start: int | None = 0,
     stop: int | None = None,
     step: int = 1,
     by: Sequence[str] = (),
 ) -> DataFrame:
-    """numpy-style positional slice ``[start:stop:step]`` per group.
+    """Full Python/numpy slice ``[start:stop:step]`` per group —
+    negative indices count from the group's end, negative steps walk
+    backwards, bounds clamp exactly like ``slice.indices(n)``.
 
-    Reference: ``Signal.__getitem__``/``parseindex`` fdf_signal.py:182-231
-    (0-based, half-open, step ≥ 1). Returns the input rows plus a
-    0-based ``__pos`` column (callers may drop it).
+    Reference: ``Signal.__getitem__``/``parseindex`` + ``__getslice__``
+    fdf_signal.py:189-206,269-281 (ndarray subclass ⇒ inherits the
+    complete numpy slice surface).
+
+    Returns the selected rows plus ``__pos`` (0-based source position)
+    and ``__sel`` (0-based position in the *selection*, i.e. numpy
+    output order — for a negative step, ascending ``__sel`` is the
+    reversed walk). Group length is resolved per group as a window
+    count, so mixed-length groups slice independently, exactly like a
+    per-(shot, channel) numpy array would.
     """
-    if step < 1:
-        raise ValueError("positional_slice supports step >= 1")
-    w = (W.partitionBy(*by) if by else W.partitionBy()).orderBy(
-        *[F.col(c) if isinstance(c, str) else c for c in order]
+    if step == 0:
+        raise ValueError("slice step cannot be zero")
+    out = _with_pos(df, order, by)
+    n, pos = F.col("__n"), F.col("__pos")
+
+    def _norm(v: int, default_lo, default_hi):
+        """Clamp one bound the way slice.indices does."""
+        if v is None:
+            return default_lo if step > 0 else default_hi
+        lit = F.lit(int(v))
+        if v < 0:
+            return F.greatest(lit + n, F.lit(-1) if step < 0 else F.lit(0))
+        return F.least(lit, n if step > 0 else n - 1)
+
+    if step > 0:
+        s = _norm(start, F.lit(0), None)
+        e = _norm(stop, n, None)
+        cond = (pos >= s) & (pos < e)
+        sel = F.floor((pos - s) / F.lit(step))
+        if step != 1:
+            cond = cond & (((pos - s) % step) == 0)
+    else:
+        s = _norm(start, None, n - 1)
+        e = _norm(stop, None, F.lit(-1))
+        cond = (pos <= s) & (pos > e)
+        sel = F.floor((s - pos) / F.lit(-step))
+        if step != -1:
+            cond = cond & (((s - pos) % (-step)) == 0)
+    return out.filter(cond).withColumn("__sel", sel.cast("long")).drop("__n")
+
+
+def positional_take(
+    df: DataFrame,
+    order: Sequence[str | Column],
+    positions: Sequence[int],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Fancy (int-array) indexing per group: ``sig[[3, -1, 3]]``.
+
+    numpy semantics — negative positions count from the group's end,
+    duplicates and arbitrary order preserved via ``__sel`` (position in
+    the ``positions`` list; one output row per list entry). Positions
+    out of range for a group are dropped (a distributed engine cannot
+    usefully raise numpy's IndexError mid-job; filter or validate
+    driver-side if strictness is needed).
+
+    Scale: the wanted-position relation is |groups| × len(positions)
+    rows built from a groupBy count — broadcast-joined, never a
+    row-explosion of the fact table.
+    """
+    out = _with_pos(df, order, by)
+    sizes = (df.groupBy(*by).count() if by else df.groupBy().count()).withColumnRenamed(
+        "count", "__gn"
     )
-    out = df.withColumn("__pos", F.row_number().over(w) - 1)
-    cond = F.col("__pos") >= start
-    if stop is not None:
-        cond = cond & (F.col("__pos") < stop)
-    if step != 1:
-        cond = cond & (((F.col("__pos") - start) % step) == 0)
-    return out.filter(cond)
+    want = sizes.select(
+        *by,
+        F.posexplode(F.array(*[F.lit(int(p)) for p in positions])).alias("__sel", "__raw"),
+        F.col("__gn"),
+    ).select(
+        *by,
+        "__sel",
+        F.when(F.col("__raw") < 0, F.col("__raw") + F.col("__gn"))
+        .otherwise(F.col("__raw"))
+        .alias("__want"),
+        "__gn",
+    ).filter((F.col("__want") >= 0) & (F.col("__want") < F.col("__gn"))).drop("__gn")
+    keys = [*by, "__pos"]
+    want = want.withColumnRenamed("__want", "__pos")
+    return out.drop("__n").join(F.broadcast(want), keys)

@@ -96,8 +96,8 @@ PRIORITY: tuple[str, ...] = (
     "q64_lsh_candidates",
     "q75_lsh_ann_topk",
     "q17_rundate_roundtrip",
+    "q91_negative_slice",
     "q63_ngram_jaccard_pairs",
-    "q74_dup_clusters",
 )
 
 

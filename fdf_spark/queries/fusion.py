@@ -139,6 +139,52 @@ def q43_positional_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q91_negative_slice",
+    """
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) - 1 AS pos,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events),
+    sl AS (
+      SELECT 'slice' AS src, user_id, event_id, pos,
+             (pos - greatest(n - 20, 0)) // 3 AS sel
+      FROM s
+      WHERE pos >= greatest(n - 20, 0) AND pos < greatest(n - 5, 0)
+        AND (pos - greatest(n - 20, 0)) % 3 = 0),
+    tk AS (
+      SELECT 'take' AS src, s.user_id, s.event_id, s.pos, w.sel
+      FROM s JOIN (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                          (1, -1), (2, 5), (3, -1)) w(sel, raw)
+        ON s.pos = CASE WHEN w.raw < 0 THEN w.raw + s.n ELSE w.raw END)
+    SELECT src, user_id, event_id, CAST(pos AS BIGINT) AS pos, CAST(sel AS BIGINT) AS sel
+    FROM (SELECT * FROM sl UNION ALL SELECT * FROM tk)
+    ORDER BY src, user_id, sel
+    """,
+    operators=("P2", "P3"),
+    doc="Full parseindex surface (fdf_signal.py:189-206,269-281): negative "
+    "slice bounds resolved against each group's length ([-20:-5:3] = 'the "
+    "5th-to-20th most recent, every 3rd'), plus fancy int-array take "
+    "[0, -1, 5, -1] with a duplicated position — sel carries numpy output "
+    "order, duplicates preserved.",
+)
+def q91_negative_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.selection import positional_take
+
+    ev = T(spark, sf_dir, "events")
+    order, by = ["ts", "event_id"], ["user_id"]
+    sl = positional_slice(ev, order=order, start=-20, stop=-5, step=3, by=by).select(
+        F.lit("slice").alias("src"), "user_id", "event_id",
+        F.col("__pos").cast("bigint").alias("pos"), F.col("__sel").cast("bigint").alias("sel"),
+    )
+    tk = positional_take(ev, order=order, positions=[0, -1, 5, -1], by=by).select(
+        F.lit("take").alias("src"), "user_id", "event_id",
+        F.col("__pos").cast("bigint").alias("pos"), F.col("__sel").cast("bigint").alias("sel"),
+    )
+    return sl.unionByName(tk).orderBy("src", "user_id", "sel")
+
+
+@query(
     "q44_baseline_subtract",
     """
     WITH ranked AS (

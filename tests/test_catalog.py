@@ -147,6 +147,44 @@ def test_positional_slice_2d(shot, fusion_dir):
     assert out.radius.unique() == pytest.approx([radii[10] / 100.0])
 
 
+def test_parseindex_negative_ellipsis_fancy(shot, fusion_dir):
+    # full parseindex surface (fdf_signal.py:189-206,269-281):
+    # negative index, negative slice, Ellipsis padding, fancy int-array
+    ref = pd.read_parquet(f"{fusion_dir}/signal_mpts.parquet")
+    ref = ref[ref.shot == 141000]
+    times = np.sort(ref.time.unique())
+    radii = np.sort(ref.radius_cm.unique())
+
+    # te[-1] — last timeslice
+    out = shot.mpts.te[-1].toPandas()
+    assert out.time.unique() == pytest.approx([times[-1]])
+
+    # te[-5:-2] — negative bounds
+    out = shot.mpts.te[-5:-2].toPandas()
+    assert sorted(out.time.unique()) == pytest.approx(list(times[-5:-2]))
+
+    # te[::-1] — reversed walk selects every coordinate
+    out = shot.mpts.te[::-1].toPandas()
+    assert sorted(out.time.unique()) == pytest.approx(list(times))
+
+    # te[..., -1] — Ellipsis pads the time axis, -1 picks last radius
+    out = shot.mpts.te[..., -1].toPandas()
+    assert sorted(out.time.unique()) == pytest.approx(list(times))
+    assert out.radius.unique() == pytest.approx([radii[-1] / 100.0])
+
+    # te[[0, -1]] — fancy: first and last timeslice
+    out = shot.mpts.te[[0, -1]].toPandas()
+    assert sorted(out.time.unique()) == pytest.approx([times[0], times[-1]])
+
+    # te[2.0] — float cast to int like the reference
+    out = shot.mpts.te[2.0].toPandas()
+    assert out.time.unique() == pytest.approx([times[2]])
+
+    # too many indices still raises
+    with pytest.raises(IndexError):
+        shot.mpts.te[1, 2, 3]
+
+
 def test_mpts_transform_units(shot, fusion_dir):
     # modules/mpts/_postprocess.py:9-13: radius/100, units 'cm' → 'm'
     te = shot.mpts.te

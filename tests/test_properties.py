@@ -67,20 +67,38 @@ def test_value_window_matches_numpy(spark, axis, a, b):
     assert got == want
 
 
+_BOUND = st.one_of(st.none(), st.integers(min_value=-50, max_value=50))
+_STEP = st.integers(min_value=-5, max_value=5).filter(lambda s: s != 0)
+
+
+@settings(**_SETTINGS)
+@given(axis=AXES, start=_BOUND, stop=_BOUND, step=_STEP)
+def test_positional_slice_matches_numpy(spark, axis, start, stop, step):
+    """Full Python slice surface — negative bounds, negative steps, None
+    bounds — matches numpy exactly, including output order via __sel."""
+    t = np.sort(np.asarray(axis, dtype=np.float64))
+    rows = positional_slice(_df(spark, t), ["t"], start, stop, step).collect()
+    got = [r["t"] for r in sorted(rows, key=lambda r: r["__sel"])]
+    want = t[start:stop:step].tolist()
+    assert got == want
+
+
 @settings(**_SETTINGS)
 @given(
     axis=AXES,
-    start=st.integers(min_value=0, max_value=45),
-    stop=st.integers(min_value=0, max_value=45),
-    step=st.integers(min_value=1, max_value=5),
+    positions=st.lists(st.integers(min_value=-60, max_value=60), min_size=0, max_size=8),
 )
-def test_positional_slice_matches_numpy(spark, axis, start, stop, step):
+def test_positional_take_matches_numpy(spark, axis, positions):
+    """Fancy int-array indexing matches numpy's take for in-range
+    positions (out-of-range are dropped, not raised — documented)."""
+    from fdf_spark.operators.selection import positional_take
+
     t = np.sort(np.asarray(axis, dtype=np.float64))
-    got = sorted(
-        r["t"]
-        for r in positional_slice(_df(spark, t), ["t"], start, stop, step).collect()
-    )
-    want = sorted(t[start:stop:step].tolist())
+    n = len(t)
+    in_range = [p for p in positions if -n <= p < n]
+    rows = positional_take(_df(spark, t), ["t"], positions).collect()
+    got = [r["t"] for r in sorted(rows, key=lambda r: r["__sel"])]
+    want = t[in_range].tolist() if in_range else []
     assert got == want
 
 
