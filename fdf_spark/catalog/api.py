@@ -502,6 +502,48 @@ class SignalFrame:
             df = df.join(F.broadcast(picked.select("shot", axis).distinct()), ["shot", axis])
         return df
 
+    # -- arithmetic (fdf_signal.py:30-92: Signal is an ndarray subclass,
+    # so te - te_fit / ip / 1e6 / -sig work directly; here they compile
+    # to the J3 axis-equi-join + column arithmetic via SignalExpr) -------
+
+    def _expr(self):
+        from fdf_spark.operators.arith import SignalExpr
+
+        return SignalExpr(self.df, self.axes, self.units)
+
+    def __add__(self, other):
+        return self._expr() + other
+
+    def __radd__(self, other):
+        return other + self._expr()
+
+    def __sub__(self, other):
+        return self._expr() - other
+
+    def __rsub__(self, other):
+        return other - self._expr()
+
+    def __mul__(self, other):
+        return self._expr() * other
+
+    def __rmul__(self, other):
+        return other * self._expr()
+
+    def __truediv__(self, other):
+        return self._expr() / other
+
+    def __rtruediv__(self, other):
+        return other / self._expr()
+
+    def __pow__(self, other):
+        return self._expr() ** other
+
+    def __neg__(self):
+        return -self._expr()
+
+    def __abs__(self):
+        return abs(self._expr())
+
     # -- materialization helpers --------------------------------------------
 
     def to_pandas(self):

@@ -97,7 +97,7 @@ PRIORITY: tuple[str, ...] = (
     "q75_lsh_ann_topk",
     "q17_rundate_roundtrip",
     "q91_negative_slice",
-    "q63_ngram_jaccard_pairs",
+    "q92_signal_arithmetic",
 )
 
 

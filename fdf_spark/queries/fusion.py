@@ -185,6 +185,45 @@ def q91_negative_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q92_signal_arithmetic",
+    """
+    SELECT a.l_orderkey, a.l_linenumber,
+           (a.l_extendedprice / b.l_quantity) / 1000.0 AS unit_price_k
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    WHERE a.l_orderkey % 25 = 1
+    ORDER BY a.l_orderkey, a.l_linenumber
+    """,
+    operators=("J3", "F1", "F2", "P3"),
+    doc="Signal arithmetic surface (fdf_signal.py:30-92: Signal is an "
+    "ndarray subclass, so sig_a / sig_b and sig / scalar work directly): "
+    "two long-format signals on the (orderkey, linenumber) grid combined "
+    "via SignalExpr's axis-equi-join + column arithmetic, then a scalar "
+    "broadcast — the oracle replays the join explicitly.",
+)
+def q92_signal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.arith import SignalExpr
+
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 25 == 1)
+    mk = lambda col, units: SignalExpr(
+        li.select(
+            F.col("l_orderkey").alias("shot"),
+            F.col("l_linenumber").alias("line"),
+            F.col(col).alias("value"),
+        ),
+        axes=["line"],
+        units=units,
+    )
+    ratio = (mk("l_extendedprice", "usd") / mk("l_quantity", "unit")) / 1000.0
+    assert ratio.units == "usd/unit"
+    return ratio.df.select(
+        F.col("shot").alias("l_orderkey"),
+        F.col("line").alias("l_linenumber"),
+        F.col("value").alias("unit_price_k"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
     "q44_baseline_subtract",
     """
     WITH ranked AS (

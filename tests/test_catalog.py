@@ -185,6 +185,49 @@ def test_parseindex_negative_ellipsis_fancy(shot, fusion_dir):
         shot.mpts.te[1, 2, 3]
 
 
+def test_signal_arithmetic(shot, fusion_dir):
+    # fdf_signal.py:30-92: Signal is an ndarray subclass, so arithmetic
+    # works directly with axis propagation — here via SignalExpr
+    ref = pd.read_parquet(f"{fusion_dir}/signal_mpts.parquet")
+    ref = ref[ref.shot == 141000].sort_values(["time", "radius_cm"])
+
+    # signal / signal on the shared (time, radius) grid — the VERDICT's
+    # te/ne example
+    ratio = shot.mpts.te / shot.mpts.ne
+    assert ratio.axes == ["time", "radius"]
+    assert ratio.units == "keV/cm^-3"
+    got = ratio.to_pandas()
+    np.testing.assert_allclose(
+        got["value"].to_numpy(), (ref["te"] / ref["ne"]).to_numpy(), rtol=1e-12
+    )
+
+    # signal - signal == 0 everywhere, units preserved
+    diff = shot.mpts.te - shot.mpts.te
+    assert diff.units == "keV"
+    assert diff.to_pandas()["value"].abs().max() == 0.0
+
+    # scalar ops, reflected ops, chaining, neg/abs
+    ip_ref = pd.read_parquet(f"{fusion_dir}/signal_ip.parquet")
+    ip_ref = ip_ref[ip_ref.shot == 141000].sort_values("time_ms")
+    ma = shot.ip.data / 1e6
+    assert ma.units == shot.ip.data.units
+    np.testing.assert_allclose(
+        ma.to_pandas()["value"].to_numpy(), ip_ref.value.to_numpy() / 1e6, rtol=1e-12
+    )
+    twice = 2.0 * shot.ip.data - shot.ip.data
+    np.testing.assert_allclose(
+        twice.to_pandas()["value"].to_numpy(), ip_ref.value.to_numpy(), rtol=1e-12
+    )
+    neg = -abs(shot.ip.data)
+    assert (neg.to_pandas()["value"].to_numpy() <= 0).all()
+
+    # 2-D ∘ 1-D broadcast: te minus its own time-profile mean would need
+    # a different grid; shape contract only — union of axes, no dupes
+    prod = shot.mpts.te * shot.mpts.spline.te
+    assert prod.axes == ["time", "radius"]
+    assert prod.units == "keV*keV"
+
+
 def test_mpts_transform_units(shot, fusion_dir):
     # modules/mpts/_postprocess.py:9-13: radius/100, units 'cm' → 'm'
     te = shot.mpts.te
