@@ -73,19 +73,31 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+#: Default document-frequency cap for the shingle self-join: a shingle
+#: shared by more than this many documents is dropped before pairing.
+#: Safe-by-default at scale — one ubiquitous shingle ("terms of service")
+#: otherwise contributes f·(f-1)/2 candidate pairs, which at 100 TB is the
+#: difference between a join and a cartesian blow-up — while staying far
+#: above any real near-dup signal's frequency (a shingle in >256 docs
+#: carries ~zero Jaccard mass for thresholds ≥0.2).
+DEFAULT_MAX_SHINGLE_FREQ = 256
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """N2 (exact): document pairs with word-n-gram Jaccard ≥ threshold.
 
     → (id_a, id_b, jaccard), id_a < id_b. ``max_shingle_freq`` drops
     shingles shared by more than that many documents before the
-    self-join (recall-safe for high thresholds, bounds fan-out).
+    self-join (recall-safe for high thresholds, bounds fan-out);
+    defaults to :data:`DEFAULT_MAX_SHINGLE_FREQ` — pass ``None``
+    explicitly for the uncapped exact relation.
     """
     # join on the 60-bit shingle hash, not the string: 8-byte shuffle/compare
     # keys instead of ~25-byte text (collisions are negligible at 2^60 and,

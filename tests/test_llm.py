@@ -128,6 +128,29 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
 
 
+def test_jaccard_shingle_freq_cap(spark):
+    """The default doc-frequency cap drops ubiquitous shingles before the
+    self-join: a boilerplate trigram shared by every doc must not pair
+    otherwise-disjoint documents, while true near-dups still pair."""
+    from fdf_spark.llm.dedup import DEFAULT_MAX_SHINGLE_FREQ, ngram_jaccard_pairs
+
+    boiler = "terms of service apply"
+    rows = [(i, f"{boiler} unique{i} filler{i} token{i}") for i in range(10)]
+    rows += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_freq=5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in pairs  # rare-shingle near-dups survive
+    assert all(a >= 100 for a, _ in pairs)  # boilerplate-only pairs gone
+
+    # default cap is transparent when no shingle exceeds it
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1, max_shingle_freq=None).collect()
+    assert DEFAULT_MAX_SHINGLE_FREQ > 12
+    default = ngram_jaccard_pairs(df, threshold=0.1).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, uncapped))
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """Exhausting max_iter with labels still moving must raise, not
     silently return split components (min-label propagation moves one

@@ -84,6 +84,20 @@ def main() -> None:
 
     timed("minhash 16 sigs (N2)", n, minhash_signatures(docs, num_hashes=16))
 
+    # 5b) capped exact-Jaccard (N2): 500k docs that ALL share one
+    # boilerplate trigram — uncapped, that one shingle alone would emit
+    # 1.25e11 candidate pairs; the default doc-frequency cap drops it and
+    # the join touches only the rare-shingle candidates
+    n = 500_000
+    uniq = F.transform(F.sequence(F.lit(0), F.lit(7)), lambda i: F.conv(((F.col("id") * 13 + i * 3) % 1_000_000).cast("string"), 10, 16))
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("terms of service apply "), F.array_join(uniq, " ")).alias("text"),
+    )
+    from fdf_spark.llm.dedup import ngram_jaccard_pairs
+
+    timed("capped Jaccard pairs (N2)", n, ngram_jaccard_pairs(docs, threshold=0.2))
+
     # 6) CUBE multi-dim agg: 200M rows, 7x3 dims -> one Expand + one shuffle
     n = 200_000_000
     df = spark.range(0, n, 1, 64).select(
