@@ -109,8 +109,16 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), portable_hash60(F.col("shingle")).alias("sh")
     ).distinct()
     if max_shingle_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count("*").alias("__f"))
-        sh = sh.join(freq.filter(F.col("__f") <= max_shingle_freq), "sh").drop("__f")
+        # frequency filter as an unbounded window count, not groupBy+join:
+        # one hash-exchange on sh (measured cheapest of the three cap
+        # plans at sf0.1: window 1.8 s vs group+join 2.1 s vs broadcast
+        # anti-join over a pre-cap persist 2.3 s), and the filter runs
+        # before the persist below so the cache holds the capped relation.
+        sh = (
+            sh.withColumn("__f", F.count(F.lit(1)).over(W.partitionBy("sh")))
+            .filter(F.col("__f") <= max_shingle_freq)
+            .drop("__f")
+        )
     # the (id, sh) relation feeds three consumers (both join sides +
     # sizes); without a materialization Spark recomputes the full
     # shingle+md5 pass for each. MEMORY_AND_DISK persist trades one
