@@ -176,6 +176,51 @@ def ivf_ann_topk(
     )
 
 
+def embedding_quantize(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Per-dimension linear int8 quantization of an embedding column →
+    (corpus_id, codes array<int>, mse double rounded to 10 dp).
+
+    The standard storage/IO reduction for vector corpora (4 bytes →
+    1 byte per dim): per-dim [min, max] over the corpus defines the
+    scale, ``code = round((x − min)/(max − min)·255) − 128``, and the
+    reconstruction MSE quantifies the loss.
+
+    Scale shape: dims explode to (pos, x) and reduce to a 64-row
+    min/max relation (map-side combine) that broadcast-joins back —
+    the corpus shuffles only by (id) for the final re-pack; at 100 TB
+    the stats pass is a cheap extra scan and the pack is map-local.
+    """
+    pos = corpus.select(
+        F.col(corpus_id), F.posexplode(F.col(corpus_vec)).alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    stats = pos.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = pos.join(F.broadcast(stats), "pos").select(
+        corpus_id,
+        "pos",
+        "x",
+        (F.round((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255) - 128)
+        .cast("int")
+        .alias("code"),
+        F.col("mn"),
+        F.col("mx"),
+    )
+    deq = (F.col("code") + 128) / 255.0 * (F.col("mx") - F.col("mn")) + F.col("mn")
+    per_el = q.withColumn("sqerr", (F.col("x") - deq) * (F.col("x") - deq))
+    return (
+        per_el.groupBy(corpus_id)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "code"))), lambda s: s["code"]
+            ).alias("codes"),
+            F.round(F.avg("sqerr"), 10).alias("mse"),
+        )
+    )
+
+
 def lsh_planes(
     num_planes: int = 8, num_tables: int = 4, dim: int = 64, seed: int = 42
 ) -> list[list[list[float]]]:

@@ -1019,3 +1019,121 @@ def q59_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.element_at(m, "de"), F.lit(0)).alias("n_de"),
         F.size(m).alias("n_langs"),
     ).orderBy("source")
+
+
+SQL_REPETITION = r"""
+rw AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+runi AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS ndw FROM rw),
+rg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(w) - 1, 0)),
+                               i -> array_to_string(w[i+1:i+2], ' '))) AS gram
+  FROM rw),
+rpg AS (SELECT doc_id, gram, COUNT(*) AS c FROM rg GROUP BY doc_id, gram),
+rpd AS (SELECT doc_id, SUM(c) AS total2, MAX(c) AS top2, COUNT(*) AS distinct2
+        FROM rpg GROUP BY doc_id),
+rstats AS (
+  SELECT u.doc_id, u.n_words,
+         round(1.0 - u.ndw * 1.0 / u.n_words, 6) AS dup_word_ratio,
+         round(d.top2 * 1.0 / d.total2, 6) AS top_2gram_frac,
+         round(1.0 - d.distinct2 * 1.0 / d.total2, 6) AS dup_2gram_frac
+  FROM runi u LEFT JOIN rpd d USING (doc_id))
+"""
+
+
+@query(
+    "q93_repetition_stats",
+    f"""
+    WITH {SQL_REPETITION}
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, dup_word_ratio,
+           top_2gram_frac, dup_2gram_frac
+    FROM rstats ORDER BY doc_id
+    """,
+    operators=("N4",),
+    doc="Gopher-style intra-document repetition profile: duplicate-word "
+    "ratio, most-frequent-2-gram fraction, duplicate-2-gram fraction — "
+    "the standard boilerplate/keyword-stuffing detectors for corpus "
+    "curation. One explode + (doc, gram) groupBy, map-side re-aggregation.",
+)
+def q93_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.repetition import repetition_stats
+
+    return (
+        repetition_stats(T(spark, sf_dir, "documents"))
+        .withColumn("n_words", F.col("n_words").cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q94_embedding_quantize",
+    """
+    WITH px AS (
+      SELECT vec_id, p.pos, CAST(embedding[p.pos + 1] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS pos) p),
+    st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM px GROUP BY pos),
+    q AS (
+      SELECT vec_id, px.pos, x, mn, mx,
+             CAST(round((x - mn) / (mx - mn) * 255) - 128 AS INTEGER) AS code
+      FROM px JOIN st ON px.pos = st.pos),
+    e AS (
+      SELECT vec_id, pos, code,
+             (x - ((code + 128) / 255.0 * (mx - mn) + mn))
+             * (x - ((code + 128) / 255.0 * (mx - mn) + mn)) AS sqerr
+      FROM q)
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes,
+           round(AVG(sqerr), 10) AS mse
+    FROM e GROUP BY vec_id ORDER BY vec_id
+    """,
+    operators=("N3",),
+    doc="Linear int8 quantization of the embedding corpus (4x storage/IO "
+    "cut for ANN at scale): per-dim [min,max] over the corpus -> codes + "
+    "per-vector reconstruction MSE. Stats reduce map-side to 64 rows and "
+    "broadcast back; the pack is map-local.",
+)
+def q94_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.similarity import embedding_quantize
+
+    out = embedding_quantize(T(spark, sf_dir, "embeddings"))
+    # int8 code array serialized for the hash compare (the driver's
+    # row-sort can't order array cells); the operator itself returns
+    # the real array<int> column
+    return out.select(
+        "vec_id", F.array_join("codes", ",").alias("codes"), "mse"
+    ).orderBy("vec_id")
+
+
+@query(
+    "q95_quality_funnel",
+    f"""
+    WITH {SQL_REPETITION},
+    ff AS (
+      SELECT CASE WHEN n_words < 20 THEN 'too_short'
+                  WHEN dup_word_ratio > 0.6 THEN 'dup_words'
+                  WHEN dup_2gram_frac > 0.1 THEN 'dup_2grams'
+                  ELSE 'kept' END AS rule
+      FROM rstats),
+    counts AS (SELECT rule, COUNT(*) AS n FROM ff GROUP BY rule),
+    stages AS (SELECT * FROM (VALUES (1, 'too_short'), (2, 'dup_words'),
+                                     (3, 'dup_2grams'), (4, 'kept')) s(stage, rule)),
+    j AS (
+      SELECT stage, s.rule, COALESCE(n, 0) AS n
+      FROM stages s LEFT JOIN counts c ON s.rule = c.rule)
+    SELECT stage, rule,
+           CAST(CASE WHEN rule = 'kept' THEN 0 ELSE n END AS BIGINT) AS n_dropped,
+           CAST(SUM(n) OVER () - SUM(CASE WHEN rule = 'kept' THEN 0 ELSE n END)
+                OVER (ORDER BY stage ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_remaining
+    FROM j ORDER BY stage
+    """,
+    operators=("N4", "P7", "A6"),
+    doc="C4/Gopher-style ordered quality funnel: each document attributed "
+    "to the FIRST rule it fails (too short / duplicate words / duplicate "
+    "2-grams), so per-rule drops are disjoint and sum with survivors to "
+    "the corpus total. One conditional aggregation over the stats "
+    "relation - no per-rule passes.",
+)
+def q95_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.repetition import quality_funnel
+
+    return quality_funnel(T(spark, sf_dir, "documents"))

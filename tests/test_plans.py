@@ -52,6 +52,11 @@ EXPECT: dict[str, dict] = {
     # pure codegen string/JSON paths: no shuffle before the final sort
     "q39_json_roundtrip": dict(max_exchanges=1),
     "q58_text_normalize": dict(max_exchanges=1),
+    # round-2 additions — no cartesian anywhere, dim-stats sides broadcast
+    "q91_negative_slice": dict(max_exchanges=5, min_bhj=1, max_smj=0),
+    "q92_signal_arithmetic": dict(max_exchanges=3, max_smj=1, pushed=True),
+    "q93_repetition_stats": dict(max_exchanges=6, max_smj=0),
+    "q94_embedding_quantize": dict(max_exchanges=4, min_bhj=1, max_smj=0),
 }
 
 
