@@ -224,6 +224,64 @@ def q92_signal_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q96_resample_linear",
+    f"""
+    WITH s AS (SELECT user_id, epoch_us(ts) / 1e6 AS t, value AS v, 0 AS is_grid FROM events),
+    bounds AS (SELECT epoch_us(TIMESTAMP '{TS_LO}') / 1e6 AS lo,
+                      epoch_us(TIMESTAMP '{TS_HI}') / 1e6 AS hi),
+    grid AS (
+      SELECT u.user_id, b.lo + g.i * (b.hi - b.lo) / 8 AS t,
+             CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN bounds b CROSS JOIN (SELECT unnest(range(9)) AS i) g),
+    u AS (SELECT * FROM s UNION ALL SELECT * FROM grid),
+    m AS (
+      SELECT *,
+        last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t, is_grid ROWS UNBOUNDED PRECEDING) AS pt,
+        last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t, is_grid ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t DESC, is_grid DESC ROWS UNBOUNDED PRECEDING) AS nt,
+        last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY t DESC, is_grid DESC ROWS UNBOUNDED PRECEDING) AS nv
+      FROM u)
+    SELECT user_id, round(t, 6) AS t,
+           round(CASE WHEN pt IS NULL THEN nv WHEN nt IS NULL THEN pv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6) AS value
+    FROM m WHERE is_grid = 1 ORDER BY user_id, t
+    """,
+    operators=("P4", "P5", "J4", "P3"),
+    doc="Grid resampling with linear interpolation (np.interp semantics: "
+    "edge clamp outside the sampled range, exact value on coordinate "
+    "hits): per-user event series resampled onto a shared 9-point uniform "
+    "grid. UDF-free and join-free — grid points union into the sample "
+    "stream and two directional windows bracket each one; the alignment "
+    "step that lets SignalExpr arithmetic combine signals on different "
+    "grids.",
+)
+def q96_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.resample import resample_linear
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / F.lit(1e6)).alias("t"), "value"
+    )
+    lo = F.unix_micros(F.lit(TS_LO).cast("timestamp")) / F.lit(1e6)
+    hi = F.unix_micros(F.lit(TS_HI).cast("timestamp")) / F.lit(1e6)
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .select("user_id", F.explode(F.sequence(F.lit(0), F.lit(8))).alias("i"))
+        .select("user_id", (lo + F.col("i") * (hi - lo) / F.lit(8)).alias("t"))
+    )
+    out = resample_linear(ev, "t", grid, by=["user_id"])
+    return out.select(
+        "user_id", F.round("t", 6).alias("t"), F.round("value", 6).alias("value")
+    ).orderBy("user_id", "t")
+
+
+@query(
     "q44_baseline_subtract",
     """
     WITH ranked AS (

@@ -57,6 +57,8 @@ EXPECT: dict[str, dict] = {
     "q92_signal_arithmetic": dict(max_exchanges=3, max_smj=1, pushed=True),
     "q93_repetition_stats": dict(max_exchanges=6, max_smj=0),
     "q94_embedding_quantize": dict(max_exchanges=4, min_bhj=1, max_smj=0),
+    # interpolation is join-FREE: union + two directional windows
+    "q96_resample_linear": dict(max_exchanges=3, max_smj=0, max_bnl=0),
 }
 
 

@@ -12,6 +12,7 @@ transcription of the reference code.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -100,6 +101,36 @@ def test_positional_take_matches_numpy(spark, axis, positions):
     got = [r["t"] for r in sorted(rows, key=lambda r: r["__sel"])]
     want = t[in_range].tolist() if in_range else []
     assert got == want
+
+
+@settings(**{**_SETTINGS, "max_examples": 8})
+@given(
+    axis=AXES,
+    grid=st.lists(
+        st.floats(min_value=-10.0, max_value=10.0, allow_nan=False), min_size=1, max_size=10
+    ),
+)
+def test_resample_linear_matches_np_interp(spark, axis, grid):
+    """Union+two-directional-windows interpolation == np.interp, including
+    edge clamping and exact coordinate hits."""
+    from fdf_spark.operators.resample import resample_linear
+
+    t = np.sort(np.unique(np.asarray(axis, dtype=np.float64)))
+    v = np.cos(t)  # deterministic values on the sample grid
+    samples = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(t, v)], "t double, value double"
+    )
+    # include an exact hit so the tie path is always exercised
+    gpts = sorted(set([float(g) for g in grid] + [float(t[0])]))
+    gdf = spark.createDataFrame([(g,) for g in gpts], "t double")
+    got = {
+        r["t"]: r["value"]
+        for r in resample_linear(samples, "t", gdf).collect()
+    }
+    want = np.interp(gpts, t, v)
+    assert sorted(got) == gpts
+    for g, w in zip(gpts, want):
+        assert got[g] == pytest.approx(w, rel=1e-12, abs=1e-12)
 
 
 # ---------------------------------------------------------------------------
