@@ -544,6 +544,12 @@ class SignalFrame:
     def __abs__(self):
         return abs(self._expr())
 
+    def resample(self, axis: str, points):
+        """Linear-interpolate onto explicit axis coordinates (np.interp
+        semantics) — align two signals on different grids before
+        arithmetic: ``te.resample('time', g) / other.resample('time', g)``."""
+        return self._expr().resample(axis, points)
+
     # -- materialization helpers --------------------------------------------
 
     def to_pandas(self):

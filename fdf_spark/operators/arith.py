@@ -124,6 +124,29 @@ class SignalExpr:
     def __abs__(self):
         return SignalExpr(self.df.withColumn("value", F.abs(F.col("value"))), self.axes, self.units, group=self.group)
 
+    # -- alignment -----------------------------------------------------------
+
+    def resample(self, axis: str, points: Sequence[float]) -> "SignalExpr":
+        """Linear interpolation onto explicit ``axis`` coordinates
+        (np.interp semantics via operators/resample.py), per group ×
+        remaining axes — the alignment step before combining signals
+        sampled on different grids: ``a.resample('time', g) /
+        b.resample('time', g)``."""
+        from fdf_spark.operators.resample import resample_linear
+
+        if axis not in self.axes:
+            raise KeyError(f"signal has no axis '{axis}'")
+        others = [a for a in self.axes if a != axis]
+        by = [*self.group, *others]
+        keys = self.df.select(*by).distinct()
+        grid = keys.select(
+            *by, F.explode(F.array(*[F.lit(float(p)) for p in points])).alias(axis)
+        )
+        out = resample_linear(self.df, axis, grid, by=by)
+        return SignalExpr(
+            out.select(*self.group, *self.axes, "value"), self.axes, self.units, group=self.group
+        )
+
     # -- materialization -----------------------------------------------------
 
     def to_pandas(self):

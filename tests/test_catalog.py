@@ -228,6 +228,31 @@ def test_signal_arithmetic(shot, fusion_dir):
     assert prod.units == "keV*keV"
 
 
+def test_signal_resample_cross_grid(shot, fusion_dir):
+    # align-then-combine for signals on DIFFERENT grids: mpts.te and
+    # mpts.spline.te have independent (time, radius) draws; resampling
+    # both onto a shared time grid makes the arithmetic join non-empty,
+    # and per-series values match np.interp
+    ref = pd.read_parquet(f"{fusion_dir}/signal_ip.parquet")
+    ref = ref[ref.shot == 141000].sort_values("time_ms")
+    t = ref.time_ms.to_numpy(float)
+    v = ref.value.to_numpy(float)
+    pts = [float(t[0]), float((t[3] + t[4]) / 2), float(t[-1]) + 5.0]
+    out = shot.ip.data.resample("time", pts).to_pandas()
+    want = np.interp(pts, t, v)
+    np.testing.assert_allclose(np.sort(out["value"].to_numpy()), np.sort(want), rtol=1e-12)
+
+    # mpts.te and mpts.spline.te live on INDEPENDENT (time, radius)
+    # draws — sequential per-axis resampling puts both on one shared
+    # grid, making the arithmetic join dense (2 times × 3 radii)
+    tg, rg = [0.1, 0.2], [0.5, 0.8, 1.1]
+    a = shot.mpts.te.resample("time", tg).resample("radius", rg)
+    b = shot.mpts.spline.te.resample("time", tg).resample("radius", rg)
+    pdf = (a / b).to_pandas()
+    assert len(pdf) == len(tg) * len(rg)
+    assert np.isfinite(pdf["value"].to_numpy()).all()
+
+
 def test_mpts_transform_units(shot, fusion_dir):
     # modules/mpts/_postprocess.py:9-13: radius/100, units 'cm' → 'm'
     te = shot.mpts.te
