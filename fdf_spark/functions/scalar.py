@@ -104,3 +104,37 @@ def decode_shot_bytes(bytes_col: Column) -> Column:
         lambda b, i: b.cast("long") * F.pow(F.lit(256.0), i.cast("double")).cast("long"),
     )
     return F.aggregate(indexed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of two non-negative int columns →
+    one long clustering key (bit i of x → bit 2i, bit i of y → bit 2i+1).
+
+    The multi-dimensional file-clustering primitive: sorting a table by
+    ``morton_key(a, b)`` before writing (sinks.write_table ``sort_by``)
+    gives parquet row-group min/max stats that are tight in BOTH
+    dimensions, so range predicates on either column prune row groups —
+    the standard lakehouse Z-ORDER, as a pure JVM expression (32
+    shift/mask terms inside whole-stage codegen, no UDF).
+
+    Callers bound the inputs into [0, 2^bits) (e.g. ``% 65536``);
+    bits=16 each packs into the low 32 bits of the key.
+    """
+    x, y = x.cast("long"), y.cast("long")
+    k = F.lit(0).cast("long")
+    for i in range(bits):
+        k = (
+            k
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return k
+
+
+def sql_morton_key(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`morton_key` (same shift/mask arithmetic)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

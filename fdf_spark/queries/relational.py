@@ -29,8 +29,10 @@ from fdf_spark.functions.scalar import (
     decode_shot_bytes,
     dsum,
     encode_shot_bytes,
+    morton_key,
     sql_davg,
     sql_dsum,
+    sql_morton_key,
 )
 from fdf_spark.queries import query
 from fdf_spark.sources.tables import load_table as T
@@ -1332,3 +1334,28 @@ def q90_null_discipline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_tier"),
         (F.col("o_orderstatus").isNotNull() & F.col("o_orderpriority").isNotNull()).alias("has_meta"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q97_zorder_key",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {sql_morton_key('(l_partkey % 4096)', '(l_suppkey % 4096)', 12)} AS zkey
+    FROM lineitem
+    WHERE l_orderkey % 50 = 1
+    ORDER BY zkey, l_orderkey, l_linenumber
+    """,
+    operators=("F9", "S10"),
+    doc="Z-order (Morton) clustering key: bit-interleave of two bounded "
+    "dimensions as a pure codegen expression — sort_by this key in the "
+    "table sink and parquet row-group min/max stats stay tight in BOTH "
+    "dimensions (lakehouse Z-ORDER). tests/test_sinks.py measures the "
+    "stat-tightness win against a single-column sort.",
+)
+def q97_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 1)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        morton_key(F.col("l_partkey") % 4096, F.col("l_suppkey") % 4096, bits=12).alias("zkey"),
+    ).orderBy("zkey", "l_orderkey", "l_linenumber")

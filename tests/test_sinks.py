@@ -41,3 +41,53 @@ def test_write_table_time_sorted_within_partition(spark, tmp_path):
     files = [f for f in os.listdir(part) if f.endswith(".parquet")]
     t = pq.read_table(os.path.join(part, files[0]), columns=["time"])["time"].to_pylist()
     assert t == sorted(t)  # min/max page stats usable for time pruning
+
+
+def test_zorder_sort_tightens_rowgroup_stats(spark, tmp_path):
+    """Sorting by morton_key(x, y) before writing gives parquet row-group
+    min/max ranges that are tight in BOTH dimensions; a single-column
+    sort leaves the other dimension's per-group range at ~full width.
+    Measured, not asserted by faith: mean per-row-group y-range must
+    shrink by >2x vs the x-sorted layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fdf_spark.functions.scalar import morton_key
+
+    # ~16 row groups of ~4k rows → z-order tiles the 4096² space at
+    # depth 2 (1024-wide in each dim) while an x-sort leaves y at full width
+    n = 1 << 16
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") * 2654435761 % 4096).alias("x"),
+            (F.col("id") * 40503 % 4096).alias("y"),
+        )
+    )
+
+    def mean_range(path, col, rows_per_group=1024):
+        spans = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                idx = [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+                st = md.row_group(g).column(idx).statistics
+                spans.append(st.max - st.min)
+        assert spans
+        return sum(spans) / len(spans)
+
+    opts = {"parquet.block.size": str(64 * 1024)}  # small row groups
+    xsorted = str(tmp_path / "xsorted")
+    df.orderBy("x").coalesce(1).write.options(**opts).parquet(xsorted)
+    zsorted = str(tmp_path / "zsorted")
+    df.withColumn("z", morton_key(F.col("x"), F.col("y"), bits=12)).orderBy(
+        "z"
+    ).drop("z").coalesce(1).write.options(**opts).parquet(zsorted)
+
+    y_x = mean_range(xsorted, "y")
+    y_z = mean_range(zsorted, "y")
+    x_z = mean_range(zsorted, "x")
+    # x-sorted leaves y unclustered (~full 4096 width); z-order clusters both
+    assert y_z < y_x / 2, (y_z, y_x)
+    assert x_z < 4096 * 0.75, x_z
