@@ -83,7 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "q50_tumbling_window",
     "q54_stateful_dedup_count",
     "q25_value_tier_range_join",    # J7 (batch oracle)
-    "q41_asof_attribution",
+    "q98_bm25_topk",               # N10 (J4's second rep q41 demoted below)
     "q31_cube_grouping",
     "q46_grouping_sets",
     "q20_pivot_status",

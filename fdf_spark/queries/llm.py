@@ -1137,3 +1137,131 @@ def q95_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.llm.repetition import quality_funnel
 
     return quality_funnel(T(spark, sf_dir, "documents"))
+
+
+BM25_TERMS = ("spark", "join", "window", "hash")
+
+
+def _bm25_oracle() -> str:
+    from fdf_spark.functions.scalar import sql_davg
+    from fdf_spark.llm.ranking import bm25_score_sql
+
+    split = "string_split_regex(lower(text), '[^a-z]+')"
+    tf_cols = ",\n             ".join(
+        f"len(list_filter({split}, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter({split}, w -> w <> '')) AS dl,
+             {tf_cols}
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             {sql_davg('dl')} AS avgdl,
+             {df_cols}
+      FROM base)
+    SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+           {bm25_score_sql(len(BM25_TERMS))} AS bm25
+    FROM base, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query(
+    "q98_bm25_topk",
+    _bm25_oracle(),
+    operators=("N10", "N4"),
+    doc="Okapi BM25 top-20 against a fixed query-term set - the corpus "
+    "ranking primitive for targeted sampling and contamination probes. "
+    "Shuffle-free by construction: per-doc term frequencies are map-side "
+    "array expressions (NOT explode+groupBy, which would shuffle one row "
+    "per token occurrence); corpus stats (N, avgdl, per-term df) collapse "
+    "to ONE row and broadcast back; top-k is a TakeOrdered. The scoring "
+    "arithmetic is one SQL expression string shared verbatim with the "
+    "oracle, so IEEE evaluation order matches bit-for-bit.",
+)
+def q98_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.ranking import bm25_topk
+
+    return bm25_topk(T(spark, sf_dir, "documents"), BM25_TERMS, k=20)
+
+
+@query(
+    "q99_chunk_documents",
+    """
+    SELECT doc_id,
+           CAST(start // 150 AS INTEGER) AS chunk_id,
+           CAST(start AS INTEGER) AS start,
+           substring(text, CAST(start AS INTEGER) + 1, 200) AS chunk,
+           CAST(length(substring(text, CAST(start AS INTEGER) + 1, 200)) AS INTEGER) AS chunk_len
+    FROM (SELECT doc_id, text, unnest(range(0, len(text), 150)) AS start
+          FROM documents)
+    ORDER BY doc_id, chunk_id
+    """,
+    operators=("N11", "N9"),
+    doc="Context-window chunking: fixed 200-char windows at stride 150 "
+    "(50-char overlap) with explicit offsets — the corpus->dataloader "
+    "layout transform. Pure map-side codegen (sequence -> posexplode -> "
+    "substr): zero shuffles at any corpus size; the only exchange is "
+    "the output sort.",
+)
+def q99_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.chunking import chunk_documents
+
+    return chunk_documents(
+        T(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
+    ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q100_pack_blocks",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             w -> w <> '')) AS tokens
+      FROM documents),
+    placed AS (
+      SELECT doc_id, tokens,
+             CAST(SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS end_off
+      FROM base),
+    p2 AS (SELECT doc_id, tokens, end_off, end_off - tokens AS start_off
+           FROM placed WHERE tokens > 0),
+    spans AS (
+      SELECT doc_id, start_off, end_off,
+             unnest(range(start_off // 512, (end_off - 1) // 512 + 1)) AS block_id
+      FROM p2)
+    SELECT block_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN start_off < block_id * 512
+                           OR end_off > block_id * 512 + 512
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs,
+           CAST(SUM(least(end_off, block_id * 512 + 512)
+                    - greatest(start_off, block_id * 512)) AS BIGINT) AS tok_filled
+    FROM spans GROUP BY block_id ORDER BY block_id
+    """,
+    operators=("N11", "A5", "A6"),
+    doc="Concat-and-split sequence packing: the corpus (in doc-id order) "
+    "becomes one virtual token stream cut into 512-token training blocks; "
+    "documents may span boundaries. The global running offset is a "
+    "DISTRIBUTED prefix sum - per-shard window cumsum plus a broadcast "
+    "#shards-row prefix relation - never a single-partition window over "
+    "the corpus (the naive formulation that serializes at 100 TB; the "
+    "DuckDB oracle uses exactly that naive global window, proving the "
+    "hierarchical decomposition exact). tok_filled == capacity for every "
+    "block but the last.",
+)
+def q100_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.chunking import pack_blocks
+
+    return pack_blocks(
+        T(spark, sf_dir, "documents"), capacity=512, n_shards=32
+    ).orderBy("block_id")

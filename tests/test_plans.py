@@ -59,6 +59,10 @@ EXPECT: dict[str, dict] = {
     "q94_embedding_quantize": dict(max_exchanges=4, min_bhj=1, max_smj=0),
     # interpolation is join-FREE: union + two directional windows
     "q96_resample_linear": dict(max_exchanges=3, max_smj=0, max_bnl=0),
+    # BM25: map-side tf, ONE single-partition stats agg broadcast back
+    # (the BNL is the intended 1-row IdentityBroadcast cross join),
+    # TakeOrdered top-k — zero wide shuffles
+    "q98_bm25_topk": dict(max_exchanges=1, max_bnl=1, max_smj=0),
 }
 
 

@@ -23,7 +23,7 @@ REQUIRED_OPS = {
     "F10", "F11", "F12", "F13",
     "ST1", "ST2", "ST3", "ST4",
     "X1", "X2", "X3", "X4",
-    "N1", "N2", "N3", "N4", "N5", "N6", "N7", "N8", "N9",
+    "N1", "N2", "N3", "N4", "N5", "N6", "N7", "N8", "N9", "N10",
 }
 
 
