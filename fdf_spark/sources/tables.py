@@ -51,12 +51,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (the driver builds its own SparkSession without our defaults)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer `div`, NOT `/`: double division loses precision on
-        # int64 nanos (~1.7e18 > 2^53) and shifts timestamps by ±1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer `div`, NOT `/`: double division loses precision on
+            # int64 nanos (~1.7e18 > 2^53) and shifts timestamps by ±1 µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # parquet TIMESTAMP without tz: the session tz is pinned UTC,
+            # so this cast reproduces DuckDB's naive-as-UTC reading
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
