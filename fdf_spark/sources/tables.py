@@ -37,32 +37,59 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation")
 
 
+def set_events_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the events adapter depends on, settable on ANY
+    caller-owned session (the driver builds its own SparkSession
+    without our defaults):
+
+    - ``nanosAsLong`` so a TIMESTAMP(NANOS) encoding surfaces as int64
+      instead of erroring;
+    - session timezone UTC so the ntz→timestamp cast below is
+      session-independent (a non-UTC caller would otherwise silently
+      shift every instant; the bigint path never depended on tz and
+      this makes both paths agree).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond TIMESTAMP whatever the
+    fixture's physical parquet encoding — the SINGLE place both the
+    batch loader and the streaming source (streaming/events.py) decode
+    time, so a fixture re-encode can never desynchronize them.
+
+    - int64 nanos (TIMESTAMP(NANOS) under ``nanosAsLong``): floor-divide
+      to micros — exactly DuckDB's NS→US coercion.
+    - timestamp_ntz (TIMESTAMP(MICROS/MILLIS), isAdjustedToUTC=false):
+      cast, reproducing DuckDB's naive-as-UTC reading (session tz is
+      pinned UTC by :func:`set_events_session_confs`).
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # integer `div`, NOT `/`: double division loses precision on
+        # int64 nanos (~1.7e18 > 2^53) and shifts timestamps by ±1 µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Lazy: no job runs until an action.
 
     Schema normalization happens here (the "source adapter" layer):
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    reads as a nanos long (``spark.sql.legacy.parquet.nanosAsLong``);
-    we floor-divide to microseconds — exactly DuckDB's NS→US coercion —
-    so both engines see identical microsecond timestamps.
+    ``events.ts`` arrives as whatever encoding the fixture generator
+    chose (int64 nanos or timestamp_ntz); :func:`normalize_events_ts`
+    maps either to microsecond TIMESTAMP so both engines agree.
     """
     if name == "events":
-        # settable at runtime, so this works under any caller's session
-        # (the driver builds its own SparkSession without our defaults)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        set_events_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        from pyspark.sql import functions as F
-
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # integer `div`, NOT `/`: double division loses precision on
-            # int64 nanos (~1.7e18 > 2^53) and shifts timestamps by ±1 µs
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # parquet TIMESTAMP without tz: the session tz is pinned UTC,
-            # so this cast reproduces DuckDB's naive-as-UTC reading
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -24,36 +24,30 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from fdf_spark.functions.scalar import decode_shot_bytes, dsum, encode_shot_bytes
-
-#: physical schema of the events parquet (ts is TIMESTAMP(NANOS) → long)
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from fdf_spark.sources.tables import normalize_events_ts, set_events_session_confs
 
 
-def event_stream(spark: SparkSession, path: str, nanos_ts: bool = True) -> DataFrame:
+def event_stream(spark: SparkSession, path: str) -> DataFrame:
     """S7: streaming scan of an events directory (or a single file —
     the file source needs a directory, so a file path becomes
-    dir + pathGlobFilter on its basename)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    dir + pathGlobFilter on its basename).
+
+    A file stream needs a declared schema; hardcoding one rots the
+    moment the fixture re-encodes ``ts`` (it has shipped as both
+    TIMESTAMP(NANOS)→int64 and timestamp_ntz), so the schema comes
+    from the parquet footer via a zero-scan batch peek, and the ts
+    decode is the SAME dual-path normalizer the batch loader uses
+    (sources/tables.py) — batch and stream cannot diverge.
+    """
+    set_events_session_confs(spark)
+    file_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(file_schema)
     if path.endswith(".parquet") and not os.path.isdir(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    df = reader.parquet(path)
-    if nanos_ts:
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_events_ts(reader.parquet(path))
 
 
 # --- windowed aggregations (batch & streaming share the body) ---------------

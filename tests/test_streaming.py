@@ -42,6 +42,17 @@ def test_wfevent_timeout(spark, tmp_path):
     assert wfevent(spark, bus, "wanted_event", timeout_sec=3.0) is None
 
 
+def test_stream_schema_matches_batch(spark):
+    """Batch loader and streaming source must agree on the decoded events
+    schema (ts = microsecond TIMESTAMP) whatever the fixture's physical
+    parquet encoding — the round-3 regression (stale hardcoded
+    int64-nanos stream schema vs a re-encoded timestamp[us] fixture)
+    fails here loudly instead of as a wrong-answer window query."""
+    batch = load_table(spark, SMOKE_DIR, "events")
+    stream = event_stream(spark, os.path.join(SMOKE_DIR, "events.parquet"))
+    assert stream.schema == batch.schema
+
+
 def test_stream_batch_equivalence(spark):
     ev = load_table(spark, SMOKE_DIR, "events")
     batch = {
