@@ -13,10 +13,18 @@ non-uniform grids, edge_order=1):
   ``g = (hs²·f[i+1] + (hd² − hs²)·f[i] − hd²·f[i-1]) / (hs·hd·(hd+hs))``
 - first/last point: one-sided first-order difference.
 
+Divergence from numpy, by design: duplicate axis values (zero step)
+yield a NULL gradient at the affected samples instead of numpy's
+inf/nan — under Spark 4's default ANSI mode a literal division would
+abort the whole job with DIVIDE_BY_ZERO, and a distributed operator
+must degrade per-row, not per-job (``F.try_divide`` / ``nullif`` in
+the SQL twin).
+
 Scale: one window per series key (the same hash exchange any per-series
 transform pays); lag/lead are frame-bounded so WholeStageCodegen keeps
 the whole expression JVM-side. Property-tested against
-``numpy.gradient`` in tests/test_properties.py.
+``numpy.gradient`` in tests/test_properties.py
+(test_gradient_matches_numpy); oracle-checked as q101_gradient.
 """
 
 from __future__ import annotations
@@ -47,11 +55,14 @@ def gradient(
     fp, xp = F.lead(value).over(w), F.lead(axis).over(w)
 
     hs, hd = x0 - xm, xp - x0
-    interior = (hs * hs * fp + (hd * hd - hs * hs) * f0 - hd * hd * fm) / (
-        hs * hd * (hd + hs)
+    # try_divide, not `/`: zero steps (tied axis values) must degrade to
+    # NULL per-row, not throw DIVIDE_BY_ZERO per-job under ANSI mode
+    interior = F.try_divide(
+        hs * hs * fp + (hd * hd - hs * hs) * f0 - hd * hd * fm,
+        hs * hd * (hd + hs),
     )
-    forward = (fp - f0) / (xp - x0)  # first sample
-    backward = (f0 - fm) / (x0 - xm)  # last sample
+    forward = F.try_divide(fp - f0, xp - x0)  # first sample
+    backward = F.try_divide(f0 - fm, x0 - xm)  # last sample
     g = (
         F.when(xm.isNull() & xp.isNull(), F.lit(None).cast("double"))
         .when(xm.isNull(), forward)
@@ -73,13 +84,14 @@ def sql_gradient(value: str, axis: str, by: str) -> str:
     fm, xm = f"lag({value}) {w}", f"lag({axis}) {w}"
     fp, xp = f"lead({value}) {w}", f"lead({axis}) {w}"
     hs, hd = f"(({axis}) - {xm})", f"({xp} - ({axis}))"
+    # nullif on every divisor: zero steps → NULL, mirroring try_divide
     interior = (
         f"({hs}*{hs}*{fp} + ({hd}*{hd} - {hs}*{hs})*({value}) - {hd}*{hd}*{fm})"
-        f" / ({hs}*{hd}*({hd} + {hs}))"
+        f" / nullif({hs}*{hd}*({hd} + {hs}), 0)"
     )
     return (
         f"CASE WHEN {xm} IS NULL AND {xp} IS NULL THEN NULL"
-        f" WHEN {xm} IS NULL THEN ({fp} - ({value})) / ({xp} - ({axis}))"
-        f" WHEN {xp} IS NULL THEN (({value}) - {fm}) / (({axis}) - {xm})"
+        f" WHEN {xm} IS NULL THEN ({fp} - ({value})) / nullif({xp} - ({axis}), 0)"
+        f" WHEN {xp} IS NULL THEN (({value}) - {fm}) / nullif(({axis}) - {xm}, 0)"
         f" ELSE {interior} END"
     )

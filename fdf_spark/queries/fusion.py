@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from fdf_spark.functions.scalar import davg, sql_davg
 from fdf_spark.operators.asof import asof_join
+from fdf_spark.operators.gradient import sql_gradient
 from fdf_spark.operators.selection import nearest_sample, positional_slice, value_window
 from fdf_spark.operators.windows import baseline_subtract
 from fdf_spark.queries import query
@@ -342,4 +343,47 @@ def q45_sample_spacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(davg("gap").alias("avg_gap_sec"), F.count("gap").alias("n_gaps"))
         .orderBy("user_id")
+    )
+
+
+@query(
+    "q101_gradient",
+    f"""
+    WITH series AS (
+      SELECT user_id, epoch_us(ts) / 1000000.0 AS t, value
+      FROM (SELECT user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+            FROM events) WHERE rn = 1)
+    SELECT user_id, t, value,
+           {sql_gradient("value", "t", "user_id")} AS grad
+    FROM series
+    ORDER BY user_id, t
+    """,
+    operators=("A10",),
+    doc="numpy.gradient parity on a non-uniform time grid: dValue/dt per "
+    "user series (second-order interior, one-sided edges). The reference "
+    "hands Signal ndarrays straight to numpy (fdf_signal.py:30-92), making "
+    "np.gradient(ip, t) the idiomatic derivative; the long format needs "
+    "this explicit window-algebra operator. Ties in ts are removed first "
+    "(rn=1 by event_id) so the grid is strictly increasing and both "
+    "engines see a deterministic series.",
+)
+def q101_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from fdf_spark.operators.gradient import gradient
+
+    ev = T(spark, sf_dir, "events")
+    rn = F.row_number().over(W.partitionBy("user_id", "ts").orderBy("event_id"))
+    series = (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(1_000_000.0)).alias("t"),
+            "value",
+        )
+    )
+    return gradient(series, value="value", axis="t", by=("user_id",), out="grad").orderBy(
+        "user_id", "t"
     )

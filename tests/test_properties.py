@@ -178,3 +178,51 @@ def test_components_match_union_find(spark, edges):
         r["node"]: r["component"] for r in connected_components(edf).collect()
     }
     assert got == _union_find(edges, nodes)
+
+
+# --- gradient vs numpy.gradient ---------------------------------------------
+
+from fdf_spark.operators.gradient import gradient  # noqa: E402
+
+# non-uniform grid as bounded positive gaps (cumsum): spacing in
+# [0.01, 5] keeps the comparison in the well-conditioned regime — at
+# ulp-scale gaps the single-fraction window form and numpy's
+# three-coefficient form diverge by cancellation, which is a property
+# of float algebra, not of the operator
+GAPS = st.lists(
+    st.floats(min_value=0.015625, max_value=4.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=39,
+)
+
+
+@settings(**_SETTINGS)
+@given(gaps=GAPS, t0=st.floats(min_value=-100.0, max_value=100.0, allow_nan=False, width=32))
+def test_gradient_matches_numpy(spark, gaps, t0):
+    """numpy.gradient parity on random non-uniform strictly-increasing
+    grids (second-order interior, edge_order=1 one-sided edges)."""
+    t = t0 + np.concatenate([[0.0], np.cumsum(np.asarray(gaps, dtype=np.float64))])
+    f = 0.5 * t * t + np.cos(t)  # nonlinear, so 2nd-order accuracy matters
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(t, f)], "t double, v double"
+    )
+    got = {r["t"]: r["g"] for r in gradient(df, value="v", axis="t", by=(), out="g").collect()}
+    want = np.gradient(f, t)
+    assert len(got) == len(t)
+    for x, w in zip(t, want):
+        assert got[float(x)] == pytest.approx(float(w), rel=1e-9, abs=1e-12)
+
+
+def test_gradient_degenerate_series(spark):
+    """Single-sample series → NULL gradient (numpy raises; a distributed
+    operator degrades per group), and tied axis values → NULL per-row
+    instead of an ANSI DIVIDE_BY_ZERO job abort."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("b", 2.0, 1.0), ("b", 2.0, 3.0), ("b", 4.0, 7.0)],
+        "k string, t double, v double",
+    )
+    rows = gradient(df, value="v", axis="t", by=("k",), out="g").collect()
+    a = [r for r in rows if r["k"] == "a"]
+    assert len(a) == 1 and a[0]["g"] is None  # singleton series
+    b_null = [r for r in rows if r["k"] == "b" and r["g"] is None]
+    assert b_null, "tied axis values must yield NULL, not throw"
