@@ -13,13 +13,14 @@ Scale design (100 TB corpus vs a ~MB benchmark set):
   documents, not billions), so it is the **broadcast** side of the
   join — the corpus is never shuffled for the probe.
 - Corpus shingles join against the broadcast set map-side on the
-  8-byte portable hash; the only exchange is the per-document
-  aggregation, whose partial (map-side combine) reduces each task's
-  output to one row per (doc, task).
-- Counting DISTINCT shingles per document would need a two-key
-  shuffle; instead both sides dedupe shingles per document up front
-  (``word_shingles(distinct=True)`` is a map-side ``array_distinct``
-  on the already-grouped text), so a plain COUNT suffices.
+  8-byte portable hash; after the per-document dedup below, the only
+  remaining exchange is the per-document aggregation, whose partial
+  (map-side combine) reduces each task's output to one row per doc.
+- The per-document DISTINCT shingle set needs one real exchange —
+  but shingles are hashed to 8-byte keys BEFORE that distinct (the
+  ``ngram_jaccard_pairs`` trick), so the shuffle moves fixed-width
+  (doc_id, int64) pairs instead of raw ~25-byte shingle text, and a
+  plain COUNT suffices afterwards.
 """
 
 from __future__ import annotations
@@ -47,11 +48,16 @@ def decontaminate(
     above ``threshold``. Documents with fewer than ``n`` words have no
     shingles and report a zero profile (never flagged).
     """
-    corpus_sh = word_shingles(docs, text, id_col, n, distinct=True).select(
-        F.col(id_col), portable_hash60(F.col("shingle")).alias("sh")
+    # hash BEFORE distinct: the dedup shuffle then moves 8-byte keys,
+    # not shingle text (a 2^-60 collision is mirrored by the oracle's
+    # identical hashing, never a mismatch)
+    corpus_sh = (
+        word_shingles(docs, text, id_col, n, distinct=False)
+        .select(F.col(id_col), portable_hash60(F.col("shingle")).alias("sh"))
+        .distinct()
     )
     bench_sh = (
-        word_shingles(benchmark, text, id_col, n, distinct=True)
+        word_shingles(benchmark, text, id_col, n, distinct=False)
         .select(portable_hash60(F.col("shingle")).alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))

@@ -250,20 +250,22 @@ def simhash(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("tok")
     )
     hashed = tokens.withColumn("h", portable_hash60(F.col("tok")))
-    votes = hashed.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    for b in range(bits)
-                ]
-            )
-        ).alias("pos", "vote"),
+    # one wide agg of `bits` vote sums, NOT a posexplode to (doc, bit)
+    # rows: the explode would multiply the token relation ×bits before
+    # its shuffle, while these sums combine map-side (the minhash fold
+    # pattern) so the only exchange carries one row per document.
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    fingerprint = None
+    for b in range(bits):
+        term = F.shiftleft((F.col(f"_v{b}") >= 0).cast("bigint"), b)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return hashed.groupBy(id_col).agg(*votes).select(
+        F.col(id_col), fingerprint.alias("simhash")
     )
-    bit = F.when(F.sum("vote") >= 0, F.lit(1)).otherwise(F.lit(0))
-    per_bit = votes.groupBy(id_col, "pos").agg(bit.alias("bit"))
-    weight = F.expr("shiftleft(CAST(bit AS BIGINT), pos)")
-    return per_bit.groupBy(id_col).agg(F.sum(weight).alias("simhash"))

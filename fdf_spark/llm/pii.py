@@ -43,19 +43,19 @@ def detect_pii(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Dat
     """Per-document PII profile + scrubbed text.
 
     Returns ``(doc_id, n_email, n_ip, n_phone, n_pii, redacted)``.
-    Counts are taken on the raw text (before any replacement) so rules
-    can't shadow each other's counts.
+    Each rule is counted on the text with all PRIOR rules already
+    redacted — the same sequential view :func:`redact_text` substitutes
+    on — so overlapping matches are never double-counted and ``n_pii``
+    equals the exact number of substitutions made in ``redacted``.
     """
-    t = F.col(text)
-    counts = {
-        name: F.regexp_count(t, F.lit(pattern)).alias(f"n_{name}")
-        for name, pattern, _ in PII_RULES
-    }
+    counts = []
+    cur = F.col(text)
+    total = F.lit(0)
+    for name, pattern, token in PII_RULES:
+        c = F.regexp_count(cur, F.lit(pattern))
+        counts.append(c.alias(f"n_{name}"))
+        total = total + c
+        cur = F.regexp_replace(cur, pattern, token)
     return df.select(
-        F.col(id_col),
-        *counts.values(),
-        sum(
-            (F.regexp_count(t, F.lit(p)) for _, p, _ in PII_RULES), F.lit(0)
-        ).alias("n_pii"),
-        redact_text(t).alias("redacted"),
+        F.col(id_col), *counts, total.alias("n_pii"), cur.alias("redacted")
     )

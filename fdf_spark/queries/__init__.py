@@ -84,11 +84,11 @@ PRIORITY: tuple[str, ...] = (
     "q54_stateful_dedup_count",
     "q25_value_tier_range_join",    # J7 (batch oracle)
     "q98_bm25_topk",               # N10 (J4's second rep q41 demoted below)
-    "q31_cube_grouping",
-    "q46_grouping_sets",
+    "q101_gradient",               # A10 (r4; displaced q31 — A8 double-cover)
+    "q102_decontam",               # N12 (r4; displaced q46 — A8 double-cover)
+    "q103_pii_redact",             # N13 (r4; displaced q21 — N5 double-cover)
     "q20_pivot_status",
     "q32_unpivot_status",
-    "q21_distinct_counts",
     "q48_stats_moments",
     "q88_filtered_agg",
     "q89_multiset_ops",

@@ -1265,3 +1265,96 @@ def q100_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_blocks(
         T(spark, sf_dir, "documents"), capacity=512, n_shards=32
     ).orderBy("block_id")
+
+
+from fdf_spark.llm.pii import EMAIL_RE as _EMAIL_RE  # noqa: E402
+from fdf_spark.llm.pii import IPV4_RE as _IPV4_RE  # noqa: E402
+from fdf_spark.llm.pii import PHONE_RE as _PHONE_RE  # noqa: E402
+
+
+@query(
+    "q102_decontam",
+    f"""
+    WITH {SQL_SHINGLES},
+    corpus_sh AS (
+      SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh
+      FROM sh_raw),
+    bench_sh AS (SELECT DISTINCT sh FROM corpus_sh WHERE doc_id % 97 = 0),
+    profile AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM corpus_sh c LEFT JOIN bench_sh b ON c.sh = b.sh
+      GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_shingles, 0) AS n_shingles,
+           COALESCE(n_hits, 0) AS n_hits,
+           COALESCE(round(n_hits / n_shingles, 6), 0.0) AS contamination,
+           COALESCE(round(n_hits / n_shingles, 6), 0.0) >= 0.2 AS contaminated
+    FROM documents d LEFT JOIN profile ON d.doc_id = profile.doc_id
+    ORDER BY d.doc_id
+    """,
+    operators=("N12", "N2"),
+    doc="Benchmark decontamination: flag training docs whose word-trigram "
+    "sets overlap a held-out benchmark (here the deterministic doc_id%97 "
+    "subset, standing in for an external eval set). Benchmark shingles are "
+    "the tiny broadcast side; the corpus is probed map-side on 8-byte "
+    "hashes and never shuffled for the join — the standard pre-pretraining "
+    "leak scrub at 100 TB.",
+)
+def q102_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.decontam import decontaminate
+
+    docs = T(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=3, threshold=0.2).orderBy("doc_id")
+
+
+@query(
+    "q103_pii_redact",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                  || ' call +1-555-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+      FROM documents),
+    s1 AS (SELECT doc_id, t0, regexp_replace(t0, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM aug),
+    s2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, '{_IPV4_RE}', '<IP>', 'g') AS t2 FROM s1)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t0, '{_EMAIL_RE}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(t1, '{_IPV4_RE}')) AS INTEGER) AS n_ip,
+           CAST(len(regexp_extract_all(t2, '{_PHONE_RE}')) AS INTEGER) AS n_phone,
+           CAST(len(regexp_extract_all(t0, '{_EMAIL_RE}'))
+                + len(regexp_extract_all(t1, '{_IPV4_RE}'))
+                + len(regexp_extract_all(t2, '{_PHONE_RE}')) AS INTEGER) AS n_pii,
+           regexp_replace(t2, '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM s2 ORDER BY doc_id
+    """,
+    operators=("N13", "N4"),
+    doc="PII detect + redact: plant a deterministic email/IP/phone per "
+    "document (the fixture corpus carries no natural PII), then scrub with "
+    "the sequential regexp_replace chain. Counts are taken rule-by-rule on "
+    "the already-partially-redacted text, so n_pii equals the exact number "
+    "of substitutions in `redacted`. Pure JVM regex column expressions "
+    "(Java regex ∩ RE2 subset) — shuffle-free, embarrassingly parallel at "
+    "any corpus size; the oracle replays the identical chain.",
+)
+def q103_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.pii import detect_pii
+
+    docs = T(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+            F.lit(" call +1-555-"),
+            F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("aug"),
+    )
+    return detect_pii(aug, text="aug", id_col="doc_id").orderBy("doc_id")

@@ -235,3 +235,61 @@ def test_resize_images_plumbing(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|PIL"):
         resize_images(assets, 4, 2, codec="stub").collect()
+
+
+def test_pii_planted_strings(spark):
+    """Known planted PII: exact counts, sequential (non-double-counted)
+    semantics, and full scrub of every match in the redacted text."""
+    from fdf_spark.llm.pii import detect_pii
+
+    rows = [
+        (1, "mail a.user+tag@sub.example.org now"),
+        (2, "hosts 10.0.0.7 and 192.168.1.255, call +1-202-555-0142"),
+        (3, "overlap a@1.2.3.4.net trailing"),  # email swallows the dotted quad
+        (4, "clean text, no pii at all"),
+        (5, "two mails x@y.io z@w.co and ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in detect_pii(df).collect()}
+
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (1, 0, 0)
+    assert got[1]["redacted"] == "mail <EMAIL> now"
+    assert (got[2]["n_email"], got[2]["n_ip"], got[2]["n_phone"]) == (0, 2, 1)
+    assert got[2]["redacted"] == "hosts <IP> and <IP>, call <PHONE>"
+    # sequential counting: the email rule consumes 'a@1.2.3.4.net' first,
+    # so the ip rule sees no dotted quad — n_pii == substitutions made
+    assert (got[3]["n_email"], got[3]["n_ip"]) == (1, 0)
+    assert got[3]["redacted"] == "overlap <EMAIL> trailing"
+    assert got[4]["n_pii"] == 0 and got[4]["redacted"] == rows[3][1]
+    assert got[5]["n_pii"] == 3
+    for r in got.values():
+        assert r["n_pii"] == r["n_email"] + r["n_ip"] + r["n_phone"]
+
+
+def test_decontaminate_overlap_profile(spark):
+    """Hand-checkable contamination ratios: full copy, partial overlap,
+    disjoint, and a too-short document."""
+    from fdf_spark.llm.decontam import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (2, "intro words then the quick brown fox jumps elsewhere"),
+            (3, "completely different content with no shared trigrams here"),
+            (4, "too short"),  # < 3 words: zero shingles, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3, threshold=0.2).collect()}
+
+    assert got[1]["n_shingles"] == got[1]["n_hits"] == 7
+    assert got[1]["contamination"] == 1.0 and got[1]["contaminated"]
+    # doc 2: 7 trigrams, hits = {'the quick brown','quick brown fox','brown fox jumps'}
+    assert (got[2]["n_shingles"], got[2]["n_hits"]) == (7, 3)
+    assert got[2]["contaminated"]  # 3/7 >= 0.2
+    assert got[3]["n_hits"] == 0 and not got[3]["contaminated"]
+    assert got[4]["n_shingles"] == 0 and not got[4]["contaminated"]

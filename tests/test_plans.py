@@ -63,6 +63,17 @@ EXPECT: dict[str, dict] = {
     # (the BNL is the intended 1-row IdentityBroadcast cross join),
     # TakeOrdered top-k — zero wide shuffles
     "q98_bm25_topk": dict(max_exchanges=1, max_bnl=1, max_smj=0),
+    # round-4 additions
+    # simhash: wide map-side vote fold — spread + ONE doc agg + final sort,
+    # never a posexplode×bits shuffle
+    "q62_simhash": dict(max_exchanges=3, max_smj=0),
+    # gradient: tie-dedup window + per-series window + final sort
+    "q101_gradient": dict(max_exchanges=3, max_smj=0),
+    # decontam: benchmark shingle set and per-doc profile both broadcast;
+    # the corpus is never shuffled for a join (only spread/distinct/agg)
+    "q102_decontam": dict(max_exchanges=6, min_bhj=2, max_smj=0),
+    # pii: pure codegen regex chain — nothing but the final sort
+    "q103_pii_redact": dict(max_exchanges=1, max_smj=0),
 }
 
 

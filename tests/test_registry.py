@@ -24,6 +24,8 @@ REQUIRED_OPS = {
     "ST1", "ST2", "ST3", "ST4",
     "X1", "X2", "X3", "X4",
     "N1", "N2", "N3", "N4", "N5", "N6", "N7", "N8", "N9", "N10",
+    # round-4 additions: gradient, decontamination, PII redaction
+    "A10", "N12", "N13",
 }
 
 
