@@ -87,14 +87,14 @@ def main() -> None:
         tiny = event_stream(spark, warm_events)
         run_stream_to_batch(spark, tumbling_agg(tiny.withWatermark("ts", "10 minutes")))
 
-    # two timed executions per query, report the min: measures the
+    # three timed executions per query, report the min: measures the
     # engine's steady state rather than the first-run scheduler/GC
-    # lottery (single-run totals swing ±15% run-to-run; min-of-2 is
-    # stable to a few percent).
+    # lottery (single-run totals swing ±15% run-to-run on a shared box;
+    # min-of-3 tightened the r3→r4 cross-run spread vs min-of-2).
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = registry[name].fn(spark, SF_DIR)
             # force full execution without driver-side result transfer
