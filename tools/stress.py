@@ -154,6 +154,52 @@ def main() -> None:
         (F.col("pt") > F.col("ct")) & (F.col("pt") <= F.col("ct") + 30))
     timed("interval join 100k keys (ST4)", 2 * n, joined)
 
+    # 11) non-uniform-grid gradient (A10): 100M samples, 10k series —
+    # one window exchange per series key, all-JVM stencil
+    from fdf_spark.operators.gradient import gradient
+
+    n = 100_000_000
+    sig = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 10_000).alias("series"),
+        (F.col("id") / 10_000 + F.sin(F.col("id").cast("double")) * 1e-5).alias("t"),
+        F.cos(F.col("id").cast("double")).alias("v"),
+    )
+    timed("gradient (A10)", n, gradient(sig, value="v", axis="t", by=("series",)))
+
+    # 12) simhash fold (N2): 2M 12-word docs — one doc-level exchange,
+    # 48 map-side-combining vote sums (never a posexplode x48)
+    from fdf_spark.llm.dedup import simhash
+
+    n = 2_000_000
+    words = F.transform(F.sequence(F.lit(0), F.lit(11)), lambda i: F.conv(((F.col("id") * 31 + i * 7) % 50_000).cast("string"), 10, 16))
+    docs = spark.range(0, n, 1, 64).select(F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+    timed("simhash 48-bit (N2)", n, simhash(docs))
+
+    # 13) PII redact (N13): 20M ~90-char docs — zero-shuffle codegen
+    # regex chain, embarrassingly parallel
+    from fdf_spark.llm.pii import detect_pii
+
+    n = 20_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("lorem ipsum dolor sit amet user"), F.col("id").cast("string"),
+            F.lit("@example.com via 10.0.0."), (F.col("id") % 250).cast("string"),
+            F.lit(" call +1-555-000-"), F.lpad((F.col("id") % 10_000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    timed("pii detect+redact (N13)", n, detect_pii(docs))
+
+    # 14) decontamination (N12): 5M corpus docs probed against a 50k-doc
+    # benchmark — benchmark shingles broadcast, corpus never join-shuffled
+    from fdf_spark.llm.decontam import decontaminate
+
+    n = 5_000_000
+    words = F.transform(F.sequence(F.lit(0), F.lit(9)), lambda i: F.conv(((F.col("id") * 17 + i * 5) % 200_000).cast("string"), 10, 16))
+    corpus = spark.range(0, n, 1, 64).select(F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+    bench = corpus.filter(F.col("doc_id") % 100 == 0)
+    timed("decontaminate (N12)", n, decontaminate(corpus, bench))
+
     spark.stop()
 
 
