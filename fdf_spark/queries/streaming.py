@@ -120,15 +120,12 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q54_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.llm.hashing import portable_hash60
+    from fdf_spark.streaming.events import file_stream
     from fdf_spark.streaming.stateful import running_dedup
 
-    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    # footer-derived schema: survives fixture column re-encodes/reorders
     path = os.path.join(sf_dir, "documents.parquet")
-    reader = spark.readStream.schema(schema)
-    if not os.path.isdir(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    docs = reader.parquet(path).select(
+    docs = file_stream(spark, path).select(
         (portable_hash60(F.col("text")) % 64).cast("int").alias("bucket"),
         "doc_id",
         F.sha2("text", 256).alias("content_hash"),

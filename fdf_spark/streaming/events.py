@@ -29,25 +29,32 @@ from fdf_spark.functions.scalar import decode_shot_bytes, dsum, encode_shot_byte
 from fdf_spark.sources.tables import normalize_events_ts, set_events_session_confs
 
 
-def event_stream(spark: SparkSession, path: str) -> DataFrame:
-    """S7: streaming scan of an events directory (or a single file —
+def file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming scan of a fixture parquet directory (or a single file —
     the file source needs a directory, so a file path becomes
     dir + pathGlobFilter on its basename).
 
     A file stream needs a declared schema; hardcoding one rots the
-    moment the fixture re-encodes ``ts`` (it has shipped as both
-    TIMESTAMP(NANOS)→int64 and timestamp_ntz), so the schema comes
-    from the parquet footer via a zero-scan batch peek, and the ts
-    decode is the SAME dual-path normalizer the batch loader uses
-    (sources/tables.py) — batch and stream cannot diverge.
+    moment the fixture re-encodes a column (the events ``ts`` has
+    shipped as both TIMESTAMP(NANOS)→int64 and timestamp_ntz), so the
+    schema comes from the parquet footer via a zero-scan batch peek —
+    the stream always reads whatever the files actually contain.
     """
-    set_events_session_confs(spark)
     file_schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(file_schema)
     if path.endswith(".parquet") and not os.path.isdir(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    return normalize_events_ts(reader.parquet(path))
+    return reader.parquet(path)
+
+
+def event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """S7: streaming scan of the events table. Footer-derived schema
+    (:func:`file_stream`) + the SAME dual-path ts normalizer the batch
+    loader uses (sources/tables.py) — batch and stream cannot diverge.
+    """
+    set_events_session_confs(spark)
+    return normalize_events_ts(file_stream(spark, path))
 
 
 # --- windowed aggregations (batch & streaming share the body) ---------------
