@@ -1358,3 +1358,25 @@ def q103_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("aug"),
     )
     return detect_pii(aug, text="aug", id_col="doc_id").orderBy("doc_id")
+
+
+from fdf_spark.llm.spans import sql_dup_spans as _sql_dup_spans  # noqa: E402
+
+
+@query(
+    "q104_dup_spans",
+    _sql_dup_spans(n=8, min_count=2),
+    operators=("N2",),
+    doc="Span-level exact substring dedup (Lee et al. 2022, "
+    "arXiv:2107.06499): merged [start,end) word-offset intervals covered "
+    "by 8-grams occurring >=2 times corpus-wide — the boilerplate-passage "
+    "contamination the whole-document tiers miss. Linear n-gram count + "
+    "hash join-back + gaps-and-islands window merge; every stage "
+    "shuffle-parallel.",
+)
+def q104_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.spans import dup_spans
+
+    return dup_spans(T(spark, sf_dir, "documents"), n=8, min_count=2).orderBy(
+        "doc_id", "span_start"
+    )

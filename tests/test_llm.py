@@ -293,3 +293,31 @@ def test_decontaminate_overlap_profile(spark):
     assert got[2]["contaminated"]  # 3/7 >= 0.2
     assert got[3]["n_hits"] == 0 and not got[3]["contaminated"]
     assert got[4]["n_shingles"] == 0 and not got[4]["contaminated"]
+
+
+def test_dup_spans_planted_boilerplate(spark):
+    """Two docs sharing an 8-word license header + one with an internal
+    repeat; overlapping gram hits must merge into single spans."""
+    from fdf_spark.llm.spans import dup_spans
+
+    header = "licensed under the apache license version two zero"  # 8 words
+    rows = [
+        (1, header + " alpha beta gamma delta epsilon"),
+        (2, "intro words " + header + " tail content here"),
+        (3, "totally unique body with no shared eight grams at all ok"),
+        # internal repeat: the same 8-gram twice inside one document
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 bridge x1 x2 x3 x4 x5 x6 x7 x8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in dup_spans(df, n=8, min_count=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_grams"])
+        )
+    # doc 1: header at words [0, 8) — exactly one gram
+    assert got[1] == [(0, 8, 1)]
+    # doc 2: header at words [2, 10)
+    assert got[2] == [(2, 10, 1)]
+    assert 3 not in got
+    # doc 4: grams at 0 and 9 both duplicated (same hash) — two islands
+    assert sorted(got[4]) == [(0, 8, 1), (9, 17, 1)]

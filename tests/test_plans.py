@@ -74,6 +74,9 @@ EXPECT: dict[str, dict] = {
     "q102_decontam": dict(max_exchanges=6, min_bhj=2, max_smj=0),
     # pii: pure codegen regex chain — nothing but the final sort
     "q103_pii_redact": dict(max_exchanges=1, max_smj=0),
+    # span dedup: spread + gram count + join-back (broadcast at this
+    # scale) + island window + final sort — no sort-merge, no cartesian
+    "q104_dup_spans": dict(max_exchanges=5, max_smj=0),
 }
 
 
