@@ -1380,3 +1380,27 @@ def q104_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_spans(T(spark, sf_dir, "documents"), n=8, min_count=2).orderBy(
         "doc_id", "span_start"
     )
+
+
+from fdf_spark.llm.mixing import sql_mix_corpus as _sql_mix_corpus  # noqa: E402
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+@query(
+    "q105_mix_corpus",
+    _sql_mix_corpus(_MIX_WEIGHTS, budget_tokens=2000),
+    operators=("N7", "N4"),
+    doc="Deterministic mixture construction: subsample four sources at "
+    "rates min(1, w_s*B/T_s) so the output token mix follows the target "
+    "weights within a 2000-token budget. Per-source totals are one tiny "
+    "broadcast relation; selection is the replayable hash-Bernoulli "
+    "predicate — the corpus is never shuffled, and the oracle replays "
+    "the sample bit-for-bit.",
+)
+def q105_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.mixing import mix_corpus
+
+    return mix_corpus(
+        T(spark, sf_dir, "documents"), _MIX_WEIGHTS, budget_tokens=2000
+    ).orderBy("doc_id")

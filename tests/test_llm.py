@@ -321,3 +321,30 @@ def test_dup_spans_planted_boilerplate(spark):
     assert 3 not in got
     # doc 4: grams at 0 and 9 both duplicated (same hash) — two islands
     assert sorted(got[4]) == [(0, 8, 1), (9, 17, 1)]
+
+
+def test_mix_corpus_rates_and_determinism(spark, docs):
+    """Mixture sampling: unlisted sources dropped, oversized weights keep
+    whole sources, achieved token mix tracks the targets, and the sample
+    is identical across runs (hash-Bernoulli, no rand)."""
+    from fdf_spark.llm.mixing import mix_corpus
+
+    weights = {"src0": 0.5, "src1": 0.1}
+    out = mix_corpus(docs, weights, budget_tokens=10_000).collect()
+    again = mix_corpus(docs, weights, budget_tokens=10_000).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # replayable
+
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["n_tokens"])
+    assert set(by_src) <= set(weights)  # unlisted sources dropped
+
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source").agg(F.sum(F.size(F.split(F.lower(F.col("text")), r"\s+"))).alias("t")).collect()
+    }
+    # src0 target = 5000 tokens > T_src0 (few hundred at smoke scale):
+    # rate clamps to 1, the whole source is kept
+    assert sum(by_src.get("src0", [])) == totals["src0"]
+    # src1 target = 1000 tokens: rate < 1 → a strict subset survives
+    assert 0 < sum(by_src.get("src1", [])) < totals["src1"]

@@ -77,6 +77,9 @@ EXPECT: dict[str, dict] = {
     # span dedup: spread + gram count + join-back (broadcast at this
     # scale) + island window + final sort — no sort-merge, no cartesian
     "q104_dup_spans": dict(max_exchanges=5, max_smj=0),
+    # mixture sampling: stats agg + broadcast rates back — the corpus
+    # relation itself is never hash-shuffled
+    "q105_mix_corpus": dict(max_exchanges=2, min_bhj=1, max_smj=0),
 }
 
 
