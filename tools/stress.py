@@ -200,6 +200,33 @@ def main() -> None:
     bench = corpus.filter(F.col("doc_id") % 100 == 0)
     timed("decontaminate (N12)", n, decontaminate(corpus, bench))
 
+    # 15) span-level substring dedup (N2): 2M 24-word docs, every 100th
+    # pair sharing a planted boilerplate run — linear gram count +
+    # join-back + per-doc island merge
+    from fdf_spark.llm.spans import dup_spans
+
+    n = 2_000_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda i: F.conv(((F.col("id") / 100).cast("long") * 29 + i * 11).cast("string"), 10, 16),
+    )
+    corpus = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text"))
+    timed("dup spans (N2)", n, dup_spans(corpus, n=8))
+
+    # 16) mixture construction (N7): 50M docs over 100 sources — stats
+    # agg + broadcast rates, corpus never shuffled
+    from fdf_spark.llm.mixing import mix_corpus
+
+    n = 50_000_000
+    corpus = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 100).cast("string")).alias("source"),
+        F.conv((F.col("id") % 99_991).cast("string"), 10, 16).alias("text"),
+    )
+    wts = {f"src{i}": (i % 10 + 1) / 10.0 for i in range(100)}
+    timed("mixture sample (N7)", n, mix_corpus(corpus, wts, budget_tokens=10_000_000))
+
     spark.stop()
 
 
