@@ -1404,3 +1404,64 @@ def q105_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_corpus(
         T(spark, sf_dir, "documents"), _MIX_WEIGHTS, budget_tokens=2000
     ).orderBy("doc_id")
+
+
+@query(
+    "q106_pipeline_decontam_mix",
+    f"""
+    WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+    sdocs AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN surv USING (doc_id)),
+    docs2 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM sdocs),
+    p_sh_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                                   i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      FROM docs2),
+    corpus_sh AS (
+      SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh
+      FROM p_sh_raw),
+    bench_sh AS (SELECT DISTINCT sh FROM corpus_sh WHERE doc_id % 97 = 0),
+    prof AS (
+      SELECT c.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM corpus_sh c LEFT JOIN bench_sh b ON c.sh = b.sh
+      GROUP BY c.doc_id),
+    clean AS (
+      SELECT s.doc_id, s.source, s.text
+      FROM sdocs s LEFT JOIN prof ON s.doc_id = prof.doc_id
+      WHERE COALESCE(round(n_hits / n_shingles, 6), 0.0) < 0.2),
+    d AS (SELECT doc_id, source,
+                 CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM clean),
+    w(source, wt) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+    stats AS (SELECT source, SUM(n_tokens) AS t FROM d JOIN w USING (source) GROUP BY source),
+    rates AS (SELECT source, least(1.0, CAST(wt AS DOUBLE) * 2000.0 / t) AS rate
+              FROM stats JOIN w USING (source))
+    SELECT doc_id, d.source, n_tokens
+    FROM d JOIN rates ON d.source = rates.source
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+          < CAST(floor(rate * 1000000) AS BIGINT)
+    ORDER BY doc_id
+    """,
+    operators=("N1", "N12", "N7"),
+    doc="End-to-end curation pipeline v2 pinning the round-4 stage "
+    "composition: exact dedup -> benchmark-decontamination filter "
+    "(threshold 0.2 vs the doc_id%97 eval stand-in) -> weighted mixture "
+    "sample within a 2000-token budget. Each stage is individually "
+    "oracle-checked (q60/q102/q105); this checks their interaction on "
+    "the survivor sets. Plan: two broadcast probes + the dedup/profile "
+    "aggregations — the corpus text is never join-shuffled.",
+)
+def q106_pipeline_decontam_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.decontam import decontaminate
+    from fdf_spark.llm.mixing import mix_corpus
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    surv = exact_dedup(docs).select("doc_id")
+    sdocs = docs.join(surv, "doc_id", "left_semi")
+    bench = sdocs.filter(F.col("doc_id") % 97 == 0)
+    prof = decontaminate(sdocs, bench, n=3, threshold=0.2)
+    clean = sdocs.join(
+        prof.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    return mix_corpus(clean, _MIX_WEIGHTS, budget_tokens=2000).orderBy("doc_id")
