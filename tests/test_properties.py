@@ -226,3 +226,56 @@ def test_gradient_degenerate_series(spark):
     assert len(a) == 1 and a[0]["g"] is None  # singleton series
     b_null = [r for r in rows if r["k"] == "b" and r["g"] is None]
     assert b_null, "tied axis values must yield NULL, not throw"
+
+
+# --- dup_spans vs a literal python transcription ----------------------------
+
+from fdf_spark.llm.spans import dup_spans  # noqa: E402
+
+# tiny vocabulary so short random docs collide on n-grams
+DOCS = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _py_dup_spans(texts, n, min_count):
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = []
+    for t in texts:
+        w = t.split()
+        g = [tuple(w[i : i + n]) for i in range(len(w) - n + 1)] if len(w) >= n else []
+        per_doc.append(g)
+        grams.update(g)
+    out = {}
+    for did, g in enumerate(per_doc):
+        hits = [(i, i + n) for i, gram in enumerate(g) if grams[gram] >= min_count]
+        spans = []
+        for s, e in hits:  # hits are position-sorted; merge overlaps
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], e)
+                spans[-1][2] += 1
+            else:
+                spans.append([s, e, 1])
+        if spans:
+            out[did] = [tuple(x) for x in spans]
+    return out
+
+
+@settings(**_SETTINGS)
+@given(texts=DOCS, n=st.integers(min_value=1, max_value=3))
+def test_dup_spans_matches_python(spark, texts, n):
+    """Random tiny-vocab corpora: global n-gram counting + interval
+    merging must match a direct python transcription exactly."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in dup_spans(df, n=n, min_count=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_grams"])
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    want = _py_dup_spans(texts, n, 2)
+    assert got == want
