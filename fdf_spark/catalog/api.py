@@ -131,6 +131,17 @@ class Machine(MutableMapping):
     def __len__(self) -> int:
         return len(self._shots)
 
+    def __contains__(self, value) -> bool:
+        # factory.py:124-126: membership over the materialized shot set
+        try:
+            return int(value) in self._shots
+        except (TypeError, ValueError):
+            return False
+
+    def __dir__(self):
+        # factory.py:144-148: sNNNNNN attrs for loaded shots + the API
+        return sorted(set(super().__dir__()) | {f"s{s}" for s in self._shots})
+
     # -- shot algebra (factory.py:213-293, 596-633) --------------------------
 
     def get_shotlist(self, date=None, xp=None, limit: int | None = 500) -> DataFrame:
@@ -162,6 +173,18 @@ class Machine(MutableMapping):
         for s in sorted(ids):
             self.shot(s)
         return sorted(ids)
+
+    def addxp(self, xp) -> list[int]:
+        """factory.py:246-257: addshot restricted to an XP query."""
+        return self.addshot(xp=xp)
+
+    def adddate(self, date) -> list[int]:
+        """factory.py:259-268: addshot restricted to a run-date query."""
+        return self.addshot(date=date)
+
+    def list_shots(self) -> list[int]:
+        """factory.py:270-275: the materialized shot ids, ordered."""
+        return sorted(self._shots)
 
     def get_entries(self, shot=None, date=None, xp=None) -> DataFrame:
         """Logbook entries for explicit shots ∪ shots-of-date ∪ shots-of-XP,

@@ -448,3 +448,18 @@ def test_fft_batched_matches_grouped_map(spark):
     assert (a["bin"].values == b["bin"].values).all()
     np.testing.assert_array_equal(a["power"].values, b["power"].values)
     np.testing.assert_array_equal(a["freq_hz"].values, b["freq_hz"].values)
+
+
+def test_machine_shotset_api_parity(machine):
+    """factory.py:124-148,246-275 surface: membership, dir() shot attrs,
+    addxp/adddate as addshot restrictions, list_shots ordering."""
+    before = machine.list_shots()
+    added = machine.addxp(1048)
+    assert added == machine.addshot(xp=1048)  # idempotent restriction
+    for s in added:
+        assert s in machine
+        assert f"s{s}" in dir(machine)
+    assert "not-a-shot" not in machine
+    assert machine.list_shots() == sorted(set(before) | set(added))
+    by_date = machine.adddate(machine.shot(added[0]).date) if added else []
+    assert machine.list_shots() == sorted(set(machine.list_shots()) | set(by_date))
