@@ -317,6 +317,26 @@ class Shot:
         roots = [p for p in self.machine._catalog.containers if "." not in p]
         return sorted(set(list(super().__dir__()) + roots))
 
+    # -- module mapping (factory.py:416-436: iterate/contain/index the
+    # shot's diagnostic modules) ---------------------------------------------
+
+    def _module_names(self) -> list[str]:
+        return sorted(p for p in self.machine._catalog.containers if "." not in p)
+
+    def __iter__(self):
+        return iter(self._module_names())
+
+    def __contains__(self, value) -> bool:
+        return value in set(self._module_names())
+
+    def __len__(self) -> int:
+        return len(self._module_names())
+
+    def __getitem__(self, item: str) -> "Container":
+        if item in self:
+            return getattr(self, item)
+        raise KeyError(item)
+
     def __repr__(self) -> str:
         return f"<shot {self.shot}>"
 

@@ -463,3 +463,17 @@ def test_machine_shotset_api_parity(machine):
     assert machine.list_shots() == sorted(set(before) | set(added))
     by_date = machine.adddate(machine.shot(added[0]).date) if added else []
     assert machine.list_shots() == sorted(set(machine.list_shots()) | set(by_date))
+
+
+def test_shot_module_mapping_parity(machine):
+    """factory.py:416-436: a Shot iterates/contains/indexes its
+    diagnostic modules like a mapping."""
+    s = machine.shot(141000)
+    mods = list(s)
+    assert mods == sorted(mods) and len(s) == len(mods) > 0
+    assert mods[0] in s and "nope" not in s
+    assert s[mods[0]] is getattr(s, mods[0])  # same cached Container
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        s["nope"]
