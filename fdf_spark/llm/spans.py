@@ -17,10 +17,11 @@ Scale design (100 TB):
 
 - The n-gram relation is linear in corpus tokens; its occurrence count
   is one map-side-combining groupBy on the 8-byte portable hash.
-- Marking duplicated positions is an equi-join back on that hash — at
-  extreme scale the duplicated-hash set (typically ≪ corpus) can be
-  broadcast or bloom-filtered; the shuffle join here is the general
-  shape that never needs the set to fit in memory.
+- Marking duplicated positions is an unbounded COUNT window over the
+  hash — one exchange, one scan of the gram relation (a groupBy +
+  join-back would shuffle twice and recompute the grams); at extreme
+  scale a bloom filter of the duplicated-hash set can pre-prune the
+  exchange input.
 - Span merging is gaps-and-islands window algebra per document —
   running max of interval ends, island id by prefix sum — one exchange
   on doc_id, all JVM-side.
@@ -67,13 +68,15 @@ def dup_spans(
             portable_hash60(F.col("g")).alias("h"),
         )
     )
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= min_count)
-        .select("h")
+    # occurrence count as an unbounded window over the hash, not
+    # groupBy+join-back: one exchange on h and ONE scan of the gram
+    # relation (the join form recomputes it), the same cap plan the
+    # Jaccard frequency filter measured cheapest
+    hits = (
+        sh.withColumn("__c", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("__c") >= min_count)
+        .select(id_col, "pos", (F.col("pos") + n).alias("e"))
     )
-    hits = sh.join(dup, "h").select(id_col, "pos", (F.col("pos") + n).alias("e"))
     # gaps-and-islands: a hit starts a new island iff it begins past the
     # running max end of every earlier hit in the document
     w = W.partitionBy(id_col).orderBy("pos")

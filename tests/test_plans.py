@@ -74,9 +74,9 @@ EXPECT: dict[str, dict] = {
     "q102_decontam": dict(max_exchanges=6, min_bhj=2, max_smj=0),
     # pii: pure codegen regex chain — nothing but the final sort
     "q103_pii_redact": dict(max_exchanges=1, max_smj=0),
-    # span dedup: spread + gram count + join-back (broadcast at this
-    # scale) + island window + final sort — no sort-merge, no cartesian
-    "q104_dup_spans": dict(max_exchanges=5, max_smj=0),
+    # span dedup: spread + ONE window count on the gram hash (no
+    # groupBy+join-back) + island window + final sort — join-free
+    "q104_dup_spans": dict(max_exchanges=4, max_smj=0, min_bhj=0),
     # mixture sampling: stats agg + broadcast rates back — the corpus
     # relation itself is never hash-shuffled
     "q105_mix_corpus": dict(max_exchanges=2, min_bhj=1, max_smj=0),
