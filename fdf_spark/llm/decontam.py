@@ -13,14 +13,13 @@ Scale design (100 TB corpus vs a ~MB benchmark set):
   documents, not billions), so it is the **broadcast** side of the
   join — the corpus is never shuffled for the probe.
 - Corpus shingles join against the broadcast set map-side on the
-  8-byte portable hash; after the per-document dedup below, the only
-  remaining exchange is the per-document aggregation, whose partial
-  (map-side combine) reduces each task's output to one row per doc.
-- The per-document DISTINCT shingle set needs one real exchange —
-  but shingles are hashed to 8-byte keys BEFORE that distinct (the
-  ``ngram_jaccard_pairs`` trick), so the shuffle moves fixed-width
-  (doc_id, int64) pairs instead of raw ~25-byte shingle text, and a
-  plain COUNT suffices afterwards.
+  8-byte portable hash.
+- Per-document shingle dedup is map-LOCAL: hashes are computed and
+  ``array_distinct``-ed inside each row (:func:`distinct_gram_hashes`),
+  so no (doc, shingle) relation is ever shuffled; exploding the
+  already-distinct array is narrow, and the operator's only corpus
+  exchange is the final per-document aggregation, whose map-side
+  partial reduces each task's output to one row per document.
 """
 
 from __future__ import annotations
@@ -28,8 +27,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fdf_spark.llm.dedup import word_shingles
 from fdf_spark.llm.hashing import portable_hash60
+
+
+def distinct_gram_hashes(text_col: F.Column, n: int) -> F.Column:
+    """Map-side column: the document's DISTINCT word-n-gram 60-bit
+    hashes as an array — hashing and per-document dedup both happen
+    inside the row (``transform`` + ``array_distinct``), so no
+    (doc, shingle) relation ever reaches an exchange."""
+    words = F.split(F.lower(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            idx, lambda i: portable_hash60(F.concat_ws(" ", F.slice(words, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(grams)
 
 
 def decontaminate(
@@ -48,17 +62,19 @@ def decontaminate(
     above ``threshold``. Documents with fewer than ``n`` words have no
     shingles and report a zero profile (never flagged).
     """
-    # hash BEFORE distinct: the dedup shuffle then moves 8-byte keys,
-    # not shingle text (a 2^-60 collision is mirrored by the oracle's
-    # identical hashing, never a mismatch)
-    corpus_sh = (
-        word_shingles(docs, text, id_col, n, distinct=False)
-        .select(F.col(id_col), portable_hash60(F.col("shingle")).alias("sh"))
-        .distinct()
+    # per-document dedup is MAP-LOCAL (array_distinct inside the row,
+    # 8-byte hashes — a 2^-60 collision is mirrored by the oracle's
+    # identical hashing, never a mismatch); exploding an
+    # already-distinct array is narrow, so the only corpus exchange in
+    # the operator is the final per-document aggregation
+    from fdf_spark.sources.tables import spread
+
+    corpus_sh = spread(docs).select(
+        F.col(id_col), F.explode(distinct_gram_hashes(F.col(text), n)).alias("sh")
     )
     bench_sh = (
-        word_shingles(benchmark, text, id_col, n, distinct=False)
-        .select(portable_hash60(F.col("shingle")).alias("sh"))
+        spread(benchmark)
+        .select(F.explode(distinct_gram_hashes(F.col(text), n)).alias("sh"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

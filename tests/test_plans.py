@@ -69,9 +69,10 @@ EXPECT: dict[str, dict] = {
     "q62_simhash": dict(max_exchanges=3, max_smj=0),
     # gradient: tie-dedup window + per-series window + final sort
     "q101_gradient": dict(max_exchanges=3, max_smj=0),
-    # decontam: benchmark shingle set and per-doc profile both broadcast;
-    # the corpus is never shuffled for a join (only spread/distinct/agg)
-    "q102_decontam": dict(max_exchanges=6, min_bhj=2, max_smj=0),
+    # decontam: per-doc gram dedup is map-local (array_distinct in-row),
+    # benchmark set and profile both broadcast — the corpus's only
+    # exchange is the per-doc aggregation (plus the final sort)
+    "q102_decontam": dict(max_exchanges=5, min_bhj=2, max_smj=0),
     # pii: pure codegen regex chain — nothing but the final sort
     "q103_pii_redact": dict(max_exchanges=1, max_smj=0),
     # span dedup: spread + ONE window count on the gram hash (no
