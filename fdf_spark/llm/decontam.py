@@ -27,23 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fdf_spark.llm.hashing import portable_hash60
-
-
-def distinct_gram_hashes(text_col: F.Column, n: int) -> F.Column:
-    """Map-side column: the document's DISTINCT word-n-gram 60-bit
-    hashes as an array — hashing and per-document dedup both happen
-    inside the row (``transform`` + ``array_distinct``), so no
-    (doc, shingle) relation ever reaches an exchange."""
-    words = F.split(F.lower(text_col), r"\s+")
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            idx, lambda i: portable_hash60(F.concat_ws(" ", F.slice(words, i, n)))
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return F.array_distinct(grams)
+from fdf_spark.llm.dedup import distinct_gram_hashes
 
 
 def decontaminate(

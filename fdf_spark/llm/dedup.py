@@ -57,6 +57,24 @@ def word_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: 
     return out.distinct() if distinct else out
 
 
+def distinct_gram_hashes(text_col: Column, n: int) -> Column:
+    """Map-side column: the document's DISTINCT word-n-gram 60-bit
+    hashes as an array — hashing and per-document dedup both happen
+    inside the row (``transform`` + ``array_distinct``), so no
+    (doc, shingle) relation ever reaches an exchange. Exploding the
+    result is narrow; consumers pay only their own downstream shuffles.
+    """
+    words = F.split(F.lower(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            idx, lambda i: portable_hash60(F.concat_ws(" ", F.slice(words, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(grams)
+
+
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N1: keep the smallest id per sha2-256 content hash.
 
@@ -101,13 +119,15 @@ def ngram_jaccard_pairs(
     """
     # join on the 60-bit shingle hash, not the string: 8-byte shuffle/compare
     # keys instead of ~25-byte text (collisions are negligible at 2^60 and,
-    # because the oracle hashes identically, exactly mirrored there)
-    # hash BEFORE distinct: the dedup shuffle then moves 8-byte keys
-    # instead of ~25-byte shingle text (the oracle dedupes the same
-    # hashed relation, so a 2^-60 collision is mirrored, not a mismatch)
-    sh = word_shingles(df, text, id_col, n, distinct=False).select(
-        F.col(id_col).alias("id"), portable_hash60(F.col("shingle")).alias("sh")
-    ).distinct()
+    # because the oracle hashes identically, exactly mirrored there).
+    # Per-document dedup is map-LOCAL (hash + array_distinct inside the
+    # row) — the old corpus-wide (id, sh) distinct exchange is gone.
+    from fdf_spark.sources.tables import spread
+
+    sh = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(distinct_gram_hashes(F.col(text), n)).alias("sh"),
+    )
     if max_shingle_freq is not None:
         # frequency filter as an unbounded window count, not groupBy+join:
         # one hash-exchange on sh (measured cheapest of the three cap
