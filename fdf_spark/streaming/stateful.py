@@ -123,3 +123,23 @@ def running_dedup(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def watermark_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Built-in streaming dedup: first arrival per key within the
+    watermark horizon, state expired automatically by the engine
+    (``dropDuplicatesWithinWatermark``).
+
+    The zero-custom-code complement to :func:`running_dedup`: use this
+    when "seen once, ever" can relax to "seen once within the horizon"
+    — the practical contract for continuous ingest, where true
+    forever-dedup is the batch N1 pass over the landed corpus anyway.
+    State is O(keys within watermark), bounded without any retention
+    policy code.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

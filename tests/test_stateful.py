@@ -71,3 +71,25 @@ def test_running_dedup_emits_first_seen_only(spark, tmp_path):
     )
     got = sorted((r["content_hash"], r["doc_id"]) for r in rows)
     assert got == [("aaa", 1), ("bbb", 2), ("ccc", 3), ("ddd", 6)]
+
+
+def test_watermark_dedup_matches_batch_distinct(spark):
+    """dropDuplicatesWithinWatermark over the full (single-batch) fixture
+    keeps exactly one row per key — key set equals batch DISTINCT."""
+    from fdf_spark.sources.tables import load_table
+    from fdf_spark.streaming.events import event_stream, run_stream_to_batch
+    from fdf_spark.streaming.stateful import watermark_dedup
+    from tests.conftest import SMOKE_DIR
+
+    keys = ["user_id", "event_type"]
+    stream = event_stream(spark, os.path.join(SMOKE_DIR, "events.parquet"))
+    out = run_stream_to_batch(
+        spark, watermark_dedup(stream, keys), output_mode="append"
+    )
+    got = {(r["user_id"], r["event_type"]) for r in out.select(*keys).collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SMOKE_DIR, "events").select(*keys).distinct().collect()
+    }
+    assert got == want
+    assert out.count() == len(want)  # exactly one survivor per key
