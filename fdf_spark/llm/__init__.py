@@ -1,11 +1,15 @@
-"""LLM-data-pipeline operators (SURVEY §2.11 N1-N5) — the north-star
+"""LLM-data-pipeline operators (SURVEY §2.11 N1-N13) — the north-star
 extension surface: dedup (exact / MinHash-LSH / SimHash / n-gram
-Jaccard / embedding), similarity search (brute-force + LSH ANN), text
-analysis, and multimodal column plumbing, all designed for 100 TB
-document corpora.
+Jaccard / span-level substring / embedding), similarity search
+(brute-force + LSH/IVF ANN), text analysis, benchmark decontamination,
+PII redaction, chunking/sequence packing, deterministic sampling and
+mixture construction, and multimodal column plumbing — all designed
+for 100 TB document corpora.
 """
 
+from fdf_spark.llm.decontam import decontaminate  # noqa: F401
 from fdf_spark.llm.dedup import (  # noqa: F401
+    distinct_gram_hashes,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -13,5 +17,8 @@ from fdf_spark.llm.dedup import (  # noqa: F401
     simhash,
     word_shingles,
 )
+from fdf_spark.llm.mixing import mix_corpus  # noqa: F401
+from fdf_spark.llm.pii import detect_pii, redact_text  # noqa: F401
 from fdf_spark.llm.similarity import cosine_topk, knn_predict, lsh_ann_topk  # noqa: F401
+from fdf_spark.llm.spans import dup_spans  # noqa: F401
 from fdf_spark.llm.textstats import fingerprint, language_id, text_stats  # noqa: F401
