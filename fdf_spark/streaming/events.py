@@ -29,6 +29,23 @@ from fdf_spark.functions.scalar import decode_shot_bytes, dsum, encode_shot_byte
 from fdf_spark.sources.tables import normalize_events_ts, set_events_session_confs
 
 
+#: footer-schema memo keyed by (path, mtime): a re-encoded fixture gets
+#: a new mtime → fresh peek; repeated streams over the same files skip
+#: the redundant footer job (schemas are immutable per file version)
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _footer_schema(spark: SparkSession, path: str):
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (path, mtime)
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
 def file_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming scan of a fixture parquet directory (or a single file —
     the file source needs a directory, so a file path becomes
@@ -40,8 +57,7 @@ def file_stream(spark: SparkSession, path: str) -> DataFrame:
     schema comes from the parquet footer via a zero-scan batch peek —
     the stream always reads whatever the files actually contain.
     """
-    file_schema = spark.read.parquet(path).schema
-    reader = spark.readStream.schema(file_schema)
+    reader = spark.readStream.schema(_footer_schema(spark, path))
     if path.endswith(".parquet") and not os.path.isdir(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
