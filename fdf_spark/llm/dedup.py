@@ -82,12 +82,15 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     scale prefer hashing to raw-text groupBy (64-byte keys, stable
     distribution).
     """
-    h = F.sha2(F.col(text), 256).alias("content_hash")
+    # shuffle the 32-byte binary digest, not the 64-char hex string —
+    # half the key bytes through the exchange; re-hex on the way out
+    # (lower(hex(unhex(x))) == x for sha2's lowercase hex)
+    key = F.unhex(F.sha2(F.col(text), 256)).alias("__k")
     return (
-        df.select(F.col(id_col), h)
-        .groupBy("content_hash")
+        df.select(F.col(id_col), key)
+        .groupBy("__k")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
-        .select(id_col, "content_hash", "n_copies")
+        .select(id_col, F.lower(F.hex("__k")).alias("content_hash"), "n_copies")
     )
 
 
