@@ -140,11 +140,12 @@ def run_stream_to_batch(
     name = f"fdf_stream_{uuid.uuid4().hex[:8]}"
     # stateful-stream shuffle width: the batch session's 32 partitions
     # mean 32 state-store tasks per micro-batch — pure overhead for the
-    # bounded state here. 8 is plenty locally; a production stream sizes
+    # bounded state here. 4 measured fastest locally (0.82s vs 0.99s at
+    # width 8 for the sf0.1 tumbling window); a production stream sizes
     # this to its key cardinality at stream start (it is fixed into the
     # checkpoint thereafter).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(8, int(prev))))
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(4, int(prev))))
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
