@@ -81,6 +81,11 @@ EXPECT: dict[str, dict] = {
     # mixture sampling: stats agg + broadcast rates back — the corpus
     # relation itself is never hash-shuffled
     "q105_mix_corpus": dict(max_exchanges=2, min_bhj=1, max_smj=0),
+    # minhash: ONE hash per shingle occurrence folded into ONE wide
+    # doc-level groupBy (measured 3.8x faster than the in-row
+    # array_min form, which recomputes the hash array per seed) —
+    # spread + doc agg + final sort, nothing per (shingle, seed)
+    "q61_minhash_signatures": dict(max_exchanges=3, max_smj=0),
 }
 
 
