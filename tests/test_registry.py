@@ -29,6 +29,12 @@ REQUIRED_OPS = {
 }
 
 
+def test_priority_is_exactly_the_driver_window():
+    # if PRIORITY grew past the budget, its tail would silently fall
+    # OUTSIDE the driver's checked window while looking curated-in
+    assert len(PRIORITY) == DRIVER_BUDGET
+
+
 def test_priority_names_all_registered():
     reg = load_all()
     missing = [n for n in PRIORITY if n not in reg]
