@@ -176,6 +176,81 @@ def ivf_ann_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    num_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Materialize the IVF index as a **cell-partitioned** parquet layout.
+
+    ``<path>/corpus/cell=N/`` holds each inverted list as its own
+    hive partition; ``<path>/centroids/`` is the tiny (cells × dim)
+    sidecar the prober needs to route queries. This is the 100 TB
+    layout SCALE.md describes: an ``nprobe`` query touches only the
+    probed cells' files — a partition-pruned scan, not a corpus scan.
+    """
+    cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/corpus")
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cent_id long, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_pruned(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a :func:`write_ivf_index` layout with static partition pruning.
+
+    The probe-cell set is computed driver-side (tiny: ≤ |queries| ×
+    ``nprobe`` ints — the one collect that converts the probe into a
+    compile-time ``cell IN (...)`` predicate) and pushed into the scan
+    as a partition filter, so Spark lists and reads ONLY the probed
+    ``cell=N`` directories. Same result as :func:`ivf_ann_topk`;
+    different physical shape — this is the scale path, and
+    ``tests/test_sinks.py::test_ivf_index_partition_pruned_probe``
+    pins both the equivalence and the pruned plan.
+    """
+    cents = [
+        (int(r["cent_id"]), list(r["centroid"]))
+        for r in sorted(
+            spark.read.parquet(f"{index_path}/centroids").collect(),
+            key=lambda r: r["cent_id"],
+        )
+    ]
+    probes = queries.select(
+        query_id,
+        query_vec,
+        F.explode(
+            F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
+        ).alias("__pr"),
+    ).select(query_id, query_vec, F.col("__pr")["cent_id"].alias("cell"))
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(f"{index_path}/corpus").filter(F.col("cell").isin(cells))
+    cand = corpus.join(F.broadcast(probes), "cell")
+    if exclude_self:
+        cand = cand.filter(F.col(query_id) != F.col(corpus_id))
+    w = W.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+    return (
+        cand.withColumn("cos_sim", cosine(F.col(query_vec), F.col(corpus_vec)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cos_sim", "rank")
+    )
+
+
 def embedding_quantize(
     corpus: DataFrame,
     corpus_id: str = "vec_id",

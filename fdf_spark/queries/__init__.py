@@ -87,8 +87,8 @@ PRIORITY: tuple[str, ...] = (
     "q101_gradient",               # A10 (r4; displaced q31 — A8 double-cover)
     "q102_decontam",               # N12 (r4; displaced q46 — A8 double-cover)
     "q103_pii_redact",             # N13 (r4; displaced q21 — N5 double-cover)
-    "q20_pivot_status",
-    "q32_unpivot_status",
+    "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
+    "q106_pipeline_decontam_mix",  # N1+N12+N7 end-to-end (r5; displaced q32 — A8 triple-cover)
     "q48_stats_moments",
     "q88_filtered_agg",
     "q89_multiset_ops",

@@ -112,7 +112,7 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique FROM documents
     """,
-    operators=("ST1", "ST3", "N1"),
+    operators=("ST1", "ST3", "ST5", "N1"),
     doc="Custom stateful streaming operator (applyInPandasWithState): "
     "first-seen content-hash filter over a document stream; the emitted "
     "row count must equal the batch COUNT(DISTINCT hash) whatever the "

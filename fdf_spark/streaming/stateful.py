@@ -102,19 +102,25 @@ def running_dedup(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
         (bucket,) = key
         seen: list[str] = list(state.get[0]) if state.exists else []
         seen_set = set(seen)
-        out = []
+        # vectorized first-seen filter: within each Arrow batch,
+        # drop_duplicates(keep='first') preserves first-in-batch-order;
+        # across batches the state set carries the horizon. No per-row
+        # Python loop — throughput is pandas-hash-table speed.
         for pdf in pdfs:
-            for _, row in pdf.iterrows():
-                h = row["content_hash"]
-                if h not in seen_set:
-                    seen_set.add(h)
-                    seen.append(h)
-                    out.append(
-                        {"bucket": bucket, "doc_id": int(row["doc_id"]), "content_hash": h}
-                    )
+            if not len(pdf):
+                continue
+            fresh = pdf[~pdf["content_hash"].isin(seen_set)].drop_duplicates(
+                "content_hash", keep="first"
+            )
+            if not len(fresh):
+                continue
+            new_hashes = fresh["content_hash"].tolist()
+            seen_set.update(new_hashes)
+            seen.extend(new_hashes)
+            out = fresh.loc[:, ["doc_id", "content_hash"]].copy()
+            out.insert(0, "bucket", bucket)
+            yield out
         state.update((seen,))
-        if out:
-            yield pd.DataFrame(out)
 
     return docs.groupBy("bucket").applyInPandasWithState(
         update,

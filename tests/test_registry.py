@@ -26,6 +26,10 @@ REQUIRED_OPS = {
     "N1", "N2", "N3", "N4", "N5", "N6", "N7", "N8", "N9", "N10",
     # round-4 additions: gradient, decontamination, PII redaction
     "A10", "N12", "N13",
+    # round-5 guard hardening: chunking/packing and stateful streaming
+    # dedup were the two newest SURVEY rows with no mechanical window
+    # protection (VERDICT r4 "What's missing" #1)
+    "N11", "ST5",
 }
 
 

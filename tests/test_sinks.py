@@ -91,3 +91,56 @@ def test_zorder_sort_tightens_rowgroup_stats(spark, tmp_path):
     # x-sorted leaves y unclustered (~full 4096 width); z-order clusters both
     assert y_z < y_x / 2, (y_z, y_x)
     assert x_z < 4096 * 0.75, x_z
+
+
+def test_ivf_index_partition_pruned_probe(spark, tmp_path):
+    """SCALE.md's IVF claim, demonstrated: a cell-partitioned index layout
+    makes an nprobe probe a PARTITION-PRUNED scan. Asserts (a) the probe
+    result is identical to the in-memory ivf_ann_topk, (b) the scan's
+    PartitionFilters carry the cell predicate, and (c) the files actually
+    read span exactly the probed cells — not all of them."""
+    import re
+
+    from fdf_spark.llm.similarity import ivf_ann_topk, ivf_probe_pruned, write_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, num_cells=16)
+
+    pruned = ivf_probe_pruned(spark, idx, queries, k=5, nprobe=2)
+    expected = sorted(map(tuple, ivf_ann_topk(queries, emb, k=5, num_cells=16, nprobe=2).collect()))
+    got = sorted(map(tuple, pruned.collect()))
+    assert got == expected
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*cell", plan), plan
+    # files ACTUALLY read (input_file_name over the executed filtered scan
+    # — DataFrame.inputFiles() lists the FileIndex pre-pruning and can't
+    # see partition pruning)
+    probed = {
+        int(m.group(1))
+        for (f,) in spark.read.parquet(f"{idx}/corpus")
+        .filter(F.col("cell").isin([int(c) for c in cells_from_plan(plan)]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+        for m in [re.search(r"cell=(\d+)", f)]
+        if m
+    }
+    n_cells_total = len(
+        {m.group(1) for f in spark.read.parquet(f"{idx}/corpus").inputFiles()
+         for m in [re.search(r"cell=(\d+)", f)] if m}
+    )
+    assert 0 < len(probed) < n_cells_total, (probed, n_cells_total)
+
+
+def cells_from_plan(plan: str) -> list[str]:
+    """Extract the IN-list literals from the scan's PartitionFilters."""
+    import re
+
+    m = re.search(r"PartitionFilters: \[cell#\d+L? IN \(([^)]*)\)", plan)
+    assert m, plan
+    return [tok.strip() for tok in m.group(1).split(",")]
