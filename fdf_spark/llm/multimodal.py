@@ -59,21 +59,113 @@ def _fake_decode(payload: bytes) -> list[float]:
     ]
 
 
+def encode_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Pure-stdlib 24-bpp uncompressed BMP writer (solid color).
+
+    Standard BITMAPFILEHEADER + BITMAPINFOHEADER layout: bottom-up rows,
+    BGR byte order, rows padded to 4-byte boundaries. Used as the
+    deterministic fixture generator for the REAL decode path — the
+    decoder must recover width/height/color from these bytes alone.
+    """
+    r, g, b = rgb
+    row = bytes((b, g, r)) * width
+    pad = (-len(row)) % 4
+    pixels = (row + b"\0" * pad) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def decode_bmp(payload: bytes) -> list[float]:
+    """Real 24-bpp BMP decode with stdlib ``struct`` only: parse both
+    headers, walk the (padded, bottom-up) pixel rows, return
+    [width, height, bpp, mean_r, mean_g, mean_b]. Raises on anything
+    that is not an uncompressed 24-bpp BMP."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bpp BMP supported (bpp={bpp})")
+    import numpy as np
+
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+        .reshape(h, stride)[:, : width * 3]
+        .reshape(-1, 3)
+        .astype(np.int64)
+    )
+    sb, sg, sr = px.sum(axis=0)  # BMP stores BGR
+    n = width * h
+    return [float(width), float(h), float(bpp), sr / n, sg / n, sb / n]
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Pure-stdlib mono 16-bit PCM WAV writer (RIFF header + frames)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> list[float]:
+    """Real WAV decode via the stdlib ``wave`` module: parse the RIFF
+    header and PCM frames, return [sample_rate, n_channels, n_frames,
+    mean, peak_abs, mean_square] with exact integer accumulation."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr, nch, nf, sw = w.getframerate(), w.getnchannels(), w.getnframes(), w.getsampwidth()
+        if sw != 2:
+            raise ValueError(f"only 16-bit PCM supported (sampwidth={sw})")
+        vals = struct.unpack(f"<{nf * nch}h", w.readframes(nf))
+    n = max(len(vals), 1)
+    return [
+        float(sr),
+        float(nch),
+        float(nf),
+        sum(vals) / n,
+        float(max((abs(v) for v in vals), default=0)),
+        sum(v * v for v in vals) / n,
+    ]
+
+
+#: decoders usable without any non-stdlib media library. Compressed
+#: formats (JPEG/PNG/MP3/H.264...) genuinely need PIL/ffmpeg, which are
+#: not in this container — those stay behind the 'stub' guard.
+REAL_CODECS = {"bmp": decode_bmp, "wav": decode_wav}
+
+
 def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``codec='stub'`` raises (real decoders not in this container);
-    ``codec='fake'`` runs the deterministic fake — identical plumbing.
+    ``codec='bmp'``/``'wav'`` run REAL pure-stdlib decoders
+    (:data:`REAL_CODECS`); ``codec='fake'`` runs the deterministic
+    fake; ``codec='stub'`` raises (compressed-format decoders —
+    PIL/ffmpeg — are not in this container).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if codec == "stub":
                 raise NotImplementedError(
-                    "real image/audio decoding requires PIL/torchaudio; "
-                    "use codec='fake' for the deterministic test codec"
+                    "compressed-format decoding (JPEG/PNG/MP3/...) requires "
+                    "PIL/torchaudio; use codec='bmp'/'wav' for the real "
+                    "stdlib decoders or codec='fake' for the test codec"
                 )
-            feats = pdf["payload"].map(_fake_decode)
+            decode = REAL_CODECS.get(codec, _fake_decode)
+            feats = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -88,6 +180,42 @@ def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
     # carry the columns the codec needs (column pruning keeps payload
     # out of any upstream exchange)
     return assets.select("asset_id", "media_type", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synth_media_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic real-format media fixtures from doc ids.
+
+    Even ids become solid-color 24-bpp BMPs, odd ids become constant
+    mono 16-bit PCM WAVs, every parameter a pure function of ``doc_id``
+    — so a SQL oracle can recompute what the REAL decoders must
+    recover from the bytes alone (the encode→decode roundtrip is the
+    thing under test, with the oracle independent of both sides).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads, kinds = [], []
+            for d in ids:
+                d = int(d)
+                if d % 2 == 0:
+                    payloads.append(
+                        encode_bmp(
+                            2 + d % 7, 1 + d % 5, (d % 256, (3 * d) % 256, (7 * d) % 256)
+                        )
+                    )
+                    kinds.append("image")
+                else:
+                    a = d % 1001 - 500
+                    payloads.append(
+                        encode_wav(8000 + 1000 * (d % 4), [a] * (40 + d % 25))
+                    )
+                    kinds.append("audio")
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": kinds, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, "asset_id long, media_type string, payload binary")
 
 
 def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:

@@ -89,7 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "q103_pii_redact",             # N13 (r4; displaced q21 — N5 double-cover)
     "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
     "q106_pipeline_decontam_mix",  # N1+N12+N7 end-to-end (r5; displaced q32 — A8 triple-cover)
-    "q48_stats_moments",
+    "q107_real_codec_roundtrip",   # N6 real BMP/WAV decode (r5; displaced q48 — A2/A5/A9 all double-covered)
     "q88_filtered_agg",
     "q89_multiset_ops",
     "q90_null_discipline",

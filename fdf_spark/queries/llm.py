@@ -567,6 +567,53 @@ def q68_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q107_real_codec_roundtrip",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           CAST(CASE WHEN doc_id % 2 = 0
+                     THEN 54 + ((((2 + doc_id % 7) * 3 + 3) // 4) * 4) * (1 + doc_id % 5)
+                     ELSE 44 + 2 * (40 + doc_id % 25) END AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 7
+                     ELSE 8000 + 1000 * (doc_id % 4) END AS DOUBLE) AS v0,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 5 ELSE 1 END AS DOUBLE) AS v1,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 40 + doc_id % 25 END AS DOUBLE) AS v2,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256
+                     ELSE doc_id % 1001 - 500 END AS DOUBLE) AS v3,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (3 * doc_id) % 256
+                     ELSE abs(doc_id % 1001 - 500) END AS DOUBLE) AS v4,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (7 * doc_id) % 256
+                     ELSE (doc_id % 1001 - 500) * (doc_id % 1001 - 500) END AS DOUBLE) AS v5
+    FROM documents WHERE doc_id < 200 ORDER BY asset_id
+    """,
+    operators=("N6",),
+    doc="REAL media decode end-to-end, no stub: even docs become actual "
+    "24-bpp BMP files, odd docs actual RIFF/PCM WAV files (pure-stdlib "
+    "encoders), then the pure-stdlib decoders (struct header parse + "
+    "numpy pixel fold; wave module + exact integer PCM accumulation) "
+    "recover dimensions/colors/rates/amplitudes FROM THE BYTES. The "
+    "oracle recomputes every value arithmetically from doc_id — "
+    "independent of encoder and decoder — so a wrong stride, row "
+    "order, or channel order fails the hash. Compressed formats "
+    "(JPEG/MP3) remain stubbed: their codecs aren't in this container.",
+)
+def q107_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import extract_features, synth_media_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    assets = synth_media_assets(docs)
+    imgs = extract_features(assets.filter(F.col("media_type") == "image"), codec="bmp")
+    auds = extract_features(assets.filter(F.col("media_type") == "audio"), codec="wav")
+    out = imgs.unionByName(auds)
+    return out.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        *[F.element_at("feat", i + 1).alias(f"v{i}") for i in range(6)],
+    ).orderBy("asset_id")
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,

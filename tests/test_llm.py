@@ -348,3 +348,28 @@ def test_mix_corpus_rates_and_determinism(spark, docs):
     assert sum(by_src.get("src0", [])) == totals["src0"]
     # src1 target = 1000 tokens: rate < 1 → a strict subset survives
     assert 0 < sum(by_src.get("src1", [])) < totals["src1"]
+
+
+def test_bmp_wav_codecs_roundtrip_pure_python():
+    """Real-codec invariants without Spark: BMP stride padding (width=3
+    → 9-byte rows padded to 12) must not leak pad bytes into channel
+    means; WAV PCM stats are exact integer accumulations; non-BMP bytes
+    are rejected loudly."""
+    import pytest as _pytest
+
+    from fdf_spark.llm.multimodal import decode_bmp, decode_wav, encode_bmp, encode_wav
+
+    for w, h, rgb in [(3, 2, (10, 20, 30)), (1, 1, (255, 0, 128)), (7, 5, (1, 2, 3))]:
+        width, height, bpp, mr, mg, mb = decode_bmp(encode_bmp(w, h, rgb))
+        assert (width, height, bpp) == (w, h, 24.0)
+        assert (mr, mg, mb) == tuple(float(c) for c in rgb)
+
+    samples = [0, 100, -100, 32767, -32768, 5]
+    sr, nch, nf, mean, peak, msq = decode_wav(encode_wav(44100, samples))
+    assert (sr, nch, nf) == (44100.0, 1.0, float(len(samples)))
+    assert mean == sum(samples) / len(samples)
+    assert peak == 32768.0
+    assert msq == sum(v * v for v in samples) / len(samples)
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PNG....definitely-not-a-bmp")
