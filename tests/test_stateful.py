@@ -93,3 +93,47 @@ def test_watermark_dedup_matches_batch_distinct(spark):
     }
     assert got == want
     assert out.count() == len(want)  # exactly one survivor per key
+
+
+def test_watermark_dedup_state_stays_bounded(spark, tmp_path):
+    """The 100 TB streaming risk, asserted mechanically: over a stream
+    spanning many watermark horizons (6 batches, 60 s apart, 10 s
+    watermark, every key unique), dropDuplicatesWithinWatermark's state
+    store must hold only the keys inside the horizon — NOT every key
+    ever seen. Fails loudly if eviction regresses to unbounded growth."""
+    import datetime
+
+    from fdf_spark.streaming.stateful import watermark_dedup
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src, exist_ok=True)
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    n_batches, per_batch = 6, 50
+    schema = "user_id long, ts timestamp"
+    for i in range(n_batches):
+        rows = [
+            (i * per_batch + j, base + datetime.timedelta(seconds=60 * i))
+            for j in range(per_batch)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        watermark_dedup(stream, ["user_id"], ts_col="ts", watermark="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_bounded")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    total_keys = n_batches * per_batch
+    assert spark.table("wm_bounded").count() == total_keys  # all unique → all emitted
+    # horizon holds at most the last ~2 batches of keys (watermark lags
+    # one batch); anywhere near total_keys means eviction is broken
+    assert state_rows <= 2 * per_batch + 10, (state_rows, total_keys)
+    assert state_rows < total_keys / 2

@@ -98,6 +98,26 @@ def main() -> None:
 
     timed("capped Jaccard pairs (N2)", n, ngram_jaccard_pairs(docs, threshold=0.2))
 
+    # 5c) capped Jaccard under Zipf-like skew (N2): word w covers ranks
+    # [w^2, (w+1)^2) of a 1M-slot draw, so word doc-frequency grows
+    # linearly with w (a smooth long tail, not one planted trigram) —
+    # every shingle past the 256-doc cap is dropped as one window pass;
+    # worst surviving shingle still yields <= 256^2/2 candidate pairs
+    n = 500_000
+    zipfw = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.conv(
+            F.floor(F.sqrt(((F.col("id") * 13 + i * 3) % 1_000_000).cast("double")))
+            .cast("string"),
+            10,
+            16,
+        ),
+    )
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"), F.array_join(zipfw, " ").alias("text")
+    )
+    timed("capped Jaccard zipf-skew (N2)", n, ngram_jaccard_pairs(docs, threshold=0.2))
+
     # 6) CUBE multi-dim agg: 200M rows, 7x3 dims -> one Expand + one shuffle
     n = 200_000_000
     df = spark.range(0, n, 1, 64).select(
@@ -226,6 +246,45 @@ def main() -> None:
     )
     wts = {f"src{i}": (i % 10 + 1) / 10.0 for i in range(100)}
     timed("mixture sample (N7)", n, mix_corpus(corpus, wts, budget_tokens=10_000_000))
+
+    # 17) streaming stateful dedup (ST5): 4 micro-batches x 1.25M rows,
+    # 64 state buckets, 20% dups (hash = id % 4M, and 4M % 64 == 0 keeps
+    # duplicate hashes in the same bucket) — the vectorized first-seen
+    # filter in running_dedup; throughput is pandas-hash-table bound
+    import shutil
+    import tempfile
+
+    from fdf_spark.streaming.stateful import running_dedup
+
+    n = 5_000_000
+    src = tempfile.mkdtemp(prefix="stress_stream_")
+    try:
+        docs = spark.range(0, n, 1, 32).select(
+            (F.col("id") % 4).alias("part"),
+            (F.col("id") % 64).cast("int").alias("bucket"),
+            F.col("id").alias("doc_id"),
+            F.sha2((F.col("id") % (n // 5 * 4)).cast("string"), 256).alias("content_hash"),
+        )
+        for i in range(4):  # one parquet file per micro-batch
+            docs.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("bucket int, doc_id long, content_hash string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = running_dedup(stream).writeStream.outputMode("append").format("noop").start()
+        t0 = time.perf_counter()
+        q.processAllAvailable()
+        dt = time.perf_counter() - t0
+        q.stop()
+        print(
+            f"{'streaming dedup (ST5)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
 
     spark.stop()
 
