@@ -132,11 +132,21 @@ class Machine(MutableMapping):
         return len(self._shots)
 
     def __contains__(self, value) -> bool:
-        # factory.py:124-126: membership over the materialized shot set
-        try:
-            return int(value) in self._shots
-        except (TypeError, ValueError):
+        # factory.py:124-126: exact dict-key membership — a float only
+        # matches when integral (141000.9 must NOT hit shot 141000) and
+        # bool is rejected rather than aliasing shots 0/1
+        if isinstance(value, bool):
             return False
+        if isinstance(value, float):
+            return value == int(value) and int(value) in self._shots
+        if isinstance(value, int):
+            return value in self._shots
+        if isinstance(value, str):
+            try:
+                return int(value) in self._shots
+            except ValueError:
+                return False
+        return False
 
     def __dir__(self):
         # factory.py:144-148: sNNNNNN attrs for loaded shots + the API

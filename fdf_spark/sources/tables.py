@@ -44,13 +44,18 @@ def set_events_session_confs(spark: SparkSession) -> None:
 
     - ``nanosAsLong`` so a TIMESTAMP(NANOS) encoding surfaces as int64
       instead of erroring;
-    - session timezone UTC so the ntz→timestamp cast below is
-      session-independent (a non-UTC caller would otherwise silently
-      shift every instant; the bigint path never depended on tz and
-      this makes both paths agree).
+    - session timezone UTC — NOT for decoding correctness (the
+      normalize below is session-independent via ``convert_timezone``)
+      but for RENDERING parity: wall-clock SQL functions
+      (date_trunc/window/...) and ``toPandas`` render instants in the
+      session tz, and the engine's events contract (matching a DuckDB
+      naive-as-UTC oracle bit-for-bit) is defined in UTC. Documented
+      side effect on the caller's session; settable back by the caller
+      after events work if they prefer local rendering of other data.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
@@ -62,8 +67,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     - int64 nanos (TIMESTAMP(NANOS) under ``nanosAsLong``): floor-divide
       to micros — exactly DuckDB's NS→US coercion.
     - timestamp_ntz (TIMESTAMP(MICROS/MILLIS), isAdjustedToUTC=false):
-      cast, reproducing DuckDB's naive-as-UTC reading (session tz is
-      pinned UTC by :func:`set_events_session_confs`).
+      ``convert_timezone('UTC', current_timezone(), ts)`` then cast —
+      the naive wall time is interpreted as UTC *whatever the session
+      timezone is at execution time* (a bare ntz→timestamp cast
+      interprets the wall in the session tz, so a caller flipping the
+      tz conf between plan build and action would silently shift every
+      instant; this expression cannot).
     """
     from pyspark.sql import functions as F
 
@@ -73,7 +82,10 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
         # int64 nanos (~1.7e18 > 2^53) and shifts timestamps by ±1 µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn(
+            "ts",
+            F.expr("cast(convert_timezone('UTC', current_timezone(), ts) as timestamp)"),
+        )
     return df
 
 
@@ -93,17 +105,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: analyzed-plan nodes that keep a plan "scan-shaped": projections and
+#: filters over a single file relation. Anything else (Join, Aggregate,
+#: Window, Union, ...) already owns its output partitioning.
+_SCAN_NODES = frozenset({"Project", "Filter", "SubqueryAlias", "LogicalRelation", "Relation"})
+
+
+def _is_scan_like(df: DataFrame) -> bool:
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() not in _SCAN_NODES:
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Repartition a narrow input up to the session's default parallelism.
+    """Repartition a narrow RAW SCAN up to the session's parallelism.
 
     Small fixture tables arrive as ONE parquet file → one input split →
     CPU-heavy per-row stages (hashing, shingling, vector math) run on a
     single core no matter how many are available. A round-robin
     repartition of the (small) raw rows unlocks the map side. On a real
     cluster wide inputs already have >= defaultParallelism splits, so
-    this is a no-op there — the check is on actual partition count, not
-    data size.
+    this is a no-op there.
+
+    Guarded to scan-shaped plans only (projections/filters over one
+    file relation): derived inputs — joins, aggregates — pass through
+    untouched, both because their post-shuffle partitioning is already
+    meaningful and because probing ``df.rdd`` on an arbitrary plan
+    forces an extra non-AQE physical-planning pass per call. On a leaf
+    scan the probe is a cheap file-split count (and, unlike a raw
+    ``inputFiles()`` length, counts a big file once per SPLIT — so a
+    single large file that already parallelizes is left alone).
     """
+    if not _is_scan_like(df):
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -29,18 +29,34 @@ from fdf_spark.functions.scalar import decode_shot_bytes, dsum, encode_shot_byte
 from fdf_spark.sources.tables import normalize_events_ts, set_events_session_confs
 
 
-#: footer-schema memo keyed by (path, mtime): a re-encoded fixture gets
-#: a new mtime → fresh peek; repeated streams over the same files skip
-#: the redundant footer job (schemas are immutable per file version)
-_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+#: footer-schema memo keyed by (path, file-set fingerprint): a
+#: re-encoded fixture gets a new fingerprint → fresh peek; repeated
+#: streams over the same files skip the redundant footer job (schemas
+#: are immutable per file version)
+_SCHEMA_CACHE: dict[tuple[str, tuple], object] = {}
+
+
+def _file_fingerprint(path: str) -> tuple:
+    """(count, max mtime, total bytes) over the parquet files ``path``
+    resolves to. A directory's own mtime does NOT change when a file
+    inside is overwritten in place, so the fingerprint walks the
+    matched files themselves; single-file paths reduce to that file's
+    (mtime, size)."""
+    import glob
+
+    try:
+        if os.path.isdir(path):
+            files = glob.glob(os.path.join(path, "*.parquet")) or [path]
+        else:
+            files = [path]
+        stats = [os.stat(f) for f in files]
+        return (len(stats), max(s.st_mtime for s in stats), sum(s.st_size for s in stats))
+    except OSError:
+        return (-1, -1.0, -1)
 
 
 def _footer_schema(spark: SparkSession, path: str):
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        mtime = -1.0
-    key = (path, mtime)
+    key = (path, _file_fingerprint(path))
     if key not in _SCHEMA_CACHE:
         _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
     return _SCHEMA_CACHE[key]
@@ -125,6 +141,11 @@ def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+#: local stateful-stream shuffle width (see the measurement note in
+#: run_stream_to_batch; module-level so experiments can override it)
+STREAM_SHUFFLE_WIDTH = 4
+
+
 def run_stream_to_batch(
     spark: SparkSession,
     stream_df: DataFrame,
@@ -140,12 +161,13 @@ def run_stream_to_batch(
     name = f"fdf_stream_{uuid.uuid4().hex[:8]}"
     # stateful-stream shuffle width: the batch session's 32 partitions
     # mean 32 state-store tasks per micro-batch — pure overhead for the
-    # bounded state here. 4 measured fastest locally (0.82s vs 0.99s at
-    # width 8 for the sf0.1 tumbling window); a production stream sizes
-    # this to its key cardinality at stream start (it is fixed into the
-    # checkpoint thereafter).
+    # bounded state here. 4 measured fastest locally; re-confirmed on
+    # the post-timestamp-fix q50 in one r5 session (min-of-3 at sf0.1:
+    # width 2 = 1.47 s, 4 = 1.33 s, 8 = 1.39 s, 32 = 1.80 s); a
+    # production stream sizes this to its key cardinality at stream
+    # start (it is fixed into the checkpoint thereafter).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(min(4, int(prev))))
+    spark.conf.set("spark.sql.shuffle.partitions", str(min(STREAM_SHUFFLE_WIDTH, int(prev))))
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
