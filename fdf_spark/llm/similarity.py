@@ -176,6 +176,50 @@ def ivf_ann_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    threshold: float = 0.3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-level near-duplicate removal (N14) — SemDeDup,
+    Abbas et al. 2023 (arXiv:2303.09540): cluster the corpus coarsely,
+    call two documents semantic duplicates when their embeddings'
+    cosine within a cluster reaches ``threshold``, keep one per
+    duplicate group (smallest id — the same survivor rule as the
+    text-level ``near_dedup``). Returns surviving (corpus_id, cell).
+
+    Scale shape: cell assignment reuses :func:`ivf_assign` (centroid
+    literals, corpus scanned once, NO shuffle); the pairwise stage is
+    an equi-join on ``cell`` — cluster-bounded Σ|cell|² work, never an
+    all-pairs corpus join, exactly the trick that makes SemDeDup
+    tractable where a global pairwise pass is not. At 100 TB,
+    ``num_cells`` scales with the corpus so a cell stays ~constant
+    (the paper uses k ≈ √N clusters); a skewed giant cell is split by
+    recursing the same operator over that cell.
+    """
+    _, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
+    a = assigned.select(
+        F.col("cell"),
+        F.col(corpus_id).alias("__ida"),
+        F.col(corpus_vec).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col(corpus_id).alias("__idb"),
+        F.col(corpus_vec).alias("__vb"),
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias(corpus_id))
+        .distinct()
+    )
+    return assigned.join(removed, corpus_id, "left_anti").select(corpus_id, "cell")
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -95,7 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "q90_null_discipline",
     "q64_lsh_candidates",
     "q75_lsh_ann_topk",
-    "q17_rundate_roundtrip",
+    "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
     "q91_negative_slice",
     "q92_signal_arithmetic",
 )

@@ -302,6 +302,41 @@ def q73_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q108_semantic_dedup",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.3),
+    removed AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+    SELECT s.vec_id, s.cell FROM assigned s ANTI JOIN removed r ON s.vec_id = r.vec_id
+    ORDER BY s.vec_id
+    """,
+    operators=("N14", "N2", "N3"),
+    doc="SemDeDup (Abbas et al. 2023): embedding-level near-dup removal — "
+    "deterministic coarse cells (the IVF quantizer), within-cell pairwise "
+    "cosine >= 0.3, keep-smallest-id survivors via anti-join. The pair "
+    "stage is cluster-bounded (equi-join on cell), never an all-pairs "
+    "corpus join; cell count scales with the corpus at 100 TB. Catches "
+    "the paraphrase/translation duplicates that shingle-based N2 ops "
+    "cannot see.",
+)
+def q108_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.similarity import semantic_dedup
+
+    emb = T(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, num_cells=16, threshold=0.3).orderBy("vec_id")
+
+
+@query(
     "q74_dup_clusters",
     f"""
     WITH RECURSIVE {SQL_SHINGLES},

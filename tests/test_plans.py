@@ -86,6 +86,13 @@ EXPECT: dict[str, dict] = {
     # array_min form, which recomputes the hash array per seed) —
     # spread + doc agg + final sort, nothing per (shingle, seed)
     "q61_minhash_signatures": dict(max_exchanges=3, max_smj=0),
+    # round-5 additions
+    # semantic dedup: cell assignment is map-side (centroid literals, no
+    # corpus exchange before the pair join); pair stage is an equi-join
+    # on cell (BHJ at fixture size, SMJ-on-cell at scale — bounded by
+    # Σ|cell|², never cartesian); anti-join may sort-merge (removed set
+    # is O(corpus), not broadcastable at scale)
+    "q108_semantic_dedup": dict(max_exchanges=4, max_smj=2),
 }
 
 

@@ -30,6 +30,8 @@ REQUIRED_OPS = {
     # dedup were the two newest SURVEY rows with no mechanical window
     # protection (VERDICT r4 "What's missing" #1)
     "N11", "ST5",
+    # round-5 addition: semantic (embedding-level) dedup — SemDeDup
+    "N14",
 }
 
 

@@ -247,6 +247,20 @@ def main() -> None:
     wts = {f"src{i}": (i % 10 + 1) / 10.0 for i in range(100)}
     timed("mixture sample (N7)", n, mix_corpus(corpus, wts, budget_tokens=10_000_000))
 
+    # 16b) semantic dedup (N14): 50k 16-dim vectors over 64 cells —
+    # pairwise work is cluster-bounded (~(n/cells)^2/2 * cells cosines,
+    # here ~20M), never an all-pairs corpus join (~1.25B); cells scale
+    # with the corpus so the per-cell bound holds at any size
+    from fdf_spark.llm.similarity import semantic_dedup
+
+    n = 50_000
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.sin(F.col("id").cast("double") * (i.cast("double") + 1.0)),
+    )
+    corpus = spark.range(0, n, 1, 64).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    timed("semantic dedup (N14)", n, semantic_dedup(corpus, num_cells=64, threshold=0.95))
+
     # 17) streaming stateful dedup (ST5): 4 micro-batches x 1.25M rows,
     # 64 state buckets, 20% dups (hash = id % 4M, and 4M % 64 == 0 keeps
     # duplicate hashes in the same bucket) — the vectorized first-seen
