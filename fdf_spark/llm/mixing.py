@@ -81,6 +81,60 @@ def mix_corpus(
     )
 
 
+def split_corpus(
+    docs: DataFrame,
+    fractions: Mapping[str, float],
+    by: str | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment (N7 tier 3): adds a
+    ``split`` column from a hash of the row id (or of ``by``).
+
+    ``fractions`` maps split name → fraction, in insertion order; the
+    hash bucket ``u ∈ [0, 1M)`` falls into cumulative ranges, so every
+    row's split is a pure function of (seed, key) — reproducible across
+    engines, retries and repartitionings, and a doc NEVER migrates
+    between splits when the corpus grows (the property ``rand()`` or
+    modulo-on-row-number splits lack).
+
+    ``by`` makes the split leakage-safe at a coarser unit: pass the
+    near-dup cluster id, URL domain, or source document key and every
+    row of that group lands in the SAME split — the standard guard
+    against train/test contamination via near-duplicates.
+
+    Zero shuffles: the assignment is a per-row expression; downstream
+    consumers filter ``split = 'train'`` and the predicate pushes down
+    if the corpus is later written partitioned by ``split``.
+    """
+    key = F.col(by) if by is not None else F.col(id_col)
+    u = portable_hash60(key.cast("string"), seed) % MIX_DENOM
+    names = list(fractions)
+    cum, bounds = 0.0, []
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        bounds.append(int(cum * MIX_DENOM))
+    expr = F.lit(names[-1])  # last split takes the remainder
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def sql_split_corpus(fractions: Mapping[str, float], seed: int = 0) -> str:
+    """DuckDB twin of the :func:`split_corpus` assignment expression
+    (over ``documents``, keyed on doc_id)."""
+    names = list(fractions)
+    cum, cases = 0.0, []
+    hash_expr = (
+        f"CAST('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % {MIX_DENOM}"
+    )
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        cases.append(f"WHEN {hash_expr} < {int(cum * MIX_DENOM)} THEN '{name}'")
+    return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
 def sql_mix_corpus(weights: Mapping[str, float], budget_tokens: int) -> str:
     """DuckDB twin of :func:`mix_corpus` over the ``documents`` view."""
     values = ", ".join(f"('{k}', {float(v)!r})" for k, v in weights.items())

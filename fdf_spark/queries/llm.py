@@ -1488,6 +1488,44 @@ def q105_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+from fdf_spark.llm.mixing import sql_split_corpus as _sql_split  # noqa: E402
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@query(
+    "q109_corpus_split",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source, {_sql_split(_SPLIT_FRACTIONS)} AS split,
+             CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split, source ORDER BY split, source
+    """,
+    operators=("N7",),
+    doc="Deterministic stratum-audited train/val/test split: assignment "
+    "is a pure hash expression on doc_id (cumulative [0,1M) ranges — no "
+    "rand(), no row-number modulo), so a doc never migrates splits when "
+    "the corpus grows and the same code replays on any engine; the "
+    "query audits per-(split, source) doc/token counts — the relation a "
+    "pipeline checks before accepting a split. The leakage-safe variant "
+    "passes by='cluster/domain' so near-dup groups stay within one "
+    "split (unit-tested).",
+)
+def q109_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.mixing import split_corpus
+
+    docs = T(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.lower(F.col("text")), r"\s+")).cast("bigint")
+    s = split_corpus(docs, _SPLIT_FRACTIONS).select("doc_id", "source", "split", toks.alias("n_tokens"))
+    return (
+        s.groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("split", "source")
+    )
+
+
 @query(
     "q106_pipeline_decontam_mix",
     f"""

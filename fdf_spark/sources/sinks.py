@@ -30,6 +30,7 @@ def write_table(
     sort_by: Sequence[str] = ("time",),
     mode: str = "overwrite",
     fmt: str = "parquet",
+    options: dict | None = None,
 ) -> None:
     """Write a long-format signal/fact table with the engine layout."""
     out = df
@@ -38,10 +39,83 @@ def write_table(
         if cols:
             out = out.sortWithinPartitions(*[c for c in partition_by if c in df.columns], *cols)
     writer = out.write.mode(mode).format(fmt)
+    if options:
+        writer = writer.options(**options)
     part_cols = [c for c in partition_by if c in df.columns]
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.save(path)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_by: Sequence[str] = ("shot",),
+    sort_by: Sequence[str] = ("time",),
+) -> dict:
+    """Small-file compaction: rewrite a partitioned table so each
+    partition holds ~``target_bytes`` files, preserving the layout
+    contract (hive partitioning + within-file sort).
+
+    Streaming sinks and incremental appends degrade a table into
+    thousands of KB-sized files per partition; at 100 TB that is the
+    classic listing/scan killer (every file costs an open + a footer
+    read + a task). The rewrite reads the table once, coalesces to
+    ``ceil(partition_bytes / target_bytes)`` files via a repartition on
+    the partition key (cluster-wide, not a driver loop), restores the
+    within-file sort, and atomically swaps directories. Returns
+    {files_before, files_after, bytes}.
+
+    On real object storage this is the manual form of what table
+    formats automate; the layout contract (partition dirs + sorted
+    files + page stats) is identical either way, so the scan-side
+    pruning tests (test_sinks.py) apply unchanged to compacted output.
+    """
+    import math
+    import os
+    import shutil
+
+    def _walk(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    before = _walk(path)
+    total_bytes = sum(os.path.getsize(f) for f in before)
+    df = spark.read.parquet(path)
+    part_cols = [c for c in partition_by if c in df.columns]
+    # bytes/row from the listing + parquet footer row counts (count() on
+    # a raw parquet scan is metadata-only) → maxRecordsPerFile, the
+    # writer's deterministic sequential splitter: each partition dir
+    # gets ceil(dir_rows / rows_per_file) files, so dirs below the
+    # target collapse to ONE file while a skewed giant partition still
+    # splits — no salt column, no hash-collision dependence, and the
+    # within-file sort survives because splits are sequential
+    n_rows = df.count()
+    bytes_per_row = total_bytes / max(n_rows, 1)
+    rows_per_file = max(1, int(target_bytes / max(bytes_per_row, 1e-9)))
+    out = df.repartition(*part_cols) if part_cols else df.repartition(
+        max(1, math.ceil(total_bytes / target_bytes))
+    )
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    write_table(
+        out,
+        tmp,
+        partition_by=partition_by,
+        sort_by=sort_by,
+        options={"maxRecordsPerFile": str(rows_per_file)},
+    )
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_walk(path)),
+        "bytes": total_bytes,
+    }
 
 
 def write_stream_sink(df: DataFrame, path: str, checkpoint: str, fmt: str = "parquet"):

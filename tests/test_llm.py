@@ -373,3 +373,25 @@ def test_bmp_wav_codecs_roundtrip_pure_python():
 
     with _pytest.raises(ValueError):
         decode_bmp(b"PNG....definitely-not-a-bmp")
+
+
+def test_split_corpus_group_leakage_safe_and_stable(spark):
+    """by=<group> puts every row of a group in ONE split (the near-dup
+    contamination guard); assignment is invariant under repartitioning;
+    fractions land near target on 3k keys."""
+    from fdf_spark.llm.mixing import split_corpus
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 300).cast("string").alias("grp")
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    by_grp = split_corpus(df, fr, by="grp")
+    assert by_grp.groupBy("grp").agg(F.countDistinct("split").alias("n")).filter(
+        F.col("n") > 1
+    ).count() == 0
+    a = {r["doc_id"]: r["split"] for r in split_corpus(df, fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in split_corpus(df.repartition(13), fr).collect()}
+    assert a == b
+    counts = {r["split"]: r["n"] for r in split_corpus(df, fr).groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 3000 - 0.8) < 0.05
+    assert set(counts) == {"train", "val", "test"}

@@ -144,3 +144,56 @@ def cells_from_plan(plan: str) -> list[str]:
     m = re.search(r"PartitionFilters: \[cell#\d+L? IN \(([^)]*)\)", plan)
     assert m, plan
     return [tok.strip() for tok in m.group(1).split(",")]
+
+
+def test_compact_table_small_files_and_skewed_partition(spark, tmp_path):
+    """40 tiny append files collapse to one file per shot dir; with a
+    deliberately small target the bigger shot splits into multiple
+    chunks while the small one stays a single file. Content and
+    within-file time sort survive both ways."""
+    from fdf_spark.sources.sinks import compact_table, write_table
+
+    out = str(tmp_path / "frag")
+    for i in range(20):  # streaming-sink-style fragmentation
+        df = spark.createDataFrame(
+            [(141000, float(t + 50 * i), float(t + i)) for t in range(50)]
+            + ([(141001, float(i), 1.0)] if i < 3 else []),
+            "shot long, time double, value double",
+        )
+        write_table(df, out, mode="append")
+    orig = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    def files_per_dir(p):
+        import os
+
+        d = {}
+        for root, _dirs, files in os.walk(p):
+            n = len([f for f in files if f.endswith(".parquet")])
+            if n:
+                d[os.path.basename(root)] = n
+        return d
+
+    assert sum(files_per_dir(out).values()) >= 20
+    stats = compact_table(spark, out, target_bytes=1 << 30)
+    assert stats["files_before"] >= 20
+    assert files_per_dir(out) == {"shot=141000": 1, "shot=141001": 1}
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == orig
+
+    # re-fragment check with a tiny target: the 1000-row shot must split,
+    # the 3-row shot must not
+    stats2 = compact_table(spark, out, target_bytes=4096)
+    per = files_per_dir(out)
+    assert per["shot=141001"] == 1
+    assert per["shot=141000"] > 1
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == orig
+
+    # within-file sort preserved (page-stats contract)
+    import os
+
+    import pyarrow.parquet as pq
+
+    part = os.path.join(out, "shot=141000")
+    for f in os.listdir(part):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(part, f), columns=["time"])["time"].to_pylist()
+            assert t == sorted(t)
