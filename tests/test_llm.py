@@ -395,3 +395,37 @@ def test_split_corpus_group_leakage_safe_and_stable(spark):
     counts = {r["split"]: r["n"] for r in split_corpus(df, fr).groupBy("split").agg(F.count("*").alias("n")).collect()}
     assert abs(counts["train"] / 3000 - 0.8) < 0.05
     assert set(counts) == {"train", "val", "test"}
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Continuous-ingest dedup: batch 2's repeats of batch 1 (and its own
+    internal dups) are dropped without rescanning batch 1's rows; the
+    landed index grows by exactly the new uniques and is partitioned by
+    hash byte for probe pruning."""
+    import os
+
+    from fdf_spark.llm.dedup import incremental_dedup
+
+    idx = str(tmp_path / "hash_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    out1 = incremental_dedup(spark, b1, idx)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]  # 3 is an in-batch dup
+
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    out2 = incremental_dedup(spark, b2, idx)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [11, 13]  # beta landed in b1
+
+    index = spark.read.parquet(idx)
+    assert index.count() == 4  # alpha beta gamma delta
+    assert index.select("content_hash").distinct().count() == 4
+    assert any(d.startswith("hb=") for d in os.listdir(idx))
+
+    # replaying an already-landed batch yields nothing and leaves the index alone
+    out3 = incremental_dedup(spark, b1, idx)
+    assert out3.count() == 0
+    assert spark.read.parquet(idx).count() == 4
