@@ -430,3 +430,52 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    num_cells: int = 16,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Lloyd k-means refinement of the deterministic IVF seed centroids.
+
+    Drop-in upgrade for :func:`ivf_assign`: same (centroids, assigned)
+    contract, but the centroids are trained — ``iters`` rounds of
+    (assign to nearest-by-cosine, recompute per-cell per-dim mean).
+    Everything stays deterministic and engine-portable (a DuckDB oracle
+    replays it bit-for-bit): seeds are the ``num_cells`` smallest-id
+    vectors (no rand()), assignment rounds cosine to 6 dp with
+    ties-to-smaller-centroid, and the mean update accumulates each
+    dimension in exact decimal(25,6) before one double division, so the
+    refined centroid doubles are identical regardless of partitioning.
+
+    Scale shape (classic distributed Lloyd, what MLlib's KMeans also
+    does): per iteration ONE corpus scan + one map-side-combining
+    groupBy with ``dim`` decimal accumulators per cell — the exchange
+    carries ≤ cells rows of (dim+1) accumulators, and the (cells × dim)
+    model state collected to the driver is a few KB. The corpus is
+    never shuffled and there is no per-dimension row fan-out (the
+    posexplode formulation would multiply corpus rows × dim before
+    aggregating). Empty cells drop out of the model, mirroring the SQL
+    replay.
+    """
+    dim = len(corpus.select(corpus_vec).first()[0])
+    cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
+    for _ in range(iters):
+        aggs = [
+            (
+                F.sum(F.col(corpus_vec)[i].cast("double").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            ).alias(f"m{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("cell").agg(*aggs).collect()
+        cents = sorted((int(r["cell"]), [r[f"m{i}"] for i in range(dim)]) for r in rows)
+        assigned = corpus.select(
+            corpus_id,
+            corpus_vec,
+            F.array_min(_cell_scores(F.col(corpus_vec), cents))["cent_id"].alias("cell"),
+        )
+    return cents, assigned

@@ -96,7 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "q64_lsh_candidates",
     "q75_lsh_ann_topk",
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
-    "q91_negative_slice",
+    "q110_upsert_merge",            # N15 (q91 P2/P3 was an exact dup of q43's cover)
     "q92_signal_arithmetic",
 )
 

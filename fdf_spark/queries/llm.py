@@ -1585,3 +1585,71 @@ def q106_pipeline_decontam_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
     )
     return mix_corpus(clean, _MIX_WEIGHTS, budget_tokens=2000).orderBy("doc_id")
+
+
+def _kmeans_sql(iters: int = 2, cells: int = 16, dim: int = 64) -> str:
+    """DuckDB replay of similarity.kmeans_refine: unrolled Lloyd CTE chain
+    (assignment = ROW_NUMBER argmax over round-6dp cosine with
+    ties-to-smaller-centroid; update = per-(cell,dim) decimal(25,6) mean)."""
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {cells})"
+    ]
+    for it in range(iters + 1):
+        parts.append(
+            f"""asg{it} AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents{it} c) WHERE rn = 1)"""
+        )
+        if it < iters:
+            parts.append(
+                f"""cents{it + 1} AS (
+      SELECT cell AS cent_id, list(m ORDER BY pos) AS cvec FROM (
+        SELECT cell, i AS pos,
+               CAST(SUM(CAST(CAST(embedding[i+1] AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM asg{it} CROSS JOIN range({dim}) t(i)
+        GROUP BY cell, i) GROUP BY cell)"""
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT cell, COUNT(*) AS n_vecs,
+           round(CAST(SUM(CAST({_cos_sql('a.embedding', 'c.cvec')} AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+    FROM asg{iters} a JOIN cents{iters} c ON a.cell = c.cent_id
+    GROUP BY cell ORDER BY cell"""
+    )
+
+
+@query(
+    "q111_kmeans_cells",
+    _kmeans_sql(iters=2, cells=16, dim=64),
+    operators=("N3", "N14"),
+    doc="Trained IVF coarse quantizer: 2 Lloyd iterations refine the "
+    "deterministic seed centroids (similarity.kmeans_refine), then a "
+    "per-cell audit (size, mean cosine to own centroid). Fully "
+    "deterministic — no rand(), decimal-exact centroid means — so the "
+    "whole training loop replays in the DuckDB oracle. Scale: one "
+    "corpus scan + one cells-row map-side-combining agg per iteration; "
+    "the corpus is never shuffled; model state to the driver is "
+    "cells x dim doubles (KB). Slots into ivf_ann_topk/semantic_dedup "
+    "in place of ivf_assign without changing the query shape.",
+)
+def q111_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.functions.scalar import davg
+    from fdf_spark.llm.similarity import cosine, kmeans_refine
+
+    cents, assigned = kmeans_refine(T(spark, sf_dir, "embeddings"), num_cells=16, iters=2)
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cell long, cvec array<double>",
+    )
+    return (
+        assigned.join(F.broadcast(cdf), "cell")
+        .select("cell", cosine(F.col("embedding"), F.col("cvec")).alias("cos"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"), F.round(davg("cos"), 6).alias("mean_cos"))
+        .orderBy("cell")
+    )

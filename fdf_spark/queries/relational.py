@@ -1359,3 +1359,87 @@ def q97_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         morton_key(F.col("l_partkey") % 4096, F.col("l_suppkey") % 4096, bits=12).alias("zkey"),
     ).orderBy("zkey", "l_orderkey", "l_linenumber")
+
+
+@query(
+    "q110_upsert_merge",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice,
+             'R' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 50 = 0),
+    del AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_orderkey % 97 = 0 AND o_orderkey % 50 <> 0),
+    ins AS (
+      SELECT -o_orderkey AS o_orderkey, o_totalprice * 0.5 AS o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 71 = 0),
+    basem AS (
+      SELECT b.o_orderkey,
+             CASE WHEN u.o_orderkey IS NULL THEN b.o_totalprice ELSE u.o_totalprice END AS o_totalprice,
+             CASE WHEN u.o_orderkey IS NULL THEN b.o_orderstatus ELSE u.o_orderstatus END AS o_orderstatus
+      FROM orders b
+      LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+      WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM del)),
+    allm AS (
+      SELECT * FROM basem
+      UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus FROM ins)
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price,
+           CAST(SUM(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+    FROM allm GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    operators=("N15", "J2", "U2", "S10"),
+    doc="CDC MERGE INTO emulation (SURVEY §2.11 N15): a deterministic "
+    "change batch (price updates on keys%50, deletes on keys%97, "
+    "inserts on negated keys%71) merged into orders via "
+    "operators.merge.merge_upsert, then a full-table audit aggregate "
+    "(status, count, exact-decimal price sum, inserted-row count) so "
+    "any mis-applied update/insert/delete flips the hash. Plan: the "
+    "broadcast strategy never shuffles the base relation — three "
+    "broadcast joins (anti/inner/anti) + union; at 100 TB the "
+    "partition-level wrapper (merge_into_partitioned) additionally "
+    "prunes the scan to touched partitions and rewrites only those "
+    "(copy-on-write; tests/test_merge.py pins both).",
+)
+def q110_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.merge import merge_upsert
+
+    orders = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    updates = orders.filter(k % 50 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("R").alias("o_orderstatus"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = orders.filter((k % 97 == 0) & (k % 50 != 0)).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(True).alias("deleted"),
+    )
+    inserts = orders.filter(k % 71 == 0).select(
+        (-k).alias("o_orderkey"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(False).alias("deleted"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_upsert(
+        orders,
+        changes,
+        ["o_orderkey"],
+        update_cols=["o_totalprice", "o_orderstatus"],
+        delete_flag="deleted",
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.sum(F.when(F.col("o_orderkey") < 0, 1).otherwise(0)).alias("n_inserted"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -429,3 +429,25 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     out3 = incremental_dedup(spark, b1, idx)
     assert out3.count() == 0
     assert spark.read.parquet(idx).count() == 4
+
+
+def test_kmeans_refine_improves_objective(spark):
+    # spherical k-means: centroid=mean maximizes the within-cell cosine
+    # sum, so 2 Lloyd rounds must not worsen the mean cosine-to-centroid
+    from fdf_spark.llm.similarity import cosine, ivf_assign, kmeans_refine
+
+    emb = spark.read.parquet(f"{SMOKE_DIR}/embeddings.parquet")
+
+    def objective(cents, assigned):
+        cdf = spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in cents], "cell long, cvec array<double>"
+        )
+        return (
+            assigned.join(F.broadcast(cdf), "cell")
+            .agg(F.avg(cosine(F.col("embedding"), F.col("cvec"))))
+            .first()[0]
+        )
+
+    seed = objective(*ivf_assign(emb, num_cells=8))
+    trained = objective(*kmeans_refine(emb, num_cells=8, iters=2))
+    assert trained >= seed - 1e-9, (seed, trained)

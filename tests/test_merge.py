@@ -1,0 +1,123 @@
+"""CDC merge / upsert (operators/merge.py, SURVEY §2.11 N15).
+
+Pins: (1) exact MERGE semantics on a hand-built frame (update, insert,
+delete, not-matched-by-source), (2) broadcast and shuffle strategies
+agree bit-for-bit, (3) the copy-on-write partition wrapper rewrites
+ONLY touched partitions, (4) the broadcast plan never shuffles or
+sort-merges the base relation.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fdf_spark.operators.merge import merge_into_partitioned, merge_upsert
+from tests.conftest import SMOKE_DIR
+
+
+def _tiny(spark):
+    base = spark.createDataFrame(
+        [Row(k=1, v="a", w=10), Row(k=2, v="b", w=20), Row(k=3, v="c", w=30)]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=2, v="B", deleted=False),   # update v only (w kept)
+            Row(k=3, v=None, deleted=True),   # delete
+            Row(k=9, v="Z", deleted=False),   # insert (w -> NULL)
+        ]
+    )
+    return base, changes
+
+
+def test_merge_semantics_exact(spark):
+    base, changes = _tiny(spark)
+    for strategy in ("broadcast", "shuffle"):
+        out = merge_upsert(
+            base, changes, ["k"], update_cols=["v"], delete_flag="deleted", strategy=strategy
+        )
+        rows = {r.k: (r.v, r.w) for r in out.collect()}
+        assert rows == {1: ("a", 10), 2: ("B", 20), 9: ("Z", None)}, strategy
+        assert out.columns == base.columns  # schema preserved, column order too
+
+
+def test_merge_null_update_value_is_applied(spark):
+    # an update that SETS a column to NULL must not fall back to base
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    changes = spark.createDataFrame([Row(k=1, v=None)], schema="k bigint, v string")
+    for strategy in ("broadcast", "shuffle"):
+        out = merge_upsert(base, changes, ["k"], update_cols=["v"], strategy=strategy)
+        assert out.collect() == [Row(k=1, v=None)], strategy
+
+
+def test_strategies_agree_on_orders(spark):
+    orders = spark.read.parquet(f"{SMOKE_DIR}/orders.parquet")
+    k = F.col("o_orderkey")
+    changes = (
+        orders.filter(k % 7 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+                F.lit(False).alias("deleted"))
+        .unionByName(
+            orders.filter(k % 11 == 0)
+            .select("o_orderkey", F.lit(None).cast("double").alias("o_totalprice"),
+                    F.lit(True).alias("deleted"))
+        )
+    )
+    a = merge_upsert(orders, changes, ["o_orderkey"], ["o_totalprice"], "deleted", "broadcast")
+    b = merge_upsert(orders, changes, ["o_orderkey"], ["o_totalprice"], "deleted", "shuffle")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # deletes include keys in BOTH %7 and %11 (e.g. 77): delete wins
+    assert a.filter(F.col("o_orderkey") % 11 == 0).count() == 0
+
+
+def test_partitioned_merge_is_copy_on_write(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5).alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    base.write.partitionBy("p").parquet(path)
+    before = {
+        f: os.path.getmtime(os.path.join(d, f))
+        for d, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+        for f in [os.path.join(d, f)]
+    }
+    # changes touch partitions 1 and 3 only
+    changes = spark.createDataFrame(
+        [Row(k=11, p=1, v=-1), Row(k=33, p=3, v=-3), Row(k=2001, p=3, v=-9)]
+    )
+    touched = merge_into_partitioned(spark, path, changes, ["k"], "p", update_cols=["v"])
+    assert sorted(touched) == [1, 3]
+    after_files = [
+        os.path.join(d, f) for d, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    ]
+    untouched_kept = [f for f in after_files if f in before and ("p=1" not in f and "p=3" not in f)]
+    # untouched partitions: same files, unmodified (dynamic overwrite never rewrote them)
+    assert untouched_kept, "untouched partition files should survive"
+    assert all(os.path.getmtime(f) == before[f] for f in untouched_kept)
+    got = spark.read.parquet(path)
+    assert got.count() == 1001  # 1000 base + 1 insert
+    assert {r.k: r.v for r in got.filter(F.col("k").isin(11, 33, 2001)).collect()} == {
+        11: -1, 33: -3, 2001: -9,
+    }
+    # rows in untouched partitions are intact
+    assert got.filter((F.col("p") == 2) & (F.col("v") != F.col("k") * 2)).count() == 0
+
+
+def test_broadcast_strategy_never_shuffles_base(spark):
+    orders = spark.read.parquet(f"{SMOKE_DIR}/orders.parquet")
+    changes = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    out = merge_upsert(orders, changes, ["o_orderkey"], ["o_totalprice"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the only allowed Exchange is the tiny matched-keys distinct
+    # (change-set sized), never a base-relation hash partition
+    n_ex = len(re.findall(r"\bExchange ", plan))
+    assert n_ex <= 1, plan

@@ -93,6 +93,11 @@ EXPECT: dict[str, dict] = {
     # Σ|cell|², never cartesian); anti-join may sort-merge (removed set
     # is O(corpus), not broadcastable at scale)
     "q108_semantic_dedup": dict(max_exchanges=4, max_smj=2),
+    # CDC merge, broadcast strategy: base never hash-partitioned — all
+    # joins are BHJs (anti/inner/anti) + union; the 4 exchanges are the
+    # change-SIZED matched-keys distinct (appears 2x, subtree unshared),
+    # the audit agg and the final sort — none carries base-sized data
+    "q110_upsert_merge": dict(max_exchanges=4, min_bhj=3, max_smj=0),
 }
 
 

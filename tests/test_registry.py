@@ -32,6 +32,8 @@ REQUIRED_OPS = {
     "N11", "ST5",
     # round-5 addition: semantic (embedding-level) dedup — SemDeDup
     "N14",
+    # round-5 addition: CDC merge / upsert (MERGE INTO emulation)
+    "N15",
 }
 
 

@@ -261,6 +261,20 @@ def main() -> None:
     corpus = spark.range(0, n, 1, 64).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
     timed("semantic dedup (N14)", n, semantic_dedup(corpus, num_cells=64, threshold=0.95))
 
+    # 16c) CDC merge (N15): 100M-row base, 1M-row change batch (0.5%
+    # updates + deletes + inserts) — broadcast strategy: base is scanned
+    # twice but NEVER shuffled; the only exchanges carry change-sized data
+    from fdf_spark.operators.merge import merge_upsert
+
+    n = 100_000_000
+    base = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("k"), (F.col("id") % 9973).cast("double").alias("v"),
+        (F.col("id") % 5).alias("status"))
+    chg = spark.range(0, 1_000_000, 1, 8).select(
+        (F.col("id") * 97 % n).alias("k"), (F.col("id") % 3).cast("double").alias("v"),
+        (F.col("id") % 10 == 0).alias("deleted"))
+    timed("cdc merge (N15)", n, merge_upsert(base, chg, ["k"], ["v"], "deleted"))
+
     # 17) streaming stateful dedup (ST5): 4 micro-batches x 1.25M rows,
     # 64 state buckets, 20% dups (hash = id % 4M, and 4M % 64 == 0 keeps
     # duplicate hashes in the same bucket) — the vectorized first-seen
