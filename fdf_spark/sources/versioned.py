@@ -1,0 +1,138 @@
+"""Versioned parquet tables: time travel + snapshot isolation via
+manifest files — the Iceberg/Delta metadata model in its minimal form.
+
+Reference parity: none (fdf is read-only; see operators/merge.py) —
+this is north-star surface (SURVEY §2.11 N17): a 100 TB corpus under
+continuous CDC needs readers pinned to a consistent snapshot while
+writers land new versions, and "what did training job X actually read"
+must stay answerable after the table moves on.
+
+Layout::
+
+    <path>/data/c<version>-<uuid>/part-*.parquet   immutable data files
+    <path>/_versions/v<00000N>.json                manifest per version
+
+A commit stages data files in a fresh directory, then publishes a
+manifest naming the snapshot's COMPLETE file list via an atomic
+``os.rename`` — the manifest either exists (snapshot visible, whole)
+or not (invisible); readers never see partial writes.  ``append``
+manifests inherit the parent's files; ``overwrite`` starts fresh but
+deletes nothing, so older versions stay readable until ``vacuum``.
+
+Scale notes: the manifest is O(files), not O(rows) — list once, read
+exactly those files (no directory listing race, no eventual-consistency
+hazard on object stores); a production variant shards the manifest and
+adds per-file column stats for metadata-only pruning, which changes
+nothing structural here. ``read_version`` hands Spark an explicit file
+list, so a pinned reader is immune to concurrent commits AND vacuums of
+later versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_versions"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def list_versions(path: str) -> list[int]:
+    d = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as fh:
+        return json.load(fh)
+
+
+def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Write ``df`` as a new table version; returns the version number.
+
+    ``append`` adds the new files to the parent snapshot's list;
+    ``overwrite`` replaces the list (files of older versions are kept
+    on disk for time travel until :func:`vacuum`).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    versions = list_versions(path)
+    parent = versions[-1] if versions else None
+    version = (parent + 1) if parent is not None else 1
+    stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
+    df.write.parquet(stage)
+    new_files = sorted(
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    files = new_files
+    if mode == "append" and parent is not None:
+        files = _read_manifest(path, parent)["files"] + new_files
+    manifest = {"version": version, "parent": parent, "mode": mode, "files": files}
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, _manifest_path(path, version))  # atomic publish
+    return version
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read: the explicit file list of ``version`` (latest if
+    None) — pinned, immune to later commits/vacuums."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    files = _read_manifest(path, v)["files"]
+    if not files:
+        raise FileNotFoundError(f"version {v} is empty")
+    return spark.read.parquet(*files)
+
+
+def vacuum(path: str, keep: int = 1) -> list[str]:
+    """Drop all but the newest ``keep`` versions and delete data files
+    no surviving manifest references; returns the deleted files."""
+    versions = list_versions(path)
+    dead, live = versions[:-keep], versions[-keep:]
+    if not live:
+        raise ValueError("keep must retain at least one version")
+    referenced = {f for v in live for f in _read_manifest(path, v)["files"]}
+    removed = []
+    for v in dead:
+        for f in _read_manifest(path, v)["files"]:
+            if f not in referenced and os.path.exists(f):
+                os.remove(f)
+                removed.append(f)
+        os.remove(_manifest_path(path, v))
+    return removed
+
+
+def merge_versioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys,
+    update_cols=None,
+    delete_flag: str | None = None,
+) -> int:
+    """CDC merge (operators/merge.py semantics) committed as a new
+    snapshot: read latest → merge_upsert → overwrite-commit. Readers of
+    older versions are untouched (copy-on-write + time travel)."""
+    from fdf_spark.operators.merge import merge_upsert
+
+    base = read_version(spark, path)
+    merged = merge_upsert(base, changes, keys, update_cols, delete_flag)
+    return commit_version(merged, path, mode="overwrite")

@@ -280,3 +280,18 @@ def stream_stream_join(
         F.col("l_user").alias("user_id"),
         (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
     )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Stream-static enrichment join (the production 'decorate events
+    with a dimension' shape).
+
+    The static side is re-planned each micro-batch — Spark broadcasts
+    it per batch, so the stream side is NEVER shuffled and no join
+    state accumulates (unlike stream-stream joins there is nothing to
+    watermark: the static snapshot is the whole right side).  At scale
+    the dimension is the small side by construction; if it grows past
+    broadcast size the right fix is a slowly-changing-dimension table
+    fed by its own stream, not a bigger broadcast.
+    """
+    return stream.join(F.broadcast(dim), on, how)

@@ -451,3 +451,105 @@ def test_kmeans_refine_improves_objective(spark):
     seed = objective(*ivf_assign(emb, num_cells=8))
     trained = objective(*kmeans_refine(emb, num_cells=8, iters=2))
     assert trained >= seed - 1e-9, (seed, trained)
+
+
+def test_inverted_index_segments_split_hot_terms(spark):
+    # a term present in every doc must land in num_segments separate
+    # postings rows, each bounded by ceil(corpus/num_segments) — the
+    # skew/row-width bound the 100 TB design depends on
+    from fdf_spark.llm.ranking import inverted_index
+
+    docs = spark.read.parquet(f"{SMOKE_DIR}/documents.parquet")
+    n_docs = docs.count()
+    idx = inverted_index(docs, num_segments=4).cache()
+    hot = idx.groupBy("term").agg(F.sum("df").alias("df")).orderBy(F.desc("df")).first()
+    rows = idx.filter(F.col("term") == hot["term"]).collect()
+    assert len(rows) == 4
+    assert all(len(r["postings"]) <= -(-n_docs // 4) for r in rows)
+    # postings are doc_id-sorted within each segment
+    for r in rows:
+        ids = [p["doc_id"] for p in r["postings"]]
+        assert ids == sorted(ids)
+    # df across segments sums to the unsegmented df
+    one = inverted_index(docs, num_segments=1)
+    assert (
+        one.filter(F.col("term") == hot["term"]).first()["df"]
+        == sum(r["df"] for r in rows)
+    )
+    idx.unpersist()
+
+
+def test_inverted_index_tf_modes_agree(spark):
+    from fdf_spark.llm.ranking import inverted_index
+
+    docs = spark.read.parquet(f"{SMOKE_DIR}/documents.parquet")
+    flat = lambda df: df.select(  # noqa: E731
+        "term", "segment", "df", "cf", F.to_json("postings").alias("p")
+    )
+    a = flat(inverted_index(docs, num_segments=2, tf_mode="map_side"))
+    b = flat(inverted_index(docs, num_segments=2, tf_mode="explode"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pq_ann_recall_and_rerank(spark):
+    # ADC with seed codebooks must beat random top-k by a wide margin,
+    # and exact re-ranking of 4x candidates must not lower recall
+    from pyspark.sql import Window as W
+
+    from fdf_spark.llm.similarity import _l2, pq_ann_topk
+
+    emb = spark.read.parquet(f"{SMOKE_DIR}/embeddings.parquet").cache()
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    k = 10
+    exact = (
+        emb.join(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("edist", _l2(F.col("query_vec"), F.col("embedding")))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("edist").asc(), F.col("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    truth = {(r.query_id, r.vec_id) for r in exact.collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_adc = recall(pq_ann_topk(qs, emb, k=k))
+    r_rr = recall(pq_ann_topk(qs, emb, k=k, rerank=4))
+    n = emb.count()
+    random_recall = k / (n - 1)
+    assert r_adc > 10 * random_recall, (r_adc, random_recall)
+    assert r_rr >= r_adc, (r_rr, r_adc)
+    emb.unpersist()
+
+
+def test_pq_encode_modes_agree(spark):
+    # arrow (numpy) encode mirrors the expr fold: same sequential
+    # accumulation order, same half-up rounding — codes must be identical
+    from fdf_spark.llm.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{SMOKE_DIR}/embeddings.parquet")
+    _, a = pq_encode(emb, encode_mode="expr")
+    _, b = pq_encode(emb, encode_mode="arrow")
+    ra = {r.vec_id: list(r.code) for r in a.select("vec_id", "code").collect()}
+    rb = {r.vec_id: list(r.code) for r in b.select("vec_id", "code").collect()}
+    assert ra == rb
+
+
+def test_pagerank_hub_and_mass(spark):
+    # star graph: every leaf links to the hub — hub must dominate; total
+    # mass stays within [1-d, 1] (dangling hub mass is dropped by design)
+    from fdf_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 9)], "src long, dst long")
+    r = {row.node: row.rank for row in pagerank(edges, iters=5).collect()}
+    assert r[0] == max(r.values()) and r[0] > 5 * r[1]
+    assert len(set(r[i] for i in range(1, 9))) == 1  # leaves symmetric
+    assert 0.15 - 1e-6 <= sum(r.values()) <= 1.0 + 1e-6

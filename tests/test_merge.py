@@ -121,3 +121,22 @@ def test_broadcast_strategy_never_shuffles_base(spark):
     # (change-set sized), never a base-relation hash partition
     n_ex = len(re.findall(r"\bExchange ", plan))
     assert n_ex <= 1, plan
+
+
+# --- data-quality validation (operators/validate.py, N18) -------------------
+
+
+def test_validate_null_counts_as_violation(spark):
+    from fdf_spark.operators.validate import validate, violation_sample
+
+    df = spark.createDataFrame(
+        [Row(k=1, v=5), Row(k=2, v=None), Row(k=3, v=-1), Row(k=3, v=7)],
+        "k bigint, v bigint",
+    )
+    audit = {r.rule: r.n_violations for r in validate(
+        df, {"v_positive": F.col("v") > 0}, unique_keys=["k"]
+    ).collect()}
+    # NULL predicate (k=2) must count alongside the false one (k=3,-1)
+    assert audit == {"v_positive": 2, "unique(k)": 1}
+    bad = violation_sample(df, {"v_positive": F.col("v") > 0}).collect()
+    assert {r.k for r in bad} == {2, 3}

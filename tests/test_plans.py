@@ -98,6 +98,18 @@ EXPECT: dict[str, dict] = {
     # change-SIZED matched-keys distinct (appears 2x, subtree unshared),
     # the audit agg and the final sort — none carries base-sized data
     "q110_upsert_merge": dict(max_exchanges=4, min_bhj=3, max_smj=0),
+    # inverted index: per-doc tf is map-side (no per-occurrence rows);
+    # the 2 exchanges are the (term,segment) agg and the final sort
+    "q112_inverted_index": dict(max_exchanges=2, max_smj=0),
+    # PQ ADC: encode + LUT scoring are map-side over the broadcast query
+    # rows (the one BNL is the intended tiny-side cross join, as q65);
+    # only the per-query top-k window and final sort exchange
+    "q114_pq_adc_topk": dict(max_exchanges=2, max_bnl=1, max_smj=0),
+    # expectations audit: all row rules share ONE scan+agg (stack
+    # unpivot, not a union of per-rule selects); the second scan is the
+    # uniqueness groupBy — 2 scans, 3 exchanges total, regardless of
+    # how many row rules are declared
+    "q117_data_quality": dict(max_exchanges=3, max_smj=0, max_scans=2),
 }
 
 
@@ -121,5 +133,8 @@ def test_plan_shape(spark, name):
         assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan, (
             f"{name}: parquet filter pushdown missing"
         )
+    if "max_scans" in exp:
+        n_scans = plan.count("Scan parquet")
+        assert n_scans <= exp["max_scans"], f"{name}: {n_scans} parquet scans"
     for frag in exp.get("absent", ()):
         assert frag not in plan, f"{name}: forbidden plan fragment {frag!r}"

@@ -34,6 +34,13 @@ REQUIRED_OPS = {
     "N14",
     # round-5 addition: CDC merge / upsert (MERGE INTO emulation)
     "N15",
+    # round-5 addition: iterative graph analytics (PageRank; components
+    # were already in via q74's N2 coverage, now declared first-class)
+    "N16",
+    # round-5 addition: table versioning / time travel (manifest model)
+    "N17",
+    # round-5 addition: data-quality expectations audit
+    "N18",
 }
 
 

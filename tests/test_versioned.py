@@ -1,0 +1,81 @@
+"""Versioned tables (sources/versioned.py, SURVEY §2.11 N17): time
+travel, snapshot isolation, atomic publish, vacuum, merge-as-commit."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fdf_spark.sources.versioned import (
+    commit_version,
+    list_versions,
+    merge_versioned,
+    read_version,
+    vacuum,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+
+def test_time_travel_and_modes(spark, tmp_path):
+    p = str(tmp_path / "t")
+    assert commit_version(_df(spark, 0, 10), p) == 1
+    assert commit_version(_df(spark, 10, 15), p, mode="append") == 2
+    assert commit_version(_df(spark, 100, 103), p, mode="overwrite") == 3
+    assert list_versions(p) == [1, 2, 3]
+    assert read_version(spark, p, 1).count() == 10
+    assert read_version(spark, p, 2).count() == 15
+    assert read_version(spark, p).count() == 3  # latest = overwrite
+    assert {r.k for r in read_version(spark, p, 3).collect()} == {100, 101, 102}
+
+
+def test_snapshot_isolation_across_commits(spark, tmp_path):
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    pinned = read_version(spark, p, 1)  # reader pinned BEFORE next commit
+    commit_version(_df(spark, 0, 1000), p, mode="overwrite")
+    assert pinned.count() == 10  # unaffected by the overwrite
+    assert read_version(spark, p).count() == 1000
+
+
+def test_staged_files_invisible_without_manifest(spark, tmp_path):
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 5), p)
+    # simulate a crashed writer: data staged, manifest never published
+    _df(spark, 0, 100).write.parquet(os.path.join(p, "data", "c-orphan"))
+    assert read_version(spark, p).count() == 5
+
+
+def test_vacuum_keeps_referenced_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    commit_version(_df(spark, 10, 20), p, mode="append")  # v2 references v1's files
+    commit_version(_df(spark, 50, 55), p, mode="overwrite")
+    removed = vacuum(p, keep=2)  # drop v1; its files survive via v2
+    assert removed == []
+    assert list_versions(p) == [2, 3]
+    assert read_version(spark, p, 2).count() == 20
+    removed = vacuum(p, keep=1)  # drop v2; v1+v2 files now unreferenced
+    assert removed and read_version(spark, p, 3).count() == 5
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, p, 2)
+
+
+def test_merge_versioned_is_cow(spark, tmp_path):
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    changes = spark.createDataFrame(
+        [Row(k=3, v=-1, deleted=False), Row(k=7, v=None, deleted=True), Row(k=99, v=99, deleted=False)],
+        "k bigint, v bigint, deleted boolean",
+    )
+    v = merge_versioned(spark, p, changes, ["k"], update_cols=["v"], delete_flag="deleted")
+    assert v == 2
+    got = {r.k: r.v for r in read_version(spark, p).collect()}
+    assert got[3] == -1 and 7 not in got and got[99] == 99 and got[0] == 0
+    # history intact
+    assert read_version(spark, p, 1).count() == 10

@@ -275,6 +275,39 @@ def main() -> None:
         (F.col("id") % 10 == 0).alias("deleted"))
     timed("cdc merge (N15)", n, merge_upsert(base, chg, ["k"], ["v"], "deleted"))
 
+    # 16d) inverted index (N10): 5M 12-word docs over a 100k vocab with
+    # a planted every-doc stop word — 32 segments keep the hot term's
+    # postings build parallel; shuffle rows = (doc, distinct term), not
+    # token occurrences
+    from fdf_spark.llm.ranking import inverted_index
+
+    n = 5_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("the"),
+            *[F.conv(((F.col("id") * 31 + i) % 100_000).cast("string"), 10, 36) for i in range(11)],
+        ).alias("text"),
+    )
+    timed("inverted index (N10)", n, inverted_index(docs, num_segments=32))
+
+    # 16e) PQ encode + ADC search (N3): 1M 64-dim vectors -> 8 codes,
+    # 8 queries — encode is map-side (zero shuffles), the ADC scan reads
+    # codes (32x smaller than vectors); only the top-k window shuffles
+    from fdf_spark.llm.similarity import pq_ann_topk
+
+    n = 1_000_000
+    vec64 = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.sin(F.col("id").cast("double") * (i.cast("double") + 1.0)).cast("float"),
+    )
+    corpus = spark.range(0, n, 1, 64).select(F.col("id").alias("vec_id"), vec64.alias("embedding"))
+    pqq = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    timed("pq adc topk (N3)", n, pq_ann_topk(pqq, corpus, k=10, exact_decimal=False, encode_mode="arrow"))
+
     # 17) streaming stateful dedup (ST5): 4 micro-batches x 1.25M rows,
     # 64 state buckets, 20% dups (hash = id % 4M, and 4M % 64 == 0 keeps
     # duplicate hashes in the same bucket) — the vectorized first-seen
