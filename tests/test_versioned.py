@@ -79,3 +79,52 @@ def test_merge_versioned_is_cow(spark, tmp_path):
     assert got[3] == -1 and 7 not in got and got[99] == 99 and got[0] == 0
     # history intact
     assert read_version(spark, p, 1).count() == 10
+
+
+def test_stream_merge_sink(spark, tmp_path):
+    import time as _time
+
+    from fdf_spark.sources.versioned import stream_merge_sink
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 20), p)  # v1 base
+    src = str(tmp_path / "src")
+    # two change files = two micro-batches (disjoint keys, so final
+    # state is order-independent)
+    b1 = spark.createDataFrame([Row(k=1, v=-1), Row(k=100, v=100)], "k bigint, v bigint")
+    b2 = spark.createDataFrame([Row(k=2, v=-2), Row(k=200, v=200)], "k bigint, v bigint")
+    b1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)  # distinct mtimes -> deterministic batch split
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k bigint, v bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_merge_sink(stream, p, ["k"], update_cols=["v"])
+    q.processAllAvailable()
+    q.stop()
+    assert list_versions(p) == [1, 2, 3]  # one commit per micro-batch
+    got = {r.k: r.v for r in read_version(spark, p).collect()}
+    assert got[1] == -1 and got[2] == -2 and got[100] == 100 and got[200] == 200
+    assert got[5] == 10  # untouched base row intact
+    assert len(got) == 22
+    # every intermediate snapshot still readable (time travel)
+    assert read_version(spark, p, 1).count() == 20
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    # a later commit may add columns; snapshot reads resolve the union
+    # schema (mergeSchema) with NULLs for files that predate the column
+    from fdf_spark.sources.versioned import read_version as rv
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 3), p)
+    wide = _df(spark, 10, 13).withColumn("extra", F.lit("x"))
+    commit_version(wide, p, mode="append")
+    got = rv(spark, p)
+    assert "extra" in got.columns
+    rows = {r.k: r.extra for r in got.collect()}
+    assert rows[10] == "x" and rows[0] is None
+    # old snapshot keeps the old schema
+    assert "extra" not in rv(spark, p, 1).columns
