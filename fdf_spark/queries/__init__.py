@@ -92,7 +92,7 @@ PRIORITY: tuple[str, ...] = (
     "q107_real_codec_roundtrip",   # N6 real BMP/WAV decode (r5; displaced q48 — A2/A5/A9 all double-covered)
     "q116_time_travel",             # N17 (q88 A2/P7 both covered by q01)
     "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
-    "q90_null_discipline",
+    "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
     "q64_lsh_candidates",
     "q75_lsh_ann_topk",
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)

@@ -1761,3 +1761,69 @@ def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq_ann_topk(qs, emb, k=5).orderBy("query_id", "rank")
+
+
+_CHAR_VOCAB = {**{chr(c): c - 96 for c in range(97, 123)}, **{chr(c): c - 21 for c in range(48, 58)}}
+
+
+@query(
+    "q118_tokenize",
+    """
+    WITH freq AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        FROM documents) GROUP BY w),
+    vocab AS (
+      SELECT w, 36 + ROW_NUMBER() OVER (ORDER BY c DESC, w) AS id
+      FROM freq ORDER BY c DESC, w LIMIT 20),
+    docs AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+      FROM documents WHERE doc_id % 10 = 0),
+    wds AS (SELECT doc_id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS w FROM docs),
+    wids AS (
+      SELECT doc_id, wpos,
+             CASE WHEN v.id IS NOT NULL THEN [CAST(v.id AS INT)]
+                  ELSE list_transform(range(length(w)), i ->
+                       CASE WHEN substr(w, CAST(i+1 AS INT), 1) BETWEEN 'a' AND 'z'
+                              THEN CAST(unicode(substr(w, CAST(i+1 AS INT), 1)) - 96 AS INT)
+                            WHEN substr(w, CAST(i+1 AS INT), 1) BETWEEN '0' AND '9'
+                              THEN CAST(unicode(substr(w, CAST(i+1 AS INT), 1)) - 21 AS INT)
+                            ELSE 0 END) END AS ids
+      FROM wds LEFT JOIN vocab v USING (w)),
+    tok AS (
+      SELECT doc_id, wpos, generate_subscripts(ids, 1) AS cpos, unnest(ids) AS id FROM wids)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(id, ',' ORDER BY wpos, cpos) AS ids
+    FROM tok GROUP BY doc_id ORDER BY doc_id
+    """,
+    operators=("N19", "N9"),
+    doc="Tokenization to token IDS (SURVEY §2.11 N19, driver tier): "
+    "word-level vocabulary encode with per-character fallback — vocab "
+    "= corpus top-20 words by (freq desc, word), ids 37+, chars a-z/"
+    "0-9 = 1..36, UNK=0. Pure column algebra over a broadcast map "
+    "literal: one scan, zero shuffles, zero Python; the oracle "
+    "rebuilds the vocab and replays the encode relationally. The real "
+    "BPE tier (learned merges, iterative per-word loop) is "
+    "tokenize_bpe — Arrow-batched, property-tested vs a pure-Python "
+    "reference in pytest (not SQL-expressible).",
+)
+def q118_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.tokenize import _word_split, tokenize_vocab
+
+    docs = T(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(_word_split(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(20)
+        .collect()
+    )
+    vocab = dict(_CHAR_VOCAB)
+    vocab.update({r["w"]: 37 + i for i, r in enumerate(freq)})
+    out = tokenize_vocab(docs.filter(F.col("doc_id") % 10 == 0), vocab)
+    return out.select(
+        "doc_id",
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+        F.concat_ws(",", F.transform(F.col("token_ids"), lambda x: x.cast("string"))).alias("ids"),
+    ).orderBy("doc_id")

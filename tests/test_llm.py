@@ -553,3 +553,52 @@ def test_pagerank_hub_and_mass(spark):
     assert r[0] == max(r.values()) and r[0] > 5 * r[1]
     assert len(set(r[i] for i in range(1, 9))) == 1  # leaves symmetric
     assert 0.15 - 1e-6 <= sum(r.values()) <= 1.0 + 1e-6
+
+
+def test_bpe_roundtrip_and_reference_parity(spark, docs):
+    # tokenize_bpe must (1) reproduce the pure-Python merge loop
+    # word-for-word, (2) concatenate back to the original words, and
+    # (3) compress vs raw characters once merges are learned
+    from fdf_spark.llm.tokenize import (
+        _bpe_encode_word,
+        _py_word_split,
+        learn_bpe,
+        tokenize_bpe,
+    )
+
+    sample = docs.filter(F.col("doc_id") < 40).cache()
+    merges = learn_bpe(sample, num_merges=30)
+    assert len(merges) == 30 and len(set(map(tuple, merges))) == 30
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    got = {r.doc_id: list(r.pieces) for r in tokenize_bpe(sample, merges).collect()}
+    texts = {r.doc_id: r.text for r in sample.select("doc_id", "text").collect()}
+    n_pieces = n_chars = 0
+    for did, t in texts.items():
+        expected = [p for w in _py_word_split(t) for p in _bpe_encode_word(w, ranks)]
+        assert got[did] == expected, did
+        assert "".join(got[did]) == "".join(_py_word_split(t))  # lossless
+        n_pieces += len(got[did])
+        n_chars += sum(len(w) for w in _py_word_split(t))
+    assert n_pieces < 0.7 * n_chars  # learned merges actually compress
+    sample.unpersist()
+
+
+def test_tokenize_vocab_char_fallback(spark):
+    from fdf_spark.llm.tokenize import UNK_ID, tokenize_vocab
+
+    df = spark.createDataFrame([(1, "cat zap c4t !")], "doc_id long, text string")
+    vocab = {"cat": 100, "c": 3, "a": 1, "t": 20, "4": 30}
+    ids = tokenize_vocab(df, vocab).first()["token_ids"]
+    # "cat"->100; "zap" OOV -> z(UNK) a p(UNK); "c4t" OOV -> 3,30,20 ; "!" dropped by split
+    assert ids == [100, UNK_ID, 1, UNK_ID, 3, 30, 20]
+
+
+def test_tokenize_vocab_modes_agree(spark, docs):
+    from fdf_spark.llm.tokenize import tokenize_vocab
+
+    vocab = {**{chr(c): c - 96 for c in range(97, 123)},
+             **{chr(c): c - 21 for c in range(48, 58)},
+             "the": 100, "table": 101, "query": 102}
+    a = {r.doc_id: list(r.token_ids) for r in tokenize_vocab(docs, vocab, mode="expr").collect()}
+    b = {r.doc_id: list(r.token_ids) for r in tokenize_vocab(docs, vocab, mode="arrow").collect()}
+    assert a == b and any(100 in v for v in a.values())

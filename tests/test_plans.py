@@ -115,6 +115,9 @@ EXPECT: dict[str, dict] = {
     # rank/deg side at fixture scale; no cartesian, no nested loop —
     # exchange count scales with iters (small relations), not corpus
     "q115_pagerank": dict(max_exchanges=27, max_smj=0),
+    # vocab tokenizer: broadcast map literal, encode is pure map-side —
+    # one scan, the only exchange is the final sort
+    "q118_tokenize": dict(max_exchanges=1, max_smj=0, max_scans=1),
 }
 
 

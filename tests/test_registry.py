@@ -41,6 +41,8 @@ REQUIRED_OPS = {
     "N17",
     # round-5 addition: data-quality expectations audit
     "N18",
+    # round-5 addition: tokenization to token ids (vocab tier; BPE in pytest)
+    "N19",
 }
 
 

@@ -308,6 +308,35 @@ def main() -> None:
     )
     timed("pq adc topk (N3)", n, pq_ann_topk(pqq, corpus, k=10, exact_decimal=False, encode_mode="arrow"))
 
+    # 16f) vocab tokenization (N19): 5M 12-word docs, 50k-word vocab map
+    # literal broadcast — encode is pure column algebra, zero shuffles
+    from fdf_spark.llm.tokenize import tokenize_vocab
+
+    n = 5_000_000
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(11)),
+        lambda i: F.conv(((F.col("id") * 31 + i * 7) % 50_000).cast("string"), 10, 36),
+    )
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+    import string
+
+    def b36(x):
+        digits = string.digits + string.ascii_lowercase
+        out = ""
+        while True:
+            x, r = divmod(x, 36)
+            out = digits[r] + out
+            if x == 0:
+                return out
+
+    vocab = {c: i + 1 for i, c in enumerate(string.ascii_lowercase + string.digits)}
+    base = len(vocab) + 1
+    # the 50k known words are the lowercase base-36 forms of 0..49999
+    vocab.update({b36(w): base + w for w in range(50_000)})
+    timed("vocab tokenize (N19)", n, tokenize_vocab(docs, vocab, mode="arrow"))
+
     # 17) streaming stateful dedup (ST5): 4 micro-batches x 1.25M rows,
     # 64 state buckets, 20% dups (hash = id % 4M, and 4M % 64 == 0 keeps
     # duplicate hashes in the same bucket) — the vectorized first-seen
