@@ -1,10 +1,12 @@
-"""LLM-data-pipeline operators (SURVEY §2.11 N1-N13) — the north-star
+"""LLM-data-pipeline operators (SURVEY §2.11 N1-N19) — the north-star
 extension surface: dedup (exact / MinHash-LSH / SimHash / n-gram
 Jaccard / span-level substring / embedding), similarity search
-(brute-force + LSH/IVF ANN), text analysis, benchmark decontamination,
-PII redaction, chunking/sequence packing, deterministic sampling and
-mixture construction, and multimodal column plumbing — all designed
-for 100 TB document corpora.
+(brute-force + LSH/IVF/PQ-ADC ANN with a trainable coarse quantizer),
+relevance ranking + inverted index, text analysis, tokenization
+(vocab + learned BPE), benchmark decontamination, PII redaction,
+chunking/sequence packing, deterministic sampling and mixture
+construction, and multimodal column plumbing — all designed for
+100 TB document corpora.
 """
 
 from fdf_spark.llm.decontam import decontaminate  # noqa: F401
@@ -19,6 +21,17 @@ from fdf_spark.llm.dedup import (  # noqa: F401
 )
 from fdf_spark.llm.mixing import mix_corpus  # noqa: F401
 from fdf_spark.llm.pii import detect_pii, redact_text  # noqa: F401
-from fdf_spark.llm.similarity import cosine_topk, knn_predict, lsh_ann_topk  # noqa: F401
+from fdf_spark.llm.ranking import bm25_topk, inverted_index  # noqa: F401
+from fdf_spark.llm.similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_ann_topk,
+    kmeans_refine,
+    knn_predict,
+    lsh_ann_topk,
+    pq_ann_topk,
+    pq_encode,
+    semantic_dedup,
+)
 from fdf_spark.llm.spans import dup_spans  # noqa: F401
 from fdf_spark.llm.textstats import fingerprint, language_id, text_stats  # noqa: F401
+from fdf_spark.llm.tokenize import learn_bpe, tokenize_bpe, tokenize_vocab  # noqa: F401

@@ -5,3 +5,6 @@ from fdf_spark.operators.selection import (  # noqa: F401
     value_window,
 )
 from fdf_spark.operators.windows import baseline_subtract  # noqa: F401
+from fdf_spark.operators.graph import connected_components, pagerank  # noqa: F401
+from fdf_spark.operators.merge import merge_into_partitioned, merge_upsert  # noqa: F401
+from fdf_spark.operators.validate import validate, violation_sample  # noqa: F401

@@ -602,3 +602,18 @@ def test_tokenize_vocab_modes_agree(spark, docs):
     a = {r.doc_id: list(r.token_ids) for r in tokenize_vocab(docs, vocab, mode="expr").collect()}
     b = {r.doc_id: list(r.token_ids) for r in tokenize_vocab(docs, vocab, mode="arrow").collect()}
     assert a == b and any(100 in v for v in a.values())
+
+
+def test_assign_modes_agree_and_kmeans_arrow(spark, emb):
+    # arrow assignment must reproduce the expression argmin exactly
+    # (sequential dot/norm order, half-away rounding, tie-to-smaller-id)
+    from fdf_spark.llm.similarity import ivf_assign, kmeans_refine
+
+    _, a = ivf_assign(emb, num_cells=8, assign_mode="expr")
+    _, b = ivf_assign(emb, num_cells=8, assign_mode="arrow")
+    ra = {r.vec_id: r.cell for r in a.collect()}
+    rb = {r.vec_id: r.cell for r in b.collect()}
+    assert ra == rb
+    ca, _ = kmeans_refine(emb, num_cells=8, iters=2, assign_mode="expr")
+    cb, _ = kmeans_refine(emb, num_cells=8, iters=2, assign_mode="arrow")
+    assert ca == cb  # trained centroids bit-identical across modes

@@ -308,6 +308,33 @@ def main() -> None:
     )
     timed("pq adc topk (N3)", n, pq_ann_topk(pqq, corpus, k=10, exact_decimal=False, encode_mode="arrow"))
 
+    # 16e2) trained coarse quantizer (N3): 2 Lloyd iterations over 1M
+    # 64-dim vectors, 32 cells — arrow assignment (numerically identical
+    # to the expr path, ~15x faster), one cells-row agg per iteration
+    from fdf_spark.llm.similarity import kmeans_refine
+
+    n = 1_000_000
+    vecp = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: (F.sin((F.col("id") + 1).cast("double") * (i.cast("double") + 1.0)) + F.lit(2.0)).cast("float"),
+    )
+    corpus = spark.range(0, n, 1, 64).select(F.col("id").alias("vec_id"), vecp.alias("embedding"))
+    t0 = time.perf_counter()
+    _, asg = kmeans_refine(corpus, num_cells=32, iters=2, assign_mode="arrow")
+    asg.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"{'kmeans 2 iters (N3)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s", flush=True)
+
+    # 16e3) PageRank (N16): 100k-node graph, ~5M distinct edges, 3
+    # power iterations — rank join + dst agg per round
+    from fdf_spark.operators.graph import pagerank
+
+    ne = 5_000_000
+    edges = spark.range(0, ne, 1, 64).select(
+        (F.col("id") % 100_000).alias("src"), ((F.col("id") * 31 + 7) % 100_000).alias("dst")
+    ).distinct()
+    timed("pagerank 3 iters (N16)", ne, pagerank(edges, iters=3))
+
     # 16f) vocab tokenization (N19): 5M 12-word docs, 50k-word vocab map
     # literal broadcast — encode is pure column algebra, zero shuffles
     from fdf_spark.llm.tokenize import tokenize_vocab
