@@ -254,9 +254,11 @@ def main() -> None:
     from fdf_spark.llm.similarity import semantic_dedup
 
     n = 50_000
+    # id+1: id=0 would make every sin() term 0 — a zero-norm vector has
+    # no cosine (ANSI divide-by-zero); garbage a validate() gate catches
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(15)),
-        lambda i: F.sin(F.col("id").cast("double") * (i.cast("double") + 1.0)),
+        lambda i: F.sin((F.col("id") + 1).cast("double") * (i.cast("double") + 1.0)),
     )
     corpus = spark.range(0, n, 1, 64).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
     timed("semantic dedup (N14)", n, semantic_dedup(corpus, num_cells=64, threshold=0.95))
