@@ -1772,7 +1772,7 @@ _CHAR_VOCAB = {**{chr(c): c - 96 for c in range(97, 123)}, **{chr(c): c - 21 for
     WITH freq AS (
       SELECT w, COUNT(*) AS c FROM (
         SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
-        FROM documents) GROUP BY w),
+        FROM documents) WHERE length(w) >= 2 GROUP BY w),
     vocab AS (
       SELECT w, 36 + ROW_NUMBER() OVER (ORDER BY c DESC, w) AS id
       FROM freq ORDER BY c DESC, w LIMIT 20),
@@ -1811,8 +1811,12 @@ def q118_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.llm.tokenize import _word_split, tokenize_vocab
 
     docs = T(spark, sf_dir, "documents")
+    # single-char words stay on their fixed char ids (a learned-vocab
+    # entry would shadow the char id and break the oracle's arithmetic
+    # char-fallback encode at small corpora where e.g. 'a' is top-20)
     freq = (
         docs.select(F.explode(_word_split(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
         .groupBy("w")
         .count()
         .orderBy(F.desc("count"), "w")
