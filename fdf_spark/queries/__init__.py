@@ -51,7 +51,7 @@ PRIORITY: tuple[str, ...] = (
     "q82_dim_scan",                 # S1 S2 P6
     "q80_channel_expansion",        # S6
     "q04_top_orders",               # S4 O1 O2 O3 J2
-    "q87_sink_roundtrip",           # S10
+    "q119_countmin_hot_tokens",     # N20 Count-Min sketch (r5; displaced q87 — S10 triple-covered by q116/q110)
     "q53_stream_event_decode",      # S7 S8 ST1 ST2 F9 A7
     "q55_stream_stream_join",       # ST3 ST4 J7(stream)
     "q40_nearest_event",            # P5 A4 O4 J4
@@ -76,9 +76,9 @@ PRIORITY: tuple[str, ...] = (
     "q65_cosine_topk",              # N3
     "q70_text_quality",             # N4
     "q68_multimodal_features",      # N6
-    "q37_hash_sample",              # N7
+    "q120_lm_quality",              # N21 unigram-LM scoring (r5; displaced q37 — N7/P6/N4 all triple-covered, q120 re-tags N7+N4)
     "q39_json_roundtrip",           # N8
-    "q34_word_topk",                # N9
+    "q121_fuzzy_match",             # N22 blocked ER (r5; displaced q34 — N9 covered by q118+q119, N4 by q70/q103)
     # -- breadth fillers, all oracle-checked --
     "q50_tumbling_window",
     "q54_stateful_dedup_count",
@@ -89,7 +89,7 @@ PRIORITY: tuple[str, ...] = (
     "q103_pii_redact",             # N13 (r4; displaced q21 — N5 double-cover)
     "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
     "q106_pipeline_decontam_mix",  # N1+N12+N7 end-to-end (r5; displaced q32 — A8 triple-cover)
-    "q107_real_codec_roundtrip",   # N6 real BMP/WAV decode (r5; displaced q48 — A2/A5/A9 all double-covered)
+    "q122_incremental_view",       # N23 incremental view maintenance (r5; displaced q107 — N6 covered by q68)
     "q116_time_travel",             # N17 (q88 A2/P7 both covered by q01)
     "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)

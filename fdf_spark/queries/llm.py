@@ -1831,3 +1831,111 @@ def q118_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("token_ids").cast("bigint").alias("n_tokens"),
         F.concat_ws(",", F.transform(F.col("token_ids"), lambda x: x.cast("string"))).alias("ids"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frequency sketches + model-based quality scoring (N20, N21)
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH, _CM_WIDTH = 4, 1024
+_CM_ROWS_SQL = "(SELECT unnest([0, 1, 2, 3]) AS r)"
+
+
+@query(
+    "q119_countmin_hot_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token FROM documents),
+    t AS (SELECT token FROM toks WHERE token <> ''),
+    exact AS (SELECT token, COUNT(*) AS exact_cnt FROM t GROUP BY token),
+    probes AS (SELECT token, exact_cnt FROM exact ORDER BY exact_cnt DESC, token LIMIT 15),
+    cells AS (
+      SELECT rs.r AS row, {sql_hash60('token', 'rs.r')} % {_CM_WIDTH} AS bucket,
+             COUNT(*) AS cnt
+      FROM t CROSS JOIN {_CM_ROWS_SQL} rs
+      GROUP BY rs.r, bucket),
+    est AS (
+      SELECT p.token, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+      FROM probes p
+      CROSS JOIN {_CM_ROWS_SQL} rs
+      LEFT JOIN cells c
+        ON c.row = rs.r AND c.bucket = {sql_hash60('p.token', 'rs.r')} % {_CM_WIDTH}
+      GROUP BY p.token)
+    SELECT p.token, p.exact_cnt, e.est_cnt
+    FROM probes p JOIN est e USING (token)
+    ORDER BY p.exact_cnt DESC, p.token
+    """,
+    operators=("N20", "N5", "N9"),
+    doc="Count-Min frequency sketch (Cormode & Muthukrishnan 2005) "
+    "probed at the corpus's 15 hottest tokens, alongside exact counts "
+    "(est >= exact always; equality when no bucket collision). The "
+    "sketch is one pass with an in-row x4-cell fan-out and a map-side-"
+    "combining groupBy whose shuffle is capped at depth*width cells "
+    "per map partition regardless of corpus size; estimation "
+    "broadcast-joins the <=4096-row sketch. Hot-token detection at "
+    "100 TB with fixed-size mergeable state.",
+)
+def q119_countmin_hot_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.sketches import cm_estimate, countmin_sketch
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "token").limit(15)
+    sketch = countmin_sketch(toks, depth=_CM_DEPTH, width=_CM_WIDTH)
+    est = cm_estimate(sketch, probes.select("token"), depth=_CM_DEPTH, width=_CM_WIDTH)
+    return (
+        probes.join(est, "token")
+        .select("token", "exact_cnt", "est_cnt")
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
+
+
+@query(
+    "q120_lm_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS v_size FROM counts),
+    lm AS (
+      SELECT token, round(ln((cnt + 1.0) / (n_total + v_size + 1.0)), 6) AS logp
+      FROM counts CROSS JOIN tot),
+    scored AS (
+      SELECT t.doc_id,
+             COALESCE(l.logp,
+                      (SELECT round(ln(1.0 / (n_total + v_size + 1.0)), 6) FROM tot)) AS logp
+      FROM t LEFT JOIN lm l USING (token))
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round({_sql_dsum('logp')} / COUNT(*), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_logp, doc_id LIMIT 20
+    """,
+    operators=("N21", "N4", "N7"),
+    doc="Model-based quality scoring (CCNet-style): train a smoothed "
+    "unigram LM on the corpus in one map-side-combining token count "
+    "(+ a 1-row totals broadcast), then score every document by mean "
+    "token log-prob via a broadcast vocab join — the corpus is never "
+    "shuffled; the per-doc agg carries one row per document. Returns "
+    "the 20 most-atypical documents (lowest mean log-prob = the "
+    "quality-filter cut candidates). Per-token logp rounded to 6 dp "
+    "pre-sum + decimal accumulate makes scores order-independent and "
+    "engine-replayable.",
+)
+def q120_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.lmscore import score_docs, train_unigram_lm
+
+    docs = T(spark, sf_dir, "documents")
+    # the LM is vocab-sized (tiny vs the corpus); persist it so the
+    # scoring pass and the OOV-scalar agg reuse one training scan
+    # instead of recomputing the count subtree per consumer
+    lm = train_unigram_lm(docs).persist()
+    return (
+        score_docs(docs, lm)
+        .orderBy("avg_logp", "doc_id")
+        .limit(20)
+    )

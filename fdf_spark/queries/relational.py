@@ -1632,3 +1632,89 @@ def q117_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         unique_keys=["l_orderkey", "ln2"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage + incremental view maintenance (N22, N23)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_fuzzy_match",
+    """
+    WITH sides AS (
+      SELECT p_partkey AS id, p_name AS name,
+             split_part(lower(p_name), ' ', 1) AS block
+      FROM part)
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+           round(1.0 - levenshtein(a.name, b.name) * 1.0
+                       / greatest(length(a.name), length(b.name)), 6) AS sim
+    FROM sides a JOIN sides b ON a.block = b.block AND a.id < b.id
+    ORDER BY dist, a_id, b_id LIMIT 20
+    """,
+    operators=("N22", "J5", "P6"),
+    doc="Record linkage / entity resolution: block part names on their "
+    "first word (cheap deterministic key), score only within-block "
+    "pairs by edit distance, return the 20 closest candidate matches. "
+    "Candidate generation is a self-EQUI-join on the block key — "
+    "linear in corpus + output, no CartesianProduct (plan-pinned); "
+    "a_id < b_id dedups the pair space inside the join condition; "
+    "levenshtein is a JVM builtin (whole-stage codegen, zero Python). "
+    "block_profile (operators/linkage.py) audits per-block pair cost "
+    "before running the comparator at a new scale.",
+)
+def q121_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.linkage import blocked_fuzzy_pairs, first_words_block
+
+    part = T(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", first_words_block(F.col("p_name"), 1)
+    )
+    return (
+        pairs.select("a_id", "b_id", "dist", "sim")
+        .orderBy("dist", "a_id", "b_id")
+        .limit(20)
+    )
+
+
+_IVM_CUTOFF = "TIMESTAMP '1997-01-01'"
+
+
+@query(
+    "q122_incremental_view",
+    f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_val,
+           COUNT(*) AS n_rows
+    FROM orders
+    WHERE (o_orderdate < {_IVM_CUTOFF} AND o_orderkey % 97 <> 0)
+       OR (o_orderdate >= {_IVM_CUTOFF} AND o_orderkey % 3 = 0)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    operators=("N23", "A2", "A6", "U2"),
+    doc="Incremental materialized-view maintenance: a revenue-by-"
+    "priority view built over pre-1997 orders is refreshed by folding "
+    "in a signed CDC delta (post-1997 inserts on keys%3, deletes of "
+    "base keys%97) WITHOUT rescanning the base — the delta aggregates "
+    "map-side to one row per touched key, then full-outer-merges with "
+    "the |groups|-row view; refresh cost is O(|delta|+|view|) at any "
+    "base size. Decimal accumulators survive the merge, so the "
+    "incrementally-maintained sums are bit-identical to the oracle's "
+    "from-scratch recompute of the post-change state — the IVM "
+    "correctness property itself is what the driver hash-checks.",
+)
+def q122_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.ivm import agg_view, finish_view, incremental_refresh
+
+    orders = T(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = orders.filter(F.col("o_orderdate") < cutoff)
+    view = agg_view(base, ["o_orderpriority"], "o_totalprice")
+    inserts = orders.filter(
+        (F.col("o_orderdate") >= cutoff) & (F.col("o_orderkey") % 3 == 0)
+    ).withColumn("sign", F.lit(1))
+    deletes = base.filter(F.col("o_orderkey") % 97 == 0).withColumn("sign", F.lit(-1))
+    delta = inserts.unionByName(deletes)
+    refreshed = incremental_refresh(view, delta, ["o_orderpriority"], "o_totalprice")
+    return finish_view(refreshed, ["o_orderpriority"]).orderBy("o_orderpriority")

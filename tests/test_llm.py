@@ -617,3 +617,52 @@ def test_assign_modes_agree_and_kmeans_arrow(spark, emb):
     ca, _ = kmeans_refine(emb, num_cells=8, iters=2, assign_mode="expr")
     cb, _ = kmeans_refine(emb, num_cells=8, iters=2, assign_mode="arrow")
     assert ca == cb  # trained centroids bit-identical across modes
+
+
+# ---------------------------------------------------------------------------
+# round-5: blocked record linkage (N22) and unigram-LM scoring (N21)
+# ---------------------------------------------------------------------------
+
+
+def test_blocked_fuzzy_pairs_and_block_profile(spark):
+    from pyspark.sql import functions as F
+
+    from fdf_spark.operators.linkage import (
+        block_profile,
+        blocked_fuzzy_pairs,
+        first_words_block,
+    )
+
+    rows = [
+        (1, "maroon tan lace"),
+        (2, "maroon tan face"),   # dist 1 from #1
+        (3, "maroon dim steel"),  # same block, farther
+        (4, "azure mint rose"),   # different block → never paired with 1-3
+        (5, "azure mint rose"),   # exact dup of #4 → dist 0
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    block = first_words_block(F.col("name"), 1)
+    pairs = blocked_fuzzy_pairs(df, "id", "name", block)
+    got = {(r.a_id, r.b_id): r.dist for r in pairs.collect()}
+    # pair space == sum of per-block n·(n−1)/2 from the audit
+    prof = {r.block: r.n_pairs for r in block_profile(df, block).collect()}
+    assert prof == {"maroon": 3, "azure": 1}
+    assert len(got) == 4 and all(a < b for a, b in got)
+    assert got[(4, 5)] == 0 and got[(1, 2)] == 1
+    assert ("1", "4") not in got  # cross-block pairs never generated
+    near = blocked_fuzzy_pairs(df, "id", "name", block, max_dist=1)
+    assert {(r.a_id, r.b_id) for r in near.collect()} == {(1, 2), (4, 5)}
+
+
+def test_lm_score_orders_typical_above_garbage(spark):
+    from fdf_spark.llm.lmscore import score_docs, train_unigram_lm
+
+    corpus = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    corpus.append((100, "zzzq xqzj vvkw qqqz"))  # all-OOV garbage
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    lm = train_unigram_lm(docs)
+    scores = {r.doc_id: r.avg_logp for r in score_docs(docs, lm).collect()}
+    assert all(v <= 0 for v in scores.values())
+    # the garbage doc is strictly the most surprising
+    assert scores[100] == min(scores.values())
+    assert scores[100] < scores[0] - 1.0

@@ -118,6 +118,24 @@ EXPECT: dict[str, dict] = {
     # vocab tokenizer: broadcast map literal, encode is pure map-side —
     # one scan, the only exchange is the final sort
     "q118_tokenize": dict(max_exchanges=1, max_smj=0, max_scans=1),
+    # count-min sketch: in-row ×depth cell fan-out + ONE map-side-
+    # combining cell agg (shuffle ≤ depth·width cells/partition); the
+    # ≤4096-row sketch and the probe set both broadcast — never a
+    # corpus-sized join side
+    "q119_countmin_hot_tokens": dict(max_exchanges=3, min_bhj=1, max_smj=0, max_scans=3),
+    # unigram-LM scoring: vocab-sized LM persisted + broadcast; the
+    # BNLs are the intended 1-row totals/OOV cross joins (as q98); the
+    # corpus-side token stream is never hash-shuffled before its
+    # one-row-per-doc agg
+    "q120_lm_quality": dict(max_exchanges=8, max_smj=0, max_bnl=3),
+    # blocked ER: candidate pairs via self-EQUI-join on the block key
+    # (broadcast at fixture scale, hash at corpus scale) — never a
+    # CartesianProduct; top-k is TakeOrdered, no full sort
+    "q121_fuzzy_match": dict(max_exchanges=1, min_bhj=1, max_smj=0, max_scans=2),
+    # incremental view refresh: delta aggregates map-side to one row
+    # per touched key; the one SMJ is the full-outer view⨝delta merge
+    # (outer sides are |groups|-sized, not base-sized)
+    "q122_incremental_view": dict(max_exchanges=4, max_smj=1, max_scans=3),
 }
 
 

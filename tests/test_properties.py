@@ -279,3 +279,85 @@ def test_dup_spans_matches_python(spark, texts, n):
     got = {k: sorted(v) for k, v in got.items()}
     want = _py_dup_spans(texts, n, 2)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-5: Count-Min sketch (N20) and incremental view maintenance (N23)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fdf_spark.llm.sketches import cm_estimate, countmin_sketch  # noqa: E402
+from fdf_spark.operators.ivm import (  # noqa: E402
+    agg_view,
+    finish_view,
+    incremental_refresh,
+)
+
+TOKENS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(tokens=TOKENS, width=st.sampled_from([2, 8, 64]))
+def test_countmin_never_underestimates(spark, tokens, width):
+    """The CM guarantee's hard direction: est >= exact for EVERY token,
+    at any width — collisions only ever add. At width 64 with an
+    8-token vocabulary, every estimate must also be exact unless two
+    vocab words collide in all 4 hash rows."""
+    from collections import Counter
+
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    sk = countmin_sketch(df, width=width)
+    probes = spark.createDataFrame([(t,) for t in set(tokens)], "token string")
+    est = {r["token"]: r["est_cnt"] for r in cm_estimate(sk, probes, width=width).collect()}
+    exact = Counter(tokens)
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c)
+    # total sketch mass per row equals the stream length (mergeability)
+    per_row = {
+        r["row"]: r["s"]
+        for r in sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
+    }
+    assert set(per_row.values()) == {len(tokens)}
+
+
+ROWS = st.lists(
+    st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 1000)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(base=ROWS, inserts=ROWS, delete_idx=st.sets(st.integers(0, 29)))
+def test_incremental_refresh_equals_recompute(spark, base, inserts, delete_idx):
+    """IVM's defining property on random bases/deltas: folding a signed
+    delta into the view == rebuilding the view over the post-change
+    base, including groups created by inserts and emptied by deletes."""
+    deletes = [r for i, r in enumerate(base) if i in delete_idx]
+    schema = "k string, v long"
+    base_df = spark.createDataFrame(base, schema)
+    view = agg_view(base_df, ["k"], "v")
+    delta = spark.createDataFrame(
+        [(k, v, 1) for k, v in inserts] + [(k, v, -1) for k, v in deletes],
+        "k string, v long, sign int",
+    )
+    got = {
+        r["k"]: (r["sum_val"], r["n_rows"])
+        for r in finish_view(incremental_refresh(view, delta, ["k"], "v"), ["k"]).collect()
+    }
+    final = [r for i, r in enumerate(base) if i not in delete_idx] + inserts
+    final_df = spark.createDataFrame(final, schema) if final else None
+    want = (
+        {
+            r["k"]: (r["sum_val"], r["n_rows"])
+            for r in finish_view(agg_view(final_df, ["k"], "v"), ["k"]).collect()
+        }
+        if final
+        else {}
+    )
+    assert got == want

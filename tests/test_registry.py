@@ -43,6 +43,10 @@ REQUIRED_OPS = {
     "N18",
     # round-5 addition: tokenization to token ids (vocab tier; BPE in pytest)
     "N19",
+    # round-5 additions: Count-Min frequency sketch / heavy hitters,
+    # unigram-LM quality scoring, blocked fuzzy record linkage, and
+    # incremental materialized-view maintenance
+    "N20", "N21", "N22", "N23",
 }
 
 
