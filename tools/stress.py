@@ -405,6 +405,82 @@ def main() -> None:
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
+    # 18) Count-Min sketch build (N20): 50M token occurrences over 1M
+    # distinct tokens — 4 portable md5 hashes per occurrence fanned out
+    # in-row; the shuffle is capped at 4x1024 cells per map partition
+    from fdf_spark.llm.sketches import countmin_sketch
+
+    n = 50_000_000
+    toks = spark.range(0, n, 1, 64).select(
+        F.conv(((F.col("id") * 31) % 1_000_000).cast("string"), 10, 36).alias("token")
+    )
+    timed("count-min sketch (N20)", n, countmin_sketch(toks))
+
+    # 19) unigram-LM train + score (N21): 5M docs x 12 words (60M
+    # tokens, 100k vocab) — train is one token-count groupBy + 1-row
+    # totals broadcast; scoring joins the broadcast vocab against the
+    # exploded stream and aggs one row per doc
+    from fdf_spark.llm.lmscore import score_docs, train_unigram_lm
+
+    n = 5_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("the"),
+            *[F.conv(((F.col("id") * 31 + i) % 100_000).cast("string"), 10, 36) for i in range(11)],
+        ).alias("text"),
+    )
+    lm = train_unigram_lm(docs).persist()
+    timed("lm train+score (N21)", n, score_docs(docs, lm))
+    lm.unpersist()
+
+    # 20) blocked fuzzy matching (N22): 2M names over 65k blocks
+    # (~30 rows/block -> ~29M within-block levenshtein comparisons) —
+    # the equi-join on the block key is the only wide operation
+    from fdf_spark.operators.linkage import blocked_fuzzy_pairs
+
+    n = 2_000_000
+    names = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("rid"),
+        F.concat_ws(
+            " ",
+            F.conv((F.col("id") % 65_536).cast("string"), 10, 36),
+            F.conv(((F.col("id") * 131) % 99_991).cast("string"), 10, 36),
+            F.conv(((F.col("id") * 257) % 99_989).cast("string"), 10, 36),
+        ).alias("name"),
+    )
+    timed(
+        "blocked fuzzy ER (N22)",
+        n,
+        blocked_fuzzy_pairs(
+            names, "rid", "name", F.split_part(F.col("name"), F.lit(" "), F.lit(1)), max_dist=3
+        ),
+    )
+
+    # 21) incremental view refresh (N23): 100M-row base -> 10k-group
+    # view, then a 1M-row signed delta folded in — the refresh join
+    # touches |delta|+|view| rows only; timing includes the one-off
+    # view build to show the full pipeline at base scale
+    from fdf_spark.operators.ivm import agg_view, finish_view, incremental_refresh
+
+    n = 100_000_000
+    fact = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 10_000).cast("string").alias("k"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"),
+    )
+    view = agg_view(fact, ["k"], "v")
+    delta = spark.range(0, 1_000_000, 1, 32).select(
+        (F.col("id") % 10_000).cast("string").alias("k"),
+        ((F.col("id") * 53) % 1000).cast("double").alias("v"),
+        F.when(F.col("id") % 5 == 0, F.lit(-1)).otherwise(F.lit(1)).alias("sign"),
+    )
+    timed(
+        "ivm refresh (N23)",
+        n,
+        finish_view(incremental_refresh(view, delta, ["k"], "v"), ["k"]),
+    )
+
     spark.stop()
 
 
