@@ -84,6 +84,22 @@ def countmin_sketch(
     )
 
 
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count–Min sketches built with the same (depth, width).
+
+    Cell-wise addition — the property that makes the sketch a
+    distributed-systems primitive: per-partition / per-day / per-corpus
+    sketches built independently combine into the sketch of the union
+    stream exactly. Output stays ≤ depth·width rows.
+    """
+    if not sketches:
+        raise ValueError("cm_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def cm_estimate(
     sketch: DataFrame,
     probes: DataFrame,

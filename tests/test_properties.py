@@ -287,7 +287,7 @@ def test_dup_spans_matches_python(spark, texts, n):
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from fdf_spark.llm.sketches import cm_estimate, countmin_sketch  # noqa: E402
+from fdf_spark.llm.sketches import cm_estimate, cm_merge, countmin_sketch  # noqa: E402
 from fdf_spark.operators.ivm import (  # noqa: E402
     agg_view,
     finish_view,
@@ -323,6 +323,19 @@ def test_countmin_never_underestimates(spark, tokens, width):
         for r in sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()
     }
     assert set(per_row.values()) == {len(tokens)}
+    # explicit mergeability: sketch(front) ⊕ sketch(back) == sketch(all)
+    cut = len(tokens) // 2
+    front = countmin_sketch(
+        spark.createDataFrame([(t,) for t in tokens[:cut]], "token string"), width=width
+    )
+    back = countmin_sketch(
+        spark.createDataFrame([(t,) for t in tokens[cut:]], "token string"), width=width
+    )
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"] for r in cm_merge(front, back).collect()
+    }
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert merged == whole
 
 
 ROWS = st.lists(
