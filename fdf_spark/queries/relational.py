@@ -1718,3 +1718,71 @@ def q122_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = inserts.unionByName(deletes)
     refreshed = incremental_refresh(view, delta, ["o_orderpriority"], "o_totalprice")
     return finish_view(refreshed, ["o_orderpriority"]).orderBy("o_orderpriority")
+
+
+@query(
+    "q123_snapshot_diff_refresh",
+    f"""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE) AS sum_val,
+           COUNT(*) AS n_rows
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS p
+      FROM orders
+      WHERE (o_orderkey % 2 = 0 AND o_orderkey % 10 <> 6)
+         OR o_orderkey % 10 = 7)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    operators=("N17", "N23", "N15", "U2"),
+    doc="The incremental pipeline end-to-end: commit a versioned base "
+    "(v1: even keys), land a CDC batch via merge_versioned (updates on "
+    "keys%10=4 at 1.1x price, deletes on %10=6, inserts on %10=7 -> "
+    "v2), then consume the change stream with diff_versions (file-"
+    "level pruning + exceptAll row refinement; updates surface as "
+    "delete+insert pairs) and fold it into a revenue-by-priority view "
+    "with incremental_refresh — never rescanning the base. The oracle "
+    "recomputes the v2 state from scratch; the driver hash-check "
+    "proves snapshot-diff + IVM together reproduce it exactly.",
+)
+def q123_snapshot_diff_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.operators.ivm import agg_view, finish_view, incremental_refresh
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        diff_versions,
+        merge_versioned,
+        read_version,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="fdf_diff_")
+    base = orders.filter(k % 2 == 0)
+    commit_version(base, path)  # v1
+    updates = base.filter(k % 10 == 4).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = base.filter(k % 10 == 6).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", F.lit(True).alias("deleted")
+    )
+    inserts = orders.filter(k % 10 == 7).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", F.lit(False).alias("deleted")
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merge_versioned(spark, path, changes, ["o_orderkey"], delete_flag="deleted")  # v2
+    delta = diff_versions(spark, path, 1, 2).select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    view1 = agg_view(read_version(spark, path, 1), ["o_orderpriority"], "o_totalprice")
+    refreshed = incremental_refresh(view1, delta, ["o_orderpriority"], "o_totalprice")
+    return finish_view(refreshed, ["o_orderpriority"]).orderBy("o_orderpriority")

@@ -128,3 +128,33 @@ def test_schema_evolution_on_append(spark, tmp_path):
     assert rows[10] == "x" and rows[0] is None
     # old snapshot keeps the old schema
     assert "extra" not in rv(spark, p, 1).columns
+
+
+def test_diff_versions_append_and_merge(spark, tmp_path):
+    """diff_versions: append-mode diff reads ONLY the added files (the
+    parent's files are shared, so old_rows is empty and every row is an
+    insert); a CoW merge diff surfaces updates as delete+insert pairs
+    and carried-over rows cancel out of the exceptAll."""
+    from fdf_spark.sources.versioned import _read_manifest, diff_versions, merge_versioned
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)                 # v1: k 0..9
+    commit_version(_df(spark, 10, 13), p, mode="append")  # v2: += k 10..12
+    # file-level pruning precondition: v1 files ⊂ v2 files
+    f1 = set(_read_manifest(p, 1)["files"])
+    f2 = set(_read_manifest(p, 2)["files"])
+    assert f1 < f2
+    d12 = diff_versions(spark, p, 1, 2)
+    assert {(r.k, r.change) for r in d12.collect()} == {(10, "insert"), (11, "insert"), (12, "insert")}
+
+    # CoW merge: update k=3 (v 6→99), delete k=7, insert k=100
+    chg = spark.createDataFrame(
+        [Row(k=3, v=99, deleted=False), Row(k=7, v=0, deleted=True), Row(k=100, v=200, deleted=False)]
+    )
+    merge_versioned(spark, p, chg, ["k"], update_cols=["v"], delete_flag="deleted")  # v3
+    d23 = {(r.k, r.v, r.change) for r in diff_versions(spark, p, 2, 3).collect()}
+    assert d23 == {
+        (3, 6, "delete"), (3, 99, "insert"),   # update = pair
+        (7, 14, "delete"),
+        (100, 200, "insert"),
+    }
