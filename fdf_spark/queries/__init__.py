@@ -94,7 +94,7 @@ PRIORITY: tuple[str, ...] = (
     "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
     "q64_lsh_candidates",
-    "q75_lsh_ann_topk",
+    "q124_training_shards",         # N24 shard export (r5; displaced q75 — N3 covered by q65+q108, LSH-ANN stays pytest-oracle)
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
     "q110_upsert_merge",            # N15 (q91 P2/P3 was an exact dup of q43's cover)
     "q115_pagerank",                # N16 (q92 J3/F1/F2/P3 all covered by q03/q16/q44/q42)

@@ -1939,3 +1939,55 @@ def q120_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("avg_logp", "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q124_training_shards",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS BIGINT) AS tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, tokens,
+             COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+             SUM(tokens) OVER () AS total
+      FROM d),
+    a AS (
+      SELECT doc_id, tokens,
+             CAST(LEAST(7, (prefix * 8) // total) AS INTEGER) AS shard
+      FROM c)
+    SELECT shard, COUNT(*) AS n_docs, SUM(tokens) AS n_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM a GROUP BY shard ORDER BY shard
+    """,
+    operators=("N24", "N7", "A5", "S10"),
+    doc="Token-balanced training-shard export (the pipeline's terminal "
+    "write stage): contiguous shard boundaries are cuts in the "
+    "concatenated token stream — doc at global token offset p lands in "
+    "shard (p*N div total), every shard within one document of the "
+    "ideal total/N mass. The global prefix sum is HIERARCHICAL "
+    "(per-bucket window cumsum + a broadcast #buckets-row prefix "
+    "relation — never a single-partition window over the corpus); the "
+    "shard id is pure BIGINT arithmetic, so the oracle's flat window "
+    "prefix sum replays it bit-for-bit. write_training_shards adds the "
+    "partitioned write + JSON manifest (unit-tested; the driver row "
+    "checks the assignment math).",
+)
+def q124_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.sharding import assign_token_shards
+
+    docs = T(spark, sf_dir, "documents")
+    a = assign_token_shards(docs, n_shards=8)
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -666,3 +666,39 @@ def test_lm_score_orders_typical_above_garbage(spark):
     # the garbage doc is strictly the most surprising
     assert scores[100] == min(scores.values())
     assert scores[100] < scores[0] - 1.0
+
+
+def test_write_training_shards_balance_and_manifest(spark, tmp_path):
+    """Shard export: contiguous boundaries, every shard within one doc
+    of total/N tokens, manifest totals == corpus totals, partitioned
+    layout readable back with the same per-shard membership."""
+    import json
+    import os
+
+    from fdf_spark.llm.sharding import assign_token_shards, write_training_shards
+
+    rows = [(i, " ".join(["tok"] * (5 + (i * 7) % 23))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 8
+    a = assign_token_shards(docs, n).collect()
+    total = sum(r.tokens for r in a)
+    per = {}
+    spans = {}
+    for r in a:
+        per[r.shard] = per.get(r.shard, 0) + r.tokens
+        lo, hi = spans.get(r.shard, (r.doc_id, r.doc_id))
+        spans[r.shard] = (min(lo, r.doc_id), max(hi, r.doc_id))
+    max_doc = max(r.tokens for r in a)
+    for s, tok in per.items():
+        assert tok <= total / n + max_doc  # balance bound
+    # contiguity: doc-id ranges of distinct shards never interleave
+    ordered = sorted(spans.values())
+    for (l1, h1), (l2, h2) in zip(ordered, ordered[1:]):
+        assert h1 < l2
+    p = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, p, n)
+    assert manifest["total_docs"] == 200 and manifest["total_tokens"] == total
+    assert json.load(open(os.path.join(p, "manifest.json"))) == manifest
+    back = spark.read.parquet(os.path.join(p, "data"))
+    got = {r.doc_id: r.shard for r in back.collect()}
+    assert got == {r.doc_id: r.shard for r in a}

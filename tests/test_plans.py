@@ -136,6 +136,11 @@ EXPECT: dict[str, dict] = {
     # per touched key; the one SMJ is the full-outer view⨝delta merge
     # (outer sides are |groups|-sized, not base-sized)
     "q122_incremental_view": dict(max_exchanges=4, max_smj=1, max_scans=3),
+    # shard export: hierarchical prefix sum — per-bucket window (one
+    # hash exchange on the corpus) + #buckets-row prefix/total
+    # relations (the two SinglePartition exchanges + the BNL are those
+    # tiny sides, broadcast back); corpus never single-partitioned
+    "q124_training_shards": dict(max_exchanges=6, min_bhj=1, max_smj=0, max_bnl=1, max_scans=3),
 }
 
 

@@ -47,6 +47,8 @@ REQUIRED_OPS = {
     # unigram-LM quality scoring, blocked fuzzy record linkage, and
     # incremental materialized-view maintenance
     "N20", "N21", "N22", "N23",
+    # round-5 addition: token-balanced training-shard export
+    "N24",
 }
 
 

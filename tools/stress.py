@@ -481,6 +481,20 @@ def main() -> None:
         finish_view(incremental_refresh(view, delta, ["k"], "v"), ["k"]),
     )
 
+    # 22) training-shard assignment (N24): 20M docs -> 256 token-
+    # balanced shards — the corpus-side cost is one bucketed window
+    # cumsum; the prefix/total relations are 512/1 rows broadcast back
+    from fdf_spark.llm.sharding import assign_token_shards
+
+    n = 20_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.conv(((F.col("id") * 17 + i) % 50_000).cast("string"), 10, 36) for i in range(8)]
+        ).alias("text"),
+    )
+    timed("shard assignment (N24)", n, assign_token_shards(docs, 256, bucket_docs=40_000))
+
     spark.stop()
 
 
