@@ -149,3 +149,52 @@ def watermark_dedup(
     policy code.
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_sketch_sink(
+    tokens: DataFrame,
+    path: str,
+    depth: int = 4,
+    width: int = 1024,
+    token_col: str = "token",
+    checkpoint: str | None = None,
+):
+    """Continuous Count–Min sketching of a token stream (N20 × ST).
+
+    Every micro-batch is sketched independently (``countmin_sketch`` —
+    shuffle capped at depth·width cells) and folded into a running
+    sketch with ``cm_merge``, committed as one atomic snapshot of a
+    versioned table per batch. This is the production shape for
+    hot-key / boilerplate monitoring over continuous ingest at 100 TB:
+
+    - state is the sketch itself — fixed ``depth·width`` cells no
+      matter how many distinct tokens the stream has carried;
+    - mergeability makes the fold exact: the running sketch equals the
+      batch sketch of everything ingested so far (tested);
+    - the versioned commit gives atomic publish + time travel — the
+      sketch AS OF any batch stays readable, and a torn write is
+      impossible (manifest rename).
+
+    Returns the StreamingQuery; read the current sketch with
+    ``sources.versioned.read_version(spark, path)``.
+    """
+    from fdf_spark.llm.sketches import cm_merge, countmin_sketch
+    from fdf_spark.sources.versioned import commit_version, list_versions, read_version
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sketch = countmin_sketch(batch_df, token_col=token_col, depth=depth, width=width)
+        if list_versions(path):
+            batch_sketch = cm_merge(read_version(spark, path), batch_sketch)
+        # materialize before the overwrite-commit reads the prior version
+        merged = spark.createDataFrame(
+            batch_sketch.collect(), "row int, bucket bigint, cnt bigint"
+        ).coalesce(1)
+        commit_version(merged, path, mode="overwrite")
+
+    writer = tokens.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -137,3 +137,50 @@ def test_watermark_dedup_state_stays_bounded(spark, tmp_path):
     # one batch); anywhere near total_keys means eviction is broken
     assert state_rows <= 2 * per_batch + 10, (state_rows, total_keys)
     assert state_rows < total_keys / 2
+
+
+def test_stream_sketch_sink_matches_batch_sketch(spark, tmp_path):
+    """Streaming CM sketch: after 3 micro-batches, the running sketch
+    equals the one-shot batch sketch of every token ingested — the
+    mergeability guarantee under continuous folding — and each batch
+    left a readable snapshot (time travel over sketch history)."""
+    from fdf_spark.llm.sketches import countmin_sketch
+    from fdf_spark.sources.versioned import list_versions, read_version
+    from fdf_spark.streaming.stateful import stream_sketch_sink
+
+    src = str(tmp_path / "src")
+    sketch_path = str(tmp_path / "sketch")
+    os.makedirs(src)
+    batches = [
+        [("the",), ("cat",), ("the",)],
+        [("cat",), ("sat",), ("on",), ("the",)],
+        [("mat",), ("the",), ("end",)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "token string").coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("token string").option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_sketch_sink(stream, sketch_path, depth=4, width=16)
+    q.processAllAvailable()
+    q.stop()
+    assert list_versions(sketch_path) == [1, 2, 3]
+    got = {
+        (r.row, r.bucket): r.cnt for r in read_version(spark, sketch_path).collect()
+    }
+    all_tokens = spark.createDataFrame([t for b in batches for t in b], "token string")
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_sketch(all_tokens, width=16).collect()
+    }
+    assert got == want
+    # intermediate snapshot = sketch of the first batch alone
+    v1 = {(r.row, r.bucket): r.cnt for r in read_version(spark, sketch_path, 1).collect()}
+    b1 = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_sketch(
+            spark.createDataFrame(batches[0], "token string"), width=16
+        ).collect()
+    }
+    assert v1 == b1
