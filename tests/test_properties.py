@@ -374,3 +374,39 @@ def test_incremental_refresh_equals_recompute(spark, base, inserts, delete_idx):
         else {}
     )
     assert got == want
+
+
+from fdf_spark.llm.sharding import assign_token_shards  # noqa: E402
+
+SHARD_DOCS = st.lists(st.integers(0, 40), min_size=1, max_size=40)
+
+
+@settings(**_SETTINGS)
+@given(tok_counts=SHARD_DOCS, n_shards=st.sampled_from([1, 3, 8]),
+       bucket_docs=st.sampled_from([4, 4096]))
+def test_shard_assignment_contiguous_and_balanced(spark, tok_counts, n_shards, bucket_docs):
+    """Random token distributions: shards are contiguous in doc order,
+    every shard is within one document of total/N tokens, and the
+    hierarchical prefix sum is invariant to the bucketing width."""
+    rows = [(i, " ".join(["w"] * c)) for i, c in enumerate(tok_counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.tokens, r.shard)
+        for r in assign_token_shards(docs, n_shards, bucket_docs=bucket_docs).collect()
+    )
+    # python reference: flat prefix sum, integer shard arithmetic
+    total = sum(tok_counts)
+    prefix = 0
+    want = []
+    for i, c in enumerate(tok_counts):
+        s = min(n_shards - 1, prefix * n_shards // total) if total else 0
+        want.append((i, c, s))
+        prefix += c
+    assert got == want
+    # balance: every shard within one doc of ideal (ignoring empty corpus)
+    if total:
+        per = {}
+        for _, c, s in got:
+            per[s] = per.get(s, 0) + c
+        for tok in per.values():
+            assert tok <= total / n_shards + max(tok_counts)
