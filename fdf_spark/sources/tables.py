@@ -54,7 +54,11 @@ def set_events_session_confs(spark: SparkSession) -> None:
       after events work if they prefer local rendering of other data.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # no fallback arg: conf.get(key, default) VALIDATES the default
+    # (Spark 4), so an invalid placeholder like "" raises on any
+    # session where the key is unset — exactly the driver's plain
+    # session. get(key) returns the effective value instead.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 

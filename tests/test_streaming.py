@@ -142,3 +142,21 @@ def test_stream_stream_join_across_batches(spark, tmp_path):
     finally:
         q.stop()
     assert out == [(1, 10, 600_000_000)]
+
+
+def test_events_confs_settable_on_plain_session(spark):
+    """The driver builds its OWN SparkSession with no tz conf set.
+    set_events_session_confs must work there: Spark 4's
+    conf.get(key, default) validates the default, so probing the
+    session timezone with an invalid placeholder ('') raises on any
+    session where the key is unset — the regression that broke every
+    events-touching query under a plain session."""
+    from fdf_spark.sources.tables import set_events_session_confs
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.unset("spark.sql.session.timeZone")  # plain-session state
+        set_events_session_confs(spark)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
