@@ -59,12 +59,52 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _file_stats(file_path: str) -> dict:
+    """Per-column [min, max] from the parquet FOOTER (no data read).
+
+    Aggregated across row groups; only JSON-representable scalar types
+    (int/float/str/bool) are kept — anything else is omitted, which
+    pruning treats conservatively (file always read). Cost is O(files)
+    footer reads at commit time, the Iceberg/Delta metadata trade.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(file_path)
+    stats: dict[str, list] = {}
+    bad: set[str] = set()  # any row group without min/max poisons the column
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:  # nested / poisoned — skip
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                bad.add(name)
+                stats.pop(name, None)
+                continue
+            lo, hi = s.min, s.max
+            if not isinstance(lo, (int, float, str, bool)):
+                bad.add(name)
+                stats.pop(name, None)
+                continue
+            if name in stats:
+                stats[name] = [min(stats[name][0], lo), max(stats[name][1], hi)]
+            else:
+                stats[name] = [lo, hi]
+    return stats
+
+
 def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
     """Write ``df`` as a new table version; returns the version number.
 
     ``append`` adds the new files to the parent snapshot's list;
     ``overwrite`` replaces the list (files of older versions are kept
-    on disk for time travel until :func:`vacuum`).
+    on disk for time travel until :func:`vacuum`). Each manifest also
+    records per-file column [min, max] stats (footer-only scan of the
+    NEW files; carried-over files inherit the parent's entries) for
+    :func:`read_version`'s metadata pruning.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -76,11 +116,13 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
     new_files = sorted(
         os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
     )
+    file_stats = {f: _file_stats(f) for f in new_files}
     files = new_files
     schema = df.schema
     if mode == "append" and parent is not None:
         pm = _read_manifest(path, parent)
         files = pm["files"] + new_files
+        file_stats = {**pm.get("stats", {}), **file_stats}
         if "schema" in pm:
             # schema evolution: the snapshot schema is parent ∪ new —
             # kept in the manifest so reads never footer-scan for it;
@@ -96,6 +138,7 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
         "parent": parent,
         "mode": mode,
         "files": files,
+        "stats": file_stats,
         "schema": json.dumps(schema.jsonValue()),
     }
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
@@ -106,9 +149,24 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
     return version
 
 
-def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def read_version(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple[str, object, object] | None = None,
+) -> DataFrame:
     """Snapshot read: the explicit file list of ``version`` (latest if
-    None) — pinned, immune to later commits/vacuums."""
+    None) — pinned, immune to later commits/vacuums.
+
+    ``prune=(col, lo, hi)`` enables MANIFEST-LEVEL file pruning: only
+    files whose recorded [min, max] for ``col`` overlaps [lo, hi] are
+    handed to Spark at all (files with no stats for the col are kept —
+    conservative). This is metadata-only pruning the way Iceberg/Delta
+    do it: the planner never even lists the skipped files, which
+    matters when the predicate would otherwise need footer reads over
+    millions of files. The caller still applies the row-level filter —
+    pruning is a superset guarantee, not an exact selection.
+    """
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -117,6 +175,22 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
         raise FileNotFoundError(f"version {v} not in {versions}")
     m = _read_manifest(path, v)
     files = m["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        stats = m.get("stats", {})
+
+        def _overlaps(f: str) -> bool:
+            st = stats.get(f, {}).get(col)
+            if st is None:
+                return True  # no stats → must read
+            fmin, fmax = st
+            return not (fmax < lo or fmin > hi)
+
+        files = [f for f in files if _overlaps(f)]
+        if not files:
+            # empty relation with the snapshot schema
+            schema = StructType.fromJson(json.loads(m["schema"])) if "schema" in m else None
+            return spark.createDataFrame([], schema)
     if not files:
         raise FileNotFoundError(f"version {v} is empty")
     reader = spark.read

@@ -158,3 +158,35 @@ def test_diff_versions_append_and_merge(spark, tmp_path):
         (7, 14, "delete"),
         (100, 200, "insert"),
     }
+
+
+def test_manifest_stats_and_pruned_read(spark, tmp_path):
+    """Manifest-level metadata pruning: commits record per-file column
+    [min,max] from footers only; a pruned read hands Spark ONLY the
+    overlapping files (verified via inputFiles) yet returns a superset
+    of the exact selection; append commits inherit parent stats."""
+    from fdf_spark.sources.versioned import _read_manifest, read_version
+
+    p = str(tmp_path / "t")
+    # three commits with disjoint key ranges → three file groups
+    commit_version(_df(spark, 0, 100).repartition(1), p)
+    commit_version(_df(spark, 100, 200).repartition(1), p, mode="append")
+    commit_version(_df(spark, 200, 300).repartition(1), p, mode="append")
+    m = _read_manifest(p, 3)
+    assert len(m["files"]) == 3
+    for f in m["files"]:
+        assert "k" in m["stats"][f] and "v" in m["stats"][f]
+    # prune to k in [120, 180] → only the middle file is read
+    pruned = read_version(spark, p, prune=("k", 120, 180))
+    assert len(pruned.inputFiles()) == 1
+    got = sorted(r.k for r in pruned.filter("k BETWEEN 120 AND 180").collect())
+    assert got == list(range(120, 181))
+    # superset guarantee: pruned relation holds the whole middle file
+    assert pruned.count() == 100
+    # no-overlap range → empty relation with the snapshot schema
+    empty = read_version(spark, p, prune=("k", 1000, 2000))
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+    # stats on a column Spark wrote without usable min/max stay absent →
+    # pruning on an unknown column keeps every file (conservative)
+    allfiles = read_version(spark, p, prune=("nonexistent", 0, 1))
+    assert len(allfiles.inputFiles()) == 3
