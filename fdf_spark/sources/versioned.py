@@ -14,8 +14,11 @@ Layout::
 
 A commit stages data files in a fresh directory, then publishes a
 manifest naming the snapshot's COMPLETE file list via an atomic
-``os.rename`` — the manifest either exists (snapshot visible, whole)
-or not (invisible); readers never see partial writes.  ``append``
+create-if-absent link — the manifest either exists (snapshot visible,
+whole) or not (invisible); readers never see partial writes, and two
+racing committers cannot both claim a version number (the loser gets
+``ConcurrentCommitError`` and retries on the new head — optimistic
+concurrency, no locks).  ``append``
 manifests inherit the parent's files; ``overwrite`` starts fresh but
 deletes nothing, so older versions stay readable until ``vacuum``.
 
@@ -39,6 +42,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 _MANIFEST_DIR = "_versions"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version number first; re-read the
+    head and retry (optimistic concurrency — no locks, losers retry)."""
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -145,7 +153,21 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
     fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, _manifest_path(path, version))  # atomic publish
+    # optimistic concurrency: publish with create-if-absent (os.link
+    # fails EEXIST), NOT os.rename (which silently overwrites — two
+    # racing committers reading the same parent would both claim this
+    # version number and the loser's snapshot would vanish). On
+    # conflict the staged data files are orphans (vacuum-able) and the
+    # caller retries against the new head — the Iceberg/Delta
+    # optimistic-commit loop.
+    try:
+        os.link(tmp, _manifest_path(path, version))
+    except FileExistsError:
+        os.unlink(tmp)
+        raise ConcurrentCommitError(
+            f"version {version} was committed concurrently; retry on the new head"
+        )
+    os.unlink(tmp)
     return version
 
 

@@ -190,3 +190,31 @@ def test_manifest_stats_and_pruned_read(spark, tmp_path):
     # pruning on an unknown column keeps every file (conservative)
     allfiles = read_version(spark, p, prune=("nonexistent", 0, 1))
     assert len(allfiles.inputFiles()) == 3
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path, monkeypatch):
+    """Two writers racing for the same version number: the loser's
+    publish must FAIL loudly (optimistic concurrency), not silently
+    overwrite the winner's manifest. The race window is between
+    reading the head and publishing — simulated by pinning the
+    loser's head read to the pre-winner state."""
+    import json as _json
+
+    import pytest as _pytest
+
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 5), p)  # v1
+    # winner publishes v2 after the loser reads head=[1]
+    winner = {"version": 2, "parent": 1, "mode": "append", "files": [], "stats": {}}
+    with open(V._manifest_path(p, 2), "w") as fh:
+        _json.dump(winner, fh)
+    monkeypatch.setattr(V, "list_versions", lambda _p: [1])  # loser's stale read
+    with _pytest.raises(V.ConcurrentCommitError):
+        commit_version(_df(spark, 5, 10), p)  # loser also targets v2
+    monkeypatch.undo()
+    # the winner's manifest is untouched
+    assert _json.load(open(V._manifest_path(p, 2))) == winner
+    # retry on the (real) new head succeeds as v3
+    assert commit_version(_df(spark, 5, 10), p) == 3
