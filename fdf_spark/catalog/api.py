@@ -138,7 +138,8 @@ class Machine(MutableMapping):
         if isinstance(value, bool):
             return False
         if isinstance(value, float):
-            return value == int(value) and int(value) in self._shots
+            # nan/inf: int(value) raises — membership is simply False
+            return value.is_integer() and int(value) in self._shots
         if isinstance(value, int):
             return value in self._shots
         if isinstance(value, str):

@@ -86,9 +86,9 @@ def pack_blocks(
     tok_filled)`` where ``tok_filled`` counts tokens landing in the
     block (== capacity for every block but the last).
     """
-    words = F.filter(
-        F.split(F.lower(F.col(text)), r"[^a-z]+"), lambda w: w != F.lit("")
-    )
+    from fdf_spark.llm.words import corpus_words
+
+    words = corpus_words(text)
     base = docs.select(
         F.col(id_col),
         (F.col(id_col) / F.lit(n_shards)).cast("bigint").alias("shard"),

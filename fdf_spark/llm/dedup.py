@@ -122,6 +122,9 @@ def incremental_dedup(
     import os
 
     key = F.unhex(F.sha2(F.col(text), 256))
+    hb_of = lambda k: F.pmod(  # noqa: E731 — shared with the append below
+        F.conv(F.hex(k).substr(1, 2), 16, 10).cast("int"), F.lit(256)
+    )
     batch = (
         new_docs.withColumn("__k", key)
         .groupBy("__k")
@@ -130,7 +133,16 @@ def incremental_dedup(
     if os.path.isdir(index_path) and any(
         not f.startswith(("_", ".")) for f in os.listdir(index_path)
     ):
-        landed = spark.read.parquet(index_path).select("content_hash")
+        # the promised partition-pruned probe: the batch's distinct hash
+        # bytes (≤256 values, one tiny job over the batch) become a
+        # partition filter on the index — the anti-join reads only the
+        # touched hb=NN directories, not the full landed index
+        hbs = [r[0] for r in batch.select(hb_of(F.col("__k")).alias("hb")).distinct().collect()]
+        landed = (
+            spark.read.parquet(index_path)
+            .filter(F.col("hb").isin(hbs))
+            .select("content_hash")
+        )
         fresh = batch.join(
             landed, batch["__k"] == landed["content_hash"], "left_anti"
         )
@@ -144,9 +156,7 @@ def incremental_dedup(
         fresh.select(
             F.col("__k").alias("content_hash"),
             F.col(id_col),
-            F.pmod(
-                F.conv(F.hex(F.col("__k")).substr(1, 2), 16, 10).cast("int"), F.lit(256)
-            ).alias("hb"),
+            hb_of(F.col("__k")).alias("hb"),
         )
         .write.mode("append")
         .partitionBy("hb")

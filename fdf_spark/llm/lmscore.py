@@ -42,18 +42,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fdf_spark.functions.scalar import dsum
-
-#: word tokenizer shared with the corpus-stats ops (q34): lowercase,
-#: split on non-letters, drop empties. DuckDB twin:
-#: ``string_split_regex(lower(text), '[^a-z]+')``.
-WORD_SPLIT = "[^a-z]+"
+from fdf_spark.llm.words import corpus_words
 
 
 def _words(df: DataFrame, text: str, id_col: str) -> DataFrame:
-    return (
-        df.select(id_col, F.explode(F.split(F.lower(F.col(text)), WORD_SPLIT)).alias("token"))
-        .filter(F.col("token") != "")
-    )
+    return df.select(id_col, F.explode(corpus_words(text)).alias("token"))
 
 
 def train_unigram_lm(
@@ -63,10 +56,11 @@ def train_unigram_lm(
 ) -> DataFrame:
     """Train the smoothed unigram LM.
 
-    Returns ``(token string, logp double)`` with ``logp`` rounded to
-    6 dp, plus the scalar OOV log-prob available from
-    :func:`oov_logp` on the same relation. One occurrence-level
-    groupBy (map-side combined) + a 1-row totals agg broadcast back.
+    Returns ``(token string, logp double, oov_logp double)`` with
+    log-probs rounded to 6 dp; ``oov_logp`` (the shared OOV bucket) is
+    replicated per row so scoring needs no second totals pass. One
+    occurrence-level groupBy (map-side combined) + a 1-row totals agg
+    broadcast back.
     """
     toks = _words(docs, text, id_col)
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))

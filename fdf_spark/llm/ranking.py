@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 DEFAULT_K1 = 1.2
 DEFAULT_B = 0.75
 
-WORD_SPLIT_RE = "[^a-z]+"
+from fdf_spark.llm.words import WORD_SPLIT_RE  # noqa: F401 — canonical definition
 
 
 def _term_cols(n: int) -> list[str]:

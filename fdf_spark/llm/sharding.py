@@ -59,9 +59,9 @@ def assign_token_shards(
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    words = F.filter(
-        F.split(F.lower(F.col(text)), r"[^a-z]+"), lambda w: w != F.lit("")
-    )
+    from fdf_spark.llm.words import corpus_words
+
+    words = corpus_words(text)
     base = docs.select(
         F.col(id_col),
         (F.col(id_col) / F.lit(bucket_docs)).cast("bigint").alias("__bucket"),

@@ -155,6 +155,17 @@ def merge_into_partitioned(
     those partitions via dynamic partition overwrite.  Returns the
     touched partition values.  Cost is O(touched partitions), never
     O(table) — the 100 TB contract.
+
+    CONTRACT: the partition column is part of the record identity — a
+    change row must carry its base row's partition value. A
+    "partition-moving" update (same key, different partition) must be
+    expressed as an explicit delete (old partition) + insert (new
+    partition) pair; a bare update would land the key in the new
+    partition while the pruned merge never sees — and so never
+    retracts — the stale row in the old one. (Detecting that case
+    would require probing the base OUTSIDE the touched partitions,
+    which is exactly the O(table) scan this operator exists to avoid;
+    partitioned MERGE in Hive/Delta carries the same restriction.)
     """
     touched = [r[0] for r in changes.select(partition_col).distinct().collect()]
     base = spark.read.parquet(base_path)

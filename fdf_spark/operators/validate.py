@@ -35,6 +35,11 @@ def validate(
     must not hide bad rows). ``unique_keys`` adds a ``unique(<keys>)``
     rule counting rows beyond the first per duplicated key.
     """
+    if not rules and not unique_keys:
+        raise ValueError("validate() needs at least one rule or unique_keys")
+    for name in rules:
+        if "'" in name:  # rule names are spliced into the stack() SQL
+            raise ValueError(f"rule name may not contain a quote: {name!r}")
     aggs = [
         F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)).alias(f"r{i}")
         for i, pred in enumerate(rules.values())

@@ -1932,7 +1932,9 @@ def q120_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     # the LM is vocab-sized (tiny vs the corpus); persist it so the
     # scoring pass and the OOV-scalar agg reuse one training scan
-    # instead of recomputing the count subtree per consumer
+    # instead of recomputing the count subtree per consumer. The cache
+    # is deliberately left to the session (a registry query has no
+    # post-collect hook to unpersist from): ~|vocab| rows per run.
     lm = train_unigram_lm(docs).persist()
     return (
         score_docs(docs, lm)

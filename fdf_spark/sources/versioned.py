@@ -24,11 +24,12 @@ deletes nothing, so older versions stay readable until ``vacuum``.
 
 Scale notes: the manifest is O(files), not O(rows) — list once, read
 exactly those files (no directory listing race, no eventual-consistency
-hazard on object stores); a production variant shards the manifest and
-adds per-file column stats for metadata-only pruning, which changes
-nothing structural here. ``read_version`` hands Spark an explicit file
-list, so a pinned reader is immune to concurrent commits AND vacuums of
-later versions.
+hazard on object stores); it carries per-file column [min, max] stats
+for metadata-only pruning (``read_version(..., prune=...)``). A
+production variant additionally shards the manifest itself, which
+changes nothing structural here. ``read_version`` hands Spark an
+explicit file list, so a pinned reader is immune to concurrent commits
+AND vacuums of later versions.
 """
 
 from __future__ import annotations
@@ -104,7 +105,9 @@ def _file_stats(file_path: str) -> dict:
     return stats
 
 
-def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
+def commit_version(
+    df: DataFrame, path: str, mode: str = "append", meta: dict | None = None
+) -> int:
     """Write ``df`` as a new table version; returns the version number.
 
     ``append`` adds the new files to the parent snapshot's list;
@@ -112,7 +115,9 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
     on disk for time travel until :func:`vacuum`). Each manifest also
     records per-file column [min, max] stats (footer-only scan of the
     NEW files; carried-over files inherit the parent's entries) for
-    :func:`read_version`'s metadata pruning.
+    :func:`read_version`'s metadata pruning. ``meta`` rides along in
+    the manifest (JSON) — e.g. the ingesting stream's batch id, which
+    makes replay detection atomic with the commit itself.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -148,6 +153,7 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
         "files": files,
         "stats": file_stats,
         "schema": json.dumps(schema.jsonValue()),
+        "meta": meta or {},
     }
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
@@ -280,7 +286,15 @@ def diff_versions(
 
 def vacuum(path: str, keep: int = 1) -> list[str]:
     """Drop all but the newest ``keep`` versions and delete data files
-    no surviving manifest references; returns the deleted files."""
+    no surviving manifest references; returns the deleted files.
+
+    Also sweeps ORPHANED stage directories — fully-written data from a
+    lost commit race or a crash between stage and publish. A stage dir
+    is provably dead when its embedded version number is ≤ the current
+    head yet no surviving manifest references its files (an in-flight
+    commit always targets head+1, so it is never swept)."""
+    if keep < 1:
+        raise ValueError("keep must retain at least one version")
     versions = list_versions(path)
     dead, live = versions[:-keep], versions[-keep:]
     if not live:
@@ -293,6 +307,27 @@ def vacuum(path: str, keep: int = 1) -> list[str]:
                 os.remove(f)
                 removed.append(f)
         os.remove(_manifest_path(path, v))
+    # orphaned stages: c<version>-<uuid> dirs with version <= head whose
+    # files no surviving manifest names
+    import shutil
+
+    head = live[-1]
+    data_dir = os.path.join(path, "data")
+    referenced_dirs = {os.path.dirname(f) for f in referenced}
+    if os.path.isdir(data_dir):
+        for d in sorted(os.listdir(data_dir)):
+            full = os.path.join(data_dir, d)
+            if not (d.startswith("c") and os.path.isdir(full)):
+                continue
+            try:
+                stage_v = int(d[1:9])
+            except ValueError:
+                continue
+            if stage_v <= head and full not in referenced_dirs:
+                for f in sorted(os.listdir(full)):
+                    if f.endswith(".parquet"):
+                        removed.append(os.path.join(full, f))
+                shutil.rmtree(full, ignore_errors=True)
     return removed
 
 
@@ -306,10 +341,19 @@ def merge_versioned(
 ) -> int:
     """CDC merge (operators/merge.py semantics) committed as a new
     snapshot: read latest → merge_upsert → overwrite-commit. Readers of
-    older versions are untouched (copy-on-write + time travel)."""
+    older versions are untouched (copy-on-write + time travel).
+
+    A path with no versions yet bootstraps: the first change batch
+    merges against an empty base of the change schema (minus the
+    delete flag), so a stream can land on a fresh table without a
+    manual base commit."""
     from fdf_spark.operators.merge import merge_upsert
 
-    base = read_version(spark, path)
+    if list_versions(path):
+        base = read_version(spark, path)
+    else:
+        cols = [c for c in changes.columns if c != delete_flag]
+        base = spark.createDataFrame([], changes.select(*cols).schema)
     merged = merge_upsert(base, changes, keys, update_cols, delete_flag)
     return commit_version(merged, path, mode="overwrite")
 

@@ -173,26 +173,43 @@ def stream_sketch_sink(
       batch sketch of everything ingested so far (tested);
     - the versioned commit gives atomic publish + time travel — the
       sketch AS OF any batch stays readable, and a torn write is
-      impossible (manifest rename).
+      impossible (manifest create-if-absent);
+    - the fold is IDEMPOTENT under replay: the folded batch id rides
+      in the commit's manifest meta, atomically with the sketch data,
+      so an at-least-once re-delivery (crash between commit and
+      checkpoint) is detected and skipped instead of double-counted —
+      the fold is NOT idempotent by value (cell counts add), so this
+      marker is what upgrades at-least-once delivery to exactly-once
+      folding.
 
     Returns the StreamingQuery; read the current sketch with
     ``sources.versioned.read_version(spark, path)``.
     """
     from fdf_spark.llm.sketches import cm_merge, countmin_sketch
-    from fdf_spark.sources.versioned import commit_version, list_versions, read_version
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        list_versions,
+        read_version,
+    )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        versions = list_versions(path)
+        if versions:
+            last = _read_manifest(path, versions[-1]).get("meta", {}).get("batch_id", -1)
+            if last >= batch_id:  # replayed batch — already folded
+                return
         batch_sketch = countmin_sketch(batch_df, token_col=token_col, depth=depth, width=width)
-        if list_versions(path):
+        if versions:
             batch_sketch = cm_merge(read_version(spark, path), batch_sketch)
         # materialize before the overwrite-commit reads the prior version
         merged = spark.createDataFrame(
             batch_sketch.collect(), "row int, bucket bigint, cnt bigint"
         ).coalesce(1)
-        commit_version(merged, path, mode="overwrite")
+        commit_version(merged, path, mode="overwrite", meta={"batch_id": batch_id})
 
     writer = tokens.writeStream.foreachBatch(_fold).outputMode("update")
     if checkpoint:

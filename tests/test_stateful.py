@@ -184,3 +184,34 @@ def test_stream_sketch_sink_matches_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert v1 == b1
+
+
+def test_stream_sketch_sink_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-delivering an already-folded batch id
+    must be skipped (the folded batch id rides in the manifest meta,
+    atomic with the commit), not double-counted into the sketch."""
+    from fdf_spark.llm.sketches import countmin_sketch
+    from fdf_spark.sources.versioned import list_versions, read_version
+    from fdf_spark.streaming.stateful import stream_sketch_sink
+
+    src = str(tmp_path / "src")
+    sketch_path = str(tmp_path / "sketch")
+    os.makedirs(src)
+    rows = [("the",), ("cat",), ("the",)]
+    spark.createDataFrame(rows, "token string").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("token string").option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    # run the same source twice WITHOUT a checkpoint: the second run
+    # re-delivers batch 0 — exactly the at-least-once replay case
+    for _ in range(2):
+        q = stream_sketch_sink(stream, sketch_path, depth=4, width=16)
+        q.processAllAvailable()
+        q.stop()
+    assert list_versions(sketch_path) == [1]  # replay committed nothing
+    got = {(r.row, r.bucket): r.cnt for r in read_version(spark, sketch_path).collect()}
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_sketch(spark.createDataFrame(rows, "token string"), width=16).collect()
+    }
+    assert got == want

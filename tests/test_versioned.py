@@ -218,3 +218,64 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path, monkeypatch):
     assert _json.load(open(V._manifest_path(p, 2))) == winner
     # retry on the (real) new head succeeds as v3
     assert commit_version(_df(spark, 5, 10), p) == 3
+
+
+def test_vacuum_guard_and_orphan_sweep(spark, tmp_path):
+    """vacuum(keep=0) must raise (previously a silent no-op: versions
+    [-0:] is the whole list); and vacuum sweeps fully-written stage
+    dirs from lost commit races once their version number is <= head."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from fdf_spark.sources.versioned import _read_manifest, read_version, vacuum
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 5), p)
+    commit_version(_df(spark, 5, 10), p, mode="append")
+    with _pytest.raises(ValueError):
+        vacuum(p, keep=0)
+    with _pytest.raises(ValueError):
+        vacuum(p, keep=-1)
+    # plant a lost-race orphan: stage dir for v2 with no manifest ref
+    orphan = _os.path.join(p, "data", "c00000002-deadbeef")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
+    # an in-flight stage (version > head) must NOT be swept
+    inflight = _os.path.join(p, "data", "c00000003-cafecafe")
+    _os.makedirs(inflight)
+    removed = vacuum(p, keep=2)  # keeps both versions; sweeps orphans only
+    assert any("c00000002-deadbeef" in f for f in removed)
+    assert not _os.path.exists(orphan) and _os.path.exists(inflight)
+    # live data untouched: every manifest-referenced file still on disk
+    assert read_version(spark, p).count() == 10
+    assert all(_os.path.exists(f) for f in _read_manifest(p, 2)["files"])
+
+
+def test_stream_merge_sink_bootstraps_fresh_path(spark, tmp_path):
+    """First micro-batch on a path with no versions must bootstrap v1
+    from the batch (merge against an empty base), not crash the query
+    with FileNotFoundError."""
+    import os as _os
+    import time as _time
+
+    from fdf_spark.sources.versioned import read_version, stream_merge_sink
+
+    src = str(tmp_path / "src")
+    p = str(tmp_path / "t")
+    _os.makedirs(src)
+    spark.createDataFrame(
+        [Row(k=1, v=10, deleted=False), Row(k=2, v=20, deleted=True)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.05)
+    stream = (
+        spark.readStream.schema("k bigint, v bigint, deleted boolean")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_merge_sink(stream, p, ["k"], update_cols=["v"], delete_flag="deleted")
+    q.processAllAvailable()
+    q.stop()
+    got = {r.k: r.v for r in read_version(spark, p).collect()}
+    assert got == {1: 10}  # delete-flagged row never lands
