@@ -50,22 +50,29 @@ def assign_token_shards(
     text: str = "text",
     id_col: str = "doc_id",
     bucket_docs: int = DEFAULT_BUCKET_DOCS,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a token-balanced contiguous shard.
 
     Returns ``(id_col, tokens bigint, shard int)`` with shards cut at
     token-stream positions ``k·total/N`` (end-exclusive start offset
     decides membership; empty corpus → shard 0 for all rows).
+    ``tokens_col`` skips tokenization and weighs documents by an
+    existing count column — the composition hook for upstream stages
+    (e.g. the mixture sampler) that already counted tokens under their
+    own tokenizer.
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     from fdf_spark.llm.words import corpus_words
 
-    words = corpus_words(text)
+    weight = (
+        F.col(tokens_col) if tokens_col is not None else F.size(corpus_words(text))
+    )
     base = docs.select(
         F.col(id_col),
         (F.col(id_col) / F.lit(bucket_docs)).cast("bigint").alias("__bucket"),
-        F.size(words).cast("bigint").alias("tokens"),
+        weight.cast("bigint").alias("tokens"),
     )
     # end-exclusive local prefix within each id-range bucket
     local_w = (

@@ -88,7 +88,7 @@ PRIORITY: tuple[str, ...] = (
     "q102_decontam",               # N12 (r4; displaced q46 — A8 double-cover)
     "q103_pii_redact",             # N13 (r4; displaced q21 — N5 double-cover)
     "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
-    "q106_pipeline_decontam_mix",  # N1+N12+N7 end-to-end (r5; displaced q32 — A8 triple-cover)
+    "q125_pipeline_export",        # N1+N12+N7+N24 full pipeline incl. shard export (r5; supersedes q106 as the in-window acceptance test)
     "q122_incremental_view",       # N23 incremental view maintenance (r5; displaced q107 — N6 covered by q68)
     "q116_time_travel",             # N17 (q88 A2/P7 both covered by q01)
     "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)

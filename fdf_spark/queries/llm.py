@@ -1993,3 +1993,97 @@ def q124_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "q125_pipeline_export",
+    f"""
+    WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+    sdocs AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN surv USING (doc_id)),
+    docs2 AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM sdocs),
+    p_sh_raw AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                                   i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      FROM docs2),
+    corpus_sh AS (
+      SELECT DISTINCT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS sh
+      FROM p_sh_raw),
+    bench_sh AS (SELECT DISTINCT sh FROM corpus_sh WHERE doc_id % 97 = 0),
+    prof AS (
+      SELECT c.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN b.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM corpus_sh c LEFT JOIN bench_sh b ON c.sh = b.sh
+      GROUP BY c.doc_id),
+    clean AS (
+      SELECT s.doc_id, s.source, s.text
+      FROM sdocs s LEFT JOIN prof ON s.doc_id = prof.doc_id
+      WHERE COALESCE(round(n_hits / n_shingles, 6), 0.0) < 0.2),
+    d AS (SELECT doc_id, source,
+                 CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens
+          FROM clean),
+    w(source, wt) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+    stats AS (SELECT source, SUM(n_tokens) AS t FROM d JOIN w USING (source) GROUP BY source),
+    rates AS (SELECT source, least(1.0, CAST(wt AS DOUBLE) * 2000.0 / t) AS rate
+              FROM stats JOIN w USING (source)),
+    mixed AS (
+      SELECT doc_id, d.source, n_tokens
+      FROM d JOIN rates ON d.source = rates.source
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+            < CAST(floor(rate * 1000000) AS BIGINT)),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+             SUM(n_tokens) OVER () AS total
+      FROM mixed),
+    a AS (
+      SELECT doc_id, n_tokens,
+             CAST(LEAST(3, (prefix * 4) // total) AS INTEGER) AS shard
+      FROM c)
+    SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM a GROUP BY shard ORDER BY shard
+    """,
+    operators=("N24", "N1", "N12", "N7", "N23"),
+    doc="The COMPLETE curation-to-training handoff: exact dedup -> "
+    "benchmark decontamination -> weighted mixture sample (q106's "
+    "composition, each stage individually oracle-checked) -> token-"
+    "balanced 4-shard export of the surviving mixture, weighted by the "
+    "mixture's own token counts (assign_token_shards tokens_col hook — "
+    "no re-tokenization between stages). This is the acceptance test "
+    "for the whole pipeline: the oracle replays every stage AND the "
+    "shard cuts in one CTE chain, so a drift anywhere from sha256 "
+    "survivor selection to the final prefix-sum arithmetic breaks the "
+    "hash.",
+)
+def q125_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.decontam import decontaminate
+    from fdf_spark.llm.mixing import mix_corpus
+    from fdf_spark.llm.sharding import assign_token_shards
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    surv = exact_dedup(docs).select("doc_id")
+    # persist the stage boundaries: downstream stages consume each
+    # survivor set 2-4 times (bench + profile + semi-join + mixture),
+    # and in a production pipeline these ARE landed tables between
+    # stages — without the persist the whole upstream chain re-derives
+    # per consumer (measured 48 parquet scans vs 4)
+    sdocs = docs.join(surv, "doc_id", "left_semi").persist()
+    bench = sdocs.filter(F.col("doc_id") % 97 == 0)
+    prof = decontaminate(sdocs, bench, n=3, threshold=0.2)
+    clean = sdocs.join(
+        prof.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    ).persist()
+    mixed = mix_corpus(clean, _MIX_WEIGHTS, budget_tokens=2000)
+    shards = assign_token_shards(mixed, n_shards=4, tokens_col="n_tokens")
+    return (
+        shards.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

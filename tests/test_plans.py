@@ -141,6 +141,13 @@ EXPECT: dict[str, dict] = {
     # relations (the two SinglePartition exchanges + the BNL are those
     # tiny sides, broadcast back); corpus never single-partitioned
     "q124_training_shards": dict(max_exchanges=6, min_bhj=1, max_smj=0, max_bnl=1, max_scans=3),
+    # full-pipeline acceptance: every stage's probe side broadcasts
+    # (dedup survivors, benchmark shingles, decontam verdicts, mixture
+    # rates) — no SMJ, no cartesian; the BNL is the 1-row mixture-
+    # budget cross join. Stage boundaries are persisted (the printed
+    # plan repeats cached subtrees; InMemoryTableScan nodes are the
+    # runtime dedup), mirroring landed inter-stage tables in production
+    "q125_pipeline_export": dict(max_smj=0, max_bnl=1),
 }
 
 
