@@ -125,11 +125,14 @@ def incremental_dedup(
     hb_of = lambda k: F.pmod(  # noqa: E731 — shared with the append below
         F.conv(F.hex(k).substr(1, 2), 16, 10).cast("int"), F.lit(256)
     )
+    # persist: the batch aggregate feeds the hbs collect AND the
+    # anti-join/checkpoint below — without it the full new_docs
+    # hash+groupBy runs twice per ingest
     batch = (
         new_docs.withColumn("__k", key)
         .groupBy("__k")
         .agg(F.min(id_col).alias(id_col))
-    )
+    ).persist()
     if os.path.isdir(index_path) and any(
         not f.startswith(("_", ".")) for f in os.listdir(index_path)
     ):
@@ -162,6 +165,7 @@ def incremental_dedup(
         .partitionBy("hb")
         .parquet(index_path)
     )
+    batch.unpersist()  # fresh is checkpointed; the cache is spent
     return new_docs.join(
         fresh.select(F.col(id_col).alias("__keep")),
         new_docs[id_col] == F.col("__keep"),

@@ -38,8 +38,10 @@ def validate(
     if not rules and not unique_keys:
         raise ValueError("validate() needs at least one rule or unique_keys")
     for name in rules:
-        if "'" in name:  # rule names are spliced into the stack() SQL
-            raise ValueError(f"rule name may not contain a quote: {name!r}")
+        # rule names are spliced into the stack() SQL string literal:
+        # quotes would terminate it, backslashes are escape-processed
+        if "'" in name or "\\" in name:
+            raise ValueError(f"rule name may not contain quotes/backslashes: {name!r}")
     aggs = [
         F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)).alias(f"r{i}")
         for i, pred in enumerate(rules.values())

@@ -2063,18 +2063,19 @@ def q125_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.llm.sharding import assign_token_shards
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    surv = exact_dedup(docs).select("doc_id")
-    # persist the stage boundaries: downstream stages consume each
-    # survivor set 2-4 times (bench + profile + semi-join + mixture),
-    # and in a production pipeline these ARE landed tables between
-    # stages — without the persist the whole upstream chain re-derives
-    # per consumer (measured 48 parquet scans vs 4)
-    sdocs = docs.join(surv, "doc_id", "left_semi").persist()
+    # persist the NARROW stage verdicts (doc_id-only survivor sets, not
+    # the text-bearing relations — ~8 B/row, same footprint class as
+    # q120's vocab cache): the expensive per-stage aggregations (sha2
+    # dedup groupBy, shingle profile) compute once; each downstream
+    # consumer rebuilds its text view with a cheap scan + semi-join
+    # against the cached ids. In production these verdicts ARE the
+    # landed inter-stage tables.
+    surv = exact_dedup(docs).select("doc_id").persist()
+    sdocs = docs.join(surv, "doc_id", "left_semi")
     bench = sdocs.filter(F.col("doc_id") % 97 == 0)
     prof = decontaminate(sdocs, bench, n=3, threshold=0.2)
-    clean = sdocs.join(
-        prof.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
-    ).persist()
+    clean_ids = prof.filter(~F.col("contaminated")).select("doc_id").persist()
+    clean = sdocs.join(clean_ids, "doc_id", "left_semi")
     mixed = mix_corpus(clean, _MIX_WEIGHTS, budget_tokens=2000)
     shards = assign_token_shards(mixed, n_shards=4, tokens_col="n_tokens")
     return (

@@ -284,15 +284,19 @@ def diff_versions(
     return out
 
 
-def vacuum(path: str, keep: int = 1) -> list[str]:
+def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str]:
     """Drop all but the newest ``keep`` versions and delete data files
     no surviving manifest references; returns the deleted files.
 
     Also sweeps ORPHANED stage directories — fully-written data from a
     lost commit race or a crash between stage and publish. A stage dir
-    is provably dead when its embedded version number is ≤ the current
-    head yet no surviving manifest references its files (an in-flight
-    commit always targets head+1, so it is never swept)."""
+    is swept only when its embedded version number is STRICTLY below
+    the current head (an in-flight commit targets head+1; a loser's
+    head+1 dir only becomes sweepable after the table moves past it)
+    AND it has been idle for ``orphan_grace_s`` — the mtime grace
+    guards the residual race where head advances twice while a slow
+    writer is still staging (same retention idea as Delta's vacuum
+    grace period)."""
     if keep < 1:
         raise ValueError("keep must retain at least one version")
     versions = list_versions(path)
@@ -307,9 +311,10 @@ def vacuum(path: str, keep: int = 1) -> list[str]:
                 os.remove(f)
                 removed.append(f)
         os.remove(_manifest_path(path, v))
-    # orphaned stages: c<version>-<uuid> dirs with version <= head whose
-    # files no surviving manifest names
+    # orphaned stages: c<version>-<uuid> dirs strictly below head whose
+    # files no surviving manifest names, idle past the grace period
     import shutil
+    import time
 
     head = live[-1]
     data_dir = os.path.join(path, "data")
@@ -323,7 +328,8 @@ def vacuum(path: str, keep: int = 1) -> list[str]:
                 stage_v = int(d[1:9])
             except ValueError:
                 continue
-            if stage_v <= head and full not in referenced_dirs:
+            idle = time.time() - os.path.getmtime(full)
+            if stage_v < head and full not in referenced_dirs and idle >= orphan_grace_s:
                 for f in sorted(os.listdir(full)):
                     if f.endswith(".parquet"):
                         removed.append(os.path.join(full, f))

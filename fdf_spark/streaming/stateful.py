@@ -174,17 +174,45 @@ def stream_sketch_sink(
     - the versioned commit gives atomic publish + time travel — the
       sketch AS OF any batch stays readable, and a torn write is
       impossible (manifest create-if-absent);
-    - the fold is IDEMPOTENT under replay: the folded batch id rides
-      in the commit's manifest meta, atomically with the sketch data,
-      so an at-least-once re-delivery (crash between commit and
-      checkpoint) is detected and skipped instead of double-counted —
-      the fold is NOT idempotent by value (cell counts add), so this
-      marker is what upgrades at-least-once delivery to exactly-once
-      folding.
+    - the fold is IDEMPOTENT under replay WITHIN a checkpoint lineage:
+      the (stream id, batch id) pair rides in the commit's manifest
+      meta, atomically with the sketch data, so an at-least-once
+      re-delivery (crash between commit and checkpoint) is detected
+      and skipped instead of double-counted — the fold is NOT
+      idempotent by value (cell counts add), so this marker is what
+      upgrades at-least-once delivery to exactly-once folding. The
+      stream id is the checkpoint path (stable across restarts of the
+      same lineage, where batch ids monotonically continue — the Delta
+      (appId, batchId) txn pattern); WITHOUT a checkpoint every start
+      is a NEW ingestion with a fresh id, because a fresh query
+      restarts batch numbering at 0 and re-reads the source — skipping
+      on the bare batch id there would silently drop never-folded data.
 
     Returns the StreamingQuery; read the current sketch with
     ``sources.versioned.read_version(spark, path)``.
     """
+    import uuid
+
+    stream_id = checkpoint if checkpoint else f"run-{uuid.uuid4().hex}"
+    writer = tokens.writeStream.foreachBatch(
+        make_sketch_fold(path, depth=depth, width=width, token_col=token_col, stream_id=stream_id)
+    ).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def make_sketch_fold(
+    path: str,
+    depth: int = 4,
+    width: int = 1024,
+    token_col: str = "token",
+    stream_id: str = "run",
+):
+    """The foreachBatch fold behind :func:`stream_sketch_sink`,
+    factored out so the replay guard is directly testable: calling the
+    returned function twice with the same (stream_id, batch_id) folds
+    once; a different stream_id is a new ingestion and folds again."""
     from fdf_spark.llm.sketches import cm_merge, countmin_sketch
     from fdf_spark.sources.versioned import (
         _read_manifest,
@@ -199,9 +227,9 @@ def stream_sketch_sink(
         spark = batch_df.sparkSession
         versions = list_versions(path)
         if versions:
-            last = _read_manifest(path, versions[-1]).get("meta", {}).get("batch_id", -1)
-            if last >= batch_id:  # replayed batch — already folded
-                return
+            meta = _read_manifest(path, versions[-1]).get("meta", {})
+            if meta.get("stream_id") == stream_id and meta.get("batch_id", -1) >= batch_id:
+                return  # replayed batch of THIS lineage — already folded
         batch_sketch = countmin_sketch(batch_df, token_col=token_col, depth=depth, width=width)
         if versions:
             batch_sketch = cm_merge(read_version(spark, path), batch_sketch)
@@ -209,9 +237,8 @@ def stream_sketch_sink(
         merged = spark.createDataFrame(
             batch_sketch.collect(), "row int, bucket bigint, cnt bigint"
         ).coalesce(1)
-        commit_version(merged, path, mode="overwrite", meta={"batch_id": batch_id})
+        commit_version(
+            merged, path, mode="overwrite", meta={"stream_id": stream_id, "batch_id": batch_id}
+        )
 
-    writer = tokens.writeStream.foreachBatch(_fold).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return _fold

@@ -186,32 +186,31 @@ def test_stream_sketch_sink_matches_batch_sketch(spark, tmp_path):
     assert v1 == b1
 
 
-def test_stream_sketch_sink_replay_is_idempotent(spark, tmp_path):
-    """At-least-once replay: re-delivering an already-folded batch id
-    must be skipped (the folded batch id rides in the manifest meta,
-    atomic with the commit), not double-counted into the sketch."""
+def test_sketch_fold_replay_is_idempotent_per_lineage(spark, tmp_path):
+    """At-least-once replay WITHIN a checkpoint lineage: re-delivering
+    an already-folded (stream_id, batch_id) is skipped (the pair rides
+    in the manifest meta, atomic with the commit), not double-counted.
+    A DIFFERENT stream id is a new ingestion — its batch 0 must fold
+    even though a batch 0 was folded before (a fresh query restarts
+    batch numbering; skipping on the bare id would drop its data)."""
     from fdf_spark.llm.sketches import countmin_sketch
     from fdf_spark.sources.versioned import list_versions, read_version
-    from fdf_spark.streaming.stateful import stream_sketch_sink
+    from fdf_spark.streaming.stateful import make_sketch_fold
 
-    src = str(tmp_path / "src")
     sketch_path = str(tmp_path / "sketch")
-    os.makedirs(src)
     rows = [("the",), ("cat",), ("the",)]
-    spark.createDataFrame(rows, "token string").coalesce(1).write.mode("append").parquet(src)
-    stream = (
-        spark.readStream.schema("token string").option("maxFilesPerTrigger", "1").parquet(src)
-    )
-    # run the same source twice WITHOUT a checkpoint: the second run
-    # re-delivers batch 0 — exactly the at-least-once replay case
-    for _ in range(2):
-        q = stream_sketch_sink(stream, sketch_path, depth=4, width=16)
-        q.processAllAvailable()
-        q.stop()
-    assert list_versions(sketch_path) == [1]  # replay committed nothing
+    batch = spark.createDataFrame(rows, "token string")
+    fold = make_sketch_fold(sketch_path, depth=4, width=16, stream_id="ckpt-A")
+    fold(batch, 0)
+    fold(batch, 0)  # crash-replay of the same lineage: skipped
+    assert list_versions(sketch_path) == [1]
     got = {(r.row, r.bucket): r.cnt for r in read_version(spark, sketch_path).collect()}
-    want = {
-        (r.row, r.bucket): r.cnt
-        for r in countmin_sketch(spark.createDataFrame(rows, "token string"), width=16).collect()
-    }
+    want = {(r.row, r.bucket): r.cnt for r in countmin_sketch(batch, width=16).collect()}
     assert got == want
+    fold2 = make_sketch_fold(sketch_path, depth=4, width=16, stream_id="ckpt-B")
+    fold2(batch, 0)  # new lineage, batch ids restart — MUST fold
+    assert list_versions(sketch_path) == [1, 2]
+    doubled = {
+        (r.row, r.bucket): r.cnt for r in read_version(spark, sketch_path).collect()
+    }
+    assert doubled == {k: 2 * v for k, v in want.items()}

@@ -237,17 +237,25 @@ def test_vacuum_guard_and_orphan_sweep(spark, tmp_path):
         vacuum(p, keep=0)
     with _pytest.raises(ValueError):
         vacuum(p, keep=-1)
-    # plant a lost-race orphan: stage dir for v2 with no manifest ref
-    orphan = _os.path.join(p, "data", "c00000002-deadbeef")
+    # plant a lost-race orphan: stage dir for v1 with no manifest ref
+    # (sweepable only STRICTLY below head — a loser's head+1 dir waits
+    # until the table moves past it)
+    orphan = _os.path.join(p, "data", "c00000001-deadbeef")
     _os.makedirs(orphan)
     with open(_os.path.join(orphan, "part-0.parquet"), "wb") as fh:
         fh.write(b"x")
-    # an in-flight stage (version > head) must NOT be swept
+    # at-head and beyond-head stages must NOT be swept (possible in-flight)
+    athead = _os.path.join(p, "data", "c00000002-beefbeef")
     inflight = _os.path.join(p, "data", "c00000003-cafecafe")
+    _os.makedirs(athead)
     _os.makedirs(inflight)
-    removed = vacuum(p, keep=2)  # keeps both versions; sweeps orphans only
-    assert any("c00000002-deadbeef" in f for f in removed)
-    assert not _os.path.exists(orphan) and _os.path.exists(inflight)
+    # grace period: a freshly-written orphan survives the default grace
+    assert not any("deadbeef" in f for f in vacuum(p, keep=2))
+    assert _os.path.exists(orphan)
+    removed = vacuum(p, keep=2, orphan_grace_s=0)  # grace elapsed
+    assert any("c00000001-deadbeef" in f for f in removed)
+    assert not _os.path.exists(orphan)
+    assert _os.path.exists(athead) and _os.path.exists(inflight)
     # live data untouched: every manifest-referenced file still on disk
     assert read_version(spark, p).count() == 10
     assert all(_os.path.exists(f) for f in _read_manifest(p, 2)["files"])
