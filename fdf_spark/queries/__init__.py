@@ -70,7 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "q84_contour_levels",           # F11
     "q85_payload_chr_decode",       # F12
     "q83_fft_per_series",           # X4
-    "q24_percentiles",              # N5
+    "q126_logreg_quality",          # N25 in-engine trained classifier (r5; displaced q24 — N5 keeps the frequency-sketch rep q119; percentiles stay pytest-oracle)
     "q60_exact_dedup",              # N1
     "q61_minhash_signatures",       # N2
     "q65_cosine_topk",              # N3

@@ -2088,3 +2088,95 @@ def q125_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _logreg_sql(iters: int = 3, dim: int = 8, lr: float = 0.5) -> str:
+    """DuckDB replay of classifier.train_logreg + score_logreg:
+    unrolled batch-GD CTE chain. Arithmetic mirrors the Spark side
+    expression-for-expression: z accumulates bias-first left-assoc,
+    per-row residual/gradient contributions round to 6 dp BEFORE the
+    decimal(25,6) sums, weight updates round HALF_UP to 6 dp."""
+    xs = [f"x{j}" for j in range(dim)]
+
+    def wref(t: int, c: str) -> str:
+        return f"(SELECT {c} FROM w{t})"
+
+    def zexpr(t: int) -> str:
+        terms = " + ".join([wref(t, "cb")] + [f"{wref(t, f'c{j}')} * x{j}" for j in range(dim)])
+        return f"round({terms}, 6)"
+
+    parts = [
+        # MATERIALIZED: DuckDB would otherwise inline each CTE per
+        # scalar-subquery reference — 9 weight refs per iteration makes
+        # the unmaterialized chain exponential in iters
+        "f AS MATERIALIZED (SELECT CASE WHEN CAST(embedding[1] AS DOUBLE)"
+        " + CAST(embedding[2] AS DOUBLE) > 0 THEN 1.0 ELSE 0.0 END AS y, "
+        + ", ".join(f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j}" for j in range(dim))
+        + " FROM embeddings)",
+        "w0 AS MATERIALIZED (SELECT " + ", ".join([f"0.0 AS c{j}" for j in range(dim)] + ["0.0 AS cb"]) + ")",
+    ]
+    for t in range(iters):
+        resid = f"(SELECT round(y - 1.0/(1.0 + exp(-({zexpr(t)}))), 6) AS r, {', '.join(xs)} FROM f)"
+        updates = [
+            f"round({wref(t, f'c{j}')} + {lr} * CAST(SUM(CAST(round(r * x{j}, 6) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS c{j}"
+            for j in range(dim)
+        ] + [
+            f"round({wref(t, 'cb')} + {lr} * CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS cb"
+        ]
+        parts.append(f"w{t + 1} AS MATERIALIZED (SELECT {', '.join(updates)} FROM {resid})")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    scored AS (SELECT y, round(1.0/(1.0 + exp(-({zexpr(iters)}))), 6) AS p FROM f)
+    SELECT CAST(y AS INTEGER) AS label_bin, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_p
+    FROM scored GROUP BY y ORDER BY label_bin"""
+    )
+
+
+@query(
+    "q126_logreg_quality",
+    _logreg_sql(iters=3, dim=8, lr=0.5),
+    operators=("N25", "N3", "A9"),
+    doc="In-engine TRAINED classifier (logistic regression, 3 batch-GD "
+    "iterations over 8 embedding dims; the target is the planted "
+    "linear concept x0+x1>0, so the 95% training accuracy PROVES the "
+    "trainer recovers a linear signal in 3 passes): each "
+    "iteration is ONE map-side-combining aggregate scan collected as a "
+    "9-value gradient row; the driver updates the weight vector and "
+    "broadcasts it back as literals — the distributed batch-GD shape "
+    "(persist the features once, one pass per epoch at any scale). "
+    "Determinism is the PageRank pattern: 6-dp pre-sum rounding + "
+    "decimal sums + HALF_UP weight updates + power-of-two lr, so the "
+    "oracle replays TRAINING AND SCORING bit-for-bit in an unrolled "
+    "CTE chain. Output: per-class counts, trained-model accuracy, "
+    "mean predicted probability.",
+)
+def q126_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.classifier import score_logreg, train_logreg
+
+    emb = T(spark, sf_dir, "embeddings")
+    dim = 8
+    xcols = [f"x{j}" for j in range(dim)]
+    x0 = F.col("embedding").getItem(0).cast("double")
+    x1 = F.col("embedding").getItem(1).cast("double")
+    feats = emb.select(
+        ((x0 + x1) > 0).cast("double").alias("y"),
+        *[F.col("embedding").getItem(j).cast("double").alias(f"x{j}") for j in range(dim)],
+    ).persist()
+    w, b = train_logreg(feats, xcols, "y", iters=3, lr=0.5)
+    scored = score_logreg(feats, xcols, w, b)
+    out = (
+        scored.groupBy(F.col("y").cast("int").alias("label_bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("pred") == (F.col("y") == 1.0), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+            F.round(_dsum("p") / F.count("*"), 6).alias("avg_p"),
+        )
+        .orderBy("label_bin")
+    )
+    return out

@@ -148,6 +148,11 @@ EXPECT: dict[str, dict] = {
     # plan repeats cached subtrees; InMemoryTableScan nodes are the
     # runtime dedup), mirroring landed inter-stage tables in production
     "q125_pipeline_export": dict(max_smj=0, max_bnl=1),
+    # trained classifier: scoring is pure map-side over the persisted
+    # feature relation (weights are literals) — one cached scan, the
+    # 2 exchanges are the per-class agg + final sort; training's
+    # per-iteration gradient aggs ran at plan-build time, same shape
+    "q126_logreg_quality": dict(max_exchanges=2, max_smj=0, max_bnl=0, max_scans=1),
 }
 
 

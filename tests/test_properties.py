@@ -410,3 +410,62 @@ def test_shard_assignment_contiguous_and_balanced(spark, tok_counts, n_shards, b
             per[s] = per.get(s, 0) + c
         for tok in per.values():
             assert tok <= total / n_shards + max(tok_counts)
+
+
+from fdf_spark.llm.classifier import score_logreg, train_logreg  # noqa: E402
+
+LOGREG_ROWS = st.lists(
+    st.tuples(
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=16),
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=16),
+        st.booleans(),
+    ),
+    min_size=3,
+    max_size=25,
+)
+
+
+def _py_round6(x):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+@settings(**{**_SETTINGS, "max_examples": 8})
+@given(rows=LOGREG_ROWS, iters=st.integers(1, 3))
+def test_train_logreg_matches_python(spark, rows, iters):
+    """Distributed batch-GD == a literal python transcription of the
+    rounding-pinned update rule on random feature matrices — weight for
+    weight, at any partition count (the 6-dp pre-sum rounding + decimal
+    accumulation is what makes the distributed sum order-independent)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(yv)) for a, b, yv in rows], "x0 double, x1 double, y double"
+    ).repartition(3)
+    w, bias = train_logreg(df, ["x0", "x1"], "y", iters=iters, lr=0.5)
+
+    pw, pb = [0.0, 0.0], 0.0
+    for _ in range(iters):
+        g = [0.0, 0.0, 0.0]
+        for a, b2, yv in rows:
+            z = _py_round6(pb + pw[0] * a + pw[1] * b2)
+            r = _py_round6(float(yv) - 1.0 / (1.0 + math.exp(-z)))
+            g[0] += _py_round6(r * a)
+            g[1] += _py_round6(r * b2)
+            g[2] += r
+        n = len(rows)
+        # decimal-sum of 6-dp values is exact; python float sum of the
+        # same values may drift — re-quantize the sums first
+        g = [_py_round6(x) for x in g]
+        pw = [_py_round6(wj + 0.5 * gj / n) for wj, gj in zip(pw, g[:2])]
+        pb = _py_round6(pb + 0.5 * g[2] / n)
+    assert w == pw and bias == pb
+    # scoring parity on the same relation
+    got = {
+        (r["x0"], r["x1"]): r["p"]
+        for r in score_logreg(df, ["x0", "x1"], w, bias).collect()
+    }
+    for a, b2, _ in rows:
+        z = _py_round6(bias + w[0] * a + w[1] * b2)
+        assert got[(a, b2)] == _py_round6(1.0 / (1.0 + math.exp(-z)))

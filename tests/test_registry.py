@@ -49,6 +49,8 @@ REQUIRED_OPS = {
     "N20", "N21", "N22", "N23",
     # round-5 addition: token-balanced training-shard export
     "N24",
+    # round-5 addition: in-engine trained linear classifier (batch GD)
+    "N25",
 }
 
 

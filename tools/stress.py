@@ -495,6 +495,28 @@ def main() -> None:
     )
     timed("shard assignment (N24)", n, assign_token_shards(docs, 256, bucket_docs=40_000))
 
+    # 23) logistic-regression training (N25): 3 batch-GD epochs over
+    # 20M x 8-dim features — each epoch ONE map-side-combining agg
+    # scan of the persisted relation; gradient rows are 9 values
+    from fdf_spark.llm.classifier import score_logreg, train_logreg
+
+    n = 20_000_000
+    feats = spark.range(0, n, 1, 64).select(
+        *[F.sin((F.col("id") + 1).cast("double") * (j + 1)).alias(f"x{j}") for j in range(8)],
+        (F.sin((F.col("id") + 1).cast("double")) + F.sin((F.col("id") + 1).cast("double") * 2.0)
+         > 0).cast("double").alias("y"),
+    ).persist()
+    feats.count()  # materialize outside the timed window
+    t0 = time.perf_counter()
+    w, bias = train_logreg(feats, [f"x{j}" for j in range(8)], "y", iters=3, lr=0.5)
+    dt = time.perf_counter() - t0
+    print(
+        f"{'logreg 3-epoch train (N25)':28s} {3 * n/1e6:8.1f} Mrows {dt:7.2f} s {3 * n/dt/1e6:8.1f} Mrows/s",
+        flush=True,
+    )
+    timed("logreg score (N25)", n, score_logreg(feats, [f"x{j}" for j in range(8)], w, bias))
+    feats.unpersist()
+
     spark.stop()
 
 
