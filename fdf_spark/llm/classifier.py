@@ -46,6 +46,8 @@ def _round6(x: float) -> float:
 def _z(cols: list[Column], w: list[float], bias: float) -> Column:
     """round-6dp linear score w·x + b (rounding pins the sigmoid input
     so a 1-ulp exp() difference between engines cannot surface)."""
+    if len(cols) != len(w):
+        raise ValueError(f"weight/feature dimension mismatch: {len(w)} vs {len(cols)}")
     z = F.lit(float(bias))
     for c, wj in zip(cols, w):
         z = z + F.lit(float(wj)) * c
@@ -81,6 +83,8 @@ def train_logreg(
         aggs.append(F.count("*").alias("n"))
         row = feats.agg(*aggs).collect()[0]
         n = row["n"]
+        if not n:
+            raise ValueError("train_logreg: empty feature relation")
         w = [_round6(wj + lr * row[f"g{j}"] / n) for j, wj in enumerate(w)]
         b = _round6(b + lr * row["gb"] / n)
     return w, b

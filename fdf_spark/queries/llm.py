@@ -2109,8 +2109,8 @@ def _logreg_sql(iters: int = 3, dim: int = 8, lr: float = 0.5) -> str:
         # MATERIALIZED: DuckDB would otherwise inline each CTE per
         # scalar-subquery reference — 9 weight refs per iteration makes
         # the unmaterialized chain exponential in iters
-        "f AS MATERIALIZED (SELECT CASE WHEN CAST(embedding[1] AS DOUBLE)"
-        " + CAST(embedding[2] AS DOUBLE) > 0 THEN 1.0 ELSE 0.0 END AS y, "
+        "f AS MATERIALIZED (SELECT CAST(CAST(embedding[1] AS DOUBLE)"
+        " + CAST(embedding[2] AS DOUBLE) > 0 AS DOUBLE) AS y, "
         + ", ".join(f"CAST(embedding[{j + 1}] AS DOUBLE) AS x{j}" for j in range(dim))
         + " FROM embeddings)",
         "w0 AS MATERIALIZED (SELECT " + ", ".join([f"0.0 AS c{j}" for j in range(dim)] + ["0.0 AS cb"]) + ")",
@@ -2118,10 +2118,10 @@ def _logreg_sql(iters: int = 3, dim: int = 8, lr: float = 0.5) -> str:
     for t in range(iters):
         resid = f"(SELECT round(y - 1.0/(1.0 + exp(-({zexpr(t)}))), 6) AS r, {', '.join(xs)} FROM f)"
         updates = [
-            f"round({wref(t, f'c{j}')} + {lr} * CAST(SUM(CAST(round(r * x{j}, 6) AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS c{j}"
+            f"round({wref(t, f'c{j}')} + {lr} * {_sql_dsum(f'round(r * x{j}, 6)')} / COUNT(*), 6) AS c{j}"
             for j in range(dim)
         ] + [
-            f"round({wref(t, 'cb')} + {lr} * CAST(SUM(CAST(r AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS cb"
+            f"round({wref(t, 'cb')} + {lr} * {_sql_dsum('r')} / COUNT(*), 6) AS cb"
         ]
         parts.append(f"w{t + 1} AS MATERIALIZED (SELECT {', '.join(updates)} FROM {resid})")
     return (
@@ -2131,7 +2131,7 @@ def _logreg_sql(iters: int = 3, dim: int = 8, lr: float = 0.5) -> str:
     scored AS (SELECT y, round(1.0/(1.0 + exp(-({zexpr(iters)}))), 6) AS p FROM f)
     SELECT CAST(y AS INTEGER) AS label_bin, COUNT(*) AS n,
            CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-           round(CAST(SUM(CAST(p AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_p
+           round({_sql_dsum('p')} / COUNT(*), 6) AS avg_p
     FROM scored GROUP BY y ORDER BY label_bin"""
     )
 
