@@ -1,14 +1,17 @@
-"""LLM-data-pipeline operators (SURVEY §2.11 N1-N19) — the north-star
+"""LLM-data-pipeline operators (SURVEY §2.11 N1-N25) — the north-star
 extension surface: dedup (exact / MinHash-LSH / SimHash / n-gram
 Jaccard / span-level substring / embedding), similarity search
 (brute-force + LSH/IVF/PQ-ADC ANN with a trainable coarse quantizer),
 relevance ranking + inverted index, text analysis, tokenization
 (vocab + learned BPE), benchmark decontamination, PII redaction,
 chunking/sequence packing, deterministic sampling and mixture
-construction, and multimodal column plumbing — all designed for
-100 TB document corpora.
+construction, multimodal column plumbing, Count–Min frequency
+sketching, unigram-LM and trained-classifier quality scoring, and
+token-balanced training-shard export — all designed for 100 TB
+document corpora.
 """
 
+from fdf_spark.llm.classifier import score_logreg, train_logreg  # noqa: F401
 from fdf_spark.llm.decontam import decontaminate  # noqa: F401
 from fdf_spark.llm.dedup import (  # noqa: F401
     distinct_gram_hashes,
@@ -19,6 +22,7 @@ from fdf_spark.llm.dedup import (  # noqa: F401
     simhash,
     word_shingles,
 )
+from fdf_spark.llm.lmscore import score_docs, train_unigram_lm  # noqa: F401
 from fdf_spark.llm.mixing import mix_corpus  # noqa: F401
 from fdf_spark.llm.pii import detect_pii, redact_text  # noqa: F401
 from fdf_spark.llm.ranking import bm25_topk, inverted_index  # noqa: F401
@@ -32,6 +36,8 @@ from fdf_spark.llm.similarity import (  # noqa: F401
     pq_encode,
     semantic_dedup,
 )
+from fdf_spark.llm.sharding import assign_token_shards, write_training_shards  # noqa: F401
+from fdf_spark.llm.sketches import cm_estimate, cm_merge, countmin_sketch  # noqa: F401
 from fdf_spark.llm.spans import dup_spans  # noqa: F401
 from fdf_spark.llm.textstats import fingerprint, language_id, text_stats  # noqa: F401
 from fdf_spark.llm.tokenize import learn_bpe, tokenize_bpe, tokenize_vocab  # noqa: F401
