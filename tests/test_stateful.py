@@ -214,3 +214,52 @@ def test_sketch_fold_replay_is_idempotent_per_lineage(spark, tmp_path):
         (r.row, r.bucket): r.cnt for r in read_version(spark, sketch_path).collect()
     }
     assert doubled == {k: 2 * v for k, v in want.items()}
+
+
+def test_stream_view_sink_maintains_view(spark, tmp_path):
+    """Streaming materialized view: after 3 signed CDC micro-batches
+    the maintained SUM/COUNT view equals a from-scratch aggregate over
+    the net rows (deletes retract exactly, decimal accumulators survive
+    the parquet round-trips); every batch leaves a readable snapshot;
+    same-lineage replay of a folded batch is skipped."""
+    from fdf_spark.operators.ivm import finish_view
+    from fdf_spark.sources.versioned import list_versions, read_version
+    from fdf_spark.streaming.stateful import make_view_fold, stream_view_sink
+
+    src = str(tmp_path / "src")
+    vpath = str(tmp_path / "view")
+    os.makedirs(src)
+    schema = "k string, v double, sign int"
+    batches = [
+        [("a", 10.5, 1), ("b", 2.25, 1), ("a", 1.0, 1)],
+        [("a", 10.5, -1), ("c", 7.0, 1)],          # delete one a-row
+        [("b", 2.25, -1), ("b", 4.0, 1), ("d", 0.5, 1)],  # update b
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_view_sink(stream, vpath, ["k"], "v")
+    q.processAllAvailable()
+    q.stop()
+    assert list_versions(vpath) == [1, 2, 3]
+    got = {
+        r.k: (r.sum_val, r.n_rows)
+        for r in finish_view(read_version(spark, vpath), ["k"]).collect()
+    }
+    assert got == {"a": (1.0, 1), "b": (4.0, 1), "c": (7.0, 1), "d": (0.5, 1)}
+    # snapshot after batch 1 = view of batch 1 alone
+    v1 = {
+        r.k: (r.sum_val, r.n_rows)
+        for r in finish_view(read_version(spark, vpath, 1), ["k"]).collect()
+    }
+    assert v1 == {"a": (11.5, 2), "b": (2.25, 1)}
+    # replay guard: re-folding the last batch id of the same lineage no-ops
+    fold = make_view_fold(vpath, ["k"], "v", stream_id="x")
+    b0 = spark.createDataFrame(batches[0], schema)
+    fold(b0, 7)
+    assert list_versions(vpath) == [1, 2, 3, 4]
+    fold(b0, 7)  # replay — skipped
+    assert list_versions(vpath) == [1, 2, 3, 4]
