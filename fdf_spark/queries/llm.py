@@ -2180,3 +2180,65 @@ def q126_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("label_bin")
     )
     return out
+
+
+@query(
+    "q127_cm_merge_estimate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    exact AS (SELECT token, COUNT(*) AS exact_cnt FROM t GROUP BY token),
+    probes AS (SELECT token, exact_cnt FROM exact ORDER BY exact_cnt DESC, token LIMIT 10),
+    cells AS (
+      -- two sketches built on disjoint corpus halves, merged cell-wise:
+      -- identical to sketching the whole stream (what this query pins)
+      SELECT row, bucket, SUM(cnt) AS cnt FROM (
+        SELECT rs.r AS row, {sql_hash60('token', 'rs.r')} % {_CM_WIDTH} AS bucket,
+               COUNT(*) AS cnt
+        FROM t CROSS JOIN {_CM_ROWS_SQL} rs WHERE doc_id % 2 = 0
+        GROUP BY rs.r, bucket
+        UNION ALL
+        SELECT rs.r AS row, {sql_hash60('token', 'rs.r')} % {_CM_WIDTH} AS bucket,
+               COUNT(*) AS cnt
+        FROM t CROSS JOIN {_CM_ROWS_SQL} rs WHERE doc_id % 2 = 1
+        GROUP BY rs.r, bucket) GROUP BY row, bucket),
+    est AS (
+      SELECT p.token, MIN(COALESCE(c.cnt, 0)) AS est_cnt
+      FROM probes p
+      CROSS JOIN {_CM_ROWS_SQL} rs
+      LEFT JOIN cells c
+        ON c.row = rs.r AND c.bucket = {sql_hash60('p.token', 'rs.r')} % {_CM_WIDTH}
+      GROUP BY p.token)
+    SELECT p.token, p.exact_cnt, e.est_cnt
+    FROM probes p JOIN est e USING (token)
+    ORDER BY p.exact_cnt DESC, p.token
+    """,
+    operators=("N20", "N5"),
+    doc="Count-Min MERGEABILITY as a driver-checkable relation: two "
+    "sketches built over disjoint corpus halves (doc_id parity) and "
+    "merged cell-wise must estimate identically to sketching the whole "
+    "stream — the property that lets per-day / per-shard / per-worker "
+    "sketches combine into global hot-token state with a union+groupBy "
+    "over <= 2*depth*width cells. The streaming fold "
+    "(stream_sketch_sink) is this same merge applied per micro-batch.",
+)
+def q127_cm_merge_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.sketches import cm_estimate, cm_merge, countmin_sketch
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    even = countmin_sketch(toks.filter(F.col("doc_id") % 2 == 0), depth=_CM_DEPTH, width=_CM_WIDTH)
+    odd = countmin_sketch(toks.filter(F.col("doc_id") % 2 == 1), depth=_CM_DEPTH, width=_CM_WIDTH)
+    merged = cm_merge(even, odd)
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "token").limit(10)
+    est = cm_estimate(merged, probes.select("token"), depth=_CM_DEPTH, width=_CM_WIDTH)
+    return (
+        probes.join(est, "token")
+        .select("token", "exact_cnt", "est_cnt")
+        .orderBy(F.desc("exact_cnt"), "token")
+    )
