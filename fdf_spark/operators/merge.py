@@ -43,11 +43,73 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _BASE = "__merge_base__"
 _CHG = "__merge_chg__"
+_RN = "__merge_rn__"
+
+
+def _reduce_changes_last_wins(
+    changes: DataFrame, keys: Sequence[str], order_col: str
+) -> DataFrame:
+    """Deterministically reduce ``changes`` to the LATEST row per key.
+
+    CDC last-state semantics: the surviving row per key is the one with
+    the greatest ``order_col`` (sequence number / event time), so a
+    delete followed by a later re-insert resurrects the key and an
+    update followed by a later delete drops it.  Ties on ``order_col``
+    break on the remaining change columns (descending, nulls last) so
+    the reduction is a pure function of the row multiset — no
+    first-row-wins nondeterminism.
+    """
+    if order_col not in changes.columns:
+        raise ValueError(f"order_col {order_col!r} not in changes columns")
+    tiebreak = [
+        F.col(c).desc_nulls_last() for c in changes.columns if c != order_col
+    ]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc_nulls_last(), *tiebreak)
+    return (
+        changes.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+
+
+def _check_unique_live_keys(
+    changes: DataFrame, keys: Sequence[str], delete_flag: str | None
+) -> None:
+    """Raise if any key carries more than one live (non-delete) change row.
+
+    With duplicate keys the broadcast strategy's inner join duplicates
+    matched base rows and the shuffle strategy's full-outer join
+    multiplies them — silent snapshot corruption.  Delta's MERGE raises
+    the same way ("multiple source rows matched").  A delete row plus
+    one update row for the same key stays legal (delete wins).  This is
+    an eager check (one Spark action over the change relation — tiny by
+    contract on the broadcast path); pass
+    ``on_duplicate_keys="assume_unique"`` to skip it or
+    ``"last_wins"`` with an ``order_col`` to reduce instead.
+    """
+    live = changes
+    if delete_flag is not None:
+        live = changes.filter(~F.coalesce(F.col(delete_flag), F.lit(False)))
+    dup = (
+        live.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        kv = {k: dup[0][k] for k in keys}
+        raise ValueError(
+            f"merge_upsert: multiple live change rows for key {kv} — a merge "
+            f"would duplicate matched base rows. Deduplicate the change set, "
+            f"or pass on_duplicate_keys='last_wins' with order_col=<sequence "
+            f"column> for CDC last-state reduction."
+        )
 
 
 def _resolve_update_cols(
@@ -68,14 +130,36 @@ def merge_upsert(
     update_cols: Sequence[str] | None = None,
     delete_flag: str | None = None,
     strategy: str = "broadcast",
+    on_duplicate_keys: str = "error",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Merge ``changes`` into ``base`` on ``keys``; returns the new snapshot.
 
     Output schema == base schema (column order preserved).  ``changes``
     may carry a subset of base's columns plus the key columns and the
     optional boolean ``delete_flag``.
+
+    CONTRACT: at most one live (non-delete) change row per key.
+    ``on_duplicate_keys`` picks the enforcement:
+
+    - ``"error"`` (default): eager uniqueness check, raises
+      ``ValueError`` on violation (Delta MERGE's multiple-matches
+      error).  Costs one action over the change relation.
+    - ``"last_wins"``: reduce changes to the row with the greatest
+      ``order_col`` per key BEFORE merging (CDC last-state semantics —
+      the natural choice for ``stream_merge_sink`` micro-batches that
+      carry several changes for one key).  Requires ``order_col``.
+    - ``"assume_unique"``: skip the check (caller guarantees it).
     """
     keys = list(keys)
+    if on_duplicate_keys == "last_wins":
+        if order_col is None:
+            raise ValueError("on_duplicate_keys='last_wins' requires order_col")
+        changes = _reduce_changes_last_wins(changes, keys, order_col)
+    elif on_duplicate_keys == "error":
+        _check_unique_live_keys(changes, keys, delete_flag)
+    elif on_duplicate_keys != "assume_unique":
+        raise ValueError(f"unknown on_duplicate_keys {on_duplicate_keys!r}")
     update_cols = _resolve_update_cols(base, changes, keys, update_cols)
     chg_payload = keys + [c for c in update_cols if c not in keys]
     live = changes
@@ -147,6 +231,8 @@ def merge_into_partitioned(
     partition_col: str,
     update_cols: Sequence[str] | None = None,
     delete_flag: str | None = None,
+    on_duplicate_keys: str = "error",
+    order_col: str | None = None,
 ) -> list:
     """Copy-on-write merge into a parquet table partitioned by ``partition_col``.
 
@@ -170,7 +256,10 @@ def merge_into_partitioned(
     touched = [r[0] for r in changes.select(partition_col).distinct().collect()]
     base = spark.read.parquet(base_path)
     pruned = base.filter(F.col(partition_col).isin(touched))
-    merged = merge_upsert(pruned, changes, keys, update_cols, delete_flag)
+    merged = merge_upsert(
+        pruned, changes, keys, update_cols, delete_flag,
+        on_duplicate_keys=on_duplicate_keys, order_col=order_col,
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -1961,7 +1961,7 @@ def q120_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, tokens,
              CAST(LEAST(7, (prefix * 8) // total) AS INTEGER) AS shard
       FROM c)
-    SELECT shard, COUNT(*) AS n_docs, SUM(tokens) AS n_tokens,
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM a GROUP BY shard ORDER BY shard
     """,
@@ -2041,7 +2041,7 @@ def q124_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_tokens,
              CAST(LEAST(3, (prefix * 4) // total) AS INTEGER) AS shard
       FROM c)
-    SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens,
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM a GROUP BY shard ORDER BY shard
     """,
@@ -2194,7 +2194,7 @@ def q126_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
       -- two sketches built on disjoint corpus halves, merged cell-wise:
       -- identical to sketching the whole stream (what this query pins)
-      SELECT row, bucket, SUM(cnt) AS cnt FROM (
+      SELECT row, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
         SELECT rs.r AS row, {sql_hash60('token', 'rs.r')} % {_CM_WIDTH} AS bucket,
                COUNT(*) AS cnt
         FROM t CROSS JOIN {_CM_ROWS_SQL} rs WHERE doc_id % 2 = 0

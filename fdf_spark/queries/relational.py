@@ -1391,9 +1391,11 @@ def q97_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey FROM orders
       WHERE o_orderkey % 97 = 0 AND o_orderkey % 50 <> 0),
     ins AS (
+      -- key 0 excluded: -0 = 0 would collide with upd's key-0 row
+      -- (two live change rows for one key — the merge contract forbids it)
       SELECT -o_orderkey AS o_orderkey, o_totalprice * 0.5 AS o_totalprice,
              'N' AS o_orderstatus
-      FROM orders WHERE o_orderkey % 71 = 0),
+      FROM orders WHERE o_orderkey % 71 = 0 AND o_orderkey <> 0),
     basem AS (
       SELECT b.o_orderkey,
              CASE WHEN u.o_orderkey IS NULL THEN b.o_totalprice ELSE u.o_totalprice END AS o_totalprice,
@@ -1439,7 +1441,7 @@ def q110_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("o_orderstatus"),
         F.lit(True).alias("deleted"),
     )
-    inserts = orders.filter(k % 71 == 0).select(
+    inserts = orders.filter((k % 71 == 0) & (k != 0)).select(
         (-k).alias("o_orderkey"),
         (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
         F.lit("N").alias("o_orderstatus"),

@@ -344,6 +344,8 @@ def merge_versioned(
     keys,
     update_cols=None,
     delete_flag: str | None = None,
+    on_duplicate_keys: str = "error",
+    order_col: str | None = None,
 ) -> int:
     """CDC merge (operators/merge.py semantics) committed as a new
     snapshot: read latest → merge_upsert → overwrite-commit. Readers of
@@ -360,7 +362,10 @@ def merge_versioned(
     else:
         cols = [c for c in changes.columns if c != delete_flag]
         base = spark.createDataFrame([], changes.select(*cols).schema)
-    merged = merge_upsert(base, changes, keys, update_cols, delete_flag)
+    merged = merge_upsert(
+        base, changes, keys, update_cols, delete_flag,
+        on_duplicate_keys=on_duplicate_keys, order_col=order_col,
+    )
     return commit_version(merged, path, mode="overwrite")
 
 
@@ -371,10 +376,18 @@ def stream_merge_sink(
     update_cols=None,
     delete_flag: str | None = None,
     checkpoint: str | None = None,
+    order_col: str | None = None,
 ):
     """Streaming CDC upsert sink: every micro-batch is merged into the
     versioned table as one commit (``foreachBatch`` → merge_upsert →
     overwrite-commit).
+
+    A micro-batch can naturally carry SEVERAL change rows for one key
+    (rapid updates within the trigger interval).  Pass ``order_col``
+    (a per-change sequence number / event time) to reduce each batch to
+    its last state per key before merging (``merge_upsert``
+    last-wins semantics); without it the merge errors loudly on
+    duplicate live keys rather than silently duplicating base rows.
 
     This is the production landing pattern for a change stream at
     100 TB: per batch, the base is never shuffled (broadcast merge),
@@ -389,7 +402,11 @@ def stream_merge_sink(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            merge_versioned(batch_df.sparkSession, path, batch_df, keys, update_cols, delete_flag)
+            merge_versioned(
+                batch_df.sparkSession, path, batch_df, keys, update_cols, delete_flag,
+                on_duplicate_keys="last_wins" if order_col is not None else "error",
+                order_col=order_col,
+            )
 
     writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("update")
     if checkpoint:

@@ -140,3 +140,76 @@ def test_validate_null_counts_as_violation(spark):
     assert audit == {"v_positive": 2, "unique(k)": 1}
     bad = violation_sample(df, {"v_positive": F.col("v") > 0}).collect()
     assert {r.k for r in bad} == {2, 3}
+
+
+# --- duplicate-change-key contract (ADVICE r6: merge.py one-change-per-key) --
+
+
+def test_duplicate_live_change_keys_raise(spark):
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    changes = spark.createDataFrame([Row(k=1, v="X"), Row(k=1, v="Y")])
+    for strategy in ("broadcast", "shuffle"):
+        try:
+            merge_upsert(base, changes, ["k"], update_cols=["v"], strategy=strategy)
+            raise AssertionError("expected ValueError on duplicate change keys")
+        except ValueError as e:
+            assert "multiple live change rows" in str(e), strategy
+
+
+def test_delete_plus_update_same_key_stays_legal(spark):
+    # the documented delete-wins pair is NOT a duplicate-key violation
+    base, changes = _tiny(spark)
+    both = changes.unionByName(
+        spark.createDataFrame(
+            [Row(k=2, v=None, deleted=True)], schema="k bigint, v string, deleted boolean"
+        )
+    )
+    out = merge_upsert(base, both, ["k"], update_cols=["v"], delete_flag="deleted")
+    assert {r.k for r in out.collect()} == {1, 9}  # delete wins for k=2
+
+
+def test_last_wins_reduces_to_latest_state(spark):
+    base = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, v="x1", seq=1, deleted=False),
+            Row(k=1, v="x2", seq=2, deleted=False),   # latest for k=1 → wins
+            Row(k=2, v="y1", seq=1, deleted=False),
+            Row(k=2, v=None, seq=2, deleted=True),    # latest for k=2 → delete
+            Row(k=3, v="z0", seq=1, deleted=True),
+            Row(k=3, v="z1", seq=2, deleted=False),   # delete then re-insert → lives
+        ]
+    )
+    for strategy in ("broadcast", "shuffle"):
+        out = merge_upsert(
+            base, changes, ["k"], update_cols=["v"], delete_flag="deleted",
+            strategy=strategy, on_duplicate_keys="last_wins", order_col="seq",
+        )
+        assert {r.k: r.v for r in out.collect()} == {1: "x2", 3: "z1"}, strategy
+
+
+def test_last_wins_requires_order_col(spark):
+    base, changes = _tiny(spark)
+    try:
+        merge_upsert(base, changes, ["k"], on_duplicate_keys="last_wins")
+        raise AssertionError("expected ValueError without order_col")
+    except ValueError as e:
+        assert "order_col" in str(e)
+
+
+def test_stream_merge_sink_last_wins_batch(spark, tmp_path):
+    # a single micro-batch carrying two changes for one key must land
+    # its LAST state, not duplicate the base row
+    from fdf_spark.sources.versioned import merge_versioned, read_version
+
+    p = str(tmp_path / "vt")
+    spark.createDataFrame([Row(k=1, v=10)]).write.mode("overwrite").parquet(p + "/seed")
+    from fdf_spark.sources.versioned import commit_version
+
+    commit_version(spark.read.parquet(p + "/seed"), p)
+    batch = spark.createDataFrame([Row(k=1, v=20, seq=1), Row(k=1, v=30, seq=2)])
+    merge_versioned(
+        spark, p, batch, ["k"], update_cols=["v"],
+        on_duplicate_keys="last_wins", order_col="seq",
+    )
+    assert read_version(spark, p).collect() == [Row(k=1, v=30)]

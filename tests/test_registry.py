@@ -89,3 +89,31 @@ def test_registry_order_is_priority_prefix():
     names = list(reg)
     expected = [n for n in PRIORITY if n in reg]
     assert names[: len(expected)] == expected
+
+
+def test_oracle_output_types_are_driver_hashable(duck):
+    """DESCRIBE every registered oracle and reject output columns whose
+    DuckDB type arrives in pandas as ``Decimal`` objects (HUGEINT /
+    UHUGEINT / DECIMAL).  The driver's value-hash is type-sensitive:
+    an uncast ``SUM(bigint_col)`` types as HUGEINT and hash-mismatches
+    a value-identical Spark int64 — the exact bug that shipped r5's
+    q124/q125 failures.  Oracles must ``CAST(SUM(x) AS BIGINT)`` (the
+    repo convention).  DESCRIBE only plans, so this lint is cheap and
+    covers ALL registered oracles, not just the driver window.
+    """
+    from fdf_spark.queries import load_all
+    from tests.conftest import SMOKE_DIR
+    from tests.oracle_utils import register_duck_views
+
+    register_duck_views(duck, SMOKE_DIR)
+    offenders = []
+    for name, q in load_all().items():
+        if q.sql is None:
+            continue
+        for col, typ, *_ in duck.execute(f"DESCRIBE ({q.sql})").fetchall():
+            if any(t in typ.upper() for t in ("HUGEINT", "UHUGEINT", "DECIMAL")):
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        f"oracle columns with driver-hash-hostile DuckDB types "
+        f"(cast them, e.g. CAST(SUM(x) AS BIGINT)): {offenders}"
+    )
