@@ -29,6 +29,26 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def materialize_and_cleanup(df: DataFrame, scratch_path: str) -> DataFrame:
+    """Collect a (tiny, audit-sized) result and delete its scratch dir.
+
+    Queries that exercise the write path (versioned tables, partitioned
+    sinks) build a throwaway table under ``tempfile.mkdtemp``; returning
+    a lazy plan over it would leak one table copy per invocation
+    (correctness sweep + bench + pytest each leave several at sf0.1 —
+    ADVICE r6).  The audit relations are a handful of rows, so eager
+    materialization is free and lets the scratch dir be removed before
+    the caller ever acts on the result.
+    """
+    try:
+        rows = df.collect()
+    finally:
+        import shutil
+
+        shutil.rmtree(scratch_path, ignore_errors=True)
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 def query(name: str, sql: str | None, operators: tuple[str, ...] = (), doc: str = ""):
     """Register an oracle-checked query."""
 
@@ -64,7 +84,7 @@ PRIORITY: tuple[str, ...] = (
     "q44_baseline_subtract",        # A1 F2
     "q08_union_dedup_custkeys",     # U1 U2 U3 A3
     "q19_rollup_revenue",           # A8
-    "q47_price_histogram",          # A9
+    "q127_cm_merge_estimate",       # N20 Count-Min MERGEABILITY tier (r6; displaced q47 — A9 stays covered in-window by q126, which tags A9 alongside N25/N3)
     "q16_scalar_functions",         # F1 F3 F6 F7 F8 F10
     "q57_date_functions",           # F5 F13
     "q84_contour_levels",           # F11

@@ -283,7 +283,13 @@ def q87_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="fdf_sink_")
     write_table(agg, out_dir, partition_by=("part",), sort_by=("user_id",))
     back = spark.read.parquet(out_dir)
-    return back.select("user_id", "n", "total").orderBy("user_id")
+    from fdf_spark.queries import materialize_and_cleanup
+
+    # the round-trip (write → physical layout → re-scan) happens inside
+    # the collect; the scratch table is then removed instead of leaking
+    return materialize_and_cleanup(
+        back.select("user_id", "n", "total").orderBy("user_id"), out_dir
+    )
 
 
 @query(

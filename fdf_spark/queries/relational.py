@@ -34,6 +34,7 @@ from fdf_spark.functions.scalar import (
     sql_dsum,
     sql_morton_key,
 )
+from fdf_spark.queries import materialize_and_cleanup as _materialize_and_cleanup
 from fdf_spark.queries import query
 from fdf_spark.sources.tables import load_table as T
 
@@ -1568,7 +1569,7 @@ def q116_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = audits[0]
     for a in audits[1:]:
         out = out.unionByName(a)
-    return out.orderBy("version")
+    return _materialize_and_cleanup(out.orderBy("version"), path)
 
 
 @query(
@@ -1787,4 +1788,5 @@ def q123_snapshot_diff_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view1 = agg_view(read_version(spark, path, 1), ["o_orderpriority"], "o_totalprice")
     refreshed = incremental_refresh(view1, delta, ["o_orderpriority"], "o_totalprice")
-    return finish_view(refreshed, ["o_orderpriority"]).orderBy("o_orderpriority")
+    out = finish_view(refreshed, ["o_orderpriority"]).orderBy("o_orderpriority")
+    return _materialize_and_cleanup(out, path)

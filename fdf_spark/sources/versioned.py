@@ -54,6 +54,28 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
 
 
+def _publish_manifest_atomic(staged: str, dst: str) -> None:
+    """SEAM: atomically publish a fully-written manifest, create-if-absent.
+
+    Contract (everything the commit protocol's correctness rests on):
+    exactly one concurrent caller may create ``dst``; every other
+    caller MUST observe ``FileExistsError`` — never a silent overwrite,
+    never partially-visible content.  ``commit_version`` maps that
+    error to ``ConcurrentCommitError`` (the optimistic-concurrency
+    loser's retry signal).
+
+    This implementation is POSIX-local: ``os.link`` is kernel-atomic
+    and fails EEXIST.  An object-store port replaces THIS ONE FUNCTION
+    with the store's conditional put — S3 ``If-None-Match: *``, GCS
+    ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *`` — or,
+    on stores without conditional puts, a metastore conditional insert
+    keyed on the manifest name (the Delta-on-S3 commit-service shape).
+    Nothing else in the commit/read/vacuum protocol touches filesystem
+    atomicity primitives, so the port is exactly this seam.
+    """
+    os.link(staged, dst)
+
+
 def list_versions(path: str) -> list[int]:
     d = os.path.join(path, _MANIFEST_DIR)
     if not os.path.isdir(d):
@@ -159,15 +181,16 @@ def commit_version(
     fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
     with os.fdopen(fd, "w") as fh:
         json.dump(manifest, fh)
-    # optimistic concurrency: publish with create-if-absent (os.link
-    # fails EEXIST), NOT os.rename (which silently overwrites — two
-    # racing committers reading the same parent would both claim this
-    # version number and the loser's snapshot would vanish). On
+    # optimistic concurrency: publish via the create-if-absent seam
+    # (_publish_manifest_atomic — POSIX os.link here, a conditional PUT
+    # on an object store), NOT os.rename (which silently overwrites —
+    # two racing committers reading the same parent would both claim
+    # this version number and the loser's snapshot would vanish). On
     # conflict the staged data files are orphans (vacuum-able) and the
     # caller retries against the new head — the Iceberg/Delta
     # optimistic-commit loop.
     try:
-        os.link(tmp, _manifest_path(path, version))
+        _publish_manifest_atomic(tmp, _manifest_path(path, version))
     except FileExistsError:
         os.unlink(tmp)
         raise ConcurrentCommitError(

@@ -287,3 +287,69 @@ def test_stream_merge_sink_bootstraps_fresh_path(spark, tmp_path):
     q.stop()
     got = {r.k: r.v for r in read_version(spark, p).collect()}
     assert got == {1: 10}  # delete-flagged row never lands
+
+
+def test_publish_seam_contract_conditional_put(spark, tmp_path, monkeypatch):
+    """The commit protocol's atomicity rests ONLY on the
+    _publish_manifest_atomic seam (create-if-absent). Swap the POSIX
+    os.link implementation for a simulated object-store conditional PUT
+    (fails FileExistsError when the key exists) and the optimistic-
+    concurrency behavior must be unchanged: the loser still surfaces
+    ConcurrentCommitError, the winner's manifest survives byte-for-byte.
+    This pins the documented object-store port: replace the seam, keep
+    the protocol."""
+    import json as _json
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    import fdf_spark.sources.versioned as V
+
+    store_keys: set[str] = set()
+
+    def conditional_put(staged: str, dst: str) -> None:
+        # S3 If-None-Match:* semantics over the local staging file
+        if dst in store_keys or os.path.exists(dst):
+            raise FileExistsError(dst)
+        store_keys.add(dst)
+        _shutil.copyfile(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", conditional_put)
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 5), p)  # v1 through the seam
+    assert V.list_versions(p) == [1]
+    # winner lands v2; loser's stale head read also targets v2
+    winner = {"version": 2, "parent": 1, "mode": "append", "files": [], "stats": {}}
+    with open(V._manifest_path(p, 2), "w") as fh:
+        _json.dump(winner, fh)
+    monkeypatch.setattr(V, "list_versions", lambda _p: [1])
+    with _pytest.raises(V.ConcurrentCommitError):
+        commit_version(_df(spark, 5, 10), p)
+    assert _json.load(open(V._manifest_path(p, 2))) == winner
+
+
+def test_prune_on_column_born_mid_history(spark, tmp_path):
+    """Schema evolution x metadata pruning: pruning on a column that a
+    LATER commit introduced must keep the early files (they carry no
+    stats for it — conservative read), while still pruning among the
+    files that do have stats."""
+    from fdf_spark.sources.versioned import _read_manifest, read_version
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 100).repartition(1), p)  # v1: no 'extra'
+    wide1 = _df(spark, 100, 200).withColumn("extra", F.col("k") * 10).repartition(1)
+    commit_version(wide1, p, mode="append")               # v2: extra in [1000,1990]
+    wide2 = _df(spark, 200, 300).withColumn("extra", F.col("k") * 10).repartition(1)
+    commit_version(wide2, p, mode="append")               # v3: extra in [2000,2990]
+    m = _read_manifest(p, 3)
+    with_stats = [f for f in m["files"] if "extra" in m["stats"][f]]
+    without = [f for f in m["files"] if "extra" not in m["stats"][f]]
+    assert len(with_stats) == 2 and len(without) == 1
+    # prune extra to [1000, 1500]: drops ONLY the v3 file; the stat-less
+    # v1 file must be retained (NULL back-fill rows live there)
+    pruned = read_version(spark, p, prune=("extra", 1000, 1500))
+    assert len(pruned.inputFiles()) == 2
+    rows = pruned.filter("extra BETWEEN 1000 AND 1500").count()
+    assert rows == 51  # k 100..150
+    # the NULL back-fill rows from the stat-less file are present
+    assert pruned.filter("extra IS NULL").count() == 100
