@@ -216,6 +216,11 @@ def ngram_jaccard_pairs(
         # plans at sf0.1: window 1.8 s vs group+join 2.1 s vs broadcast
         # anti-join over a pre-cap persist 2.3 s), and the filter runs
         # before the persist below so the cache holds the capped relation.
+        # r6 settled-machine re-check (same session, min-of-3, sf0.1):
+        # this plan 1.45 s — UNDER its r1 bench time (1.55 s; the 1.7 s
+        # bench readings are in-suite load noise, not creep) — vs
+        # 1.89 s for the collect_list(ids)-per-shingle + pair-explode
+        # alternative that fuses cap+pairing into one groupBy exchange.
         sh = (
             sh.withColumn("__f", F.count(F.lit(1)).over(W.partitionBy("sh")))
             .filter(F.col("__f") <= max_shingle_freq)

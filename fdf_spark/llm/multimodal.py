@@ -141,10 +141,18 @@ def decode_wav(payload: bytes) -> list[float]:
     ]
 
 
-#: decoders usable without any non-stdlib media library. Compressed
-#: formats (JPEG/PNG/MP3/H.264...) genuinely need PIL/ffmpeg, which are
-#: not in this container — those stay behind the 'stub' guard.
-REAL_CODECS = {"bmp": decode_bmp, "wav": decode_wav}
+#: decoders usable without any non-stdlib media library. PNG is a REAL
+#: compressed codec (DEFLATE via stdlib zlib + the five scanline
+#: filters — fdf_spark.llm.imagecodecs). Remaining compressed formats
+#: (JPEG/MP3/H.264...) genuinely need PIL/ffmpeg, which are not in
+#: this container — those stay behind the 'stub' guard.
+def _decode_png(payload: bytes) -> list[float]:
+    from fdf_spark.llm.imagecodecs import decode_png
+
+    return decode_png(payload)
+
+
+REAL_CODECS = {"bmp": decode_bmp, "wav": decode_wav, "png": _decode_png}
 
 
 def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
@@ -160,9 +168,9 @@ def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
         for pdf in batches:
             if codec == "stub":
                 raise NotImplementedError(
-                    "compressed-format decoding (JPEG/PNG/MP3/...) requires "
-                    "PIL/torchaudio; use codec='bmp'/'wav' for the real "
-                    "stdlib decoders or codec='fake' for the test codec"
+                    "JPEG/MP3/H.264 decoding requires PIL/torchaudio; use "
+                    "codec='bmp'/'wav'/'png' for the real stdlib decoders "
+                    "or codec='fake' for the test codec"
                 )
             decode = REAL_CODECS.get(codec, _fake_decode)
             feats = pdf["payload"].map(decode)
@@ -216,6 +224,43 @@ def synth_media_assets(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(gen, "asset_id long, media_type string, payload binary")
+
+
+def synth_png_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-PNG fixtures from doc ids.
+
+    Every doc becomes an actual zlib-compressed PNG of a gradient
+    image whose pixel law is pure arithmetic in ``doc_id``::
+
+        width  = 2 + doc_id % 6      height = 1 + doc_id % 4
+        pixel(x, y, c) = (doc_id + 11*x + 23*y + 41*c) % 256   (RGB)
+        scanline filter = doc_id % 5   (all five filter types exercised)
+
+    so a SQL oracle can recompute the decoded per-channel means without
+    touching either the encoder or the decoder — the encode→inflate→
+    unfilter→fold roundtrip is the thing under test.
+    """
+    from fdf_spark.llm.imagecodecs import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 2 + d % 6, 1 + d % 4
+                yy, xx, cc = np.mgrid[0:h, 0:w, 0:3]
+                img = ((d + 11 * xx + 23 * yy + 41 * cc) % 256).astype(np.uint8)
+                payloads.append(encode_png(img, filter_type=d % 5))
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
 
 
 def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:

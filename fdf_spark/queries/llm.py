@@ -649,6 +649,54 @@ def q107_real_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q128_png_codec_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200),
+    px AS (
+      SELECT doc_id, w, h, c.c AS c,
+             AVG(CAST((doc_id + 11 * x.x + 23 * y.y + 41 * c.c) % 256 AS DOUBLE)) AS m
+      FROM d
+      CROSS JOIN (SELECT unnest(range(7)) AS x) x
+      CROSS JOIN (SELECT unnest(range(4)) AS y) y
+      CROSS JOIN (SELECT unnest(range(3)) AS c) c
+      WHERE x.x < w AND y.y < h
+      GROUP BY doc_id, w, h, c.c)
+    SELECT doc_id AS asset_id,
+           CAST(MAX(w) AS DOUBLE) AS v0,
+           CAST(MAX(h) AS DOUBLE) AS v1,
+           CAST(3 AS DOUBLE) AS v2,
+           MAX(CASE WHEN c = 0 THEN m END) AS v3,
+           MAX(CASE WHEN c = 1 THEN m END) AS v4,
+           MAX(CASE WHEN c = 2 THEN m END) AS v5
+    FROM px GROUP BY doc_id ORDER BY asset_id
+    """,
+    operators=("N6",),
+    doc="REAL compressed-image decode end-to-end (closes the r5 "
+    "JPEG/PNG gap for PNG): every doc becomes an actual PNG — gradient "
+    "pixels, zlib DEFLATE stream, CRC-32 chunks, scanline filter "
+    "doc_id%5 so all five filter types ship — then the pure-stdlib "
+    "decoder (fdf_spark/llm/imagecodecs.py: chunk parse + CRC verify + "
+    "inflate + unfilter + pixel fold) recovers dimensions and channel "
+    "means FROM THE BYTES inside Arrow-batched mapInPandas. The oracle "
+    "recomputes the means arithmetically from the doc_id pixel law — "
+    "independent of encoder and decoder — so a wrong filter inverse, "
+    "stride, or channel order fails the hash. (Byte length is NOT "
+    "checked: it depends on the zlib implementation, not the spec.)",
+)
+def q128_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import extract_features, synth_png_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    feats = extract_features(synth_png_assets(docs), codec="png")
+    return feats.select(
+        "asset_id",
+        *[F.element_at("feat", i + 1).alias(f"v{i}") for i in range(6)],
+    ).orderBy("asset_id")
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,
