@@ -210,3 +210,528 @@ def decode_png(payload: bytes) -> list[float]:
     else:
         mr, mg, mb = sums[0] / n, sums[1] / n, sums[2] / n
     return [float(w), float(h), float(ch), mr, mg, mb]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81): pure numpy encoder + decoder
+# ---------------------------------------------------------------------------
+#
+# JPEG's baseline profile needs no media library either: the entropy
+# layer is canonical Huffman over (run, size) symbols, the transform is
+# the 8x8 DCT-II (one 8x8 orthonormal matrix), and every table the
+# decoder needs ships INSIDE the file (DQT / DHT segments).  The
+# encoder below therefore does not have to reproduce the Annex K
+# example tables — it emits its own valid canonical tables and the
+# decoder (like any spec-correct JPEG reader) builds its codes from
+# the DHT bytes it actually finds.
+#
+# Encoder: baseline sequential SOF0, 8-bit, YCbCr (JFIF constants),
+# 4:4:4 or 4:2:0, flat quantization tables (value = ``quant``), fixed-
+# length canonical Huffman codes (4-bit DC categories, 8-bit AC
+# symbols — compression is worse than the standard tables, correctness
+# and decodability are identical), optional restart intervals.
+# Decoder: any baseline single-scan SOF0 stream — reads DQT/DHT/DRI
+# from the file, arbitrary per-component sampling factors in {1, 2},
+# byte-unstuffing, RST handling, huffman decode, dequantize, inverse
+# zigzag, IDCT, replication upsampling, YCbCr->RGB.  Progressive
+# (SOF2) and 12-bit inputs raise — loudly, not approximately.
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: coef = A @ block @ A.T."""
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    a = np.sqrt(2.0 / 8.0) * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    a[0, :] = np.sqrt(1.0 / 8.0)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+def _q_round(x: np.ndarray) -> np.ndarray:
+    """Round half away from zero (NOT numpy's banker's rounding) — the
+    convention both the encoder's quantizer and the SQL oracle replay."""
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i].astype(np.float64) for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(_q_round(out), 0, 255).astype(np.uint8)
+
+
+# -- canonical Huffman tables (fixed-length; valid, self-describing) --------
+
+_DC_SYMBOLS = list(range(12))                      # size categories 0..11
+_AC_SYMBOLS = [0x00, 0xF0] + [                     # EOB, ZRL, then (run,size)
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _fixed_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """(bits[1..16], huffval) giving every symbol the same code length
+    L = ceil(log2(len+1)) — the +1 keeps the all-ones code unused, as
+    baseline requires."""
+    length = 1
+    while (1 << length) < len(symbols) + 1:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return bits, list(symbols)
+
+
+def _build_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) by canonical construction (T.81 C.2)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits (spec convention)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _mag_bits(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _encode_block(
+    w: _BitWriter,
+    qblock: np.ndarray,
+    pred: int,
+    dc_codes: dict,
+    ac_codes: dict,
+) -> int:
+    zz = qblock.reshape(64)[_ZIGZAG].astype(np.int64)
+    diff = int(zz[0]) - pred
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(_mag_bits(diff, cat), cat)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        v = int(zz[i])
+        if v == 0:
+            if i > last_nz:
+                code, ln = ac_codes[0x00]  # EOB
+                w.write(code, ln)
+                break
+            run += 1
+            if run == 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.write(code, ln)
+                run = 0
+            continue
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        w.write(code, ln)
+        w.write(_mag_bits(v, cat), cat)
+        run = 0
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    quant: int = 16,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an H×W×3 uint8 RGB array as a REAL baseline JPEG.
+
+    Flat quantization tables (every entry = ``quant``) — shipped in
+    DQT, so any spec-correct decoder reads them; ``subsample=True``
+    emits 4:2:0 (chroma planes mean-pooled 2×2), else 4:4:4;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs.  Partial edge blocks are edge-replicated.
+    """
+    a = np.asarray(rgb, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_jpeg expects H x W x 3 RGB")
+    h, w = a.shape[:2]
+    ycc = _rgb_to_ycbcr(a)
+    if subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        pad = np.pad(ycc, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+        planes = [
+            ycc[:, :, 0],
+            pad[:, :, 1].reshape(ch, 2, cw, 2).mean(axis=(1, 3)),
+            pad[:, :, 2].reshape(ch, 2, cw, 2).mean(axis=(1, 3)),
+        ]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    qtab = np.full((8, 8), quant, dtype=np.float64)
+    dc_bits, dc_vals = _fixed_table(_DC_SYMBOLS)
+    ac_bits, ac_vals = _fixed_table(_AC_SYMBOLS)
+    dc_codes = _build_codes(dc_bits, dc_vals)
+    ac_codes = _build_codes(ac_bits, ac_vals)
+
+    # pad every plane to a whole number of MCU-aligned blocks
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph = mcus_y * sv * 8
+        pw = mcus_x * sh * 8
+        padded.append(
+            np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    zz_q = qtab.reshape(64)[_ZIGZAG].astype(np.uint8)
+    out += _seg(0xFFDB, b"\x00" + zz_q.tobytes())  # DQT id 0 (shared)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (sh, sv) in zip((1, 2, 3), samp):
+        sof += struct.pack(">BBB", cid, (sh << 4) | sv, 0)
+    out += _seg(0xFFC0, sof)  # SOF0
+    out += _seg(0xFFC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))  # DHT DC 0
+    out += _seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))  # DHT AC 0
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = b"\x03" + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xFFDA, sos)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += struct.pack(">H", 0xFFD0 + rst)
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = _DCT_A @ block @ _DCT_A.T
+                        q = _q_round(coef / qtab).astype(np.int64)
+                        preds[ci] = _encode_block(
+                            bw, q, preds[ci], dc_codes, ac_codes
+                        )
+            n_mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment with
+    RST-aware realignment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in entropy stream")
+
+
+def _extend(v: int, cat: int) -> int:
+    """T.81 F.2.2.1 EXTEND: low 'cat' magnitude bits -> signed value."""
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol from a DHT's canonical description."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _parse_jpeg_segments(payload: bytes):
+    """Yield (marker, payload_bytes, entropy_bytes_or_None); entropy
+    data (after SOS) is returned de-stuffed with RST positions marked
+    as 0xFFD0+n sentinel tuples handled by the caller."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:  # EOI
+            return
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFFDA:
+            # entropy-coded data follows until EOI; de-stuff, split on RST
+            segments: list[bytes] = []
+            cur = bytearray()
+            while pos < len(payload):
+                b = payload[pos]
+                if b != 0xFF:
+                    cur.append(b)
+                    pos += 1
+                    continue
+                nxt = payload[pos + 1] if pos + 1 < len(payload) else 0
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    pos += 2
+                elif nxt == 0xD9:  # EOI
+                    break
+                else:
+                    raise ValueError(f"unexpected marker FF{nxt:02X} in scan")
+            segments.append(bytes(cur))
+            yield marker, data, segments
+            return
+        yield marker, data, None
+
+
+def decode_jpeg_blocks(payload: bytes):
+    """Parse + huffman-decode a baseline JPEG down to DEQUANTIZED
+    coefficient blocks (before the IDCT — the exact values the encoder
+    quantized, so the entropy layer can be tested as a lossless
+    inverse).  Returns (frame_info, {component_index: 4-D block array
+    [mcu_rows*v, mcu_cols*h, 8, 8] of float64}).
+    """
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    scan = None
+    for marker, data, entropy in _parse_jpeg_segments(payload):
+        if marker == 0xFFDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(data, np.uint8, 64, p + 1).astype(np.float64)
+                tab = np.zeros(64)
+                tab[_ZIGZAG] = zz
+                qtabs[tq] = tab.reshape(8, 8)
+                p += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xFFC4:  # DHT (possibly several)
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 0xF
+                bits = list(data[p + 1 : p + 17])
+                n = sum(bits)
+                huffval = list(data[p + 17 : p + 17 + n])
+                htabs[(tc, th)] = _decode_table(bits, huffval)
+                p += 17 + n
+        elif marker == 0xFFDD:
+            (restart,) = struct.unpack_from(">H", data, 0)
+        elif marker == 0xFFDA:
+            ns = data[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tdta = struct.unpack_from(">BB", data, 1 + 2 * i)
+                scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            scan = (scan_comps, entropy)
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    scan_comps, entropy_segments = scan
+    comps = frame["comps"]
+    order = {c["id"]: i for i, c in enumerate(comps)}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    blocks = {
+        i: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 8, 8)) for i, c in enumerate(comps)
+    }
+    n_mcu_total = mcus_y * mcus_x
+    per_seg = restart if restart else n_mcu_total
+    mcu = 0
+    for seg in entropy_segments:
+        br = _BitReader(seg)
+        preds = [0] * len(comps)
+        end = min(mcu + per_seg, n_mcu_total)
+        while mcu < end:
+            my, mx = divmod(mcu, mcus_x)
+            for sc in scan_comps:
+                ci = order[sc["id"]]
+                c = comps[ci]
+                dc_tab = htabs[(0, sc["td"])]
+                ac_tab = htabs[(1, sc["ta"])]
+                q = qtabs[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = _decode_symbol(br, dc_tab)
+                        diff = _extend(br.read_bits(cat), cat) if cat else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_symbol(br, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64)
+                        block[_ZIGZAG] = zz
+                        blocks[ci][my * c["v"] + by, mx * c["h"] + bx] = (
+                            block.reshape(8, 8) * q
+                        )
+            mcu += 1
+    return frame, blocks
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to an H×W×3 uint8 RGB array: huffman →
+    dequantize → IDCT → per-plane round/clamp → replication upsample →
+    YCbCr→RGB (both roundings half-away-from-zero, matching the
+    encoder's quantizer convention so a SQL oracle can replay the
+    DC-only law exactly)."""
+    frame, blocks = decode_jpeg_blocks(payload)
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for i, c in enumerate(comps):
+        b = blocks[i]
+        rows, cols = b.shape[:2]
+        # spatial[x,y] = Σ_u Σ_v A[u,x] · C[u,v] · A[v,y]  (B = Aᵀ C A)
+        spatial = np.einsum("ux,rcuv,vy->rcxy", _DCT_A, b, _DCT_A)
+        plane = spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8) + 128.0
+        plane = np.clip(_q_round(plane), 0, 255)
+        # replication upsample to the full sampling grid
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes.append(plane[: frame["h"], : frame["w"]])
+    if len(planes) == 1:
+        ycc = np.stack([planes[0]] * 3, axis=-1)
+    else:
+        ycc = np.stack(planes, axis=-1)
+    return _ycbcr_to_rgb(ycc)
+
+
+def decode_jpeg(payload: bytes) -> list[float]:
+    """Feature-vector adapter (same shape as ``decode_bmp``/
+    ``decode_png``): [width, height, 3, mean_r, mean_g, mean_b] with
+    exact integer accumulation over the decoded pixels."""
+    px = decode_jpeg_pixels(payload).astype(np.int64)
+    h, w = px.shape[:2]
+    sums = px.sum(axis=(0, 1))
+    n = h * w
+    return [float(w), float(h), 3.0, sums[0] / n, sums[1] / n, sums[2] / n]

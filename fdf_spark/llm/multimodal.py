@@ -152,7 +152,18 @@ def _decode_png(payload: bytes) -> list[float]:
     return decode_png(payload)
 
 
-REAL_CODECS = {"bmp": decode_bmp, "wav": decode_wav, "png": _decode_png}
+def _decode_jpeg(payload: bytes) -> list[float]:
+    from fdf_spark.llm.imagecodecs import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
+REAL_CODECS = {
+    "bmp": decode_bmp,
+    "wav": decode_wav,
+    "png": _decode_png,
+    "jpeg": _decode_jpeg,
+}
 
 
 def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
@@ -168,9 +179,9 @@ def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
         for pdf in batches:
             if codec == "stub":
                 raise NotImplementedError(
-                    "JPEG/MP3/H.264 decoding requires PIL/torchaudio; use "
-                    "codec='bmp'/'wav'/'png' for the real stdlib decoders "
-                    "or codec='fake' for the test codec"
+                    "MP3/H.264 decoding requires torchaudio/ffmpeg; use "
+                    "codec='bmp'/'wav'/'png'/'jpeg' for the real pure-python "
+                    "decoders or codec='fake' for the test codec"
                 )
             decode = REAL_CODECS.get(codec, _fake_decode)
             feats = pdf["payload"].map(decode)
@@ -254,6 +265,56 @@ def synth_png_assets(docs: DataFrame) -> DataFrame:
                 yy, xx, cc = np.mgrid[0:h, 0:w, 0:3]
                 img = ((d + 11 * xx + 23 * yy + 41 * cc) % 256).astype(np.uint8)
                 payloads.append(encode_png(img, filter_type=d % 5))
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
+
+
+def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-JPEG fixtures from doc ids.
+
+    Every doc becomes an actual baseline JPEG (huffman entropy layer,
+    DCT, flat quant=16 tables shipped in DQT) of a SOLID color::
+
+        (r, g, b) = (doc_id % 256, 3*doc_id % 256, 7*doc_id % 256)
+        width = 8 + doc_id % 9   height = 8 + doc_id % 5
+        4:2:0 subsampling for odd ids, 4:4:4 for even
+        restart interval 2 for ids % 3 == 0
+
+    A constant block has only a DC coefficient, so the decoded color
+    follows a closed-form quantization law (per channel v:
+    ``clamp(2 * round_half_away((v-128)/2) + 128)`` through the JFIF
+    color transforms) that a SQL oracle replays double-for-double —
+    independent of both the encoder and the decoder's huffman/IDCT
+    machinery, which is precisely what it exercises.
+    """
+    from fdf_spark.llm.imagecodecs import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 8 + d % 9, 8 + d % 5
+                rgb = np.zeros((h, w, 3), np.uint8)
+                rgb[..., 0] = d % 256
+                rgb[..., 1] = (3 * d) % 256
+                rgb[..., 2] = (7 * d) % 256
+                payloads.append(
+                    encode_jpeg(
+                        rgb,
+                        quant=16,
+                        subsample=(d % 2 == 1),
+                        restart_interval=2 if d % 3 == 0 else 0,
+                    )
+                )
             yield pd.DataFrame(
                 {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
             )

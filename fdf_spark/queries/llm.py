@@ -697,6 +697,72 @@ def q128_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q129_jpeg_codec_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(doc_id % 256 AS DOUBLE) AS r,
+             CAST((3 * doc_id) % 256 AS DOUBLE) AS g,
+             CAST((7 * doc_id) % 256 AS DOUBLE) AS b,
+             8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+      FROM documents WHERE doc_id < 150),
+    ycc AS (
+      SELECT doc_id, w, h,
+             0.299 * r + 0.587 * g + 0.114 * b AS y,
+             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 AS cb,
+             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 AS cr
+      FROM d),
+    quant AS (
+      -- constant block => DC-only: decoded plane value is
+      -- clamp(2 * round_half_away((v-128)/2) + 128)   (flat quant 16)
+      SELECT doc_id, w, h,
+             least(greatest(2 * (CASE WHEN y >= 128 THEN floor((y - 128.0) / 2.0 + 0.5)
+                                      ELSE -floor((128.0 - y) / 2.0 + 0.5) END) + 128, 0), 255) AS yq,
+             least(greatest(2 * (CASE WHEN cb >= 128 THEN floor((cb - 128.0) / 2.0 + 0.5)
+                                      ELSE -floor((128.0 - cb) / 2.0 + 0.5) END) + 128, 0), 255) AS cbq,
+             least(greatest(2 * (CASE WHEN cr >= 128 THEN floor((cr - 128.0) / 2.0 + 0.5)
+                                      ELSE -floor((128.0 - cr) / 2.0 + 0.5) END) + 128, 0), 255) AS crq
+      FROM ycc),
+    rgb AS (
+      SELECT doc_id, w, h,
+             yq + 1.402 * (crq - 128.0) AS xr,
+             yq - 0.344136 * (cbq - 128.0) - 0.714136 * (crq - 128.0) AS xg,
+             yq + 1.772 * (cbq - 128.0) AS xb
+      FROM quant)
+    SELECT doc_id AS asset_id,
+           CAST(w AS DOUBLE) AS v0, CAST(h AS DOUBLE) AS v1, CAST(3 AS DOUBLE) AS v2,
+           least(greatest(CASE WHEN xr >= 0 THEN floor(xr + 0.5) ELSE -floor(-xr + 0.5) END, 0), 255) AS v3,
+           least(greatest(CASE WHEN xg >= 0 THEN floor(xg + 0.5) ELSE -floor(-xg + 0.5) END, 0), 255) AS v4,
+           least(greatest(CASE WHEN xb >= 0 THEN floor(xb + 0.5) ELSE -floor(-xb + 0.5) END, 0), 255) AS v5
+    FROM rgb ORDER BY asset_id
+    """,
+    operators=("N6",),
+    doc="REAL baseline-JPEG decode end-to-end (with PNG/q128, this "
+    "retires the r5 'compressed formats stubbed' caveat for images): "
+    "every doc becomes an actual T.81 baseline JPEG — huffman entropy "
+    "layer, DCT, flat quant tables shipped in DQT, 4:2:0 subsampling "
+    "on odd ids, restart markers on ids%3 — then the pure-numpy "
+    "decoder (llm/imagecodecs.py: segment parse, DHT canonical-code "
+    "rebuild, byte-unstuffing, huffman+EXTEND, dequant, IDCT, "
+    "upsample, YCbCr->RGB) recovers the color FROM THE BYTES inside "
+    "Arrow-batched mapInPandas. Solid-color fixtures make the lossy "
+    "stage closed-form: the oracle replays the DC-only quantization "
+    "law double-for-double (identical IEEE literals both sides), so a "
+    "wrong huffman table, zigzag, IDCT basis, or rounding convention "
+    "fails the hash. MP3/H.264 remain stubbed (no stdlib path).",
+)
+def q129_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import extract_features, synth_jpeg_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 150)
+    feats = extract_features(synth_jpeg_assets(docs), codec="jpeg")
+    return feats.select(
+        "asset_id",
+        *[F.element_at("feat", i + 1).alias(f"v{i}") for i in range(6)],
+    ).orderBy("asset_id")
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,

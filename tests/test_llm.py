@@ -817,3 +817,122 @@ def test_png_extract_features_distributed(spark):
             img[:, :, c].sum() / (w * h) for c in range(3)
         ]
         assert feats[d] == expect, d
+
+
+# --- real baseline JPEG codec (llm/imagecodecs.py, N6) -----------------------
+
+
+def test_jpeg_entropy_layer_is_lossless():
+    """The only lossy stage is quantization: huffman-decoding our own
+    stream must recover the encoder's quantized coefficients EXACTLY
+    (dequantized here, so compare against q * quant)."""
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import (
+        _DCT_A,
+        _q_round,
+        decode_jpeg_blocks,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 24, 3), np.uint8)
+    q = 16
+    enc = encode_jpeg(img, quant=q)
+    frame, blocks = decode_jpeg_blocks(enc)
+    assert (frame["h"], frame["w"]) == (16, 24)
+    # recompute the Y plane's quantized coefficients independently
+    from fdf_spark.llm.imagecodecs import _rgb_to_ycbcr
+
+    y = _rgb_to_ycbcr(img)[:, :, 0]
+    for by in range(2):
+        for bx in range(3):
+            block = y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _DCT_A @ block @ _DCT_A.T
+            expect = _q_round(coef / q) * q
+            assert (blocks[0][by, bx] == expect).all(), (by, bx)
+
+
+def test_jpeg_roundtrip_quality_bounds():
+    """quant=1 leaves only rounding error (<=3 through two color
+    transforms); a smooth gradient at quant=4 stays within a few
+    levels, with 4:2:0 subsampling and restart markers exercised."""
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import decode_jpeg_pixels, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 17, 3), np.uint8)
+    err1 = np.abs(
+        decode_jpeg_pixels(encode_jpeg(img, quant=1)).astype(int) - img.astype(int)
+    ).max()
+    assert err1 <= 3, err1
+    yy, xx = np.mgrid[0:32, 0:40]
+    smooth = np.stack(
+        [(xx * 3 + yy * 2) % 200 + 20, (xx + yy) % 180 + 30, (xx * 2) % 160 + 40], -1
+    ).astype(np.uint8)
+    for sub in (False, True):
+        for ri in (0, 2):
+            dec = decode_jpeg_pixels(
+                encode_jpeg(smooth, quant=4, subsample=sub, restart_interval=ri)
+            )
+            err = np.abs(dec.astype(int) - smooth.astype(int)).max()
+            assert err <= 6, (sub, ri, err)
+
+
+def test_jpeg_rejects_progressive_and_non_jpeg():
+    from fdf_spark.llm.imagecodecs import decode_jpeg_pixels, encode_jpeg
+
+    import numpy as np
+
+    enc = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    try:
+        decode_jpeg_pixels(bytes(enc))
+        raise AssertionError("progressive must be rejected")
+    except ValueError as e:
+        assert "baseline" in str(e)
+    try:
+        decode_jpeg_pixels(b"\x00\x01")
+        raise AssertionError("non-JPEG must be rejected")
+    except ValueError as e:
+        assert "JPEG" in str(e)
+
+
+def test_jpeg_extract_features_distributed(spark):
+    """Distributed real-JPEG decode recovers the closed-form DC
+    quantization law for solid fixtures (both samplings, restart and
+    non-restart ids)."""
+    import math
+
+    from fdf_spark.llm.multimodal import extract_features, synth_jpeg_assets
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    feats = {
+        int(r.asset_id): r.feat
+        for r in extract_features(synth_jpeg_assets(docs), codec="jpeg").collect()
+    }
+
+    def rha(x):
+        return math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5)
+
+    for d in range(12):
+        r, g, b = float(d % 256), float((3 * d) % 256), float((7 * d) % 256)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        yq, cbq, crq = (
+            float(min(max(2 * rha((v - 128.0) / 2.0) + 128, 0), 255))
+            for v in (y, cb, cr)
+        )
+        clamp = lambda x: float(min(max(x, 0), 255))
+        expect = [
+            float(8 + d % 9),
+            float(8 + d % 5),
+            3.0,
+            clamp(rha(yq + 1.402 * (crq - 128.0))),
+            clamp(rha(yq - 0.344136 * (cbq - 128.0) - 0.714136 * (crq - 128.0))),
+            clamp(rha(yq + 1.772 * (cbq - 128.0))),
+        ]
+        assert feats[d] == expect, d
