@@ -52,16 +52,10 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
-    the linear estimate a + b - c, ties break left, up, up-left."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
+# The Paeth predictor (PNG spec §9.4) — nearest of left/up/up-left to
+# the linear estimate left + up - upleft, ties breaking left, up,
+# up-left — appears inline (vectorized np.where form) in both the
+# encoder's filter and the decoder's unfilter below.
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 9) -> bytes:
@@ -95,12 +89,15 @@ def encode_png(arr: np.ndarray, filter_type: int = 0, level: int = 9) -> bytes:
         elif filter_type == 3:  # Average
             left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
             filt = cur - (left + prev) // 2
-        else:  # Paeth
+        else:  # Paeth — fully vectorized (predicts from RAW neighbors)
             left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
             upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
-            pred = np.array(
-                [_paeth(int(l), int(u), int(ul)) for l, u, ul in zip(left, prev, upleft)],
-                dtype=np.int64,
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
             )
             filt = cur - pred
         out.append(filter_type)
@@ -177,17 +174,34 @@ def decode_png_pixels(payload: bytes) -> np.ndarray:
             cur = row.reshape(w, bpp).cumsum(axis=0).reshape(stride) % 256
         elif ft == 2:  # Up
             cur = (row + prev) % 256
-        elif ft == 3:  # Average: sequential (depends on reconstructed left)
-            cur = np.zeros(stride, np.int64)
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
-        elif ft == 4:  # Paeth: sequential
-            cur = np.zeros(stride, np.int64)
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                upleft = prev[i - bpp] if i >= bpp else 0
-                cur[i] = (row[i] + _paeth(int(left), int(prev[i]), int(upleft))) % 256
+        elif ft == 3:  # Average: sequential in pixels, vector in channels
+            row2 = row.reshape(w, bpp)
+            prev2 = prev.reshape(w, bpp)
+            cur2 = np.zeros((w, bpp), np.int64)
+            left = np.zeros(bpp, np.int64)
+            for i in range(w):
+                left = (row2[i] + (left + prev2[i]) // 2) % 256
+                cur2[i] = left
+            cur = cur2.reshape(stride)
+        elif ft == 4:  # Paeth: sequential in pixels, vector in channels
+            row2 = row.reshape(w, bpp)
+            prev2 = prev.reshape(w, bpp)
+            cur2 = np.zeros((w, bpp), np.int64)
+            left = np.zeros(bpp, np.int64)
+            upleft = np.zeros(bpp, np.int64)
+            for i in range(w):
+                up = prev2[i]
+                p = left + up - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (row2[i] + pred) % 256
+                cur2[i] = left
+                upleft = up
+            cur = cur2.reshape(stride)
         else:
             raise ValueError(f"bad filter byte {ft} on row {y}")
         out[y] = cur
@@ -392,7 +406,8 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
 ) -> bytes:
-    """Encode an H×W×3 uint8 RGB array as a REAL baseline JPEG.
+    """Encode an H×W×3 uint8 RGB array (or an H×W grayscale array,
+    emitted as a 1-component luma-only stream) as a REAL baseline JPEG.
 
     Flat quantization tables (every entry = ``quant``) — shipped in
     DQT, so any spec-correct decoder reads them; ``subsample=True``
@@ -401,8 +416,13 @@ def encode_jpeg(
     MCUs.  Partial edge blocks are edge-replicated.
     """
     a = np.asarray(rgb, dtype=np.uint8)
+    if a.ndim == 2:  # grayscale: single Y component, no color transform
+        h, w = a.shape
+        samp = [(1, 1)]
+        planes = [a.astype(np.float64)]
+        return _encode_jpeg_planes(planes, samp, h, w, quant, restart_interval)
     if a.ndim != 3 or a.shape[2] != 3:
-        raise ValueError("encode_jpeg expects H x W x 3 RGB")
+        raise ValueError("encode_jpeg expects H x W x 3 RGB or H x W gray")
     h, w = a.shape[:2]
     ycc = _rgb_to_ycbcr(a)
     if subsample:
@@ -417,6 +437,17 @@ def encode_jpeg(
     else:
         samp = [(1, 1), (1, 1), (1, 1)]
         planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+    return _encode_jpeg_planes(planes, samp, h, w, quant, restart_interval)
+
+
+def _encode_jpeg_planes(
+    planes: list[np.ndarray],
+    samp: list[tuple[int, int]],
+    h: int,
+    w: int,
+    quant: int,
+    restart_interval: int,
+) -> bytes:
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -436,23 +467,26 @@ def encode_jpeg(
             np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
         )
 
+    nc = len(planes)
     out = bytearray(b"\xff\xd8")  # SOI
     zz_q = qtab.reshape(64)[_ZIGZAG].astype(np.uint8)
     out += _seg(0xFFDB, b"\x00" + zz_q.tobytes())  # DQT id 0 (shared)
-    sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, (sh, sv) in zip((1, 2, 3), samp):
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid, (sh, sv) in zip(range(1, nc + 1), samp):
         sof += struct.pack(">BBB", cid, (sh << 4) | sv, 0)
     out += _seg(0xFFC0, sof)  # SOF0
     out += _seg(0xFFC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))  # DHT DC 0
     out += _seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))  # DHT AC 0
     if restart_interval:
         out += _seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = b"\x03" + b"".join(struct.pack(">BB", cid, 0x00) for cid in (1, 2, 3))
+    sos = bytes([nc]) + b"".join(
+        struct.pack(">BB", cid, 0x00) for cid in range(1, nc + 1)
+    )
     sos += b"\x00\x3f\x00"
     out += _seg(0xFFDA, sos)
 
     bw = _BitWriter()
-    preds = [0, 0, 0]
+    preds = [0] * nc
     rst = 0
     n_mcu = 0
     for my in range(mcus_y):
@@ -463,7 +497,7 @@ def encode_jpeg(
                 bw = _BitWriter()
                 out += struct.pack(">H", 0xFFD0 + rst)
                 rst = (rst + 1) % 8
-                preds = [0, 0, 0]
+                preds = [0] * nc
             for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
                 for by in range(sv):
                     for bx in range(sh):
@@ -483,8 +517,11 @@ def encode_jpeg(
 
 
 class _BitReader:
-    """MSB-first bit reader over a de-stuffed entropy segment with
-    RST-aware realignment."""
+    """MSB-first bit reader over one de-stuffed entropy segment.
+
+    Restart realignment needs no in-stream state here: the segment
+    splitter cuts the scan at every RSTn marker and each segment gets
+    a FRESH reader (byte alignment is implicit in starting over)."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -507,9 +544,6 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
-
-    def align(self) -> None:
-        self.nbits = 0
 
 
 def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -570,7 +604,9 @@ def _parse_jpeg_segments(payload: bytes):
                     cur.append(b)
                     pos += 1
                     continue
-                nxt = payload[pos + 1] if pos + 1 < len(payload) else 0
+                if pos + 1 >= len(payload):
+                    raise ValueError("truncated entropy stream (dangling 0xFF)")
+                nxt = payload[pos + 1]
                 if nxt == 0x00:
                     cur.append(0xFF)
                     pos += 2
@@ -720,7 +756,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         planes.append(plane[: frame["h"], : frame["w"]])
     if len(planes) == 1:
-        ycc = np.stack([planes[0]] * 3, axis=-1)
+        # 1-component stream is pure luma: neutral chroma (128), so the
+        # RGB conversion is the identity on Y — NOT Y stacked into
+        # Cb/Cr, which would send gray through the color matrix
+        neutral = np.full_like(planes[0], 128.0)
+        ycc = np.stack([planes[0], neutral, neutral], axis=-1)
     else:
         ycc = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(ycc)

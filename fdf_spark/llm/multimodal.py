@@ -169,11 +169,18 @@ REAL_CODECS = {
 def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``codec='bmp'``/``'wav'`` run REAL pure-stdlib decoders
-    (:data:`REAL_CODECS`); ``codec='fake'`` runs the deterministic
-    fake; ``codec='stub'`` raises (compressed-format decoders —
-    PIL/ffmpeg — are not in this container).
+    ``codec='bmp'``/``'wav'``/``'png'``/``'jpeg'`` run the REAL
+    pure-python decoders (:data:`REAL_CODECS` — PNG and baseline JPEG
+    included, see ``llm/imagecodecs.py``); ``codec='fake'`` runs the
+    deterministic test fake; ``codec='stub'`` raises (MP3/H.264 have
+    no stdlib codec path).  Any other string raises ``ValueError`` —
+    an unknown codec must never silently fall back to fake features.
     """
+    if codec not in ("stub", "fake") and codec not in REAL_CODECS:
+        raise ValueError(
+            f"unknown codec {codec!r}; expected one of "
+            f"{sorted(REAL_CODECS)} or 'fake'"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

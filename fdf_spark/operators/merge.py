@@ -60,14 +60,25 @@ def _reduce_changes_last_wins(
     the greatest ``order_col`` (sequence number / event time), so a
     delete followed by a later re-insert resurrects the key and an
     update followed by a later delete drops it.  Ties on ``order_col``
-    break on the remaining change columns (descending, nulls last) so
-    the reduction is a pure function of the row multiset — no
-    first-row-wins nondeterminism.
+    break on the remaining ORDERABLE change columns (descending, nulls
+    last) so the reduction is a pure function of the row multiset — no
+    first-row-wins nondeterminism.  Map-typed columns are excluded
+    from the tiebreak (Spark cannot sort them); two change rows that
+    are identical except for a map column therefore tie arbitrarily —
+    callers needing full determinism there should make ``order_col``
+    unique per key (the normal CDC sequence-number contract).
     """
+    from pyspark.sql.types import MapType
+
     if order_col not in changes.columns:
         raise ValueError(f"order_col {order_col!r} not in changes columns")
+    unorderable = {
+        f.name for f in changes.schema.fields if isinstance(f.dataType, MapType)
+    }
     tiebreak = [
-        F.col(c).desc_nulls_last() for c in changes.columns if c != order_col
+        F.col(c).desc_nulls_last()
+        for c in changes.columns
+        if c != order_col and c not in unorderable
     ]
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc_nulls_last(), *tiebreak)
     return (

@@ -936,3 +936,49 @@ def test_jpeg_extract_features_distributed(spark):
             clamp(rha(yq + 1.772 * (cbq - 128.0))),
         ]
         assert feats[d] == expect, d
+
+
+def test_jpeg_grayscale_single_component():
+    """A 1-component luma-only JPEG decodes with NEUTRAL chroma: gray
+    in, the same gray out (within DC quantization), never sent through
+    the color matrix (the r6 review found Y stacked into Cb/Cr)."""
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import decode_jpeg_pixels, encode_jpeg
+
+    for v in (0, 77, 200, 255):
+        gray = np.full((8, 8), v, np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg(gray, quant=16))
+        assert dec.shape == (8, 8, 3)
+        assert (dec == dec[0, 0]).all()
+        px = dec[0, 0]
+        assert px[0] == px[1] == px[2], px  # stays gray
+        assert abs(int(px[0]) - v) <= 2, (v, px)
+
+
+def test_jpeg_truncated_stream_raises():
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import decode_jpeg_pixels, encode_jpeg
+
+    enc = encode_jpeg(np.arange(192, dtype=np.uint8).reshape(8, 8, 3), quant=4)
+    # cut right after a 0xFF in the entropy data (the padded tail flush
+    # guarantees one near the end)
+    cut = enc.rfind(b"\xff", 0, len(enc) - 2)
+    try:
+        decode_jpeg_pixels(enc[: cut + 1])
+        raise AssertionError("truncated stream must be rejected")
+    except ValueError:
+        pass
+
+
+def test_extract_features_unknown_codec_raises(spark):
+    from fdf_spark.llm.multimodal import extract_features, synth_png_assets
+
+    docs = spark.range(0, 2).select(F.col("id").alias("doc_id"))
+    assets = synth_png_assets(docs)
+    try:
+        extract_features(assets, codec="jpg")  # typo must not mean 'fake'
+        raise AssertionError("unknown codec must raise")
+    except ValueError as e:
+        assert "unknown codec" in str(e)

@@ -213,3 +213,21 @@ def test_stream_merge_sink_last_wins_batch(spark, tmp_path):
         on_duplicate_keys="last_wins", order_col="seq",
     )
     assert read_version(spark, p).collect() == [Row(k=1, v=30)]
+
+
+def test_last_wins_tolerates_map_columns(spark):
+    # map-typed payload columns are excluded from the tiebreak (maps
+    # are unorderable); order_col still decides the survivor
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, v="x1", seq=1, attrs={"s": "1"}),
+            Row(k=1, v="x2", seq=2, attrs={"s": "2"}),
+        ],
+        schema="k bigint, v string, seq bigint, attrs map<string,string>",
+    )
+    out = merge_upsert(
+        base, changes, ["k"], update_cols=["v"],
+        on_duplicate_keys="last_wins", order_col="seq",
+    )
+    assert out.collect() == [Row(k=1, v="x2")]

@@ -275,7 +275,15 @@ def main() -> None:
     chg = spark.range(0, 1_000_000, 1, 8).select(
         (F.col("id") * 97 % n).alias("k"), (F.col("id") % 3).cast("double").alias("v"),
         (F.col("id") % 10 == 0).alias("deleted"))
-    timed("cdc merge (N15)", n, merge_upsert(base, chg, ["k"], ["v"], "deleted"))
+    # assume_unique: chg keys are provably distinct (id*97, no wrap), and
+    # the default eager uniqueness check would otherwise run an untimed
+    # aggregation over the change batch during argument evaluation —
+    # overstating the merge's own Mrows/s (the check is covered by
+    # test_merge.py, not benched here)
+    timed(
+        "cdc merge (N15)", n,
+        merge_upsert(base, chg, ["k"], ["v"], "deleted", on_duplicate_keys="assume_unique"),
+    )
 
     # 16d) inverted index (N10): 5M 12-word docs over a 100k vocab with
     # a planted every-doc stop word — 32 segments keep the hot term's
@@ -516,6 +524,50 @@ def main() -> None:
     )
     timed("logreg score (N25)", n, score_logreg(feats, [f"x{j}" for j in range(8)], w, bias))
     feats.unpersist()
+
+    # 24) COMPOSED pipeline (q125 shape at ~1000x driver scale): exact
+    # dedup -> decontamination -> weighted mixture -> token-balanced
+    # shard assignment over 5M docs in ONE plan. Stage verdicts persist
+    # as doc_id-only relations (the q125 discipline); the whole chain
+    # stays flat — no stage widens beyond its own shuffle.
+    from fdf_spark.llm.decontam import decontaminate
+    from fdf_spark.llm.dedup import exact_dedup as _xd
+    from fdf_spark.llm.mixing import mix_corpus as _mx
+    from fdf_spark.llm.sharding import assign_token_shards as _sh
+
+    n = 5_000_000
+    docs = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+        F.concat_ws(
+            " ",
+            *[
+                F.conv((((F.col("id") % (n // 10 * 9)) * 17 + i) % 50_000).cast("string"), 10, 36)
+                for i in range(8)
+            ],
+        ).alias("text"),  # ~10% exact dups via the id fold
+    )
+    t0 = time.perf_counter()
+    surv = _xd(docs).select("doc_id").persist()
+    sdocs = docs.join(surv, "doc_id", "left_semi")
+    bench = sdocs.filter(F.col("doc_id") % 97 == 0).limit(20_000)
+    prof = decontaminate(sdocs, bench, n=3, threshold=0.2)
+    clean_ids = prof.filter(~F.col("contaminated")).select("doc_id").persist()
+    clean = sdocs.join(clean_ids, "doc_id", "left_semi")
+    mixed = _mx(
+        clean,
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        budget_tokens=10_000_000,
+    )
+    shards = _sh(mixed, n_shards=64, tokens_col="n_tokens", bucket_docs=40_000)
+    shards.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(
+        f"{'pipeline dedup->shard (N24)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+        flush=True,
+    )
+    surv.unpersist()
+    clean_ids.unpersist()
 
     spark.stop()
 
