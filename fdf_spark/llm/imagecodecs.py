@@ -775,3 +775,200 @@ def decode_jpeg(payload: bytes) -> list[float]:
     sums = px.sum(axis=(0, 1))
     n = h * w
     return [float(w), float(h), 3.0, sums[0] / n, sums[1] / n, sums[2] / n]
+
+
+# ---------------------------------------------------------------------------
+# GIF87a: pure-python LZW encoder + decoder
+# ---------------------------------------------------------------------------
+#
+# GIF's compression is the LZW variant with variable code width (LSB-
+# first bit packing, CLEAR/EOI control codes, 12-bit dictionary cap) —
+# implementable in a page of python, no media library involved.  The
+# encoder emits a real single-frame GIF87a (logical screen descriptor,
+# global color table, image descriptor, LZW-compressed index stream in
+# 255-byte sub-blocks); the decoder parses the container and runs the
+# inverse LZW (including the KwKwK self-referencing case and mid-
+# stream CLEAR resets).  Compressor and decompressor are independently
+# written inverses, so roundtrip equality is a genuine cross-check.
+
+def _lzw_compress(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits.append((clear, width))
+    prefix: tuple[int, ...] = ()
+    for px in indices:
+        cand = prefix + (px,)
+        if cand in table:
+            prefix = cand
+            continue
+        out_bits.append((table[prefix], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4096:
+            out_bits.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prefix = (px,)
+    if prefix:
+        out_bits.append((table[prefix], width))
+    out_bits.append((eoi, width))
+    # LSB-first bit packing
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError("LZW code out of range")
+        out.extend(entry)
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    raise ValueError("unreachable")
+
+
+#: fixed 256-entry palette with an arithmetic law the SQL oracle can
+#: replay: palette[i] = (i, 3i mod 256, 7i mod 256)
+def _gif_palette() -> bytes:
+    return bytes(
+        b for i in range(256) for b in (i, (3 * i) % 256, (7 * i) % 256)
+    )
+
+
+def encode_gif(indices: np.ndarray) -> bytes:
+    """Encode an H×W uint8 index array as a real single-frame GIF87a
+    with the fixed arithmetic palette and REAL LZW compression."""
+    a = np.asarray(indices, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("encode_gif expects H x W palette indices")
+    h, w = a.shape
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x70 | 0x07, 0, 0])  # global table, 256 entries
+    out += _gif_palette()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(8)  # LZW min code size
+    data = _lzw_compress([int(v) for v in a.reshape(-1)], 8)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_pixels(payload: bytes) -> np.ndarray:
+    """Decode a single-frame GIF87a/89a to an H×W×3 uint8 RGB array
+    via the global color table (local tables, interlace, and extension
+    blocks beyond plain skipping are rejected loudly)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13
+    palette = np.frombuffer(payload, np.uint8, n_colors * 3, pos).reshape(n_colors, 3)
+    pos += n_colors * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            raise ValueError("no image descriptor before trailer")
+        if b == 0x21:  # extension: skip its sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block 0x{b:02X}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        if ipacked & 0x80:
+            raise ValueError("local color tables unsupported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise ValueError("sub-rectangle frames unsupported")
+        pos += 10
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _lzw_decompress(bytes(data), min_code)
+        if len(indices) != w * h:
+            raise ValueError(f"decoded {len(indices)} pixels, expected {w * h}")
+        idx = np.array(indices, dtype=np.int64).reshape(h, w)
+        if idx.max() >= n_colors:
+            raise ValueError("palette index out of range")
+        return palette[idx]
+    raise ValueError("truncated GIF")
+
+
+def decode_gif(payload: bytes) -> list[float]:
+    """Feature-vector adapter: [width, height, 3, mean_r, mean_g,
+    mean_b] with exact integer accumulation over the palette-mapped
+    pixels."""
+    px = decode_gif_pixels(payload).astype(np.int64)
+    h, w = px.shape[:2]
+    sums = px.sum(axis=(0, 1))
+    n = h * w
+    return [float(w), float(h), 3.0, sums[0] / n, sums[1] / n, sums[2] / n]

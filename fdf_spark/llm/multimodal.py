@@ -158,11 +158,18 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     return decode_jpeg(payload)
 
 
+def _decode_gif(payload: bytes) -> list[float]:
+    from fdf_spark.llm.imagecodecs import decode_gif
+
+    return decode_gif(payload)
+
+
 REAL_CODECS = {
     "bmp": decode_bmp,
     "wav": decode_wav,
     "png": _decode_png,
     "jpeg": _decode_jpeg,
+    "gif": _decode_gif,
 }
 
 
@@ -322,6 +329,42 @@ def synth_jpeg_assets(docs: DataFrame) -> DataFrame:
                         restart_interval=2 if d % 3 == 0 else 0,
                     )
                 )
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
+
+
+def synth_gif_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-GIF fixtures from doc ids.
+
+    Every doc becomes an actual LZW-compressed single-frame GIF87a
+    over the fixed arithmetic palette (``palette[i] = (i, 3i%256,
+    7i%256)``) with pixel-index law::
+
+        width = 3 + doc_id % 8      height = 2 + doc_id % 6
+        index(x, y) = (doc_id + 5*x + 9*y) % 256
+
+    so a SQL oracle recomputes the decoded RGB means from pure
+    arithmetic — the LZW compress→decompress→palette-map roundtrip is
+    the thing under test.
+    """
+    from fdf_spark.llm.imagecodecs import encode_gif
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                w, h = 3 + d % 8, 2 + d % 6
+                yy, xx = np.mgrid[0:h, 0:w]
+                payloads.append(encode_gif(((d + 5 * xx + 9 * yy) % 256).astype(np.uint8)))
             yield pd.DataFrame(
                 {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
             )

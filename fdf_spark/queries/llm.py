@@ -763,6 +763,53 @@ def q129_jpeg_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q130_gif_codec_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, 3 + doc_id % 8 AS w, 2 + doc_id % 6 AS h
+      FROM documents WHERE doc_id < 150),
+    px AS (
+      SELECT doc_id, w, h, (doc_id + 5 * x.x + 9 * y.y) % 256 AS idx
+      FROM d
+      CROSS JOIN (SELECT unnest(range(10)) AS x) x
+      CROSS JOIN (SELECT unnest(range(7)) AS y) y
+      WHERE x.x < w AND y.y < h),
+    m AS (
+      SELECT doc_id, w, h,
+             AVG(CAST(idx AS DOUBLE)) AS mr,
+             AVG(CAST((3 * idx) % 256 AS DOUBLE)) AS mg,
+             AVG(CAST((7 * idx) % 256 AS DOUBLE)) AS mb
+      FROM px GROUP BY doc_id, w, h)
+    SELECT doc_id AS asset_id,
+           CAST(w AS DOUBLE) AS v0, CAST(h AS DOUBLE) AS v1, CAST(3 AS DOUBLE) AS v2,
+           mr AS v3, mg AS v4, mb AS v5
+    FROM m ORDER BY asset_id
+    """,
+    operators=("N6",),
+    doc="REAL GIF/LZW decode end-to-end (third real compressed image "
+    "codec beside PNG/q128 and JPEG/q129): every doc becomes an actual "
+    "single-frame GIF87a — logical screen descriptor, 256-entry global "
+    "color table, variable-width LSB-first LZW stream with CLEAR/EOI "
+    "codes in 255-byte sub-blocks — then the pure-python decoder "
+    "(llm/imagecodecs.py: container parse, inverse LZW incl. the KwKwK "
+    "case and dictionary resets, palette map) recovers the pixels FROM "
+    "THE BYTES inside Arrow-batched mapInPandas. Compressor and "
+    "decompressor are independently written inverses; the oracle "
+    "recomputes the channel means from the arithmetic palette/index "
+    "laws, independent of both.",
+)
+def q130_gif_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import extract_features, synth_gif_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 150)
+    feats = extract_features(synth_gif_assets(docs), codec="gif")
+    return feats.select(
+        "asset_id",
+        *[F.element_at("feat", i + 1).alias(f"v{i}") for i in range(6)],
+    ).orderBy("asset_id")
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,

@@ -982,3 +982,66 @@ def test_extract_features_unknown_codec_raises(spark):
         raise AssertionError("unknown codec must raise")
     except ValueError as e:
         assert "unknown codec" in str(e)
+
+
+# --- real GIF / LZW codec (llm/imagecodecs.py, N6) ---------------------------
+
+
+def test_gif_lzw_roundtrip_and_dict_reset():
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import decode_gif_pixels, encode_gif
+
+    rng = np.random.RandomState(5)
+    for shape in [(1, 1), (3, 7), (16, 16), (40, 33)]:
+        idx = rng.randint(0, 256, shape).astype(np.uint8)
+        dec = decode_gif_pixels(encode_gif(idx))
+        expect = np.stack(
+            [idx, (3 * idx.astype(int)) % 256, (7 * idx.astype(int)) % 256], -1
+        )
+        assert dec.shape == expect.shape and (dec == expect).all(), shape
+    # > 4096 dictionary entries forces a mid-stream CLEAR + reset
+    big = (np.arange(300 * 300) % 251).astype(np.uint8).reshape(300, 300)
+    assert (decode_gif_pixels(encode_gif(big))[:, :, 0] == big).all()
+
+
+def test_gif_rejects_malformed():
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import decode_gif_pixels, encode_gif
+
+    try:
+        decode_gif_pixels(b"NOTGIF")
+        raise AssertionError("non-GIF must be rejected")
+    except ValueError as e:
+        assert "GIF" in str(e)
+    enc = bytearray(encode_gif(np.zeros((4, 4), np.uint8)))
+    enc[10] &= 0x7F  # clear the global-color-table flag
+    try:
+        decode_gif_pixels(bytes(enc))
+        raise AssertionError("missing palette must be rejected")
+    except ValueError as e:
+        assert "color table" in str(e)
+
+
+def test_gif_extract_features_distributed(spark):
+    import numpy as np
+
+    from fdf_spark.llm.multimodal import extract_features, synth_gif_assets
+
+    docs = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    feats = {
+        int(r.asset_id): r.feat
+        for r in extract_features(synth_gif_assets(docs), codec="gif").collect()
+    }
+    for d in range(10):
+        w, h = 3 + d % 8, 2 + d % 6
+        yy, xx = np.mgrid[0:h, 0:w]
+        idx = (d + 5 * xx + 9 * yy) % 256
+        expect = [
+            float(w), float(h), 3.0,
+            idx.sum() / (w * h),
+            ((3 * idx) % 256).sum() / (w * h),
+            ((7 * idx) % 256).sum() / (w * h),
+        ]
+        assert feats[d] == expect, d
