@@ -164,12 +164,19 @@ def _decode_gif(payload: bytes) -> list[float]:
     return decode_gif(payload)
 
 
+def _decode_adpcm(payload: bytes) -> list[float]:
+    from fdf_spark.llm.audiocodecs import decode_adpcm
+
+    return decode_adpcm(payload)
+
+
 REAL_CODECS = {
     "bmp": decode_bmp,
     "wav": decode_wav,
     "png": _decode_png,
     "jpeg": _decode_jpeg,
     "gif": _decode_gif,
+    "adpcm": _decode_adpcm,
 }
 
 
@@ -367,6 +374,41 @@ def synth_gif_assets(docs: DataFrame) -> DataFrame:
                 payloads.append(encode_gif(((d + 5 * xx + 9 * yy) % 256).astype(np.uint8)))
             yield pd.DataFrame(
                 {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
+
+
+def synth_adpcm_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-IMA-ADPCM fixtures from doc ids.
+
+    Constant mono signals (amplitude ``doc_id % 1001 - 500``, the WAV
+    fixture law) encoded with 9-samples-per-block blocks so every
+    asset spans MULTIPLE ADPCM blocks.  A constant signal with initial
+    step index 0 roundtrips bit-exactly (block headers carry the first
+    sample verbatim; the quantizer never drifts at the table floor),
+    so the q131 oracle recomputes mean/peak/mean-square from the
+    amplitude law alone while the decoder genuinely parses the RIFF
+    container and walks the 4-bit bitstream.
+    """
+    from fdf_spark.llm.audiocodecs import encode_adpcm_wav
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                a = d % 1001 - 500
+                payloads.append(
+                    encode_adpcm_wav(
+                        8000 + 1000 * (d % 4), [a] * (40 + d % 25), samples_per_block=9
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["audio"] * len(ids), "payload": payloads}
             )
 
     return docs.select("doc_id").mapInPandas(

@@ -810,6 +810,41 @@ def q130_gif_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q131_adpcm_codec_roundtrip",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(8000 + 1000 * (doc_id % 4) AS DOUBLE) AS v0,
+           CAST(1 AS DOUBLE) AS v1,
+           CAST(40 + doc_id % 25 AS DOUBLE) AS v2,
+           CAST(doc_id % 1001 - 500 AS DOUBLE) AS v3,
+           CAST(abs(doc_id % 1001 - 500) AS DOUBLE) AS v4,
+           CAST((doc_id % 1001 - 500) * (doc_id % 1001 - 500) AS DOUBLE) AS v5
+    FROM documents WHERE doc_id < 150 ORDER BY asset_id
+    """,
+    operators=("N6",),
+    doc="REAL compressed-AUDIO decode end-to-end (IMA ADPCM, RIFF tag "
+    "0x0011 — the stdlib wave module cannot read it, so the container "
+    "parse and the 4-bit adaptive-differential bitstream walk are both "
+    "implemented for real in llm/audiocodecs.py). Fixtures are "
+    "constant signals over MULTIPLE 9-sample blocks; with initial step "
+    "index 0 the quantizer provably never drifts, so the oracle "
+    "recomputes rate/frames/mean/peak/mean-square from the amplitude "
+    "law alone — a wrong block header layout, nibble order, step-table "
+    "walk, or fact-count trim fails the hash. Lossy behavior on real "
+    "waveforms (slope overload, ~30 dB SNR) is pinned in pytest.",
+)
+def q131_adpcm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import extract_features, synth_adpcm_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 150)
+    feats = extract_features(synth_adpcm_assets(docs), codec="adpcm")
+    return feats.select(
+        "asset_id",
+        *[F.element_at("feat", i + 1).alias(f"v{i}") for i in range(6)],
+    ).orderBy("asset_id")
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,

@@ -1045,3 +1045,71 @@ def test_gif_extract_features_distributed(spark):
             ((7 * idx) % 256).sum() / (w * h),
         ]
         assert feats[d] == expect, d
+
+
+# --- real IMA-ADPCM compressed audio (llm/audiocodecs.py, N6) ----------------
+
+
+def test_adpcm_constant_exact_multiblock():
+    from fdf_spark.llm.audiocodecs import decode_adpcm_samples, encode_adpcm_wav
+
+    for a in (-500, -1, 0, 3, 499):
+        for n in (5, 9, 40, 64):
+            sr, vals = decode_adpcm_samples(
+                encode_adpcm_wav(8000, [a] * n, samples_per_block=9)
+            )
+            assert sr == 8000 and vals == [a] * n, (a, n)
+
+
+def test_adpcm_lossy_reconstruction_bounds():
+    import math
+
+    import numpy as np
+
+    from fdf_spark.llm.audiocodecs import decode_adpcm_samples, encode_adpcm_wav
+
+    t = np.arange(2000)
+    sig = (8000 * np.sin(2 * np.pi * t / 50)).astype(int).tolist()
+    enc = encode_adpcm_wav(16000, sig)
+    sr, vals = decode_adpcm_samples(enc)
+    assert sr == 16000 and len(vals) == len(sig)
+    rms = math.sqrt(sum((a - b) ** 2 for a, b in zip(sig, vals)) / len(sig))
+    assert rms <= 400, rms  # ~30 dB SNR, authentic IMA ADPCM quality
+    # steady state (past the attack transient) tracks closely
+    tail = max(abs(a - b) for a, b in zip(sig[100:], vals[100:]))
+    assert tail <= 1500, tail
+    # ~4:1 compression vs 16-bit PCM
+    assert len(enc) < 2 * len(sig) * 0.3
+
+
+def test_adpcm_rejects_malformed():
+    from fdf_spark.llm.audiocodecs import decode_adpcm_samples, encode_adpcm_wav
+    from fdf_spark.llm.multimodal import encode_wav
+
+    try:
+        decode_adpcm_samples(b"RIFFxxxxNOPE")
+        raise AssertionError("bad RIFF form must be rejected")
+    except ValueError:
+        pass
+    # plain PCM WAV (tag 0x0001) must be rejected, not mis-decoded
+    try:
+        decode_adpcm_samples(encode_wav(8000, [1, 2, 3]))
+        raise AssertionError("PCM must be rejected by the ADPCM decoder")
+    except ValueError as e:
+        assert "IMA ADPCM" in str(e) or "fact" in str(e)
+
+
+def test_adpcm_extract_features_distributed(spark):
+    from fdf_spark.llm.multimodal import extract_features, synth_adpcm_assets
+
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    feats = {
+        int(r.asset_id): r.feat
+        for r in extract_features(synth_adpcm_assets(docs), codec="adpcm").collect()
+    }
+    for d in range(8):
+        a = d % 1001 - 500
+        assert feats[d] == [
+            float(8000 + 1000 * (d % 4)), 1.0, float(40 + d % 25),
+            float(a), float(abs(a)), float(a * a),
+        ], d
