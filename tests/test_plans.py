@@ -148,6 +148,17 @@ EXPECT: dict[str, dict] = {
     # plan repeats cached subtrees; InMemoryTableScan nodes are the
     # runtime dedup), mirroring landed inter-stage tables in production
     "q125_pipeline_export": dict(max_smj=0, max_bnl=1),
+    # Count-Min mergeability (in-window r6): two half-corpus sketches +
+    # merge = union + ONE cell groupBy per sketch (cells ≤ depth·width);
+    # the merged sketch and probe set broadcast — never a corpus join
+    "q127_cm_merge_estimate": dict(max_exchanges=4, min_bhj=2, max_smj=0, max_scans=4),
+    # real-codec roundtrips: encode+decode run INSIDE one Arrow-batched
+    # mapInPandas over a single scan; the only exchange is the final
+    # sort — payload bytes never enter a shuffle
+    "q128_png_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
+    "q129_jpeg_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
+    "q130_gif_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
+    "q131_adpcm_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     # trained classifier: scoring is pure map-side over the persisted
     # feature relation (weights are literals) — one cached scan, the
     # 2 exchanges are the per-class agg + final sort; training's

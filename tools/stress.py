@@ -569,6 +569,25 @@ def main() -> None:
     surv.unpersist()
     clean_ids.unpersist()
 
+    # 25) real compressed-codec decode (N6): encode+decode inside ONE
+    # Arrow-batched mapInPandas — embarrassingly parallel, payload
+    # bytes never shuffled. Row counts sized per codec cost (JPEG's
+    # python huffman bit-loop is the slow one by design — it is the
+    # correctness reference, not a SIMD library).
+    from fdf_spark.llm.multimodal import (
+        extract_features,
+        synth_adpcm_assets,
+        synth_gif_assets,
+        synth_jpeg_assets,
+        synth_png_assets,
+    )
+
+    ids = lambda n: spark.range(0, n, 1, 64).select(F.col("id").alias("doc_id"))
+    timed("png decode (N6)", 100_000, extract_features(synth_png_assets(ids(100_000)), codec="png"))
+    timed("jpeg decode (N6)", 20_000, extract_features(synth_jpeg_assets(ids(20_000)), codec="jpeg"))
+    timed("gif decode (N6)", 100_000, extract_features(synth_gif_assets(ids(100_000)), codec="gif"))
+    timed("adpcm decode (N6)", 100_000, extract_features(synth_adpcm_assets(ids(100_000)), codec="adpcm"))
+
     spark.stop()
 
 
