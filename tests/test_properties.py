@@ -469,3 +469,95 @@ def test_train_logreg_matches_python(spark, rows, iters):
     for a, b2, _ in rows:
         z = _py_round6(bias + w[0] * a + w[1] * b2)
         assert got[(a, b2)] == _py_round6(1.0 / (1.0 + math.exp(-z)))
+
+
+# --- codec roundtrips as laws (imagecodecs / audiocodecs, N6) ---------------
+# The fixed-seed tests in test_llm.py pin known shapes; here hypothesis
+# sweeps arbitrary pixel/index/sample content. No Spark involved —
+# the codecs are pure functions, so examples are cheap.
+
+
+@given(
+    data=st.binary(min_size=1, max_size=400),
+    w=st.integers(min_value=1, max_value=20),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    ft=st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_law(data, w, ch, ft):
+    from fdf_spark.llm.imagecodecs import decode_png_pixels, encode_png
+
+    n = len(data) // (w * ch)
+    if n == 0:
+        return
+    arr = np.frombuffer(data[: n * w * ch], np.uint8).reshape(n, w, ch)
+    img = arr[:, :, 0] if ch == 1 else arr
+    dec = decode_png_pixels(encode_png(img, filter_type=ft))
+    assert (dec == arr).all()
+
+
+@given(
+    data=st.binary(min_size=1, max_size=600),
+    w=st.integers(min_value=1, max_value=30),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_law(data, w):
+    from fdf_spark.llm.imagecodecs import decode_gif_pixels, encode_gif
+
+    n = len(data) // w
+    if n == 0:
+        return
+    idx = np.frombuffer(data[: n * w], np.uint8).reshape(n, w)
+    dec = decode_gif_pixels(encode_gif(idx))
+    assert (dec[:, :, 0] == idx).all()
+    assert (dec[:, :, 1] == (3 * idx.astype(int)) % 256).all()
+    assert (dec[:, :, 2] == (7 * idx.astype(int)) % 256).all()
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+    ),
+    spb=st.sampled_from([3, 9, 21, 505]),
+)
+@settings(max_examples=60, deadline=None)
+def test_adpcm_decode_total_law(samples, spb):
+    """Structural law on ARBITRARY signals: the decoder returns exactly
+    the fact count of samples, every block's first sample is verbatim,
+    and every decoded value is a legal int16 (clamp discipline)."""
+    from fdf_spark.llm.audiocodecs import decode_adpcm_samples, encode_adpcm_wav
+
+    sr, vals = decode_adpcm_samples(encode_adpcm_wav(8000, samples, samples_per_block=spb))
+    assert sr == 8000 and len(vals) == len(samples)
+    for i in range(0, len(samples), spb):
+        assert vals[i] == max(-32768, min(32767, samples[i]))
+    assert all(-32768 <= v <= 32767 for v in vals)
+
+
+@given(
+    img=st.integers(min_value=0, max_value=2**32 - 1),
+    quant=st.sampled_from([1, 4, 16]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_entropy_roundtrip_law(img, quant):
+    """The entropy layer is lossless on arbitrary content: decoded
+    dequantized coefficients == independently recomputed quantized DCTs
+    for every block of a seeded random image."""
+    from fdf_spark.llm.imagecodecs import (
+        _DCT_A,
+        _q_round,
+        _rgb_to_ycbcr,
+        decode_jpeg_blocks,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(img % (2**31))
+    rgb = rng.randint(0, 256, (8, 16, 3), np.uint8)
+    frame, blocks = decode_jpeg_blocks(encode_jpeg(rgb, quant=quant))
+    ycc = _rgb_to_ycbcr(rgb)
+    for ci in range(3):
+        plane = ycc[:, :, ci]
+        for bx in range(2):
+            block = plane[0:8, bx * 8 : bx * 8 + 8] - 128.0
+            expect = _q_round((_DCT_A @ block @ _DCT_A.T) / quant) * quant
+            assert (blocks[ci][0, bx] == expect).all(), (ci, bx)
