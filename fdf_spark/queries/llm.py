@@ -845,6 +845,66 @@ def q131_adpcm_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q132_webdataset_roundtrip",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM documents WHERE doc_id < 200
+    GROUP BY source ORDER BY source
+    """,
+    operators=("N6", "S10", "N24"),
+    doc="WebDataset tar-shard container roundtrip (llm/webdataset.py — "
+    "the de-facto multimodal training-data container): docs < 200 "
+    "become (key.txt, key.json) members written as REAL USTAR tar "
+    "shards by parallel mapInPandas writers, read back through the "
+    "binaryFile source + tar unpack, samples regrouped, the json "
+    "sidecar re-parsed — and the per-source doc/char audit of the "
+    "ROUNDTRIPPED bytes must equal the oracle's direct computation on "
+    "the documents table. A wrong member pairing, lost sample, split "
+    "sample, or payload corruption fails the hash. Scratch shards are "
+    "removed via materialize_and_cleanup.",
+)
+def q132_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.llm.webdataset import group_samples, read_webdataset, write_webdataset
+    from fdf_spark.queries import materialize_and_cleanup
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.format_string("%06d", F.col("doc_id")).alias("key"), "text", "source")
+    )
+    txt = docs.select("key", F.lit("txt").alias("ext"), F.encode("text", "UTF-8").alias("payload"))
+    meta = docs.select(
+        "key",
+        F.lit("json").alias("ext"),
+        F.encode(F.to_json(F.struct("source")), "UTF-8").alias("payload"),
+    )
+    members = txt.unionByName(meta).repartition(4, "key").sortWithinPartitions("key")
+    path = tempfile.mkdtemp(prefix="fdf_wds_")
+    write_webdataset(members, path).collect()  # parallel shard writers
+    samples = group_samples(read_webdataset(spark, path))
+    out = (
+        samples.select(
+            F.col("key").cast("bigint").alias("doc_id"),
+            F.decode(F.col("parts")["txt"], "UTF-8").alias("text"),
+            F.get_json_object(F.decode(F.col("parts")["json"], "UTF-8"), "$.source").alias("source"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )
+    return materialize_and_cleanup(out, path)
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,
