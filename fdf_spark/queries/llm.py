@@ -905,6 +905,65 @@ def q132_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q133_tokenbin_roundtrip",
+    """
+    SELECT doc_id % 8 AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN len(text) = 0 THEN 0 ELSE
+             list_aggregate(list_transform(string_split_regex(text, ''),
+                                           c -> unicode(c)), 'sum') END) AS BIGINT) AS tok_sum,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM documents WHERE doc_id < 500
+    GROUP BY shard ORDER BY shard
+    """,
+    operators=("N24", "N19", "S10"),
+    doc="Binary token-shard export roundtrip (llm/tokenbin.py — the "
+    "Megatron-style trainer handoff with the doc index embedded as a "
+    "footer): docs < 500 codepoint-tokenize, hash-partition into 8 "
+    "shards, parallel writers emit one self-describing .tokbin per "
+    "shard (uint32 stream + doc table + footer), the binaryFile reader "
+    "re-parses everything in the map stage — and the per-shard "
+    "doc/token counts AND the sum over every decoded token id must "
+    "equal the oracle's arithmetic recomputation from the text. A "
+    "wrong dtype, endianness, offset table, or truncated stream fails "
+    "the hash. Scratch shards removed via materialize_and_cleanup.",
+)
+def q133_tokenbin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.llm.tokenbin import (
+        codepoint_tokenize,
+        read_token_bin_shards,
+        write_token_bin_shards,
+    )
+    from fdf_spark.queries import materialize_and_cleanup
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    toks = codepoint_tokenize(docs).withColumn(
+        "shard", (F.col("doc_id") % 8).cast("int")
+    )
+    path = tempfile.mkdtemp(prefix="fdf_tokbin_")
+    write_token_bin_shards(toks, path).collect()
+    back = read_token_bin_shards(spark, path)
+    out = (
+        back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("ids")).alias("n_tokens"),
+            F.sum(F.aggregate("ids", F.lit(0).cast("bigint"), lambda a, x: a + x)).alias("tok_sum"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_docs", "n_tokens", "tok_sum", "first_doc", "last_doc",
+        )
+        .orderBy("shard")
+    )
+    return materialize_and_cleanup(out, path)
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,

@@ -88,3 +88,67 @@ def test_shards_are_honest_ustar(spark, tmp_path):
     with tarfile.open(os.path.join(p, shard)) as tar:  # plain stdlib read
         names = tar.getnames()
     assert names and all("." in n for n in names)
+
+
+# --- binary token shards (llm/tokenbin.py) -----------------------------------
+
+
+def test_tokenbin_roundtrip_exact(spark, tmp_path):
+    from fdf_spark.llm.tokenbin import (
+        codepoint_tokenize,
+        read_token_bin_shards,
+        write_token_bin_shards,
+    )
+
+    docs = spark.read.parquet(f"{SMOKE_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 60
+    )
+    toks = codepoint_tokenize(docs).withColumn(
+        "shard", (F.col("doc_id") % 4).cast("int")
+    )
+    p = str(tmp_path / "tb")
+    manifest = write_token_bin_shards(toks, p).collect()
+    assert sorted(r.shard for r in manifest) == [0, 1, 2, 3]
+    assert sum(r.n_docs for r in manifest) == 60
+    src = {r.doc_id: list(r.ids) for r in toks.collect()}
+    back = {r.doc_id: list(r.ids) for r in read_token_bin_shards(spark, p).collect()}
+    assert back == src  # every token id of every doc, exactly
+    # deterministic bytes: rewriting produces identical files
+    import hashlib, os
+
+    h1 = {
+        f: hashlib.sha256(open(os.path.join(p, f), "rb").read()).hexdigest()
+        for f in os.listdir(p)
+    }
+    p2 = str(tmp_path / "tb2")
+    write_token_bin_shards(toks, p2).collect()
+    h2 = {
+        f: hashlib.sha256(open(os.path.join(p2, f), "rb").read()).hexdigest()
+        for f in os.listdir(p2)
+    }
+    assert h1 == h2
+
+
+def test_tokenbin_rejects_corruption(spark, tmp_path):
+    import os
+
+    from fdf_spark.llm.tokenbin import (
+        codepoint_tokenize,
+        read_token_bin_shards,
+        write_token_bin_shards,
+    )
+
+    docs = spark.read.parquet(f"{SMOKE_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 10
+    )
+    toks = codepoint_tokenize(docs).withColumn("shard", F.lit(0).cast("int"))
+    p = str(tmp_path / "tbc")
+    write_token_bin_shards(toks, p).collect()
+    f = os.path.join(p, os.listdir(p)[0])
+    blob = open(f, "rb").read()
+    open(f, "wb").write(blob[:-4] + b"XXXX")  # clobber magic
+    try:
+        read_token_bin_shards(spark, p).collect()
+        raise AssertionError("corrupt magic must be rejected")
+    except Exception as e:
+        assert "magic" in str(e)

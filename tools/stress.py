@@ -582,6 +582,39 @@ def main() -> None:
         synth_png_assets,
     )
 
+    # 26) webdataset tar-shard container (N24): 1M two-member samples
+    # written by parallel shard writers then read back + regrouped —
+    # shards are the parallelism unit, payload bytes never shuffle
+    # until the sample regroup
+    import shutil
+    import tempfile
+
+    from fdf_spark.llm.webdataset import group_samples, read_webdataset, write_webdataset
+
+    n = 1_000_000
+    wdocs = spark.range(0, n, 1, 64).select(
+        F.format_string("%08d", F.col("id")).alias("key"),
+        F.sha2(F.col("id").cast("string"), 256).alias("text"),
+    )
+    wmembers = (
+        wdocs.select("key", F.lit("txt").alias("ext"), F.encode("text", "UTF-8").alias("payload"))
+        .unionByName(
+            wdocs.select("key", F.lit("cls").alias("ext"), F.encode(F.substring("text", 1, 2), "UTF-8").alias("payload"))
+        )
+        .repartition(64, "key")
+        .sortWithinPartitions("key")
+    )
+    wpath = tempfile.mkdtemp(prefix="fdf_stress_wds_")
+    t0 = time.perf_counter()
+    write_webdataset(wmembers, wpath, shard_max_bytes=32 * 1024 * 1024).collect()
+    group_samples(read_webdataset(spark, wpath)).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(
+        f"{'webdataset write+read (N24)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+        flush=True,
+    )
+    shutil.rmtree(wpath, ignore_errors=True)
+
     ids = lambda n: spark.range(0, n, 1, 64).select(F.col("id").alias("doc_id"))
     timed("png decode (N6)", 100_000, extract_features(synth_png_assets(ids(100_000)), codec="png"))
     timed("jpeg decode (N6)", 20_000, extract_features(synth_jpeg_assets(ids(20_000)), codec="jpeg"))
