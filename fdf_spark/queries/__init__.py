@@ -95,7 +95,7 @@ PRIORITY: tuple[str, ...] = (
     "q61_minhash_signatures",       # N2
     "q65_cosine_topk",              # N3
     "q70_text_quality",             # N4
-    "q68_multimodal_features",      # N6
+    "q129_jpeg_codec_roundtrip",    # N6 REAL baseline-JPEG decode (r6; displaced q68 — same single N6 tag, but q129 exercises the real compressed codec instead of the deterministic fake)
     "q120_lm_quality",              # N21 unigram-LM scoring (r5; displaced q37 — N7/P6/N4 all triple-covered, q120 re-tags N7+N4)
     "q39_json_roundtrip",           # N8
     "q121_fuzzy_match",             # N22 blocked ER (r5; displaced q34 — N9 covered by q118+q119, N4 by q70/q103)
