@@ -135,3 +135,166 @@ def cm_estimate(
         joined.groupBy(token_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (N5 family): membership sketch / join pruning
+# ---------------------------------------------------------------------------
+#
+# The Bloom filter (Bloom 1970) is the membership twin of the
+# Count–Min sketch above and THE join-pruning primitive at 100 TB:
+# build a fixed-size bit vector over the SMALL side's join keys,
+# broadcast it, and map-filter the huge probe side BEFORE its shuffle
+# — rows whose key cannot be in the build side never enter the
+# exchange. No false negatives ever (the guarantee pruning relies
+# on); false positives only cost a little lost pruning.
+#
+# Same physical shape as the CM sketch: the bit vector is a sparse
+# (word, bits) relation — per key, k bit positions are emitted in-row
+# and a map-side-combining bit_or groupBy folds them; the shuffle
+# carries at most m/32 words per map partition regardless of key
+# count. Bits pack 32 per BIGINT word so every mask stays far from
+# the sign bit in both engines; hashes are the portable md5-60 family,
+# so a DuckDB oracle replays the filter bit-for-bit (q134).
+
+DEFAULT_BLOOM_BITS = 32 * 1024
+DEFAULT_BLOOM_K = 5
+_BLOOM_WORD = 32
+
+
+def bloom_bitpos(key: Column, row: int, m_bits: int) -> Column:
+    """Bit position of ``key`` under hash row ``row`` (portable)."""
+    return F.pmod(portable_hash60(key, seed=row), F.lit(m_bits))
+
+
+def _bloom_addrs(key: Column, k: int, m_bits: int) -> Column:
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (bloom_bitpos(key, r, m_bits) / _BLOOM_WORD)
+                    .cast("bigint")
+                    .alias("word"),
+                    F.pmod(bloom_bitpos(key, r, m_bits), F.lit(_BLOOM_WORD))
+                    .cast("int")
+                    .alias("bit"),
+                )
+                for r in range(k)
+            ]
+        )
+    )
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    m_bits: int = DEFAULT_BLOOM_BITS,
+    k: int = DEFAULT_BLOOM_K,
+) -> DataFrame:
+    """Build a Bloom filter over a key relation.
+
+    Returns the sparse bit vector ``(word bigint, bits bigint)`` — at
+    most ``m_bits/32`` rows.  One scan; the ×k bit fan-out happens
+    in-row; the groupBy bit_or combines map-side.
+    """
+    addr = _bloom_addrs(F.col(key_col), k, m_bits).alias("a")
+    # the SQL shiftleft/shiftright accept a COLUMN shift amount (the
+    # python wrappers restrict to int literals — call_function routes
+    # around that)
+    mask = F.call_function("shiftleft", F.lit(1).cast("bigint"), F.col("a.bit"))
+    return (
+        keys.select(addr)
+        .select(F.col("a.word").alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge Bloom filters built with the same (m_bits, k): word-wise
+    OR — per-partition / per-day filters combine into the filter of
+    the union key set exactly."""
+    if not filters:
+        raise ValueError("bloom_merge needs at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    m_bits: int = DEFAULT_BLOOM_BITS,
+    k: int = DEFAULT_BLOOM_K,
+) -> DataFrame:
+    """Per-probe membership verdict ``(key, might_contain boolean)``.
+
+    Each probe expands to its k (word, bit) addresses in-row, joins the
+    (broadcast, ≤ m/32-row) filter, and requires EVERY addressed bit
+    set.  A missing word means bit unset.  No false negatives: a key
+    that was built in always returns true (property-tested).
+    """
+    key = F.col(key_col)
+    addr = _bloom_addrs(key, k, m_bits).alias("a")
+    addressed = probes.select(key.alias(key_col), addr).select(
+        key_col,
+        F.col("a.word").alias("word"),
+        F.col("a.bit").alias("bit"),
+    )
+    joined = addressed.join(F.broadcast(bloom), ["word"], "left")
+    hit = (
+        F.call_function(
+            "shiftright",
+            F.coalesce(F.col("bits"), F.lit(0).cast("bigint")),
+            F.col("bit"),
+        ).bitwiseAND(F.lit(1))
+        == 1
+    )
+    return (
+        joined.groupBy(key_col)
+        .agg((F.min(hit.cast("int")) == 1).alias("might_contain"))
+    )
+
+
+def bloom_collect(bloom: DataFrame, m_bits: int = DEFAULT_BLOOM_BITS) -> list[int]:
+    """Collect the sparse filter to a DENSE word vector on the driver —
+    ``m_bits/32`` longs (128 KB at m=2²⁵), the same bounded-metadata
+    class as IVF centroids or shard manifests.  This is what makes the
+    prefilter a pure map-side expression."""
+    words = [0] * ((m_bits + _BLOOM_WORD - 1) // _BLOOM_WORD)
+    for r in bloom.collect():
+        words[int(r["word"])] = int(r["bits"])
+    return words
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    bloom_words: list[int],
+    key_col: str,
+    m_bits: int = DEFAULT_BLOOM_BITS,
+    k: int = DEFAULT_BLOOM_K,
+) -> DataFrame:
+    """Join pruning at scale: drop rows whose key CANNOT be in the
+    built key set, as a PURE column expression over the huge probe
+    side — no shuffle, no join, no distinct; the dense word vector
+    (from :func:`bloom_collect`) rides into the plan as an array
+    literal the way broadcast weights do in the classifier.  Run it
+    BEFORE the probe side's join shuffle; every true match survives
+    (no false negatives), false positives only prune less.
+    """
+    arr = F.array(*[F.lit(w).cast("bigint") for w in bloom_words])
+    key = F.col(key_col)
+    cond = F.lit(True)
+    for r in range(k):
+        pos = bloom_bitpos(key, r, m_bits)
+        word = (pos / _BLOOM_WORD).cast("int")
+        bit = F.pmod(pos, F.lit(_BLOOM_WORD)).cast("int")
+        hit = (
+            F.call_function("shiftright", F.element_at(arr, word + 1), bit)
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
+        cond = cond & hit
+    return df.filter(cond)

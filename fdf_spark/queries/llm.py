@@ -17,6 +17,7 @@ from fdf_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from fdf_spark.llm.hashing import sql_hash60
 from fdf_spark.llm.similarity import cosine_topk, knn_predict
 from fdf_spark.llm.textstats import LANG_MARKERS, language_id, fingerprint, text_stats
 from fdf_spark.queries import query
@@ -961,6 +962,74 @@ def q133_tokenbin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shard")
     )
     return materialize_and_cleanup(out, path)
+
+
+_BLOOM_M = 4096
+_BLOOM_K = 5
+_BLOOM_ROWS_SQL = "(VALUES (0), (1), (2), (3), (4)) rs(r)"
+
+
+@query(
+    "q134_bloom_membership",
+    f"""
+    WITH keys AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders),
+    kaddr AS (
+      SELECT {sql_hash60('key', 'rs.r')} % {_BLOOM_M} AS pos
+      FROM keys CROSS JOIN {_BLOOM_ROWS_SQL}),
+    cells AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+      FROM kaddr GROUP BY word),
+    paddr AS (
+      SELECT c_custkey,
+             {sql_hash60('CAST(c_custkey AS VARCHAR)', 'rs.r')} % {_BLOOM_M} AS pos
+      FROM customer CROSS JOIN {_BLOOM_ROWS_SQL}),
+    verdict AS (
+      SELECT c_custkey,
+             bool_and(((COALESCE(cells.bits, 0) >> CAST(pos % 32 AS INTEGER)) & 1) = 1)
+               AS might_contain
+      FROM paddr LEFT JOIN cells ON cells.word = pos // 32
+      GROUP BY c_custkey)
+    SELECT v.c_custkey, v.might_contain,
+           (k.key IS NOT NULL) AS is_member
+    FROM verdict v
+    LEFT JOIN keys k ON k.key = CAST(v.c_custkey AS VARCHAR)
+    ORDER BY v.c_custkey
+    """,
+    operators=("N5", "J6"),
+    doc="Bloom-filter membership (N5's membership-sketch tier beside "
+    "HLL distinct counts and Count-Min frequencies; the join-pruning "
+    "primitive at 100 TB): a 4096-bit/5-hash filter built over the "
+    "ordering customers' keys — per key the k bit positions fan out "
+    "in-row, one map-side-combining bit_or groupBy folds them into "
+    "<= m/32 words — then EVERY customer is probed against the "
+    "broadcast filter and the per-customer verdict ships next to true "
+    "membership. m is sized small on purpose so real false positives "
+    "appear in the checked relation (both verdict kinds exercised); "
+    "no-false-negative is the property test. The oracle replays the "
+    "portable-md5 bit arithmetic exactly, so one wrong bit anywhere "
+    "in the filter flips the hash.",
+)
+def q134_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.sketches import bloom_build, bloom_might_contain
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    keys = orders.select(
+        F.col("o_custkey").cast("string").alias("key")
+    ).distinct()
+    bloom = bloom_build(keys, "key", m_bits=_BLOOM_M, k=_BLOOM_K)
+    probes = cust.select(F.col("c_custkey").cast("string").alias("key"))
+    verdict = bloom_might_contain(bloom, probes, "key", m_bits=_BLOOM_M, k=_BLOOM_K)
+    return (
+        verdict.join(keys.withColumn("is_member", F.lit(True)), "key", "left")
+        .select(
+            F.col("key").cast("bigint").alias("c_custkey"),
+            "might_contain",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+        .orderBy("c_custkey")
+    )
 
 
 @query(

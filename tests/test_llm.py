@@ -1113,3 +1113,57 @@ def test_adpcm_extract_features_distributed(spark):
             float(8000 + 1000 * (d % 4)), 1.0, float(40 + d % 25),
             float(a), float(abs(a)), float(a * a),
         ], d
+
+
+# --- Bloom filter (llm/sketches.py, N5 membership tier) ----------------------
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    import math
+
+    from fdf_spark.llm.sketches import bloom_build, bloom_might_contain
+
+    m, k, n = 8192, 5, 500
+    keys = spark.range(0, n).select(F.concat(F.lit("key-"), F.col("id")).alias("key"))
+    bloom = bloom_build(keys, m_bits=m, k=k)
+    # every built key MUST return true — the guarantee join pruning needs
+    built = bloom_might_contain(bloom, keys, m_bits=m, k=k)
+    assert built.filter(~F.col("might_contain")).count() == 0
+    # absent keys: observed fp rate within 3x of theory
+    absent = spark.range(0, 2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("key")
+    )
+    fp = (
+        bloom_might_contain(bloom, absent, m_bits=m, k=k)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    theory = (1 - math.exp(-k * n / m)) ** k
+    assert fp / 2000 <= 3 * theory + 0.01, (fp, theory)
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from fdf_spark.llm.sketches import bloom_build, bloom_merge
+
+    a = spark.range(0, 300).select(F.concat(F.lit("a-"), F.col("id")).alias("key"))
+    b = spark.range(0, 300).select(F.concat(F.lit("b-"), F.col("id")).alias("key"))
+    merged = bloom_merge(bloom_build(a), bloom_build(b))
+    whole = bloom_build(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bloom_prefilter_is_mapside_and_lossless(spark):
+    from fdf_spark.llm.sketches import bloom_build, bloom_collect, bloom_prefilter
+
+    m, k = 8192, 5
+    small = spark.range(0, 200).select((F.col("id") * 7).cast("string").alias("key"))
+    words = bloom_collect(bloom_build(small, m_bits=m, k=k), m_bits=m)
+    big = spark.range(0, 20000).select(F.col("id").cast("string").alias("key"))
+    pruned = bloom_prefilter(big, words, "key", m_bits=m, k=k)
+    kept = {r.key for r in pruned.collect()}
+    true_keys = {str(i * 7) for i in range(200)}
+    assert true_keys <= kept            # no false negatives — lossless pruning
+    assert len(kept) < 20000 * 0.2      # and it actually prunes hard
+    # pure map-side: no exchange in the prefilter plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
