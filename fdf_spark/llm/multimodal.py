@@ -170,6 +170,12 @@ def _decode_adpcm(payload: bytes) -> list[float]:
     return decode_adpcm(payload)
 
 
+def _decode_flac(payload: bytes) -> list[float]:
+    from fdf_spark.llm.flac import decode_flac
+
+    return decode_flac(payload)
+
+
 REAL_CODECS = {
     "bmp": decode_bmp,
     "wav": decode_wav,
@@ -177,6 +183,7 @@ REAL_CODECS = {
     "jpeg": _decode_jpeg,
     "gif": _decode_gif,
     "adpcm": _decode_adpcm,
+    "flac": _decode_flac,
 }
 
 
@@ -406,6 +413,42 @@ def synth_adpcm_assets(docs: DataFrame) -> DataFrame:
                     encode_adpcm_wav(
                         8000 + 1000 * (d % 4), [a] * (40 + d % 25), samples_per_block=9
                     )
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["audio"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
+
+
+def synth_flac_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-FLAC fixtures from doc ids.
+
+    Sawtooth signals whose samples are pure arithmetic::
+
+        n  = 300 + doc_id % 50      rate = 8000 + 1000 * (doc_id % 4)
+        s_i = ((doc_id * 31 + 7 * i) % 2048) - 1024
+
+    encoded at block size 128 so every asset spans MULTIPLE frames
+    (fixed predictors + Rice residuals engage for real).  FLAC is
+    lossless, so the q135 oracle recomputes mean/peak/energy of the
+    DECODED stream exactly from the law — total coverage of the codec,
+    not just a degenerate subset.
+    """
+    from fdf_spark.llm.flac import encode_flac
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = 300 + d % 50
+                sig = [((d * 31 + 7 * i) % 2048) - 1024 for i in range(n)]
+                payloads.append(
+                    encode_flac(8000 + 1000 * (d % 4), sig, block_size=128)
                 )
             yield pd.DataFrame(
                 {"asset_id": ids, "media_type": ["audio"] * len(ids), "payload": payloads}

@@ -1033,6 +1033,50 @@ def q134_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q135_flac_codec_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, 300 + doc_id % 50 AS n,
+             8000 + 1000 * (doc_id % 4) AS sr
+      FROM documents WHERE doc_id < 150),
+    s AS (
+      SELECT doc_id, n, sr,
+             CAST((doc_id * 31 + 7 * i.i) % 2048 - 1024 AS BIGINT) AS v
+      FROM d CROSS JOIN (SELECT unnest(range(350)) AS i) i
+      WHERE i.i < n)
+    SELECT doc_id AS asset_id,
+           CAST(MAX(sr) AS DOUBLE) AS v0,
+           CAST(1 AS DOUBLE) AS v1,
+           CAST(MAX(n) AS DOUBLE) AS v2,
+           AVG(CAST(v AS DOUBLE)) AS v3,
+           CAST(MAX(abs(v)) AS DOUBLE) AS v4,
+           AVG(CAST(v * v AS DOUBLE)) AS v5
+    FROM s GROUP BY doc_id ORDER BY asset_id
+    """,
+    operators=("N6",),
+    doc="REAL lossless-compressed audio decode end-to-end (FLAC, fixed-"
+    "predictor profile — llm/flac.py implements frames, fixed "
+    "predictors 0-4, Rice residuals with escapes, UTF-8 frame numbers, "
+    "and verifies all three spec integrity layers: header CRC-8, frame "
+    "CRC-16, STREAMINFO MD5). Fixtures are multi-frame sawtooth "
+    "signals with an arithmetic sample law; losslessness makes the "
+    "oracle TOTAL: DuckDB recomputes mean/peak/energy of the decoded "
+    "stream exactly, so any bug in rice coding, prediction, bit "
+    "packing, or framing breaks the hash. Completes the audio tier: "
+    "PCM (wav), lossy-compressed (ADPCM), lossless-compressed (FLAC).",
+)
+def q135_flac_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import extract_features, synth_flac_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 150)
+    feats = extract_features(synth_flac_assets(docs), codec="flac")
+    return feats.select(
+        "asset_id",
+        *[F.element_at("feat", i + 1).alias(f"v{i}") for i in range(6)],
+    ).orderBy("asset_id")
+
+
+@query(
     "q72_fingerprint",
     r"""
     SELECT doc_id,

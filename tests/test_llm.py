@@ -1167,3 +1167,61 @@ def test_bloom_prefilter_is_mapside_and_lossless(spark):
     # pure map-side: no exchange in the prefilter plan
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# --- real FLAC lossless audio (llm/flac.py, N6) ------------------------------
+
+
+def test_flac_lossless_roundtrip_shapes():
+    import numpy as np
+
+    from fdf_spark.llm.flac import decode_flac_samples, encode_flac
+
+    rng = np.random.RandomState(9)
+    for n in (1, 5, 100, 1000, 5000):
+        sig = rng.randint(-32768, 32768, n).tolist()
+        sr, vals = decode_flac_samples(encode_flac(12345, sig, block_size=512))
+        assert sr == 12345 and vals == sig, n
+    t = np.arange(20000)
+    smooth = (8000 * np.sin(2 * np.pi * t / 400)).astype(int).tolist()
+    enc = encode_flac(44100, smooth)
+    assert decode_flac_samples(enc)[1] == smooth
+    # fixed predictors + rice actually compress smooth audio
+    assert len(enc) < 2 * len(smooth) * 0.3, len(enc)
+
+
+def test_flac_integrity_layers_catch_corruption():
+    import numpy as np
+
+    from fdf_spark.llm.flac import decode_flac_samples, encode_flac
+
+    t = np.arange(1000)
+    sig = (8000 * np.sin(2 * np.pi * t / 400)).astype(int).tolist()
+    enc = encode_flac(8000, sig)
+    for frac in (0.2, 0.4, 0.5, 0.7, 0.9):
+        bad = bytearray(enc)
+        bad[int(len(bad) * frac)] ^= 0xFF
+        try:
+            decode_flac_samples(bytes(bad))
+            raise AssertionError(f"corruption at {frac} not caught")
+        except ValueError:
+            pass  # CRC-8 / CRC-16 / MD5 / structural check fired
+
+
+def test_flac_extract_features_distributed(spark):
+    from fdf_spark.llm.multimodal import extract_features, synth_flac_assets
+
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    feats = {
+        int(r.asset_id): r.feat
+        for r in extract_features(synth_flac_assets(docs), codec="flac").collect()
+    }
+    for d in range(8):
+        n = 300 + d % 50
+        sig = [((d * 31 + 7 * i) % 2048) - 1024 for i in range(n)]
+        expect = [
+            float(8000 + 1000 * (d % 4)), 1.0, float(n),
+            sum(sig) / n, float(max(abs(v) for v in sig)),
+            sum(v * v for v in sig) / n,
+        ]
+        assert feats[d] == expect, d

@@ -561,3 +561,20 @@ def test_jpeg_entropy_roundtrip_law(img, quant):
             block = plane[0:8, bx * 8 : bx * 8 + 8] - 128.0
             expect = _q_round((_DCT_A @ block @ _DCT_A.T) / quant) * quant
             assert (blocks[ci][0, bx] == expect).all(), (ci, bx)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    bs=st.sampled_from([16, 128, 4096]),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_roundtrip_law(samples, bs):
+    """FLAC is LOSSLESS: encode→decode is the identity on arbitrary
+    int16 signals at any block size (multi-frame included), and the
+    stream MD5 the decoder verifies guarantees it end-to-end."""
+    from fdf_spark.llm.flac import decode_flac_samples, encode_flac
+
+    sr, vals = decode_flac_samples(encode_flac(8000, samples, block_size=bs))
+    assert sr == 8000 and vals == samples
