@@ -185,17 +185,23 @@ def decode_adpcm_samples(payload: bytes) -> tuple[int, list[int]]:
     return sr, out
 
 
-def decode_adpcm(payload: bytes) -> list[float]:
-    """Feature-vector adapter (same shape as ``decode_wav``):
-    [sample_rate, n_channels, n_frames, mean, peak_abs, mean_square]
-    with exact integer accumulation."""
-    sr, vals = decode_adpcm_samples(payload)
+def audio_features(sr: int, n_channels: int, vals: list[int]) -> list[float]:
+    """THE audio feature contract, shared by the WAV/ADPCM/FLAC
+    adapters: [sample_rate, n_channels, n_frames, mean, peak_abs,
+    mean_square] with exact integer accumulation (one definition so
+    the three codecs can never silently diverge)."""
     n = max(len(vals), 1)
     return [
         float(sr),
-        1.0,
+        float(n_channels),
         float(len(vals)),
         sum(vals) / n,
         float(max((abs(v) for v in vals), default=0)),
         sum(v * v for v in vals) / n,
     ]
+
+
+def decode_adpcm(payload: bytes) -> list[float]:
+    """Feature-vector adapter (see :func:`audio_features`)."""
+    sr, vals = decode_adpcm_samples(payload)
+    return audio_features(sr, 1, vals)

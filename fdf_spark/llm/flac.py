@@ -112,6 +112,8 @@ class _BitReader:
         return v
 
     def read_signed(self, bits: int) -> int:
+        if bits == 0:  # spec-legal (rice escape with raw_bits=0 == all zeros)
+            return 0
         v = self.read(bits)
         return v - (1 << bits) if v >= (1 << (bits - 1)) else v
 
@@ -132,7 +134,8 @@ def _utf8_number(n: int) -> bytes:
     if n < 0x80:
         return bytes([n])
     for total, lead in ((2, 0xC0), (3, 0xE0), (4, 0xF0), (5, 0xF8), (6, 0xFC)):
-        if n < (1 << (total * 6 - 1 + (7 - total))):
+        # capacity: (7 - total) lead bits + 6 per continuation byte
+        if n < (1 << (5 * total + 1)):
             out = [lead | (n >> (6 * (total - 1)))]
             for i in range(total - 2, -1, -1):
                 out.append(0x80 | ((n >> (6 * i)) & 0x3F))
@@ -247,7 +250,9 @@ def _encode_frame(block: list[int], frame_no: int, sample_rate: int) -> bytes:
         body.write(0b00, 2)  # residual method 0: 4-bit rice params
         body.write(0, 4)  # partition order 0 (one partition)
         raw_bits = max((abs(r).bit_length() + 1 for r in best_res), default=1)
-        if param >= 15 or _rice_cost(best_res, param) > len(best_res) * raw_bits + 5:
+        # escape to raw bits when rice would lose (param is always
+        # <= 14 here, so the 4-bit escape sentinel is never a best param)
+        if _rice_cost(best_res, param) > len(best_res) * raw_bits + 5:
             body.write(0xF, 4)  # escape: raw n-bit residuals
             body.write(raw_bits, 5)
             for r in best_res:
@@ -405,16 +410,9 @@ def _read_residual(br: _BitReader, n: int, order: int) -> list[int]:
 
 
 def decode_flac(payload: bytes) -> list[float]:
-    """Feature-vector adapter (same shape as ``decode_wav``):
-    [sample_rate, n_channels, n_frames, mean, peak_abs, mean_square]
-    with exact integer accumulation."""
+    """Feature-vector adapter (shared with WAV/ADPCM —
+    :func:`fdf_spark.llm.audiocodecs.audio_features`)."""
+    from fdf_spark.llm.audiocodecs import audio_features
+
     sr, vals = decode_flac_samples(payload)
-    n = max(len(vals), 1)
-    return [
-        float(sr),
-        1.0,
-        float(len(vals)),
-        sum(vals) / n,
-        float(max((abs(v) for v in vals), default=0)),
-        sum(v * v for v in vals) / n,
-    ]
+    return audio_features(sr, 1, vals)

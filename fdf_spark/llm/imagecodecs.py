@@ -931,8 +931,10 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
             raise ValueError("no image descriptor before trailer")
         if b == 0x21:  # extension: skip its sub-blocks
             pos += 2
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension block")
             pos += 1
             continue
         if b != 0x2C:
@@ -949,10 +951,15 @@ def decode_gif_pixels(payload: bytes) -> np.ndarray:
         min_code = payload[pos]
         pos += 1
         data = bytearray()
-        while payload[pos]:
+        while pos < len(payload) and payload[pos]:
             ln = payload[pos]
-            data += payload[pos + 1 : pos + 1 + ln]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated GIF image data sub-block")
+            data += chunk
             pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("truncated GIF (missing block terminator)")
         indices = _lzw_decompress(bytes(data), min_code)
         if len(indices) != w * h:
             raise ValueError(f"decoded {len(indices)} pixels, expected {w * h}")

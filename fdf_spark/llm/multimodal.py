@@ -190,11 +190,12 @@ REAL_CODECS = {
 def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    ``codec='bmp'``/``'wav'``/``'png'``/``'jpeg'`` run the REAL
-    pure-python decoders (:data:`REAL_CODECS` — PNG and baseline JPEG
-    included, see ``llm/imagecodecs.py``); ``codec='fake'`` runs the
-    deterministic test fake; ``codec='stub'`` raises (MP3/H.264 have
-    no stdlib codec path).  Any other string raises ``ValueError`` —
+    Every name in :data:`REAL_CODECS` runs a REAL pure-python
+    decoder — ``bmp``/``wav`` plus the compressed formats ``png``,
+    ``jpeg``, ``gif`` (imagecodecs), ``adpcm``, ``flac``
+    (audiocodecs/flac); ``codec='fake'`` runs the deterministic test
+    fake; ``codec='stub'`` raises (the perceptual codecs MP3/H.264
+    have no stdlib path).  Any other string raises ``ValueError`` —
     an unknown codec must never silently fall back to fake features.
     """
     if codec not in ("stub", "fake") and codec not in REAL_CODECS:
@@ -208,8 +209,8 @@ def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
             if codec == "stub":
                 raise NotImplementedError(
                     "MP3/H.264 decoding requires torchaudio/ffmpeg; use "
-                    "codec='bmp'/'wav'/'png'/'jpeg' for the real pure-python "
-                    "decoders or codec='fake' for the test codec"
+                    f"one of the real pure-python decoders {sorted(REAL_CODECS)} "
+                    "or codec='fake' for the test codec"
                 )
             decode = REAL_CODECS.get(codec, _fake_decode)
             feats = pdf["payload"].map(decode)

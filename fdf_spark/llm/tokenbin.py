@@ -72,11 +72,18 @@ def write_token_bin_shards(
         rows = []
         for shard, docs in sorted(by_shard.items()):
             docs.sort(key=lambda d: d[0])
+            for doc_id, ids in docs:
+                for t in ids:
+                    # validate BEFORE the uint32 conversion: numpy would
+                    # silently wrap negatives (or raise a raw
+                    # OverflowError on numpy >= 2)
+                    if not 0 <= t <= 0xFFFFFFFF:
+                        raise ValueError(
+                            f"token id {t} of doc {doc_id} outside uint32"
+                        )
             stream = np.concatenate(
                 [np.asarray(ids, dtype=np.uint32) for _, ids in docs]
             ) if docs else np.zeros(0, np.uint32)
-            if docs and max((max(ids) for _, ids in docs if ids), default=0) > 0xFFFFFFFF:
-                raise ValueError("token id exceeds uint32")
             doctab = b"".join(
                 struct.pack("<qq", doc_id, len(ids)) for doc_id, ids in docs
             )

@@ -108,4 +108,7 @@ def convert_table(
     not the source)."""
     df = read_table_as(spark, src_path, src_fmt, schema=schema)
     write_table_as(df, dst_path, dst_fmt)
-    return read_table_as(spark, dst_path, dst_fmt).count()
+    # schema-less destinations are re-read with the source's schema
+    # (read_table_as would rightly refuse to infer)
+    back_schema = df.schema if dst_fmt in ("csv", "json") else None
+    return read_table_as(spark, dst_path, dst_fmt, schema=back_schema).count()

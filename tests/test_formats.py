@@ -79,3 +79,13 @@ def test_convert_table_ingest(spark, tmp_path):
     assert n == src.count()
     back = spark.read.parquet(str(tmp_path / "r_parquet"))
     assert back.exceptAll(src).count() == 0
+
+
+def test_convert_table_to_schemaless_destination(spark, tmp_path):
+    # converting TO csv must re-read with the source schema, not refuse
+    src = spark.read.parquet(f"{SMOKE_DIR}/region.parquet")
+    n = convert_table(
+        spark, f"{SMOKE_DIR}/region.parquet", "parquet",
+        str(tmp_path / "r_csv"), "csv",
+    )
+    assert n == src.count()

@@ -1225,3 +1225,41 @@ def test_flac_extract_features_distributed(spark):
             sum(v * v for v in sig) / n,
         ]
         assert feats[d] == expect, d
+
+
+def test_flac_many_frames_utf8_numbers():
+    # frame numbers >= 2048 exercise the multi-byte UTF-8 coding (the
+    # r6 review found a boundary bug that corrupted streams past 2048
+    # frames); 3000 frames of 16 samples roundtrip losslessly
+    from fdf_spark.llm.flac import decode_flac_samples, encode_flac
+
+    sig = [((i * 37) % 509) - 254 for i in range(3000 * 16)]
+    sr, vals = decode_flac_samples(encode_flac(8000, sig, block_size=16))
+    assert vals == sig
+
+
+def test_tokenbin_rejects_out_of_range_ids(spark, tmp_path):
+    from fdf_spark.llm.tokenbin import write_token_bin_shards
+
+    bad = spark.createDataFrame(
+        [(0, 1, [1, -1, 2])], "shard int, doc_id long, ids array<long>"
+    )
+    try:
+        write_token_bin_shards(bad, str(tmp_path / "t")).collect()
+        raise AssertionError("negative token id must be rejected")
+    except Exception as e:
+        assert "outside uint32" in str(e)
+
+
+def test_gif_truncation_raises_valueerror():
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import decode_gif_pixels, encode_gif
+
+    enc = encode_gif(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    for cut in (len(enc) - 3, len(enc) - 10, len(enc) // 2):
+        try:
+            decode_gif_pixels(enc[:cut])
+            raise AssertionError(f"truncation at {cut} not rejected")
+        except ValueError:
+            pass
