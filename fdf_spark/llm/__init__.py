@@ -36,8 +36,37 @@ from fdf_spark.llm.similarity import (  # noqa: F401
     pq_encode,
     semantic_dedup,
 )
+from fdf_spark.llm.audiocodecs import decode_adpcm_samples, encode_adpcm_wav  # noqa: F401
+from fdf_spark.llm.flac import decode_flac_samples, encode_flac  # noqa: F401
+from fdf_spark.llm.imagecodecs import (  # noqa: F401
+    decode_gif_pixels,
+    decode_jpeg_pixels,
+    decode_png_pixels,
+    encode_gif,
+    encode_jpeg,
+    encode_png,
+)
 from fdf_spark.llm.sharding import assign_token_shards, write_training_shards  # noqa: F401
-from fdf_spark.llm.sketches import cm_estimate, cm_merge, countmin_sketch  # noqa: F401
+from fdf_spark.llm.sketches import (  # noqa: F401
+    bloom_build,
+    bloom_collect,
+    bloom_merge,
+    bloom_might_contain,
+    bloom_prefilter,
+    cm_estimate,
+    cm_merge,
+    countmin_sketch,
+)
+from fdf_spark.llm.tokenbin import (  # noqa: F401
+    codepoint_tokenize,
+    read_token_bin_shards,
+    write_token_bin_shards,
+)
+from fdf_spark.llm.webdataset import (  # noqa: F401
+    group_samples,
+    read_webdataset,
+    write_webdataset,
+)
 from fdf_spark.llm.spans import dup_spans  # noqa: F401
 from fdf_spark.llm.textstats import fingerprint, language_id, text_stats  # noqa: F401
 from fdf_spark.llm.tokenize import learn_bpe, tokenize_bpe, tokenize_vocab  # noqa: F401

@@ -147,3 +147,92 @@ def group_samples(members: DataFrame) -> DataFrame:
             ).alias("parts")
         )
     )
+
+
+def stream_webdataset_sink(
+    stream: DataFrame,
+    path: str,
+    prefix: str = "shard",
+    shard_max_bytes: int = 256 * 1024 * 1024,
+    checkpoint: str | None = None,
+):
+    """Continuous shard landing: every micro-batch's samples become tar
+    shards named ``{prefix}-b{batch:06d}-...`` plus ONE ledger file
+    ``_batches/b{batch:06d}.json`` naming the batch's complete shard
+    list.
+
+    The ledger is the read barrier: :func:`read_webdataset_committed`
+    lists shards from ledger files only, so a reader can NEVER observe
+    a torn batch (shards land first, the ledger file publishes them
+    atomically via create-if-absent).  Replay safety: shard names and
+    bytes are deterministic per (batch, partition), so an at-least-once
+    re-delivery overwrites identical files, and the ledger write is
+    create-if-absent — re-publishing is a no-op, never a duplicate
+    entry.  Returns the StreamingQuery.
+    """
+    import json
+
+    ledger_dir = os.path.join(path, "_batches")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        manifest = write_webdataset(
+            batch_df, path, prefix=f"{prefix}-b{batch_id:06d}",
+            shard_max_bytes=shard_max_bytes,
+        ).collect()
+        os.makedirs(ledger_dir, exist_ok=True)
+        entry = {
+            "batch_id": batch_id,
+            "shards": [r.shard for r in manifest],
+            "n_samples": sum(r.n_samples for r in manifest),
+            "n_members": sum(r.n_members for r in manifest),
+        }
+        ledger_path = os.path.join(ledger_dir, f"b{batch_id:06d}.json")
+        try:
+            fd = os.open(ledger_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return  # replay: shards were rewritten byte-identically
+        with os.fdopen(fd, "w") as fh:
+            json.dump(entry, fh)
+
+    writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_webdataset_committed(spark: SparkSession, path: str) -> DataFrame:
+    """Read ONLY the shards named by ledger files — the consistent
+    view of a streaming landing zone (in-flight batches invisible)."""
+    import json
+
+    ledger_dir = os.path.join(path, "_batches")
+    shards: list[str] = []
+    if os.path.isdir(ledger_dir):
+        for f in sorted(os.listdir(ledger_dir)):
+            if f.endswith(".json"):
+                with open(os.path.join(ledger_dir, f)) as fh:
+                    shards.extend(json.load(fh)["shards"])
+    if not shards:
+        return spark.createDataFrame([], MEMBER_SCHEMA)
+    files = spark.read.format("binaryFile").load(
+        [os.path.join(path, s) for s in shards]
+    )
+
+    def unpack(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(fpath)
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        if not m.isfile():
+                            continue
+                        base, dot, ext = m.name.rpartition(".")
+                        if not dot:
+                            base, ext = m.name, ""
+                        rows.append((shard, base, ext, tar.extractfile(m).read()))
+            yield pd.DataFrame(rows, columns=["shard", "key", "ext", "payload"])
+
+    return files.select("path", "content").mapInPandas(unpack, MEMBER_SCHEMA)

@@ -47,16 +47,31 @@ def _check_fmt(fmt: str) -> None:
         raise ValueError(f"unsupported format {fmt!r}; expected one of {SUPPORTED_FORMATS}")
 
 
-def write_table_as(df: DataFrame, path: str, fmt: str, mode: str = "overwrite") -> None:
+def write_table_as(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
     """Write ``df`` at ``path`` in ``fmt`` with roundtrip-safe options
     (CSV: header + escaped quotes + microsecond timestamps; JSON:
-    microsecond timestamps; ORC/parquet: native)."""
+    microsecond timestamps; ORC/parquet: native).
+
+    ``compression`` ("gzip"/"bzip2"/... per Spark's codec names) wraps
+    CSV/JSON part files — the ``.jsonl.gz`` shape text corpora actually
+    ship in.  Note gzip parts are NOT splittable: one part = one task
+    on read, so writers should size partitions accordingly (bzip2 is
+    splittable at ~10x the CPU).
+    """
     _check_fmt(fmt)
     w = df.write.mode(mode)
     if fmt == "csv":
         w = w.options(header=True, escape='"', timestampFormat=_TS_FMT)
     elif fmt == "json":
         w = w.option("timestampFormat", _TS_FMT)
+    if compression is not None and fmt in ("csv", "json"):
+        w = w.option("compression", compression)
     getattr(w, fmt)(path)
 
 

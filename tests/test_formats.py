@@ -89,3 +89,16 @@ def test_convert_table_to_schemaless_destination(spark, tmp_path):
         str(tmp_path / "r_csv"), "csv",
     )
     assert n == src.count()
+
+
+def test_jsonl_gz_roundtrip(spark, tmp_path):
+    # the shape text corpora actually ship in: gzipped JSON lines
+    import glob
+
+    src = spark.read.parquet(f"{SMOKE_DIR}/documents.parquet").limit(200)
+    path = str(tmp_path / "docs_jsonl_gz")
+    write_table_as(src, path, "json", compression="gzip")
+    parts = glob.glob(f"{path}/*.json.gz")
+    assert parts, "expected gzipped part files"
+    back = read_table_as(spark, path, "json", schema=src.schema)
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0

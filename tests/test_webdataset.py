@@ -152,3 +152,63 @@ def test_tokenbin_rejects_corruption(spark, tmp_path):
         raise AssertionError("corrupt magic must be rejected")
     except Exception as e:
         assert "magic" in str(e)
+
+
+# --- streaming shard landing (stream_webdataset_sink) ------------------------
+
+
+def test_stream_webdataset_sink_and_committed_reader(spark, tmp_path):
+    from fdf_spark.llm.webdataset import read_webdataset_committed, stream_webdataset_sink
+
+    src_dir = str(tmp_path / "src")
+    docs = (
+        spark.read.parquet(f"{SMOKE_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < 30)
+        .select(
+            F.format_string("%06d", F.col("doc_id")).alias("key"),
+            F.lit("txt").alias("ext"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    docs.repartition(2).write.parquet(src_dir)
+    land = str(tmp_path / "land")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(docs.schema).parquet(src_dir)
+    q = stream_webdataset_sink(stream, land, checkpoint=ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # ledger exists and the committed reader sees every sample exactly once
+    assert os.path.isdir(os.path.join(land, "_batches"))
+    back = read_webdataset_committed(spark, land)
+    assert back.count() == 30
+    src = {r.key: bytes(r.payload) for r in docs.collect()}
+    got = {r.key: bytes(r.payload) for r in back.collect()}
+    assert got == src
+
+
+def test_stream_webdataset_replay_is_idempotent(spark, tmp_path):
+    import json
+
+    from fdf_spark.llm.webdataset import read_webdataset_committed, write_webdataset
+
+    # simulate the foreachBatch replay directly: same batch twice
+    land = str(tmp_path / "land2")
+    members = _members_df(spark, n=10)
+    from fdf_spark.llm.webdataset import stream_webdataset_sink  # noqa: F401
+
+    # call the landing logic twice with identical inputs/batch id
+    for _ in range(2):
+        manifest = write_webdataset(members, land, prefix="shard-b000000").collect()
+        ledger_dir = os.path.join(land, "_batches")
+        os.makedirs(ledger_dir, exist_ok=True)
+        lp = os.path.join(ledger_dir, "b000000.json")
+        try:
+            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"batch_id": 0, "shards": [r.shard for r in manifest]}, fh)
+        except FileExistsError:
+            pass
+    back = read_webdataset_committed(spark, land)
+    assert back.count() == 20  # 10 samples x 2 members, counted ONCE
