@@ -278,23 +278,29 @@ def bloom_prefilter(
 ) -> DataFrame:
     """Join pruning at scale: drop rows whose key CANNOT be in the
     built key set, as a PURE column expression over the huge probe
-    side — no shuffle, no join, no distinct; the dense word vector
-    (from :func:`bloom_collect`) rides into the plan as an array
-    literal the way broadcast weights do in the classifier.  Run it
-    BEFORE the probe side's join shuffle; every true match survives
-    (no false negatives), false positives only prune less.
+    side — no shuffle, no join, no distinct.  The dense word vector
+    (from :func:`bloom_collect`) rides into the plan as ONE binary
+    literal (m/8 bytes — 2 MB at m=2²⁴) and each probe does k
+    constant-time 4-byte lookups via substring/hex/conv, entirely
+    inside codegen.  (An array literal is a trap here: classic
+    PySpark's ``F.lit(list)`` expands to one Literal PER ELEMENT —
+    half a million Catalyst nodes at m=2²⁴ and minutes of planning.)
+    Run it BEFORE the probe side's join shuffle; every true match
+    survives (no false negatives), false positives only prune less.
     """
-    arr = F.array(*[F.lit(w).cast("bigint") for w in bloom_words])
+    import struct as _struct
+
+    packed = _struct.pack(f">{len(bloom_words)}I", *bloom_words)
+    blob = F.lit(packed)  # single BinaryType literal
     key = F.col(key_col)
     cond = F.lit(True)
     for r in range(k):
         pos = bloom_bitpos(key, r, m_bits)
-        word = (pos / _BLOOM_WORD).cast("int")
+        word = (pos / _BLOOM_WORD).cast("bigint")
         bit = F.pmod(pos, F.lit(_BLOOM_WORD)).cast("int")
-        hit = (
-            F.call_function("shiftright", F.element_at(arr, word + 1), bit)
-            .bitwiseAND(F.lit(1))
-            == 1
-        )
+        wv = F.conv(
+            F.hex(F.call_function("substring", blob, word * 4 + 1, F.lit(4))), 16, 10
+        ).cast("bigint")
+        hit = F.call_function("shiftright", wv, bit).bitwiseAND(F.lit(1)) == 1
         cond = cond & hit
     return df.filter(cond)

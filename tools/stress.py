@@ -620,6 +620,31 @@ def main() -> None:
     timed("jpeg decode (N6)", 20_000, extract_features(synth_jpeg_assets(ids(20_000)), codec="jpeg"))
     timed("gif decode (N6)", 100_000, extract_features(synth_gif_assets(ids(100_000)), codec="gif"))
     timed("adpcm decode (N6)", 100_000, extract_features(synth_adpcm_assets(ids(100_000)), codec="adpcm"))
+    from fdf_spark.llm.multimodal import synth_flac_assets
+
+    timed("flac decode (N6)", 50_000, extract_features(synth_flac_assets(ids(50_000)), codec="flac"))
+
+    # 27) bloom join-prune (N5): build over 1M keys, collect the dense
+    # vector (m/32 longs — bounded metadata), prune a 100M-row probe
+    # side as a PURE map-side expression (zero shuffle, zero join)
+    from fdf_spark.llm.sketches import bloom_build, bloom_collect, bloom_prefilter
+
+    m_bits = 1 << 24
+    small = spark.range(0, 1_000_000, 1, 32).select(
+        (F.col("id") * 97).cast("string").alias("key")
+    )
+    t0 = time.perf_counter()
+    words = bloom_collect(bloom_build(small, m_bits=m_bits, k=5), m_bits=m_bits)
+    n = 100_000_000
+    big = spark.range(0, n, 1, 64).select(F.col("id").cast("string").alias("key"))
+    bloom_prefilter(big, words, "key", m_bits=m_bits, k=5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dt = time.perf_counter() - t0
+    print(
+        f"{'bloom build+prefilter (N5)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+        flush=True,
+    )
 
     spark.stop()
 

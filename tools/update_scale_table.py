@@ -57,6 +57,8 @@ DESCRIPTIONS = {
     "jpeg decode (N6)": "REAL baseline-JPEG decode (python huffman + IDCT — correctness reference, not SIMD) (N6)",
     "gif decode (N6)": "REAL GIF/LZW decode + palette map (N6)",
     "adpcm decode (N6)": "REAL IMA-ADPCM decode, multi-block nibble streams (N6)",
+    "flac decode (N6)": "REAL FLAC decode (rice + fixed predictors + CRC/MD5 verify) (N6)",
+    "bloom build+prefilter (N5)": "Bloom join-prune: build over 1 M keys + zero-shuffle map-side prefilter of the probe side (N5)",
 }
 
 #: rows column overrides where "Mrows" alone under-describes the input
@@ -93,6 +95,8 @@ ROWS_TEXT = {
     "jpeg decode (N6)": "20 k images",
     "gif decode (N6)": "100 k images",
     "adpcm decode (N6)": "100 k clips",
+    "flac decode (N6)": "50 k clips",
+    "bloom build+prefilter (N5)": "100 M probe rows",
 }
 
 ROW_RE = re.compile(r"^(.*?)\s{2,}([\d.]+) Mrows\s+([\d.]+) s\s+([\d.]+) Mrows/s")
