@@ -56,6 +56,9 @@ from fdf_spark.llm.sketches import (  # noqa: F401
     cm_estimate,
     cm_merge,
     countmin_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
 )
 from fdf_spark.llm.tokenbin import (  # noqa: F401
     codepoint_tokenize,

@@ -304,3 +304,116 @@ def bloom_prefilter(
         hit = F.call_function("shiftright", wv, bit).bitwiseAND(F.lit(1)) == 1
         cond = cond & hit
     return df.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (N5 family): mergeable distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# The cardinality member of the sketch family (Flajolet et al. 2007),
+# completing the trio: Count–Min (frequencies), Bloom (membership),
+# HLL (distinct counts).  Spark's own approx_count_distinct is HLL++
+# but engine-private — unreproducible in an oracle and unreadable as a
+# relation.  This one is built from the portable md5-60 hash, so a
+# DuckDB oracle replays every register and the estimate bit-for-bit
+# (q136), and the register relation is first-class: mergeable
+# (register-wise MAX — per-day/per-shard sketches combine exactly),
+# inspectable, and versionable like the other sketches.
+#
+# Physical shape: ONE map-side-combining groupBy whose shuffle carries
+# at most m = 2^p register rows per partition, corpus size irrelevant.
+# Determinism discipline: the 2^-M harmonic sum is computed EXACTLY as
+# a DECIMAL(38,0) sum of the dyadics 2^(60-M) (float summation order
+# would differ between engines); only the final closed-form division
+# and the small-range log run in double, with identical literals on
+# both sides and a 6-dp HALF_UP round.
+
+DEFAULT_HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def hll_sketch(df: DataFrame, col: str, p: int = DEFAULT_HLL_P) -> DataFrame:
+    """Build the register relation ``(register int, maxrank int)``.
+
+    register = hash mod 2^p; rank = leading zeros of the remaining
+    60−p hash bits + 1 (via bit-length: portable to any engine with a
+    binary-string function).  At most 2^p rows.
+    """
+    m = 1 << p
+    h = portable_hash60(F.col(col))
+    w = (h / m).cast("bigint")  # the top 60-p bits
+    width = 60 - p
+    rank = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(F.pmod(h, F.lit(m)).cast("int").alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("maxrank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge HLL register relations built with the same ``p``:
+    register-wise MAX — the union-stream sketch, exactly."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("maxrank").alias("maxrank"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = DEFAULT_HLL_P) -> DataFrame:
+    """One-row ``(estimate double)`` from the register relation.
+
+    Standard HLL estimator: E = α_m · m² / Σ 2^−M_j with the
+    small-range correction E' = m·ln(m/V) when E < 2.5m and V (empty
+    registers) > 0.  The harmonic sum is exact (DECIMAL sum of the
+    integers 2^(60−p+1−M)·…) so both engines agree bit-for-bit; the
+    result rounds to 6 dp HALF_UP.
+    """
+    m = 1 << p
+    width = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # absent registers contribute 2^0 = 1 each, i.e. scale 2^(width+1-0)
+    # relative to scale factor 2^(width+1); present register M_j
+    # contributes 2^(width+1-M_j).  Exact integers, DECIMAL(38,0)-summed.
+    agg = sketch.agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(width + 1) - F.col("maxrank")).cast("decimal(38,0)")
+        ).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    scale = float(2 ** (width + 1))
+    return agg.select(
+        F.round(
+            F.when(
+                # raw estimate and small-range test share the same sum
+                (
+                    F.lit(alpha * m * m)
+                    / (
+                        (
+                            F.coalesce(F.col("s_present"), F.lit(0).cast("decimal(38,0)"))
+                            .cast("double")
+                            + (F.lit(m) - F.col("n_present")).cast("double") * F.lit(scale)
+                        )
+                        / F.lit(scale)
+                    )
+                    < F.lit(2.5 * m)
+                )
+                & (F.col("n_present") < m),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present")).cast("double")),
+            ).otherwise(
+                F.lit(alpha * m * m)
+                / (
+                    (
+                        F.coalesce(F.col("s_present"), F.lit(0).cast("decimal(38,0)"))
+                        .cast("double")
+                        + (F.lit(m) - F.col("n_present")).cast("double") * F.lit(scale)
+                    )
+                    / F.lit(scale)
+                )
+            ),
+            6,
+        ).alias("estimate")
+    )

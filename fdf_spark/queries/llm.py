@@ -1076,6 +1076,84 @@ def q135_flac_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def _hll_oracle_sql(expr: str) -> str:
+    """DuckDB replay of hll_sketch + hll_estimate at p=12: identical
+    hash, register/rank arithmetic, EXACT decimal harmonic sum, and
+    the same IEEE literals in the closed-form estimate."""
+    return f"""
+      SELECT round(CASE WHEN (a / ((CAST(s AS DOUBLE) + CAST(4096 - np AS DOUBLE)
+                                     * 562949953421312.0) / 562949953421312.0)
+                          < 2.5 * 4096) AND np < 4096
+                   THEN 4096.0 * ln(4096.0 / CAST(4096 - np AS DOUBLE))
+                   ELSE a / ((CAST(s AS DOUBLE) + CAST(4096 - np AS DOUBLE)
+                              * 562949953421312.0) / 562949953421312.0) END, 6)
+      FROM (
+        SELECT CAST(SUM(CAST(pow(2, 49 - maxrank) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+               COUNT(*) AS np,
+               ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0) * 4096.0 AS a
+        FROM (
+          SELECT register, MAX(rank) AS maxrank FROM (
+            SELECT hash % 4096 AS register,
+                   CASE WHEN hash // 4096 = 0 THEN 49
+                        ELSE 48 - length(bin(hash // 4096)) + 1 END AS rank
+            FROM (SELECT {sql_hash60(expr)} AS hash FROM orders)
+          ) GROUP BY register
+        )
+      )
+    """
+
+
+@query(
+    "q136_hll_distinct",
+    f"""
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           ({_hll_oracle_sql("CAST(o_custkey AS VARCHAR)")}) AS hll_estimate
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           ({_hll_oracle_sql("o_orderpriority")})
+    FROM orders
+    ORDER BY col
+    """,
+    operators=("N5", "A3"),
+    doc="HyperLogLog distinct-count sketch (Flajolet et al. 2007) — "
+    "the cardinality member completing the sketch trio (Count-Min "
+    "frequencies q119/q127, Bloom membership q134). Unlike Spark's "
+    "engine-private approx_count_distinct (q22, rows-only check), "
+    "this HLL is built on the portable md5-60 hash with a FIRST-CLASS "
+    "register relation: one map-side-combining groupBy bounded at 2^12 "
+    "rows, register-wise-MAX mergeable (property-tested), and every "
+    "register AND the closed-form estimate replayed bit-for-bit by the "
+    "oracle — the harmonic sum runs as an EXACT decimal sum of "
+    "dyadics, so float summation order cannot diverge between engines. "
+    "Output pairs the estimate with the true distinct count per "
+    "column, so the checked relation also documents the ~1.6% accuracy.",
+)
+def q136_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.sketches import hll_estimate, hll_sketch
+
+    orders = T(spark, sf_dir, "orders")
+
+    def one(col_expr, label):
+        keyed = orders.select(col_expr.alias("k"))
+        est = hll_estimate(hll_sketch(keyed, "k"))
+        exact = keyed.agg(F.countDistinct("k").alias("exact_distinct"))
+        return (
+            exact.crossJoin(est)
+            .select(
+                F.lit(label).alias("col"),
+                "exact_distinct",
+                F.col("estimate").alias("hll_estimate"),
+            )
+        )
+
+    a = one(F.col("o_custkey").cast("string"), "o_custkey")
+    b = one(F.col("o_orderpriority"), "o_orderpriority")
+    return a.unionByName(b).orderBy("col")
+
+
 @query(
     "q72_fingerprint",
     r"""

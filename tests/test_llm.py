@@ -1263,3 +1263,24 @@ def test_gif_truncation_raises_valueerror():
             raise AssertionError(f"truncation at {cut} not rejected")
         except ValueError:
             pass
+
+
+def test_hll_accuracy_and_merge_law(spark):
+    from fdf_spark.llm.sketches import hll_estimate, hll_merge, hll_sketch
+
+    for n in (100, 5000, 100_000):
+        df = spark.range(0, n).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        est = hll_estimate(hll_sketch(df, "k")).collect()[0][0]
+        assert abs(est - n) / n < 0.05, (n, est)  # well inside 3 sigma at p=12
+    # mergeability: per-half sketches merged == whole-stream sketch,
+    # so the merged ESTIMATE equals the whole-stream estimate exactly
+    whole = spark.range(0, 50_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+    a = hll_sketch(whole.filter(F.col("id") % 2 == 0), "k")
+    b = hll_sketch(whole.filter(F.col("id") % 2 == 1), "k")
+    merged = hll_estimate(hll_merge(a, b)).collect()[0][0]
+    direct = hll_estimate(hll_sketch(whole, "k")).collect()[0][0]
+    assert merged == direct
+    # duplicates are invisible to cardinality: 10x-duplicated stream,
+    # identical sketch
+    dup = whole.unionByName(whole).unionByName(whole)
+    assert hll_estimate(hll_sketch(dup, "k")).collect()[0][0] == direct
