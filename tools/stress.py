@@ -646,6 +646,22 @@ def main() -> None:
         flush=True,
     )
 
+    # 28) HLL distinct sketch (N5): 200M rows, 20M distinct — one
+    # map-side-combining register groupBy, shuffle bounded at 2^12 rows
+    from fdf_spark.llm.sketches import hll_estimate, hll_sketch
+
+    n = 200_000_000
+    keys = spark.range(0, n, 1, 64).select(
+        (F.col("id") % 20_000_000).cast("string").alias("k")
+    )
+    t0 = time.perf_counter()
+    est = hll_estimate(hll_sketch(keys, "k")).collect()[0][0]
+    dt = time.perf_counter() - t0
+    print(
+        f"{'hll distinct sketch (N5)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+        flush=True,
+    )
+
     spark.stop()
 
 

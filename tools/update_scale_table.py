@@ -59,6 +59,7 @@ DESCRIPTIONS = {
     "adpcm decode (N6)": "REAL IMA-ADPCM decode, multi-block nibble streams (N6)",
     "flac decode (N6)": "REAL FLAC decode (rice + fixed predictors + CRC/MD5 verify) (N6)",
     "bloom build+prefilter (N5)": "Bloom join-prune: build over 1 M keys + zero-shuffle map-side prefilter of the probe side (N5)",
+    "hll distinct sketch (N5)": "HLL distinct sketch + estimate, 20 M distinct keys (N5)",
 }
 
 #: rows column overrides where "Mrows" alone under-describes the input
@@ -97,6 +98,7 @@ ROWS_TEXT = {
     "adpcm decode (N6)": "100 k clips",
     "flac decode (N6)": "50 k clips",
     "bloom build+prefilter (N5)": "100 M probe rows",
+    "hll distinct sketch (N5)": "200 M rows",
 }
 
 ROW_RE = re.compile(r"^(.*?)\s{2,}([\d.]+) Mrows\s+([\d.]+) s\s+([\d.]+) Mrows/s")
