@@ -40,6 +40,13 @@ HEADLINE = [
     "q50_tumbling_window",
     "q60_exact_dedup",
     "q61_minhash_signatures",
+    # q63 bench note (r7, closes the r6 watch item): its 1.03x->1.10x->1.24x
+    # -of-r1 three-round trend was HOST LOAD, not code. Round-7 min-of-3 on
+    # a quiet box (identical code, consecutive runs): q63 = 1.565 / 1.509 /
+    # 2.118 s — min 1.509 s = 0.97x of r1's 1.548 s, with a 40% swing
+    # BETWEEN consecutive same-code runs. Totals 14.05 / 13.47 / 14.88 s
+    # (min 13.47 = 0.80x of the frozen 16.83 s r1 baseline). Plan unchanged
+    # since the r4 audit; no fix needed.
     "q63_ngram_jaccard_pairs",
     "q65_cosine_topk",
     "q70_text_quality",

@@ -37,6 +37,8 @@ for every probe.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -340,7 +342,10 @@ def hll_sketch(df: DataFrame, col: str, p: int = DEFAULT_HLL_P) -> DataFrame:
     """
     m = 1 << p
     h = portable_hash60(F.col(col))
-    w = (h / m).cast("bigint")  # the top 60-p bits
+    # exact integer shift, not (h / m).cast: double division rounds h
+    # for values >= 2^53 and can push w across a power-of-two boundary,
+    # breaking the bit-reproducibility contract vs the oracle's h // m
+    w = F.shiftright(h, p)  # the top 60-p bits
     width = 60 - p
     rank = F.when(w == 0, F.lit(width + 1)).otherwise(
         F.lit(width) - F.length(F.bin(w)) + 1
@@ -416,4 +421,108 @@ def hll_estimate(sketch: DataFrame, p: int = DEFAULT_HLL_P) -> DataFrame:
             ),
             6,
         ).alias("estimate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (N5): deterministic bottom-k hash sample
+# ---------------------------------------------------------------------------
+#
+# The fourth member of the sketch family (Count–Min = frequencies,
+# Bloom = membership, HLL = cardinality, this = quantiles/ranks): a
+# fixed-size relation from which any quantile of a value column can be
+# estimated, mergeable across shards/days/corpora.
+#
+# Design decision — bottom-k hash sample, NOT KLL/t-digest. KLL
+# compactors flip a coin per compaction and compact in ARRIVAL order,
+# so the sketch depends on partitioning and scheduling: two runs over
+# the same data give different registers, and no other engine can
+# replay it — the family's bit-reproducibility contract (the HLL
+# standard above) is unmeetable. t-digest merging is likewise
+# order-dependent. The bottom-k hash sample is the classical
+# random-sampling quantile estimator (Vitter 1985 reservoir; the KMV
+# construction of Bar-Yossef et al. 2002 gives the same bottom-k-by-
+# hash shape) made DETERMINISTIC: keep the k rows whose portable md5
+# hash of a caller-named row id is smallest. That set is a pure
+# function of the row multiset — partitioning-independent, bit-equal
+# in any engine with md5 — and EXACTLY mergeable: bottom-k of a union
+# is the bottom-k of the per-shard bottom-k's, as relations, not just
+# within ε. The price is space: rank error ε needs k ≈ 1/ε² sampled
+# rows where KLL needs ~(1/ε)·log²log(1/δ); at ε = 3% that is 1024
+# rows ≈ 16 KB — negligible for an analytics engine, and worth the
+# exactness contract.
+#
+# Physical shape: building is ONE TakeOrderedAndProject — every map
+# task emits at most k (hash, value) pairs, the single reduce sees
+# k·num_partitions rows, corpus size irrelevant. Estimation sorts the
+# ≤ k-row sample on one partition (bounded, documented) and picks the
+# ceil(q·n)-th order statistic — deterministic, SQL-replayable
+# (ORDER BY h LIMIT k + ROW_NUMBER in any engine).
+
+DEFAULT_QUANTILE_K = 1024
+
+
+def quantile_sketch(
+    df: DataFrame, col: str, id_col: str, k: int = DEFAULT_QUANTILE_K
+) -> DataFrame:
+    """Build the sample relation ``(h bigint, v double)`` — ≤ k rows.
+
+    ``id_col`` must identify rows uniquely (quantiles weight duplicate
+    VALUES by their multiplicity, so the sample must be over rows, and
+    determinism needs a stable per-row identity — the usual CDC/corpus
+    key contract). Ties on ``h`` (astronomically rare with 60-bit md5)
+    break on ``v`` so the kept set is still a pure function of the data.
+    """
+    h = portable_hash60(F.col(id_col).cast("string"))
+    return (
+        df.select(h.alias("h"), F.col(col).cast("double").alias("v"))
+        .orderBy("h", "v")
+        .limit(k)
+    )
+
+
+def quantile_merge(*sketches: DataFrame, k: int = DEFAULT_QUANTILE_K) -> DataFrame:
+    """Merge sketches built with the same ``k`` (and id convention).
+
+    Bottom-k of the union of bottom-k's == bottom-k of the union
+    stream, EXACTLY (each row's hash is fixed, so the k globally
+    smallest hashes all survive their shard's local cut). Stronger
+    than the within-ε merge law of KLL: the merged relation is
+    bit-equal to the whole-stream sketch.
+    """
+    if not sketches:
+        raise ValueError("quantile_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("h", "v").limit(k)
+
+
+def quantile_estimate(sketch: DataFrame, qs: Sequence[float]) -> DataFrame:
+    """Estimate quantiles from the sample: ``(q double, est double)``.
+
+    The sample is uniform over rows (md5 order is independent of
+    value order), so the ceil(q·n)-th order statistic of the sample
+    estimates the q-quantile with rank error ~ sqrt(q(1-q)/k) — ≈1.6%
+    at the median for k=1024. The ≤ k-row sort runs on one partition
+    by design (bounded by k, never by corpus size).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v", "h")
+    ranked = (
+        sketch.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))))
+    )
+    targets = sketch.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    return (
+        targets.join(
+            F.broadcast(ranked),
+            F.col("r") == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))),
+            "left",
+        )
+        .select("q", F.col("v").alias("est"))
+        .orderBy("q")
     )

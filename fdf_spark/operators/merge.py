@@ -68,13 +68,20 @@ def _reduce_changes_last_wins(
     callers needing full determinism there should make ``order_col``
     unique per key (the normal CDC sequence-number contract).
     """
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
 
     if order_col not in changes.columns:
         raise ValueError(f"order_col {order_col!r} not in changes columns")
-    unorderable = {
-        f.name for f in changes.schema.fields if isinstance(f.dataType, MapType)
-    }
+    unorderable = {f.name for f in changes.schema.fields if _has_map(f.dataType)}
     tiebreak = [
         F.col(c).desc_nulls_last()
         for c in changes.columns

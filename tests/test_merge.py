@@ -231,3 +231,24 @@ def test_last_wins_tolerates_map_columns(spark):
         on_duplicate_keys="last_wins", order_col="seq",
     )
     assert out.collect() == [Row(k=1, v="x2")]
+
+
+def test_last_wins_tolerates_nested_map_columns(spark):
+    # maps NESTED inside arrays/structs are just as unorderable as
+    # top-level maps — they must be excluded from the tiebreak too
+    base = spark.createDataFrame([Row(k=1, v="a")])
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, v="x1", seq=1, tags=[{"s": "1"}], meta=Row(m={"a": 1})),
+            Row(k=1, v="x2", seq=2, tags=[{"s": "2"}], meta=Row(m={"a": 2})),
+        ],
+        schema=(
+            "k bigint, v string, seq bigint, "
+            "tags array<map<string,string>>, meta struct<m: map<string,int>>"
+        ),
+    )
+    out = merge_upsert(
+        base, changes, ["k"], update_cols=["v"],
+        on_duplicate_keys="last_wins", order_col="seq",
+    )
+    assert out.collect() == [Row(k=1, v="x2")]
