@@ -100,7 +100,7 @@ PRIORITY: tuple[str, ...] = (
     "q39_json_roundtrip",           # N8
     "q121_fuzzy_match",             # N22 blocked ER (r5; displaced q34 — N9 covered by q118+q119, N4 by q70/q103)
     # -- breadth fillers, all oracle-checked --
-    "q50_tumbling_window",
+    "q137_quantile_sketch",          # N5 quantile tier — sketch family complete (r7; displaced q50 — its ST1/ST3/S7 tags are all multiply-covered in-window by q53/q54/q55; q50 stays the streaming headline in bench)
     "q54_stateful_dedup_count",
     "q25_value_tier_range_join",    # J7 (batch oracle)
     "q98_bm25_topk",               # N10 (J4's second rep q41 demoted below)

@@ -1154,6 +1154,100 @@ def q136_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b).orderBy("col")
 
 
+_QSK_K = 1024
+_QSK_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+@query(
+    "q137_quantile_sketch",
+    f"""
+    WITH hashed AS (
+      SELECT {sql_hash60("CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR)")} AS h,
+             l_extendedprice AS v, l_orderkey
+      FROM lineitem),
+    samp AS (
+      -- two bottom-k sketches over disjoint halves, merged by re-taking
+      -- bottom-k: bit-identical to the whole-stream sketch (what this pins)
+      SELECT h, v FROM (
+        SELECT h, v FROM (SELECT h, v FROM hashed WHERE l_orderkey % 2 = 0
+                          ORDER BY h, v LIMIT {_QSK_K})
+        UNION ALL
+        SELECT h, v FROM (SELECT h, v FROM hashed WHERE l_orderkey % 2 = 1
+                          ORDER BY h, v LIMIT {_QSK_K})
+      ) ORDER BY h, v LIMIT {_QSK_K}),
+    ranked AS (
+      SELECT v, h, row_number() OVER (ORDER BY v, h) AS r, COUNT(*) OVER () AS n
+      FROM samp),
+    qs AS (SELECT CAST(unnest([{", ".join(str(q) for q in _QSK_QS)}]) AS DOUBLE) AS q),
+    est AS (
+      SELECT q, v AS est FROM qs JOIN ranked
+        ON ranked.r = GREATEST(1, CAST(CEIL(q * ranked.n) AS BIGINT))),
+    tr AS (
+      SELECT e.q, e.est, CAST(COUNT(*) AS BIGINT) AS true_rank
+      FROM est e JOIN lineitem l ON l.l_extendedprice <= e.est
+      GROUP BY e.q, e.est),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+    SELECT q, est, true_rank, n_rows,
+           round(abs(true_rank * 1.0 / n_rows - q), 6) AS rank_err
+    FROM tr CROSS JOIN tot ORDER BY q
+    """,
+    operators=("N5", "A9"),
+    doc="Quantile sketch completing the sketch family (Count-Min = "
+    "frequencies q119/q127, Bloom = membership q134, HLL = cardinality "
+    "q136, this = quantiles/ranks): a deterministic bottom-k-by-"
+    "portable-md5 row sample (the Bar-Yossef KMV shape made "
+    "deterministic), chosen over KLL/t-digest because their compactions "
+    "are arrival-order-dependent — partitioning-sensitive and "
+    "unreplayable in any other engine — while the bottom-k relation is "
+    "a pure function of the row multiset: EXACTLY mergeable (the query "
+    "builds two half-corpus sketches and merges them; the oracle "
+    "replays the same construction bit-for-bit) at the O(1/eps^2) "
+    "space price, 16 KB at eps=3%. Build is one TakeOrderedAndProject "
+    "(<= k rows per map task, corpus size irrelevant); estimation "
+    "sorts the <= k-row sample and picks ceil(q*n)-th order "
+    "statistics. Output pairs each estimate with its exact rank so the "
+    "checked relation also documents the rank error.",
+)
+def q137_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.sketches import (
+        quantile_estimate,
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    li = T(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+    )
+    even = quantile_sketch(keyed.filter(F.col("l_orderkey") % 2 == 0), "price", "rid", k=_QSK_K)
+    odd = quantile_sketch(keyed.filter(F.col("l_orderkey") % 2 == 1), "price", "rid", k=_QSK_K)
+    est = quantile_estimate(quantile_merge(even, odd, k=_QSK_K), _QSK_QS)
+    probe = li.select(F.col("l_extendedprice").alias("lv"))
+    tr = (
+        probe.join(F.broadcast(est), F.col("lv") <= F.col("est"))
+        .groupBy("q", "est")
+        .agg(F.count(F.lit(1)).alias("true_rank"))
+    )
+    tot = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        tr.crossJoin(F.broadcast(tot))
+        .select(
+            "q",
+            "est",
+            "true_rank",
+            "n_rows",
+            F.round(F.abs(F.col("true_rank") * F.lit(1.0) / F.col("n_rows") - F.col("q")), 6).alias("rank_err"),
+        )
+        .orderBy("q")
+    )
+
+
 @query(
     "q72_fingerprint",
     r"""

@@ -1284,3 +1284,83 @@ def test_hll_accuracy_and_merge_law(spark):
     # identical sketch
     dup = whole.unionByName(whole).unionByName(whole)
     assert hll_estimate(hll_sketch(dup, "k")).collect()[0][0] == direct
+
+
+def test_quantile_sketch_merge_law_and_rank_error(spark):
+    from fdf_spark.llm.sketches import (
+        quantile_estimate,
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    n = 100_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * F.col("id")) % 9973).cast("double").alias("x"),
+    )
+    sk = quantile_sketch(df, "x", "rid")
+    assert sk.count() == 1024  # bounded at k regardless of n
+    # merge law is EXACT (stronger than KLL's within-eps): per-half
+    # sketches merged == whole-stream sketch as relations
+    a = quantile_sketch(df.filter(F.col("rid") % 2 == 0), "x", "rid")
+    b = quantile_sketch(df.filter(F.col("rid") % 2 == 1), "x", "rid")
+    merged = quantile_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+    # three-way split merges identically too (associativity over shards)
+    parts = [
+        quantile_sketch(df.filter(F.col("rid") % 3 == i), "x", "rid")
+        for i in range(3)
+    ]
+    assert sorted(map(tuple, quantile_merge(*parts).collect())) == sorted(
+        map(tuple, sk.collect())
+    )
+    # rank error: estimated quantile's true rank within ~4 sigma of q
+    # (sigma = sqrt(q(1-q)/k) <= 0.016 at k=1024); fixture is fixed so
+    # this is deterministic, the margin is just honest slack
+    xs = sorted(r.x for r in df.select("x").collect())
+    import bisect
+
+    for row in quantile_estimate(sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]).collect():
+        true_rank = bisect.bisect_right(xs, row.est)
+        assert abs(true_rank / n - row.q) < 0.065, (row.q, row.est, true_rank / n)
+
+
+def test_quantile_sketch_small_input_and_duplicates(spark):
+    from fdf_spark.llm.sketches import quantile_estimate, quantile_sketch
+
+    # n < k: the sample IS the data, so estimates are EXACT order stats
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 1, 4, 1, 3, 1, 2, 1])],
+        schema="rid int, x double",
+    )
+    sk = quantile_sketch(df, "x", "rid")
+    assert sk.count() == 8
+    got = {r.q: r.est for r in quantile_estimate(sk, [0.5, 1.0]).collect()}
+    # sorted values: 1,1,1,1,2,3,4,5 -> ceil(.5*8)=4th is 1.0; 8th is 5.0
+    assert got == {0.5: 1.0, 1.0: 5.0}
+
+
+def test_hll_rank_is_exact_integer_shift(spark):
+    # the top 60-p bits must come from an EXACT shift: double division
+    # rounds h for values >= 2^53 and can push w across a power-of-two
+    # boundary, silently changing the rank vs the oracle's h // 2^p
+    import hashlib
+
+    from fdf_spark.llm.sketches import DEFAULT_HLL_P, hll_sketch
+
+    keys = [f"k{i}" for i in range(4000)]
+    df = spark.createDataFrame([(k,) for k in keys], schema="k string")
+    got = {
+        (r.register, r.maxrank)
+        for r in hll_sketch(df, "k").collect()
+    }
+    # python exact replay (same md5-60 hash, exact // arithmetic)
+    p, m, width = DEFAULT_HLL_P, 1 << DEFAULT_HLL_P, 60 - DEFAULT_HLL_P
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+        w = h >> p
+        rank = width + 1 if w == 0 else width - w.bit_length() + 1
+        reg = h % m
+        regs[reg] = max(regs.get(reg, 0), rank)
+    assert got == set(regs.items())

@@ -163,6 +163,14 @@ EXPECT: dict[str, dict] = {
     # bloom membership: the <= m/32-word filter and the key set both
     # broadcast back to the probe relation — never a corpus-side SMJ
     "q134_bloom_membership": dict(max_exchanges=5, min_bhj=2, max_smj=0, max_scans=3),
+    # quantile sketch (in-window r7): each half-sketch is ONE
+    # TakeOrderedAndProject (<= k rows per map task — never a full
+    # sort); the merge re-takes bottom-k over 2k rows; the 3 BNLs are
+    # the intended tiny-side theta joins (order-statistic pick, the
+    # <=5-row est x corpus rank probe, the 1-row total) — the corpus is
+    # never hash-shuffled; the 3 exchanges are the <=5-group rank agg,
+    # the 1-row total agg and the final sort
+    "q137_quantile_sketch": dict(max_exchanges=3, max_smj=0, max_bnl=3, max_scans=4),
     # trained classifier: scoring is pure map-side over the persisted
     # feature relation (weights are literals) — one cached scan, the
     # 2 exchanges are the per-class agg + final sort; training's

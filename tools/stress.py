@@ -662,6 +662,36 @@ def main() -> None:
         flush=True,
     )
 
+    # 29) quantile sketch (N5): 100M rows sampled to k=1024 via ONE
+    # TakeOrderedAndProject (each map task emits <= k rows) across 8
+    # shard sketches merged exactly; estimation sorts <= k rows
+    from fdf_spark.llm.sketches import (
+        quantile_estimate,
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    n = 100_000_000
+    vals = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 2654435761) % 1_000_003).cast("double").alias("v"),
+    )
+    t0 = time.perf_counter()
+    shards = [
+        quantile_sketch(vals.filter(F.col("rid") % 8 == i), "v", "rid")
+        for i in range(8)
+    ]
+    qs = quantile_estimate(quantile_merge(*shards), [0.25, 0.5, 0.99]).collect()
+    dt = time.perf_counter() - t0
+    med = next(r.est for r in qs if r.q == 0.5)
+    # v is ~uniform on [0, 1e6): the sampled median must land well
+    # inside the distribution (rank error ~1.6% at k=1024)
+    assert 420_000 < med < 580_000, med
+    print(
+        f"{'quantile sketch x8 (N5)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+        flush=True,
+    )
+
     spark.stop()
 
 
