@@ -164,13 +164,15 @@ def stream_webdataset_sink(
     The ledger is the read barrier: :func:`read_webdataset_committed`
     lists shards from ledger files only, so a reader can NEVER observe
     a torn batch (shards land first, the ledger file publishes them
-    atomically via create-if-absent).  Replay safety: shard names and
-    bytes are deterministic per (batch, partition), so an at-least-once
-    re-delivery overwrites identical files, and the ledger write is
-    create-if-absent — re-publishing is a no-op, never a duplicate
-    entry.  Returns the StreamingQuery.
+    through THE create-if-absent seam, ``sources/atomic`` — shared
+    with the versioned-table manifest, staged-then-linked so even the
+    ledger's own bytes are never partially visible).  Replay safety:
+    shard names and bytes are deterministic per (batch, partition), so
+    an at-least-once re-delivery overwrites identical files, and the
+    seam publish is create-if-absent — re-publishing is a no-op, never
+    a duplicate entry.  Returns the StreamingQuery.
     """
-    import json
+    from fdf_spark.sources import atomic
 
     ledger_dir = os.path.join(path, "_batches")
 
@@ -181,7 +183,6 @@ def stream_webdataset_sink(
             batch_df, path, prefix=f"{prefix}-b{batch_id:06d}",
             shard_max_bytes=shard_max_bytes,
         ).collect()
-        os.makedirs(ledger_dir, exist_ok=True)
         entry = {
             "batch_id": batch_id,
             "shards": [r.shard for r in manifest],
@@ -189,12 +190,8 @@ def stream_webdataset_sink(
             "n_members": sum(r.n_members for r in manifest),
         }
         ledger_path = os.path.join(ledger_dir, f"b{batch_id:06d}.json")
-        try:
-            fd = os.open(ledger_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return  # replay: shards were rewritten byte-identically
-        with os.fdopen(fd, "w") as fh:
-            json.dump(entry, fh)
+        # False -> replay: shards were rewritten byte-identically
+        atomic.publish_json_atomic(entry, ledger_path)
 
     writer = stream.writeStream.foreachBatch(write_batch).outputMode("append")
     if checkpoint:

@@ -55,25 +55,17 @@ def _manifest_path(path: str, version: int) -> str:
 
 
 def _publish_manifest_atomic(staged: str, dst: str) -> None:
-    """SEAM: atomically publish a fully-written manifest, create-if-absent.
-
-    Contract (everything the commit protocol's correctness rests on):
-    exactly one concurrent caller may create ``dst``; every other
-    caller MUST observe ``FileExistsError`` — never a silent overwrite,
-    never partially-visible content.  ``commit_version`` maps that
-    error to ``ConcurrentCommitError`` (the optimistic-concurrency
-    loser's retry signal).
-
-    This implementation is POSIX-local: ``os.link`` is kernel-atomic
-    and fails EEXIST.  An object-store port replaces THIS ONE FUNCTION
-    with the store's conditional put — S3 ``If-None-Match: *``, GCS
-    ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *`` — or,
-    on stores without conditional puts, a metastore conditional insert
-    keyed on the manifest name (the Delta-on-S3 commit-service shape).
-    Nothing else in the commit/read/vacuum protocol touches filesystem
-    atomicity primitives, so the port is exactly this seam.
+    """Publish a fully-written manifest through THE create-if-absent
+    seam (``sources/atomic.publish_atomic`` — shared with the
+    WebDataset streaming ledger; the object-store conditional-PUT port
+    is that one function). ``commit_version`` maps the seam's
+    ``FileExistsError`` to ``ConcurrentCommitError`` (the
+    optimistic-concurrency loser's retry signal). Kept as a module
+    attribute so per-protocol tests can swap just this surface.
     """
-    os.link(staged, dst)
+    from fdf_spark.sources import atomic
+
+    atomic.publish_atomic(staged, dst)
 
 
 def list_versions(path: str) -> list[int]:

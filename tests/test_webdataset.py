@@ -189,26 +189,50 @@ def test_stream_webdataset_sink_and_committed_reader(spark, tmp_path):
 
 
 def test_stream_webdataset_replay_is_idempotent(spark, tmp_path):
-    import json
-
     from fdf_spark.llm.webdataset import read_webdataset_committed, write_webdataset
+    from fdf_spark.sources.atomic import publish_json_atomic
 
-    # simulate the foreachBatch replay directly: same batch twice
+    # simulate the foreachBatch replay directly: same batch twice,
+    # through the REAL ledger publish path (the shared atomic seam)
     land = str(tmp_path / "land2")
     members = _members_df(spark, n=10)
-    from fdf_spark.llm.webdataset import stream_webdataset_sink  # noqa: F401
-
-    # call the landing logic twice with identical inputs/batch id
+    results = []
     for _ in range(2):
         manifest = write_webdataset(members, land, prefix="shard-b000000").collect()
-        ledger_dir = os.path.join(land, "_batches")
-        os.makedirs(ledger_dir, exist_ok=True)
-        lp = os.path.join(ledger_dir, "b000000.json")
-        try:
-            fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as fh:
-                json.dump({"batch_id": 0, "shards": [r.shard for r in manifest]}, fh)
-        except FileExistsError:
-            pass
+        lp = os.path.join(land, "_batches", "b000000.json")
+        results.append(
+            publish_json_atomic({"batch_id": 0, "shards": [r.shard for r in manifest]}, lp)
+        )
+    assert results == [True, False]  # second publish is the no-op replay
     back = read_webdataset_committed(spark, land)
     assert back.count() == 20  # 10 samples x 2 members, counted ONCE
+
+
+def test_ledger_publish_through_swapped_seam(tmp_path, monkeypatch):
+    """The ledger publish rests ONLY on sources/atomic.publish_atomic —
+    the same seam the versioned-table manifest uses (and that
+    test_versioned.py race-tests). Swap in a simulated object-store
+    conditional PUT: the ledger's create-if-absent/replay behavior must
+    be unchanged, content lands whole, and no staging file survives."""
+    import shutil
+
+    import fdf_spark.sources.atomic as A
+
+    store_keys: set[str] = set()
+
+    def conditional_put(staged: str, dst: str) -> None:
+        if dst in store_keys or os.path.exists(dst):
+            raise FileExistsError(dst)
+        store_keys.add(dst)
+        shutil.copyfile(staged, dst)
+
+    monkeypatch.setattr(A, "publish_atomic", conditional_put)
+    lp = os.path.join(str(tmp_path), "_batches", "b000007.json")
+    entry = {"batch_id": 7, "shards": ["shard-b000007-00000.tar"]}
+    assert A.publish_json_atomic(entry, lp) is True
+    assert json.load(open(lp)) == entry  # content visible whole
+    # replay: existing key -> no-op False, winner's content untouched
+    assert A.publish_json_atomic({"batch_id": 7, "shards": []}, lp) is False
+    assert json.load(open(lp)) == entry
+    # staging files never survive either path
+    assert [f for f in os.listdir(os.path.dirname(lp)) if f.endswith(".tmp")] == []
