@@ -352,6 +352,146 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
     return removed
 
 
+def optimize(
+    spark: SparkSession,
+    path: str,
+    zorder: list[str] | tuple[str, ...] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_bytes: int | None = None,
+    zorder_bits: int = 12,
+) -> dict:
+    """OPTIMIZE: bin-pack small files — optionally Z-ORDER reclustered —
+    into a NEW snapshot (the Delta OPTIMIZE analog on this manifest
+    model).
+
+    Without ``zorder``: files below ``small_bytes`` (default
+    ``target_bytes // 2``) are read once and rewritten as
+    ~``target_bytes`` files; files already at target are carried over
+    untouched (their manifest stats entries are inherited, no footer
+    re-read). With ``zorder=[a]`` or ``zorder=[a, b]``: ALL live files
+    are rewritten range-partitioned + sorted on the (Morton-interleaved
+    for two columns) clustering key, so parquet AND manifest [min, max]
+    stats become tight in every clustered dimension — metadata pruning
+    (``read_version(prune=...)``) then skips whole files instead of
+    reading everything (measured in tests/test_versioned.py). Column
+    bounds for the Morton scaling come from one agg over the data
+    (bounded metadata: 2 values per column).
+
+    The rewrite is a logical no-op published as a new version through
+    the same optimistic-commit seam as any write: rows identical
+    (``diff_versions(parent, optimized)`` is empty — tested), pinned
+    readers of the parent snapshot untouched (copy-on-write), replaced
+    files reclaimed later by :func:`vacuum` once the parent version
+    ages out. A concurrent commit race surfaces as
+    ``ConcurrentCommitError`` exactly like :func:`commit_version`.
+
+    Scale shape: one scan of the rewritten bytes, one range (zorder) or
+    round-robin (bin-pack) exchange of those same bytes, footer-only
+    stats on the new files — cost is O(rewritten bytes), never
+    O(table); the small-file cutoff keeps steady-state OPTIMIZE runs
+    incremental the way Delta's are.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    if zorder is not None and not 1 <= len(zorder) <= 2:
+        raise ValueError("zorder supports one or two clustering columns")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    files = m["files"]
+    sizes = {f: os.path.getsize(f) for f in files}
+    if zorder:
+        rewrite = list(files)
+    else:
+        cutoff = small_bytes if small_bytes is not None else target_bytes // 2
+        rewrite = [f for f in files if sizes[f] < cutoff]
+        if len(rewrite) < 2:  # nothing to pack — no new version
+            return {
+                "version": parent, "rewritten": 0,
+                "files_before": len(files), "files_after": len(files),
+            }
+    kept = [f for f in files if f not in set(rewrite)]
+    reader = spark.read
+    if "schema" in m:
+        reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+    df = reader.parquet(*rewrite)
+    total = sum(sizes[f] for f in rewrite)
+    n_rows = df.count()
+    rows_per_file = max(1, int(target_bytes / max(total / max(n_rows, 1), 1e-9)))
+    n_out = max(1, math.ceil(total / target_bytes))
+    zkey = "__optimize_zkey__"
+    if zorder:
+        if len(zorder) == 1:
+            key = F.col(zorder[0])
+        else:
+            from fdf_spark.functions.scalar import morton_key
+
+            # scale each column into [0, 2^bits) from its observed
+            # bounds (one tiny agg), then bit-interleave
+            bounds = df.agg(
+                *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder)],
+                *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder)],
+            ).collect()[0]
+            top = (1 << zorder_bits) - 1
+
+            def scaled(i: int, c: str):
+                lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+                span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
+                x = (F.col(c).cast("double") - F.lit(lo)) * F.lit(top) / F.lit(span)
+                return F.least(F.lit(top), F.greatest(F.lit(0), x.cast("bigint")))
+
+            key = morton_key(scaled(0, zorder[0]), scaled(1, zorder[1]), bits=zorder_bits)
+        out = (
+            df.withColumn(zkey, key)
+            .repartitionByRange(n_out, zkey)
+            .sortWithinPartitions(zkey)
+            .drop(zkey)
+        )
+    else:
+        out = df.repartition(n_out)
+    version = parent + 1
+    stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
+    out.write.option("maxRecordsPerFile", str(rows_per_file)).parquet(stage)
+    new_files = sorted(
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    old_stats = m.get("stats", {})
+    file_stats = {
+        **{f: old_stats[f] for f in kept if f in old_stats},
+        **{f: _file_stats(f) for f in new_files},
+    }
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "optimize",
+        "files": kept + new_files,
+        "stats": file_stats,
+        "schema": m["schema"] if "schema" in m else json.dumps(df.schema.jsonValue()),
+        "meta": {"optimize": {"rewritten": len(rewrite), "zorder": list(zorder or [])}},
+    }
+    fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        _publish_manifest_atomic(tmp, _manifest_path(path, version))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} was committed concurrently; retry on the new head"
+        )
+    finally:
+        os.unlink(tmp)
+    return {
+        "version": version,
+        "rewritten": len(rewrite),
+        "files_before": len(files),
+        "files_after": len(kept) + len(new_files),
+    }
+
+
 def merge_versioned(
     spark: SparkSession,
     path: str,

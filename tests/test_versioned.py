@@ -22,6 +22,75 @@ def _df(spark, lo, hi):
     return spark.range(lo, hi).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
 
 
+def test_optimize_binpack_new_snapshot_identical_rows(spark, tmp_path):
+    from fdf_spark.sources.versioned import diff_versions, optimize
+
+    p = str(tmp_path / "t")
+    # 6 tiny appends x 4 files each -> 24 small files
+    for i in range(6):
+        commit_version(_df(spark, i * 10, (i + 1) * 10).repartition(4), p)
+    parent = list_versions(p)[-1]
+    before = sorted(map(tuple, read_version(spark, p).collect()))
+    res = optimize(spark, p)
+    assert res["version"] == parent + 1
+    assert res["files_after"] < res["files_before"] == 24
+    # the optimized snapshot is a logical no-op...
+    assert sorted(map(tuple, read_version(spark, p).collect())) == before
+    assert diff_versions(spark, p, parent, res["version"]).count() == 0
+    # ...and the pinned parent snapshot still reads (copy-on-write)
+    assert sorted(map(tuple, read_version(spark, p, parent).collect())) == before
+    # vacuum reclaims the replaced small files; head unaffected
+    removed = vacuum(p, keep=1, orphan_grace_s=0.0)
+    assert len(removed) >= 24 - res["files_after"]
+    assert sorted(map(tuple, read_version(spark, p).collect())) == before
+    # steady state: a second optimize finds nothing to pack, no new version
+    res2 = optimize(spark, p)
+    assert res2["version"] == res["version"] and res2["rewritten"] == 0
+
+
+def test_optimize_zorder_tightens_manifest_pruning(spark, tmp_path):
+    from fdf_spark.sources.versioned import _read_manifest, diff_versions, optimize
+
+    p = str(tmp_path / "t")
+    # every input file spans nearly the FULL x and y ranges (round-robin
+    # repartition), so manifest pruning on x can skip nothing
+    base = spark.range(0, 4000).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    commit_version(base.repartition(8), p)
+    parent = list_versions(p)[-1]
+
+    def overlapping(v, col, lo, hi):
+        m = _read_manifest(p, v)
+        n = 0
+        for f in m["files"]:
+            st = m["stats"].get(f, {}).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                n += 1
+        return len(m["files"]), n
+
+    total_b, hit_b = overlapping(parent, "x", 10, 12)
+    assert hit_b == total_b  # un-clustered: every file overlaps
+    res = optimize(spark, p, zorder=["x", "y"], target_bytes=8 * 1024)
+    total_a, hit_a = overlapping(res["version"], "x", 10, 12)
+    assert total_a >= 4  # actually split into multiple z-ordered files
+    assert hit_a < total_a  # pruning now skips whole files
+    # and the y dimension tightened too (z-order, not single-column sort)
+    _, hit_y = overlapping(res["version"], "y", 5, 6)
+    assert hit_y < total_a
+    # logical no-op + identical reads through the pruned path
+    assert diff_versions(spark, p, parent, res["version"]).count() == 0
+    want = sorted(
+        r.payload for r in base.filter(F.col("x").between(10, 12)).collect()
+    )
+    got = read_version(spark, p, prune=("x", 10, 12)).filter(
+        F.col("x").between(10, 12)
+    )
+    assert sorted(r.payload for r in got.collect()) == want
+
+
 def test_time_travel_and_modes(spark, tmp_path):
     p = str(tmp_path / "t")
     assert commit_version(_df(spark, 0, 10), p) == 1

@@ -692,6 +692,48 @@ def main() -> None:
         flush=True,
     )
 
+    # 30) versioned-table OPTIMIZE + Z-ORDER (N17): 20M rows landed as
+    # 64 unclustered files, rewritten range-clustered on the Morton key
+    # as a new snapshot — one scan + one range exchange of the rewritten
+    # bytes; manifest pruning on a narrow x slice must skip most files
+    import os
+    import shutil
+    import tempfile
+
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        optimize,
+    )
+
+    d = tempfile.mkdtemp(prefix="stress_optimize_")
+    try:
+        p = os.path.join(d, "t")
+        n = 20_000_000
+        base = spark.range(0, n, 1, 64).select(
+            (F.col("id") % 4096).alias("x"),
+            (F.col("id") / 4096).cast("bigint").alias("y"),
+            F.col("id").alias("payload"),
+        )
+        commit_version(base, p)
+        t0 = time.perf_counter()
+        res = optimize(spark, p, zorder=["x", "y"], target_bytes=16 * 1024 * 1024)
+        dt = time.perf_counter() - t0
+        m = _read_manifest(p, res["version"])
+        hit = sum(
+            1
+            for f in m["files"]
+            if (st := m["stats"].get(f, {}).get("x")) is None
+            or not (st[1] < 100 or st[0] > 130)
+        )
+        assert hit < len(m["files"]) / 2, (hit, len(m["files"]))
+        print(
+            f"{'optimize zorder (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     spark.stop()
 
 
