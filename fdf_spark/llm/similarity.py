@@ -208,6 +208,7 @@ def ivf_ann_topk(
     query_vec: str = "query_vec",
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
+    assign_mode: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) coarse quantizer.
 
@@ -217,9 +218,12 @@ def ivf_ann_topk(
     partitioned by ``cell`` so a probe is a partition-pruned scan; in
     one plan (here) the probe set broadcasts onto an unshuffled corpus
     scan. Deterministic centroids ⇒ unlike LSH, this variant has a
-    full DuckDB oracle (q73).
+    full DuckDB oracle (q73). ``assign_mode="arrow"`` swaps the
+    cell-assignment argmin for the numerically-identical Arrow tier
+    (the right choice once cells×dim outgrows codegen — see
+    :func:`ivf_assign`).
     """
-    cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
+    cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
     probes = queries.select(
         query_id,
         query_vec,

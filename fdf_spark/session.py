@@ -27,12 +27,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+#: State-store configuration for UNBOUNDED-state streaming workloads
+#: (the ``running_dedup`` class of operators, whose first-seen state
+#: grows with corpus key cardinality). The default
+#: HDFSBackedStateStoreProvider keeps every store's working set
+#: ON-HEAP — at 100 TB-corpus hash cardinality that is an executor-OOM
+#: ceiling, not a tuning knob. RocksDB spills state to local SSD with
+#: an off-heap block cache, and changelog checkpointing commits only
+#: per-batch deltas (snapshot upload moves to background maintenance).
+#: Bounded-state operators (``watermark_dedup``, windowed aggs — state
+#: expires with the watermark) run fine on either provider; pass
+#: ``rocksdb_state=True`` to :func:`get_spark` for the unbounded tier.
+#: No conf here changes query SEMANTICS — only where state lives.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
 
 def get_spark(
     app_name: str = "fdf_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Create (or reuse) the tuned SparkSession.
 
@@ -68,6 +87,9 @@ def get_spark(
         # conf is left default — there, split count comes from file
         # count/size and a floor this low is a no-op.
         builder = builder.config("spark.sql.files.minPartitionNum", str(cpus))
+    if rocksdb_state:
+        for k, v in ROCKSDB_STATE_CONF.items():
+            builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -92,8 +92,12 @@ def running_dedup(docs: DataFrame, n_buckets: int = 64) -> DataFrame:
     spreads it across the state store.
 
     At 100 TB the retained-hash set is the real design decision: state
-    is sharded by bucket (this operator), stored in RocksDB, and expired
-    by retention policy; the emitted stream is the deduplicated corpus.
+    is sharded by bucket (this operator), stored in RocksDB
+    (``session.ROCKSDB_STATE_CONF`` / ``get_spark(rocksdb_state=True)``
+    — this operator's state grows with corpus key cardinality, past any
+    executor heap; disk-backed state is the production tier, see
+    SCALE.md "Streaming"), and expired by retention policy; the emitted
+    stream is the deduplicated corpus.
     """
 
     def update(

@@ -97,6 +97,42 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert hits / len(exact_at1) >= 0.8, f"IVF top-1 recall {hits}/{len(exact_at1)}"
 
 
+def test_ivf_recall_at_10_floor(spark):
+    """recall@10 >= 0.9 at the default probe count (nprobe=2 of 16) —
+    the floor the 2M-vector stress row measures at scale, pinned here
+    so a regression in cell assignment or probe selection fails CI.
+    Clustered fixture (ANN's honest benchmark, as above)."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    dim, n_clusters, per = 16, 16, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        v = c + rng.normal(scale=0.15, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = (
+        corpus.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    k = 10
+    exact = cosine_topk(queries, corpus, k=k).collect()
+    ann = ivf_ann_topk(queries, corpus, k=k).collect()  # defaults: 16 cells, nprobe=2
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ann_sets: dict[int, set] = {}
+    for r in ann:
+        ann_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"IVF recall@10 {mean_recall:.3f} ({recalls})"
+
+
 def test_ivf_corpus_scan_unshuffled(spark, emb):
     """The 100 TB property of IVF: cell assignment is a pure per-row
     expression, so the corpus side reaches the candidate join with NO

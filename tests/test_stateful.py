@@ -73,6 +73,43 @@ def test_running_dedup_emits_first_seen_only(spark, tmp_path):
     assert got == [("aaa", 1), ("bbb", 2), ("ccc", 3), ("ddd", 6)]
 
 
+def test_running_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The UNBOUNDED-state tier's production configuration actually
+    runs: the same first-seen dedup through the RocksDB state store
+    (session.ROCKSDB_STATE_CONF — disk-backed state, the 100 TB answer
+    to running_dedup's ever-growing hash set; HDFSBacked keeps it
+    on-heap). Same emitted rows, state survives across micro-batches
+    through the provider. Conf is read at stream START, so setting it
+    on the shared session scopes it to this stream; restored after."""
+    from fdf_spark.session import ROCKSDB_STATE_CONF
+
+    saved = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF}
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        batches = [
+            [(0, 1, "aaa"), (0, 2, "bbb"), (1, 3, "ccc")],
+            [(0, 4, "aaa"), (1, 5, "ccc"), (1, 6, "ddd")],
+        ]
+        rows = _run_batches(
+            spark,
+            str(tmp_path / "dedup_rocks"),
+            running_dedup,
+            batches,
+            "dedup_rocks_out",
+            "bucket int, doc_id long, content_hash string",
+            output_mode="append",
+        )
+        got = sorted((r["content_hash"], r["doc_id"]) for r in rows)
+        assert got == [("aaa", 1), ("bbb", 2), ("ccc", 3), ("ddd", 6)]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_watermark_dedup_matches_batch_distinct(spark):
     """dropDuplicatesWithinWatermark over the full (single-batch) fixture
     keeps exactly one row per key — key set equals batch DISTINCT."""

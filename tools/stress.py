@@ -318,6 +318,47 @@ def main() -> None:
     )
     timed("pq adc topk (N3)", n, pq_ann_topk(pqq, corpus, k=10, exact_decimal=False, encode_mode="arrow"))
 
+    # 16e1b) IVF ANN with MEASURED recall@10 (N3): 2M clustered 16-dim
+    # vectors, 64 cells, default nprobe=2 — the probe plan touches
+    # ~nprobe/num_cells of the corpus; recall@10 vs brute force over 16
+    # sampled queries is computed alongside (brute force is the
+    # yardstick, not the timed subject) and floored at 0.9 — the same
+    # floor tests/test_llm.py::test_ivf_recall_at_10_floor pins in CI
+    from fdf_spark.llm.similarity import cosine_topk, ivf_ann_topk
+
+    n = 2_000_000
+    n_cells = 64
+    clustered = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: (
+            F.sin(((F.col("id") % n_cells) + 1).cast("double") * 37.0 * (j.cast("double") + 1.0))
+            + F.lit(0.15) * F.sin((F.col("id") + 1).cast("double") * (j.cast("double") + 3.7))
+        ).cast("float"),
+    )
+    corpus = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("vec_id"), clustered.alias("embedding")
+    )
+    ann_q = corpus.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    t0 = time.perf_counter()
+    ann_rows = ivf_ann_topk(
+        ann_q, corpus, k=10, num_cells=n_cells, nprobe=2, assign_mode="arrow"
+    ).collect()
+    dt = time.perf_counter() - t0
+    exact_rows = cosine_topk(ann_q, corpus, k=10).collect()
+    ex, an = {}, {}
+    for r in exact_rows:
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in ann_rows:
+        an.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(len(ex[q] & an.get(q, set())) / 10 for q in ex) / len(ex)
+    assert recall >= 0.9, recall
+    print(
+        f"{'ivf ann recall@10 (N3)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s  recall@10={recall:.3f}",
+        flush=True,
+    )
+
     # 16e2) trained coarse quantizer (N3): 2 Lloyd iterations over 1M
     # 64-dim vectors, 32 cells — arrow assignment (numerically identical
     # to the expr path, ~15x faster), one cells-row agg per iteration
