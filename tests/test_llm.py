@@ -1322,6 +1322,105 @@ def test_hll_accuracy_and_merge_law(spark):
     assert hll_estimate(hll_sketch(dup, "k")).collect()[0][0] == direct
 
 
+def _mpeg1_frame(alloc_map: dict[int, int], sfi_map: dict[int, int],
+                 code_map: dict[int, list[int]], bitrate: int = 256):
+    from fdf_spark.llm.mpegaudio import encode_mpeg1_layer1
+
+    alloc = [0] * 32
+    sfi = [0] * 32
+    codes = [[0] * 12 for _ in range(32)]
+    for sb, nb in alloc_map.items():
+        alloc[sb] = nb
+        sfi[sb] = sfi_map[sb]
+        codes[sb] = code_map[sb]
+    return encode_mpeg1_layer1(alloc, sfi, codes, sample_rate=32000, bitrate_kbps=bitrate)
+
+
+def test_mpeg1_layer1_roundtrip_parse_and_dequant():
+    from fdf_spark.llm.mpegaudio import decode_mpeg1_layer1, dequantize, scalefactor
+
+    # non-contiguous subbands, varied widths, varied per-sample codes
+    alloc = {0: 2, 5: 7, 17: 4, 31: 15}
+    sfi = {0: 0, 5: 21, 17: 40, 31: 62}
+    codes = {
+        0: [s % 4 for s in range(12)],
+        5: [(s * 11) % 128 for s in range(12)],
+        17: [(s * 5 + 3) % 16 for s in range(12)],
+        31: [(s * 2731) % 32768 for s in range(12)],
+    }
+    d = decode_mpeg1_layer1(_mpeg1_frame(alloc, sfi, codes))
+    assert d["sample_rate"] == 32000 and d["bitrate_kbps"] == 256
+    assert {sb: a for sb, a in enumerate(d["alloc"]) if a} == alloc
+    assert d["sf_idx"] == sfi
+    assert d["codes"] == codes
+    for sb in alloc:
+        want = [dequantize(c, alloc[sb], scalefactor(sfi[sb])) for c in codes[sb]]
+        assert d["subband"][sb] == want
+        nb = alloc[sb]  # requantized range: |s''| <= 2^nb/(2^nb - 1)
+        for s in d["subband"][sb]:
+            assert abs(s) <= scalefactor(sfi[sb]) * ((1 << nb) / ((1 << nb) - 1)) * (1 + 1e-9)
+    # dequant extremes: code 0 is most-negative, max code near +full scale
+    assert dequantize(0, 4, 1.0) < 0 < dequantize(15, 4, 1.0)
+    assert abs(dequantize(0, 4, 1.0)) > abs(dequantize(8, 4, 1.0))
+
+
+def test_mpeg1_layer1_protected_frame_crc_slot():
+    # protection_bit = 0 means a 16-bit CRC rides between header and
+    # side info; the parser must skip it and land on the same fields
+    from fdf_spark.llm.mpegaudio import decode_mpeg1_layer1
+
+    alloc, sfi = {3: 5}, {3: 12}
+    codes = {3: [(s * 7) % 32 for s in range(12)]}
+    plain = _mpeg1_frame(alloc, sfi, codes)
+    h = int.from_bytes(plain[:4], "big") & ~(1 << 16)  # set protected
+    prot = h.to_bytes(4, "big") + b"\xbe\xef" + plain[4:-2]  # CRC slot in, pad out
+    d = decode_mpeg1_layer1(prot)
+    assert d["sf_idx"] == sfi and d["codes"] == codes
+
+
+def test_mpeg1_layer1_rejects_malformed():
+    from fdf_spark.llm.mpegaudio import decode_mpeg1_layer1, encode_mpeg1_layer1
+
+    good = _mpeg1_frame({0: 3}, {0: 6}, {0: [1] * 12})
+
+    def rejects(payload, why):
+        try:
+            decode_mpeg1_layer1(payload)
+            raise AssertionError(f"not rejected: {why}")
+        except ValueError:
+            pass
+
+    rejects(b"", "empty")
+    rejects(good[: len(good) // 2], "truncated frame")
+    bad_sync = b"\x00" + good[1:]
+    rejects(bad_sync, "bad syncword")
+    h = int.from_bytes(good[:4], "big")
+    rejects(((h & ~(0b11 << 17)) | (0b01 << 17)).to_bytes(4, "big") + good[4:], "layer III code")
+    rejects((h & ~(0xF << 12)).to_bytes(4, "big") + good[4:], "free-format bitrate")
+    rejects((h | (0b11 << 10)).to_bytes(4, "big") + good[4:], "reserved fs index")
+    rejects((h & ~(0b11 << 6)).to_bytes(4, "big") + good[4:], "stereo mode (profile)")
+    forbidden_alloc = bytearray(good)
+    forbidden_alloc[4] |= 0xF0  # subband 0 allocation code 15
+    rejects(bytes(forbidden_alloc), "allocation code 15")
+    forbidden_scf = bytearray(good)
+    forbidden_scf[20] |= 0xFC  # subband 0 scalefactor index 63
+    rejects(bytes(forbidden_scf), "scalefactor 63")
+    # encoder-side contract errors
+    for kwargs, why in [
+        (dict(alloc_bits=[1] + [0] * 31, sf_indices=[0] * 32,
+              codes=[[0] * 12] * 32), "1-bit allocation"),
+        (dict(alloc_bits=[2] + [0] * 31, sf_indices=[63] + [0] * 31,
+              codes=[[0] * 12] * 32), "scalefactor 63"),
+        (dict(alloc_bits=[2] + [0] * 31, sf_indices=[0] * 32,
+              codes=[[4] * 12] + [[0] * 12] * 31), "code exceeds width"),
+    ]:
+        try:
+            encode_mpeg1_layer1(**kwargs)
+            raise AssertionError(f"encoder accepted {why}")
+        except ValueError:
+            pass
+
+
 def test_quantile_sketch_merge_law_and_rank_error(spark):
     from fdf_spark.llm.sketches import (
         quantile_estimate,

@@ -160,6 +160,7 @@ EXPECT: dict[str, dict] = {
     "q130_gif_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q131_adpcm_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q135_flac_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
+    "q138_mpeg1_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     # bloom membership: the <= m/32-word filter and the key set both
     # broadcast back to the probe relation — never a corpus-side SMJ
     "q134_bloom_membership": dict(max_exchanges=5, min_bhj=2, max_smj=0, max_scans=3),

@@ -664,6 +664,9 @@ def main() -> None:
     from fdf_spark.llm.multimodal import synth_flac_assets
 
     timed("flac decode (N6)", 50_000, extract_features(synth_flac_assets(ids(50_000)), codec="flac"))
+    from fdf_spark.llm.multimodal import synth_mpeg1_assets
+
+    timed("mpeg1 decode (N6)", 100_000, extract_features(synth_mpeg1_assets(ids(100_000)), codec="mpeg1"))
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
     # vector (m/32 longs — bounded metadata), prune a 100M-row probe
