@@ -472,10 +472,18 @@ def quantile_sketch(
     determinism needs a stable per-row identity — the usual CDC/corpus
     key contract). Ties on ``h`` (astronomically rare with 60-bit md5)
     break on ``v`` so the kept set is still a pure function of the data.
+
+    NULL discipline: NULL values are excluded (SQL aggregate semantics —
+    a quantile of a column ignores NULLs), and NULL ids are excluded
+    with them (an unhashable identity cannot enter the sample; engines
+    also disagree on NULL sort order, so letting a NULL hash through
+    would silently break the bit-reproducibility contract — Spark ranks
+    NULLS FIRST ascending, DuckDB NULLS LAST).
     """
     h = portable_hash60(F.col(id_col).cast("string"))
     return (
         df.select(h.alias("h"), F.col(col).cast("double").alias("v"))
+        .where(F.col("h").isNotNull() & F.col("v").isNotNull())
         .orderBy("h", "v")
         .limit(k)
     )

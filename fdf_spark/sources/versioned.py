@@ -169,27 +169,36 @@ def commit_version(
         "schema": json.dumps(schema.jsonValue()),
         "meta": meta or {},
     }
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
+
+
+def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None:
+    """Stage a manifest next to its destination and publish it through
+    the optimistic-concurrency seam — the ONE commit-discipline block
+    every snapshot writer (commit_version, optimize) shares.
+
+    Publishes via the create-if-absent seam (_publish_manifest_atomic —
+    POSIX os.link here, a conditional PUT on an object store), NOT
+    os.rename (which silently overwrites — two racing committers
+    reading the same parent would both claim this version number and
+    the loser's snapshot would vanish). On conflict the caller's staged
+    data files are orphans (vacuum-able) and the caller retries against
+    the new head — the Iceberg/Delta optimistic-commit loop. The
+    staging file never survives, success or failure.
+    """
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    # optimistic concurrency: publish via the create-if-absent seam
-    # (_publish_manifest_atomic — POSIX os.link here, a conditional PUT
-    # on an object store), NOT os.rename (which silently overwrites —
-    # two racing committers reading the same parent would both claim
-    # this version number and the loser's snapshot would vanish). On
-    # conflict the staged data files are orphans (vacuum-able) and the
-    # caller retries against the new head — the Iceberg/Delta
-    # optimistic-commit loop.
     try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
         _publish_manifest_atomic(tmp, _manifest_path(path, version))
     except FileExistsError:
-        os.unlink(tmp)
         raise ConcurrentCommitError(
             f"version {version} was committed concurrently; retry on the new head"
         )
-    os.unlink(tmp)
-    return version
+    finally:
+        os.unlink(tmp)
 
 
 def read_version(
@@ -374,8 +383,10 @@ def optimize(
     stats become tight in every clustered dimension — metadata pruning
     (``read_version(prune=...)``) then skips whole files instead of
     reading everything (measured in tests/test_versioned.py). Column
-    bounds for the Morton scaling come from one agg over the data
-    (bounded metadata: 2 values per column).
+    bounds for the Morton scaling come from the manifest's per-file
+    stats (metadata only) when present, one tiny agg otherwise; the
+    row count for file sizing comes from parquet footers — the data
+    itself is read exactly once, by the rewrite.
 
     The rewrite is a logical no-op published as a new version through
     the same optimistic-commit seam as any write: rows identical
@@ -414,13 +425,19 @@ def optimize(
                 "version": parent, "rewritten": 0,
                 "files_before": len(files), "files_after": len(files),
             }
-    kept = [f for f in files if f not in set(rewrite)]
+    rw = set(rewrite)
+    kept = [f for f in files if f not in rw]
     reader = spark.read
     if "schema" in m:
         reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
     df = reader.parquet(*rewrite)
     total = sum(sizes[f] for f in rewrite)
-    n_rows = df.count()
+    # row count from the parquet FOOTERS (zero Spark jobs), keeping the
+    # docstring's one-scan claim honest — the data itself is read once,
+    # by the rewrite
+    import pyarrow.parquet as pq
+
+    n_rows = sum(pq.read_metadata(f).num_rows for f in rewrite)
     rows_per_file = max(1, int(target_bytes / max(total / max(n_rows, 1), 1e-9)))
     n_out = max(1, math.ceil(total / target_bytes))
     zkey = "__optimize_zkey__"
@@ -431,15 +448,32 @@ def optimize(
             from fdf_spark.functions.scalar import morton_key
 
             # scale each column into [0, 2^bits) from its observed
-            # bounds (one tiny agg), then bit-interleave
-            bounds = df.agg(
-                *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder)],
-                *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder)],
-            ).collect()[0]
+            # bounds — taken from the MANIFEST's per-file [min, max]
+            # stats when every rewritten file carries them (metadata
+            # only, zero Spark jobs), falling back to one tiny agg
+            stats = m.get("stats", {})
+
+            def _manifest_bounds(c: str):
+                los, his = [], []
+                for f in rewrite:
+                    st = stats.get(f, {}).get(c)
+                    if st is None or not isinstance(st[0], (int, float)):
+                        return None
+                    los.append(st[0])
+                    his.append(st[1])
+                return (float(min(los)), float(max(his))) if los else None
+
+            per_col = [_manifest_bounds(c) for c in zorder]
+            if any(b is None for b in per_col):
+                row = df.agg(
+                    *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder)],
+                    *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder)],
+                ).collect()[0]
+                per_col = [(row[f"lo_{i}"], row[f"hi_{i}"]) for i in range(len(zorder))]
             top = (1 << zorder_bits) - 1
 
             def scaled(i: int, c: str):
-                lo, hi = bounds[f"lo_{i}"], bounds[f"hi_{i}"]
+                lo, hi = per_col[i]
                 span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
                 x = (F.col(c).cast("double") - F.lit(lo)) * F.lit(top) / F.lit(span)
                 return F.least(F.lit(top), F.greatest(F.lit(0), x.cast("bigint")))
@@ -473,17 +507,7 @@ def optimize(
         "schema": m["schema"] if "schema" in m else json.dumps(df.schema.jsonValue()),
         "meta": {"optimize": {"rewritten": len(rewrite), "zorder": list(zorder or [])}},
     }
-    fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    try:
-        _publish_manifest_atomic(tmp, _manifest_path(path, version))
-    except FileExistsError:
-        raise ConcurrentCommitError(
-            f"version {version} was committed concurrently; retry on the new head"
-        )
-    finally:
-        os.unlink(tmp)
+    _stage_and_publish_manifest(path, version, manifest)
     return {
         "version": version,
         "rewritten": len(rewrite),

@@ -1460,6 +1460,27 @@ def test_quantile_sketch_merge_law_and_rank_error(spark):
         assert abs(true_rank / n - row.q) < 0.065, (row.q, row.est, true_rank / n)
 
 
+def test_quantile_sketch_null_discipline(spark):
+    # NULL values are ignored (SQL aggregate semantics) and NULL ids
+    # excluded with them — engines disagree on NULL sort order, so a
+    # NULL hash entering the bottom-k would silently diverge from any
+    # SQL replay (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    from fdf_spark.llm.sketches import quantile_sketch
+
+    clean = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], schema="rid int, x double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(None, 1.0), (None, 2.0), (999, None), (998, None)],
+            schema="rid int, x double",
+        )
+    )
+    want = sorted(map(tuple, quantile_sketch(clean, "x", "rid").collect()))
+    got = sorted(map(tuple, quantile_sketch(dirty, "x", "rid").collect()))
+    assert got == want and len(got) == 50
+
+
 def test_quantile_sketch_small_input_and_duplicates(spark):
     from fdf_spark.llm.sketches import quantile_estimate, quantile_sketch
 
