@@ -1,4 +1,4 @@
-"""Interchange source/sink formats beyond parquet: CSV, JSON lines, ORC.
+"""Interchange source/sink formats beyond parquet: CSV, JSON lines, ORC, XML.
 
 Reference parity: the fdf reference reads MDSplus trees and SQL Server
 (`/root/reference/fdf/factory.py:177,537`) — represented here by the
@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-SUPPORTED_FORMATS = ("parquet", "orc", "csv", "json")
+SUPPORTED_FORMATS = ("parquet", "orc", "csv", "json", "xml")
 
 #: ISO-8601 with microseconds — the only CSV/JSON timestamp format that
 #: survives a write→read roundtrip bit-exactly
@@ -55,8 +55,9 @@ def write_table_as(
     compression: str | None = None,
 ) -> None:
     """Write ``df`` at ``path`` in ``fmt`` with roundtrip-safe options
-    (CSV: header + escaped quotes + microsecond timestamps; JSON:
-    microsecond timestamps; ORC/parquet: native).
+    (CSV: header + escaped quotes + microsecond timestamps; JSON/XML:
+    microsecond timestamps; XML: fixed row/root tags so the reader
+    needs no guessing; ORC/parquet: native).
 
     ``compression`` ("gzip"/"bzip2"/... per Spark's codec names) wraps
     CSV/JSON part files — the ``.jsonl.gz`` shape text corpora actually
@@ -70,9 +71,16 @@ def write_table_as(
         w = w.options(header=True, escape='"', timestampFormat=_TS_FMT)
     elif fmt == "json":
         w = w.option("timestampFormat", _TS_FMT)
-    if compression is not None and fmt in ("csv", "json"):
+    elif fmt == "xml":
+        w = w.format("xml").options(
+            rootTag="rows", rowTag="row", timestampFormat=_TS_FMT
+        )
+    if compression is not None and fmt in ("csv", "json", "xml"):
         w = w.option("compression", compression)
-    getattr(w, fmt)(path)
+    if fmt == "xml":
+        w.save(path)
+    else:
+        getattr(w, fmt)(path)
 
 
 def read_table_as(
@@ -85,13 +93,13 @@ def read_table_as(
     """Read a table written by :func:`write_table_as` (or any external
     producer following the same conventions).
 
-    ``schema`` is REQUIRED for CSV/JSON (no inference — see module
+    ``schema`` is REQUIRED for CSV/JSON/XML (no inference — see module
     docstring); optional for ORC/parquet where the footer is
     authoritative.  ``name="events"`` applies the same ``ts``
     normalization as the parquet fixture loader.
     """
     _check_fmt(fmt)
-    if fmt in ("csv", "json") and schema is None:
+    if fmt in ("csv", "json", "xml") and schema is None:
         raise ValueError(f"{fmt} reads require an explicit schema (no inference)")
     r = spark.read
     if schema is not None:
@@ -100,7 +108,10 @@ def read_table_as(
         r = r.options(header=True, escape='"', timestampFormat=_TS_FMT)
     elif fmt == "json":
         r = r.option("timestampFormat", _TS_FMT)
-    df = getattr(r, fmt)(path)
+    if fmt == "xml":
+        df = r.format("xml").options(rowTag="row", timestampFormat=_TS_FMT).load(path)
+    else:
+        df = getattr(r, fmt)(path)
     if name == "events":
         from fdf_spark.sources.tables import normalize_events_ts, set_events_session_confs
 
@@ -125,5 +136,5 @@ def convert_table(
     write_table_as(df, dst_path, dst_fmt)
     # schema-less destinations are re-read with the source's schema
     # (read_table_as would rightly refuse to infer)
-    back_schema = df.schema if dst_fmt in ("csv", "json") else None
+    back_schema = df.schema if dst_fmt in ("csv", "json", "xml") else None
     return read_table_as(spark, dst_path, dst_fmt, schema=back_schema).count()

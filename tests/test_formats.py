@@ -35,7 +35,7 @@ def test_roundtrip_orders_exact(spark, tmp_path, fmt):
     assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "xml"])
 def test_events_ts_keeps_microseconds(spark, tmp_path, fmt):
     from fdf_spark.sources.tables import load_table
 
