@@ -352,6 +352,8 @@ def hll_sketch(df: DataFrame, col: str, p: int = DEFAULT_HLL_P) -> DataFrame:
     )
     return (
         df.select(F.pmod(h, F.lit(m)).cast("int").alias("register"), rank.alias("rank"))
+        # NULL keys are invisible to cardinality (COUNT DISTINCT semantics)
+        .where(F.col("register").isNotNull())
         .groupBy("register")
         .agg(F.max("rank").alias("maxrank"))
     )
@@ -534,3 +536,153 @@ def quantile_estimate(sketch: DataFrame, qs: Sequence[float]) -> DataFrame:
         .select("q", F.col("v").alias("est"))
         .orderBy("q")
     )
+
+
+# -- grouped (per-key) sketch tier -----------------------------------------
+#
+# The shape a production pipeline actually asks for: quantiles PER
+# source/language/day, distinct counts PER partition key. Same
+# determinism/merge contracts as the global sketches; state is bounded
+# at |groups|·k (quantile) or |groups|·2^p (HLL) rows, and the one
+# shuffle is the hash exchange on the group keys that any per-key
+# result needs — never corpus-sized beyond that.
+
+
+def quantile_sketch_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    id_col: str,
+    k: int = DEFAULT_QUANTILE_K,
+) -> DataFrame:
+    """Per-key bottom-k sample: ``(*keys, h, v)`` with ≤ k rows per key.
+
+    Same contracts as :func:`quantile_sketch`, per group: deterministic
+    (pure function of each group's row multiset), exactly mergeable
+    (:func:`quantile_merge_by`), NULL values/ids excluded. One window
+    over the key hash-exchange; each group keeps its k smallest hashes.
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*keys).orderBy("h", "v")
+    return (
+        df.select(*keys, h.alias("h"), F.col(col).cast("double").alias("v"))
+        .where(F.col("h").isNotNull() & F.col("v").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_merge_by(
+    *sketches: DataFrame, keys: Sequence[str], k: int = DEFAULT_QUANTILE_K
+) -> DataFrame:
+    """Merge per-key sketches: per-key bottom-k of the union — equal,
+    per key, to the whole-stream per-key sketch (exactly, as relations)."""
+    from pyspark.sql import Window
+
+    if not sketches:
+        raise ValueError("quantile_merge_by needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy(*keys).orderBy("h", "v")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def quantile_estimate_by(
+    sketch: DataFrame, keys: Sequence[str], qs: Sequence[float]
+) -> DataFrame:
+    """Per-key quantile estimates: ``(*keys, q, est)``.
+
+    Each group's ≤ k-row sample is ranked by value inside the same
+    key-partitioned window (no single-partition stage at all — the
+    grouped form is *more* scalable than the global one) and the
+    ceil(q·n)-th order statistics are picked per key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("v", "h")
+    wn = Window.partitionBy(*keys)
+    ranked = (
+        sketch.withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    )
+    return (
+        ranked.withColumn("q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+        .filter(F.col("__r") == F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n"))))
+        .select(*keys, "q", F.col("v").alias("est"))
+        .orderBy(*keys, "q")
+    )
+
+
+def hll_sketch_by(
+    df: DataFrame, keys: Sequence[str], col: str, p: int = DEFAULT_HLL_P
+) -> DataFrame:
+    """Per-key HLL register relation ``(*keys, register, maxrank)`` —
+    ≤ 2^p rows per key, same portable-hash determinism as
+    :func:`hll_sketch`; one map-side-combining groupBy on
+    (keys, register)."""
+    m = 1 << p
+    h = portable_hash60(F.col(col))
+    w = F.shiftright(h, p)
+    width = 60 - p
+    rank = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(*keys, F.pmod(h, F.lit(m)).cast("int").alias("register"), rank.alias("rank"))
+        .where(F.col("register").isNotNull())
+        .groupBy(*keys, "register")
+        .agg(F.max("rank").alias("maxrank"))
+    )
+
+
+def hll_merge_by(*sketches: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge per-key HLL sketches built with the same ``p``: per-key
+    register-wise MAX — the union-stream per-key sketch, exactly."""
+    if not sketches:
+        raise ValueError("hll_merge_by needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys, "register").agg(F.max("maxrank").alias("maxrank"))
+
+
+def hll_estimate_by(
+    sketch: DataFrame, keys: Sequence[str], p: int = DEFAULT_HLL_P
+) -> DataFrame:
+    """Per-key estimates ``(*keys, estimate)`` — the :func:`hll_estimate`
+    closed form (exact DECIMAL harmonic sum, small-range correction,
+    6-dp round) applied per group in one groupBy."""
+    m = 1 << p
+    width = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = float(2 ** (width + 1))
+    agg = sketch.groupBy(*keys).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(width + 1) - F.col("maxrank")).cast("decimal(38,0)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    denom = (
+        F.coalesce(F.col("s_present"), F.lit(0).cast("decimal(38,0)")).cast("double")
+        + (F.lit(m) - F.col("n_present")).cast("double") * F.lit(scale)
+    ) / F.lit(scale)
+    raw = F.lit(alpha * m * m) / denom
+    return agg.select(
+        *keys,
+        F.round(
+            F.when(
+                (raw < F.lit(2.5 * m)) & (F.col("n_present") < m),
+                F.lit(float(m))
+                * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_present")).cast("double")),
+            ).otherwise(raw),
+            6,
+        ).alias("estimate"),
+    ).orderBy(*keys)

@@ -1313,6 +1313,135 @@ def q137_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSKB_K = 256
+
+
+@query(
+    "q139_grouped_quantiles",
+    f"""
+    WITH hashed AS (
+      SELECT source,
+             {sql_hash60("CAST(doc_id AS VARCHAR)")} AS h,
+             CAST(length(text) AS DOUBLE) AS v
+      FROM documents),
+    samp AS (
+      SELECT source, h, v FROM (
+        SELECT source, h, v,
+               row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+        FROM hashed) WHERE rn <= {_QSKB_K}),
+    ranked AS (
+      SELECT source, v, h,
+             row_number() OVER (PARTITION BY source ORDER BY v, h) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM samp),
+    qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9]) AS DOUBLE) AS q)
+    SELECT ranked.source, qs.q, ranked.v AS est
+    FROM qs JOIN ranked
+      ON ranked.r = GREATEST(1, CAST(CEIL(qs.q * ranked.n) AS BIGINT))
+    ORDER BY source, q
+    """,
+    operators=("N5", "A9"),
+    doc="GROUPED quantile sketch — per-source document-length "
+    "quantiles, the per-key form a production pipeline actually asks "
+    "for. Spark builds TWO per-key sketches over disjoint halves "
+    "(doc_id parity) and merges them per key; the oracle computes the "
+    "whole-stream per-key bottom-k directly, so the hash comparison IS "
+    "the per-key exact-merge law (merged == whole-stream per group, as "
+    "relations). State bounded at |groups|*k rows; the only corpus "
+    "shuffle is the key hash-exchange any per-key result needs, and "
+    "estimation has NO single-partition stage (more scalable than the "
+    "global sketch).",
+)
+def q139_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.sketches import (
+        quantile_estimate_by,
+        quantile_merge_by,
+        quantile_sketch_by,
+    )
+
+    docs = T(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").cast("double").alias("len")
+    )
+    halves = [
+        quantile_sketch_by(
+            docs.filter(F.col("doc_id") % 2 == i), ["source"], "len", "doc_id", k=_QSKB_K
+        )
+        for i in (0, 1)
+    ]
+    merged = quantile_merge_by(*halves, keys=["source"], k=_QSKB_K)
+    return quantile_estimate_by(merged, ["source"], (0.25, 0.5, 0.9))
+
+
+@query(
+    "q140_grouped_hll_distinct",
+    f"""
+    WITH h AS (
+      SELECT o_orderpriority AS priority,
+             {sql_hash60("CAST(o_custkey AS VARCHAR)")} AS hash
+      FROM orders),
+    regs AS (
+      SELECT priority, hash % 4096 AS register,
+             MAX(CASE WHEN hash // 4096 = 0 THEN 49
+                      ELSE 48 - length(bin(hash // 4096)) + 1 END) AS maxrank
+      FROM h GROUP BY priority, register),
+    agg AS (
+      SELECT priority,
+             CAST(SUM(CAST(pow(2, 49 - maxrank) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             COUNT(*) AS np,
+             ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0) * 4096.0 AS a
+      FROM regs GROUP BY priority),
+    est AS (
+      SELECT priority,
+             round(CASE WHEN (a / ((CAST(s AS DOUBLE) + CAST(4096 - np AS DOUBLE)
+                                     * 562949953421312.0) / 562949953421312.0)
+                              < 2.5 * 4096) AND np < 4096
+                   THEN 4096.0 * ln(4096.0 / CAST(4096 - np AS DOUBLE))
+                   ELSE a / ((CAST(s AS DOUBLE) + CAST(4096 - np AS DOUBLE)
+                              * 562949953421312.0) / 562949953421312.0) END, 6)
+               AS hll_estimate
+      FROM agg),
+    ex AS (
+      SELECT o_orderpriority AS priority,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY o_orderpriority)
+    SELECT ex.priority, ex.exact_distinct, est.hll_estimate
+    FROM ex JOIN est USING (priority) ORDER BY priority
+    """,
+    operators=("N5", "A3", "A8"),
+    doc="GROUPED HyperLogLog — distinct customers PER order priority "
+    "(the per-day/per-partition distinct-count shape). Spark builds "
+    "two per-key register relations over disjoint order halves and "
+    "merges by per-key register-wise MAX; the oracle computes the "
+    "whole-stream per-key sketch directly, so the hash comparison IS "
+    "the per-key merge law. Registers AND the closed-form estimates "
+    "replay bit-for-bit (exact decimal harmonic sum per group); "
+    "shuffle bounded at |groups|*2^12 register rows. Output pairs "
+    "each estimate with the exact distinct count per group.",
+)
+def q140_grouped_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.sketches import hll_estimate_by, hll_merge_by, hll_sketch_by
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").cast("string").alias("k"),
+        "o_orderkey",
+    )
+    halves = [
+        hll_sketch_by(orders.filter(F.col("o_orderkey") % 2 == i), ["priority"], "k")
+        for i in (0, 1)
+    ]
+    merged = hll_merge_by(*halves, keys=["priority"])
+    est = hll_estimate_by(merged, ["priority"])
+    exact = orders.groupBy("priority").agg(
+        F.countDistinct("k").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "priority")
+        .select("priority", "exact_distinct", F.col("estimate").alias("hll_estimate"))
+        .orderBy("priority")
+    )
+
+
 @query(
     "q72_fingerprint",
     r"""

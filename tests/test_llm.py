@@ -1460,6 +1460,58 @@ def test_quantile_sketch_merge_law_and_rank_error(spark):
         assert abs(true_rank / n - row.q) < 0.065, (row.q, row.est, true_rank / n)
 
 
+def test_grouped_sketches_match_per_group_globals(spark):
+    """The grouped tier is POINTWISE the global tier: for every key,
+    the per-key sketch/merge/estimate equals the global sketch of that
+    key's sub-frame — so every global contract (determinism, exact
+    merge, NULL discipline, estimate law) transfers per group."""
+    from fdf_spark.llm.sketches import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_merge_by,
+        hll_sketch,
+        hll_sketch_by,
+        quantile_estimate,
+        quantile_estimate_by,
+        quantile_merge_by,
+        quantile_sketch,
+        quantile_sketch_by,
+    )
+
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("rid"),
+        ((F.col("id") * 17) % 4999).cast("double").alias("x"),
+        F.concat(F.lit("k"), (F.col("id") % 1777).cast("string")).alias("k"),
+    )
+    # quantiles: grouped build-from-halves+merge vs per-group global
+    halves = [
+        quantile_sketch_by(df.filter(F.col("rid") % 2 == i), ["g"], "x", "rid", k=128)
+        for i in (0, 1)
+    ]
+    merged = quantile_merge_by(*halves, keys=["g"], k=128)
+    est_by = {
+        (r.g, r.q): r.est
+        for r in quantile_estimate_by(merged, ["g"], [0.25, 0.9]).collect()
+    }
+    for g in ("0", "1", "2"):
+        sub = df.filter(F.col("g") == g)
+        sk = quantile_sketch(sub, "x", "rid", k=128)
+        assert sorted(map(tuple, merged.filter(F.col("g") == g).select("h", "v").collect())) \
+            == sorted(map(tuple, sk.collect())), g
+        for r in quantile_estimate(sk, [0.25, 0.9]).collect():
+            assert est_by[(g, r.q)] == r.est, (g, r.q)
+    # HLL: grouped merge of halves vs per-group global estimate
+    hhalves = [
+        hll_sketch_by(df.filter(F.col("rid") % 2 == i), ["g"], "k") for i in (0, 1)
+    ]
+    hmerged = hll_merge_by(*hhalves, keys=["g"])
+    hest = {r.g: r.estimate for r in hll_estimate_by(hmerged, ["g"]).collect()}
+    for g in ("0", "1", "2"):
+        sub = df.filter(F.col("g") == g)
+        assert hest[g] == hll_estimate(hll_sketch(sub, "k")).collect()[0][0], g
+
+
 def test_quantile_sketch_null_discipline(spark):
     # NULL values are ignored (SQL aggregate semantics) and NULL ids
     # excluded with them — engines disagree on NULL sort order, so a

@@ -161,6 +161,14 @@ EXPECT: dict[str, dict] = {
     "q131_adpcm_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q135_flac_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q138_mpeg1_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
+    # grouped quantile sketch: the two half-sketch windows + the merge/
+    # estimate windows all share ONE key hash-exchange shape (3 total
+    # incl. the final sort); per-key bottom-k never single-partitions
+    "q139_grouped_quantiles": dict(max_exchanges=3, max_smj=0, max_bnl=0, max_scans=2),
+    # grouped HLL: per-half register groupBys (map-side combining,
+    # <= |groups|*2^12 rows), merged groupBy, per-key estimate agg,
+    # exact-distinct agg + final sort; the estimate side broadcasts
+    "q140_grouped_hll_distinct": dict(max_exchanges=6, min_bhj=1, max_smj=0, max_scans=3),
     # bloom membership: the <= m/32-word filter and the key set both
     # broadcast back to the probe relation — never a corpus-side SMJ
     "q134_bloom_membership": dict(max_exchanges=5, min_bhj=2, max_smj=0, max_scans=3),
