@@ -218,24 +218,16 @@ def make_sketch_fold(
     returned function twice with the same (stream_id, batch_id) folds
     once; a different stream_id is a new ingestion and folds again."""
     from fdf_spark.llm.sketches import cm_merge, countmin_sketch
-    from fdf_spark.sources.versioned import (
-        _read_manifest,
-        commit_version,
-        list_versions,
-        read_version,
-    )
+    from fdf_spark.sources.versioned import commit_version, list_versions, read_version
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        versions = list_versions(path)
-        if versions:
-            meta = _read_manifest(path, versions[-1]).get("meta", {})
-            if meta.get("stream_id") == stream_id and meta.get("batch_id", -1) >= batch_id:
-                return  # replayed batch of THIS lineage — already folded
+        if _replayed(path, stream_id, batch_id):
+            return  # replayed batch of THIS lineage — already folded
         batch_sketch = countmin_sketch(batch_df, token_col=token_col, depth=depth, width=width)
-        if versions:
+        if list_versions(path):
             batch_sketch = cm_merge(read_version(spark, path), batch_sketch)
         # materialize before the overwrite-commit reads the prior version
         merged = spark.createDataFrame(
@@ -248,6 +240,125 @@ def make_sketch_fold(
     return _fold
 
 
+def _replayed(path, stream_id: str, batch_id: int) -> bool:
+    """The manifest-meta replay guard shared by every sketch/view fold:
+    True iff the landed head already folded this (stream_id, batch_id)."""
+    from fdf_spark.sources.versioned import _read_manifest, list_versions
+
+    versions = list_versions(path)
+    if not versions:
+        return False
+    meta = _read_manifest(path, versions[-1]).get("meta", {})
+    return meta.get("stream_id") == stream_id and meta.get("batch_id", -1) >= batch_id
+
+
+def make_hll_fold(path: str, col: str = "k", p: int = 12, stream_id: str = "run"):
+    """foreachBatch fold behind :func:`stream_hll_sink`: per-batch HLL
+    register relation merged (register-wise MAX) into the landed
+    sketch, one versioned snapshot per batch. Unlike the Count–Min
+    fold, MAX-merge is idempotent BY VALUE — a replayed batch merges to
+    the identical relation — so the (stream_id, batch_id) guard here
+    only avoids a redundant commit; correctness never depended on it."""
+    from fdf_spark.llm.sketches import hll_merge, hll_sketch
+    from fdf_spark.sources.versioned import commit_version, list_versions, read_version
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _replayed(path, stream_id, batch_id):
+            return
+        sk = hll_sketch(batch_df, col, p=p)
+        if list_versions(path):
+            sk = hll_merge(read_version(spark, path), sk)
+        merged = spark.createDataFrame(
+            sk.collect(), "register int, maxrank int"
+        ).coalesce(1)
+        commit_version(
+            merged, path, mode="overwrite", meta={"stream_id": stream_id, "batch_id": batch_id}
+        )
+
+    return _fold
+
+
+def stream_hll_sink(
+    keyed: DataFrame,
+    path: str,
+    col: str = "k",
+    p: int = 12,
+    checkpoint: str | None = None,
+):
+    """Continuous distinct-count sketching (N5 × ST): the streaming
+    tier of the HLL family. State is the ≤ 2^p-row register relation no
+    matter how many distinct keys the stream has carried; the landed
+    sketch AS OF any batch stays readable (versioned snapshots), and
+    register-wise-MAX mergeability makes the fold exact: the running
+    sketch equals the batch sketch of everything ingested (tested).
+    Read with ``read_version`` + ``llm.sketches.hll_estimate``."""
+    import uuid
+
+    stream_id = checkpoint if checkpoint else f"run-{uuid.uuid4().hex}"
+    writer = keyed.writeStream.foreachBatch(
+        make_hll_fold(path, col=col, p=p, stream_id=stream_id)
+    ).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def make_quantile_fold(
+    path: str, col: str = "v", id_col: str = "rid", k: int = 1024, stream_id: str = "run"
+):
+    """foreachBatch fold behind :func:`stream_quantile_sink`: per-batch
+    bottom-k hash sample merged (re-take bottom-k) into the landed
+    sample. Like the HLL fold, the merge is idempotent BY VALUE (a
+    replayed batch's rows hash identically and the k smallest survive
+    unchanged) — the replay guard only skips a redundant commit."""
+    from fdf_spark.llm.sketches import quantile_merge, quantile_sketch
+    from fdf_spark.sources.versioned import commit_version, list_versions, read_version
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if _replayed(path, stream_id, batch_id):
+            return
+        sk = quantile_sketch(batch_df, col, id_col, k=k)
+        if list_versions(path):
+            sk = quantile_merge(read_version(spark, path), sk, k=k)
+        merged = spark.createDataFrame(sk.collect(), "h bigint, v double").coalesce(1)
+        commit_version(
+            merged, path, mode="overwrite", meta={"stream_id": stream_id, "batch_id": batch_id}
+        )
+
+    return _fold
+
+
+def stream_quantile_sink(
+    rows: DataFrame,
+    path: str,
+    col: str = "v",
+    id_col: str = "rid",
+    k: int = 1024,
+    checkpoint: str | None = None,
+):
+    """Continuous quantile sketching (N5 × ST): the streaming tier of
+    the bottom-k sample. State is ≤ k rows regardless of stream volume;
+    exact mergeability makes the landed sample equal the batch sample
+    of everything ingested (tested), so quantile estimates over a
+    continuous stream carry the same rank-error bound as the batch
+    sketch. Read with ``read_version`` + ``llm.sketches.quantile_estimate``."""
+    import uuid
+
+    stream_id = checkpoint if checkpoint else f"run-{uuid.uuid4().hex}"
+    writer = rows.writeStream.foreachBatch(
+        make_quantile_fold(path, col=col, id_col=id_col, k=k, stream_id=stream_id)
+    ).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def make_view_fold(
     path: str,
     keys,
@@ -258,12 +369,7 @@ def make_view_fold(
     """foreachBatch fold behind :func:`stream_view_sink` (factored out
     so the replay guard is directly testable, as make_sketch_fold)."""
     from fdf_spark.operators.ivm import agg_view, incremental_refresh
-    from fdf_spark.sources.versioned import (
-        _read_manifest,
-        commit_version,
-        list_versions,
-        read_version,
-    )
+    from fdf_spark.sources.versioned import commit_version, list_versions, read_version
 
     keys = list(keys)
 
@@ -271,11 +377,9 @@ def make_view_fold(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        versions = list_versions(path)
-        if versions:
-            meta = _read_manifest(path, versions[-1]).get("meta", {})
-            if meta.get("stream_id") == stream_id and meta.get("batch_id", -1) >= batch_id:
-                return  # replayed batch of THIS lineage — already folded
+        if _replayed(path, stream_id, batch_id):
+            return  # replayed batch of THIS lineage — already folded
+        if list_versions(path):
             view = read_version(spark, path)
         else:
             # empty view in the maintained shape (keys…, sum_acc, n_rows)

@@ -253,6 +253,63 @@ def test_sketch_fold_replay_is_idempotent_per_lineage(spark, tmp_path):
     assert doubled == {k: 2 * v for k, v in want.items()}
 
 
+def test_hll_fold_running_sketch_equals_whole_stream(spark, tmp_path):
+    """Streaming HLL: after 3 micro-batches the landed register relation
+    equals the batch sketch of everything ingested (MAX-mergeability),
+    and a same-lineage replay is a no-op BY VALUE as well as by guard."""
+    from fdf_spark.llm.sketches import hll_estimate, hll_sketch
+    from fdf_spark.sources.versioned import list_versions, read_version
+    from fdf_spark.streaming.stateful import make_hll_fold
+
+    path = str(tmp_path / "hll")
+    batches = [
+        [(f"k{i}",) for i in range(0, 400)],
+        [(f"k{i}",) for i in range(200, 700)],   # overlaps batch 0
+        [(f"k{i}",) for i in range(650, 1000)],
+    ]
+    fold = make_hll_fold(path, col="k", stream_id="ckpt-A")
+    for bid, rows in enumerate(batches):
+        fold(spark.createDataFrame(rows, "k string"), bid)
+    fold(spark.createDataFrame(batches[2], "k string"), 2)  # replay: skipped
+    assert list_versions(path) == [1, 2, 3]
+    landed = {(r.register, r.maxrank) for r in read_version(spark, path).collect()}
+    everything = spark.createDataFrame(
+        [r for b in batches for r in b], "k string"
+    )
+    want = {(r.register, r.maxrank) for r in hll_sketch(everything, "k").collect()}
+    assert landed == want
+    est = hll_estimate(read_version(spark, path)).collect()[0][0]
+    assert abs(est - 1000) / 1000 < 0.05  # 1000 true distinct keys
+
+
+def test_quantile_fold_running_sample_equals_whole_stream(spark, tmp_path):
+    """Streaming bottom-k sample: the landed sample after 3 batches is
+    bit-equal to the batch sketch of everything ingested, so stream
+    quantile estimates inherit the batch rank-error bound."""
+    from fdf_spark.llm.sketches import quantile_estimate, quantile_sketch
+    from fdf_spark.sources.versioned import list_versions, read_version
+    from fdf_spark.streaming.stateful import make_quantile_fold
+
+    path = str(tmp_path / "qs")
+    batches = [
+        [(i, float((i * 37) % 1000)) for i in range(0, 3000)],
+        [(i, float((i * 37) % 1000)) for i in range(3000, 6000)],
+        [(i, float((i * 37) % 1000)) for i in range(6000, 9000)],
+    ]
+    fold = make_quantile_fold(path, col="v", id_col="rid", k=512, stream_id="ckpt-A")
+    for bid, rows in enumerate(batches):
+        fold(spark.createDataFrame(rows, "rid long, v double"), bid)
+    assert list_versions(path) == [1, 2, 3]
+    landed = sorted(map(tuple, read_version(spark, path).collect()))
+    everything = spark.createDataFrame(
+        [r for b in batches for r in b], "rid long, v double"
+    )
+    want = sorted(map(tuple, quantile_sketch(everything, "v", "rid", k=512).collect()))
+    assert landed == want
+    med = {r.q: r.est for r in quantile_estimate(read_version(spark, path), [0.5]).collect()}
+    assert abs(med[0.5] - 500.0) < 80  # ~uniform on [0,1000)
+
+
 def test_stream_view_sink_maintains_view(spark, tmp_path):
     """Streaming materialized view: after 3 signed CDC micro-batches
     the maintained SUM/COUNT view equals a from-scratch aggregate over
