@@ -761,7 +761,10 @@ def main() -> None:
         )
         commit_version(base, p)
         t0 = time.perf_counter()
-        res = optimize(spark, p, zorder=["x", "y"], target_bytes=16 * 1024 * 1024)
+        # 4 MB targets -> ~32 z-ordered files, so the range split cuts
+        # x on >= 2 interleaved bits (8 x 16 MB would cut x on only ONE
+        # bit and a narrow x slice necessarily hits half the files)
+        res = optimize(spark, p, zorder=["x", "y"], target_bytes=4 * 1024 * 1024)
         dt = time.perf_counter() - t0
         m = _read_manifest(p, res["version"])
         hit = sum(
