@@ -1,0 +1,93 @@
+"""Regenerate SCALE.md's operator-stress table from one stress run.
+
+Usage: python tools/gen_scale_table.py /tmp/stress_run.txt [note]
+
+Maps each `tools/stress.py` output line (by its label prefix) to the
+descriptive table row, preserving the plan-shape wording the table
+carries; refuses to write if any expected label is missing (a partial
+vintage must never silently replace a complete one).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+#: output-label prefix -> (description, rows text or None to derive)
+ROWS = [
+    ("filter+groupBy agg", "filter + groupBy agg (q01)", "200 M"),
+    ("baseline subtract (A1)", "windowed baseline subtract (A1)", "100 M"),
+    ("as-of join (J4)", "as-of join, 1k keys (J4)", "50 M probes"),
+    ("exact dedup (N1)", "exact dedup, binary sha2 keys (N1)", "50 M"),
+    ("minhash 16 sigs (N2)", "MinHash 16-sig (N2)", "2 M docs (24 M shingles)"),
+    ("capped Jaccard pairs (N2)", "capped Jaccard pairs (N2), every doc sharing one boilerplate trigram", "500 k docs"),
+    ("capped Jaccard zipf-skew (N2)", "capped Jaccard, Zipf-skewed shingle frequencies (N2)", "500 k docs"),
+    ("CUBE 2-dim agg (q31)", "CUBE 2-dim agg (q31)", "200 M"),
+    ("explode+word topk (q34)", "explode + word top-k (q34)", "240 M words"),
+    ("hash-Bernoulli 10% sample (q37)", "hash-Bernoulli 10% sample (q37)", "200 M"),
+    ("trailing range window (q33)", "trailing RANGE-frame window (q33)", "100 M, 10k series"),
+    ("interval join 100k keys (ST4)", "interval join, 100k keys (ST4 batch twin)", "40 M"),
+    ("gradient (A10)", "non-uniform-grid gradient, 10k series (A10)", "100 M"),
+    ("simhash 48-bit (N2)", "SimHash 48-bit map-side fold (N2)", "2 M docs (24 M tokens)"),
+    ("pii detect+redact (N13)", "PII detect+redact, 6-regex chain (N13)", "20 M docs"),
+    ("decontaminate (N12)", "decontaminate vs 50k-doc benchmark (N12)", "5 M docs (40 M shingles)"),
+    ("dup spans (N2)", "span-level substring dedup (N2), 1% planted boilerplate", "2 M docs (34 M grams)"),
+    ("mixture sample (N7)", "mixture sample, 100 sources (N7)", "50 M docs"),
+    ("semantic dedup (N14)", "semantic dedup, 64 cells (N14)", "50 k vectors"),
+    ("cdc merge (N15)", "CDC merge, 1M-row change batch (N15)", "100 M base"),
+    ("inverted index (N10)", "inverted index, 32 segments + hot stop-word (N10)", "5 M docs"),
+    ("pq adc topk (N3)", "PQ encode + ADC top-k, arrow encode (N3)", "1 M × 64-dim"),
+    ("ivf ann recall@10 (N3)", "IVF ANN top-10, 64 cells, nprobe=2, arrow assign — recall@10 vs brute force MEASURED alongside (N3)", "2 M × 16-dim"),
+    ("kmeans 2 iters (N3)", "k-means 2 Lloyd iters, 32 cells, arrow assign (N3)", "1 M × 64-dim"),
+    ("pagerank 3 iters (N16)", "PageRank 3 iterations, 100k nodes (N16)", "5 M edges"),
+    ("vocab tokenize (N19)", "vocab tokenize, 50k vocab, arrow (N19)", "5 M docs"),
+    ("streaming dedup (ST5)", "streaming stateful dedup (ST5)", "5 M rows / 4 micro-batches"),
+    ("count-min sketch (N20)", "Count–Min sketch build, 4×1024 (N20)", "50 M tokens"),
+    ("lm train+score (N21)", "unigram-LM train + score, 100k vocab (N21)", "5 M docs (60 M tokens)"),
+    ("blocked fuzzy ER (N22)", "blocked fuzzy ER, 65k blocks (~29 M levenshtein pairs) (N22)", "2 M names"),
+    ("ivm refresh (N23)", "IVM refresh, 1M-row signed delta (N23)", "100 M base"),
+    ("shard assignment (N24)", "shard assignment, 256 token-balanced shards (N24)", "20 M docs"),
+    ("logreg 3-epoch train (N25)", "logreg 3-epoch batch-GD train, 8 dims (N25)", "20 M rows ×3 epochs"),
+    ("logreg score (N25)", "logreg score, broadcast-literal weights (N25)", "20 M rows"),
+    ("pipeline dedup->shard (N24)", "COMPOSED pipeline: exact dedup → decontam → mixture → 64-shard assignment (q125 shape, N1+N12+N7+N24)", "5 M docs"),
+    ("webdataset write+read (N24)", "webdataset tar shards: write (parallel shard writers) + read + sample regroup, 1M two-member samples (N24 container tier)", "1 M samples (2 M members)"),
+    ("png decode (N6)", "REAL PNG decode (zlib inflate + unfilter), small gradient images (N6)", "100 k images"),
+    ("jpeg decode (N6)", "REAL baseline-JPEG decode (python huffman + IDCT — correctness reference, not SIMD) (N6)", "20 k images"),
+    ("gif decode (N6)", "REAL GIF/LZW decode + palette map (N6)", "100 k images"),
+    ("adpcm decode (N6)", "REAL IMA-ADPCM decode, multi-block nibble streams (N6)", "100 k clips"),
+    ("flac decode (N6)", "REAL FLAC decode (rice + fixed predictors + CRC/MD5 verify) (N6)", "50 k clips"),
+    ("mpeg1 decode (N6)", "REAL MPEG-1 Layer I decode (header/allocation/scalefactor parse + requantization) (N6)", "100 k frames"),
+    ("bloom build+prefilter (N5)", "Bloom join-prune: build over 1 M keys + zero-shuffle map-side prefilter of the probe side (N5)", "100 M probe rows"),
+    ("hll distinct sketch (N5)", "HyperLogLog distinct sketch, 2^12 registers, 20 M distinct (N5)", "200 M rows"),
+    ("quantile sketch x8 (N5)", "quantile sketch: 8 shard bottom-k samples built + exactly merged + estimated (N5)", "100 M rows"),
+    ("optimize zorder (N17)", "versioned-table OPTIMIZE: Z-ORDER recluster into a new snapshot, pruning skip asserted (N17)", "20 M rows / 64 files"),
+]
+
+LINE = re.compile(r"^(.*?)\s{2,}([\d.]+) Mrows\s+([\d.]+) s\s+([\d.]+) Mrows/s(.*)$")
+
+
+def main() -> None:
+    src = sys.argv[1]
+    parsed: dict[str, tuple[float, float, str]] = {}
+    for line in open(src):
+        m = LINE.match(line.rstrip())
+        if not m:
+            continue
+        label = m.group(1).strip()
+        parsed[label] = (float(m.group(3)), float(m.group(4)), m.group(5).strip())
+    missing = [lbl for lbl, _, _ in ROWS if lbl not in parsed]
+    if missing:
+        sys.exit(f"refusing to write: stress output missing rows {missing}")
+    out = ["| operator (plan shape) | rows | wall | Mrows/s |", "|---|---|---|---|"]
+    for lbl, desc, rows in ROWS:
+        wall, mrps, extra = parsed[lbl]
+        rate = f"{mrps:.1f}" if mrps >= 0.05 else "—"
+        if extra:
+            desc = f"{desc} — {extra}"
+        out.append(f"| {desc} | {rows} | {wall:.1f} s | {rate} |")
+    print("\n".join(out))
+    print(f"\n# {len(ROWS)} rows parsed OK from {src}")
+
+
+if __name__ == "__main__":
+    main()
