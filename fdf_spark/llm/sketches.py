@@ -548,6 +548,35 @@ def quantile_estimate(sketch: DataFrame, qs: Sequence[float]) -> DataFrame:
 # result needs — never corpus-sized beyond that.
 
 
+def _bottomk_prune_local(df: DataFrame, keys: Sequence[str], k: int) -> DataFrame:
+    """Zero-shuffle superset prune: keep ≤ k smallest-(h, v) rows per
+    key WITHIN each Arrow batch (``mapInPandas`` — no exchange at all).
+
+    Correctness needs only a SUPERSET of each group's global bottom-k,
+    and per-batch bottom-k is one (a row in the global bottom-k is in
+    its batch's bottom-k a fortiori), so the prune itself need not be
+    deterministic across partitionings — the final per-key window is,
+    because bottom-k of any superset of the bottom-k is the bottom-k.
+    This is what keeps the grouped sketch hot-group-safe at 100 TB: the
+    key exchange after the prune carries ≤ k·batches rows per group,
+    never the group's whole row set.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    key_list = list(keys)
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["h", "v"])
+                    .groupby(key_list, sort=False, dropna=False)
+                    .head(k)
+                )
+
+    return df.mapInPandas(prune, df.schema)
+
+
 def quantile_sketch_by(
     df: DataFrame,
     keys: Sequence[str],
@@ -559,17 +588,25 @@ def quantile_sketch_by(
 
     Same contracts as :func:`quantile_sketch`, per group: deterministic
     (pure function of each group's row multiset), exactly mergeable
-    (:func:`quantile_merge_by`), NULL values/ids excluded. One window
-    over the key hash-exchange; each group keeps its k smallest hashes.
+    (:func:`quantile_merge_by`), NULL values/ids excluded. The local
+    Arrow prune (:func:`_bottomk_prune_local`) bounds what the one key
+    hash-exchange carries to ≤ k rows per (group, batch) — a hot group
+    never ships (or sorts) its whole row set, the per-key analog of the
+    global sketch's TakeOrderedAndProject map-side cut.
     """
     from pyspark.sql import Window
 
     h = portable_hash60(F.col(id_col).cast("string"))
+    pruned = _bottomk_prune_local(
+        df.select(*keys, h.alias("h"), F.col(col).cast("double").alias("v")).where(
+            F.col("h").isNotNull() & F.col("v").isNotNull()
+        ),
+        keys,
+        k,
+    )
     w = Window.partitionBy(*keys).orderBy("h", "v")
     return (
-        df.select(*keys, h.alias("h"), F.col(col).cast("double").alias("v"))
-        .where(F.col("h").isNotNull() & F.col("v").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
+        pruned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
