@@ -18,6 +18,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -550,28 +551,59 @@ def resize_images(assets: DataFrame, width: int, height: int, codec: str = "stub
     """Arrow-batched image resize: same asset schema out, payload
     re-encoded at (width, height) and metadata rewritten.
 
-    ``codec='stub'`` raises (PIL not in this container); ``codec='fake'``
-    deterministically re-synthesizes a payload of ``width*height`` bytes
-    by tiling the source bytes — byte-for-byte reproducible, so tests
-    assert the full pipeline (schema, metadata rewrite, batch shapes)
-    without an image library. Non-image rows pass through untouched.
+    ``codec='png'`` is the REAL path: the payload is decoded with the
+    pure-python PNG codec (``llm/imagecodecs.py``), resampled with
+    exact integer nearest-neighbour (``src = (dst_i * src_dim) //
+    dst_dim`` — a closed-form law a SQL oracle replays, q140), and
+    re-encoded as a real PNG; because PNG is lossless the output
+    payload decodes to EXACTLY the resampled pixels, and metadata is
+    rewritten from the decoded header rather than trusted input meta.
+    ``codec='fake'`` deterministically re-synthesizes a payload of
+    ``width*height`` bytes by tiling the source bytes — byte-for-byte
+    reproducible, so tests assert the pipeline (schema, metadata
+    rewrite, batch shapes) without decoding. ``codec='stub'`` raises:
+    resize of PERCEPTUAL formats (JPEG re-encode chooses quant tables;
+    lossy round-trips are codec-implementation-defined) belongs to a
+    native lib mounted in this same seam. Non-image rows pass through
+    untouched.
     """
+    if codec not in ("stub", "fake", "png"):
+        raise ValueError(f"unknown resize codec {codec!r}; expected 'png' or 'fake'")
+    if "meta" not in assets.columns:
+        assets = assets.withColumn(
+            "meta",
+            F.lit(None).cast(
+                "struct<width:int, height:int, sample_rate:int, n_frames:int>"
+            ),
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec == "png":
+            from fdf_spark.llm.imagecodecs import decode_png_pixels, encode_png
+
         for pdf in batches:
             if codec == "stub":
                 raise NotImplementedError(
-                    "real image resize requires PIL; use codec='fake' "
-                    "for the deterministic test codec"
+                    "real resize is implemented for the lossless codec "
+                    "(codec='png'); lossy formats re-encode through "
+                    "implementation-defined quantizers and stay behind "
+                    "the native-lib seam. Use codec='png' or 'fake'."
                 )
 
             def one(row):
                 if row["media_type"] != "image":
                     return row["payload"], row["meta"]
-                src = bytes(row["payload"]) or b"\0"
-                n = width * height
-                out = (src * (n // len(src) + 1))[:n]
                 meta = dict(row["meta"] or {})
+                if codec == "png":
+                    arr = decode_png_pixels(bytes(row["payload"]))
+                    sh, sw = arr.shape[:2]
+                    ys = (np.arange(height, dtype=np.int64) * sh) // height
+                    xs = (np.arange(width, dtype=np.int64) * sw) // width
+                    out = encode_png(arr[ys][:, xs], filter_type=0)
+                else:
+                    src = bytes(row["payload"]) or b"\0"
+                    n = width * height
+                    out = (src * (n // len(src) + 1))[:n]
                 meta["width"], meta["height"] = width, height
                 return out, meta
 

@@ -911,6 +911,59 @@ def q138_mpeg1_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q141_resize_real",
+    """
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+      FROM documents WHERE doc_id < 200),
+    px AS (
+      SELECT doc_id, c.c AS c,
+             AVG(CAST((doc_id + 11 * ((x.x * w) // 5) + 23 * ((y.y * h) // 3)
+                       + 41 * c.c) % 256 AS DOUBLE)) AS m
+      FROM d
+      CROSS JOIN (SELECT unnest(range(5)) AS x) x
+      CROSS JOIN (SELECT unnest(range(3)) AS y) y
+      CROSS JOIN (SELECT unnest(range(3)) AS c) c
+      GROUP BY doc_id, c.c)
+    SELECT doc_id AS asset_id,
+           CAST(5 AS DOUBLE) AS v0,
+           CAST(3 AS DOUBLE) AS v1,
+           CAST(3 AS DOUBLE) AS v2,
+           MAX(CASE WHEN c = 0 THEN m END) AS v3,
+           MAX(CASE WHEN c = 1 THEN m END) AS v4,
+           MAX(CASE WHEN c = 2 THEN m END) AS v5
+    FROM px GROUP BY doc_id ORDER BY asset_id
+    """,
+    operators=("N6",),
+    doc="REAL image resize (retires the r6 'resize requires PIL' stub): "
+    "each doc's gradient PNG (the q128 fixture law) is DECODED by the "
+    "pure-python codec, resampled with exact integer nearest-neighbour "
+    "(src = (dst_i * src_dim) // dst_dim) covering BOTH directions "
+    "(source widths 2..7 vs target 5), re-ENCODED as a real PNG with "
+    "metadata rewritten, then decoded AGAIN for the checked channel "
+    "means — two full codec roundtrips around a resample. PNG is "
+    "lossless, so the oracle recomputes the resized pixels from the "
+    "composition of the gradient law with the index law, independent "
+    "of codec and resampler. Lossy formats stay behind the native-lib "
+    "seam by design (re-encode is quantizer-implementation-defined).",
+)
+def q141_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import (
+        extract_features,
+        resize_images,
+        synth_png_assets,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    resized = resize_images(synth_png_assets(docs), 5, 3, codec="png")
+    feats = extract_features(resized, codec="png")
+    return feats.select(
+        "asset_id",
+        *[F.element_at("feat", i + 1).alias(f"v{i}") for i in range(6)],
+    ).orderBy("asset_id")
+
+
+@query(
     "q132_webdataset_roundtrip",
     """
     SELECT source, COUNT(*) AS n_docs,

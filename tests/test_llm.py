@@ -269,8 +269,41 @@ def test_resize_images_plumbing(spark):
 
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="NotImplementedError|PIL"):
+    with _pytest.raises(Exception, match="NotImplementedError|codec='png'"):
         resize_images(assets, 4, 2, codec="stub").collect()
+    with _pytest.raises(ValueError, match="unknown resize codec"):
+        resize_images(assets, 4, 2, codec="jpg")
+
+
+def test_resize_images_real_png(spark):
+    """REAL resize: decode → integer nearest-neighbour → re-encode.
+    PNG is lossless, so the output payload must decode to EXACTLY
+    arr[(y2*h)//H2][(x2*w)//W2] of the source pixels — checked per
+    pixel for up- AND down-scaling, plus meta rewrite from the decode
+    (input meta absent: the op must synthesize the column)."""
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import decode_png_pixels, encode_png
+    from fdf_spark.llm.multimodal import resize_images
+
+    rng = np.random.RandomState(42)
+    srcs = {1: rng.randint(0, 256, (2, 7, 3)), 2: rng.randint(0, 256, (5, 3, 3))}
+    rows = [
+        (aid, "image", bytearray(encode_png(a.astype(np.uint8), filter_type=aid)))
+        for aid, a in srcs.items()
+    ] + [(3, "audio", bytearray(b"xyz"))]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    out = {r["asset_id"]: r for r in resize_images(assets, 4, 3, codec="png").collect()}
+    for aid, a in srcs.items():
+        got = decode_png_pixels(bytes(out[aid]["payload"]))
+        h, w = a.shape[:2]
+        ys = (np.arange(3) * h) // 3
+        xs = (np.arange(4) * w) // 4
+        assert (got == a[ys][:, xs]).all()
+        assert out[aid]["meta"]["width"] == 4 and out[aid]["meta"]["height"] == 3
+    assert bytes(out[3]["payload"]) == b"xyz"  # non-image passthrough
 
 
 def test_pii_planted_strings(spark):

@@ -667,6 +667,18 @@ def main() -> None:
     from fdf_spark.llm.multimodal import synth_mpeg1_assets
 
     timed("mpeg1 decode (N6)", 100_000, extract_features(synth_mpeg1_assets(ids(100_000)), codec="mpeg1"))
+    from fdf_spark.llm.multimodal import resize_images
+
+    # real resize = decode + resample + re-encode + decode (two full
+    # codec passes around the resample) — same zero-shuffle shape
+    timed(
+        "png resize 5x3 (N6)",
+        50_000,
+        extract_features(
+            resize_images(synth_png_assets(ids(50_000)), 5, 3, codec="png"),
+            codec="png",
+        ),
+    )
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
     # vector (m/32 longs — bounded metadata), prune a 100M-row probe
