@@ -979,3 +979,118 @@ def decode_gif(payload: bytes) -> list[float]:
     sums = px.sum(axis=(0, 1))
     n = h * w
     return [float(w), float(h), 3.0, sums[0] / n, sums[1] / n, sums[2] / n]
+
+
+def encode_gif_anim(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
+    """Encode equal-sized H×W uint8 index frames as a real ANIMATED
+    GIF89a: one Graphic Control Extension + image descriptor + LZW
+    stream per frame over the fixed arithmetic palette — the
+    multi-frame VIDEO container of the multimodal tier (every byte
+    spec-valid; any conformant GIF viewer plays it)."""
+    if not frames:
+        raise ValueError("encode_gif_anim needs at least one frame")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = arrs[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x70 | 0x07, 0, 0])  # global table, 256 entries
+    out += _gif_palette()
+    for a in arrs:
+        if a.ndim != 2 or a.shape != (h, w):
+            raise ValueError("animation frames must share one H x W shape")
+        # GCE: disposal=1 (leave in place), no transparency
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(8)  # LZW min code size
+        data = _lzw_compress([int(v) for v in a.reshape(-1)], 8)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def scan_gif_frames(payload: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Walk an (animated) GIF container WITHOUT LZW-decoding: returns
+    ``(width, height, min_code_size, [entropy stream per frame])``.
+
+    This is the cheap pass of pruned frame sampling — a linear byte
+    scan that hops sub-blocks by their length prefix; the expensive
+    LZW decode is deferred to :func:`decode_gif_frame_pixels` and paid
+    ONLY for the frames a sampler selects.  Same strict profile as
+    :func:`decode_gif_pixels` (global table, full-rectangle frames,
+    no interlace)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("missing global color table")
+    n_colors = 2 << (packed & 0x07)
+    pos = 13 + n_colors * 3
+    frames: list[bytes] = []
+    min_code = -1
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            if not frames:
+                raise ValueError("no image descriptor before trailer")
+            return w, h, min_code, frames
+        if b == 0x21:  # extension: hop its sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension block")
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected block 0x{b:02X}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        ipacked = payload[pos + 9]
+        if ipacked & 0x80:
+            raise ValueError("local color tables unsupported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise ValueError("sub-rectangle frames unsupported")
+        pos += 10
+        mc = payload[pos]
+        if min_code < 0:
+            min_code = mc
+        elif mc != min_code:
+            raise ValueError("per-frame LZW code sizes differ")
+        pos += 1
+        data = bytearray()
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            chunk = payload[pos + 1 : pos + 1 + ln]
+            if len(chunk) != ln:
+                raise ValueError("truncated GIF image data sub-block")
+            data += chunk
+            pos += 1 + ln
+        if pos >= len(payload):
+            raise ValueError("truncated GIF (missing block terminator)")
+        pos += 1
+        frames.append(bytes(data))
+    raise ValueError("truncated GIF")
+
+
+def decode_gif_frame_pixels(payload: bytes, frame: int) -> np.ndarray:
+    """LZW-decode ONE frame of an animated GIF to H×W×3 RGB — the
+    expensive half of pruned frame sampling (cost ∝ frames decoded,
+    not frames present)."""
+    w, h, min_code, frames = scan_gif_frames(payload)
+    if not 0 <= frame < len(frames):
+        raise ValueError(f"frame {frame} out of range (0..{len(frames) - 1})")
+    n_colors = 2 << (payload[10] & 0x07)
+    palette = np.frombuffer(payload, np.uint8, n_colors * 3, 13).reshape(n_colors, 3)
+    indices = _lzw_decompress(frames[frame], min_code)
+    if len(indices) != w * h:
+        raise ValueError(f"decoded {len(indices)} pixels, expected {w * h}")
+    idx = np.array(indices, dtype=np.int64).reshape(h, w)
+    if idx.max() >= n_colors:
+        raise ValueError("palette index out of range")
+    return palette[idx]

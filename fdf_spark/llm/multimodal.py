@@ -407,6 +407,108 @@ def synth_gif_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_gif_anim_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL animated-GIF (video-tier) fixtures.
+
+    Every doc becomes an actual multi-frame GIF89a (per-frame Graphic
+    Control Extension + LZW stream over the fixed arithmetic palette)
+    with the frame-indexed pixel law::
+
+        width = 2 + doc_id % 4   height = 1 + doc_id % 3
+        n_frames = 2 + doc_id % 5
+        index(x, y, f) = (doc_id + 5*x + 9*y + 17*f) % 256
+
+    so a SQL oracle recomputes any frame's RGB means from arithmetic
+    alone — the container walk + per-frame LZW roundtrip is the thing
+    under test.  ``meta.n_frames`` is filled but the REAL sampler
+    (:func:`frame_sample_features`) derives the frame count from the
+    container, never from trusted metadata.
+    """
+    from fdf_spark.llm.imagecodecs import encode_gif_anim
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads, metas = [], []
+            for d in ids:
+                d = int(d)
+                w, h, nf = 2 + d % 4, 1 + d % 3, 2 + d % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                payloads.append(
+                    encode_gif_anim(
+                        [((d + 5 * xx + 9 * yy + 17 * f) % 256).astype(np.uint8) for f in range(nf)]
+                    )
+                )
+                metas.append({"width": w, "height": h, "sample_rate": None, "n_frames": nf})
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": ["video"] * len(ids),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "asset_id long, frame_idx int, n_frames int, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def frame_sample_features(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL pruned video-frame sampling over animated GIFs: one output
+    row per sampled frame with exact-integer channel means.
+
+    Two-cost structure, which is the point at scale: the container
+    walk (:func:`~fdf_spark.llm.imagecodecs.scan_gif_frames`) is a
+    linear byte scan that hops LZW sub-blocks by their length prefix —
+    paid once per asset — while the expensive LZW decode
+    (:func:`~fdf_spark.llm.imagecodecs.decode_gif_frame_pixels`) is
+    paid ONLY for frames 0, every_n, 2·every_n, …  Decode cost scales
+    with frames SAMPLED, not frames present (a 1/every_n saving that
+    tests pin by comparing against decoding everything).  The frame
+    count comes from the container itself, never ``meta`` — corrupt or
+    absent metadata cannot smuggle frames past the sampler.  Runs as
+    Arrow-batched ``mapInPandas``: embarrassingly parallel per asset,
+    zero shuffles (plan-pinned, q142).
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    from fdf_spark.llm.imagecodecs import decode_gif_frame_pixels, scan_gif_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "frame_idx", "n_frames", "width", "height",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                w, h, _mc, frames = scan_gif_frames(p)
+                for f in range(0, len(frames), every_n):
+                    px = decode_gif_frame_pixels(p, f).astype(np.int64)
+                    sums = px.sum(axis=(0, 1))
+                    n = h * w
+                    rows["asset_id"].append(int(aid))
+                    rows["frame_idx"].append(f)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_r"].append(sums[0] / n)
+                    rows["mean_g"].append(sums[1] / n)
+                    rows["mean_b"].append(sums[2] / n)
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("media_type") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(run, FRAME_SCHEMA)
+    )
+
+
 def synth_adpcm_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-IMA-ADPCM fixtures from doc ids.
 

@@ -964,6 +964,56 @@ def q141_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q142_frame_sample_real",
+    """
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS w, 1 + doc_id % 3 AS h,
+             2 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id < 200),
+    fr AS (
+      SELECT doc_id, w, h, nf, f.f AS f
+      FROM d CROSS JOIN (SELECT unnest(range(0, 7, 2)) AS f) f
+      WHERE f.f < nf),
+    px AS (
+      SELECT doc_id, f, w, h, nf,
+             AVG(CAST((doc_id + 5 * x.x + 9 * y.y + 17 * f) % 256 AS DOUBLE)) AS mr,
+             AVG(CAST((3 * ((doc_id + 5 * x.x + 9 * y.y + 17 * f) % 256)) % 256 AS DOUBLE)) AS mg,
+             AVG(CAST((7 * ((doc_id + 5 * x.x + 9 * y.y + 17 * f) % 256)) % 256 AS DOUBLE)) AS mb
+      FROM fr
+      CROSS JOIN (SELECT unnest(range(5)) AS x) x
+      CROSS JOIN (SELECT unnest(range(3)) AS y) y
+      WHERE x.x < w AND y.y < h
+      GROUP BY doc_id, f, w, h, nf)
+    SELECT doc_id AS asset_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           mr AS mean_r, mg AS mean_g, mb AS mean_b
+    FROM px ORDER BY asset_id, frame_idx
+    """,
+    operators=("N6",),
+    doc="REAL pruned video-frame sampling (upgrades frame_sample from "
+    "a metadata plan to a real decode): every doc becomes an actual "
+    "ANIMATED GIF89a (per-frame GCE + LZW streams), and the sampler "
+    "walks the container with a cheap linear byte scan (sub-blocks "
+    "hopped by length prefix, frame count read from the BYTES — never "
+    "trusted metadata), then LZW-decodes ONLY frames 0,2,4,… — decode "
+    "cost scales with frames sampled, not frames present. The oracle "
+    "recomputes each sampled frame's RGB means from the frame-indexed "
+    "pixel law composed with the arithmetic palette, independent of "
+    "encoder, scanner and decoder; exact integer sums make the means "
+    "bit-stable. Zero-shuffle plan (one mapInPandas per asset batch).",
+)
+def q142_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import frame_sample_features, synth_gif_anim_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    frames = frame_sample_features(synth_gif_anim_assets(docs), every_n=2)
+    return frames.orderBy("asset_id", "frame_idx")
+
+
+@query(
     "q132_webdataset_roundtrip",
     """
     SELECT source, COUNT(*) AS n_docs,

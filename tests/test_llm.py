@@ -1093,6 +1093,84 @@ def test_gif_rejects_malformed():
         assert "color table" in str(e)
 
 
+def test_gif_anim_roundtrip_and_strictness():
+    """Animated GIF: every frame LZW-roundtrips through the palette;
+    the container scan reports real frame counts; malformed payloads
+    (mismatched frame shapes, truncated streams) are rejected loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fdf_spark.llm.imagecodecs import (
+        _gif_palette,
+        decode_gif_frame_pixels,
+        decode_gif_pixels,
+        encode_gif_anim,
+        scan_gif_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (3, 5)).astype(np.uint8) for _ in range(4)]
+    p = encode_gif_anim(frames, delay_cs=10)
+    w, h, mc, streams = scan_gif_frames(p)
+    assert (w, h, mc, len(streams)) == (5, 3, 8, 4)
+    pal = np.frombuffer(_gif_palette(), np.uint8).reshape(256, 3)
+    for f in range(4):
+        assert (decode_gif_frame_pixels(p, f) == pal[frames[f]]).all()
+    # frame 0 of an animation decodes through the single-frame reader too
+    assert (decode_gif_pixels(p) == pal[frames[0]]).all()
+    with _pytest.raises(ValueError, match="out of range"):
+        decode_gif_frame_pixels(p, 4)
+    with _pytest.raises(ValueError, match="share one"):
+        encode_gif_anim([frames[0], frames[0][:2]])
+    with _pytest.raises(ValueError, match="truncated|trailer"):
+        scan_gif_frames(p[:-10])
+
+
+def test_frame_sample_features_pruned(spark):
+    """REAL frame sampling: every_n=2 output is exactly the even-frame
+    subset of every_n=1 (pruned decode == full decode on the sampled
+    frames); n_frames comes from the CONTAINER — a lying meta struct
+    changes nothing; non-video rows are excluded."""
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.multimodal import (
+        frame_sample_features,
+        synth_gif_anim_assets,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    assets = synth_gif_anim_assets(docs)
+    # corrupt the metadata: claim n_frames=1 everywhere + a non-video row
+    lying = assets.withColumn(
+        "meta",
+        F.named_struct(
+            F.lit("width"), F.lit(1), F.lit("height"), F.lit(1),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("n_frames"), F.lit(1),
+        ),
+    ).withColumn(
+        "media_type",
+        F.when(F.col("asset_id") == 0, F.lit("image")).otherwise(F.col("media_type")),
+    )
+    full = {(r["asset_id"], r["frame_idx"]): r for r in frame_sample_features(lying, every_n=1).collect()}
+    samp = frame_sample_features(lying, every_n=2).collect()
+    assert 0 not in {r["asset_id"] for r in samp}  # non-video excluded
+    assert {r["asset_id"] for r in samp} == set(range(1, 40))
+    for r in samp:
+        assert r["frame_idx"] % 2 == 0
+        assert r["n_frames"] == 2 + r["asset_id"] % 5  # container, not meta
+        fr = full[(r["asset_id"], r["frame_idx"])]
+        assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (fr["mean_r"], fr["mean_g"], fr["mean_b"])
+    # the sampled set is exactly the even subset of the full set
+    assert {k for k in full if k[1] % 2 == 0 and k[0] != 0} == {
+        (r["asset_id"], r["frame_idx"]) for r in samp
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_n"):
+        frame_sample_features(lying, every_n=0)
+
+
 def test_gif_extract_features_distributed(spark):
     import numpy as np
 

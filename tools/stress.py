@@ -679,6 +679,15 @@ def main() -> None:
             codec="png",
         ),
     )
+    from fdf_spark.llm.multimodal import frame_sample_features, synth_gif_anim_assets
+
+    # pruned frame sampling: container walk per asset (cheap byte
+    # scan), LZW decode only for frames 0,2,4,… — cost ∝ sampled
+    timed(
+        "gif frame sample /2 (N6)",
+        50_000,
+        frame_sample_features(synth_gif_anim_assets(ids(50_000)), every_n=2),
+    )
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
     # vector (m/32 longs — bounded metadata), prune a 100M-row probe
