@@ -509,6 +509,107 @@ def frame_sample_features(assets: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def synth_gif_scene_assets(docs: DataFrame) -> DataFrame:
+    """Animated-GIF fixtures with a planted SCENE CUT.
+
+    Same container as :func:`synth_gif_anim_assets` but the pixel law
+    carries slow per-frame drift plus one hard jump::
+
+        n_frames = 2 + doc_id % 5      cut = 1 + doc_id % (n_frames-1)
+        index(x, y, f) = (doc_id + 5*x + 9*y + 2*f
+                          + 120*[f >= cut]) % 256
+
+    so consecutive-frame deltas are small everywhere except across the
+    cut — the ground truth a scene detector must recover, and pure
+    arithmetic a SQL oracle replays exactly.
+    """
+    from fdf_spark.llm.imagecodecs import encode_gif_anim
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads, metas = [], []
+            for d in ids:
+                d = int(d)
+                w, h, nf = 2 + d % 4, 1 + d % 3, 2 + d % 5
+                cut = 1 + d % (nf - 1)
+                yy, xx = np.mgrid[0:h, 0:w]
+                payloads.append(
+                    encode_gif_anim(
+                        [
+                            ((d + 5 * xx + 9 * yy + 2 * f + (120 if f >= cut else 0)) % 256).astype(np.uint8)
+                            for f in range(nf)
+                        ]
+                    )
+                )
+                metas.append({"width": w, "height": h, "sample_rate": None, "n_frames": nf})
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": ["video"] * len(ids),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+SCENE_SCHEMA = (
+    "asset_id long, frame_idx int, n_frames int, delta double, is_cut boolean"
+)
+
+
+def scene_cuts(assets: DataFrame, threshold: float = 40.0) -> DataFrame:
+    """Scene-change detection over the animated-GIF video tier: one
+    row per consecutive frame pair with the mean absolute RGB delta
+    and the thresholded cut verdict.
+
+    Unlike sampling (:func:`frame_sample_features`), deltas need BOTH
+    neighbours, so every frame is decoded — but sequentially, holding
+    only the previous frame's pixels (peak memory = 2 frames per
+    asset, any clip length), with the container scanned ONCE per asset
+    (the per-frame entropy streams come from one
+    :func:`~fdf_spark.llm.imagecodecs.scan_gif_frames` walk).  The
+    delta is exact integer arithmetic over the palette-mapped pixels
+    divided once (``Σ|Δ| / (w·h·3)``) — bit-stable in any engine, so
+    q143's oracle replays detector output INCLUDING the verdicts.
+    Arrow-batched ``mapInPandas``, zero shuffles, embarrassingly
+    parallel per asset.
+    """
+    from fdf_spark.llm.imagecodecs import _gif_palette, _lzw_decompress, scan_gif_frames
+
+    pal = np.frombuffer(_gif_palette(), np.uint8).reshape(256, 3).astype(np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "frame_idx", "n_frames", "delta", "is_cut")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(payload)
+                w, h, mc, streams = scan_gif_frames(p)
+                prev = None
+                for f, s in enumerate(streams):
+                    idx = np.array(_lzw_decompress(s, mc), dtype=np.int64)
+                    if idx.size != w * h:
+                        raise ValueError(f"frame {f}: {idx.size} pixels, expected {w * h}")
+                    cur = pal[idx.reshape(h, w)]
+                    if prev is not None:
+                        delta = int(np.abs(cur - prev).sum()) / (w * h * 3)
+                        rows["asset_id"].append(int(aid))
+                        rows["frame_idx"].append(f)
+                        rows["n_frames"].append(len(streams))
+                        rows["delta"].append(delta)
+                        rows["is_cut"].append(delta > threshold)
+                    prev = cur
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.filter(F.col("media_type") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(run, SCENE_SCHEMA)
+    )
+
+
 def synth_adpcm_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-IMA-ADPCM fixtures from doc ids.
 

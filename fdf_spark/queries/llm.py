@@ -1014,6 +1014,61 @@ def q142_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q143_scene_cuts",
+    """
+    WITH d AS (
+      SELECT doc_id, 2 + doc_id % 4 AS w, 1 + doc_id % 3 AS h,
+             2 + doc_id % 5 AS nf,
+             1 + doc_id % (1 + doc_id % 5) AS cut
+      FROM documents WHERE doc_id < 200),
+    fr AS (
+      SELECT doc_id, w, h, nf, cut, f.f AS f
+      FROM d CROSS JOIN (SELECT unnest(range(1, 7)) AS f) f
+      WHERE f.f < nf),
+    px AS (
+      SELECT doc_id, f, nf, w, h,
+             (doc_id + 5 * x.x + 9 * y.y + 2 * (f - 1)
+              + CASE WHEN f - 1 >= cut THEN 120 ELSE 0 END) % 256 AS ip,
+             (doc_id + 5 * x.x + 9 * y.y + 2 * f
+              + CASE WHEN f >= cut THEN 120 ELSE 0 END) % 256 AS ic
+      FROM fr
+      CROSS JOIN (SELECT unnest(range(5)) AS x) x
+      CROSS JOIN (SELECT unnest(range(3)) AS y) y
+      WHERE x.x < w AND y.y < h),
+    agg AS (
+      SELECT doc_id, f, nf,
+             SUM(ABS(ic - ip) + ABS((3 * ic) % 256 - (3 * ip) % 256)
+                 + ABS((7 * ic) % 256 - (7 * ip) % 256)) / (MAX(w) * MAX(h) * 3) AS delta
+      FROM px GROUP BY doc_id, f, nf)
+    SELECT doc_id AS asset_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           delta,
+           delta > 40.0 AS is_cut
+    FROM agg ORDER BY asset_id, frame_idx
+    """,
+    operators=("N6",),
+    doc="Scene-change detection over the video tier: fixtures are "
+    "animated GIFs whose pixel law drifts +2 per frame with one hard "
+    "+120 jump at a planted cut (cut = 1 + doc_id % (n_frames-1)); "
+    "the detector decodes frames SEQUENTIALLY (container scanned once, "
+    "peak memory two frames per asset at any clip length), folds the "
+    "mean absolute RGB delta of each consecutive pair in exact integer "
+    "arithmetic with ONE division, and thresholds at 40. The oracle "
+    "replays deltas AND verdicts from the law composed with the "
+    "palette — so a wrong palette map, frame order, or off-by-one in "
+    "the pair indexing flips the hash. Zero-shuffle plan pinned.",
+)
+def q143_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import scene_cuts, synth_gif_scene_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    return scene_cuts(synth_gif_scene_assets(docs), threshold=40.0).orderBy(
+        "asset_id", "frame_idx"
+    )
+
+
+@query(
     "q132_webdataset_roundtrip",
     """
     SELECT source, COUNT(*) AS n_docs,

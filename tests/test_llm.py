@@ -1171,7 +1171,32 @@ def test_frame_sample_features_pruned(spark):
         frame_sample_features(lying, every_n=0)
 
 
-def test_gif_extract_features_distributed(spark):
+def test_scene_cuts_recovers_planted(spark):
+    """Scene detection on the planted-cut fixtures: recall is exactly
+    1.0 (the +120 jump gives delta >= 122/3 > 40 on the R channel
+    alone), and false positives — palette wraps under the +2 drift —
+    stay under 5%. Also: one row per consecutive pair, sequential
+    frame indices, deltas finite and non-negative."""
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.multimodal import scene_cuts, synth_gif_scene_assets
+
+    docs = spark.range(0, 120).select(F.col("id").alias("doc_id"))
+    rows = scene_cuts(synth_gif_scene_assets(docs), threshold=40.0).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == set(range(120))
+    found = {(r["asset_id"], r["frame_idx"]) for r in rows if r["is_cut"]}
+    planted = set()
+    for d in range(120):
+        nf = 2 + d % 5
+        planted.add((d, 1 + d % (nf - 1)))
+        assert sorted(r["frame_idx"] for r in by_asset[d]) == list(range(1, nf))
+        assert all(r["n_frames"] == nf and r["delta"] >= 0 for r in by_asset[d])
+    assert planted <= found  # recall 1.0 — every planted cut detected
+    fp = len(found - planted)
+    assert fp / len(rows) < 0.05, f"{fp} false positives in {len(rows)} pairs"
     import numpy as np
 
     from fdf_spark.llm.multimodal import extract_features, synth_gif_assets

@@ -515,6 +515,41 @@ def test_gif_lzw_roundtrip_law(data, w):
 
 
 @given(
+    data=st.binary(min_size=1, max_size=600),
+    w=st.integers(min_value=1, max_value=20),
+    nf=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_anim_roundtrip_law(data, w, nf):
+    """Animated-GIF law on ARBITRARY content: every frame of an
+    encode→scan→per-frame-decode roundtrip equals its palette-mapped
+    source, and the pruned reader agrees with the single-frame reader
+    on frame 0."""
+    from fdf_spark.llm.imagecodecs import (
+        decode_gif_frame_pixels,
+        decode_gif_pixels,
+        encode_gif_anim,
+        scan_gif_frames,
+    )
+
+    h = len(data) // w
+    if h == 0:
+        return
+    base = np.frombuffer(data[: h * w], np.uint8).reshape(h, w)
+    frames = [(base + 13 * f).astype(np.uint8) for f in range(nf)]
+    p = encode_gif_anim(frames)
+    W, H, _mc, streams = scan_gif_frames(p)
+    assert (W, H, len(streams)) == (w, h, nf)
+    for f in range(nf):
+        dec = decode_gif_frame_pixels(p, f)
+        idx = frames[f].astype(int)
+        assert (dec[:, :, 0] == idx % 256).all()
+        assert (dec[:, :, 1] == (3 * idx) % 256).all()
+        assert (dec[:, :, 2] == (7 * idx) % 256).all()
+    assert (decode_gif_pixels(p) == decode_gif_frame_pixels(p, 0)).all()
+
+
+@given(
     samples=st.lists(
         st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
     ),

@@ -688,6 +688,15 @@ def main() -> None:
         50_000,
         frame_sample_features(synth_gif_anim_assets(ids(50_000)), every_n=2),
     )
+    from fdf_spark.llm.multimodal import scene_cuts, synth_gif_scene_assets
+
+    # scene detection decodes every frame (deltas need both
+    # neighbours) but sequentially — peak memory 2 frames/asset
+    timed(
+        "gif scene cuts (N6)",
+        50_000,
+        scene_cuts(synth_gif_scene_assets(ids(50_000)), threshold=40.0),
+    )
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
     # vector (m/32 longs — bounded metadata), prune a 100M-row probe
