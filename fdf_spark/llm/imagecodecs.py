@@ -912,62 +912,13 @@ def encode_gif(indices: np.ndarray) -> bytes:
 
 
 def decode_gif_pixels(payload: bytes) -> np.ndarray:
-    """Decode a single-frame GIF87a/89a to an H×W×3 uint8 RGB array
-    via the global color table (local tables, interlace, and extension
-    blocks beyond plain skipping are rejected loudly)."""
-    if payload[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF payload")
-    w, h = struct.unpack_from("<HH", payload, 6)
-    packed = payload[10]
-    if not packed & 0x80:
-        raise ValueError("missing global color table")
-    n_colors = 2 << (packed & 0x07)
-    pos = 13
-    palette = np.frombuffer(payload, np.uint8, n_colors * 3, pos).reshape(n_colors, 3)
-    pos += n_colors * 3
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0x3B:  # trailer
-            raise ValueError("no image descriptor before trailer")
-        if b == 0x21:  # extension: skip its sub-blocks
-            pos += 2
-            while pos < len(payload) and payload[pos]:
-                pos += 1 + payload[pos]
-            if pos >= len(payload):
-                raise ValueError("truncated GIF extension block")
-            pos += 1
-            continue
-        if b != 0x2C:
-            raise ValueError(f"unexpected block 0x{b:02X}")
-        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
-        ipacked = payload[pos + 9]
-        if ipacked & 0x80:
-            raise ValueError("local color tables unsupported")
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF unsupported")
-        if (left, top, iw, ih) != (0, 0, w, h):
-            raise ValueError("sub-rectangle frames unsupported")
-        pos += 10
-        min_code = payload[pos]
-        pos += 1
-        data = bytearray()
-        while pos < len(payload) and payload[pos]:
-            ln = payload[pos]
-            chunk = payload[pos + 1 : pos + 1 + ln]
-            if len(chunk) != ln:
-                raise ValueError("truncated GIF image data sub-block")
-            data += chunk
-            pos += 1 + ln
-        if pos >= len(payload):
-            raise ValueError("truncated GIF (missing block terminator)")
-        indices = _lzw_decompress(bytes(data), min_code)
-        if len(indices) != w * h:
-            raise ValueError(f"decoded {len(indices)} pixels, expected {w * h}")
-        idx = np.array(indices, dtype=np.int64).reshape(h, w)
-        if idx.max() >= n_colors:
-            raise ValueError("palette index out of range")
-        return palette[idx]
-    raise ValueError("truncated GIF")
+    """Decode frame 0 of a GIF87a/89a to an H×W×3 uint8 RGB array via
+    the global color table (local tables, interlace, and extension
+    blocks beyond plain skipping are rejected loudly).  The container
+    walk is :func:`scan_gif_frames` — ONE strict parser for the
+    single-frame and animated readers alike."""
+    w, h, min_code, frames = scan_gif_frames(payload)
+    return decode_scanned_frame(payload, w, h, min_code, frames[0])
 
 
 def decode_gif(payload: bytes) -> list[float]:
@@ -990,6 +941,8 @@ def encode_gif_anim(frames: list[np.ndarray], delay_cs: int = 4) -> bytes:
     if not frames:
         raise ValueError("encode_gif_anim needs at least one frame")
     arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if arrs[0].ndim != 2:
+        raise ValueError("animation frames must share one H x W shape")
     h, w = arrs[0].shape
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
@@ -1078,19 +1031,37 @@ def scan_gif_frames(payload: bytes) -> tuple[int, int, int, list[bytes]]:
     raise ValueError("truncated GIF")
 
 
-def decode_gif_frame_pixels(payload: bytes, frame: int) -> np.ndarray:
-    """LZW-decode ONE frame of an animated GIF to H×W×3 RGB — the
-    expensive half of pruned frame sampling (cost ∝ frames decoded,
-    not frames present)."""
-    w, h, min_code, frames = scan_gif_frames(payload)
-    if not 0 <= frame < len(frames):
-        raise ValueError(f"frame {frame} out of range (0..{len(frames) - 1})")
+def read_gif_palette(payload: bytes) -> np.ndarray:
+    """The EMBEDDED global color table of a GIF payload as an
+    (n_colors, 3) uint8 array — decoders must map indices through
+    this, never through an assumed palette."""
     n_colors = 2 << (payload[10] & 0x07)
-    palette = np.frombuffer(payload, np.uint8, n_colors * 3, 13).reshape(n_colors, 3)
-    indices = _lzw_decompress(frames[frame], min_code)
+    return np.frombuffer(payload, np.uint8, n_colors * 3, 13).reshape(n_colors, 3)
+
+
+def decode_scanned_frame(
+    payload: bytes, w: int, h: int, min_code: int, stream: bytes
+) -> np.ndarray:
+    """LZW-decode ONE already-scanned entropy stream to H×W×3 RGB via
+    the payload's embedded palette — the expensive half of pruned
+    frame sampling; callers hold the cheap :func:`scan_gif_frames`
+    result and pay this only for the frames they select."""
+    palette = read_gif_palette(payload)
+    indices = _lzw_decompress(stream, min_code)
     if len(indices) != w * h:
         raise ValueError(f"decoded {len(indices)} pixels, expected {w * h}")
     idx = np.array(indices, dtype=np.int64).reshape(h, w)
-    if idx.max() >= n_colors:
+    if idx.max() >= len(palette):
         raise ValueError("palette index out of range")
     return palette[idx]
+
+
+def decode_gif_frame_pixels(payload: bytes, frame: int) -> np.ndarray:
+    """LZW-decode ONE frame of an animated GIF to H×W×3 RGB (cost ∝
+    frames decoded, not frames present).  Convenience form of
+    :func:`scan_gif_frames` + :func:`decode_scanned_frame`; loops
+    should scan once themselves and decode selected streams."""
+    w, h, min_code, frames = scan_gif_frames(payload)
+    if not 0 <= frame < len(frames):
+        raise ValueError(f"frame {frame} out of range (0..{len(frames) - 1})")
+    return decode_scanned_frame(payload, w, h, min_code, frames[frame])

@@ -407,6 +407,39 @@ def synth_gif_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _synth_gif_video(docs: DataFrame, frame_index_law) -> DataFrame:
+    """Shared animated-GIF fixture generator: dims/frame-count laws
+    (w = 2+d%4, h = 1+d%3, n_frames = 2+d%5) with the per-frame
+    palette-index array supplied by ``frame_index_law(d, xx, yy, f)``
+    — the one thing the video fixture families differ in."""
+    from fdf_spark.llm.imagecodecs import encode_gif_anim
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads, metas = [], []
+            for d in ids:
+                d = int(d)
+                w, h, nf = 2 + d % 4, 1 + d % 3, 2 + d % 5
+                yy, xx = np.mgrid[0:h, 0:w]
+                payloads.append(
+                    encode_gif_anim(
+                        [frame_index_law(d, xx, yy, f) for f in range(nf)]
+                    )
+                )
+                metas.append({"width": w, "height": h, "sample_rate": None, "n_frames": nf})
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": ["video"] * len(ids),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, RESIZE_SCHEMA)
+
+
 def synth_gif_anim_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL animated-GIF (video-tier) fixtures.
 
@@ -424,32 +457,10 @@ def synth_gif_anim_assets(docs: DataFrame) -> DataFrame:
     (:func:`frame_sample_features`) derives the frame count from the
     container, never from trusted metadata.
     """
-    from fdf_spark.llm.imagecodecs import encode_gif_anim
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            payloads, metas = [], []
-            for d in ids:
-                d = int(d)
-                w, h, nf = 2 + d % 4, 1 + d % 3, 2 + d % 5
-                yy, xx = np.mgrid[0:h, 0:w]
-                payloads.append(
-                    encode_gif_anim(
-                        [((d + 5 * xx + 9 * yy + 17 * f) % 256).astype(np.uint8) for f in range(nf)]
-                    )
-                )
-                metas.append({"width": w, "height": h, "sample_rate": None, "n_frames": nf})
-            yield pd.DataFrame(
-                {
-                    "asset_id": ids,
-                    "media_type": ["video"] * len(ids),
-                    "payload": payloads,
-                    "meta": metas,
-                }
-            )
-
-    return docs.select("doc_id").mapInPandas(gen, RESIZE_SCHEMA)
+    return _synth_gif_video(
+        docs,
+        lambda d, xx, yy, f: ((d + 5 * xx + 9 * yy + 17 * f) % 256).astype(np.uint8),
+    )
 
 
 FRAME_SCHEMA = (
@@ -477,7 +488,7 @@ def frame_sample_features(assets: DataFrame, every_n: int = 2) -> DataFrame:
     """
     if every_n < 1:
         raise ValueError("every_n must be >= 1")
-    from fdf_spark.llm.imagecodecs import decode_gif_frame_pixels, scan_gif_frames
+    from fdf_spark.llm.imagecodecs import decode_scanned_frame, scan_gif_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -487,9 +498,9 @@ def frame_sample_features(assets: DataFrame, every_n: int = 2) -> DataFrame:
             )}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 p = bytes(payload)
-                w, h, _mc, frames = scan_gif_frames(p)
+                w, h, mc, frames = scan_gif_frames(p)
                 for f in range(0, len(frames), every_n):
-                    px = decode_gif_frame_pixels(p, f).astype(np.int64)
+                    px = decode_scanned_frame(p, w, h, mc, frames[f]).astype(np.int64)
                     sums = px.sum(axis=(0, 1))
                     n = h * w
                     rows["asset_id"].append(int(aid))
@@ -523,36 +534,12 @@ def synth_gif_scene_assets(docs: DataFrame) -> DataFrame:
     cut — the ground truth a scene detector must recover, and pure
     arithmetic a SQL oracle replays exactly.
     """
-    from fdf_spark.llm.imagecodecs import encode_gif_anim
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].astype("int64")
-            payloads, metas = [], []
-            for d in ids:
-                d = int(d)
-                w, h, nf = 2 + d % 4, 1 + d % 3, 2 + d % 5
-                cut = 1 + d % (nf - 1)
-                yy, xx = np.mgrid[0:h, 0:w]
-                payloads.append(
-                    encode_gif_anim(
-                        [
-                            ((d + 5 * xx + 9 * yy + 2 * f + (120 if f >= cut else 0)) % 256).astype(np.uint8)
-                            for f in range(nf)
-                        ]
-                    )
-                )
-                metas.append({"width": w, "height": h, "sample_rate": None, "n_frames": nf})
-            yield pd.DataFrame(
-                {
-                    "asset_id": ids,
-                    "media_type": ["video"] * len(ids),
-                    "payload": payloads,
-                    "meta": metas,
-                }
-            )
+    def law(d, xx, yy, f):
+        cut = 1 + d % ((2 + d % 5) - 1)
+        return ((d + 5 * xx + 9 * yy + 2 * f + (120 if f >= cut else 0)) % 256).astype(np.uint8)
 
-    return docs.select("doc_id").mapInPandas(gen, RESIZE_SCHEMA)
+    return _synth_gif_video(docs, law)
 
 
 SCENE_SCHEMA = (
@@ -577,9 +564,7 @@ def scene_cuts(assets: DataFrame, threshold: float = 40.0) -> DataFrame:
     Arrow-batched ``mapInPandas``, zero shuffles, embarrassingly
     parallel per asset.
     """
-    from fdf_spark.llm.imagecodecs import _gif_palette, _lzw_decompress, scan_gif_frames
-
-    pal = np.frombuffer(_gif_palette(), np.uint8).reshape(256, 3).astype(np.int64)
+    from fdf_spark.llm.imagecodecs import decode_scanned_frame, scan_gif_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -589,10 +574,7 @@ def scene_cuts(assets: DataFrame, threshold: float = 40.0) -> DataFrame:
                 w, h, mc, streams = scan_gif_frames(p)
                 prev = None
                 for f, s in enumerate(streams):
-                    idx = np.array(_lzw_decompress(s, mc), dtype=np.int64)
-                    if idx.size != w * h:
-                        raise ValueError(f"frame {f}: {idx.size} pixels, expected {w * h}")
-                    cur = pal[idx.reshape(h, w)]
+                    cur = decode_scanned_frame(p, w, h, mc, s).astype(np.int64)
                     if prev is not None:
                         delta = int(np.abs(cur - prev).sum()) / (w * h * 3)
                         rows["asset_id"].append(int(aid))
@@ -757,7 +739,7 @@ def resize_images(assets: DataFrame, width: int, height: int, codec: str = "stub
     ``codec='png'`` is the REAL path: the payload is decoded with the
     pure-python PNG codec (``llm/imagecodecs.py``), resampled with
     exact integer nearest-neighbour (``src = (dst_i * src_dim) //
-    dst_dim`` — a closed-form law a SQL oracle replays, q140), and
+    dst_dim`` — a closed-form law a SQL oracle replays, q141), and
     re-encoded as a real PNG; because PNG is lossless the output
     payload decodes to EXACTLY the resampled pixels, and metadata is
     rewritten from the decoded header rather than trusted input meta.

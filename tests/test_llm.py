@@ -1197,6 +1197,9 @@ def test_scene_cuts_recovers_planted(spark):
     assert planted <= found  # recall 1.0 — every planted cut detected
     fp = len(found - planted)
     assert fp / len(rows) < 0.05, f"{fp} false positives in {len(rows)} pairs"
+
+
+def test_gif_extract_features_distributed(spark):
     import numpy as np
 
     from fdf_spark.llm.multimodal import extract_features, synth_gif_assets
