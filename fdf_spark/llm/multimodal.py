@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -589,6 +589,121 @@ def scene_cuts(assets: DataFrame, threshold: float = 40.0) -> DataFrame:
         assets.filter(F.col("media_type") == "video")
         .select("asset_id", "payload")
         .mapInPandas(run, SCENE_SCHEMA)
+    )
+
+
+def sniff_format(payload: Column) -> Column:
+    """Magic-byte format detection as a PURE JVM column expression —
+    zero Python, whole-stage codegen, usable as a partition/routing
+    key before any decode stage touches the bytes.  Recognizes the
+    engine's real codec formats; anything else is ``'unknown'``.
+
+    RIFF containers (PCM WAV and IMA ADPCM) both sniff as ``'wav'`` —
+    the fourcc at offset 8 identifies the container, not the codec;
+    the decoder parses the format tag.
+    """
+    return (
+        F.when(F.substring(payload, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
+        .when(F.substring(payload, 1, 4) == F.lit(b"GIF8"), "gif")
+        .when(F.substring(payload, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
+        .when(
+            (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(payload, 9, 4) == F.lit(b"WAVE")),
+            "wav",
+        )
+        .when(F.substring(payload, 1, 4) == F.lit(b"fLaC"), "flac")
+        .when(F.substring(payload, 1, 2) == F.lit(b"BM"), "bmp")
+        .otherwise("unknown")
+    )
+
+
+def synth_mixed_assets(docs: DataFrame) -> DataFrame:
+    """Mixed-format corpus with PLANTED poison — the ingestion-audit
+    fixture (q144).  Format rotates with ``doc_id % 5`` (png, gif,
+    bmp, wav, flac — every payload a REAL encode); ``doc_id % 11 = 0``
+    rows are deterministic magic-less garbage (``'unknown'``), and
+    ``doc_id % 7 = 0`` rows are TRUNCATED to their first 12 bytes —
+    magic intact (the sniffer still classifies them) but undecodable,
+    exactly the corrupt-object shape a 100 TB crawl contains.
+    """
+    from fdf_spark.llm.flac import encode_flac
+    from fdf_spark.llm.imagecodecs import encode_gif, encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                if d % 11 == 0:
+                    p = bytes(bytearray([0, 1]) + bytearray((d * 31 + i) % 256 for i in range(22)))
+                else:
+                    m = d % 5
+                    if m == 0:
+                        w, h = 2 + d % 3, 1 + d % 2
+                        yy, xx, cc = np.mgrid[0:h, 0:w, 0:3]
+                        p = encode_png(((d + 11 * xx + 23 * yy + 41 * cc) % 256).astype(np.uint8))
+                    elif m == 1:
+                        yy, xx = np.mgrid[0 : 2 + d % 3, 0 : 3 + d % 4]
+                        p = encode_gif(((d + 5 * xx + 9 * yy) % 256).astype(np.uint8))
+                    elif m == 2:
+                        p = encode_bmp(2 + d % 4, 1 + d % 3, (d % 256, (3 * d) % 256, (7 * d) % 256))
+                    elif m == 3:
+                        p = encode_wav(8000 + 1000 * (d % 4), [d % 1001 - 500] * (10 + d % 5))
+                    else:
+                        p = encode_flac(8000, [((d + 7 * i) % 512) - 256 for i in range(16)], block_size=16)
+                    if d % 7 == 0:
+                        p = p[:12]
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["mixed"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
+
+
+AUDIT_SCHEMA = "asset_id long, fmt string, ok boolean, err string"
+
+
+def decode_audit(assets: DataFrame) -> DataFrame:
+    """Poison-safe ingestion audit: sniff each payload's format
+    JVM-side (:func:`sniff_format`), attempt the REAL decode for that
+    format, and QUARANTINE failures as rows instead of exceptions —
+    ``(asset_id, fmt, ok, err)`` where ``err`` is the exception class
+    name (``'unknown_format'`` for unrecognized magic).
+
+    This is the property that keeps a 100 TB mixed crawl ingestible:
+    one corrupt object must cost one quarantine row, never a task
+    retry storm or a dead job.  ``extract_features`` stays strict by
+    design (a curated corpus WANTS loud failure); this op is the
+    gate that curates.  Decode attempts run Arrow-batched and
+    embarrassingly parallel; the sniff itself never leaves the JVM.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "fmt": [], "ok": [], "err": []}
+            for aid, fmt, payload in zip(pdf["asset_id"], pdf["fmt"], pdf["payload"]):
+                ok, err = False, None
+                if fmt == "unknown":
+                    err = "unknown_format"
+                else:
+                    try:
+                        REAL_CODECS[fmt](bytes(payload))
+                        ok = True
+                    except Exception as e:  # noqa: BLE001 — the quarantine boundary
+                        err = type(e).__name__
+                rows["asset_id"].append(int(aid))
+                rows["fmt"].append(fmt)
+                rows["ok"].append(ok)
+                rows["err"].append(err)
+            yield pd.DataFrame(rows)
+
+    return (
+        assets.select("asset_id", sniff_format(F.col("payload")).alias("fmt"), "payload")
+        .mapInPandas(run, AUDIT_SCHEMA)
     )
 
 

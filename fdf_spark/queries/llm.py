@@ -1069,6 +1069,41 @@ def q143_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q144_decode_quarantine",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 11 = 0 THEN 'unknown'
+                ELSE CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                          WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav'
+                          ELSE 'flac' END END AS fmt,
+           doc_id % 11 <> 0 AND doc_id % 7 <> 0 AS ok
+    FROM documents WHERE doc_id < 300 ORDER BY asset_id
+    """,
+    operators=("N6", "N18"),
+    doc="Poison-safe mixed-corpus ingestion (decode_audit): a corpus "
+    "rotating five REAL formats (png/gif/bmp/wav/flac, every payload "
+    "a real encode) with planted poison — doc_id%11=0 rows are "
+    "magic-less garbage, doc_id%7=0 rows are truncated to 12 bytes "
+    "(magic intact, body gone). Format sniffing is a pure JVM "
+    "column expression over the magic bytes (zero Python, usable as "
+    "a routing key); the decode attempt runs the real codec and "
+    "QUARANTINES failures as rows (asset_id, fmt, ok, err) instead "
+    "of exceptions — at 100 TB one corrupt object must cost one "
+    "quarantine row, never a task-retry storm. The oracle replays "
+    "sniffed format and decode verdict from the planting law; the "
+    "err class (engine-internal exception taxonomy) is deliberately "
+    "NOT hashed. extract_features stays strict by design — this op "
+    "is the gate that curates what the strict tier consumes.",
+)
+def q144_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import decode_audit, synth_mixed_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 300)
+    audit = decode_audit(synth_mixed_assets(docs))
+    return audit.select("asset_id", "fmt", "ok").orderBy("asset_id")
+
+
+@query(
     "q132_webdataset_roundtrip",
     """
     SELECT source, COUNT(*) AS n_docs,

@@ -1199,6 +1199,50 @@ def test_scene_cuts_recovers_planted(spark):
     assert fp / len(rows) < 0.05, f"{fp} false positives in {len(rows)} pairs"
 
 
+def test_sniff_format_and_decode_audit(spark):
+    """Format sniffing classifies every real codec's output by magic
+    bytes alone (including jpeg and the ADPCM RIFF container, which
+    shares 'wav' with PCM); decode_audit quarantines poison as rows —
+    err set exactly on failures, never an exception to the driver."""
+    from fdf_spark.llm.audiocodecs import encode_adpcm_wav
+    from fdf_spark.llm.imagecodecs import encode_jpeg
+    from fdf_spark.llm.multimodal import decode_audit, sniff_format, synth_mixed_assets
+
+    import numpy as np
+
+    jpg = encode_jpeg(np.full((8, 8, 3), 128, np.uint8))
+    adp = encode_adpcm_wav(8000, [5] * 20, samples_per_block=9)
+    extra = spark.createDataFrame(
+        [(1000, "mixed", bytearray(jpg)), (1001, "mixed", bytearray(adp))],
+        "asset_id long, media_type string, payload binary",
+    )
+    sniffed = {
+        r["asset_id"]: r["fmt"]
+        for r in extra.select("asset_id", sniff_format(F.col("payload")).alias("fmt")).collect()
+    }
+    assert sniffed == {1000: "jpeg", 1001: "wav"}
+
+    docs = spark.range(0, 80).select(F.col("id").alias("doc_id"))
+    rows = decode_audit(synth_mixed_assets(docs)).collect()
+    assert len(rows) == 80
+    for r in rows:
+        d = r["asset_id"]
+        assert r["ok"] == (d % 11 != 0 and d % 7 != 0)
+        assert (r["err"] is None) == r["ok"]
+        if d % 11 == 0:
+            assert r["err"] == "unknown_format"
+    # the strict tier stays strict: truncated payloads must still raise
+    import pytest as _pytest
+
+    poisoned = synth_mixed_assets(
+        spark.createDataFrame([(7,)], "doc_id long")  # 7%7==0 -> truncated wav
+    )
+    from fdf_spark.llm.multimodal import extract_features
+
+    with _pytest.raises(Exception):
+        extract_features(poisoned, codec="wav").collect()
+
+
 def test_gif_extract_features_distributed(spark):
     import numpy as np
 

@@ -159,6 +159,7 @@ EXPECT: dict[str, dict] = {
     "q141_resize_real": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q142_frame_sample_real": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q143_scene_cuts": dict(max_exchanges=1, max_smj=0, max_scans=1),
+    "q144_decode_quarantine": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q129_jpeg_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q130_gif_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q131_adpcm_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),

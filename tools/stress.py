@@ -697,6 +697,15 @@ def main() -> None:
         50_000,
         scene_cuts(synth_gif_scene_assets(ids(50_000)), threshold=40.0),
     )
+    from fdf_spark.llm.multimodal import decode_audit, synth_mixed_assets
+
+    # poison-safe ingestion: 5 rotating real formats + planted garbage
+    # and truncations — quarantine rows, zero task failures
+    timed(
+        "decode audit mixed (N6)",
+        100_000,
+        decode_audit(synth_mixed_assets(ids(100_000))),
+    )
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
     # vector (m/32 longs — bounded metadata), prune a 100M-row probe
