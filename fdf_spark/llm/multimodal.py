@@ -707,6 +707,115 @@ def decode_audit(assets: DataFrame) -> DataFrame:
     )
 
 
+def synth_wav_voice_assets(docs: DataFrame, win: int = 16) -> DataFrame:
+    """Mono PCM WAV fixtures with a PLANTED silence span (q145).
+
+    Each doc is ``8 + doc_id % 5`` windows of ``win`` samples at a
+    constant voiced amplitude ``100 + doc_id % 50``, except windows
+    ``[2 + doc_id % 3, 2 + doc_id % 3 + 1 + doc_id % 2)`` which are
+    all-zero — so the voiced/silent ground truth per window, and the
+    merged segment boundaries, are pure ``doc_id`` arithmetic.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                nw, amp = 8 + d % 5, 100 + d % 50
+                s0 = 2 + d % 3
+                s1 = s0 + 1 + d % 2
+                samples = [
+                    0 if s0 <= (i // win) < s1 else amp for i in range(nw * win)
+                ]
+                payloads.append(encode_wav(8000, samples))
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["audio"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
+
+
+SEGMENT_SCHEMA = (
+    "asset_id long, seg_idx int, win_start int, win_end int, n_windows int"
+)
+
+
+def voice_segments(
+    assets: DataFrame, win: int = 16, threshold: float = 50.0
+) -> DataFrame:
+    """Activity (VAD-style) segmentation over mono PCM WAV: windows of
+    ``win`` samples score mean-square energy, the thresholded verdicts
+    merge into maximal voiced runs — ``(asset_id, seg_idx, win_start,
+    win_end, n_windows)`` with ``seg_idx`` 1-based per asset.
+
+    Two-stage shape, deliberately DIFFERENT from the zero-shuffle
+    codec queries: stage 1 is Arrow-batched decode + per-window
+    energy (map-side, the only stage that touches payload bytes —
+    energy is an EXACT integer sum of squares with one division, no
+    sqrt, so verdicts are bit-stable in any engine); stage 2 is
+    DECLARATIVE gaps-and-islands (lag/cumsum window + groupBy) whose
+    rows are |windows|, not |samples| — the corpus's only exchanges
+    carry window verdicts, never audio bytes (plan-pinned, q145).
+    Trailing partial windows are dropped (windows are the unit of
+    segmentation).
+    """
+    import io
+    import wave
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "win_idx": [], "energy": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise ValueError("voice_segments expects mono 16-bit PCM")
+                    nf = w.getnframes()
+                    vals = np.frombuffer(w.readframes(nf), dtype="<i2").astype(np.int64)
+                for wi in range(len(vals) // win):
+                    chunk = vals[wi * win : (wi + 1) * win]
+                    rows["asset_id"].append(int(aid))
+                    rows["win_idx"].append(wi)
+                    rows["energy"].append(int((chunk * chunk).sum()) / win)
+            yield pd.DataFrame(rows)
+
+    wins = (
+        assets.filter(F.col("media_type") == "audio")
+        .select("asset_id", "payload")
+        .mapInPandas(run, "asset_id long, win_idx int, energy double")
+    )
+    from pyspark.sql import Window
+
+    by_asset = Window.partitionBy("asset_id").orderBy("win_idx")
+    flagged = wins.withColumn("voiced", F.col("energy") > F.lit(threshold))
+    islands = flagged.withColumn(
+        "new_run",
+        (
+            F.col("voiced")
+            != F.coalesce(F.lag("voiced").over(by_asset), ~F.col("voiced"))
+        ).cast("int"),
+    ).withColumn("run_id", F.sum("new_run").over(by_asset))
+    return (
+        islands.filter(F.col("voiced"))
+        .groupBy("asset_id", "run_id")
+        .agg(
+            F.min("win_idx").alias("win_start"),
+            F.max("win_idx").alias("win_end"),
+            F.count("*").cast("int").alias("n_windows"),
+        )
+        .withColumn(
+            "seg_idx",
+            F.row_number()
+            .over(Window.partitionBy("asset_id").orderBy("win_start"))
+            .cast("int"),
+        )
+        .select("asset_id", "seg_idx", "win_start", "win_end", "n_windows")
+    )
+
+
 def synth_adpcm_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-IMA-ADPCM fixtures from doc ids.
 

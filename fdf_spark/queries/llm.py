@@ -1104,6 +1104,47 @@ def q144_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q145_voice_segments",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS nw, 2 + doc_id % 3 AS s0,
+             2 + doc_id % 3 + 1 + doc_id % 2 AS s1
+      FROM documents WHERE doc_id < 300)
+    SELECT asset_id, seg_idx, win_start, win_end, n_windows FROM (
+      SELECT doc_id AS asset_id, CAST(1 AS INTEGER) AS seg_idx,
+             CAST(0 AS INTEGER) AS win_start,
+             CAST(s0 - 1 AS INTEGER) AS win_end,
+             CAST(s0 AS INTEGER) AS n_windows
+      FROM d
+      UNION ALL
+      SELECT doc_id, CAST(2 AS INTEGER), CAST(s1 AS INTEGER),
+             CAST(nw - 1 AS INTEGER), CAST(nw - s1 AS INTEGER)
+      FROM d)
+    ORDER BY asset_id, seg_idx
+    """,
+    operators=("N6",),
+    doc="Audio activity (VAD-style) segmentation: mono PCM WAV "
+    "fixtures carry a planted all-zero silence span inside a constant "
+    "voiced signal; windows of 16 samples score mean-square energy "
+    "(EXACT integer sum of squares, one division, no sqrt — verdicts "
+    "bit-stable in any engine), then DECLARATIVE gaps-and-islands "
+    "(lag/cumsum + groupBy) merges voiced runs into segments. The "
+    "only stage touching audio bytes is the map-side window scorer; "
+    "every exchange carries |windows| verdict rows, never samples — "
+    "a deliberately different plan shape from the zero-shuffle codec "
+    "queries (2 exchanges pinned). The oracle derives both voiced "
+    "segments per asset from the planting arithmetic, independent of "
+    "decoder, scorer and island logic.",
+)
+def q145_voice_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import synth_wav_voice_assets, voice_segments
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 300)
+    segs = voice_segments(synth_wav_voice_assets(docs), win=16, threshold=50.0)
+    return segs.orderBy("asset_id", "seg_idx")
+
+
+@query(
     "q132_webdataset_roundtrip",
     """
     SELECT source, COUNT(*) AS n_docs,

@@ -1243,6 +1243,57 @@ def test_sniff_format_and_decode_audit(spark):
         extract_features(poisoned, codec="wav").collect()
 
 
+def test_voice_segments_islands(spark):
+    """Island merging on an ARBITRARY voiced/silent pattern (not the
+    fixture law): segments computed by the operator equal a pure-
+    python reference run over the same synthesized WAV — including
+    voiced-at-start, voiced-at-end, single-window islands, and an
+    all-silent asset that contributes no rows; a trailing partial
+    window is dropped."""
+    import numpy as np
+
+    from fdf_spark.llm.multimodal import encode_wav, voice_segments
+
+    win = 8
+    patterns = {
+        1: [1, 0, 1, 1, 0, 1],   # single-window islands + edges
+        2: [0, 0, 0],            # all silent -> no rows
+        3: [1, 1, 1],            # one full-span segment
+    }
+    rows = []
+    for aid, pat in patterns.items():
+        samples = []
+        for v in pat:
+            samples += [200 if v else 0] * win
+        samples += [200] * 3  # trailing partial window: dropped
+        rows.append((aid, "audio", bytearray(encode_wav(8000, samples))))
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {
+        (r["asset_id"], r["seg_idx"]): (r["win_start"], r["win_end"], r["n_windows"])
+        for r in voice_segments(assets, win=win, threshold=50.0).collect()
+    }
+
+    def ref(pat):
+        segs, start = [], None
+        for i, v in enumerate(pat + [0]):
+            if v and start is None:
+                start = i
+            elif not v and start is not None:
+                segs.append((start, i - 1, i - start))
+                start = None
+        return segs
+
+    want = {
+        (aid, si + 1): seg
+        for aid, pat in patterns.items()
+        for si, seg in enumerate(ref(pat))
+    }
+    assert got == want
+    assert not any(aid == 2 for aid, _ in got)
+
+
 def test_gif_extract_features_distributed(spark):
     import numpy as np
 

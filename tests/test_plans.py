@@ -160,6 +160,9 @@ EXPECT: dict[str, dict] = {
     "q142_frame_sample_real": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q143_scene_cuts": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q144_decode_quarantine": dict(max_exchanges=1, max_smj=0, max_scans=1),
+    # decode is map-side; the 2 exchanges carry window-verdict rows
+    # (asset hash for islands+agg+rank, final range sort) — never bytes
+    "q145_voice_segments": dict(max_exchanges=2, max_smj=0, max_scans=1),
     "q129_jpeg_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q130_gif_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q131_adpcm_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),

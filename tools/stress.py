@@ -706,6 +706,15 @@ def main() -> None:
         100_000,
         decode_audit(synth_mixed_assets(ids(100_000))),
     )
+    from fdf_spark.llm.multimodal import synth_wav_voice_assets, voice_segments
+
+    # VAD segmentation: map-side window energies, island merge on
+    # |windows| verdict rows — the exchanges never carry samples
+    timed(
+        "wav voice segments (N6)",
+        100_000,
+        voice_segments(synth_wav_voice_assets(ids(100_000)), win=16, threshold=50.0),
+    )
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
     # vector (m/32 longs — bounded metadata), prune a 100M-row probe
