@@ -600,7 +600,10 @@ def sniff_format(payload: Column) -> Column:
 
     RIFF containers (PCM WAV and IMA ADPCM) both sniff as ``'wav'`` —
     the fourcc at offset 8 identifies the container, not the codec;
-    the decoder parses the format tag.
+    :func:`decode_audit` resolves the codec from the ``fmt `` chunk's
+    format tag.  MPEG-1 Layer I frames sniff on the 12-bit syncword +
+    ID/layer bits (0xFFFF/0xFFFE leading pair — the engine's decoded
+    profile; JPEG's 0xFFD8FF matches earlier and never collides).
     """
     return (
         F.when(F.substring(payload, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
@@ -613,8 +616,29 @@ def sniff_format(payload: Column) -> Column:
         )
         .when(F.substring(payload, 1, 4) == F.lit(b"fLaC"), "flac")
         .when(F.substring(payload, 1, 2) == F.lit(b"BM"), "bmp")
+        .when(
+            (F.substring(payload, 1, 2) == F.lit(b"\xff\xff"))
+            | (F.substring(payload, 1, 2) == F.lit(b"\xff\xfe")),
+            "mpeg1",
+        )
         .otherwise("unknown")
     )
+
+
+def _riff_format_tag(payload: bytes) -> int:
+    """The wFormatTag of a RIFF/WAVE payload's ``fmt `` chunk (1 = PCM,
+    0x11 = IMA ADPCM) — the field that names the CODEC inside the
+    container the magic bytes identified."""
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            if pos + 10 > len(payload):
+                break
+            return int.from_bytes(payload[pos + 8 : pos + 10], "little")
+        pos += 8 + size + (size & 1)
+    raise ValueError("RIFF/WAVE payload has no complete 'fmt ' chunk")
 
 
 def synth_mixed_assets(docs: DataFrame) -> DataFrame:
@@ -691,7 +715,18 @@ def decode_audit(assets: DataFrame) -> DataFrame:
                     err = "unknown_format"
                 else:
                     try:
-                        REAL_CODECS[fmt](bytes(payload))
+                        p = bytes(payload)
+                        codec = fmt
+                        if fmt == "wav":
+                            # the sniff names the container; the fmt
+                            # chunk's tag names the codec (1 = PCM,
+                            # 0x11 = IMA ADPCM)
+                            tag = _riff_format_tag(p)
+                            if tag == 0x11:
+                                codec = "adpcm"
+                            elif tag != 1:
+                                raise ValueError(f"unsupported WAVE format tag {tag:#x}")
+                        REAL_CODECS[codec](p)
                         ok = True
                     except Exception as e:  # noqa: BLE001 — the quarantine boundary
                         err = type(e).__name__
@@ -768,19 +803,26 @@ def voice_segments(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"asset_id": [], "win_idx": [], "energy": []}
+            aids, widx, energy = [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                     if w.getsampwidth() != 2 or w.getnchannels() != 1:
                         raise ValueError("voice_segments expects mono 16-bit PCM")
                     nf = w.getnframes()
                     vals = np.frombuffer(w.readframes(nf), dtype="<i2").astype(np.int64)
-                for wi in range(len(vals) // win):
-                    chunk = vals[wi * win : (wi + 1) * win]
-                    rows["asset_id"].append(int(aid))
-                    rows["win_idx"].append(wi)
-                    rows["energy"].append(int((chunk * chunk).sum()) / win)
-            yield pd.DataFrame(rows)
+                m = len(vals) // win
+                chunks = vals[: m * win].reshape(m, win)
+                aids.append(np.full(m, int(aid), dtype=np.int64))
+                widx.append(np.arange(m, dtype=np.int32))
+                energy.append((chunks * chunks).sum(axis=1) / win)
+            cat = (lambda xs, d: np.concatenate(xs) if xs else np.array([], dtype=d))
+            yield pd.DataFrame(
+                {
+                    "asset_id": cat(aids, np.int64),
+                    "win_idx": cat(widx, np.int32),
+                    "energy": cat(energy, np.float64),
+                }
+            )
 
     wins = (
         assets.filter(F.col("media_type") == "audio")

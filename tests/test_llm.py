@@ -1210,17 +1210,29 @@ def test_sniff_format_and_decode_audit(spark):
 
     import numpy as np
 
+    from fdf_spark.llm.mpegaudio import encode_mpeg1_layer1
+
     jpg = encode_jpeg(np.full((8, 8, 3), 128, np.uint8))
     adp = encode_adpcm_wav(8000, [5] * 20, samples_per_block=9)
+    mpg = encode_mpeg1_layer1([0] * 31 + [4], [0] * 32, [[1] * 12] * 32)
     extra = spark.createDataFrame(
-        [(1000, "mixed", bytearray(jpg)), (1001, "mixed", bytearray(adp))],
+        [
+            (1000, "mixed", bytearray(jpg)),
+            (1001, "mixed", bytearray(adp)),
+            (1002, "mixed", bytearray(mpg)),
+        ],
         "asset_id long, media_type string, payload binary",
     )
     sniffed = {
         r["asset_id"]: r["fmt"]
         for r in extra.select("asset_id", sniff_format(F.col("payload")).alias("fmt")).collect()
     }
-    assert sniffed == {1000: "jpeg", 1001: "wav"}
+    assert sniffed == {1000: "jpeg", 1001: "wav", 1002: "mpeg1"}
+    # every engine-decodable format passes the audit — including ADPCM
+    # (container sniffs 'wav', the fmt-chunk tag routes the codec) and
+    # MPEG-1 Layer I (syncword sniff)
+    audited = {r["asset_id"]: r for r in decode_audit(extra).collect()}
+    assert all(r["ok"] and r["err"] is None for r in audited.values()), audited
 
     docs = spark.range(0, 80).select(F.col("id").alias("doc_id"))
     rows = decode_audit(synth_mixed_assets(docs)).collect()
@@ -1235,7 +1247,7 @@ def test_sniff_format_and_decode_audit(spark):
     import pytest as _pytest
 
     poisoned = synth_mixed_assets(
-        spark.createDataFrame([(7,)], "doc_id long")  # 7%7==0 -> truncated wav
+        spark.createDataFrame([(28,)], "doc_id long")  # 28%7==0, 28%5==3 -> truncated WAV
     )
     from fdf_spark.llm.multimodal import extract_features
 
