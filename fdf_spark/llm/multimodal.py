@@ -983,8 +983,10 @@ def synth_flac_assets(docs: DataFrame) -> DataFrame:
 
 def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling *plan*: explode frame indices 0..n_frames
-    step ``every_n`` from metadata — no decode; the decode of selected
-    frames is a second, pruned ``extract_features`` pass."""
+    step ``every_n`` from metadata — no decode, no payload read (the
+    metadata-only first pass of a sampling pipeline).  The REAL
+    decode tier is :func:`frame_sample_features`, which trusts the
+    container bytes rather than this metadata."""
     idx = F.sequence(F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n))
     return (
         assets.filter(F.col("media_type") == "video")
