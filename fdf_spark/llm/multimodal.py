@@ -858,6 +858,85 @@ def voice_segments(
     )
 
 
+def synth_png_dup_assets(docs: DataFrame) -> DataFrame:
+    """PNG fixtures with PLANTED perceptual duplicates (q146): the
+    pixel law depends on ``doc_id % 25`` only::
+
+        width = 9   height = 7   (the dHash grid, no resize needed)
+        pixel(x, y, c) = (7*(doc_id % 25) + 11*x + 23*y + 41*c) % 256
+
+    so docs sharing a class are byte-identical images re-encoded
+    independently — 25 duplicate classes of 8 members each at the
+    200-doc fixture, all arithmetic a SQL oracle replays."""
+    from fdf_spark.llm.imagecodecs import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                k = int(d) % 25
+                yy, xx, cc = np.mgrid[0:7, 0:9, 0:3]
+                payloads.append(
+                    encode_png(((7 * k + 11 * xx + 23 * yy + 41 * cc) % 256).astype(np.uint8))
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
+
+
+def image_dhash(assets: DataFrame, width: int = 9, height: int = 7) -> DataFrame:
+    """Perceptual image hash (dHash — the LAION-style near-dup image
+    key): decode, resample to a ``width×height`` grid with the exact
+    integer nearest-neighbour law, integer grayscale
+    ``(299r + 587g + 114b) // 1000``, then one gradient bit per
+    adjacent-pixel pair — ``bit(x,y) = [g(x+1,y) > g(x,y)]`` packed
+    into a ``(width-1)·height``-bit BIGINT (the 9×7 default = 56 bits,
+    safely inside int64).
+
+    Every step is integer arithmetic, so the hash is a pure function
+    of decoded pixels — bit-replayable by a SQL oracle AND stable
+    across engines/partitionings, which is what makes it usable as an
+    exact-dedup KEY downstream (`exact_dedup`-style groupBy on
+    ``dhash``): re-encoded, metadata-stripped or losslessly-recoded
+    copies collapse to one group.  Arrow-batched ``mapInPandas``,
+    zero shuffles; the grouping a caller adds shuffles 8-byte hashes,
+    never pixels.
+    """
+    if (width - 1) * height > 62:
+        raise ValueError("dhash grid exceeds 62 bits — reduce width/height")
+    from fdf_spark.llm.imagecodecs import decode_png_pixels
+
+    weights = (1 << np.arange((width - 1) * height, dtype=np.int64)).reshape(
+        height, width - 1
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "dhash": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                arr = decode_png_pixels(bytes(payload)).astype(np.int64)
+                sh, sw = arr.shape[:2]
+                ys = (np.arange(height, dtype=np.int64) * sh) // height
+                xs = (np.arange(width, dtype=np.int64) * sw) // width
+                px = arr[ys][:, xs]
+                g = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+                out["asset_id"].append(int(aid))
+                out["dhash"].append(int((bits * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return (
+        assets.filter(F.col("media_type") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, "asset_id long, dhash long")
+    )
+
+
 def synth_adpcm_assets(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-IMA-ADPCM fixtures from doc ids.
 

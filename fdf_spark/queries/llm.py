@@ -1145,6 +1145,63 @@ def q145_voice_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q146_image_dhash_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id, doc_id % 25 AS k FROM documents WHERE doc_id < 200),
+    grid AS (
+      SELECT k.k, x.x, y.y,
+             (299 * ((7 * k.k + 11 * x.x + 23 * y.y) % 256)
+              + 587 * ((7 * k.k + 11 * x.x + 23 * y.y + 41) % 256)
+              + 114 * ((7 * k.k + 11 * x.x + 23 * y.y + 82) % 256)) // 1000 AS g0,
+             (299 * ((7 * k.k + 11 * (x.x + 1) + 23 * y.y) % 256)
+              + 587 * ((7 * k.k + 11 * (x.x + 1) + 23 * y.y + 41) % 256)
+              + 114 * ((7 * k.k + 11 * (x.x + 1) + 23 * y.y + 82) % 256)) // 1000 AS g1
+      FROM (SELECT DISTINCT doc_id % 25 AS k FROM documents WHERE doc_id < 200) k
+      CROSS JOIN (SELECT unnest(range(8)) AS x) x
+      CROSS JOIN (SELECT unnest(range(7)) AS y) y),
+    hx AS (
+      SELECT k, CAST(SUM(CASE WHEN g1 > g0
+                              THEN CAST(1 AS BIGINT) << (y * 8 + x)
+                              ELSE 0 END) AS BIGINT) AS dhash
+      FROM grid GROUP BY k)
+    SELECT hx.dhash,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           MIN(m.doc_id) AS first_asset,
+           MAX(m.doc_id) AS last_asset
+    FROM m JOIN hx USING (k)
+    GROUP BY hx.dhash ORDER BY dhash
+    """,
+    operators=("N6", "N2", "N1"),
+    doc="Perceptual image dedup via dHash (the LAION-style pipeline "
+    "key): every payload is a REAL PNG decoded by the pure-python "
+    "codec, resampled to the 9x7 grid with the exact integer "
+    "nearest-neighbour law, integer-grayscaled (299r+587g+114b)//1000 "
+    "and packed into a 56-bit gradient hash — all integer arithmetic, "
+    "so the hash is bit-replayable by the oracle and partition-stable, "
+    "making it a valid EXACT-dedup key (independently re-encoded "
+    "copies collapse). Fixtures plant 25 duplicate classes of 8 "
+    "members; grouping shuffles 8-byte hashes, never pixels. The "
+    "oracle recomputes every hash from the pixel law composed with "
+    "grayscale+gradient packing, independent of codec and hasher.",
+)
+def q146_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.multimodal import image_dhash, synth_png_dup_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    hashes = image_dhash(synth_png_dup_assets(docs))
+    return (
+        hashes.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.min("asset_id").alias("first_asset"),
+            F.max("asset_id").alias("last_asset"),
+        )
+        .orderBy("dhash")
+    )
+
+
+@query(
     "q132_webdataset_roundtrip",
     """
     SELECT source, COUNT(*) AS n_docs,

@@ -1306,6 +1306,43 @@ def test_voice_segments_islands(spark):
     assert not any(aid == 2 for aid, _ in got)
 
 
+def test_image_dhash_invariances(spark):
+    """What makes dHash a PERCEPTUAL key: (a) re-encoding the same
+    pixels with a different PNG filter type changes nothing, (b) an
+    integer 2x upscale changes nothing (floor(floor(2ih/7)/2) ==
+    floor(ih/7) — nested-floor identity, so the 9x7 resample lands on
+    identical source pixels), (c) a genuinely different image hashes
+    differently, (d) non-image rows are excluded."""
+    import numpy as np
+
+    from fdf_spark.llm.imagecodecs import encode_png
+    from fdf_spark.llm.multimodal import image_dhash
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
+    up = img.repeat(2, axis=0).repeat(2, axis=1)
+    other = rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_png(img, filter_type=0))),
+        (2, "image", bytearray(encode_png(img, filter_type=3))),
+        (3, "image", bytearray(encode_png(up, filter_type=1))),
+        (4, "image", bytearray(encode_png(other, filter_type=0))),
+        (5, "audio", bytearray(b"not an image")),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == got[2] == got[3]
+    assert got[4] != got[1]
+    assert all(0 <= h < (1 << 56) for h in got.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="62 bits"):
+        image_dhash(assets, width=9, height=9)
+
+
 def test_gif_extract_features_distributed(spark):
     import numpy as np
 

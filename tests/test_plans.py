@@ -163,6 +163,9 @@ EXPECT: dict[str, dict] = {
     # decode is map-side; the 2 exchanges carry window-verdict rows
     # (asset hash for islands+agg+rank, final range sort) — never bytes
     "q145_voice_segments": dict(max_exchanges=2, max_smj=0, max_scans=1),
+    # hashing is map-side; the exchanges carry 8-byte hashes (group
+    # agg + final sort), never pixels
+    "q146_image_dhash_dedup": dict(max_exchanges=2, max_smj=0, max_scans=1),
     "q129_jpeg_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q130_gif_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q131_adpcm_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),

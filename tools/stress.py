@@ -715,6 +715,17 @@ def main() -> None:
         100_000,
         voice_segments(synth_wav_voice_assets(ids(100_000)), win=16, threshold=50.0),
     )
+    from fdf_spark.llm.multimodal import image_dhash, synth_png_dup_assets
+
+    # perceptual dedup: decode+hash map-side; the dedup groupBy
+    # shuffles 8-byte hashes, never pixels
+    timed(
+        "image dhash dedup (N6)",
+        100_000,
+        image_dhash(synth_png_dup_assets(ids(100_000)))
+        .groupBy("dhash")
+        .agg(F.count("*").alias("n")),
+    )
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
     # vector (m/32 longs — bounded metadata), prune a 100M-row probe
