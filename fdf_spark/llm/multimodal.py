@@ -871,15 +871,17 @@ def synth_png_dup_assets(docs: DataFrame) -> DataFrame:
     from fdf_spark.llm.imagecodecs import encode_png
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx, cc = np.mgrid[0:7, 0:9, 0:3]
+        # only 25 distinct payloads exist and the encoder is
+        # deterministic — memoize per class instead of re-deflating
+        # a byte-identical PNG per doc
+        by_class = {
+            k: encode_png(((7 * k + 11 * xx + 23 * yy + 41 * cc) % 256).astype(np.uint8))
+            for k in range(25)
+        }
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
-            payloads = []
-            for d in ids:
-                k = int(d) % 25
-                yy, xx, cc = np.mgrid[0:7, 0:9, 0:3]
-                payloads.append(
-                    encode_png(((7 * k + 11 * xx + 23 * yy + 41 * cc) % 256).astype(np.uint8))
-                )
+            payloads = [by_class[int(d) % 25] for d in ids]
             yield pd.DataFrame(
                 {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
             )
@@ -924,7 +926,14 @@ def image_dhash(assets: DataFrame, width: int = 9, height: int = 7) -> DataFrame
                 ys = (np.arange(height, dtype=np.int64) * sh) // height
                 xs = (np.arange(width, dtype=np.int64) * sw) // width
                 px = arr[ys][:, xs]
-                g = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+                if px.shape[2] < 3:
+                    # gray / gray+alpha: the luma IS the channel — and
+                    # since 299+587+114 = 1000, a gray-recoded RGB
+                    # image lands on the identical g, so both encodings
+                    # collapse to one hash
+                    g = px[:, :, 0]
+                else:
+                    g = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
                 bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
                 out["asset_id"].append(int(aid))
                 out["dhash"].append(int((bits * weights).sum()))

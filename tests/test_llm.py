@@ -1322,20 +1322,27 @@ def test_image_dhash_invariances(spark):
     img = rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
     up = img.repeat(2, axis=0).repeat(2, axis=1)
     other = rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (10, 14)).astype(np.uint8)  # color type 0
+    gray_rgb = np.repeat(gray[:, :, None], 3, axis=2)  # same image, RGB-coded
     rows = [
         (1, "image", bytearray(encode_png(img, filter_type=0))),
         (2, "image", bytearray(encode_png(img, filter_type=3))),
         (3, "image", bytearray(encode_png(up, filter_type=1))),
         (4, "image", bytearray(encode_png(other, filter_type=0))),
         (5, "audio", bytearray(b"not an image")),
+        (6, "image", bytearray(encode_png(gray))),
+        (7, "image", bytearray(encode_png(gray_rgb))),
     ]
     assets = spark.createDataFrame(
         rows, "asset_id long, media_type string, payload binary"
     )
     got = {r["asset_id"]: r["dhash"] for r in image_dhash(assets).collect()}
-    assert set(got) == {1, 2, 3, 4}
+    assert set(got) == {1, 2, 3, 4, 6, 7}
     assert got[1] == got[2] == got[3]
     assert got[4] != got[1]
+    # gray PNG and its RGB recode collapse: 299+587+114 = 1000, so the
+    # integer luma of (g,g,g) is exactly g
+    assert got[6] == got[7]
     assert all(0 <= h < (1 << 56) for h in got.values())
     import pytest as _pytest
 
