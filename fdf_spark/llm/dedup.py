@@ -376,3 +376,69 @@ def simhash(
     return hashed.groupBy(id_col).agg(*votes).select(
         F.col(id_col), fingerprint.alias("simhash")
     )
+
+
+def hamming_near_dups(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 4,
+    bands: int = 7,
+    band_bits: int = 8,
+) -> DataFrame:
+    """N2: EXACT hamming near-dup pairs over any integer fingerprint
+    (SimHash, image dHash) → ``(a_id, b_id, dist)`` with
+    ``dist = popcount(a ^ b) <= max_dist`` and ``a_id < b_id``.
+
+    The scale trick is band-LSH made EXACT by pigeonhole: the
+    fingerprint splits into ``bands`` windows of ``band_bits``; a pair
+    within hamming distance ``max_dist < bands`` cannot differ in
+    every band, so the band equi-join has 100% recall and the
+    ``bit_count`` refinement makes the result identical to the
+    all-pairs relation — which is exactly how the q147 oracle checks
+    it (brute force at fixture scale).  Candidate generation is
+    linear in corpus + band-bucket collisions, never |corpus|²; every
+    expression is JVM column algebra (shift/mask/xor/bit_count), no
+    Python.  Callers feeding an EXPENSIVE hash pipeline (image
+    decode) should materialize ``hashes`` first — both join sides
+    consume it.
+    """
+    if not 0 < max_dist < bands:
+        raise ValueError("exactness needs 0 < max_dist < bands (pigeonhole)")
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, hash_col, "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )
+    return pairs

@@ -891,6 +891,63 @@ def synth_png_dup_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_png_near_assets(
+    docs: DataFrame, classes: int = 20, textured: bool = False
+) -> DataFrame:
+    """PNG fixtures with PLANTED near-duplicates (q147): each doc is
+    its class image (``k = doc_id % classes``) with ONE perturbed
+    grid cell::
+
+        width = 9   height = 7
+        pixel(x, y, c) = (13*k + 11*x + 23*y + 41*c
+                          + 128*[x = doc_id % 9][y = (doc_id // 9) % 7]) % 256
+
+    A single perturbed cell moves at most the two gradient bits that
+    touch it, so same-class members sit within hamming distance 4 of
+    each other — the planted geometry a hamming near-dup join must
+    recover, all arithmetic a SQL oracle replays per doc.  Smooth
+    gradients are dHash-degenerate by nature (few gradient
+    transitions → tight hash clusters — true of real dHash on smooth
+    images too), so the oracle fixture also exercises the
+    cross-class-near-collision case honestly.  ``textured=True``
+    swaps the base images for per-class seeded-random texture
+    (distinct hashes across any number of classes — the realistic
+    crawl shape for the stress tier; not SQL-replayable, which the
+    stress tier doesn't need).  ``classes`` should scale with the
+    corpus: the pair space is Σ|class|²."""
+    from fdf_spark.llm.imagecodecs import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx, cc = np.mgrid[0:7, 0:9, 0:3]
+        base_cache: dict[int, np.ndarray] = {}
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                k = d % classes
+                if textured:
+                    base = base_cache.get(k)
+                    if base is None:
+                        base = np.random.RandomState(k).randint(
+                            0, 256, (7, 9, 3)
+                        ).astype(np.int64)
+                        base_cache[k] = base
+                else:
+                    base = 13 * k + 11 * xx + 23 * yy + 41 * cc
+                bump = 128 * ((xx == d % 9) & (yy == (d // 9) % 7))
+                payloads.append(
+                    encode_png(((base + bump) % 256).astype(np.uint8))
+                )
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": ["image"] * len(ids), "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, "asset_id long, media_type string, payload binary"
+    )
+
+
 def image_dhash(assets: DataFrame, width: int = 9, height: int = 7) -> DataFrame:
     """Perceptual image hash (dHash — the LAION-style near-dup image
     key): decode, resample to a ``width×height`` grid with the exact

@@ -1202,6 +1202,65 @@ def q146_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q147_image_near_dup",
+    """
+    WITH m AS (
+      SELECT doc_id, doc_id % 20 AS k, doc_id % 9 AS xp, (doc_id // 9) % 7 AS yp
+      FROM documents WHERE doc_id < 200),
+    grid AS (
+      SELECT m.doc_id, x.x, y.y,
+             (299 * ((13 * k + 11 * x.x + 23 * y.y
+                      + 128 * CASE WHEN x.x = xp AND y.y = yp THEN 1 ELSE 0 END) % 256)
+              + 587 * ((13 * k + 11 * x.x + 23 * y.y + 41
+                      + 128 * CASE WHEN x.x = xp AND y.y = yp THEN 1 ELSE 0 END) % 256)
+              + 114 * ((13 * k + 11 * x.x + 23 * y.y + 82
+                      + 128 * CASE WHEN x.x = xp AND y.y = yp THEN 1 ELSE 0 END) % 256)) // 1000 AS g0,
+             (299 * ((13 * k + 11 * (x.x + 1) + 23 * y.y
+                      + 128 * CASE WHEN x.x + 1 = xp AND y.y = yp THEN 1 ELSE 0 END) % 256)
+              + 587 * ((13 * k + 11 * (x.x + 1) + 23 * y.y + 41
+                      + 128 * CASE WHEN x.x + 1 = xp AND y.y = yp THEN 1 ELSE 0 END) % 256)
+              + 114 * ((13 * k + 11 * (x.x + 1) + 23 * y.y + 82
+                      + 128 * CASE WHEN x.x + 1 = xp AND y.y = yp THEN 1 ELSE 0 END) % 256)) // 1000 AS g1
+      FROM m
+      CROSS JOIN (SELECT unnest(range(8)) AS x) x
+      CROSS JOIN (SELECT unnest(range(7)) AS y) y),
+    hx AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN g1 > g0
+                                   THEN CAST(1 AS BIGINT) << (y * 8 + x)
+                                   ELSE 0 END) AS BIGINT) AS dhash
+      FROM grid GROUP BY doc_id)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS dist
+    FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+    ORDER BY a_id, b_id
+    """,
+    operators=("N2", "N6", "N14"),
+    doc="Hamming near-dup join over perceptual image hashes — the "
+    "LAION-style near-dup image sweep, and the banding is EXACT, not "
+    "approximate: a pair within hamming distance 4 of a 56-bit dHash "
+    "split into 7 bands cannot differ in every band (pigeonhole), so "
+    "the band equi-join has 100% recall and the bit_count refinement "
+    "reproduces the ALL-PAIRS relation — which is literally what the "
+    "oracle computes (brute-force all pairs at fixture scale), so the "
+    "driver hash proves the LSH path lossless. Fixtures plant 20 "
+    "classes whose members differ by one perturbed grid cell (<= 2 "
+    "gradient bits per member, <= 4 per pair); hashes materialize "
+    "once (localCheckpoint) so the expensive decode feeds both join "
+    "sides without recompute, and the join shuffles 8-byte hashes, "
+    "never pixels.",
+)
+def q147_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.dedup import hamming_near_dups
+    from fdf_spark.llm.multimodal import image_dhash, synth_png_near_assets
+
+    docs = T(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    hashes = image_dhash(synth_png_near_assets(docs)).localCheckpoint()
+    pairs = hamming_near_dups(hashes, "dhash", "asset_id", max_dist=4, bands=7)
+    return pairs.orderBy("a_id", "b_id")
+
+
+@query(
     "q132_webdataset_roundtrip",
     """
     SELECT source, COUNT(*) AS n_docs,

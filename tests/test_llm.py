@@ -1350,6 +1350,41 @@ def test_image_dhash_invariances(spark):
         image_dhash(assets, width=9, height=9)
 
 
+def test_hamming_near_dups_exact(spark):
+    """The pigeonhole exactness claim on ARBITRARY fingerprints: for
+    random 56-bit hashes, band-LSH + bit_count refinement returns
+    EXACTLY the brute-force all-pairs relation at max_dist < bands —
+    including planted near pairs (1-2 bit flips) and excluding far
+    ones; invalid parameters are rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fdf_spark.llm.dedup import hamming_near_dups
+
+    rng = np.random.RandomState(3)
+    base = [int(x) for x in rng.randint(0, 1 << 56, 40, dtype=np.uint64)]
+    hashes = list(base)
+    hashes += [h ^ (1 << int(rng.randint(56))) for h in base[:10]]          # dist 1
+    hashes += [h ^ (1 << 3) ^ (1 << 44) for h in base[10:20]]               # dist 2
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, dhash long"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in hamming_near_dups(df, "dhash", max_dist=4, bands=7).collect()
+    }
+    want = {}
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin(hashes[i] ^ hashes[j]).count("1")
+            if d <= 4:
+                want[(i, j)] = d
+    assert got == want
+    assert len(want) >= 20  # the planted near pairs are all in there
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dups(df, "dhash", max_dist=7, bands=7)
+
+
 def test_gif_extract_features_distributed(spark):
     import numpy as np
 

@@ -166,6 +166,10 @@ EXPECT: dict[str, dict] = {
     # hashing is map-side; the exchanges carry 8-byte hashes (group
     # agg + final sort), never pixels
     "q146_image_dhash_dedup": dict(max_exchanges=2, max_smj=0, max_scans=1),
+    # hashes materialize once (localCheckpoint) so the parquet scan +
+    # decode never appears in the pair-join plan; band join + distinct
+    # + sort shuffle 16-byte (hash, band) rows only
+    "q147_image_near_dup": dict(max_smj=0, max_scans=0, max_bnl=0),
     "q129_jpeg_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q130_gif_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),
     "q131_adpcm_codec_roundtrip": dict(max_exchanges=1, max_smj=0, max_scans=1),

@@ -726,6 +726,21 @@ def main() -> None:
         .groupBy("dhash")
         .agg(F.count("*").alias("n")),
     )
+    from fdf_spark.llm.dedup import hamming_near_dups
+    from fdf_spark.llm.multimodal import synth_png_near_assets
+
+    # near-dup sweep: decode+hash once (materialized), then the exact
+    # band join — shuffles (hash, band) rows, never pixels; classes
+    # scale with the corpus (20k classes of ~5) so the pair space is
+    # Σ|class|², bounded, as in a real crawl
+    near_hashes = image_dhash(
+        synth_png_near_assets(ids(100_000), classes=20_000, textured=True)
+    ).localCheckpoint()
+    timed(
+        "image hamming near-dup (N2)",
+        100_000,
+        hamming_near_dups(near_hashes, "dhash", "asset_id", max_dist=4, bands=7),
+    )
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
     # vector (m/32 longs — bounded metadata), prune a 100M-row probe
