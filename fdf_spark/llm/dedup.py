@@ -405,6 +405,10 @@ def hamming_near_dups(
     """
     if not 0 < max_dist < bands:
         raise ValueError("exactness needs 0 < max_dist < bands (pigeonhole)")
+    if bands * band_bits > 64:
+        # JVM shiftright masks the shift count mod 64, so a band at
+        # offset >= 64 would silently alias band 0 and break recall
+        raise ValueError("bands * band_bits must be <= 64 (int64 fingerprints)")
     mask = (1 << band_bits) - 1
     banded = hashes.select(
         F.col(id_col),

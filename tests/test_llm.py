@@ -1383,6 +1383,10 @@ def test_hamming_near_dups_exact(spark):
     assert len(want) >= 20  # the planted near pairs are all in there
     with _pytest.raises(ValueError, match="pigeonhole"):
         hamming_near_dups(df, "dhash", max_dist=7, bands=7)
+    # bands past bit 63 would alias band 0 (JVM shift counts are mod
+    # 64) — rejected rather than silently losing recall
+    with _pytest.raises(ValueError, match="<= 64"):
+        hamming_near_dups(df, "dhash", max_dist=8, bands=9, band_bits=8)
 
 
 def test_gif_extract_features_distributed(spark):

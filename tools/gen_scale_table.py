@@ -63,7 +63,7 @@ ROWS = [
     ("decode audit mixed (N6)", "poison-safe ingestion audit: JVM magic-byte sniff + real-codec attempt, corrupt objects quarantined as rows (N6+N18)", "100 k mixed assets"),
     ("wav voice segments (N6)", "VAD segmentation: map-side window energies + declarative island merge — exchanges carry window verdicts, never samples (N6)", "100 k clips"),
     ("image dhash dedup (N6)", "perceptual image dedup: decode + 56-bit dHash map-side, dedup groupBy shuffles 8-byte hashes never pixels (N6+N2)", "100 k images"),
-    ("image hamming near-dup (N2)", "hamming near-dup pairs over dHash: band-LSH exact by pigeonhole (dist<=4 < 7 bands), 20k textured classes (N2+N6)", "100 k images"),
+    ("image hamming near-dup (N2)", "hamming near-dup pairs over dHash: band-LSH exact by pigeonhole (dist<=4 < 7 bands), 20k textured classes — JOIN ONLY, hashes pre-materialized (decode cost = the dhash row above) (N2)", "100 k hashes"),
     ("bloom build+prefilter (N5)", "Bloom join-prune: build over 1 M keys + zero-shuffle map-side prefilter of the probe side (N5)", "100 M probe rows"),
     ("hll distinct sketch (N5)", "HyperLogLog distinct sketch, 2^12 registers, 20 M distinct (N5)", "200 M rows"),
     ("quantile sketch x8 (N5)", "quantile sketch: 8 shard bottom-k samples built + exactly merged + estimated (N5)", "100 M rows"),
