@@ -1790,3 +1790,54 @@ def q123_snapshot_diff_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     refreshed = incremental_refresh(view1, delta, ["o_orderpriority"], "o_totalprice")
     out = finish_view(refreshed, ["o_orderpriority"]).orderBy("o_orderpriority")
     return _materialize_and_cleanup(out, path)
+
+
+@query(
+    "q148_bucketed_colocated_join",
+    f"""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    operators=("S10", "J2", "J3"),
+    doc="Bucketed (storage-partitioned) fact-fact join: lineitem and "
+    "orders are REWRITTEN through write_table(bucket_by=(orderkey, 8)) "
+    "— hash-clustered into co-located, key-sorted bucket files — and "
+    "the join then compiles as a SortMergeJoin with ZERO Exchange on "
+    "either side (pinned in tests/test_bucketing.py): the scan itself "
+    "satisfies the join's distribution requirement, and the residual "
+    "per-side Sort is a local pass over one key-sorted file per "
+    "bucket, never the network. This "
+    "is the layout contract SURVEY §4 promises ('bucketed by channel "
+    "for high-channel diagnostics'): at 100 TB every REPEATED join on "
+    "the bucket key — the reference's per-(tree, shot) access pattern, "
+    "factory.py:149-167 — stops paying its shuffle forever after one "
+    "write. The oracle is the plain join+agg on the original parquet: "
+    "the bucketed layout must be a pure physical change, so a row "
+    "lost/duplicated by the bucketed writer or a bucket-misrouted key "
+    "flips the hash.",
+)
+def q148_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.operators.bucketed import bucketed_fact_join, write_bucketed_pair
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    with write_bucketed_pair(spark, (li, "l_orderkey"), (o, "o_orderkey"), n_buckets=8) as (bl, bo):
+        joined = bucketed_fact_join(bl, bo, "l_orderkey", "o_orderkey")
+        out = (
+            joined.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count("*").alias("n_items"),
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            )
+            .orderBy("priority")
+        )
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

@@ -12,8 +12,11 @@ This writer encodes the layout contract the scan side assumes:
   give time-range pruning — the moral equivalent of server-side
   ``dim_of`` windows;
 - parquet + snappy defaults; at 100 TB the same call with
-  ``bucket_by`` co-locates join keys so repeated channel joins skip
-  the shuffle (requires ``saveAsTable`` with a metastore).
+  ``bucket_by=(key, n)`` + ``table=`` co-locates join keys so every
+  repeated fact-fact join on that key skips its shuffle entirely
+  (``saveAsTable`` through the session catalog; see
+  :mod:`fdf_spark.operators.bucketed` and tests/test_bucketing.py
+  for the zero-exchange SortMergeJoin this buys).
 """
 
 from __future__ import annotations
@@ -31,8 +34,50 @@ def write_table(
     mode: str = "overwrite",
     fmt: str = "parquet",
     options: dict | None = None,
+    bucket_by: tuple[str | Sequence[str], int] | None = None,
+    table: str | None = None,
 ) -> None:
-    """Write a long-format signal/fact table with the engine layout."""
+    """Write a long-format signal/fact table with the engine layout.
+
+    ``bucket_by=(key_cols, n_buckets)`` switches to a BUCKETED layout:
+    rows are hash-clustered into ``n_buckets`` files per partition on
+    the key and sorted by it within each file, and the table is
+    registered in the session catalog under ``table`` (required —
+    bucketing metadata lives in the catalog, the files under ``path``).
+    Scans of two tables bucketed on their join key with the same bucket
+    count then satisfy the join's distribution requirement AS READ: the
+    SortMergeJoin compiles with ZERO Exchange — the repeated fact-fact
+    join (the reference's per-(tree, shot) access pattern,
+    factory.py:149-167) stops paying its shuffle forever after one
+    write. (A LOCAL per-side Sort remains: Spark >= 3.0 scans no
+    longer report bucket sortedness — see operators/bucketed.py; the
+    network half is what the layout deletes.) At 100 TB that shuffle
+    is the single largest recurring cost a layout choice can delete.
+    """
+    if bucket_by is not None:
+        key_cols, n_buckets = bucket_by
+        if isinstance(key_cols, str):
+            key_cols = (key_cols,)
+        if not table:
+            raise ValueError(
+                "bucketed writes need table= — bucket metadata lives in the "
+                "session catalog (files still land under path=)"
+            )
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucket_by columns not in dataframe: {missing}")
+        writer = df.write.mode(mode).format(fmt)
+        if options:
+            writer = writer.options(**options)
+        part_cols = [c for c in partition_by if c in df.columns]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        # sort buckets by the join key first (what lets the SMJ skip its
+        # Sort too), then any caller extras (e.g. time for range pruning)
+        extras = [c for c in sort_by if c in df.columns and c not in key_cols]
+        writer = writer.bucketBy(n_buckets, *key_cols).sortBy(*key_cols, *extras)
+        writer.option("path", path).saveAsTable(table)
+        return
     out = df
     if sort_by:
         cols = [c for c in sort_by if c in df.columns]

@@ -7,6 +7,9 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from fdf_spark.operators.bucketed import bucketed_fact_join, write_bucketed_pair
+from fdf_spark.sources.sinks import write_table
+
 
 @pytest.fixture()
 def warehouse(spark):
@@ -42,3 +45,59 @@ def test_bucketed_join_skips_shuffle(warehouse, tmp_path):
         assert row["s"] == sum(2 * i + 3 * i for i in range(10_000))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_write_bucketed_pair_zero_exchange(spark):
+    """The sink-helper path (write_table bucket_by= via write_bucketed_pair):
+    the SMJ compiles with ZERO Exchange — the bucketed scan satisfies the
+    join's distribution requirement as read, and both scans stay
+    bucketed. This is the plan q148 rides. (The per-side Sort that
+    remains is local over one key-sorted file per bucket — Spark >= 3.0
+    dropped scan-reported bucket sortedness; the network half, the
+    Exchange, is what the layout deletes.)"""
+    left = spark.range(0, 5_000).select(
+        F.col("id").alias("lk"), (F.col("id") % 7).alias("lv")
+    )
+    right = spark.range(0, 5_000, 2).select(
+        F.col("id").alias("rk"), (F.col("id") % 5).alias("rv")
+    )
+    with write_bucketed_pair(spark, (left, "lk"), (right, "rk"), n_buckets=8) as (bl, br):
+        joined = bucketed_fact_join(bl, br, "lk", "rk")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert plan.count("Bucketed: true") == 2
+        assert joined.count() == 2_500
+
+        # THE point of the layout: a SECOND, different join over the same
+        # pair also compiles shuffle-free — pay the clustering once at
+        # write time, every repeated fact-fact join after that is free.
+        again = bucketed_fact_join(bl.filter(F.col("lv") < 3), br, "lk", "rk")
+        plan2 = again._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2
+        assert again.count() == sum(1 for i in range(0, 5_000, 2) if i % 7 < 3)
+
+    # context exit cleaned the catalog
+    leftovers = [t.name for t in spark.catalog.listTables() if t.name.startswith("bkt_")]
+    assert leftovers == []
+
+
+def test_write_table_bucket_by_validation(spark, tmp_path):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="table="):
+        write_table(df, str(tmp_path / "t"), bucket_by=("k", 4))
+    with pytest.raises(ValueError, match="not in dataframe"):
+        write_table(df, str(tmp_path / "t"), bucket_by=("nope", 4), table="t_bad")
+
+
+def test_bucketed_outer_join_keeps_layout(spark):
+    """how= passes through: a left outer join over the bucketed pair is
+    also shuffle-free (unmatched keys emit nulls, no Exchange)."""
+    left = spark.range(0, 100).select(F.col("id").alias("lk"))
+    right = spark.range(0, 50).select(F.col("id").alias("rk"), F.lit(1).alias("rv"))
+    with write_bucketed_pair(spark, (left, "lk"), (right, "rk"), n_buckets=4) as (bl, br):
+        j = bucketed_fact_join(bl, br, "lk", "rk", how="left")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() == 100
+        assert j.filter(F.col("rv").isNull()).count() == 50
