@@ -220,3 +220,48 @@ def q113_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), dsum("value").alias("total_value")
     )
     return run_stream_to_batch(spark, enriched).orderBy("event_type", "segment")
+
+
+@query(
+    "q149_stream_left_outer_join",
+    """
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+                       - INTERVAL 10 MINUTE AS w)
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id, CAST(NULL AS BIGINT)
+    FROM c, wm
+    WHERE NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.user_id = c.user_id
+                        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      AND c.ts + INTERVAL 30 MINUTE < wm.w
+    ORDER BY click_id, purchase_id
+    """,
+    operators=("ST1", "ST3", "ST4", "S7", "J7"),
+    doc="Watermarked stream-stream LEFT OUTER interval join — the "
+    "funnel query ('clicks with no purchase'), run as a real "
+    "micro-batch streaming query. A click with no purchase in its "
+    "30-minute window emits with NULL purchase columns, but ONLY once "
+    "the global watermark (min over both branches of max-event-time "
+    "minus the 10-minute delay) passes the click's last possible match "
+    "time: on an unbounded stream 'no purchase' is unknowable until "
+    "the watermark rules a late match out, so clicks younger than the "
+    "horizon at end-of-input emit nothing. The oracle replays that "
+    "state-expiry rule RELATIONALLY — inner join UNION ALL "
+    "anti-join-filtered clicks older than the horizon — which turns "
+    "the watermark semantics themselves into an oracle-checked "
+    "contract (the inner tier is q55; the null tier is new state "
+    "machinery: per-row eviction with null emission at expiry).",
+)
+def q149_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = event_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    joined = stream_stream_join(stream, how="left_outer")
+    return run_stream_to_batch(spark, joined, output_mode="append").orderBy(
+        "click_id", "purchase_id"
+    )

@@ -239,6 +239,7 @@ def stream_stream_join(
     right_type: str = "purchase",
     within: str = "30 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """ST3: stream-stream interval self-join — pair each ``left_type``
     event with the same user's ``right_type`` events that follow it
@@ -250,6 +251,19 @@ def stream_stream_join(
     reference has no two-stream correlation (its bus is one blocking
     consumer, factory.py:307-320); this is the declared-surface
     generalization, and it runs identically in batch (the oracle twin).
+
+    ``how="left_outer"`` is the funnel shape ("clicks with NO
+    purchase"): a click emits with NULL purchase columns — but only
+    when the join state expires, i.e. when the global watermark
+    (min over both branches of max-event-time − ``watermark``) passes
+    the click's last possible match time ``l_ts + within``.  Clicks
+    younger than that horizon at end-of-input are still waiting for a
+    match and emit NOTHING — that is the semantics of an unbounded
+    stream, where "no purchase yet" can never be distinguished from
+    "purchase still in flight" until the watermark rules it out.  The
+    oracle twin therefore carries the same horizon predicate
+    explicitly (q149), which makes the state-expiry rule itself an
+    oracle-checked contract rather than a streaming quirk.
     """
     l = (
         events.filter(F.col("event_type") == left_type)
@@ -274,7 +288,7 @@ def stream_stream_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("purchase_id"),
         F.col("l_user").alias("user_id"),

@@ -160,3 +160,53 @@ def test_events_confs_settable_on_plain_session(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_left_outer_join_nulls_only_after_watermark(spark, tmp_path):
+    """Null emission is gated by state expiry, not by end-of-batch: an
+    unmatched click emits its NULL row only once the global watermark
+    (advanced by LATER events) passes click_ts + 30min, and a click
+    still inside that horizon at end-of-input emits NOTHING."""
+    from datetime import datetime
+
+    from fdf_spark.streaming.events import stream_stream_join
+
+    src = str(tmp_path / "lsoj_src")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    batch1 = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),   # will match
+        (2, datetime(2024, 1, 1, 10, 0), 2, "click", 1.0, "{}"),   # never matches -> NULL after horizon
+        (10, datetime(2024, 1, 1, 10, 10), 1, "purchase", 9.0, "{}"),
+    ]
+    # batch 2 advances both branch watermarks PAST click 2's horizon
+    # (10:30 + 10min delay = 10:40) and adds a fresh unmatched click
+    # still inside its own horizon -> must NOT emit
+    batch2 = [
+        (3, datetime(2024, 1, 1, 12, 0), 3, "click", 1.0, "{}"),
+        (11, datetime(2024, 1, 1, 12, 0), 9, "purchase", 9.0, "{}"),
+    ]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream_stream_join(stream, how="left_outer")
+    name = "lsoj_test_out"
+    mk(batch1).write.mode("append").parquet(src)
+    q = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()
+        after_b1 = {(r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()}
+        # inner result immediate; click 2 unmatched but watermark (10:10-10min
+        # = 10:00) has not passed 10:00+30min -> no null row yet
+        assert after_b1 == {(1, 10)}
+        mk(batch2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        after_b2 = {(r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    # click 2 expired -> null row; click 3 (12:00, horizon 12:30 > watermark
+    # 11:50) still pending -> absent
+    assert after_b2 == {(1, 10), (2, None)}
