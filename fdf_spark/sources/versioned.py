@@ -82,6 +82,57 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+# --- column mapping (rename/drop without rewrite) ---------------------------
+#
+# The manifest's "schema" holds LOGICAL field names — what readers see.
+# "column_mapping" maps logical -> PHYSICAL name (the name the column
+# carries inside data files; identity entries omitted), and
+# "retired_physical" lists physical names that ever carried data for a
+# since-dropped/renamed logical column.  This is Iceberg's field-id
+# indirection in name form: a rename is a manifest-only commit (zero
+# bytes rewritten, time travel to pre-rename snapshots intact), a drop
+# never resurrects, and a RE-ADDED logical name gets a FRESH physical
+# name so old files' bytes for the retired column stay invisible.
+# All data files of one table share one physical naming (appends and
+# OPTIMIZE translate logical->physical before writing), so one mapping
+# per manifest suffices — no per-file mapping needed.
+
+
+def _mapping(m: dict) -> dict[str, str]:
+    return m.get("column_mapping", {})
+
+
+def _physical(m: dict, logical: str) -> str:
+    return _mapping(m).get(logical, logical)
+
+
+def _logical_schema(m: dict) -> StructType | None:
+    return StructType.fromJson(json.loads(m["schema"])) if "schema" in m else None
+
+
+def _load_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
+    """Read a manifest's files with the PHYSICAL schema (missing
+    columns in pre-evolution files yield NULLs; dropped columns are
+    never even requested — column pruning at the scan), then alias to
+    the logical names readers see."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField
+
+    schema = _logical_schema(m)
+    if schema is None:
+        return spark.read.parquet(*files)
+    mapping = _mapping(m)
+    phys = StructType(
+        [StructField(mapping.get(f.name, f.name), f.dataType, f.nullable) for f in schema.fields]
+    )
+    df = spark.read.schema(phys).parquet(*files)
+    if not mapping:
+        return df
+    return df.select(
+        *[F.col(mapping.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+    )
+
+
 def _file_stats(file_path: str) -> dict:
     """Per-column [min, max] from the parquet FOOTER (no data read).
 
@@ -133,33 +184,51 @@ def commit_version(
     the manifest (JSON) — e.g. the ingesting stream's batch id, which
     makes replay detection atomic with the commit itself.
     """
+    from pyspark.sql import functions as F
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
     versions = list_versions(path)
     parent = versions[-1] if versions else None
     version = (parent + 1) if parent is not None else 1
+    pm = _read_manifest(path, parent) if (mode == "append" and parent is not None) else None
+    mapping = dict(_mapping(pm)) if pm else {}
+    retired = list(pm.get("retired_physical", [])) if pm else []
+    schema = df.schema
+    out = df
+    if pm is not None and "schema" in pm:
+        # schema evolution: the snapshot schema is parent ∪ new —
+        # kept in the manifest so reads never footer-scan for it;
+        # files missing a column yield NULLs
+        parent_schema = _logical_schema(pm)
+        have = {f.name for f in parent_schema.fields}
+        merged = list(parent_schema.fields) + [
+            f for f in schema.fields if f.name not in have
+        ]
+        schema = StructType(merged)
+        # physical naming: appended files must carry the table's ONE
+        # physical naming; a NEW logical column whose name collides
+        # with any physical name ever used (a dropped or renamed-away
+        # column's bytes still live in old files) gets a FRESH physical
+        # name — the field-id rule that stops old bytes resurrecting
+        used_phys = {mapping.get(f.name, f.name) for f in parent_schema.fields} | set(retired)
+        for f in df.schema.fields:
+            if f.name not in have and f.name not in mapping and f.name in used_phys:
+                mapping[f.name] = f"{f.name}__v{version}"
+        if mapping:
+            out = df.select(
+                *[F.col(f.name).alias(mapping.get(f.name, f.name)) for f in df.schema.fields]
+            )
     stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
-    df.write.parquet(stage)
+    out.write.parquet(stage)
     new_files = sorted(
         os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
     )
     file_stats = {f: _file_stats(f) for f in new_files}
     files = new_files
-    schema = df.schema
-    if mode == "append" and parent is not None:
-        pm = _read_manifest(path, parent)
+    if pm is not None:
         files = pm["files"] + new_files
         file_stats = {**pm.get("stats", {}), **file_stats}
-        if "schema" in pm:
-            # schema evolution: the snapshot schema is parent ∪ new —
-            # kept in the manifest so reads never footer-scan for it;
-            # files missing a column yield NULLs
-            parent_schema = StructType.fromJson(json.loads(pm["schema"]))
-            have = {f.name for f in parent_schema.fields}
-            merged = list(parent_schema.fields) + [
-                f for f in schema.fields if f.name not in have
-            ]
-            schema = StructType(merged)
     manifest = {
         "version": version,
         "parent": parent,
@@ -167,6 +236,8 @@ def commit_version(
         "files": files,
         "stats": file_stats,
         "schema": json.dumps(schema.jsonValue()),
+        "column_mapping": mapping,
+        "retired_physical": retired,
         "meta": meta or {},
     }
     _stage_and_publish_manifest(path, version, manifest)
@@ -230,9 +301,10 @@ def read_version(
     if prune is not None:
         col, lo, hi = prune
         stats = m.get("stats", {})
+        pcol = _physical(m, col)  # footer stats carry physical names
 
         def _overlaps(f: str) -> bool:
-            st = stats.get(f, {}).get(col)
+            st = stats.get(f, {}).get(pcol)
             if st is None:
                 return True  # no stats → must read
             fmin, fmax = st
@@ -241,14 +313,10 @@ def read_version(
         files = [f for f in files if _overlaps(f)]
         if not files:
             # empty relation with the snapshot schema
-            schema = StructType.fromJson(json.loads(m["schema"])) if "schema" in m else None
-            return spark.createDataFrame([], schema)
+            return spark.createDataFrame([], _logical_schema(m))
     if not files:
         raise FileNotFoundError(f"version {v} is empty")
-    reader = spark.read
-    if "schema" in m:  # manifest-recorded snapshot schema: no footer scan
-        reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
-    return reader.parquet(*files)
+    return _load_files(spark, m, files)
 
 
 def diff_versions(
@@ -279,16 +347,14 @@ def diff_versions(
     m_to = _read_manifest(path, v_to)
     f_from, f_to = set(m_from["files"]), set(m_to["files"])
     added, removed = sorted(f_to - f_from), sorted(f_from - f_to)
-    reader = spark.read
-    if "schema" in m_to:
-        reader = reader.schema(StructType.fromJson(json.loads(m_to["schema"])))
-    cols = [f.name for f in StructType.fromJson(json.loads(m_to["schema"])).fields] if "schema" in m_to else None
 
     def _load(files: list[str]) -> DataFrame | None:
         if not files:
             return None
-        df = reader.parquet(*files)
-        return df.select(*cols) if cols else df
+        # both sides through the v_to manifest: its schema AND mapping
+        # (a renamed column diffs under its new name; dropped columns
+        # are invisible on both sides)
+        return _load_files(spark, m_to, files)
 
     new_rows, old_rows = _load(added), _load(removed)
     if new_rows is None and old_rows is None:
@@ -306,6 +372,101 @@ def diff_versions(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Rename a column as a MANIFEST-ONLY commit — zero bytes rewritten.
+
+    The new manifest carries the renamed logical schema and maps the
+    new name to the column's unchanged PHYSICAL name, so every
+    existing data file reads through the rename; time travel to
+    pre-rename versions still shows the old name (each snapshot owns
+    its schema).  Publishes through the same optimistic-concurrency
+    seam as data commits — a racing writer surfaces as
+    ``ConcurrentCommitError``, never a lost rename.  This is the
+    operation that costs a FULL TABLE REWRITE without mapping
+    indirection; here it is O(one manifest) at any table size.
+    """
+    from pyspark.sql.types import StructField
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    schema = _logical_schema(m)
+    if schema is None:
+        raise ValueError("table has no manifest schema; cannot rename")
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    mapping = dict(_mapping(m))
+    mapping[new] = mapping.pop(old, old)
+    fields = [
+        StructField(new, f.dataType, f.nullable) if f.name == old else f
+        for f in schema.fields
+    ]
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "rename",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "schema": json.dumps(StructType(fields).jsonValue()),
+        "column_mapping": mapping,
+        "retired_physical": m.get("retired_physical", []),
+        "meta": {"rename": {"from": old, "to": new}},
+    }
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
+
+
+def drop_column(path: str, col: str) -> int:
+    """Drop a column as a MANIFEST-ONLY commit — zero bytes rewritten.
+
+    The field leaves the logical schema and its physical name is
+    RETIRED: old files keep the bytes (time travel to pre-drop
+    snapshots still reads them) but no current-snapshot scan ever
+    requests the column (parquet column pruning — dropping also makes
+    every future read cheaper), and a later re-add of the same name
+    gets a fresh physical name so the dead bytes can never resurrect
+    (:func:`commit_version`).  Same optimistic-commit seam as data.
+    """
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    schema = _logical_schema(m)
+    if schema is None:
+        raise ValueError("table has no manifest schema; cannot drop")
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the only column")
+    mapping = dict(_mapping(m))
+    retired = list(m.get("retired_physical", []))
+    retired.append(mapping.pop(col, col))
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "drop",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "schema": json.dumps(
+            StructType([f for f in schema.fields if f.name != col]).jsonValue()
+        ),
+        "column_mapping": mapping,
+        "retired_physical": retired,
+        "meta": {"drop": {"column": col}},
+    }
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
 
 
 def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str]:
@@ -427,10 +588,23 @@ def optimize(
             }
     rw = set(rewrite)
     kept = [f for f in files if f not in rw]
+    # read AND rewrite under PHYSICAL names: rewritten files must stay
+    # consistent with the table's one mapping, so the rewrite never
+    # aliases — only the zorder key names translate logical->physical
     reader = spark.read
-    if "schema" in m:
-        reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+    schema = _logical_schema(m)
+    if schema is not None:
+        from pyspark.sql.types import StructField
+
+        mp = _mapping(m)
+        reader = reader.schema(
+            StructType(
+                [StructField(mp.get(f.name, f.name), f.dataType, f.nullable) for f in schema.fields]
+            )
+        )
     df = reader.parquet(*rewrite)
+    if zorder:
+        zorder = [_physical(m, c) for c in zorder]
     total = sum(sizes[f] for f in rewrite)
     # row count from the parquet FOOTERS (zero Spark jobs), keeping the
     # docstring's one-scan claim honest — the data itself is read once,
@@ -505,6 +679,8 @@ def optimize(
         "files": kept + new_files,
         "stats": file_stats,
         "schema": m["schema"] if "schema" in m else json.dumps(df.schema.jsonValue()),
+        "column_mapping": _mapping(m),
+        "retired_physical": m.get("retired_physical", []),
         "meta": {"optimize": {"rewritten": len(rewrite), "zorder": list(zorder or [])}},
     }
     _stage_and_publish_manifest(path, version, manifest)

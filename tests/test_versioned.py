@@ -422,3 +422,91 @@ def test_prune_on_column_born_mid_history(spark, tmp_path):
     assert rows == 51  # k 100..150
     # the NULL back-fill rows from the stat-less file are present
     assert pruned.filter("extra IS NULL").count() == 100
+
+
+# --- column mapping: rename/drop without rewrite ----------------------------
+
+def test_rename_column_reads_through_and_time_travels(spark, tmp_path):
+    from fdf_spark.sources.versioned import _read_manifest, rename_column
+
+    p = str(tmp_path / "t")
+    v1 = commit_version(_df(spark, 0, 10), p)
+    files_before = _read_manifest(p, v1)["files"]
+    v2 = rename_column(p, "v", "value")
+    # manifest-only: same files, zero bytes rewritten
+    assert _read_manifest(p, v2)["files"] == files_before
+    cur = read_version(spark, p)
+    assert cur.columns == ["k", "value"]
+    assert {r["k"]: r["value"] for r in cur.collect()} == {i: 2 * i for i in range(10)}
+    # time travel: the pre-rename snapshot still shows the old name
+    old = read_version(spark, p, version=v1)
+    assert old.columns == ["k", "v"]
+
+
+def test_rename_then_append_and_prune(spark, tmp_path):
+    from fdf_spark.sources.versioned import rename_column
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    rename_column(p, "v", "value")
+    # append uses LOGICAL names; files must land under the physical name
+    more = spark.range(10, 20).select(F.col("id").alias("k"), (F.col("id") * 2).alias("value"))
+    commit_version(more, p, mode="append")
+    cur = read_version(spark, p)
+    assert cur.count() == 20
+    assert {r["k"]: r["value"] for r in cur.collect()} == {i: 2 * i for i in range(20)}
+    # manifest pruning translates the logical prune column to physical
+    pruned = read_version(spark, p, prune=("value", 30, 38))
+    got = {r["k"] for r in pruned.collect()}
+    assert {15, 16, 17, 18, 19} <= got and 0 not in got  # superset guarantee, file-level
+
+
+def test_drop_column_hides_bytes_and_readd_is_fresh(spark, tmp_path):
+    from fdf_spark.sources.versioned import drop_column
+
+    p = str(tmp_path / "t")
+    v1 = commit_version(_df(spark, 0, 5), p)
+    v2 = drop_column(p, "v")
+    cur = read_version(spark, p)
+    assert cur.columns == ["k"]
+    # pre-drop snapshot still reads the dropped bytes
+    assert read_version(spark, p, version=v1).columns == ["k", "v"]
+    # re-add a column NAMED v: old files' physical 'v' bytes must NOT
+    # resurrect — rows from v1's files read NULL, new rows read 999
+    readd = spark.range(100, 103).select(F.col("id").alias("k"), F.lit(999).alias("v"))
+    commit_version(readd, p, mode="append")
+    rows = {r["k"]: r["v"] for r in read_version(spark, p).collect()}
+    assert rows[0] is None and rows[1] is None  # NOT 0, 2 (the dead bytes)
+    assert rows[100] == 999
+    assert v2 in list_versions(p)
+
+
+def test_rename_drop_validation(spark, tmp_path):
+    from fdf_spark.sources.versioned import drop_column, rename_column
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 3), p)
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(p, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(p, "v", "k")
+    with pytest.raises(ValueError, match="no column"):
+        drop_column(p, "nope")
+    drop_column(p, "v")
+    with pytest.raises(ValueError, match="only column"):
+        drop_column(p, "k")
+
+
+def test_optimize_after_rename_keeps_mapping(spark, tmp_path):
+    from fdf_spark.sources.versioned import diff_versions, optimize, rename_column
+
+    p = str(tmp_path / "t")
+    for lo in range(0, 40, 10):  # several small files
+        commit_version(_df(spark, lo, lo + 10), p, mode="append")
+    v = rename_column(p, "v", "value")
+    res = optimize(spark, p, zorder=["value"], target_bytes=1 << 20)
+    assert res["version"] == v + 1
+    # rewrite is a logical no-op THROUGH the rename
+    assert diff_versions(spark, p, v, res["version"]).count() == 0
+    cur = read_version(spark, p)
+    assert cur.columns == ["k", "value"] and cur.count() == 40
