@@ -446,3 +446,137 @@ def hamming_near_dups(
         .distinct()
     )
     return pairs
+
+
+def simhash128(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bits_per_word: int = 60,
+) -> DataFrame:
+    """N2: 120-bit SimHash → (id_col, simhash array<bigint> of 2 words).
+
+    Same Charikar vote scheme as :func:`simhash`, but each token's ONE
+    md5 supplies two independent 60-bit hash halves (hex chars 1-15
+    and 17-31), and each half drives the votes of one fingerprint
+    word — a real wide SimHash at one-hash-per-token cost, and every
+    bit is replayable in DuckDB from the same md5 (the q150 oracle).
+    The vote sums still combine map-side (one wide agg, never a
+    posexplode to (doc, bit) rows); the only exchange carries one row
+    per document.
+    """
+    from fdf_spark.sources.tables import spread
+
+    if not 0 < bits_per_word <= 60:
+        raise ValueError("bits_per_word must be in 1..60 (md5 half = 60 bits)")
+    tokens = spread(df).select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text)), r"\s+")).alias("tok")
+    )
+    md5 = F.md5(F.col("tok"))
+    hashed = tokens.select(
+        F.col(id_col),
+        F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("h0"),
+        F.conv(F.substring(md5, 17, 15), 16, 10).cast("long").alias("h1"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"h{w}"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"_v{w}_{b}")
+        for w in range(2)
+        for b in range(bits_per_word)
+    ]
+    words = []
+    for w in range(2):
+        word = None
+        for b in range(bits_per_word):
+            term = F.shiftleft((F.col(f"_v{w}_{b}") >= 0).cast("bigint"), b)
+            word = term if word is None else word + term
+        words.append(word)
+    return hashed.groupBy(id_col).agg(*votes).select(
+        F.col(id_col), F.array(*words).alias("simhash")
+    )
+
+
+def hamming_near_dups_wide(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_dist: int = 10,
+    n_words: int = 2,
+    bands_per_word: int = 6,
+    band_bits: int = 10,
+) -> DataFrame:
+    """N2: EXACT hamming near-dup pairs over MULTI-WORD fingerprints
+    (``array<bigint>`` — 128-bit SimHash and wider) → ``(a_id, b_id,
+    dist)`` with ``dist = Σ_w popcount(a[w] ^ b[w]) <= max_dist`` and
+    ``a_id < b_id``.
+
+    Lifts :func:`hamming_near_dups`'s int64 cap with array-of-longs
+    banding: each word contributes ``bands_per_word`` bands, and the
+    pigeonhole argument runs over the TOTAL band count across words —
+    a pair within hamming distance ``max_dist < n_words *
+    bands_per_word`` cannot differ in every band (each differing bit
+    lives in exactly one band of one word), so the band equi-join has
+    100% recall and the zip_with/bit_count refinement reproduces the
+    brute-force all-pairs relation exactly (the q150 oracle IS that
+    brute force).  Per-word band extraction is the same JVM
+    shift/mask algebra as the single-word operator (``bands_per_word *
+    band_bits <= 64`` per word — the mod-64 JVM shift guard now
+    applies per word, which is what makes ANY width reachable);
+    ``n_words`` must equal the fingerprint array's length (band
+    recall silently degrades on longer arrays — words past the last
+    band contribute distance but no candidates — so it is the
+    caller's schema contract, asserted cheaply against one row).
+    Candidates stay linear in corpus + band-bucket collisions.
+    """
+    total_bands = n_words * bands_per_word
+    if not 0 < max_dist < total_bands:
+        raise ValueError("exactness needs 0 < max_dist < n_words*bands_per_word (pigeonhole)")
+    if bands_per_word * band_bits > 64:
+        raise ValueError("bands_per_word * band_bits must be <= 64 (per int64 word)")
+    first = hashes.select(F.size(F.col(hash_col)).alias("n")).limit(1).collect()
+    if first and first[0]["n"] != n_words:
+        raise ValueError(
+            f"fingerprint array has {first[0]['n']} words, caller declared {n_words}"
+        )
+    mask = (1 << band_bits) - 1
+    band_structs = []
+    for w in range(n_words):
+        word = F.element_at(F.col(hash_col), w + 1)
+        for b in range(bands_per_word):
+            band_structs.append(
+                F.struct(
+                    F.lit(w * bands_per_word + b).alias("band"),
+                    F.shiftright(word, b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+            )
+    banded = hashes.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*band_structs)).alias("bv")
+    ).select(id_col, hash_col, "bv.band", "bv.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{hash_col}"),
+            F.col(f"b.{hash_col}"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )

@@ -196,6 +196,56 @@ REAL_CODECS = {
     "mpeg1": _decode_mpeg1,
 }
 
+#: magic-byte prefixes for REGISTERED external codecs (native-lib
+#: mounts); consulted by :func:`sniff_format` when it builds its
+#: column expression, so a registered format routes through the same
+#: JVM sniff as the built-ins.
+EXTRA_MAGIC: dict[str, bytes] = {}
+
+
+def register_codec(name: str, decode, magic: bytes | None = None) -> None:
+    """Mount an EXTERNAL decoder (e.g. an ffmpeg binding) into the
+    engine's codec seam.
+
+    ``decode(payload: bytes) -> sequence`` joins :data:`REAL_CODECS`
+    under ``name`` and immediately routes through the SAME
+    ``extract_features`` / ``decode_audit`` mapInPandas machinery as
+    the built-in pure-python codecs — no engine code changes.  If
+    ``magic`` is given, :func:`sniff_format` also learns to classify
+    payloads with that prefix as ``name`` (still a pure JVM column
+    expression — one more ``when`` branch).
+
+    This is the documented MP3/H.264 boundary contract made
+    mechanical: the perceptual codecs are not missing plumbing, they
+    are missing a decoder, and this is where one mounts.  The decode
+    callable must be serializable (cloudpickle) — the operators
+    snapshot the registry BY VALUE at plan-build time so executors see
+    the registration without re-importing a mutated module.
+    tests/test_multimodal.py proves the contract with a fake native
+    codec.
+    """
+    if not callable(decode):
+        raise TypeError(f"decode for codec {name!r} must be callable")
+    if name in ("stub", "fake", "unknown"):
+        raise ValueError(f"codec name {name!r} is reserved")
+    if magic is not None:
+        magic = bytes(magic)  # may raise (e.g. str) — BEFORE any mutation
+        if not magic:
+            raise ValueError("magic prefix must be non-empty when given")
+    # validate EVERYTHING before mutating: a partial registration would
+    # poison every later codec plan in the session (the snapshot ships
+    # the whole dict to executors)
+    REAL_CODECS[name] = decode
+    if magic is not None:
+        EXTRA_MAGIC[name] = magic
+
+
+def unregister_codec(name: str) -> None:
+    """Remove a registered external codec (built-ins removable too —
+    callers own the registry; tests restore what they touch)."""
+    REAL_CODECS.pop(name, None)
+    EXTRA_MAGIC.pop(name, None)
+
 
 def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
@@ -213,6 +263,9 @@ def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
             f"unknown codec {codec!r}; expected one of "
             f"{sorted(REAL_CODECS)} or 'fake'"
         )
+    # snapshot BY VALUE: executors re-import this module pristine, so a
+    # registered external codec only reaches them through the closure
+    codecs = dict(REAL_CODECS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -230,7 +283,7 @@ def extract_features(assets: DataFrame, codec: str = "stub") -> DataFrame:
                     "native lib (ffmpeg) mounted inside this same mapInPandas "
                     f"seam. Use one of {sorted(REAL_CODECS)} or codec='fake'."
                 )
-            decode = REAL_CODECS.get(codec, _fake_decode)
+            decode = codecs.get(codec, _fake_decode)
             feats = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
@@ -604,9 +657,20 @@ def sniff_format(payload: Column) -> Column:
     format tag.  MPEG-1 Layer I frames sniff on the 12-bit syncword +
     ID/layer bits (0xFFFF/0xFFFE leading pair — the engine's decoded
     profile; JPEG's 0xFFD8FF matches earlier and never collides).
+
+    Formats mounted via :func:`register_codec` with a magic prefix get
+    their own ``when`` branch (checked BEFORE the built-ins, so a
+    native decoder can also override a built-in's routing) — the
+    expression is built per call, so registration order is plan-build
+    order and the sniff stays whole-stage-codegen JVM.
     """
+    expr = None
+    for name, magic in EXTRA_MAGIC.items():
+        cond = F.substring(payload, 1, len(magic)) == F.lit(magic)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    head = (lambda c, v: F.when(c, v)) if expr is None else expr.when
     return (
-        F.when(F.substring(payload, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
+        head(F.substring(payload, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"), "png")
         .when(F.substring(payload, 1, 4) == F.lit(b"GIF8"), "gif")
         .when(F.substring(payload, 1, 3) == F.lit(b"\xff\xd8\xff"), "jpeg")
         .when(
@@ -705,6 +769,9 @@ def decode_audit(assets: DataFrame) -> DataFrame:
     gate that curates.  Decode attempts run Arrow-batched and
     embarrassingly parallel; the sniff itself never leaves the JVM.
     """
+    # snapshot BY VALUE (see extract_features): registered external
+    # codecs reach executors through the closure, not the module
+    codecs = dict(REAL_CODECS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -726,7 +793,7 @@ def decode_audit(assets: DataFrame) -> DataFrame:
                                 codec = "adpcm"
                             elif tag != 1:
                                 raise ValueError(f"unsupported WAVE format tag {tag:#x}")
-                        REAL_CODECS[codec](p)
+                        codecs[codec](p)
                         ok = True
                     except Exception as e:  # noqa: BLE001 — the quarantine boundary
                         err = type(e).__name__

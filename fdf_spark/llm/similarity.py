@@ -578,6 +578,7 @@ def pq_encode(
     corpus_vec: str = "embedding",
     dim: int = 64,
     encode_mode: str = "expr",
+    keep: tuple[str, ...] = (),
 ) -> tuple[list[list[list[float]]], DataFrame]:
     """Product-quantization encode: split each vector into ``m``
     subvectors of ``dim/m`` components; quantize each against a
@@ -624,7 +625,10 @@ def pq_encode(
         books_np = np.array(books)  # (m, ks, sub)
         id_type = corpus.schema[corpus_id].dataType.simpleString()
         vec_type = corpus.schema[corpus_vec].dataType.simpleString()
-        out_schema = f"{corpus_id} {id_type}, {corpus_vec} {vec_type}, code array<int>"
+        keep_schema = "".join(
+            f", {c} {corpus.schema[c].dataType.simpleString()}" for c in keep
+        )
+        out_schema = f"{corpus_id} {id_type}, {corpus_vec} {vec_type}{keep_schema}, code array<int>"
 
         def encode_iter(batches):
             for pdf in batches:
@@ -642,11 +646,12 @@ def pq_encode(
                     {
                         corpus_id: pdf[corpus_id],
                         corpus_vec: pdf[corpus_vec],
+                        **{c: pdf[c] for c in keep},
                         "code": list(codes),
                     }
                 )
 
-        return books, corpus.select(corpus_id, corpus_vec).mapInPandas(
+        return books, corpus.select(corpus_id, corpus_vec, *keep).mapInPandas(
             encode_iter, schema=out_schema
         )
 
@@ -669,7 +674,7 @@ def pq_encode(
         return F.array_min(scores)["cent_ord"]
 
     codes = corpus.select(
-        corpus_id, corpus_vec, F.array(*[code_col(j) for j in range(m)]).alias("code")
+        corpus_id, corpus_vec, *keep, F.array(*[code_col(j) for j in range(m)]).alias("code")
     )
     return books, codes
 
@@ -713,19 +718,49 @@ def pq_ann_topk(
     production setting.
     """
     books, codes = pq_encode(corpus, m, ks, corpus_id, corpus_vec, dim, encode_mode)
+    q = queries.select(
+        query_id, query_vec, _pq_lut(books, query_vec, m, ks, dim).alias("lut")
+    )
+    scored = codes.join(F.broadcast(q))
+    return _adc_score_topk(
+        scored, queries, corpus, k, m, rerank,
+        query_id, corpus_id, query_vec, corpus_vec, exclude_self, exact_decimal,
+    )
+
+
+def _pq_lut(books, query_vec: str, m: int, ks: int, dim: int) -> Column:
+    """Per-query ADC lookup table: computed by the same Spark
+    expressions that encode the corpus (never in Python — keeps
+    rounding semantics identical)."""
     sub = dim // m
-    # LUT per query: computed by the same Spark expressions that encode
-    # the corpus (never in Python — keeps rounding semantics identical)
-    lut_col = F.array(
+    return F.array(
         *[
             F.array(*[_l2_flat(F.col(query_vec), j * sub, books[j][c]) for c in range(ks)])
             for j in range(m)
         ]
     )
-    q = queries.select(query_id, query_vec, lut_col.alias("lut"))
-    scored = codes.join(F.broadcast(q))
+
+
+def _adc_score_topk(
+    scored: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int,
+    rerank: int,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    exclude_self: bool,
+    exact_decimal: bool,
+) -> DataFrame:
+    """Shared ADC tail: fold the m LUT lookups into adist, take the
+    per-query top-k, optionally re-rank exactly (pq_ann_topk and
+    ivf_pq_ann_topk differ only in how candidates reach ``scored``)."""
     if exclude_self:
         scored = scored.filter(F.col(query_id) != F.col(corpus_id))
+
     def lookup(j):
         return F.element_at(F.element_at("lut", j + 1), F.element_at("code", j + 1) + 1)
 
@@ -763,4 +798,64 @@ def pq_ann_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "edist", "rank")
+    )
+
+
+def ivf_pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_cells: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 0,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "embedding",
+    dim: int = 64,
+    exclude_self: bool = True,
+    exact_decimal: bool = True,
+    assign_mode: str = "expr",
+    encode_mode: str = "expr",
+) -> DataFrame:
+    """IVF-PQ composition — the FAISS ``IVFx,PQy`` layout actually
+    deployed at 100 TB: the coarse quantizer prunes WHICH vectors are
+    scored (each query touches ~``nprobe/num_cells`` of the corpus,
+    a partition-pruned scan once the codes land partitioned by
+    ``cell``), and PQ compresses WHAT is read for scoring (the
+    32:1-smaller codes relation; ADC = ``m`` lookups per candidate,
+    no float vector math on the scan).  The two index structures
+    multiply: IVF cuts candidate COUNT, PQ cuts candidate WIDTH —
+    at 100 TB of embeddings neither alone keeps the scan I/O-bound.
+
+    Composition of :func:`ivf_assign` (cells) + :func:`pq_encode`
+    (codes, ``keep=cell``) + the shared ADC tail; ONE corpus scan
+    builds both structures map-side (no shuffle).  Deterministic
+    seed centroids and codebooks ⇒ fully SQL-replayable (q151's
+    DuckDB oracle replays assignment, probing, encoding AND the
+    decimal ADC fold); ``rerank`` re-scores top ``rerank*k``
+    exactly — the recall knob, measured in tools/stress.py
+    alongside a brute-force recall@10 with a CI floor.
+    """
+    cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
+    books, codes = pq_encode(
+        assigned, m, ks, corpus_id, corpus_vec, dim, encode_mode, keep=("cell",)
+    )
+    # LUT computed BEFORE the probe explode: once per query, and
+    # Generate just duplicates the value per probed cell (post-explode
+    # it would re-evaluate the m*ks distance tree nprobe times)
+    probes = queries.select(
+        query_id,
+        query_vec,
+        _pq_lut(books, query_vec, m, ks, dim).alias("lut"),
+        F.explode(
+            F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
+        ).alias("__pr"),
+    ).select(query_id, query_vec, "lut", F.col("__pr")["cent_id"].alias("cell"))
+    scored = codes.join(F.broadcast(probes), "cell")
+    return _adc_score_topk(
+        scored, queries, corpus, k, m, rerank,
+        query_id, corpus_id, query_vec, corpus_vec, exclude_self, exact_decimal,
     )

@@ -157,7 +157,9 @@ def _py_word_split(t: str) -> list[str]:
     return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
 
 
-def learn_bpe(df: DataFrame, num_merges: int = 50, text: str = "text") -> list[tuple[str, str]]:
+def learn_bpe(
+    df: DataFrame, num_merges: int = 50, text: str = "text", min_count: int = 1
+) -> list[tuple[str, str]]:
     """Learn a BPE merge list from the corpus: ``num_merges`` rounds of
     (count adjacent pairs weighted by word frequency, merge the most
     frequent — ties to the lexicographically smaller pair, for
@@ -166,12 +168,25 @@ def learn_bpe(df: DataFrame, num_merges: int = 50, text: str = "text") -> list[t
     The corpus is scanned ONCE: a distributed word-frequency count
     (explode → map-side-combining groupBy).  The merge loop then runs
     driver-side over the (distinct word, count) vocabulary — tiny
-    relative to the corpus by Zipf's law, which is how fastBPE-style
-    trainers work too.  Deterministic: no sampling inside; at 100 TB
-    the caller feeds a hash-sampled slice (llm/hashing.py).
+    relative to the corpus by Zipf's law for CLEAN text, which is how
+    fastBPE-style trainers work too.  But 100 TB of web text has a
+    heavy junk tail (unicode soup, base64 blobs) where the distinct
+    vocabulary itself stops fitting a driver, so ``min_count`` prunes
+    the count relation DISTRIBUTED-side before the collect: words
+    seen fewer than ``min_count`` times are dropped.  The driver then
+    holds O(words with count >= min_count) <= corpus_tokens/min_count
+    rows — a bound the CALLER controls regardless of how pathological
+    the tail is.  ``min_count=1`` (default) collects the full
+    vocabulary, bit-identical to the unpruned trainer.  Deterministic:
+    no sampling inside; at 100 TB the caller feeds a hash-sampled
+    slice (llm/hashing.py) and a min_count matched to it.
     """
     merges: list[tuple[str, str]] = []
     words = df.select(F.explode(_word_split(F.col(text))).alias("w")).groupBy("w").count()
+    if min_count > 1:
+        # pushed into the counted relation: the filter runs on the
+        # executors and the junk tail never crosses to the driver
+        words = words.filter(F.col("count") >= min_count)
     word_counts = [(r["w"], r["count"]) for r in words.collect()]
     # the vocab of distinct words is tiny relative to the corpus (Zipf);
     # the merge loop itself runs driver-side over (word, count) pairs —

@@ -3386,3 +3386,151 @@ def q127_cm_merge_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "exact_cnt", "est_cnt")
         .orderBy(F.desc("exact_cnt"), "token")
     )
+
+
+@query(
+    "q150_simhash128_near_dup",
+    r"""
+    WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    variants AS (
+      SELECT doc_id * 2 AS vid, text FROM docs0
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS vid, text || ' zzsentinel' AS text FROM docs0),
+    toks AS (SELECT vid, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM variants),
+    h AS (SELECT vid,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0,
+                 CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT) AS h1
+          FROM toks),
+    votes AS (
+      SELECT vid, bit,
+             SUM(CASE WHEN (h0 >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+             SUM(CASE WHEN (h1 >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s1
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) bits
+      GROUP BY vid, bit),
+    fp AS (
+      SELECT vid,
+             CAST(SUM(CASE WHEN s0 >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN s1 >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS w1
+      FROM votes GROUP BY vid)
+    SELECT a.vid AS a_id, b.vid AS b_id,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS dist
+    FROM fp a JOIN fp b ON a.vid < b.vid
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 10
+    ORDER BY a_id, b_id
+    """,
+    operators=("N2",),
+    doc="Hamming near-dup join over WIDE (120-bit, two-word) SimHash "
+    "fingerprints — the standard-width SimHash the single-int64 "
+    "operator (q147) cannot hold. Array-of-longs banding keeps the "
+    "pigeonhole exactness: 12 bands across 2 words > max_dist 10, so "
+    "a qualifying pair cannot differ in every band and the band "
+    "equi-join has 100% recall; the zip_with popcount refinement "
+    "then reproduces the ALL-PAIRS relation, which is literally what "
+    "the oracle computes (brute force at fixture scale) — the driver "
+    "hash proves the multi-word LSH path lossless. The fixture plants "
+    "near-dup pairs relationally (each doc and its one-extra-token "
+    "variant; a handful of vote flips out of 120 bits), every hash "
+    "bit md5-replayable in DuckDB. Fingerprints materialize once "
+    "(localCheckpoint) and the join shuffles 16-byte fingerprints, "
+    "never text.",
+)
+def q150_simhash128_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.dedup import hamming_near_dups_wide, simhash128
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id", "text")
+    variants = docs.select((F.col("doc_id") * 2).alias("vid"), "text").unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("vid"),
+            F.concat(F.col("text"), F.lit(" zzsentinel")).alias("text"),
+        )
+    )
+    fps = simhash128(variants, id_col="vid").localCheckpoint()
+    pairs = hamming_near_dups_wide(
+        fps, "simhash", id_col="vid", max_dist=10, n_words=2, bands_per_word=6, band_bits=10
+    )
+    return pairs.orderBy("a_id", "b_id")
+
+
+def _ivfpq_sql(num_cells: int = 16, nprobe: int = 2, m: int = 8, ks: int = 16,
+               sub: int = 8, k: int = 5, nq: int = 5) -> str:
+    """DuckDB replay of similarity.ivf_pq_ann_topk: IVF cell assignment
+    + probe set (the q73 fragments) composed with PQ codebooks/codes/
+    decimal ADC (the q114 fragments) — candidates restricted to probed
+    cells before any distance math, exactly like the Spark plan."""
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {num_cells}),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT e.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+    seeds AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {ks}),
+    pcents AS (
+      SELECT j, ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS cent_ord,
+             embedding[j*{sub}+1 : j*{sub}+{sub}] AS cvec
+      FROM seeds CROSS JOIN range({m}) t(j)),
+    subv AS (
+      SELECT vec_id, j, embedding[j*{sub}+1 : j*{sub}+{sub}] AS sub
+      FROM embeddings CROSS JOIN range({m}) t(j)),
+    asg AS (
+      SELECT vec_id, j, cent_ord AS code FROM (
+        SELECT s.vec_id, s.j, c.cent_ord,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                   ORDER BY {_l2_sql('s.sub', 'c.cvec', 8)} ASC, c.cent_ord) AS rn
+        FROM subv s JOIN pcents c ON s.j = c.j) WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cent_id AS cell FROM (
+        SELECT q.vec_id AS query_id, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cent_id) AS pr
+        FROM (SELECT * FROM embeddings WHERE vec_id < {nq}) q CROSS JOIN cents c) WHERE pr <= {nprobe}),
+    qsub AS (SELECT vec_id AS query_id, j, sub FROM subv WHERE vec_id < {nq}),
+    cand AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.query_id <> a.vec_id),
+    parts AS (
+      SELECT cd.query_id, cd.vec_id, {_l2_sql('q.sub', 'c.cvec', 8)} AS part
+      FROM cand cd
+      JOIN asg a ON a.vec_id = cd.vec_id
+      JOIN pcents c ON a.j = c.j AND a.code = c.cent_ord
+      JOIN qsub q ON q.j = a.j AND q.query_id = cd.query_id),
+    dist AS (
+      SELECT query_id, vec_id, CAST(SUM(CAST(part AS DECIMAL(25,6))) AS DOUBLE) AS adist
+      FROM parts GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, adist, rank FROM (
+      SELECT query_id, vec_id, adist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank
+      FROM dist) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+@query(
+    "q151_ivf_pq_topk",
+    _ivfpq_sql(),
+    operators=("N3",),
+    doc="IVF-PQ ANN (the FAISS IVFx,PQy layout deployed at 100 TB): the "
+    "coarse quantizer prunes WHICH vectors are scored (nprobe=2 of 16 "
+    "cells — each query touches ~1/8 of the corpus, partition-prunable "
+    "once codes land partitioned by cell) and PQ compresses WHAT the "
+    "scoring scan reads (8 one-byte codes per 64-float vector, 32:1; "
+    "ADC = 8 LUT lookups in exact decimal). The two structures "
+    "multiply: IVF cuts candidate COUNT, PQ cuts candidate WIDTH. One "
+    "corpus scan builds both map-side. Deterministic seed centroids "
+    "AND codebooks, so the oracle replays assignment, probing, "
+    "encoding and the decimal ADC fold bit-for-bit; recall@10 vs "
+    "brute force is MEASURED (tools/stress.py row; CI floor in "
+    "tests/test_llm.py::test_ivf_pq_recall_at_10_floor).",
+)
+def q151_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.similarity import ivf_pq_ann_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_pq_ann_topk(qs, emb, k=5).orderBy("query_id", "rank")

@@ -1901,3 +1901,239 @@ def test_hll_rank_is_exact_integer_shift(spark):
         reg = h % m
         regs[reg] = max(regs.get(reg, 0), rank)
     assert got == set(regs.items())
+
+
+# --- native-codec seam contract (register_codec) ---------------------------
+
+def _fake_native_decode(payload: bytes) -> list[float]:
+    """Stands in for an ffmpeg binding: XMED magic + u32 header + bytes.
+    Raises on truncation — the quarantine path must catch it.
+
+    NOTE for executor routing tests: use the nested copy inside the
+    test — a function at test-module level pickles BY REFERENCE and
+    workers can't import test modules; a real native binding lives in
+    an importable package so reference pickling is fine there."""
+    if payload[:4] != b"XMED" or len(payload) < 9:
+        raise ValueError("not a complete XMED payload")
+    header = int.from_bytes(payload[4:8], "little")
+    return [float(len(payload)), float(header)] + [float(b) for b in payload[8:]]
+
+
+def test_registered_native_codec_routes_through_seam(spark):
+    """The documented ffmpeg-mounts-here claim as a contract: an external
+    decoder registered at runtime routes through extract_features,
+    sniff_format AND decode_audit's quarantine with NO engine change —
+    including across the executor-process boundary (the operators must
+    snapshot the registry by value; a module-global lookup would see
+    the pristine module in the worker)."""
+    from fdf_spark.llm.multimodal import (
+        decode_audit,
+        extract_features,
+        register_codec,
+        unregister_codec,
+    )
+
+    def fake_native_decode(payload: bytes) -> list[float]:
+        # nested on purpose: cloudpickle serializes it BY VALUE, like a
+        # binding from a package the workers can import would resolve
+        if payload[:4] != b"XMED" or len(payload) < 9:
+            raise ValueError("not a complete XMED payload")
+        header = int.from_bytes(payload[4:8], "little")
+        return [float(len(payload)), float(header)] + [float(b) for b in payload[8:]]
+
+    good = b"XMED" + (305419896).to_bytes(4, "little") + bytes([7, 11, 13])
+    bad = b"XMED" + b"\x01\x02"  # magic intact, body truncated
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(good)), (2, "video", bytearray(bad))],
+        "asset_id long, media_type string, payload binary",
+    )
+    try:
+        with pytest.raises(ValueError, match="unknown codec"):
+            extract_features(assets, codec="xmed")
+        register_codec("xmed", fake_native_decode, magic=b"XMED")
+
+        # extract_features: strict tier decodes through the mounted codec
+        feats = {
+            r["asset_id"]: (r["header_u32"], list(r["feat"]))
+            for r in extract_features(
+                assets.filter(F.col("asset_id") == 1), codec="xmed"
+            ).collect()
+        }
+        assert feats[1] == (305419896, [11.0, 305419896.0, 7.0, 11.0, 13.0])
+
+        # decode_audit: the sniff classifies the registered magic and the
+        # quarantine catches the native decoder's failure as a row
+        audit = {r["asset_id"]: (r["fmt"], r["ok"], r["err"]) for r in decode_audit(assets).collect()}
+        assert audit[1] == ("xmed", True, None)
+        assert audit[2] == ("xmed", False, "ValueError")
+    finally:
+        unregister_codec("xmed")
+    with pytest.raises(ValueError, match="unknown codec"):
+        extract_features(assets, codec="xmed")
+
+
+def test_register_codec_validation(spark):
+    from fdf_spark.llm.multimodal import REAL_CODECS, register_codec
+
+    with pytest.raises(TypeError, match="callable"):
+        register_codec("bogus", "not-a-function")
+    with pytest.raises(ValueError, match="reserved"):
+        register_codec("fake", _fake_native_decode)
+    with pytest.raises(ValueError, match="non-empty"):
+        register_codec("xm2", _fake_native_decode, magic=b"")
+    with pytest.raises(TypeError):  # str magic (no encoding) — natural mistake
+        register_codec("xm3", _fake_native_decode, magic="XMED")
+    # EVERY failed registration must leave the registry untouched — a
+    # half-registered codec poisons every later codec plan's snapshot
+    assert not {"bogus", "fake2", "xm2", "xm3"} & set(REAL_CODECS)
+
+
+def test_learn_bpe_min_count_prunes_junk_tail_only(spark, docs):
+    """min_count is the driver-memory bound for web-scale junk tails:
+    (1) on a corpus where every surviving word clears the threshold,
+    pruned training == unpruned training on the junk-free corpus
+    (identical merge lists); (2) min_count=1 is bit-identical to the
+    historical unpruned trainer (same code path, no filter)."""
+    from fdf_spark.llm.tokenize import learn_bpe
+
+    clean = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    # plant a once-only junk tail: unique tokens that appear exactly once
+    junk = spark.createDataFrame(
+        [(1000 + i, f"zq{i}xj{i * 7}v") for i in range(40)], "doc_id long, text string"
+    )
+    noisy = clean.unionByName(junk)
+
+    base = learn_bpe(clean, num_merges=25)
+    assert learn_bpe(clean, num_merges=25, min_count=1) == base  # default ≡ today
+    # every junk word occurs exactly once -> min_count=2 must erase the
+    # tail's influence entirely... provided no clean word is also unique.
+    # The clean fixture's words repeat across docs EXCEPT possibly a few;
+    # equality of merge lists is required only vs the same-pruned clean run.
+    assert learn_bpe(noisy, num_merges=25, min_count=2) == learn_bpe(
+        clean, num_merges=25, min_count=2
+    )
+
+
+def test_hamming_wide_pigeonhole_exactness(spark):
+    """Adversarial multi-word banding: a pair at EXACTLY max_dist with
+    its differing bits spread to hit as many bands as possible (and
+    across both words) must still be found; max_dist+1 must not."""
+    from fdf_spark.llm.dedup import hamming_near_dups_wide
+
+    base0, base1 = 0x0123456789ABCDE, 0x7EDCBA987654321
+    # 12 bands of 10 bits over 2 words; max_dist=10 -> flip 10 bits in
+    # 10 DIFFERENT bands (5 per word, bands 0-5 at bit offsets 0,10,..,50)
+    flips0 = [1 << (10 * b) for b in range(5)]
+    flips1 = [1 << (10 * b + 9) for b in range(5)]
+    w0 = base0
+    for f in flips0:
+        w0 ^= f
+    w1 = base1
+    for f in flips1:
+        w1 ^= f
+    # 11-bit pair: one more flip
+    w0_far = w0 ^ (1 << 55)
+    rows = [
+        (1, [base0, base1]),
+        (2, [w0, base1 ^ sum(flips1)]),        # dist 10 from id 1
+        (3, [w0_far, base1 ^ sum(flips1)]),    # dist 11 from id 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, fp array<bigint>")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in hamming_near_dups_wide(
+            df, "fp", max_dist=10, n_words=2, bands_per_word=6, band_bits=10
+        ).collect()
+    }
+    assert got[(1, 2)] == 10
+    assert (1, 3) not in got
+    assert got[(2, 3)] == 1
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dups_wide(df, "fp", max_dist=12, n_words=2, bands_per_word=6)
+    with pytest.raises(ValueError, match="per int64 word"):
+        hamming_near_dups_wide(df, "fp", max_dist=5, n_words=2, bands_per_word=7, band_bits=10)
+    with pytest.raises(ValueError, match="caller declared"):
+        hamming_near_dups_wide(df, "fp", max_dist=5, n_words=3, bands_per_word=6, band_bits=10)
+
+
+def test_hamming_wide_matches_bruteforce_random(spark):
+    """Property sweep: on seeded-random 3-word fingerprints the banded
+    join must equal python brute force exactly."""
+    import random
+
+    from fdf_spark.llm.dedup import hamming_near_dups_wide
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(63) for _ in range(3)]
+    rows = []
+    for i in range(40):
+        fp = list(base)
+        # flip 0..14 random bits so pairs straddle the threshold
+        for _ in range(rng.randrange(15)):
+            w = rng.randrange(3)
+            fp[w] ^= 1 << rng.randrange(63)
+        rows.append((i, fp))
+    df = spark.createDataFrame(rows, "doc_id long, fp array<bigint>")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in hamming_near_dups_wide(
+            df, "fp", max_dist=9, n_words=3, bands_per_word=4, band_bits=16
+        ).collect()
+    }
+    want = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d = sum(bin(a ^ b).count("1") for a, b in zip(rows[i][1], rows[j][1]))
+            if d <= 9:
+                want[(i, j)] = d
+    assert got == want and want  # non-vacuous
+
+
+def test_ivf_pq_recall_at_10_floor(spark):
+    """IVF-PQ composition recall@10 with exact re-rank >= 0.9 on the
+    clustered fixture — the floor the stress row measures at scale.
+
+    The rerank pool is sized to PQ's RESOLUTION, not a magic number:
+    with 16 codebook entries per subspace, all 60 same-cluster members
+    quantize to identical codes, so ADC ties the whole cluster and any
+    pool smaller than the tie group selects by id, not distance
+    (measured: rerank=3 -> recall 0.48 == pool/cluster). rerank=6
+    (pool 60 >= cluster size) covers the tie group and the exact
+    re-score then lands the true neighbors — the FAISS-deployment rule
+    that the refinement pool must exceed the ADC tie/error scale."""
+    import numpy as np
+
+    from fdf_spark.llm.similarity import ivf_pq_ann_topk
+
+    rng = np.random.default_rng(13)
+    dim, n_clusters, per = 64, 16, 60
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        v = c + rng.normal(scale=0.15, size=dim)
+        v = v / np.linalg.norm(v)  # unit norm: L2 order == cosine order,
+        # so recall measures IVF pruning + PQ/rerank quality, not the
+        # (intended) L2-vs-cosine metric difference of the two tiers
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = (
+        corpus.filter(F.col("vec_id") < 16)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    k = 10
+    exact = cosine_topk(queries, corpus, k=k).collect()
+    ann = ivf_pq_ann_topk(
+        queries, corpus, k=k, num_cells=16, nprobe=2, rerank=6, exact_decimal=False
+    ).collect()
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ann_sets: dict[int, set] = {}
+    for r in ann:
+        ann_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact_sets[q] & ann_sets.get(q, set())) / k for q in exact_sets]
+    mean_recall = sum(recalls) / len(recalls)
+    print(f"IVF-PQ recall@10 = {mean_recall:.3f}")
+    assert mean_recall >= 0.9, f"IVF-PQ recall@10 {mean_recall:.3f} ({recalls})"

@@ -33,6 +33,11 @@ EXPECT: dict[str, dict] = {
     "q60_exact_dedup": dict(max_exchanges=2),
     "q65_cosine_topk": dict(max_bnl=1, max_exchanges=2),
     "q73_ivf_ann_topk": dict(absent=["hashpartitioning(vec_id"]),
+    # IVF-PQ composition: one corpus scan builds cells+codes map-side
+    # (+ one narrow scan for the 5-row query side); the probe set
+    # broadcasts onto the corpus — which is never hash-shuffled (only
+    # the narrow (qid,vid,adist) top-k window is)
+    "q151_ivf_pq_topk": dict(absent=["hashpartitioning(vec_id"], max_smj=0, max_scans=2),
     # multi-dim agg family: fact rows pre-aggregate to base cells, the
     # Expand multiplies only those (~9 rows); 3 exchanges all tiny
     "q31_cube_grouping": dict(max_exchanges=3),
