@@ -102,10 +102,10 @@ PRIORITY: tuple[str, ...] = (
     # -- breadth fillers, all oracle-checked --
     "q137_quantile_sketch",          # N5 quantile tier — sketch family complete (r7; displaced q50 — its ST1/ST3/S7 tags are all multiply-covered in-window by q53/q54/q55; q50 stays the streaming headline in bench)
     "q54_stateful_dedup_count",
-    "q25_value_tier_range_join",    # J7 (batch oracle)
+    "q149_stream_left_outer_join",  # ST4 outer tier + J7 batch-horizon oracle (r8; displaced q25 — its J7 tag stays double-covered by q55+q149, and q149's oracle IS a batch interval join)
     "q98_bm25_topk",               # N10 (J4's second rep q41 demoted below)
     "q101_gradient",               # A10 (r4; displaced q31 — A8 double-cover)
-    "q102_decontam",               # N12 (r4; displaced q46 — A8 double-cover)
+    "q148_bucketed_colocated_join",  # S10 bucketed layout: zero-exchange fact-fact SMJ (r8; displaced q102 — N12 stays covered by q125, N2 by q61/q108)
     "q103_pii_redact",             # N13 (r4; displaced q21 — N5 double-cover)
     "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
     "q125_pipeline_export",        # N1+N12+N7+N24 full pipeline incl. shard export (r5; supersedes q106 as the in-window acceptance test)
@@ -113,7 +113,7 @@ PRIORITY: tuple[str, ...] = (
     "q116_time_travel",             # N17 (q88 A2/P7 both covered by q01)
     "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
-    "q64_lsh_candidates",
+    "q134_bloom_membership",       # N5 bloom tier + J6 (r8; displaced q64 — N2 stays double-covered in-window by q61/q108, and q64 remains sweep-green)
     "q124_training_shards",         # N24 shard export (r5; displaced q75 — N3 covered by q65+q108, LSH-ANN stays pytest-oracle)
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
     "q110_upsert_merge",            # N15 (q91 P2/P3 was an exact dup of q43's cover)

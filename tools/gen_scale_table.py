@@ -38,6 +38,7 @@ ROWS = [
     ("inverted index (N10)", "inverted index, 32 segments + hot stop-word (N10)", "5 M docs"),
     ("pq adc topk (N3)", "PQ encode + ADC top-k, arrow encode (N3)", "1 M × 64-dim"),
     ("ivf ann recall@10 (N3)", "IVF ANN top-10, 64 cells, nprobe=2, arrow assign — recall@10 vs brute force MEASURED alongside (N3)", "2 M × 16-dim"),
+    ("ivf-pq topk (N3)", "IVF-PQ composed ANN (FAISS IVF64,PQ8 layout): probe 4 cells, ADC over 32:1 codes, exact rerank of 12k pool — recall@10 vs brute force MEASURED alongside (N3/q151)", "2 M × 64-dim"),
     ("kmeans 2 iters (N3)", "k-means 2 Lloyd iters, 32 cells, arrow assign (N3)", "1 M × 64-dim"),
     ("pagerank 3 iters (N16)", "PageRank 3 iterations, 100k nodes (N16)", "5 M edges"),
     ("vocab tokenize (N19)", "vocab tokenize, 50k vocab, arrow (N19)", "5 M docs"),
@@ -68,6 +69,9 @@ ROWS = [
     ("hll distinct sketch (N5)", "HyperLogLog distinct sketch, 2^12 registers, 20 M distinct (N5)", "200 M rows"),
     ("quantile sketch x8 (N5)", "quantile sketch: 8 shard bottom-k samples built + exactly merged + estimated (N5)", "100 M rows"),
     ("optimize zorder (N17)", "versioned-table OPTIMIZE: Z-ORDER recluster into a new snapshot, pruning skip asserted (N17)", "20 M rows / 64 files"),
+    ("plain shuffled join (S10)", "fact-fact SMJ over plain parquet — both sides shuffle (the bucketed layout's counterfactual)", "40 M ⋈ 10 M"),
+    ("bucketed write (S10)", "one-time bucketed clustering write of both fact tables, 32 buckets (S10/q148)", "50 M"),
+    ("bucketed join (S10)", "the SAME fact-fact join over the bucketed layout — ZERO Exchange, plan-asserted in-run (S10/q148)", "40 M ⋈ 10 M"),
 ]
 
 LINE = re.compile(r"^(.*?)\s{2,}([\d.]+) Mrows\s+([\d.]+) s\s+([\d.]+) Mrows/s(.*)$")
