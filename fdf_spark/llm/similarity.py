@@ -579,6 +579,8 @@ def pq_encode(
     dim: int = 64,
     encode_mode: str = "expr",
     keep: tuple[str, ...] = (),
+    codebooks: list[list[list[float]]] | None = None,
+    seed_skip: int = 0,
 ) -> tuple[list[list[list[float]]], DataFrame]:
     """Product-quantization encode: split each vector into ``m``
     subvectors of ``dim/m`` components; quantize each against a
@@ -612,11 +614,10 @@ def pq_encode(
       rounding), which the equivalence test would catch.
     """
     sub = dim // m
-    seeds = [
-        list(r[corpus_vec])
-        for r in corpus.orderBy(corpus_id).limit(ks).select(corpus_vec).collect()
-    ]
-    books = [[[float(v[j * sub + i]) for i in range(sub)] for v in seeds] for j in range(m)]
+    if codebooks is not None:
+        books = codebooks  # externally supplied (trained, or residual-seeded)
+    else:
+        books = _pq_seed_books(corpus, corpus_vec, corpus_id, m, ks, sub, seed_skip)
 
     if encode_mode == "arrow":
         import numpy as np
@@ -658,25 +659,119 @@ def pq_encode(
     if encode_mode != "expr":
         raise ValueError(f"unknown encode_mode {encode_mode!r}")
 
-    def code_col(j: int) -> Column:
-        # flat scalar sum, NOT a zip_with fold: identical IEEE order
-        # (0.0+d0 == d0), but pure codegen — no per-centroid array
-        # allocation, which dominates encode cost at millions of rows
-        scores = F.array(
-            *[
-                F.struct(
-                    _l2_flat(F.col(corpus_vec), j * sub, cvec).alias("dist"),
-                    F.lit(c).alias("cent_ord"),
-                )
-                for c, cvec in enumerate(books[j])
-            ]
-        )
-        return F.array_min(scores)["cent_ord"]
-
     codes = corpus.select(
-        corpus_id, corpus_vec, *keep, F.array(*[code_col(j) for j in range(m)]).alias("code")
+        corpus_id,
+        corpus_vec,
+        *keep,
+        F.array(
+            *[_pq_code_col(F.col(corpus_vec), books[j], j * sub) for j in range(m)]
+        ).alias("code"),
     )
     return books, codes
+
+
+def _pq_seed_books(
+    df: DataFrame, vec_col: str, id_col: str, m: int, ks: int, sub: int, skip: int = 0
+) -> list[list[list[float]]]:
+    """Deterministic seed codebooks: the ``ks`` smallest-id rows'
+    subvectors, optionally skipping the first ``skip`` rows (the
+    residual tier skips the IVF centroid rows, whose residuals are
+    exactly zero — an all-zero codebook ties every distance)."""
+    seeds = [
+        list(r[vec_col])
+        for r in df.orderBy(id_col).limit(ks + skip).select(vec_col).collect()[skip:]
+    ]
+    return [[[float(v[j * sub + i]) for i in range(sub)] for v in seeds] for j in range(m)]
+
+
+def _pq_code_col(vec: Column, book_j, base: int) -> Column:
+    """Nearest-centroid code for one subspace — flat scalar sum, NOT a
+    zip_with fold: identical IEEE order (0.0+d0 == d0), but pure
+    codegen — no per-centroid array allocation, which dominates encode
+    cost at millions of rows."""
+    scores = F.array(
+        *[
+            F.struct(
+                _l2_flat(vec, base, cvec).alias("dist"),
+                F.lit(c).alias("cent_ord"),
+            )
+            for c, cvec in enumerate(book_j)
+        ]
+    )
+    return F.array_min(scores)["cent_ord"]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    initial: list[list[list[float]]],
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd training of PQ codebooks — what FAISS's
+    ProductQuantizer::train does, in the engine's deterministic
+    arithmetic (decimal(25,6) accumulation + one double division, the
+    kmeans_refine recipe — partition-order independent, so the trained
+    books replay in a SQL oracle).
+
+    Scale shape: per iteration ONE scan of ``df`` — a projection
+    computes all ``m`` subspace codes per row once, then a single
+    global aggregate with m*ks*(sub+1) conditional accumulators
+    (map-side combine; the exchange carries ONE row).  The corpus is
+    never shuffled and there is no per-subspace row fan-out.  At
+    100 TB you train on a deterministic hash-sample (llm/hashing) —
+    the FAISS convention too — so the scan is of the sample, not the
+    corpus.  Empty codebook entries keep their previous value.
+
+    Why this matters (measured, tests/test_llm.py): seed codebooks
+    only resolve the structure the seeds happen to span; on residuals
+    (``ivf_pq_ann_topk(by_residual=True)``) training tightens the
+    codebook around the actual noise distribution and recall rises
+    with no query-time cost.
+    """
+    sub = dim // m
+    books = [list(b) for b in initial]
+    for _ in range(iters):
+        sel = df.select(
+            F.col(vec_col).alias("__v"),
+            *[
+                _pq_code_col(F.col(vec_col), books[j], j * sub).alias(f"__c{j}")
+                for j in range(m)
+            ],
+        )
+        aggs = []
+        for j in range(m):
+            for c in range(ks):
+                cond = F.col(f"__c{j}") == c
+                aggs.append(F.count(F.when(cond, 1)).alias(f"n_{j}_{c}"))
+                for i in range(sub):
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                cond,
+                                F.col("__v")[j * sub + i]
+                                .cast("double")
+                                .cast("decimal(25,6)"),
+                            )
+                        )
+                        .cast("double")
+                        .alias(f"s_{j}_{c}_{i}")
+                    )
+        row = sel.agg(*aggs).collect()[0]
+        books = [
+            [
+                (
+                    [row[f"s_{j}_{c}_{i}"] / row[f"n_{j}_{c}"] for i in range(sub)]
+                    if row[f"n_{j}_{c}"]
+                    else books[j][c]
+                )
+                for c in range(ks)
+            ]
+            for j in range(m)
+        ]
+    return books
 
 
 def pq_ann_topk(
@@ -728,14 +823,16 @@ def pq_ann_topk(
     )
 
 
-def _pq_lut(books, query_vec: str, m: int, ks: int, dim: int) -> Column:
+def _pq_lut(books, query_vec: str | Column, m: int, ks: int, dim: int) -> Column:
     """Per-query ADC lookup table: computed by the same Spark
     expressions that encode the corpus (never in Python — keeps
-    rounding semantics identical)."""
+    rounding semantics identical).  ``query_vec`` may be a column
+    name or an expression (the residual tier passes q − centroid)."""
     sub = dim // m
+    vec = F.col(query_vec) if isinstance(query_vec, str) else query_vec
     return F.array(
         *[
-            F.array(*[_l2_flat(F.col(query_vec), j * sub, books[j][c]) for c in range(ks)])
+            F.array(*[_l2_flat(vec, j * sub, books[j][c]) for c in range(ks)])
             for j in range(m)
         ]
     )
@@ -801,6 +898,24 @@ def _adc_score_topk(
     )
 
 
+def _centroid_array(cents, cell_col: Column) -> Column:
+    """Per-row centroid vector as a literal CASE chain on the cell id
+    (cells × dim literal nodes — the same budget _cell_scores already
+    spends; stays whole-stage codegen, no join)."""
+    expr = None
+    for cid, cvec in cents:
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        cond = cell_col == int(cid)
+        expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
+    return expr
+
+
+def _residual(vec: Column, cvec: Column) -> Column:
+    """v − centroid, element-wise in double (exact float32→double
+    widening both engines, so the oracle replays it bit-for-bit)."""
+    return F.zip_with(vec, cvec, lambda a, b: a.cast("double") - b)
+
+
 def ivf_pq_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -819,6 +934,8 @@ def ivf_pq_ann_topk(
     exact_decimal: bool = True,
     assign_mode: str = "expr",
     encode_mode: str = "expr",
+    by_residual: bool = False,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ composition — the FAISS ``IVFx,PQy`` layout actually
     deployed at 100 TB: the coarse quantizer prunes WHICH vectors are
@@ -838,22 +955,71 @@ def ivf_pq_ann_topk(
     decimal ADC fold); ``rerank`` re-scores top ``rerank*k``
     exactly — the recall knob, measured in tools/stress.py
     alongside a brute-force recall@10 with a CI floor.
+
+    ``by_residual=True`` (FAISS's default) PQ-encodes the RESIDUAL
+    ``v − centroid(cell)`` instead of the raw vector — the fix for
+    PQ's tie-group failure on clustered data: raw-vector codebooks
+    resolve inter-cluster structure only (every member of a tight
+    cluster takes identical codes, so ADC cannot rank within the
+    cluster and the rerank pool must swallow the whole tie group —
+    measured in tests/test_llm.py), while residuals spread each
+    cluster's noise ball around the origin where the codebook's
+    resolution actually lands.  The LUT becomes per (query, probed
+    cell) — q's residual differs per cell — which is the documented
+    FAISS query-time cost of residual ADC; still KB-scale broadcast.
+    Equally SQL-replayable: the residual is exact double arithmetic
+    in both engines (q152's oracle).
     """
     cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
-    books, codes = pq_encode(
-        assigned, m, ks, corpus_id, corpus_vec, dim, encode_mode, keep=("cell",)
-    )
-    # LUT computed BEFORE the probe explode: once per query, and
-    # Generate just duplicates the value per probed cell (post-explode
-    # it would re-evaluate the m*ks distance tree nprobe times)
-    probes = queries.select(
-        query_id,
-        query_vec,
-        _pq_lut(books, query_vec, m, ks, dim).alias("lut"),
-        F.explode(
-            F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
-        ).alias("__pr"),
-    ).select(query_id, query_vec, "lut", F.col("__pr")["cent_id"].alias("cell"))
+    if by_residual:
+        rcol = _residual(F.col(corpus_vec), _centroid_array(cents, F.col("cell")))
+        rdf = assigned.select(corpus_id, rcol.alias("__rvec"), "cell")
+        # seed_skip: the centroid rows' residuals are exactly zero
+        books = _pq_seed_books(rdf, "__rvec", corpus_id, m, ks, dim // m, skip=num_cells)
+        if train_iters:
+            books = train_pq_codebooks(rdf, "__rvec", books, m, ks, train_iters, dim)
+        books, codes = pq_encode(
+            rdf, m, ks, corpus_id, "__rvec", dim, encode_mode, keep=("cell",),
+            codebooks=books,
+        )
+        # per-(query, probed cell) LUT over the query's residual — must
+        # compute after the explode (it genuinely differs per cell).
+        # The residual is materialized as its OWN projection before the
+        # m*ks*sub element accesses of the LUT expand: inlined, each
+        # access would re-embed the whole zip_with+centroid-CASE tree
+        # (millions of expression nodes — measured driver OOM);
+        # CollapseProject keeps the split because zip_with is non-cheap
+        # and multiply-referenced.
+        probes = queries.select(
+            query_id,
+            query_vec,
+            F.explode(
+                F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
+            ).alias("__pr"),
+        ).select(query_id, query_vec, F.col("__pr")["cent_id"].alias("cell"))
+        qres = _residual(F.col(query_vec), _centroid_array(cents, F.col("cell")))
+        probes = probes.withColumn("__qres", qres).select(
+            query_id, query_vec, "cell", _pq_lut(books, "__qres", m, ks, dim).alias("lut")
+        )
+    else:
+        books = _pq_seed_books(assigned, corpus_vec, corpus_id, m, ks, dim // m)
+        if train_iters:
+            books = train_pq_codebooks(assigned, corpus_vec, books, m, ks, train_iters, dim)
+        books, codes = pq_encode(
+            assigned, m, ks, corpus_id, corpus_vec, dim, encode_mode, keep=("cell",),
+            codebooks=books,
+        )
+        # LUT computed BEFORE the probe explode: once per query, and
+        # Generate just duplicates the value per probed cell
+        # (post-explode it would re-evaluate the m*ks tree nprobe times)
+        probes = queries.select(
+            query_id,
+            query_vec,
+            _pq_lut(books, query_vec, m, ks, dim).alias("lut"),
+            F.explode(
+                F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
+            ).alias("__pr"),
+        ).select(query_id, query_vec, "lut", F.col("__pr")["cent_id"].alias("cell"))
     scored = codes.join(F.broadcast(probes), "cell")
     return _adc_score_topk(
         scored, queries, corpus, k, m, rerank,

@@ -38,6 +38,8 @@ EXPECT: dict[str, dict] = {
     # broadcasts onto the corpus — which is never hash-shuffled (only
     # the narrow (qid,vid,adist) top-k window is)
     "q151_ivf_pq_topk": dict(absent=["hashpartitioning(vec_id"], max_smj=0, max_scans=2),
+    # residual tier: same shape — the residual projection is map-side
+    "q152_ivf_pq_residual_topk": dict(absent=["hashpartitioning(vec_id"], max_smj=0, max_scans=2),
     # multi-dim agg family: fact rows pre-aggregate to base cells, the
     # Expand multiplies only those (~9 rows); 3 exchanges all tiny
     "q31_cube_grouping": dict(max_exchanges=3),
