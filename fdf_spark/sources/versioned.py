@@ -469,6 +469,70 @@ def drop_column(path: str, col: str) -> int:
     return version
 
 
+#: safe widening promotions — exactly the upcasts Spark's parquet
+#: reader performs on narrow file columns under a wider read schema
+#: (verified on this Spark: int32 files read as long, float as double)
+_WIDENINGS = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def widen_column(path: str, col: str, new_type: str) -> int:
+    """Widen a column's type as a MANIFEST-ONLY commit — zero bytes
+    rewritten (type evolution, the third leg after rename/drop).
+
+    Only lossless promotions the parquet reader upcasts natively are
+    allowed (byte→short→int→long, float→double), so existing narrow
+    files read through the wide logical schema unchanged while new
+    appends write the wide type — files of mixed widths coexist under
+    one logical type, exactly Iceberg's type-evolution rule.  Time
+    travel to pre-widening snapshots shows the old type.  Same
+    optimistic-commit seam as every other metadata commit.
+    """
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    schema = _logical_schema(m)
+    if schema is None:
+        raise ValueError("table has no manifest schema; cannot widen")
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"no column {col!r} (have {names})")
+    old_field = schema[col]
+    new_dt = _parse_datatype_string(new_type)
+    old_name = old_field.dataType.typeName()
+    if new_dt.typeName() not in _WIDENINGS.get(old_name, set()):
+        raise ValueError(
+            f"cannot widen {old_name} -> {new_dt.typeName()}; allowed: "
+            f"{sorted(_WIDENINGS.get(old_name, set())) or 'nothing (not a widenable type)'}"
+        )
+    fields = [
+        StructField(f.name, new_dt, f.nullable) if f.name == col else f
+        for f in schema.fields
+    ]
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "widen",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "schema": json.dumps(StructType(fields).jsonValue()),
+        "column_mapping": _mapping(m),
+        "retired_physical": m.get("retired_physical", []),
+        "meta": {"widen": {"column": col, "from": old_name, "to": new_dt.typeName()}},
+    }
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
+
+
 def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str]:
     """Drop all but the newest ``keep`` versions and delete data files
     no surviving manifest references; returns the deleted files.

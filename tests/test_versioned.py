@@ -510,3 +510,32 @@ def test_optimize_after_rename_keeps_mapping(spark, tmp_path):
     assert diff_versions(spark, p, v, res["version"]).count() == 0
     cur = read_version(spark, p)
     assert cur.columns == ["k", "value"] and cur.count() == 40
+
+
+def test_widen_column_manifest_only(spark, tmp_path):
+    from fdf_spark.sources.versioned import _read_manifest, widen_column
+
+    p = str(tmp_path / "t")
+    narrow = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 1.5).cast("float").alias("v")
+    )
+    v1 = commit_version(narrow, p)
+    files_before = _read_manifest(p, v1)["files"]
+    v2 = widen_column(p, "k", "long")
+    widen_column(p, "v", "double")
+    assert _read_manifest(p, v2)["files"] == files_before  # zero bytes rewritten
+    cur = read_version(spark, p)
+    assert dict(cur.dtypes) == {"k": "bigint", "v": "double"}
+    assert {r["k"] for r in cur.collect()} == set(range(5))
+    # new appends write the wide type — values beyond int range land fine
+    wide = spark.createDataFrame([(2**40, 1e40)], "k long, v double")
+    commit_version(wide, p, mode="append")
+    rows = {r["k"]: r["v"] for r in read_version(spark, p).collect()}
+    assert rows[2**40] == 1e40 and rows[2] == pytest.approx(3.0)
+    # time travel shows the narrow type
+    assert dict(read_version(spark, p, version=v1).dtypes) == {"k": "int", "v": "float"}
+    # only lossless reader-upcast promotions allowed
+    with pytest.raises(ValueError, match="cannot widen"):
+        widen_column(p, "k", "int")
+    with pytest.raises(ValueError, match="cannot widen"):
+        widen_column(p, "v", "string")
