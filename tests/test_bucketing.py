@@ -101,3 +101,28 @@ def test_bucketed_outer_join_keeps_layout(spark):
         assert "Exchange" not in plan
         assert j.count() == 100
         assert j.filter(F.col("rv").isNull()).count() == 50
+
+
+def test_three_way_bucketed_join_zero_exchange(spark):
+    """The 'repeated' claim, strongest form: a THREE-way join on the
+    bucket key — e.g. fact ⋈ fact ⋈ fact — still compiles with zero
+    Exchange; each additional join over the layout is free."""
+    a = spark.range(0, 1_000).select(F.col("id").alias("ka"), F.lit(1).alias("va"))
+    b = spark.range(0, 1_000).select(F.col("id").alias("kb"), F.lit(2).alias("vb"))
+    with write_bucketed_pair(spark, (a, "ka"), (b, "kb"), n_buckets=4) as (ba, bb):
+        from fdf_spark.operators.bucketed import write_bucketed
+        import shutil, tempfile, uuid
+
+        name = f"bkt_c_{uuid.uuid4().hex[:12]}"
+        scratch = tempfile.mkdtemp(prefix="fdf_bucketed_c_")
+        try:
+            c = spark.range(0, 500).select(F.col("id").alias("kc"), F.lit(3).alias("vc"))
+            bc = write_bucketed(spark, c, "kc", 4, name, scratch)
+            j = bucketed_fact_join(bucketed_fact_join(ba, bb, "ka", "kb"), bc, "ka", "kc")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("SortMergeJoin") == 2
+            assert "Exchange" not in plan
+            assert j.count() == 500
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(scratch, ignore_errors=True)

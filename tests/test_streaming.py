@@ -210,3 +210,45 @@ def test_left_outer_join_nulls_only_after_watermark(spark, tmp_path):
     # click 2 expired -> null row; click 3 (12:00, horizon 12:30 > watermark
     # 11:50) still pending -> absent
     assert after_b2 == {(1, 10), (2, None)}
+
+
+def test_full_outer_join_emits_both_sides_after_watermark(spark, tmp_path):
+    """how= passes through to full_outer: unmatched PURCHASES also emit
+    (null click columns) once their state expires — the right-side twin
+    of the left-outer rule."""
+    from datetime import datetime
+
+    from fdf_spark.streaming.events import stream_stream_join
+
+    src = str(tmp_path / "fsoj_src")
+    os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    batch1 = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "click", 1.0, "{}"),      # matches
+        (2, datetime(2024, 1, 1, 10, 0), 2, "click", 1.0, "{}"),      # no purchase
+        (10, datetime(2024, 1, 1, 10, 10), 1, "purchase", 9.0, "{}"),  # matches
+        (11, datetime(2024, 1, 1, 10, 5), 7, "purchase", 9.0, "{}"),   # no click
+    ]
+    batch2 = [  # advance the watermark past every horizon above
+        (3, datetime(2024, 1, 1, 13, 0), 8, "click", 1.0, "{}"),
+        (12, datetime(2024, 1, 1, 13, 0), 9, "purchase", 9.0, "{}"),
+    ]
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = stream_stream_join(stream, how="full_outer")
+    name = "fsoj_test_out"
+    mk(batch1).write.mode("append").parquet(src)
+    q = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(processingTime="200 milliseconds").start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(batch2).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {(r["click_id"], r["purchase_id"]) for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    # inner pair + expired unmatched click + expired unmatched purchase;
+    # batch-2 rows still inside their horizons emit nothing
+    assert got == {(1, 10), (2, None), (None, 11)}
