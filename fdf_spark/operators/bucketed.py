@@ -114,6 +114,38 @@ def write_bucketed_pair(
             shutil.rmtree(scratch, ignore_errors=True)
 
 
+def read_bucketed(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    n_buckets: int,
+    schema: str,
+    table: str,
+) -> DataFrame:
+    """Re-attach an existing bucketed table in a FRESH session.
+
+    The FILES of a bucketed write persist, but the bucketing METADATA
+    lives in the session catalog — a new session reading the same path
+    with ``spark.read.parquet`` gets a plain scan and pays the shuffle
+    again.  This registers an external table over the existing files
+    with the same ``CLUSTERED BY (key) SORTED BY (key) INTO n BUCKETS``
+    spec, restoring the zero-Exchange join property without touching a
+    byte.  ``schema`` is the column list DDL (``"k BIGINT, v DOUBLE"``)
+    — bucketing DDL cannot infer it.  The spec must match what the
+    files were written with: a WRONG n_buckets mis-routes the join
+    (same failure mode as lying to any metastore), which is why
+    production keeps the catalog durable (Hive metastore / Glue) and
+    this helper exists for session-scoped catalogs and disaster
+    recovery.
+    """
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema}) USING parquet "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return spark.table(table)
+
+
 def bucketed_fact_join(
     left: DataFrame,
     right: DataFrame,

@@ -126,3 +126,41 @@ def test_three_way_bucketed_join_zero_exchange(spark):
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_read_bucketed_reattaches_layout(spark, tmp_path):
+    """Bucketing metadata is catalog-lifetime; the files are not. After
+    the catalog entries are gone (a fresh session), read_bucketed
+    re-registers the external tables over the SAME files and the join
+    is zero-Exchange again — no rewrite."""
+    import shutil
+
+    from fdf_spark.operators.bucketed import read_bucketed, write_bucketed
+
+    la = str(tmp_path / "la")
+    lb = str(tmp_path / "lb")
+    a = spark.range(0, 2_000).select(F.col("id").alias("ka"), (F.col("id") % 9).alias("va"))
+    b = spark.range(0, 2_000, 4).select(F.col("id").alias("kb"), (F.col("id") % 5).alias("vb"))
+    write_bucketed(spark, a, "ka", 4, "rb_a", la)
+    write_bucketed(spark, b, "kb", 4, "rb_b", lb)
+    # simulate a fresh session: catalog entries gone, files remain
+    spark.sql("DROP TABLE rb_a")
+    spark.sql("DROP TABLE rb_b")
+    try:
+        # plain parquet read of the same files: the layout is invisible
+        plain = spark.read.parquet(la).hint("merge").join(
+            spark.read.parquet(lb), F.col("ka") == F.col("kb")
+        )
+        assert "Exchange" in plain._jdf.queryExecution().executedPlan().toString()
+        # re-attached: zero Exchange over the same bytes
+        ra = read_bucketed(spark, la, "ka", 4, "ka BIGINT, va BIGINT", "rb_a2")
+        rb = read_bucketed(spark, lb, "kb", 4, "kb BIGINT, vb BIGINT", "rb_b2")
+        j = bucketed_fact_join(ra, rb, "ka", "kb")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert j.count() == 500
+    finally:
+        for t in ("rb_a2", "rb_b2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(la, ignore_errors=True)
+        shutil.rmtree(lb, ignore_errors=True)

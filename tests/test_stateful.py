@@ -357,3 +357,62 @@ def test_stream_view_sink_maintains_view(spark, tmp_path):
     assert list_versions(vpath) == [1, 2, 3, 4]
     fold(b0, 7)  # replay — skipped
     assert list_versions(vpath) == [1, 2, 3, 4]
+
+
+def test_left_outer_join_state_stays_bounded(spark, tmp_path):
+    """State boundedness for the r8 outer stream-stream join, asserted
+    mechanically like the dedup twin above: across 6 watermark horizons
+    of all-unmatched clicks (every user unique, no purchases at all),
+    the join state must hold only the in-horizon rows — an eviction
+    regression would retain every click forever (and, for the OUTER
+    join, also never emit its null rows, so both halves of the expiry
+    contract are watched here)."""
+    import datetime
+
+    from fdf_spark.streaming.events import stream_stream_join
+
+    src = str(tmp_path / "loj_src")
+    os.makedirs(src, exist_ok=True)
+    base = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    n_batches, per_batch = 6, 40
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    for i in range(n_batches):
+        rows = [
+            (
+                i * per_batch + j,
+                base + datetime.timedelta(minutes=90 * i),
+                i * per_batch + j,
+                "click",
+                1.0,
+                "{}",
+            )
+            for j in range(per_batch)
+        ]
+        # one never-matching purchase per batch: WITHOUT it the purchase
+        # branch's watermark stays at -inf and the global (min-policy)
+        # watermark never advances — no click would EVER expire. The
+        # idle-branch stall is itself load-bearing streaming semantics.
+        rows.append(
+            (10_000 + i, base + datetime.timedelta(minutes=90 * i), -1, "purchase", 9.0, "{}")
+        )
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        stream_stream_join(stream, how="left_outer")  # 30 min interval, 10 min delay
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("loj_bounded")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = sum(op["numRowsTotal"] for op in q.lastProgress["stateOperators"])
+    finally:
+        q.stop()
+    # every click but the last in-horizon batches expired -> null rows
+    emitted = spark.table("loj_bounded").count()
+    assert emitted >= (n_batches - 2) * per_batch
+    # state holds ~the final horizon, never the full history
+    assert state_rows <= 2 * per_batch + 10, (state_rows, n_batches * per_batch)
