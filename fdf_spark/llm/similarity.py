@@ -580,7 +580,6 @@ def pq_encode(
     encode_mode: str = "expr",
     keep: tuple[str, ...] = (),
     codebooks: list[list[list[float]]] | None = None,
-    seed_skip: int = 0,
 ) -> tuple[list[list[list[float]]], DataFrame]:
     """Product-quantization encode: split each vector into ``m``
     subvectors of ``dim/m`` components; quantize each against a
@@ -617,7 +616,7 @@ def pq_encode(
     if codebooks is not None:
         books = codebooks  # externally supplied (trained, or residual-seeded)
     else:
-        books = _pq_seed_books(corpus, corpus_vec, corpus_id, m, ks, sub, seed_skip)
+        books = _pq_seed_books(corpus, corpus_vec, corpus_id, m, ks, sub)
 
     if encode_mode == "arrow":
         import numpy as np
@@ -705,10 +704,7 @@ def train_pq_codebooks(
     df: DataFrame,
     vec_col: str,
     initial: list[list[list[float]]],
-    m: int = 8,
-    ks: int = 16,
     iters: int = 2,
-    dim: int = 64,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd training of PQ codebooks — what FAISS's
     ProductQuantizer::train does, in the engine's deterministic
@@ -731,7 +727,9 @@ def train_pq_codebooks(
     codebook around the actual noise distribution and recall rises
     with no query-time cost.
     """
-    sub = dim // m
+    # shape is the initial codebooks' shape — a separate m/ks that
+    # disagreed would silently truncate or crash mid-aggregation
+    m, ks, sub = len(initial), len(initial[0]), len(initial[0][0])
     books = [list(b) for b in initial]
     for _ in range(iters):
         sel = df.select(
@@ -973,15 +971,17 @@ def ivf_pq_ann_topk(
     cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
     if by_residual:
         rcol = _residual(F.col(corpus_vec), _centroid_array(cents, F.col("cell")))
-        rdf = assigned.select(corpus_id, rcol.alias("__rvec"), "cell")
-        # seed_skip: the centroid rows' residuals are exactly zero
-        books = _pq_seed_books(rdf, "__rvec", corpus_id, m, ks, dim // m, skip=num_cells)
-        if train_iters:
-            books = train_pq_codebooks(rdf, "__rvec", books, m, ks, train_iters, dim)
-        books, codes = pq_encode(
-            rdf, m, ks, corpus_id, "__rvec", dim, encode_mode, keep=("cell",),
-            codebooks=books,
-        )
+        src, vcol = assigned.select(corpus_id, rcol.alias("__rvec"), "cell"), "__rvec"
+        seed_skip = num_cells  # the centroid rows' residuals are exactly zero
+    else:
+        src, vcol, seed_skip = assigned, corpus_vec, 0
+    books = _pq_seed_books(src, vcol, corpus_id, m, ks, dim // m, skip=seed_skip)
+    if train_iters:
+        books = train_pq_codebooks(src, vcol, books, train_iters)
+    books, codes = pq_encode(
+        src, m, ks, corpus_id, vcol, dim, encode_mode, keep=("cell",), codebooks=books
+    )
+    if by_residual:
         # per-(query, probed cell) LUT over the query's residual — must
         # compute after the explode (it genuinely differs per cell).
         # The residual is materialized as its OWN projection before the
@@ -1002,13 +1002,6 @@ def ivf_pq_ann_topk(
             query_id, query_vec, "cell", _pq_lut(books, "__qres", m, ks, dim).alias("lut")
         )
     else:
-        books = _pq_seed_books(assigned, corpus_vec, corpus_id, m, ks, dim // m)
-        if train_iters:
-            books = train_pq_codebooks(assigned, corpus_vec, books, m, ks, train_iters, dim)
-        books, codes = pq_encode(
-            assigned, m, ks, corpus_id, corpus_vec, dim, encode_mode, keep=("cell",),
-            codebooks=books,
-        )
         # LUT computed BEFORE the probe explode: once per query, and
         # Generate just duplicates the value per probed cell
         # (post-explode it would re-evaluate the m*ks tree nprobe times)

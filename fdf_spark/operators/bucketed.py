@@ -138,8 +138,11 @@ def read_bucketed(
     this helper exists for session-scoped catalogs and disaster
     recovery.
     """
+    # plain CREATE (no IF NOT EXISTS): silently returning a pre-existing
+    # table whose location/bucket spec differs from the arguments would
+    # be exactly the mis-routing this helper warns about — fail loudly
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {table} ({schema}) USING parquet "
+        f"CREATE TABLE {table} ({schema}) USING parquet "
         f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
         f"LOCATION '{path}'"
     )

@@ -141,12 +141,12 @@ def test_read_bucketed_reattaches_layout(spark, tmp_path):
     lb = str(tmp_path / "lb")
     a = spark.range(0, 2_000).select(F.col("id").alias("ka"), (F.col("id") % 9).alias("va"))
     b = spark.range(0, 2_000, 4).select(F.col("id").alias("kb"), (F.col("id") % 5).alias("vb"))
-    write_bucketed(spark, a, "ka", 4, "rb_a", la)
-    write_bucketed(spark, b, "kb", 4, "rb_b", lb)
-    # simulate a fresh session: catalog entries gone, files remain
-    spark.sql("DROP TABLE rb_a")
-    spark.sql("DROP TABLE rb_b")
     try:
+        write_bucketed(spark, a, "ka", 4, "rb_a", la)
+        write_bucketed(spark, b, "kb", 4, "rb_b", lb)
+        # simulate a fresh session: catalog entries gone, files remain
+        spark.sql("DROP TABLE rb_a")
+        spark.sql("DROP TABLE rb_b")
         # plain parquet read of the same files: the layout is invisible
         plain = spark.read.parquet(la).hint("merge").join(
             spark.read.parquet(lb), F.col("ka") == F.col("kb")
@@ -159,8 +159,12 @@ def test_read_bucketed_reattaches_layout(spark, tmp_path):
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert j.count() == 500
+        # fail-loud contract: re-registering an existing name errors
+        # instead of silently returning a mismatched table
+        with pytest.raises(Exception, match="(?i)already exists"):
+            read_bucketed(spark, la, "ka", 8, "ka BIGINT, va BIGINT", "rb_a2")
     finally:
-        for t in ("rb_a2", "rb_b2"):
+        for t in ("rb_a", "rb_b", "rb_a2", "rb_b2"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(la, ignore_errors=True)
         shutil.rmtree(lb, ignore_errors=True)

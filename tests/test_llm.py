@@ -2206,7 +2206,7 @@ def test_train_pq_codebooks_reduces_quantization_error(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
     initial = _pq_seed_books(df, "embedding", "vec_id", m, ks, sub)
-    trained = train_pq_codebooks(df, "embedding", initial, m=m, ks=ks, iters=3, dim=dim)
+    trained = train_pq_codebooks(df, "embedding", initial, iters=3)
 
     x = np.array([r[1] for r in rows])
 
@@ -2222,5 +2222,5 @@ def test_train_pq_codebooks_reduces_quantization_error(spark):
     e0, e1 = qerr(initial), qerr(trained)
     assert e1 < 0.7 * e0, (e0, e1)
     # determinism: bit-identical on retrain
-    again = train_pq_codebooks(df, "embedding", initial, m=m, ks=ks, iters=3, dim=dim)
+    again = train_pq_codebooks(df, "embedding", initial, iters=3)
     assert again == trained
