@@ -38,7 +38,7 @@ ROWS = [
     ("inverted index (N10)", "inverted index, 32 segments + hot stop-word (N10)", "5 M docs"),
     ("pq adc topk (N3)", "PQ encode + ADC top-k, arrow encode (N3)", "1 M × 64-dim"),
     ("ivf ann recall@10 (N3)", "IVF ANN top-10, 64 cells, nprobe=2, arrow assign — recall@10 vs brute force MEASURED alongside (N3)", "2 M × 16-dim"),
-    ("ivf-pq topk (N3)", "IVF-PQ composed ANN (FAISS IVF64,PQ8 layout): probe 4 cells, ADC over 32:1 codes, exact rerank of 12k pool — recall@10 vs brute force MEASURED alongside (N3/q151)", "2 M × 64-dim"),
+    ("ivf-pq topk (N3)", "IVF-PQ composed ANN (FAISS IVF64,PQ8 layout, by_residual): probe 4 cells, residual-ADC over 32:1 codes, exact rerank of 12k pool — recall@10 vs brute force MEASURED alongside, floored 0.9 (N3/q151/q152)", "2 M × 64-dim"),
     ("kmeans 2 iters (N3)", "k-means 2 Lloyd iters, 32 cells, arrow assign (N3)", "1 M × 64-dim"),
     ("pagerank 3 iters (N16)", "PageRank 3 iterations, 100k nodes (N16)", "5 M edges"),
     ("vocab tokenize (N19)", "vocab tokenize, 50k vocab, arrow (N19)", "5 M docs"),
