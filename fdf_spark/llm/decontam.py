@@ -82,3 +82,59 @@ def decontaminate(
         F.coalesce("contamination", F.lit(0.0)).alias("contamination"),
         (F.coalesce("contamination", F.lit(0.0)) >= threshold).alias("contaminated"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    bench_id: str = "bench_id",
+    bench_vec: str = "bench_vec",
+) -> DataFrame:
+    """Embedding-level decontamination — the SEMANTIC twin of the
+    n-gram pass: a paraphrased or translated benchmark question shares
+    few n-grams with its training-set leak but sits next to it in
+    embedding space, so production pipelines run BOTH passes.
+
+    Returns ``(corpus_id, best_bench, max_cos, contaminated)`` — each
+    corpus vector's nearest benchmark item by cosine (ties to the
+    smaller benchmark id), flagged at ``max_cos >= threshold``.
+
+    Scale shape (the same asymmetry the n-gram pass exploits): the
+    benchmark is thousands of items against a 100 TB corpus, so the
+    benchmark side BROADCASTS and the corpus embeddings are scanned
+    once and never shuffled — scoring is a map-side fold per (corpus
+    row, benchmark row) pair inside the broadcast join, the argmax is
+    an AGGREGATION (max-of-struct), not a window, and its map-side
+    partial already collapses each corpus row's |benchmark| scores to
+    one row, so the operator's single exchange carries one narrow
+    (id, best) row per corpus row — never the embeddings and never
+    the |corpus|x|benchmark| score relation.  For benchmark sets past
+    broadcast size, route through :func:`ivf_pq_ann_topk` with the
+    benchmark as queries instead.  Deterministic and
+    oracle-replayable: the cosine is the engine's portable 6-dp
+    expression (q153).
+    """
+    from fdf_spark.llm.similarity import cosine
+
+    b = F.broadcast(benchmark.select(bench_id, bench_vec))
+    scored = corpus.select(corpus_id, corpus_vec).join(b).select(
+        corpus_id,
+        F.col(bench_id),
+        cosine(F.col(corpus_vec), F.col(bench_vec)).alias("cos"),
+    )
+    # per-row argmax as an aggregation (max over (cos, -bench_id)
+    # structs), NOT a window: no corpus exchange — ascending struct
+    # order on (cos, neg id) makes the max "highest cosine, ties to
+    # the smaller benchmark id"
+    best = scored.groupBy(corpus_id).agg(
+        F.max(F.struct(F.col("cos"), (-F.col(bench_id)).alias("nid"))).alias("b")
+    )
+    return best.select(
+        corpus_id,
+        (-F.col("b.nid")).cast("long").alias("best_bench"),
+        F.col("b.cos").alias("max_cos"),
+        (F.col("b.cos") >= threshold).alias("contaminated"),
+    )

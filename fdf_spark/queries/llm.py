@@ -3632,3 +3632,48 @@ def q152_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_pq_ann_topk(qs, emb, k=5, by_residual=True).orderBy("query_id", "rank")
+
+
+@query(
+    "q153_semantic_decontam",
+    f"""
+    WITH bench AS (
+      SELECT vec_id AS bench_id, embedding AS bench_vec
+      FROM embeddings WHERE vec_id < 20),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+    scored AS (
+      SELECT c.vec_id, b.bench_id,
+             {_cos_sql('c.embedding', 'b.bench_vec')} AS cos
+      FROM corpus c CROSS JOIN bench b),
+    best AS (
+      SELECT vec_id, bench_id AS best_bench, cos AS max_cos FROM (
+        SELECT vec_id, bench_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, bench_id) AS rn
+        FROM scored) WHERE rn = 1)
+    SELECT vec_id, best_bench, max_cos, max_cos >= 0.35 AS contaminated
+    FROM best ORDER BY vec_id
+    """,
+    operators=("N12", "N3"),
+    doc="SEMANTIC benchmark decontamination — the embedding-space twin "
+    "of q102's n-gram pass (production pipelines run both: a "
+    "paraphrased benchmark leak shares few n-grams but sits next to "
+    "its source in embedding space). Each corpus vector's nearest "
+    "benchmark item by cosine, flagged at the threshold. The "
+    "benchmark side broadcasts (thousands of items vs a 100 TB "
+    "corpus); the argmax is a max-of-struct AGGREGATION whose "
+    "map-side partial collapses the |benchmark| scores per corpus "
+    "row before the one narrow exchange — the corpus embeddings are "
+    "never shuffled and the score relation never materializes. "
+    "Oracle replays the full argmax relation with the portable 6-dp "
+    "cosine.",
+)
+def q153_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.decontam import semantic_decontaminate
+
+    emb = T(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bench_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return semantic_decontaminate(corpus, bench, threshold=0.35).orderBy("vec_id")

@@ -40,6 +40,11 @@ EXPECT: dict[str, dict] = {
     "q151_ivf_pq_topk": dict(absent=["hashpartitioning(vec_id"], max_smj=0, max_scans=2),
     # residual tier: same shape — the residual projection is map-side
     "q152_ivf_pq_residual_topk": dict(absent=["hashpartitioning(vec_id"], max_smj=0, max_scans=2),
+    # semantic decontam: benchmark broadcasts (the BNL is the intended
+    # tiny-side cross join); the argmax agg's map-side partial collapses
+    # per-corpus-row scores, so the 2 exchanges carry one narrow row per
+    # corpus row (agg merge + final sort) — embeddings never shuffle
+    "q153_semantic_decontam": dict(max_exchanges=2, max_bnl=1, max_smj=0, max_scans=2),
     # multi-dim agg family: fact rows pre-aggregate to base cells, the
     # Expand multiplies only those (~9 rows); 3 exchanges all tiny
     "q31_cube_grouping": dict(max_exchanges=3),
