@@ -3677,3 +3677,89 @@ def q153_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 20)
     return semantic_decontaminate(corpus, bench, threshold=0.35).orderBy("vec_id")
+
+
+@query(
+    "q154_simhash_dup_clusters",
+    r"""
+    WITH RECURSIVE docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    variants AS (
+      SELECT doc_id * 2 AS vid, text FROM docs0
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS vid, text || ' zzsentinel' AS text FROM docs0),
+    toks AS (SELECT vid, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM variants),
+    h AS (SELECT vid,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0,
+                 CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT) AS h1
+          FROM toks),
+    votes AS (
+      SELECT vid, bit,
+             SUM(CASE WHEN (h0 >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+             SUM(CASE WHEN (h1 >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s1
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) bits
+      GROUP BY vid, bit),
+    fp AS (
+      SELECT vid,
+             CAST(SUM(CASE WHEN s0 >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN s1 >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS w1
+      FROM votes GROUP BY vid),
+    pairs AS (
+      SELECT a.vid AS id_a, b.vid AS id_b
+      FROM fp a JOIN fp b ON a.vid < b.vid
+      WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 10),
+    und AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(u, v) AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT w.u, e.v FROM walk w JOIN und e ON w.v = e.u),
+    comp AS (
+      SELECT vr.vid, least(vr.vid, coalesce(min(w.v), vr.vid)) AS component
+      FROM variants vr LEFT JOIN walk w ON w.u = vr.vid
+      GROUP BY vr.vid),
+    csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT c.vid, c.component, s.cluster_size,
+           c.vid = c.component AS is_representative
+    FROM comp c JOIN csize s USING (component)
+    ORDER BY c.vid
+    """,
+    operators=("N2", "N1", "N16"),
+    doc="Near-dup CLUSTERS over wide (120-bit) SimHash — the relation a "
+    "dedup pipeline actually consumes: hamming pairs (q150's exact "
+    "multi-word banding) fed to min-label connected components, one "
+    "representative per cluster (component = smallest reachable vid; "
+    "keep rows where is_representative). Composes three operator "
+    "families end-to-end — fingerprint, exact LSH join, iterative "
+    "graph — and the oracle replays ALL of it: md5 vote fingerprints, "
+    "brute-force pair relation, recursive-CTE component closure. "
+    "Scale: pairs are band-join-linear (q150), CC iterations shuffle "
+    "(node, label) rows only; singletons ride through as their own "
+    "representative.",
+)
+def q154_simhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.dedup import hamming_near_dups_wide, simhash128
+    from fdf_spark.operators.graph import connected_components
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id", "text")
+    variants = docs.select((F.col("doc_id") * 2).alias("vid"), "text").unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("vid"),
+            F.concat(F.col("text"), F.lit(" zzsentinel")).alias("text"),
+        )
+    )
+    fps = simhash128(variants, id_col="vid").localCheckpoint()
+    pairs = hamming_near_dups_wide(
+        fps, "simhash", id_col="vid", max_dist=10, n_words=2, bands_per_word=6, band_bits=10
+    ).select(F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"))
+    comp = connected_components(pairs, nodes=variants, node_col="vid")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("vid"),
+            "component",
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_representative"),
+        )
+        .orderBy("vid")
+    )
