@@ -613,3 +613,37 @@ def test_flac_roundtrip_law(samples, bs):
 
     sr, vals = decode_flac_samples(encode_flac(8000, samples, block_size=bs))
     assert sr == 8000 and vals == samples
+
+
+# --- wide SimHash vs a pure-python reference (r8) ---------------------------
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd efg", min_size=0, max_size=40), min_size=1, max_size=6
+    )
+)
+def test_simhash128_matches_python_reference(spark, texts):
+    """simhash128's two 60-bit words must equal a from-scratch python
+    Charikar implementation over the same md5 halves — arbitrary texts
+    including empty strings, repeated tokens, and whitespace runs."""
+    import hashlib
+    import re
+
+    from fdf_spark.llm.dedup import simhash128
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: list(r["simhash"]) for r in simhash128(df).collect()}
+
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.lower())  # keep ''-tokens: F.split does too
+        votes0, votes1 = [0] * 60, [0] * 60
+        for tok in toks:
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            h0, h1 = int(hx[0:15], 16), int(hx[16:31], 16)
+            for b in range(60):
+                votes0[b] += 1 if (h0 >> b) & 1 else -1
+                votes1[b] += 1 if (h1 >> b) & 1 else -1
+        w0 = sum(1 << b for b in range(60) if votes0[b] >= 0)
+        w1 = sum(1 << b for b in range(60) if votes1[b] >= 0)
+        assert got[i] == [w0, w1], (i, t)

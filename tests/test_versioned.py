@@ -539,3 +539,31 @@ def test_widen_column_manifest_only(spark, tmp_path):
         widen_column(p, "k", "int")
     with pytest.raises(ValueError, match="cannot widen"):
         widen_column(p, "v", "string")
+
+
+def test_rename_widen_append_compose(spark, tmp_path):
+    """The three manifest-only evolutions compose: rename then widen
+    then append reads one coherent wide logical schema over files of
+    three generations (original narrow name/type, post-rename reads,
+    post-widen wide appends), and every intermediate snapshot time
+    travels to its own schema."""
+    from fdf_spark.sources.versioned import rename_column, widen_column
+
+    p = str(tmp_path / "t")
+    v1 = commit_version(
+        spark.range(0, 4).select(F.col("id").cast("int").alias("k"), F.col("id").alias("v")),
+        p,
+    )
+    v2 = rename_column(p, "k", "key")
+    v3 = widen_column(p, "key", "long")
+    commit_version(
+        spark.createDataFrame([(2**35, 99)], "key long, v long"), p, mode="append"
+    )
+    cur = read_version(spark, p)
+    assert dict(cur.dtypes) == {"key": "bigint", "v": "bigint"}
+    rows = {r["key"]: r["v"] for r in cur.collect()}
+    assert rows[2**35] == 99 and rows[0] == 0 and len(rows) == 5
+    # each snapshot keeps its own schema generation
+    assert dict(read_version(spark, p, version=v1).dtypes) == {"k": "int", "v": "bigint"}
+    assert dict(read_version(spark, p, version=v2).dtypes) == {"key": "int", "v": "bigint"}
+    assert dict(read_version(spark, p, version=v3).dtypes) == {"key": "bigint", "v": "bigint"}
