@@ -100,7 +100,12 @@ def semantic_decontaminate(
 
     Returns ``(corpus_id, best_bench, max_cos, contaminated)`` — each
     corpus vector's nearest benchmark item by cosine (ties to the
-    smaller benchmark id), flagged at ``max_cos >= threshold``.
+    smaller benchmark id), flagged at ``max_cos >= threshold``.  EVERY
+    corpus row gets a verdict: a row with no benchmark match (empty
+    benchmark set, or NULL cosine against every benchmark vector)
+    comes back ``(NULL, NULL, false)`` rather than silently vanishing —
+    a decontamination pass that DROPS unmatched rows would discard the
+    whole corpus on an empty benchmark (ADVICE r8).
 
     Scale shape (the same asymmetry the n-gram pass exploits): the
     benchmark is thousands of items against a 100 TB corpus, so the
@@ -129,12 +134,16 @@ def semantic_decontaminate(
     # structs), NOT a window: no corpus exchange — ascending struct
     # order on (cos, neg id) makes the max "highest cosine, ties to
     # the smaller benchmark id"
-    best = scored.groupBy(corpus_id).agg(
+    best = scored.filter(F.col("cos").isNotNull()).groupBy(corpus_id).agg(
         F.max(F.struct(F.col("cos"), (-F.col(bench_id)).alias("nid"))).alias("b")
     )
-    return best.select(
+    # keyed by the CORPUS, not by rows that happened to score: the
+    # left join re-attaches unmatched corpus rows (empty benchmark /
+    # all-NULL cosines) with contaminated=false — still one narrow
+    # exchange, the argmax relation is ≤ |corpus| ids
+    return corpus.select(corpus_id).join(best, corpus_id, "left").select(
         corpus_id,
         (-F.col("b.nid")).cast("long").alias("best_bench"),
         F.col("b.cos").alias("max_cos"),
-        (F.col("b.cos") >= threshold).alias("contaminated"),
+        F.coalesce(F.col("b.cos") >= threshold, F.lit(False)).alias("contaminated"),
     )

@@ -196,6 +196,13 @@ REAL_CODECS = {
     "mpeg1": _decode_mpeg1,
 }
 
+#: the names :func:`sniff_format` classifies unconditionally (its
+#: hardcoded magic-byte branches); :func:`unregister_codec` refuses
+#: these — removing the decoder while the sniffer still routes to it
+#: would turn every such asset into a misleading KeyError quarantine
+#: row instead of an unknown-format row (ADVICE r8)
+BUILTIN_CODECS = frozenset(REAL_CODECS)
+
 #: magic-byte prefixes for REGISTERED external codecs (native-lib
 #: mounts); consulted by :func:`sniff_format` when it builds its
 #: column expression, so a registered format routes through the same
@@ -241,8 +248,18 @@ def register_codec(name: str, decode, magic: bytes | None = None) -> None:
 
 
 def unregister_codec(name: str) -> None:
-    """Remove a registered external codec (built-ins removable too —
-    callers own the registry; tests restore what they touch)."""
+    """Remove a registered EXTERNAL codec.
+
+    Built-in names are refused (mirror of ``register_codec``'s
+    reserved-name check): :func:`sniff_format`'s hardcoded branches
+    would still classify those formats, so ``decode_audit`` would then
+    quarantine e.g. every PNG with a KeyError — a misleading failure
+    mode where the honest one is 'unknown format'."""
+    if name in BUILTIN_CODECS:
+        raise ValueError(
+            f"codec {name!r} is built-in (sniff_format classifies it "
+            "unconditionally); only externally registered codecs can be removed"
+        )
     REAL_CODECS.pop(name, None)
     EXTRA_MAGIC.pop(name, None)
 

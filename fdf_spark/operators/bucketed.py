@@ -138,15 +138,36 @@ def read_bucketed(
     this helper exists for session-scoped catalogs and disaster
     recovery.
     """
+    # identifiers are backtick-quoted and the path single-quote-escaped
+    # before interpolation: this DDL is built from caller strings, and a
+    # quote in a path (or a key needing quoting) must not break — or
+    # silently rewrite — the statement (ADVICE r8)
+    if "\n" in path or "\x00" in path:
+        raise ValueError(f"path contains control characters: {path!r}")
+
+    def _ident(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    cols = ", ".join(
+        f"{_ident(c.strip().split()[0])} {' '.join(c.strip().split()[1:])}"
+        for c in schema.split(",")
+    )
     # plain CREATE (no IF NOT EXISTS): silently returning a pre-existing
     # table whose location/bucket spec differs from the arguments would
     # be exactly the mis-routing this helper warns about — fail loudly
     spark.sql(
-        f"CREATE TABLE {table} ({schema}) USING parquet "
-        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{path}'"
+        f"CREATE TABLE {_ident(table)} ({cols}) USING parquet "
+        f"CLUSTERED BY ({_ident(key)}) SORTED BY ({_ident(key)}) "
+        f"INTO {int(n_buckets)} BUCKETS "
+        f"LOCATION '{_sql_str(path)}'"
     )
     return spark.table(table)
+
+
+def _sql_str(s: str) -> str:
+    """Escape a python string for a Spark SQL single-quoted literal
+    (backslash escaping — Spark's default string-literal dialect)."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
 
 
 def bucketed_fact_join(

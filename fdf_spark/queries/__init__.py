@@ -29,6 +29,13 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+#: hard ceiling on what materialize_and_cleanup will drag through the
+#: driver — audit relations are dozens of rows; anything near this is a
+#: query wired through the wrong path, and failing loudly here beats a
+#: silent driver-side materialization of a large relation (ADVICE r8)
+MATERIALIZE_ROW_CAP = 100_000
+
+
 def materialize_and_cleanup(df: DataFrame, scratch_path: str) -> DataFrame:
     """Collect a (tiny, audit-sized) result and delete its scratch dir.
 
@@ -38,10 +45,18 @@ def materialize_and_cleanup(df: DataFrame, scratch_path: str) -> DataFrame:
     (correctness sweep + bench + pytest each leave several at sf0.1 —
     ADVICE r6).  The audit relations are a handful of rows, so eager
     materialization is free and lets the scratch dir be removed before
-    the caller ever acts on the result.
+    the caller ever acts on the result.  A result past
+    ``MATERIALIZE_ROW_CAP`` rows raises — this path is for audit-sized
+    relations only, and a big frame reaching it is a wiring bug.
     """
     try:
         rows = df.collect()
+        if len(rows) > MATERIALIZE_ROW_CAP:
+            raise ValueError(
+                f"materialize_and_cleanup collected {len(rows)} rows "
+                f"(cap {MATERIALIZE_ROW_CAP}) — this eager audit path is for "
+                "tiny results; return the lazy plan for large relations"
+            )
     finally:
         import shutil
 

@@ -168,3 +168,27 @@ def test_read_bucketed_reattaches_layout(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(la, ignore_errors=True)
         shutil.rmtree(lb, ignore_errors=True)
+
+def test_read_bucketed_quotes_identifiers_and_path(spark, tmp_path):
+    """The DDL is built from caller strings: a single quote in the path
+    must survive (escaped literal, ADVICE r8), and the registered scan
+    still carries the bucket spec."""
+    import shutil
+
+    from fdf_spark.operators.bucketed import read_bucketed, write_bucketed
+
+    quoted = tmp_path / "it's data"
+    la = str(quoted / "la")
+    a = spark.range(0, 400).select(F.col("id").alias("ka"), (F.col("id") % 9).alias("va"))
+    try:
+        write_bucketed(spark, a, "ka", 4, "rbq_a", la)
+        spark.sql("DROP TABLE rbq_a")
+        ra = read_bucketed(spark, la, "ka", 4, "ka BIGINT, va BIGINT", "rbq_a2")
+        assert ra.count() == 400
+        # newline in a path is refused, not silently interpolated
+        with pytest.raises(ValueError, match="control characters"):
+            read_bucketed(spark, "/tmp/x\ny", "ka", 4, "ka BIGINT", "rbq_bad")
+    finally:
+        for t in ("rbq_a", "rbq_a2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(str(quoted), ignore_errors=True)

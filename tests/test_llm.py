@@ -2224,3 +2224,54 @@ def test_train_pq_codebooks_reduces_quantization_error(spark):
     # determinism: bit-identical on retrain
     again = train_pq_codebooks(df, "embedding", initial, iters=3)
     assert again == trained
+
+
+def test_semantic_decontaminate_keyed_by_corpus(spark):
+    """Every corpus row gets a verdict: an EMPTY benchmark yields all
+    corpus rows back with contaminated=false (ADVICE r8 — the cross
+    join alone would return an empty relation, silently 'dropping'
+    the entire corpus), and a non-empty benchmark still keys the
+    output by the corpus."""
+    from fdf_spark.llm.decontam import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    empty_bench = spark.createDataFrame([], "bench_id long, bench_vec array<double>")
+    out = semantic_decontaminate(corpus, empty_bench, threshold=0.5)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(not r["contaminated"] for r in rows.values())
+    assert all(r["best_bench"] is None and r["max_cos"] is None for r in rows.values())
+
+    bench = spark.createDataFrame([(10, [1.0, 0.0])], "bench_id long, bench_vec array<double>")
+    out2 = {r["vec_id"]: r for r in semantic_decontaminate(corpus, bench, threshold=0.9).collect()}
+    assert set(out2) == {1, 2, 3}
+    assert out2[1]["contaminated"] and out2[1]["best_bench"] == 10
+    assert not out2[2]["contaminated"]
+
+
+def test_unregister_codec_refuses_builtin(spark):
+    """sniff_format's hardcoded branches still classify built-in
+    formats, so removing their decoder would turn every such asset
+    into a KeyError quarantine row; the registry refuses (ADVICE r8)."""
+    from fdf_spark.llm.multimodal import REAL_CODECS, unregister_codec
+
+    with pytest.raises(ValueError, match="built-in"):
+        unregister_codec("png")
+    assert "png" in REAL_CODECS
+    unregister_codec("never_registered_name")  # external no-op stays fine
+
+
+def test_materialize_and_cleanup_row_cap(spark, tmp_path):
+    """The eager audit path refuses to drag a big relation through the
+    driver (ADVICE r8) — and still removes the scratch dir."""
+    from fdf_spark.queries import MATERIALIZE_ROW_CAP, materialize_and_cleanup
+
+    scratch = tmp_path / "scratch"
+    scratch.mkdir()
+    big = spark.range(MATERIALIZE_ROW_CAP + 1)
+    with pytest.raises(ValueError, match="materialize_and_cleanup collected"):
+        materialize_and_cleanup(big, str(scratch))
+    assert not scratch.exists()

@@ -936,9 +936,37 @@ def main() -> None:
         joined = bucketed_fact_join(bl, br, "lk", "rk")
         assert "Exchange" not in joined._jdf.queryExecution().executedPlan().toString()
         timed("bucketed join (S10)", nl, joined.groupBy("pri").agg(F.sum("lv")))
-        spark.sql("DROP TABLE IF EXISTS stress_bkt_l")
-        spark.sql("DROP TABLE IF EXISTS stress_bkt_r")
+
+        # 31b) the layout's skew boundary (SCALE.md): bucketed SMJ has
+        # no Exchange for AQE to split, so ONE hot key = one hot bucket
+        # and the join's wall clock is that straggler bucket; the salted
+        # fallback (operators/skew.py, q23's pattern) pre-splits the hot
+        # key at the cost of re-introducing a (salted) shuffle — the
+        # right trade exactly when a key's share outweighs the exchange
+        hot = spark.range(0, nl, 1, 64).select(
+            F.when(F.col("id") % 5 == 0, F.lit(7)).otherwise(F.col("id") % nr).alias("lk"),
+            ((F.col("id") * 13) % 97).cast("double").alias("lv"),
+        )
+        bh = write_bucketed(spark, hot, "lk", 32, "stress_bkt_hot", os.path.join(d, "bh"))
+        hot_joined = bucketed_fact_join(bh, br, "lk", "rk")
+        assert "Exchange" not in hot_joined._jdf.queryExecution().executedPlan().toString()
+        timed("bucketed join hot-key (S10)", nl, hot_joined.groupBy("pri").agg(F.sum("lv")))
+        from fdf_spark.operators.skew import salted_join
+
+        ph = spark.read.parquet(os.path.join(d, "bh"))
+        timed(
+            "salted join hot-key (S10)",
+            nl,
+            salted_join(ph, pr.withColumnRenamed("rk", "lk"), ["lk"], salt_n=16)
+            .groupBy("pri")
+            .agg(F.sum("lv")),
+        )
     finally:
+        # catalog entries must die WITH the scratch dir: a throw above
+        # would otherwise leave tables pointing at deleted files and a
+        # same-session re-run failing on saveAsTable (ADVICE r8)
+        for t in ("stress_bkt_l", "stress_bkt_r", "stress_bkt_hot"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(d, ignore_errors=True)
 
     spark.stop()
