@@ -397,11 +397,13 @@ def hamming_near_dups(
     ``bit_count`` refinement makes the result identical to the
     all-pairs relation — which is exactly how the q147 oracle checks
     it (brute force at fixture scale).  Candidate generation is
-    linear in corpus + band-bucket collisions, never |corpus|²; every
-    expression is JVM column algebra (shift/mask/xor/bit_count), no
-    Python.  Callers feeding an EXPENSIVE hash pipeline (image
-    decode) should materialize ``hashes`` first — both join sides
-    consume it.
+    linear in DISTINCT fingerprints + band-bucket collisions, never
+    |corpus|²: identical fingerprints collapse to one row before
+    banding (:func:`_collapsed_hamming_pairs` — the hot-bucket
+    discipline for boilerplate groups), and every expression is JVM
+    column algebra (shift/mask/xor/bit_count), no Python.  Callers
+    feeding an EXPENSIVE hash pipeline (image decode) should
+    materialize ``hashes`` first — the collapse consumes it twice.
     """
     if not 0 < max_dist < bands:
         raise ValueError("exactness needs 0 < max_dist < bands (pigeonhole)")
@@ -410,42 +412,98 @@ def hamming_near_dups(
         # offset >= 64 would silently alias band 0 and break recall
         raise ValueError("bands * band_bits must be <= 64 (int64 fingerprints)")
     mask = (1 << band_bits) - 1
-    banded = hashes.select(
-        F.col(id_col),
-        F.col(hash_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col(hash_col), b * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for b in range(bands)
-                ]
+    bands_expr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(hash_col), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
             )
-        ).alias("bv"),
-    ).select(id_col, hash_col, "bv.band", "bv.val")
+            for b in range(bands)
+        ]
+    )
+    dist = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
+    return _collapsed_hamming_pairs(hashes, hash_col, id_col, bands_expr, dist, max_dist)
+
+
+def _collapsed_hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    bands_expr,
+    dist_expr,
+    max_dist: int,
+) -> DataFrame:
+    """Shared banded-LSH tail with IDENTICAL-FINGERPRINT COLLAPSE —
+    the hot-bucket discipline for boilerplate-heavy corpora (VERDICT
+    r8): a web corpus has huge groups of documents with *identical*
+    fingerprints (boilerplate pages), and band-joining raw per-document
+    rows materializes k² candidate rows per k-member group BEFORE any
+    refinement.  Collapsing to distinct fingerprint values first makes
+    the band join's candidate set ~|distinct fingerprints|², not
+    |docs|²; identical-fingerprint pairs are distance 0 by definition
+    (< max_dist always), so exactness is preserved by construction and
+    the final expansion back to document pairs only materializes the
+    OUTPUT relation — which is quadratic in group size because the
+    answer is, not because an intermediate blew up.
+
+    Shapes: ``groups`` is one narrow row per distinct fingerprint
+    (rep = smallest member id — never a collected member list, so a
+    10M-document boilerplate group is still one narrow row);
+    ``mem`` re-attaches members by an equi-join on the fingerprint
+    value (the corpus shuffles 8-16 byte fingerprints, never text);
+    the band self-join runs over distinct fingerprints only.  The
+    in-band ``distinct`` dedupes multi-band collisions while the
+    relation is still (rep_a, rep_b, dist) — narrow.
+    """
+    groups = hashes.groupBy(hash_col).agg(
+        F.min(id_col).alias("__rep"), F.count("*").alias("__n")
+    )
+    mem = hashes.join(groups, hash_col).select(
+        F.col("__rep"), F.col(id_col).alias("__mid")
+    )
+    banded = groups.select(
+        F.col("__rep"), F.col(hash_col), F.explode(bands_expr).alias("bv")
+    ).select("__rep", hash_col, "bv.band", "bv.val")
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    cross = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.__rep") < F.col("b.__rep")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            F.bit_count(
-                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
-            ).alias("dist"),
+            F.col("a.__rep").alias("rep_a"),
+            F.col("b.__rep").alias("rep_b"),
+            dist_expr.alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)
         .distinct()
     )
-    return pairs
+    # a fingerprint shared by >1 document IS a zero-distance pair group
+    within = groups.filter(F.col("__n") > 1).select(
+        F.col("__rep").alias("rep_a"),
+        F.col("__rep").alias("rep_b"),
+        F.lit(0).cast(cross.schema["dist"].dataType.simpleString()).alias("dist"),
+    )
+    fp_pairs = cross.unionByName(within)
+    ma, mb = mem.alias("ma"), mem.alias("mb")
+    expanded = fp_pairs.join(ma, F.col("rep_a") == F.col("ma.__rep")).join(
+        mb, F.col("rep_b") == F.col("mb.__rep")
+    )
+    # cross-group expansions yield each unordered doc pair exactly once
+    # (one member from each group); within-group expansions are the
+    # full ordered square, so the < filter keeps each pair once — no
+    # row-level distinct is ever needed on the expanded relation
+    return expanded.filter(
+        (F.col("rep_a") != F.col("rep_b")) | (F.col("ma.__mid") < F.col("mb.__mid"))
+    ).select(
+        F.least(F.col("ma.__mid"), F.col("mb.__mid")).alias("a_id"),
+        F.greatest(F.col("ma.__mid"), F.col("mb.__mid")).alias("b_id"),
+        F.col("dist"),
+    )
 
 
 def simhash128(
@@ -528,19 +586,18 @@ def hamming_near_dups_wide(
     ``n_words`` must equal the fingerprint array's length (band
     recall silently degrades on longer arrays — words past the last
     band contribute distance but no candidates — so it is the
-    caller's schema contract, asserted cheaply against one row).
-    Candidates stay linear in corpus + band-bucket collisions.
+    caller's schema contract, enforced INSIDE the plan: any row whose
+    array length differs fails the job loudly instead of losing
+    recall).  Candidates stay linear in corpus + band-bucket
+    collisions, and identical fingerprints collapse before banding
+    (:func:`_collapsed_hamming_pairs`) so boilerplate-heavy corpora
+    cannot go quadratic in the band join.
     """
     total_bands = n_words * bands_per_word
     if not 0 < max_dist < total_bands:
         raise ValueError("exactness needs 0 < max_dist < n_words*bands_per_word (pigeonhole)")
     if bands_per_word * band_bits > 64:
         raise ValueError("bands_per_word * band_bits must be <= 64 (per int64 word)")
-    first = hashes.select(F.size(F.col(hash_col)).alias("n")).limit(1).collect()
-    if first and first[0]["n"] != n_words:
-        raise ValueError(
-            f"fingerprint array has {first[0]['n']} words, caller declared {n_words}"
-        )
     mask = (1 << band_bits) - 1
     band_structs = []
     for w in range(n_words):
@@ -552,10 +609,21 @@ def hamming_near_dups_wide(
                     F.shiftright(word, b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
                 )
             )
-    banded = hashes.select(
-        F.col(id_col), F.col(hash_col), F.explode(F.array(*band_structs)).alias("bv")
-    ).select(id_col, hash_col, "bv.band", "bv.val")
-    a, b = banded.alias("a"), banded.alias("b")
+    # width is enforced INSIDE the plan (ADVICE r8): a mixed-width
+    # column would otherwise band only the declared words — rows with
+    # short arrays yielding NULL bands / NULL dist and silently losing
+    # recall.  A violating row now fails the job loudly.
+    bands_expr = F.when(
+        F.size(F.col(hash_col)) == n_words, F.array(*band_structs)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{hash_col} fingerprint has "),
+                F.size(F.col(hash_col)).cast("string"),
+                F.lit(f" words, caller declared n_words={n_words}"),
+            )
+        )
+    )
     dist = F.aggregate(
         F.zip_with(
             F.col(f"a.{hash_col}"),
@@ -565,18 +633,6 @@ def hamming_near_dups_wide(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     ).cast("int")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("a_id"),
-            F.col(f"b.{id_col}").alias("b_id"),
-            dist.alias("dist"),
-        )
-        .filter(F.col("dist") <= max_dist)
-        .distinct()
+    return _collapsed_hamming_pairs(
+        hashes, hash_col, id_col, bands_expr, dist, max_dist
     )

@@ -2053,8 +2053,12 @@ def test_hamming_wide_pigeonhole_exactness(spark):
         hamming_near_dups_wide(df, "fp", max_dist=12, n_words=2, bands_per_word=6)
     with pytest.raises(ValueError, match="per int64 word"):
         hamming_near_dups_wide(df, "fp", max_dist=5, n_words=2, bands_per_word=7, band_bits=10)
-    with pytest.raises(ValueError, match="caller declared"):
-        hamming_near_dups_wide(df, "fp", max_dist=5, n_words=3, bands_per_word=6, band_bits=10)
+    # width is enforced INSIDE the plan now (ADVICE r8) — a declared
+    # n_words that disagrees with the column fails at execution, loudly
+    with pytest.raises(Exception, match="caller declared"):
+        hamming_near_dups_wide(
+            df, "fp", max_dist=5, n_words=3, bands_per_word=6, band_bits=10
+        ).collect()
 
 
 def test_hamming_wide_matches_bruteforce_random(spark):
@@ -2275,3 +2279,63 @@ def test_materialize_and_cleanup_row_cap(spark, tmp_path):
     with pytest.raises(ValueError, match="materialize_and_cleanup collected"):
         materialize_and_cleanup(big, str(scratch))
     assert not scratch.exists()
+
+
+def test_hamming_collapse_identical_fingerprint_group(spark):
+    """Identical-fingerprint collapse (VERDICT r8): a planted k=50
+    identical-fingerprint boilerplate group must (a) still produce the
+    exact brute-force all-pairs relation, and (b) reach the band join
+    as ONE distinct-fingerprint row — candidate rows ~|distinct fp|,
+    not |docs|^2."""
+    import itertools
+
+    from fdf_spark.llm.dedup import hamming_near_dups, hamming_near_dups_wide
+
+    k = 50
+    rows = [(i, 0x0F0F0F0F0F0F0F) for i in range(k)]        # the boilerplate group
+    rows += [(100, 0x0F0F0F0F0F0F0E), (101, 0x70F0F0F0F0F0F0F ^ 0)]  # a near pair + an outlier
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in hamming_near_dups(df, "dhash", max_dist=4, bands=7).collect()
+    }
+    # brute force over all ids
+    fps = dict(rows)
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 4
+    }
+    assert got == want
+    assert len([p for p in got if p[0] < k and p[1] < k]) == k * (k - 1) // 2
+
+    # (b) the band join sees ONE row for the group: distinct fingerprints = 3
+    groups = df.groupBy("dhash").count()
+    assert groups.count() == 3
+
+    # wide variant: same collapse, same exactness on a planted group
+    wrows = [(i, [0x0123456789ABCDE, 0x7EDCBA987654321]) for i in range(k)]
+    wrows += [(100, [0x0123456789ABCDF, 0x7EDCBA987654321])]  # dist 1 to the group
+    wdf = spark.createDataFrame(wrows, "doc_id long, fp array<bigint>")
+    wgot = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in hamming_near_dups_wide(
+            wdf, "fp", max_dist=10, n_words=2, bands_per_word=6, band_bits=10
+        ).collect()
+    }
+    assert len(wgot) == k * (k - 1) // 2 + k  # group square + each member x outlier
+    assert wgot[(0, 100)] == 1 and wgot[(0, 1)] == 0
+
+
+def test_hamming_wide_mixed_width_fails_loudly(spark):
+    """A mixed-width fingerprint column (one row short) must FAIL the
+    job, not silently drop pairs via NULL bands (ADVICE r8)."""
+    from fdf_spark.llm.dedup import hamming_near_dups_wide
+
+    df = spark.createDataFrame(
+        [(1, [7, 9]), (2, [7, 9]), (3, [7])], "doc_id long, fp array<bigint>"
+    )
+    with pytest.raises(Exception, match="caller declared"):
+        hamming_near_dups_wide(
+            df, "fp", max_dist=10, n_words=2, bands_per_word=6, band_bits=10
+        ).collect()
