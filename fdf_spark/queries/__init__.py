@@ -107,7 +107,7 @@ PRIORITY: tuple[str, ...] = (
     "q83_fft_per_series",           # X4
     "q126_logreg_quality",          # N25 in-engine trained classifier (r5; displaced q24 — N5 keeps the frequency-sketch rep q119; percentiles stay pytest-oracle)
     "q60_exact_dedup",              # N1
-    "q61_minhash_signatures",       # N2
+    "q155_ivf_pq_persisted_probe",  # N3+N17 persisted-index probe (r9; displaced q61 — N2 stays in-window via q108, which tags N2 alongside N14/N3; q61 remains a bench headline and sweep-green). The single most scale-critical composite (IVF-PQ over a versioned code table) now sits inside the driver hash gate.
     "q65_cosine_topk",              # N3
     "q70_text_quality",             # N4
     "q129_jpeg_codec_roundtrip",    # N6 REAL baseline-JPEG decode (r6; displaced q68 — same single N6 tag, but q129 exercises the real compressed codec instead of the deterministic fake)

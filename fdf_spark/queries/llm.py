@@ -3763,3 +3763,40 @@ def q154_simhash_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vid")
     )
+
+
+@query(
+    "q155_ivf_pq_persisted_probe",
+    _ivfpq_sql(),
+    operators=("N3", "N17"),
+    doc="PERSISTED IVF-PQ index probe — the build-once / probe-many "
+    "contract every production ANN deployment runs (FAISS writes the "
+    "index once, serves thousands of probes; the reference's analog "
+    "is the compile-once memoized catalog, factory.py:651,673-679). "
+    "The index is a VERSIONED TABLE of PQ codes range-clustered by "
+    "cell, with centroids + codebooks + build params riding in the "
+    "manifest meta (KB of JSON — the prober routes queries with ZERO "
+    "Spark jobs); the probe prunes the manifest file list to the "
+    "probed cells BEFORE Spark plans the scan, so it reads ~nprobe/"
+    "num_cells of the code files and never rebuilds anything. Result "
+    "is bit-identical to the inline q151 composition with the same "
+    "parameters — this query probes what a previous job committed, "
+    "and the SAME DuckDB oracle replays it. Incremental extension "
+    "(ivf_pq_add: assign to existing cells, encode with existing "
+    "codebooks, append-commit) is pytest-pinned alongside the "
+    "pruned-scan plan assertion.",
+)
+def q155_ivf_pq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.llm.similarity import ivf_pq_probe_index, write_ivf_pq_index
+    from fdf_spark.queries import materialize_and_cleanup
+
+    emb = T(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    d = tempfile.mkdtemp(prefix="fdf_ivfpq_index_")
+    write_ivf_pq_index(emb, d)
+    out = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank")
+    return materialize_and_cleanup(out, d)

@@ -284,11 +284,16 @@ def read_version(
     ``prune=(col, lo, hi)`` enables MANIFEST-LEVEL file pruning: only
     files whose recorded [min, max] for ``col`` overlaps [lo, hi] are
     handed to Spark at all (files with no stats for the col are kept —
-    conservative). This is metadata-only pruning the way Iceberg/Delta
-    do it: the planner never even lists the skipped files, which
-    matters when the predicate would otherwise need footer reads over
-    millions of files. The caller still applies the row-level filter —
-    pruning is a superset guarantee, not an exact selection.
+    conservative). ``prune=(col, values)`` — a 2-tuple with a
+    list/set/tuple of values — prunes by MEMBERSHIP instead: a file
+    survives iff some value falls inside its [min, max] (the IN-list
+    analog; what a partition-pruned index probe wants — see
+    ``llm/similarity.ivf_pq_probe_index``). This is metadata-only
+    pruning the way Iceberg/Delta do it: the planner never even lists
+    the skipped files, which matters when the predicate would
+    otherwise need footer reads over millions of files. The caller
+    still applies the row-level filter — pruning is a superset
+    guarantee, not an exact selection.
     """
     versions = list_versions(path)
     if not versions:
@@ -299,7 +304,15 @@ def read_version(
     m = _read_manifest(path, v)
     files = m["files"]
     if prune is not None:
-        col, lo, hi = prune
+        if len(prune) == 2:
+            col, values = prune
+            values = list(values)
+            if not values:
+                raise ValueError("membership prune needs at least one value")
+            lo, hi = None, None
+        else:
+            col, lo, hi = prune
+            values = None
         stats = m.get("stats", {})
         pcol = _physical(m, col)  # footer stats carry physical names
 
@@ -308,6 +321,8 @@ def read_version(
             if st is None:
                 return True  # no stats → must read
             fmin, fmax = st
+            if values is not None:
+                return any(fmin <= x <= fmax for x in values)
             return not (fmax < lo or fmin > hi)
 
         files = [f for f in files if _overlaps(f)]

@@ -2339,3 +2339,114 @@ def test_hamming_wide_mixed_width_fails_loudly(spark):
         hamming_near_dups_wide(
             df, "fp", max_dist=10, n_words=2, bands_per_word=6, band_bits=10
         ).collect()
+
+
+def test_ivf_pq_persisted_probe_pruned(spark, tmp_path):
+    """Build-once / probe-many (VERDICT r9 item 1): the persisted
+    probe (a) runs in a DIFFERENT session from the build, (b) returns
+    bit-identical rows to the inline composition, and (c) scans ONLY
+    the probed cells' files — the plan pin is the explicit file list
+    (read_version hands Spark exactly the manifest-pruned files)."""
+    from fdf_spark.llm.similarity import (
+        ivf_pq_ann_topk,
+        ivf_pq_probe_index,
+        read_ivf_pq_meta,
+        write_ivf_pq_index,
+    )
+    from fdf_spark.sources.versioned import _read_manifest, list_versions
+
+    emb = load_table(spark, SMOKE_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    d = str(tmp_path / "idx")
+    v = write_ivf_pq_index(emb, d, num_cells=8, m=8, ks=8)
+    assert v == 1
+    meta = read_ivf_pq_meta(d)
+    assert meta["params"]["num_cells"] == 8 and len(meta["books"]) == 8
+
+    inline = ivf_pq_ann_topk(qs, emb, k=5, num_cells=8, ks=8).orderBy(
+        "query_id", "rank"
+    ).collect()
+    # probe from a FRESH session state: centroids/codebooks come from
+    # the manifest, never from anything cached in the building session
+    s2 = spark.newSession()
+    probe = ivf_pq_probe_index(s2, d, qs, k=5)
+    assert probe.orderBy("query_id", "rank").collect() == inline
+
+    # pruned scan: a 1-query nprobe=1 probe touches ONE cell, so the
+    # explicit file list read_version hands Spark is a strict subset
+    # of the manifest — and every scanned file holds only probed cells
+    from fdf_spark.llm.similarity import _ivf_pq_probes
+
+    m = _read_manifest(d, list_versions(d)[-1])
+    one_q = qs.filter(F.col("query_id") == 0)
+    narrow = ivf_pq_probe_index(s2, d, one_q, k=3, nprobe=1)
+    cents = [(cid, vec) for cid, vec in meta["cents"]]
+    probes = _ivf_pq_probes(one_q, cents, meta["books"], 1, 8, 8, 64, False,
+                            "query_id", "query_vec")
+    cells = {r["cell"] for r in probes.select("cell").distinct().collect()}
+    # inputFiles covers the whole plan (the query side scans the
+    # embeddings table too) — the pin is about the INDEX files
+    scanned = [
+        f.replace("file://", "") for f in narrow.inputFiles()
+        if f.replace("file://", "").startswith(d)
+    ]
+    assert 0 < len(scanned) < len(m["files"]), (len(scanned), len(m["files"]))
+    for f in scanned:
+        lo, hi = m["stats"][f]["cell"]
+        assert any(lo <= c <= hi for c in cells), (f, lo, hi, cells)
+
+
+def test_ivf_pq_add_incremental(spark, tmp_path):
+    """FAISS-style add: new vectors assign to EXISTING cells and encode
+    with EXISTING codebooks as an append commit; the probe then sees
+    the union, and time travel still probes the pre-add snapshot."""
+    from fdf_spark.llm.similarity import (
+        _adc_score_topk,
+        _assign,
+        _ivf_pq_probes,
+        ivf_pq_add,
+        ivf_pq_probe_index,
+        pq_encode,
+        read_ivf_pq_meta,
+        write_ivf_pq_index,
+    )
+
+    emb = load_table(spark, SMOKE_DIR, "embeddings")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    d = str(tmp_path / "idx")
+    v1 = write_ivf_pq_index(half, d, num_cells=8, m=8, ks=8)
+    before = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank").collect()
+    v2 = ivf_pq_add(spark, d, rest)
+    assert (v1, v2) == (1, 2)
+    # model meta carried forward unchanged
+    assert read_ivf_pq_meta(d, 1)["books"] == read_ivf_pq_meta(d, 2)["books"]
+
+    got = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank").collect()
+    # reference: the SAME model (built on half) scoring codes over all
+    meta = read_ivf_pq_meta(d)
+    cents = [(cid, vec) for cid, vec in meta["cents"]]
+    books = meta["books"]
+    a_half = _assign(half, cents, "vec_id", "embedding", "expr")
+    a_rest = _assign(rest, cents, "vec_id", "embedding", "expr")
+    codes = None
+    for part in (a_half, a_rest):
+        _, c = pq_encode(part, 8, 8, "vec_id", "embedding", 64, "expr",
+                         keep=("cell",), codebooks=books)
+        c = c.select("vec_id", "cell", "code")
+        codes = c if codes is None else codes.unionByName(c)
+    probes = _ivf_pq_probes(qs, cents, books, 2, 8, 8, 64, False, "query_id", "query_vec")
+    ref = _adc_score_topk(
+        codes.join(F.broadcast(probes), "cell"), qs, emb, 5, 8, 0,
+        "query_id", "vec_id", "query_vec", "embedding", True, True,
+    ).orderBy("query_id", "rank").collect()
+    assert got == ref
+    assert got != before  # the add actually changed the answer set
+    # time travel: probing v1 reproduces the pre-add result exactly
+    pinned = ivf_pq_probe_index(spark, d, qs, k=5, version=1)
+    assert pinned.orderBy("query_id", "rank").collect() == before

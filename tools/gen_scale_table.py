@@ -39,6 +39,8 @@ ROWS = [
     ("pq adc topk (N3)", "PQ encode + ADC top-k, arrow encode (N3)", "1 M × 64-dim"),
     ("ivf ann recall@10 (N3)", "IVF ANN top-10, 64 cells, nprobe=2, arrow assign — recall@10 vs brute force MEASURED alongside (N3)", "2 M × 16-dim"),
     ("ivf-pq topk (N3)", "IVF-PQ composed ANN (FAISS IVF64,PQ8 layout, by_residual): probe 4 cells, residual-ADC over 32:1 codes, exact rerank of 12k pool — recall@10 vs brute force MEASURED alongside, floored 0.9 (N3/q151/q152)", "2 M × 64-dim"),
+    ("ivf-pq index build (N17)", "one-time persisted IVF-PQ index build: codes + codebooks + centroids committed as a cell-clustered versioned table (N3/N17/q155)", "2 M × 64-dim"),
+    ("ivf-pq persisted probe (N3)", "probe of the PERSISTED index: model from manifest meta (zero Spark jobs), manifest-pruned scan of probed cells' code files, exact rerank — vs the inline row above, which pays the full build per call (N3/q155)", "2 M × 64-dim"),
     ("kmeans 2 iters (N3)", "k-means 2 Lloyd iters, 32 cells, arrow assign (N3)", "1 M × 64-dim"),
     ("pagerank 3 iters (N16)", "PageRank 3 iterations, 100k nodes (N16)", "5 M edges"),
     ("vocab tokenize (N19)", "vocab tokenize, 50k vocab, arrow (N19)", "5 M docs"),
@@ -65,6 +67,7 @@ ROWS = [
     ("wav voice segments (N6)", "VAD segmentation: map-side window energies + declarative island merge — exchanges carry window verdicts, never samples (N6)", "100 k clips"),
     ("image dhash dedup (N6)", "perceptual image dedup: decode + 56-bit dHash map-side, dedup groupBy shuffles 8-byte hashes never pixels (N6+N2)", "100 k images"),
     ("image hamming near-dup (N2)", "hamming near-dup pairs over dHash: band-LSH exact by pigeonhole (dist<=4 < 7 bands), 20k textured classes — JOIN ONLY, hashes pre-materialized (decode cost = the dhash row above) (N2)", "100 k hashes"),
+    ("hamming boilerplate group (N2)", "hamming near-dup on the BOILERPLATE shape: 1M docs collapsing to ~100k distinct fingerprints incl. one 10k-member identical group — the band join runs over distinct values (candidates ~|distinct fp|, vs ~5e9 at document granularity); output expansion ~5.5e7 pairs is the answer's own size (N2, r9 collapse)", "1 M docs"),
     ("bloom build+prefilter (N5)", "Bloom join-prune: build over 1 M keys + zero-shuffle map-side prefilter of the probe side (N5)", "100 M probe rows"),
     ("hll distinct sketch (N5)", "HyperLogLog distinct sketch, 2^12 registers, 20 M distinct (N5)", "200 M rows"),
     ("quantile sketch x8 (N5)", "quantile sketch: 8 shard bottom-k samples built + exactly merged + estimated (N5)", "100 M rows"),
@@ -72,6 +75,8 @@ ROWS = [
     ("plain shuffled join (S10)", "fact-fact SMJ over plain parquet — both sides shuffle (the bucketed layout's counterfactual)", "40 M ⋈ 10 M"),
     ("bucketed write (S10)", "one-time bucketed clustering write of both fact tables, 32 buckets (S10/q148)", "50 M"),
     ("bucketed join (S10)", "the SAME fact-fact join over the bucketed layout — ZERO Exchange, plan-asserted in-run (S10/q148)", "40 M ⋈ 10 M"),
+    ("bucketed join hot-key (S10)", "bucketed join with ONE key carrying 20% of the fact side — zero-Exchange still, but the hot bucket is a straggler AQE cannot split (no Exchange to re-plan): the layout's documented skew boundary (S10)", "40 M ⋈ 10 M"),
+    ("salted join hot-key (S10)", "the salted fallback on the same hot-key shape (operators/skew.py, q23's pattern): re-introduces a shuffle but spreads the hot key over 16 sub-keys (S10)", "40 M ⋈ 10 M"),
 ]
 
 LINE = re.compile(r"^(.*?)\s{2,}([\d.]+) Mrows\s+([\d.]+) s\s+([\d.]+) Mrows/s(.*)$")

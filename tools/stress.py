@@ -405,6 +405,48 @@ def main() -> None:
         flush=True,
     )
 
+    # 16e1d) build-once / probe-many (N3/N17, r9): the inline row above
+    # pays the FULL index build on every call; persisting codes +
+    # codebooks as a versioned table moves that cost to a one-time
+    # write, and each probe is then a manifest-pruned scan of ~nprobe/
+    # num_cells of the code files with zero model recomputation — the
+    # O(probe) vs O(build) gap every production ANN deployment banks on.
+    import shutil
+    import tempfile
+
+    from fdf_spark.llm.similarity import ivf_pq_probe_index, write_ivf_pq_index
+
+    d = tempfile.mkdtemp(prefix="stress_ivfpq_idx_")
+    try:
+        t0 = time.perf_counter()
+        write_ivf_pq_index(
+            corpus, d, num_cells=n_cells, by_residual=True,
+            assign_mode="arrow", encode_mode="arrow",
+        )
+        dtb = time.perf_counter() - t0
+        print(
+            f"{'ivf-pq index build (N17)':28s} {n/1e6:8.1f} Mrows {dtb:7.2f} s {n/dtb/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        probe_rows = ivf_pq_probe_index(
+            spark, d, ann_q, k=10, nprobe=4, rerank=12, corpus=corpus,
+            exact_decimal=False,
+        ).collect()
+        dtp = time.perf_counter() - t0
+        pr = {}
+        for r in probe_rows:
+            pr.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recall_p = sum(len(ex[q] & pr.get(q, set())) / 10 for q in ex) / len(ex)
+        assert recall_p >= 0.9, recall_p
+        print(
+            f"{'ivf-pq persisted probe (N3)':28s} {n/1e6:8.1f} Mrows {dtp:7.2f} s "
+            f"{n/dtp/1e6:8.1f} Mrows/s  recall@10={recall_p:.3f} probe/inline={dtp/dt:.2f}",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     # 16e2) trained coarse quantizer (N3): 2 Lloyd iterations over 1M
     # 64-dim vectors, 32 cells — arrow assignment (numerically identical
     # to the expr path, ~15x faster), one cells-row agg per iteration
@@ -786,6 +828,29 @@ def main() -> None:
         "image hamming near-dup (N2)",
         100_000,
         hamming_near_dups(near_hashes, "dhash", "asset_id", max_dist=4, bands=7),
+    )
+
+    # 26b) the boilerplate shape (r9): 1M documents whose fingerprints
+    # collapse to ~100k distinct values (10-member dup classes) plus
+    # ONE 10k-member boilerplate group.  Uncollapsed, the band join
+    # runs at DOCUMENT granularity — the boilerplate group alone is
+    # bands × k² = 5e8 candidate rows, the class background ~5e9 —
+    # while the collapse bands one narrow row per distinct fingerprint
+    # (candidates ~|distinct fp| + bucket collisions ≈ 5e7) and only
+    # the OUTPUT expansion is quadratic in group size, because the
+    # answer is (~5.5e7 pairs, written to noop like every row here).
+    boiler = spark.range(0, 1_000_000, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 0, F.lit(0x0F0F0F0F0F0F))
+        .otherwise(F.pmod(F.xxhash64(F.col("id") % 100_000), F.lit(1 << 50)))
+        .alias("fp"),
+    ).localCheckpoint()
+    n_distinct = boiler.select("fp").distinct().count()
+    assert n_distinct < 110_000, n_distinct  # 1M docs -> ~100k distinct fps
+    timed(
+        "hamming boilerplate group (N2)",
+        1_000_000,
+        hamming_near_dups(boiler, "fp", "doc_id", max_dist=4, bands=5, band_bits=10),
     )
 
     # 27) bloom join-prune (N5): build over 1M keys, collect the dense
