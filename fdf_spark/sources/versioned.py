@@ -803,6 +803,103 @@ def merge_versioned(
     return commit_version(merged, path, mode="overwrite")
 
 
+def stream_version_events(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming CHANGE-DATA-FEED source over a versioned table — the
+    commit stream (VERDICT r8 #3): a ``readStream`` that tails the
+    manifest chain and emits one row ``(version, parent, mode)`` per
+    NEW commit.  Downstream incremental consumers (the N23 view
+    maintainer) subscribe to this instead of re-diffing the table.
+
+    Why this is safe as a file stream: manifests are published through
+    the create-if-absent seam (:func:`_publish_manifest_atomic`) — a
+    manifest either exists whole or not at all, so the file source can
+    never observe a torn commit; the manifest IS the read barrier
+    (same discipline as the WebDataset ledger).  The ``v*.json`` glob
+    excludes in-flight ``.tmp`` staging files.  Within one checkpoint
+    lineage Spark's file source delivers each manifest exactly once,
+    which makes per-version delta processing exactly-once without any
+    extra replay guard.  Scale: the source lists a metadata directory
+    (O(commits), not O(rows)) — the data files are only touched by the
+    consumer, and only the CHANGED ones (:func:`diff_versions`).
+    """
+    return (
+        spark.readStream.format("json")
+        .schema("version long, parent long, mode string")
+        .option("pathGlobFilter", "v*.json")
+        .load(os.path.join(path, _MANIFEST_DIR))
+    )
+
+
+def change_feed_fold(path: str, apply_delta):
+    """foreachBatch fold behind :func:`stream_changes_sink` (factored
+    out so delta ordering/skip rules are directly testable).
+
+    For each new manifest (in version order — a micro-batch may carry
+    several commits), computes the row-level delta of that commit and
+    hands it to ``apply_delta(delta_df, version)``:
+
+    - first version → the full snapshot as ``change='insert'`` rows;
+    - data commits → :func:`diff_versions` (parent, v): inserts +
+      deletes, an update arriving as the delete+insert pair;
+    - metadata-only commits (rename/drop/widen) and commits that share
+      every file with their parent → skipped (no row delta by
+      definition);
+    - ``optimize`` → skipped as well: it is a logical no-op
+      (``diff_versions`` over it is empty — tested in
+      test_versioned.py) and computing that emptiness would read all
+      rewritten bytes for nothing.
+    """
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        rows = sorted(
+            batch_df.select("version", "parent", "mode").collect(),
+            key=lambda r: r["version"],
+        )
+        for r in rows:
+            v, parent, mode = r["version"], r["parent"], r["mode"]
+            if mode in ("rename", "drop", "widen", "optimize"):
+                continue
+            if parent is None:
+                delta = read_version(spark, path, v).withColumn(
+                    "change", F.lit("insert")
+                )
+            else:
+                try:
+                    delta = diff_versions(spark, path, parent, v)
+                except ValueError:
+                    continue  # shares all files with the parent — empty delta
+            apply_delta(delta, v)
+
+    return _fold
+
+
+def stream_changes_sink(
+    events: DataFrame,
+    path: str,
+    apply_delta,
+    checkpoint: str | None = None,
+):
+    """Consume a versioned table's change feed: each commit's row-level
+    delta (the :func:`diff_versions` relation, ``change`` column and
+    all) is handed to ``apply_delta(delta_df, version)`` exactly once
+    per checkpoint lineage.  ``events`` is
+    :func:`stream_version_events`'s stream.  Returns the
+    StreamingQuery.
+
+    The 100 TB shape: per commit the consumer reads only the files
+    present in exactly one of the two snapshots — under copy-on-write
+    merges that is the touched partitions, never the table — and the
+    streaming layer itself moves manifest rows only.
+    """
+    writer = events.writeStream.foreachBatch(change_feed_fold(path, apply_delta))
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def stream_merge_sink(
     stream: DataFrame,
     path: str,

@@ -567,3 +567,98 @@ def test_rename_widen_append_compose(spark, tmp_path):
     assert dict(read_version(spark, p, version=v1).dtypes) == {"k": "int", "v": "bigint"}
     assert dict(read_version(spark, p, version=v2).dtypes) == {"key": "int", "v": "bigint"}
     assert dict(read_version(spark, p, version=v3).dtypes) == {"key": "bigint", "v": "bigint"}
+
+
+def test_stream_change_feed_matches_batch_diffs(spark, tmp_path):
+    """Streaming CDF source (VERDICT r8 #3): stream-consumed deltas
+    reproduce the batch diff_versions relation exactly across >=3
+    commits including an update (delete+insert pair); metadata-only
+    commits contribute no delta."""
+    from fdf_spark.sources.versioned import (
+        diff_versions,
+        merge_versioned,
+        rename_column,
+        stream_changes_sink,
+        stream_version_events,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)                       # v1 base
+    commit_version(_df(spark, 10, 15), p)                      # v2 append
+    changes = spark.createDataFrame([Row(k=1, v=999)], "k bigint, v bigint")
+    merge_versioned(spark, p, changes, ["k"], update_cols=["v"])  # v3 update
+    rename_column(p, "v", "val")                               # v4 metadata-only
+
+    deltas: dict[int, list] = {}
+
+    def capture(df, v):
+        deltas[v] = sorted(map(tuple, df.collect()))
+
+    q = stream_changes_sink(
+        stream_version_events(spark, p), p, capture, checkpoint=str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert sorted(deltas) == [1, 2, 3]  # v4 (rename) skipped
+    want1 = sorted(
+        map(tuple, read_version(spark, p, 1).withColumn("change", F.lit("insert")).collect())
+    )
+    assert deltas[1] == want1
+    for v in (2, 3):
+        assert deltas[v] == sorted(map(tuple, diff_versions(spark, p, v - 1, v).collect()))
+    # the update arrived as its delete+insert pair
+    pair = sorted((c, k) for k, _v, c in deltas[3] if k == 1)
+    assert pair == [("delete", 1), ("insert", 1)]
+
+
+def test_stream_change_feed_drives_incremental_view(spark, tmp_path):
+    """incremental_refresh fed from the change feed equals the
+    from-scratch aggregate over the final snapshot — the N23 consumer
+    the CDF source exists for."""
+    from fdf_spark.operators.ivm import agg_view, finish_view, incremental_refresh
+    from fdf_spark.sources.versioned import (
+        merge_versioned,
+        stream_changes_sink,
+        stream_version_events,
+    )
+
+    p = str(tmp_path / "t")
+    base = spark.range(0, 12).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 10).alias("v")
+    )
+    commit_version(base, p)                                    # v1
+    commit_version(
+        spark.createDataFrame([Row(g=0, v=7), Row(g=5, v=5)], "g bigint, v bigint"), p
+    )                                                          # v2 append (new key 5)
+    merge_versioned(
+        spark,
+        p,
+        spark.createDataFrame([Row(g=9, v=1), Row(g=9, v=2)], "g bigint, v bigint")
+        .groupBy("g").agg(F.sum("v").alias("v")),
+        ["g", "v"],
+    )                                                          # v3
+
+    state = {
+        "view": agg_view(spark.createDataFrame([], "g bigint, v bigint"), ["g"], "v")
+    }
+
+    def fold(df, v):
+        delta = df.withColumn(
+            "sign", F.when(F.col("change") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        ).drop("change")
+        state["view"] = incremental_refresh(
+            state["view"], delta, ["g"], "v", "sign"
+        ).localCheckpoint()
+
+    q = stream_changes_sink(
+        stream_version_events(spark, p), p, fold, checkpoint=str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(map(tuple, finish_view(state["view"], ["g"]).collect()))
+    want = sorted(
+        map(tuple, finish_view(agg_view(read_version(spark, p), ["g"], "v"), ["g"]).collect())
+    )
+    assert got == want and len(got) >= 4
