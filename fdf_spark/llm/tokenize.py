@@ -157,6 +157,20 @@ def _py_word_split(t: str) -> list[str]:
     return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
 
 
+def _pruned_vocab(df: DataFrame, text: str, min_count: int) -> DataFrame:
+    """The (word, count) relation :func:`learn_bpe` collects — pruning
+    pushed into the counted relation so the junk tail never crosses to
+    the driver.  Exposed so the collected-row bound
+    (rows ≤ corpus_tokens / min_count for min_count > 1) is pinned by
+    a property test against the ACTUAL collect path, not re-derived."""
+    words = df.select(F.explode(_word_split(F.col(text))).alias("w")).groupBy("w").count()
+    if min_count > 1:
+        # the filter runs on the executors; words seen fewer than
+        # min_count times are dropped distributed-side
+        words = words.filter(F.col("count") >= min_count)
+    return words
+
+
 def learn_bpe(
     df: DataFrame, num_merges: int = 50, text: str = "text", min_count: int = 1
 ) -> list[tuple[str, str]]:
@@ -182,12 +196,9 @@ def learn_bpe(
     slice (llm/hashing.py) and a min_count matched to it.
     """
     merges: list[tuple[str, str]] = []
-    words = df.select(F.explode(_word_split(F.col(text))).alias("w")).groupBy("w").count()
-    if min_count > 1:
-        # pushed into the counted relation: the filter runs on the
-        # executors and the junk tail never crosses to the driver
-        words = words.filter(F.col("count") >= min_count)
-    word_counts = [(r["w"], r["count"]) for r in words.collect()]
+    word_counts = [
+        (r["w"], r["count"]) for r in _pruned_vocab(df, text, min_count).collect()
+    ]
     # the vocab of distinct words is tiny relative to the corpus (Zipf);
     # the merge loop itself runs driver-side over (word, count) pairs —
     # the distributed part is the word count above. This is how fastBPE

@@ -170,6 +170,100 @@ def _file_stats(file_path: str) -> dict:
     return stats
 
 
+# --- partition-spec evolution (clustering of FUTURE writes) ----------------
+#
+# Iceberg's spec evolution, realized for this manifest model: a
+# partition spec names the columns FUTURE data files are clustered by
+# (range-repartition + in-file sort at commit time), so each new file
+# carries TIGHT manifest [min, max] stats on the spec columns and
+# read_version's metadata pruning skips whole files on those keys.
+# Changing the spec is a MANIFEST-ONLY commit: old files are never
+# rewritten, each file remembers the spec it was written under
+# ("file_specs"), readers naturally union old+new layouts (the
+# manifest is a file list), and pruning works per spec — a file
+# clustered under spec A prunes tightly on A's columns and
+# conservatively (via its own loose stats) on B's.  Value pruning and
+# stats pruning coincide here because a range-clustered file covers a
+# narrow contiguous value range — the same guarantee hive-style
+# directory layouts encode in paths, without freezing the layout into
+# the path.
+
+
+def _spec_carry(pm: dict | None) -> dict:
+    """The three spec keys every manifest writer must carry forward."""
+    if not pm:
+        return {"partition_specs": {"0": {"cols": []}}, "current_spec": 0, "file_specs": {}}
+    return {
+        "partition_specs": pm.get("partition_specs", {"0": {"cols": []}}),
+        "current_spec": pm.get("current_spec", 0),
+        "file_specs": pm.get("file_specs", {}),
+    }
+
+
+def partition_spec(path: str, version: int | None = None) -> dict:
+    """The spec in force at ``version`` (latest if None):
+    ``{"spec_id": int, "cols": [...], "buckets": int | None}``."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    carry = _spec_carry(m)
+    spec = carry["partition_specs"][str(carry["current_spec"])]
+    return {"spec_id": carry["current_spec"], "cols": list(spec["cols"]),
+            "buckets": spec.get("buckets")}
+
+
+def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
+    """Change the partition layout of FUTURE writes — a MANIFEST-ONLY
+    commit, zero bytes rewritten (VERDICT r8 #6; the Iceberg
+    spec-evolution axis after rename/drop/widen).
+
+    Subsequent :func:`commit_version` calls range-cluster their new
+    files on ``cols`` (into ``buckets`` files when given, else the
+    session's shuffle parallelism), so the manifest's per-file stats
+    become tight on those columns and ``read_version(prune=...)``
+    skips whole files.  Files already on disk are untouched and keep
+    pruning under THEIR spec's stats; time travel is unaffected.  Same
+    optimistic-commit seam as every metadata commit.
+    """
+    cols = list(cols)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    schema = _logical_schema(m)
+    if schema is not None:
+        names = [f.name for f in schema.fields]
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"spec columns {missing} not in schema (have {names})")
+    carry = _spec_carry(m)
+    spec_id = max(int(k) for k in carry["partition_specs"]) + 1
+    specs = dict(carry["partition_specs"])
+    specs[str(spec_id)] = {"cols": cols, "buckets": buckets}
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "set-spec",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "schema": m["schema"] if "schema" in m else None,
+        "column_mapping": _mapping(m),
+        "retired_physical": m.get("retired_physical", []),
+        "partition_specs": specs,
+        "current_spec": spec_id,
+        "file_specs": carry["file_specs"],
+        "meta": {"set_spec": {"spec_id": spec_id, "cols": cols, "buckets": buckets}},
+    }
+    if manifest["schema"] is None:
+        del manifest["schema"]
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
+
+
 def commit_version(
     df: DataFrame, path: str, mode: str = "append", meta: dict | None = None
 ) -> int:
@@ -191,7 +285,11 @@ def commit_version(
     versions = list_versions(path)
     parent = versions[-1] if versions else None
     version = (parent + 1) if parent is not None else 1
-    pm = _read_manifest(path, parent) if (mode == "append" and parent is not None) else None
+    head = _read_manifest(path, parent) if parent is not None else None
+    pm = head if mode == "append" else None
+    # the partition spec is TABLE metadata: it survives overwrite (the
+    # data is replaced, the layout contract is not), like Iceberg's
+    carry = _spec_carry(head)
     mapping = dict(_mapping(pm)) if pm else {}
     retired = list(pm.get("retired_physical", [])) if pm else []
     schema = df.schema
@@ -219,6 +317,27 @@ def commit_version(
             out = df.select(
                 *[F.col(f.name).alias(mapping.get(f.name, f.name)) for f in df.schema.fields]
             )
+    spec = carry["partition_specs"][str(carry["current_spec"])]
+    if spec["cols"]:
+        # cluster the NEW files by the current spec: range-repartition
+        # + in-file sort make each file's [min, max] tight on the spec
+        # columns, which is what turns read_version's stats pruning
+        # into layout pruning.  Spec columns are logical names; files
+        # carry physical ones.
+        from pyspark.sql import functions as F
+
+        phys = [mapping.get(c, c) for c in spec["cols"]]
+        missing = [c for c in phys if c not in out.columns]
+        if missing:
+            raise ValueError(
+                f"current partition spec needs columns {missing}; commit has {out.columns}"
+            )
+        pcols = [F.col(c) for c in phys]
+        if spec.get("buckets"):
+            out = out.repartitionByRange(int(spec["buckets"]), *pcols)
+        else:
+            out = out.repartitionByRange(*pcols)
+        out = out.sortWithinPartitions(*pcols)
     stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
     out.write.parquet(stage)
     new_files = sorted(
@@ -226,9 +345,11 @@ def commit_version(
     )
     file_stats = {f: _file_stats(f) for f in new_files}
     files = new_files
+    file_specs = {f: carry["current_spec"] for f in new_files}
     if pm is not None:
         files = pm["files"] + new_files
         file_stats = {**pm.get("stats", {}), **file_stats}
+        file_specs = {**carry["file_specs"], **file_specs}
     manifest = {
         "version": version,
         "parent": parent,
@@ -238,6 +359,9 @@ def commit_version(
         "schema": json.dumps(schema.jsonValue()),
         "column_mapping": mapping,
         "retired_physical": retired,
+        "partition_specs": carry["partition_specs"],
+        "current_spec": carry["current_spec"],
+        "file_specs": file_specs,
         "meta": meta or {},
     }
     _stage_and_publish_manifest(path, version, manifest)
@@ -423,6 +547,13 @@ def rename_column(path: str, old: str, new: str) -> int:
         StructField(new, f.dataType, f.nullable) if f.name == old else f
         for f in schema.fields
     ]
+    # specs hold LOGICAL names — a renamed column renames through every
+    # spec (the physical bytes and stats keys are untouched)
+    carry = _spec_carry(m)
+    specs = {
+        sid: {**s, "cols": [new if c == old else c for c in s["cols"]]}
+        for sid, s in carry["partition_specs"].items()
+    }
     version = parent + 1
     manifest = {
         "version": version,
@@ -433,6 +564,9 @@ def rename_column(path: str, old: str, new: str) -> int:
         "schema": json.dumps(StructType(fields).jsonValue()),
         "column_mapping": mapping,
         "retired_physical": m.get("retired_physical", []),
+        "partition_specs": specs,
+        "current_spec": carry["current_spec"],
+        "file_specs": carry["file_specs"],
         "meta": {"rename": {"from": old, "to": new}},
     }
     _stage_and_publish_manifest(path, version, manifest)
@@ -463,6 +597,13 @@ def drop_column(path: str, col: str) -> int:
         raise ValueError(f"no column {col!r} (have {names})")
     if len(names) == 1:
         raise ValueError("cannot drop the only column")
+    carry = _spec_carry(m)
+    if col in carry["partition_specs"][str(carry["current_spec"])]["cols"]:
+        raise ValueError(
+            f"column {col!r} is referenced by the current partition spec; "
+            "set a new spec first (Iceberg's rule — future writes could "
+            "not be clustered by a dropped column)"
+        )
     mapping = dict(_mapping(m))
     retired = list(m.get("retired_physical", []))
     retired.append(mapping.pop(col, col))
@@ -478,6 +619,9 @@ def drop_column(path: str, col: str) -> int:
         ),
         "column_mapping": mapping,
         "retired_physical": retired,
+        "partition_specs": carry["partition_specs"],
+        "current_spec": carry["current_spec"],
+        "file_specs": carry["file_specs"],
         "meta": {"drop": {"column": col}},
     }
     _stage_and_publish_manifest(path, version, manifest)
@@ -542,6 +686,7 @@ def widen_column(path: str, col: str, new_type: str) -> int:
         "schema": json.dumps(StructType(fields).jsonValue()),
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
+        **_spec_carry(m),
         "meta": {"widen": {"column": col, "from": old_name, "to": new_dt.typeName()}},
     }
     _stage_and_publish_manifest(path, version, manifest)
@@ -751,6 +896,15 @@ def optimize(
         **{f: old_stats[f] for f in kept if f in old_stats},
         **{f: _file_stats(f) for f in new_files},
     }
+    carry = _spec_carry(m)
+    # rewritten files lose their original clustering (bin-pack is
+    # round-robin; zorder is its own layout) — record them under
+    # spec 0 so nothing claims tightness they no longer have; kept
+    # files keep their spec entries
+    file_specs = {
+        **{f: carry["file_specs"].get(f, 0) for f in kept},
+        **{f: 0 for f in new_files},
+    }
     manifest = {
         "version": version,
         "parent": parent,
@@ -760,6 +914,9 @@ def optimize(
         "schema": m["schema"] if "schema" in m else json.dumps(df.schema.jsonValue()),
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
+        "partition_specs": carry["partition_specs"],
+        "current_spec": carry["current_spec"],
+        "file_specs": file_specs,
         "meta": {"optimize": {"rewritten": len(rewrite), "zorder": list(zorder or [])}},
     }
     _stage_and_publish_manifest(path, version, manifest)

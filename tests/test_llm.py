@@ -2450,3 +2450,35 @@ def test_ivf_pq_add_incremental(spark, tmp_path):
     # time travel: probing v1 reproduces the pre-add result exactly
     pinned = ivf_pq_probe_index(spark, d, qs, k=5, version=1)
     assert pinned.orderBy("query_id", "rank").collect() == before
+
+
+def test_bpe_pruned_vocab_collect_bound(spark):
+    """SCALE.md's BPE driver-bound, mechanized (VERDICT r8 #8): on a
+    junk-tail corpus the relation learn_bpe collects holds at most
+    corpus_tokens / min_count rows — the caller-controlled bound that
+    keeps a 100 TB junk tail off the driver — while min_count=1 would
+    collect the full distinct vocabulary."""
+    from fdf_spark.llm.tokenize import _pruned_vocab
+
+    # 20 common words repeated + a junk tail of 5000 singletons
+    # (unicode-soup stand-ins): distinct vocab 5020, tokens 9000
+    common = spark.range(0, 200).select(
+        F.concat(F.lit("w"), (F.col("id") % 20).cast("string")).alias("text")
+    )
+    junk = spark.range(0, 5000).select(
+        F.concat(F.lit("junk_"), F.sha2(F.col("id").cast("string"), 256)).alias("text")
+    )
+    corpus = common.unionByName(junk)
+    from fdf_spark.llm.tokenize import _word_split
+
+    total_tokens = corpus.select(
+        F.explode(_word_split(F.col("text"))).alias("w")
+    ).count()
+
+    full = _pruned_vocab(corpus, "text", 1).count()
+    assert full >= 5000  # min_count=1: the whole junk tail reaches the driver
+
+    for mc in (2, 5, 10):
+        n = _pruned_vocab(corpus, "text", mc).count()
+        assert n <= total_tokens / mc, (mc, n, total_tokens)
+    assert _pruned_vocab(corpus, "text", 2).count() < 50  # junk tail gone
