@@ -612,15 +612,21 @@ def hamming_near_dups_wide(
     # width is enforced INSIDE the plan (ADVICE r8): a mixed-width
     # column would otherwise band only the declared words — rows with
     # short arrays yielding NULL bands / NULL dist and silently losing
-    # recall.  A violating row now fails the job loudly.
-    bands_expr = F.when(
-        F.size(F.col(hash_col)) == n_words, F.array(*band_structs)
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"{hash_col} fingerprint has "),
-                F.size(F.col(hash_col)).cast("string"),
-                F.lit(f" words, caller declared n_words={n_words}"),
+    # recall.  A violating row now fails the job loudly.  A NULL
+    # fingerprint is NOT a width violation: it was always the
+    # "no candidates for this row" case (NULL band values match no
+    # bucket) and stays one — the explode of a NULL array drops the
+    # row, same outcome, no job kill.
+    bands_expr = (
+        F.when(F.col(hash_col).isNull(), F.lit(None))
+        .when(F.size(F.col(hash_col)) == n_words, F.array(*band_structs))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{hash_col} fingerprint has "),
+                    F.size(F.col(hash_col)).cast("string"),
+                    F.lit(f" words, caller declared n_words={n_words}"),
+                )
             )
         )
     )

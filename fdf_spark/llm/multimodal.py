@@ -235,6 +235,14 @@ def register_codec(name: str, decode, magic: bytes | None = None) -> None:
         raise TypeError(f"decode for codec {name!r} must be callable")
     if name in ("stub", "fake", "unknown"):
         raise ValueError(f"codec name {name!r} is reserved")
+    if name in BUILTIN_CODECS:
+        # the mirror of unregister_codec's refusal: silently replacing
+        # a built-in loses the original decoder with no way back (the
+        # guard below blocks removal of built-in names) — external
+        # mounts must take their own names
+        raise ValueError(
+            f"codec {name!r} is built-in; register external decoders under a new name"
+        )
     if magic is not None:
         magic = bytes(magic)  # may raise (e.g. str) — BEFORE any mutation
         if not magic:

@@ -1138,7 +1138,6 @@ def read_ivf_pq_meta(path: str, version: int | None = None) -> dict:
 
 
 def ivf_pq_add(
-    spark,
     path: str,
     new_vectors: DataFrame,
     corpus_vec: str = "embedding",
@@ -1216,13 +1215,18 @@ def ivf_pq_probe_index(
     if rerank and corpus is None:
         raise ValueError("rerank re-scores exact distances; pass the raw corpus")
     cents = [(cid, vec) for cid, vec in idx["cents"]]
+    # the probe relation is materialized ONCE (localCheckpoint — it is
+    # |queries| × nprobe narrow rows): the probed-cell set collected
+    # below and the broadcast join both read the same evaluation, so a
+    # nondeterministic queries source can never route a query to a
+    # cell whose files were pruned away, and the query pipeline is not
+    # computed twice
     probes = _ivf_pq_probes(
         queries, cents, idx["books"], nprobe, p["m"], p["ks"], p["dim"],
         p["by_residual"], query_id, query_vec,
-    )
-    # the probed-cell set is computed DRIVER-SIDE from the centroid
-    # literals (bounded: ≤ num_cells values) so it can prune the
-    # manifest file list before Spark ever plans the scan
+    ).localCheckpoint()
+    # the probed-cell set (bounded: ≤ num_cells values) prunes the
+    # manifest file list before Spark ever plans the codes scan
     cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     codes = read_version(spark, path, version, prune=("cell", cells)).filter(
         F.col("cell").isin(cells)

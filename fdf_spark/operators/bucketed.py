@@ -148,15 +148,15 @@ def read_bucketed(
     def _ident(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"
 
-    cols = ", ".join(
-        f"{_ident(c.strip().split()[0])} {' '.join(c.strip().split()[1:])}"
-        for c in schema.split(",")
-    )
+    # the schema column list is interpolated VERBATIM: it is DDL by
+    # contract (column names may need their own backticks, and types
+    # like DECIMAL(10,2) / MAP<k,v> contain commas no splitter should
+    # touch) — the quoting fix here is for the identifier/path slots
     # plain CREATE (no IF NOT EXISTS): silently returning a pre-existing
     # table whose location/bucket spec differs from the arguments would
     # be exactly the mis-routing this helper warns about — fail loudly
     spark.sql(
-        f"CREATE TABLE {_ident(table)} ({cols}) USING parquet "
+        f"CREATE TABLE {_ident(table)} ({schema}) USING parquet "
         f"CLUSTERED BY ({_ident(key)}) SORTED BY ({_ident(key)}) "
         f"INTO {int(n_buckets)} BUCKETS "
         f"LOCATION '{_sql_str(path)}'"

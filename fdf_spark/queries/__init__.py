@@ -50,12 +50,15 @@ def materialize_and_cleanup(df: DataFrame, scratch_path: str) -> DataFrame:
     relations only, and a big frame reaching it is a wiring bug.
     """
     try:
-        rows = df.collect()
+        # cap enforced THROUGH the collect (limit cap+1), not after it:
+        # a 500M-row mis-wired result must trip the guard, not OOM the
+        # driver first; under the cap, limit() returns identical rows
+        rows = df.limit(MATERIALIZE_ROW_CAP + 1).collect()
         if len(rows) > MATERIALIZE_ROW_CAP:
             raise ValueError(
-                f"materialize_and_cleanup collected {len(rows)} rows "
-                f"(cap {MATERIALIZE_ROW_CAP}) — this eager audit path is for "
-                "tiny results; return the lazy plan for large relations"
+                f"materialize_and_cleanup collected over {MATERIALIZE_ROW_CAP} "
+                "rows — this eager audit path is for tiny results; return "
+                "the lazy plan for large relations"
             )
     finally:
         import shutil

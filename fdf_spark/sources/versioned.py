@@ -973,9 +973,13 @@ def stream_version_events(spark: SparkSession, path: str) -> DataFrame:
     never observe a torn commit; the manifest IS the read barrier
     (same discipline as the WebDataset ledger).  The ``v*.json`` glob
     excludes in-flight ``.tmp`` staging files.  Within one checkpoint
-    lineage Spark's file source delivers each manifest exactly once,
-    which makes per-version delta processing exactly-once without any
-    extra replay guard.  Scale: the source lists a metadata directory
+    lineage Spark's file source assigns each manifest to exactly one
+    micro-batch, but foreachBatch delivery is AT-LEAST-ONCE on
+    crash/restart (the standard Structured Streaming contract) — a
+    consumer that is not idempotent must guard on the version number
+    it receives, exactly as the versioned-table consumers here do
+    (commit meta carries the applied version; see
+    ``stream_changes_sink``).  Scale: the source lists a metadata directory
     (O(commits), not O(rows)) — the data files are only touched by the
     consumer, and only the CHANGED ones (:func:`diff_versions`).
     """
@@ -1017,7 +1021,7 @@ def change_feed_fold(path: str, apply_delta):
         )
         for r in rows:
             v, parent, mode = r["version"], r["parent"], r["mode"]
-            if mode in ("rename", "drop", "widen", "optimize"):
+            if mode in ("rename", "drop", "widen", "set-spec", "optimize"):
                 continue
             if parent is None:
                 delta = read_version(spark, path, v).withColumn(
@@ -1026,8 +1030,13 @@ def change_feed_fold(path: str, apply_delta):
             else:
                 try:
                     delta = diff_versions(spark, path, parent, v)
-                except ValueError:
-                    continue  # shares all files with the parent — empty delta
+                except ValueError as e:
+                    # ONLY the documented empty-delta signal is a skip;
+                    # any other ValueError is a real failure and must
+                    # not be silently treated as 'no changes'
+                    if "share all files" not in str(e):
+                        raise
+                    continue
             apply_delta(delta, v)
 
     return _fold
@@ -1041,8 +1050,13 @@ def stream_changes_sink(
 ):
     """Consume a versioned table's change feed: each commit's row-level
     delta (the :func:`diff_versions` relation, ``change`` column and
-    all) is handed to ``apply_delta(delta_df, version)`` exactly once
-    per checkpoint lineage.  ``events`` is
+    all) is handed to ``apply_delta(delta_df, version)``, in version
+    order, at-least-once (a crashed micro-batch replays on restart —
+    the foreachBatch contract).  The ``version`` argument is the
+    replay key: a consumer folding into a versioned table records it
+    in the commit meta and skips versions already applied (the
+    ``make_view_fold`` guard pattern), which upgrades the feed to
+    exactly-once end-to-end.  ``events`` is
     :func:`stream_version_events`'s stream.  Returns the
     StreamingQuery.
 

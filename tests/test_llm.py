@@ -2260,11 +2260,16 @@ def test_unregister_codec_refuses_builtin(spark):
     """sniff_format's hardcoded branches still classify built-in
     formats, so removing their decoder would turn every such asset
     into a KeyError quarantine row; the registry refuses (ADVICE r8)."""
-    from fdf_spark.llm.multimodal import REAL_CODECS, unregister_codec
+    from fdf_spark.llm.multimodal import REAL_CODECS, register_codec, unregister_codec
 
     with pytest.raises(ValueError, match="built-in"):
         unregister_codec("png")
     assert "png" in REAL_CODECS
+    # and the mirror: a built-in cannot be silently REPLACED either —
+    # the original decoder would be unrecoverable
+    with pytest.raises(ValueError, match="built-in"):
+        register_codec("png", lambda b: [0.0])
+    assert REAL_CODECS["png"].__name__ == "_decode_png"
     unregister_codec("never_registered_name")  # external no-op stays fine
 
 
@@ -2422,7 +2427,7 @@ def test_ivf_pq_add_incremental(spark, tmp_path):
     d = str(tmp_path / "idx")
     v1 = write_ivf_pq_index(half, d, num_cells=8, m=8, ks=8)
     before = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank").collect()
-    v2 = ivf_pq_add(spark, d, rest)
+    v2 = ivf_pq_add(d, rest)
     assert (v1, v2) == (1, 2)
     # model meta carried forward unchanged
     assert read_ivf_pq_meta(d, 1)["books"] == read_ivf_pq_meta(d, 2)["books"]
@@ -2482,3 +2487,21 @@ def test_bpe_pruned_vocab_collect_bound(spark):
         n = _pruned_vocab(corpus, "text", mc).count()
         assert n <= total_tokens / mc, (mc, n, total_tokens)
     assert _pruned_vocab(corpus, "text", 2).count() < 50  # junk tail gone
+
+
+def test_hamming_wide_null_fingerprint_is_not_a_width_violation(spark):
+    """A NULL fingerprint (upstream decode failure) was always the
+    'no candidates' case; the in-plan width guard must not kill the
+    job over it — only genuinely mis-sized arrays fail."""
+    from fdf_spark.llm.dedup import hamming_near_dups_wide
+
+    df = spark.createDataFrame(
+        [(1, [7, 9]), (2, [7, 9]), (3, None)], "doc_id long, fp array<bigint>"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in hamming_near_dups_wide(
+            df, "fp", max_dist=10, n_words=2, bands_per_word=6, band_bits=10
+        ).collect()
+    }
+    assert got == {(1, 2): 0}
