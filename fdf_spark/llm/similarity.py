@@ -1097,7 +1097,7 @@ def write_ivf_pq_index(
     shuffle) and the only exchange is the cell-clustering write — the
     LAST shuffle those codes ever pay.
     """
-    from fdf_spark.sources.versioned import commit_version
+    from fdf_spark.sources.versioned import commit_version, set_partition_spec
 
     cents, books, codes = _ivf_pq_build(
         corpus, num_cells, m, ks, dim, by_residual, train_iters,
@@ -1119,22 +1119,34 @@ def write_ivf_pq_index(
             },
         }
     }
-    return commit_version(clustered, path, mode="overwrite", meta=meta)
+    v = commit_version(clustered, path, mode="overwrite", meta=meta)
+    # pin the layout as the table's PARTITION SPEC: every future append
+    # (ivf_pq_add, or any plain commit_version) cell-clusters its new
+    # files automatically, so probes stay partition-pruned across the
+    # index's whole life — the spec mechanism and the index share one
+    # clustering contract instead of each append re-implementing it
+    set_partition_spec(path, ["cell"], buckets=num_cells)
+    return v
 
 
 def read_ivf_pq_meta(path: str, version: int | None = None) -> dict:
-    """The persisted index's model state (cents, books, params) from
-    the manifest — metadata only, zero Spark jobs."""
+    """The persisted index's model state (cents, books, params) in
+    force at ``version`` (latest if None) — metadata only, zero Spark
+    jobs.  Walks back to the nearest ancestor DATA commit carrying the
+    model: metadata-only commits in the chain (set-spec at index
+    creation, a later rename/optimize) don't re-state the model and
+    must not break probes."""
     from fdf_spark.sources.versioned import _read_manifest, list_versions
 
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no index versions at {path}")
     v = versions[-1] if version is None else version
-    meta = _read_manifest(path, v)["meta"].get("ivf_pq")
-    if meta is None:
-        raise ValueError(f"{path} v{v} is not an IVF-PQ index (no ivf_pq meta)")
-    return {**meta, "version": v}
+    for cand in reversed([x for x in versions if x <= v]):
+        meta = _read_manifest(path, cand)["meta"].get("ivf_pq")
+        if meta is not None:
+            return {**meta, "version": v}
+    raise ValueError(f"{path} v{v} is not an IVF-PQ index (no ivf_pq meta in chain)")
 
 
 def ivf_pq_add(
@@ -1169,15 +1181,16 @@ def ivf_pq_add(
         src, p["m"], p["ks"], corpus_id, vcol, p["dim"], encode_mode,
         keep=("cell",), codebooks=idx["books"],
     )
-    clustered = (
-        codes.select(corpus_id, "cell", "code")
-        .repartitionByRange(p["num_cells"], "cell")
-        .sortWithinPartitions("cell")
-    )
-    # carry the model meta forward: every manifest in the chain is
-    # self-describing, so probes/pins of ANY version see its model
+    # no explicit clustering here: the index's PARTITION SPEC (set by
+    # write_ivf_pq_index) makes commit_version range-cluster the new
+    # files by cell — one clustering contract for every writer.
+    # The model meta is re-stated so each data commit is
+    # self-describing (read_ivf_pq_meta walks back to the nearest one).
     model = {kk: vv for kk, vv in idx.items() if kk != "version"}
-    return commit_version(clustered, path, mode="append", meta={"ivf_pq": model})
+    return commit_version(
+        codes.select(corpus_id, "cell", "code"), path, mode="append",
+        meta={"ivf_pq": model},
+    )
 
 
 def ivf_pq_probe_index(

@@ -2428,9 +2428,22 @@ def test_ivf_pq_add_incremental(spark, tmp_path):
     v1 = write_ivf_pq_index(half, d, num_cells=8, m=8, ks=8)
     before = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank").collect()
     v2 = ivf_pq_add(d, rest)
-    assert (v1, v2) == (1, 2)
-    # model meta carried forward unchanged
-    assert read_ivf_pq_meta(d, 1)["books"] == read_ivf_pq_meta(d, 2)["books"]
+    # v1 data, v2 = the index's partition spec (set-spec), v3 = the add
+    assert (v1, v2) == (1, 3)
+    # model meta resolves through the metadata commit unchanged
+    assert read_ivf_pq_meta(d, 1)["books"] == read_ivf_pq_meta(d, v2)["books"]
+    # the spec cell-clustered the ADDED files too (no explicit
+    # repartition in ivf_pq_add — the one clustering contract)
+    from fdf_spark.sources.versioned import _read_manifest, partition_spec
+
+    assert partition_spec(d)["cols"] == ["cell"]
+    m3 = _read_manifest(d, 3)
+    added = [f for f in m3["files"] if m3["file_specs"].get(f, 0) == 1]
+    assert added and all(
+        m3["stats"][f]["cell"][0] == m3["stats"][f]["cell"][1]
+        or m3["stats"][f]["cell"][1] - m3["stats"][f]["cell"][0] <= 2
+        for f in added
+    )
 
     got = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank").collect()
     # reference: the SAME model (built on half) scoring codes over all
