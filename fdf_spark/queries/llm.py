@@ -3800,3 +3800,77 @@ def q155_ivf_pq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ivf_pq_index(emb, d)
     out = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank")
     return materialize_and_cleanup(out, d)
+
+
+@query(
+    "q156_change_data_feed",
+    """
+    SELECT * FROM (
+      SELECT 1 AS version, doc_id, 'insert' AS change,
+             CAST(LENGTH(text) AS INTEGER) AS nchars
+      FROM documents WHERE doc_id < 10
+      UNION ALL
+      SELECT 2, doc_id, 'insert', CAST(LENGTH(text) AS INTEGER)
+      FROM documents WHERE doc_id >= 10 AND doc_id < 15
+      UNION ALL
+      SELECT 3, 1, 'delete',
+             (SELECT CAST(LENGTH(text) AS INTEGER) FROM documents WHERE doc_id = 1)
+      UNION ALL
+      SELECT 3, 1, 'insert', 7
+    ) ORDER BY version, doc_id, change
+    """,
+    operators=("N17", "N15", "ST1"),
+    doc="Streaming CHANGE-DATA-FEED consumption with a FULL VALUE "
+    "oracle: a versioned table takes three commits (base insert, "
+    "append, CDC merge-update), the manifest-chain stream "
+    "(stream_version_events — the atomic create-if-absent publish "
+    "makes a torn manifest unobservable, so the manifest IS the read "
+    "barrier) delivers each commit's diff_versions delta in version "
+    "order, and the collected feed must reproduce every row the SQL "
+    "oracle derives from the same inputs: the update arrives as its "
+    "delete+insert pair carrying the OLD and NEW payloads. This is "
+    "the incremental-consumer contract (N23's view maintainer "
+    "subscribes here instead of re-diffing); per commit the consumer "
+    "reads only files present in exactly one snapshot.",
+)
+def q156_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        merge_versioned,
+        stream_changes_sink,
+        stream_version_events,
+    )
+
+    d = tempfile.mkdtemp(prefix="fdf_cdf_q156_")
+    try:
+        t = f"{d}/t"
+        docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+        commit_version(docs.filter(F.col("doc_id") < 10), t)
+        commit_version(docs.filter(F.col("doc_id").between(10, 14)), t)
+        merge_versioned(
+            spark,
+            t,
+            spark.createDataFrame([(1, "UPDATED")], "doc_id long, text string"),
+            ["doc_id"],
+            update_cols=["text"],
+        )
+        rows: list[tuple] = []
+
+        def capture(delta: DataFrame, v: int) -> None:
+            for r in delta.select("doc_id", "change", F.length("text").alias("n")).collect():
+                rows.append((v, r["doc_id"], r["change"], r["n"]))
+
+        q = stream_changes_sink(
+            stream_version_events(spark, t), t, capture, checkpoint=f"{d}/ck"
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.createDataFrame(
+            rows, "version int, doc_id long, change string, nchars int"
+        )
+        return out.orderBy("version", "doc_id", "change")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
