@@ -318,23 +318,70 @@ def lsh_candidate_pairs(
     collide on at least one full band → (id_a, id_b).
 
     The banded join touches only colliding buckets: linear in corpus
-    size + output, never all-pairs. Verify candidates with
-    ``ngram_jaccard_pairs`` on the (tiny) candidate set.
+    size + output, never all-pairs — and since r9, linear in DISTINCT
+    signatures: exact duplicates (and boilerplate near-identical
+    documents, which take identical MinHash signatures with high
+    probability) collapse to one row per distinct full signature
+    before banding, the same hot-bucket discipline as the hamming
+    tiers (:func:`_collapsed_hamming_pairs`) — a k-member boilerplate
+    group costs the bucket join ONE row instead of k² candidate rows,
+    and only the OUTPUT expansion is quadratic, because the answer is.
+    The pair relation is IDENTICAL to document-granularity banding
+    (same-signature docs share every bucket by definition).  Verify
+    candidates with ``ngram_jaccard_pairs`` on the (tiny) candidate
+    set.
     """
     rows_per_band = num_hashes // bands
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sig"))
-        .withColumn("bucket", F.sha2(F.to_json(F.struct("band", "sig")), 256))
+    full = signatures.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+            lambda s: s["minhash"],
+        ).alias("__sig")
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), "bucket")
-    return (
+    groups = full.groupBy("__sig").agg(
+        F.min(id_col).alias("__rep"), F.count("*").alias("__n")
+    )
+    mem = full.join(groups, "__sig").select(
+        F.col("__rep"), F.col(id_col).alias("__mid")
+    )
+    banded = groups.select(
+        F.col("__rep"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("__sig", b * rows_per_band + 1, rows_per_band).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "__rep", F.sha2(F.to_json(F.struct("bv.band", "bv.bsig")), 256).alias("bucket")
+    )
+    a = banded.select(F.col("__rep").alias("rep_a"), "bucket")
+    b = banded.select(F.col("__rep").alias("rep_b"), "bucket")
+    cross = (
         a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
         .distinct()
+    )
+    within = groups.filter(F.col("__n") > 1).select(
+        F.col("__rep").alias("rep_a"), F.col("__rep").alias("rep_b")
+    )
+    ma, mb = mem.alias("ma"), mem.alias("mb")
+    expanded = cross.unionByName(within).join(
+        ma, F.col("rep_a") == F.col("ma.__rep")
+    ).join(mb, F.col("rep_b") == F.col("mb.__rep"))
+    # cross-group expansion yields each unordered pair once; within-
+    # group expansion is the ordered square, kept once by the < filter
+    return expanded.filter(
+        (F.col("rep_a") != F.col("rep_b")) | (F.col("ma.__mid") < F.col("mb.__mid"))
+    ).select(
+        F.least(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_a"),
+        F.greatest(F.col("ma.__mid"), F.col("mb.__mid")).alias("id_b"),
     )
 
 

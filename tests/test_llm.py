@@ -2518,3 +2518,30 @@ def test_hamming_wide_null_fingerprint_is_not_a_width_violation(spark):
         ).collect()
     }
     assert got == {(1, 2): 0}
+
+
+def test_lsh_candidates_identical_signature_collapse(spark):
+    """MinHash banding gets the same boilerplate discipline as the
+    hamming tiers: a planted k=40 exact-duplicate group (identical
+    signatures) reaches the bucket join as ONE distinct-signature row,
+    and the pair relation still equals document-granularity banding."""
+    from fdf_spark.llm.dedup import lsh_candidate_pairs, minhash_signatures
+
+    k = 40
+    rows = [(i, "the same boilerplate page text repeated verbatim") for i in range(k)]
+    rows += [(100 + i, f"distinct document number {i} about topic {i*7}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=16, n=3)
+    got = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, num_hashes=16, bands=4).collect()}
+    # every pair inside the boilerplate group is a candidate
+    group_pairs = {(a, b) for a in range(k) for b in range(a + 1, k)}
+    assert group_pairs <= got
+    # the distinct-signature relation the bucket join runs over is tiny
+    full = sigs.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "minhash"))), lambda s: s["minhash"]
+        ).alias("sig")
+    )
+    assert full.select("sig").distinct().count() <= 6  # 1 group + 5 singles
+    # and no pair crosses from the group to an unrelated document
+    assert not {(a, b) for a, b in got - group_pairs if a < k and b >= 100 and b < 103}
