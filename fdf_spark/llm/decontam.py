@@ -84,6 +84,75 @@ def decontaminate(
     )
 
 
+def semantic_decontaminate_indexed(
+    spark,
+    index_path: str,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    bench_id: str = "bench_id",
+    bench_vec: str = "bench_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination against a PERSISTED IVF index
+    (``llm/similarity.write_ivf_index``'s cell-partitioned layout) —
+    the no-corpus-scan tier: instead of scoring every corpus row
+    against the broadcast benchmark (:func:`semantic_decontaminate`,
+    one full scan of 100 TB of embeddings per decontamination run),
+    each benchmark item probes its ``nprobe`` nearest cells of the
+    index built ONCE over the corpus, so the run touches
+    ~``|benchmark| × nprobe / num_cells`` of the corpus — a
+    partition-pruned range query, not a scan.
+
+    Returns ``(corpus_id, best_bench, max_cos, contaminated=true)``
+    for corpus rows whose cosine against some PROBED benchmark item
+    reaches ``threshold`` (argmax over the probed pairs, ties to the
+    smaller benchmark id).  ANN semantics: a within-threshold pair
+    whose corpus row lives outside every probed cell is missed — the
+    standard IVF recall trade, dialed by ``nprobe``; run the exact
+    tier when the benchmark is small enough to broadcast.
+    Deterministic and fully SQL-replayable (q157): seed centroids,
+    6-dp cosine, relational argmax.
+    """
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.similarity import _cell_scores, cosine
+
+    cents = [
+        (int(r["cent_id"]), list(r["centroid"]))
+        for r in sorted(
+            spark.read.parquet(f"{index_path}/centroids").collect(),
+            key=lambda r: r["cent_id"],
+        )
+    ]
+    probes = benchmark.select(
+        bench_id,
+        bench_vec,
+        F.explode(
+            F.slice(F.array_sort(_cell_scores(F.col(bench_vec), cents)), 1, nprobe)
+        ).alias("__pr"),
+    ).select(bench_id, bench_vec, F.col("__pr")["cent_id"].alias("cell"))
+    # one evaluation feeds BOTH the pruned-cell set and the join
+    probes = probes.localCheckpoint()
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    corpus = spark.read.parquet(f"{index_path}/corpus").filter(F.col("cell").isin(cells))
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .withColumn("cos", cosine(F.col(corpus_vec), F.col(bench_vec)))
+        .filter(F.col("cos") >= threshold)
+    )
+    best = scored.groupBy(corpus_id).agg(
+        F.max(F.struct(F.col("cos"), (-F.col(bench_id)).alias("nid"))).alias("b")
+    )
+    return best.select(
+        corpus_id,
+        (-F.col("b.nid")).cast("long").alias("best_bench"),
+        F.col("b.cos").alias("max_cos"),
+        F.lit(True).alias("contaminated"),
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

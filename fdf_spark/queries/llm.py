@@ -3874,3 +3874,68 @@ def q156_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.orderBy("version", "doc_id", "change")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@query(
+    "q157_decontam_indexed",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM corpus ORDER BY vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT c.vec_id, t.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_cos_sql('c.embedding', 't.cvec')} DESC, t.cent_id) AS rn
+        FROM corpus c CROSS JOIN cents t) WHERE rn = 1),
+    bench AS (
+      SELECT vec_id AS bench_id, embedding AS bvec FROM embeddings WHERE vec_id < 20),
+    probes AS (
+      SELECT bench_id, bvec, cent_id AS cell FROM (
+        SELECT b.bench_id, b.bvec, t.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY b.bench_id
+                                  ORDER BY {_cos_sql('b.bvec', 't.cvec')} DESC, t.cent_id) AS pr
+        FROM bench b CROSS JOIN cents t) WHERE pr <= 2),
+    scored AS (
+      SELECT a.vec_id, p.bench_id,
+             {_cos_sql('c.embedding', 'p.bvec')} AS cos
+      FROM assigned a JOIN probes p USING (cell) JOIN corpus c ON c.vec_id = a.vec_id),
+    hits AS (SELECT * FROM scored WHERE cos >= 0.35),
+    best AS (
+      SELECT vec_id, bench_id AS best_bench, cos AS max_cos FROM (
+        SELECT vec_id, bench_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+        FROM hits) WHERE rn = 1)
+    SELECT vec_id, best_bench, max_cos, TRUE AS contaminated
+    FROM best ORDER BY vec_id
+    """,
+    operators=("N12", "N3"),
+    doc="Decontamination WITHOUT a corpus scan — the persisted-index "
+    "tier of q153: the corpus's IVF index (write_ivf_index's "
+    "cell-partitioned layout) is built once; each benchmark item then "
+    "probes its nprobe=2 nearest cells, so the decontamination run "
+    "touches ~|bench|*nprobe/num_cells of the corpus instead of "
+    "scanning 100 TB of embeddings per run. ANN semantics (a "
+    "within-threshold pair outside every probed cell is missed — the "
+    "IVF recall trade, dialed by nprobe); the oracle replays the "
+    "whole composition exactly: seed centroids, cell assignment, "
+    "probe set, 6-dp cosine threshold, relational argmax.",
+)
+def q157_decontam_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.llm.decontam import semantic_decontaminate_indexed
+    from fdf_spark.llm.similarity import write_ivf_index
+    from fdf_spark.queries import materialize_and_cleanup
+
+    emb = T(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bench_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    d = tempfile.mkdtemp(prefix="fdf_decontam_ivf_")
+    write_ivf_index(corpus, d, num_cells=16)
+    out = semantic_decontaminate_indexed(
+        spark, d, bench, threshold=0.35, nprobe=2
+    ).orderBy("vec_id")
+    return materialize_and_cleanup(out, d)

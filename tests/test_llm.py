@@ -2545,3 +2545,32 @@ def test_lsh_candidates_identical_signature_collapse(spark):
     assert full.select("sig").distinct().count() <= 6  # 1 group + 5 singles
     # and no pair crosses from the group to an unrelated document
     assert not {(a, b) for a, b in got - group_pairs if a < k and b >= 100 and b < 103}
+
+
+def test_decontam_indexed_subset_of_exact(spark, tmp_path):
+    """The indexed tier's flags are a SUBSET of the exact broadcast
+    tier's (IVF recall semantics — it can only miss, never invent),
+    and every flagged row carries the same max_cos the exact tier
+    reports for it when the winning benchmark item probed that cell."""
+    from fdf_spark.llm.decontam import semantic_decontaminate, semantic_decontaminate_indexed
+    from fdf_spark.llm.similarity import write_ivf_index
+
+    emb = load_table(spark, SMOKE_DIR, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bench_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    d = str(tmp_path / "ivf")
+    write_ivf_index(corpus, d, num_cells=8)
+    idx = {r["vec_id"]: r for r in semantic_decontaminate_indexed(
+        spark, d, bench, threshold=0.3, nprobe=2).collect()}
+    exact = {r["vec_id"]: r for r in semantic_decontaminate(
+        corpus, bench, threshold=0.3).collect() if r["contaminated"]}
+    assert idx, "fixture should produce some hits"
+    assert set(idx) <= set(exact)
+    for v, r in idx.items():
+        assert r["max_cos"] <= exact[v]["max_cos"] + 1e-12
+    # with nprobe = num_cells the probe set covers every cell -> exact
+    full = {r["vec_id"]: (r["best_bench"], r["max_cos"]) for r in
+            semantic_decontaminate_indexed(spark, d, bench, threshold=0.3, nprobe=8).collect()}
+    assert full == {v: (r["best_bench"], r["max_cos"]) for v, r in exact.items()}
