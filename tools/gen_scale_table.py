@@ -41,6 +41,7 @@ ROWS = [
     ("ivf-pq topk (N3)", "IVF-PQ composed ANN (FAISS IVF64,PQ8 layout, by_residual): probe 4 cells, residual-ADC over 32:1 codes, exact rerank of 12k pool — recall@10 vs brute force MEASURED alongside, floored 0.9 (N3/q151/q152)", "2 M × 64-dim"),
     ("ivf-pq index build (N17)", "one-time persisted IVF-PQ index build: codes + codebooks + centroids committed as a cell-clustered versioned table (N3/N17/q155)", "2 M × 64-dim"),
     ("ivf-pq persisted probe (N3)", "probe of the PERSISTED index: model from manifest meta (zero Spark jobs), manifest-pruned scan of probed cells' code files, exact rerank — vs the inline row above, which pays the full build per call (N3/q155)", "2 M × 64-dim"),
+    ("ivf-pq probe adc-only (N3)", "persisted probe WITHOUT exact rerank: pruned codes scan + ADC only — isolates the per-probe cost once recall tuning moves into nprobe/codebooks; the rerank rows above share their dominant cost (the raw-corpus rerank scan) by design (N3/q155)", "2 M × 64-dim"),
     ("kmeans 2 iters (N3)", "k-means 2 Lloyd iters, 32 cells, arrow assign (N3)", "1 M × 64-dim"),
     ("pagerank 3 iters (N16)", "PageRank 3 iterations, 100k nodes (N16)", "5 M edges"),
     ("vocab tokenize (N19)", "vocab tokenize, 50k vocab, arrow (N19)", "5 M docs"),

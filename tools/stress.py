@@ -444,6 +444,27 @@ def main() -> None:
             f"{n/dtp/1e6:8.1f} Mrows/s  recall@10={recall_p:.3f} probe/inline={dtp/dt:.2f}",
             flush=True,
         )
+        # the rerank=12 rows above share their dominant cost — the
+        # exact re-rank's scan of the RAW 2M-vector corpus (the index
+        # stores 32:1 codes only, by design) — so the pair understates
+        # the build-once win.  This row is the probe WITHOUT rerank:
+        # manifest-pruned codes scan + ADC only, i.e. what a
+        # probe-many deployment pays per batch once recall tuning
+        # moves into nprobe/codebook size instead of exact re-rank.
+        t0 = time.perf_counter()
+        adc_rows = ivf_pq_probe_index(
+            spark, d, ann_q, k=10, nprobe=4, exact_decimal=False,
+        ).collect()
+        dta = time.perf_counter() - t0
+        ar = {}
+        for r in adc_rows:
+            ar.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recall_a = sum(len(ex[q] & ar.get(q, set())) / 10 for q in ex) / len(ex)
+        print(
+            f"{'ivf-pq probe adc-only (N3)':28s} {n/1e6:8.1f} Mrows {dta:7.2f} s "
+            f"{n/dta/1e6:8.1f} Mrows/s  recall@10={recall_a:.3f} probe/inline={dta/dt:.2f}",
+            flush=True,
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
