@@ -640,6 +640,29 @@ def hamming_near_dups_wide(
     (:func:`_collapsed_hamming_pairs`) so boilerplate-heavy corpora
     cannot go quadratic in the band join.
     """
+    bands_expr, dist = _wide_bands_and_dist(
+        hash_col, max_dist, n_words, bands_per_word, band_bits
+    )
+    return _collapsed_hamming_pairs(
+        hashes, hash_col, id_col, bands_expr, dist, max_dist
+    )
+
+
+def _wide_bands_and_dist(
+    hash_col: str, max_dist: int, n_words: int, bands_per_word: int, band_bits: int
+):
+    """Validations + (bands_expr, dist_expr) for multi-word banding —
+    shared by the full self-join and the incremental probe variant.
+
+    Width is enforced INSIDE the plan (ADVICE r8): a mixed-width
+    column would otherwise band only the declared words — rows with
+    short arrays yielding NULL bands / NULL dist and silently losing
+    recall.  A violating row fails the job loudly.  A NULL
+    fingerprint is NOT a width violation: it was always the
+    "no candidates for this row" case (NULL band values match no
+    bucket) and stays one — the explode of a NULL array drops the
+    row, same outcome, no job kill.
+    """
     total_bands = n_words * bands_per_word
     if not 0 < max_dist < total_bands:
         raise ValueError("exactness needs 0 < max_dist < n_words*bands_per_word (pigeonhole)")
@@ -656,14 +679,6 @@ def hamming_near_dups_wide(
                     F.shiftright(word, b * band_bits).bitwiseAND(F.lit(mask)).alias("val"),
                 )
             )
-    # width is enforced INSIDE the plan (ADVICE r8): a mixed-width
-    # column would otherwise band only the declared words — rows with
-    # short arrays yielding NULL bands / NULL dist and silently losing
-    # recall.  A violating row now fails the job loudly.  A NULL
-    # fingerprint is NOT a width violation: it was always the
-    # "no candidates for this row" case (NULL band values match no
-    # bucket) and stays one — the explode of a NULL array drops the
-    # row, same outcome, no job kill.
     bands_expr = (
         F.when(F.col(hash_col).isNull(), F.lit(None))
         .when(F.size(F.col(hash_col)) == n_words, F.array(*band_structs))
@@ -686,6 +701,123 @@ def hamming_near_dups_wide(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     ).cast("int")
-    return _collapsed_hamming_pairs(
-        hashes, hash_col, id_col, bands_expr, dist, max_dist
+    return bands_expr, dist
+
+
+def _collapsed_hamming_pairs_probe(
+    hashes: DataFrame,
+    hash_col: str,
+    id_col: str,
+    flag_col: str,
+    bands_expr,
+    dist_expr,
+    max_dist: int,
+) -> DataFrame:
+    """ASYMMETRIC collapsed band join: pairs where at least one side is
+    flagged (``flag_col`` true = the probing batch).  The landed side
+    is banded (one scan, narrow rows) but landed×landed candidate
+    pairs are never generated — the probe side of the band join is
+    restricted to fingerprint groups containing a batch member, which
+    is what makes continuous ingest O(batch + collisions) instead of
+    re-paying the full corpus self-join on every batch.  Same collapse
+    and exactness discipline as :func:`_collapsed_hamming_pairs`.
+    """
+    groups = hashes.groupBy(hash_col).agg(
+        F.min(id_col).alias("__rep"),
+        F.count("*").alias("__n"),
+        F.max(F.col(flag_col)).alias("__hasb"),
     )
+    mem = hashes.join(groups, hash_col).select(
+        F.col("__rep"), F.col(id_col).alias("__mid"), F.col(flag_col).alias("__fb")
+    )
+    banded = groups.select(
+        F.col("__rep"), F.col(hash_col), F.col("__hasb"), F.explode(bands_expr).alias("bv")
+    ).select("__rep", hash_col, "__hasb", "bv.band", "bv.val")
+    a, b = banded.filter(F.col("__hasb")).alias("a"), banded.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.__rep") != F.col("b.__rep")),
+        )
+        .select(
+            F.least(F.col("a.__rep"), F.col("b.__rep")).alias("rep_a"),
+            F.greatest(F.col("a.__rep"), F.col("b.__rep")).alias("rep_b"),
+            dist_expr.alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+        .distinct()
+    )
+    within = groups.filter(F.col("__n") > 1).filter(F.col("__hasb")).select(
+        F.col("__rep").alias("rep_a"),
+        F.col("__rep").alias("rep_b"),
+        F.lit(0).cast(cross.schema["dist"].dataType.simpleString()).alias("dist"),
+    )
+    ma, mb = mem.alias("ma"), mem.alias("mb")
+    expanded = cross.unionByName(within).join(
+        ma, F.col("rep_a") == F.col("ma.__rep")
+    ).join(mb, F.col("rep_b") == F.col("mb.__rep"))
+    return expanded.filter(
+        (F.col("rep_a") != F.col("rep_b")) | (F.col("ma.__mid") < F.col("mb.__mid"))
+    ).filter(F.col("ma.__fb") | F.col("mb.__fb")).select(
+        F.least(F.col("ma.__mid"), F.col("mb.__mid")).alias("a_id"),
+        F.greatest(F.col("ma.__mid"), F.col("mb.__mid")).alias("b_id"),
+        F.col("dist"),
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    index_path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 10,
+    bands_per_word: int = 6,
+    band_bits: int = 10,
+    bits_per_word: int = 60,
+) -> DataFrame:
+    """N2, continuous-ingest tier — the near-dup sibling of
+    :func:`incremental_dedup`: fingerprint a NEW batch (120-bit
+    SimHash, :func:`simhash128`), probe the LANDED fingerprint index
+    for every near-dup pair the batch creates, and land the batch's
+    fingerprints for the next ingest.
+
+    Returns ``(a_id, b_id, dist)`` — exactly the pairs of the full
+    corpus relation that TOUCH the batch (batch×landed and
+    batch×batch; the landed×landed pairs were reported by the ingests
+    that landed them, and are never recomputed — pinned by the
+    two-phase == full-corpus pytest).  The landed state is a
+    versioned table of (id, fingerprint) rows — 16 bytes of
+    fingerprint per document, ~5 orders smaller than the corpus — so
+    the per-ingest cost is one scan of the INDEX plus the batch, with
+    the asymmetric collapsed band join
+    (:func:`_collapsed_hamming_pairs_probe`) generating candidates
+    linear in batch + collisions.  Snapshot isolation makes the probe
+    immune to its own append: the pair plan reads the PINNED landed
+    snapshot (explicit file list) while the batch's fingerprints are
+    lineage-pinned (localCheckpoint) before the commit, so
+    re-evaluation can never band a batch against itself twice.  Ids
+    must be globally unique across ingests (the caller's contract,
+    same as incremental_dedup).
+    """
+    from fdf_spark.sources.versioned import commit_version, list_versions, read_version
+
+    spark = new_docs.sparkSession
+    fps_batch = simhash128(new_docs, text=text, id_col=id_col, bits_per_word=bits_per_word)
+    fps_batch = fps_batch.localCheckpoint()
+    if list_versions(index_path):
+        landed = read_version(spark, index_path).select(id_col, "simhash")
+    else:
+        landed = spark.createDataFrame([], fps_batch.schema)
+    all_fps = landed.withColumn("__isb", F.lit(False)).unionByName(
+        fps_batch.withColumn("__isb", F.lit(True))
+    )
+    bands_expr, dist = _wide_bands_and_dist(
+        "simhash", max_dist, 2, bands_per_word, band_bits
+    )
+    pairs = _collapsed_hamming_pairs_probe(
+        all_fps, "simhash", id_col, "__isb", bands_expr, dist, max_dist
+    )
+    commit_version(fps_batch, index_path, mode="append")
+    return pairs

@@ -3939,3 +3939,71 @@ def q157_decontam_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, d, bench, threshold=0.35, nprobe=2
     ).orderBy("vec_id")
     return materialize_and_cleanup(out, d)
+
+
+@query(
+    "q158_incremental_near_dup",
+    r"""
+    WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    variants AS (
+      SELECT doc_id * 2 AS vid, text FROM docs0
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS vid, text || ' zzsentinel' AS text FROM docs0),
+    toks AS (SELECT vid, unnest(string_split_regex(lower(text), '\s+')) AS tok
+             FROM variants),
+    h AS (SELECT vid,
+                 CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h0,
+                 CAST('0x' || substr(md5(tok), 17, 15) AS BIGINT) AS h1
+          FROM toks),
+    votes AS (
+      SELECT vid, bit,
+             SUM(CASE WHEN (h0 >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+             SUM(CASE WHEN (h1 >> CAST(bit AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s1
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) bits
+      GROUP BY vid, bit),
+    fp AS (
+      SELECT vid,
+             CAST(SUM(CASE WHEN s0 >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS w0,
+             CAST(SUM(CASE WHEN s1 >= 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) ELSE 0 END) AS BIGINT) AS w1
+      FROM votes GROUP BY vid)
+    SELECT a.vid AS a_id, b.vid AS b_id,
+           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS dist
+    FROM fp a JOIN fp b ON a.vid < b.vid
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 10
+      AND (a.vid >= 80 OR b.vid >= 80)
+    ORDER BY a_id, b_id
+    """,
+    operators=("N2", "N17", "N1"),
+    doc="CONTINUOUS-INGEST near-dup (the N2 sibling of N1's "
+    "incremental_dedup): ingest 1 lands vids < 80's SimHash "
+    "fingerprints in a versioned index; ingest 2 (vids >= 80) "
+    "fingerprints only its batch, probes the landed index with the "
+    "ASYMMETRIC collapsed band join (landed side banded once — one "
+    "scan of an index 5 orders smaller than the corpus — but "
+    "landed×landed candidates never generated), and returns exactly "
+    "the pairs of the full-corpus relation that TOUCH the batch, "
+    "which is literally the oracle: brute-force all-pairs restricted "
+    "to b-side-in-batch. Snapshot isolation pins the probe against "
+    "its own append (explicit file list + lineage-pinned batch "
+    "fingerprints). The two-phase == full-corpus law is pytest-pinned.",
+)
+def q158_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.llm.dedup import incremental_near_dup
+    from fdf_spark.queries import materialize_and_cleanup
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select("doc_id", "text")
+    variants = docs.select((F.col("doc_id") * 2).alias("vid"), "text").unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("vid"),
+            F.concat(F.col("text"), F.lit(" zzsentinel")).alias("text"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="fdf_neardup_idx_")
+    kw = dict(id_col="vid", max_dist=10, bands_per_word=6, band_bits=10)
+    incremental_near_dup(variants.filter(F.col("vid") < 80), d, **kw)
+    out = incremental_near_dup(variants.filter(F.col("vid") >= 80), d, **kw).orderBy(
+        "a_id", "b_id"
+    )
+    return materialize_and_cleanup(out, d)

@@ -2574,3 +2574,46 @@ def test_decontam_indexed_subset_of_exact(spark, tmp_path):
     full = {r["vec_id"]: (r["best_bench"], r["max_cos"]) for r in
             semantic_decontaminate_indexed(spark, d, bench, threshold=0.3, nprobe=8).collect()}
     assert full == {v: (r["best_bench"], r["max_cos"]) for v, r in exact.items()}
+
+
+def test_incremental_near_dup_two_phase_equals_full(spark, tmp_path):
+    """Continuous-ingest near-dup (N2): ingest-1 pairs ∪ ingest-2 pairs
+    == the full-corpus relation, ingest-2 never re-reports (or
+    recomputes) landed×landed pairs, and the fingerprint index grows
+    one version per ingest."""
+    from fdf_spark.llm.dedup import (
+        hamming_near_dups_wide,
+        incremental_near_dup,
+        simhash128,
+    )
+    from fdf_spark.sources.versioned import list_versions
+
+    docs = load_table(spark, SMOKE_DIR, "documents").filter(F.col("doc_id") < 30)
+    variants = docs.select((F.col("doc_id") * 2).alias("vid"), "text").unionByName(
+        docs.select(
+            (F.col("doc_id") * 2 + 1).alias("vid"),
+            F.concat(F.col("text"), F.lit(" zzsentinel")).alias("text"),
+        )
+    )
+    first = variants.filter(F.col("vid") < 40)
+    second = variants.filter(F.col("vid") >= 40)
+    idx = str(tmp_path / "fpidx")
+
+    kw = dict(id_col="vid", max_dist=10, bands_per_word=6, band_bits=10)
+    p1 = {(r["a_id"], r["b_id"]): r["dist"]
+          for r in incremental_near_dup(first, idx, **kw).collect()}
+    p2 = {(r["a_id"], r["b_id"]): r["dist"]
+          for r in incremental_near_dup(second, idx, **kw).collect()}
+    assert list_versions(idx) == [1, 2]
+
+    fps = simhash128(variants, id_col="vid").localCheckpoint()
+    full = {(r["a_id"], r["b_id"]): r["dist"]
+            for r in hamming_near_dups_wide(
+                fps, "simhash", id_col="vid", max_dist=10,
+                n_words=2, bands_per_word=6, band_bits=10).collect()}
+    assert p1 and p2
+    # ingest-2 pairs all touch the second batch; none repeat ingest-1's
+    assert all(a >= 40 or b >= 40 for a, b in p2)
+    assert not (set(p1) & set(p2))
+    merged = {**p1, **p2}
+    assert merged == full
