@@ -117,25 +117,11 @@ def semantic_decontaminate_indexed(
     """
     from pyspark.sql import functions as F
 
-    from fdf_spark.llm.similarity import _cell_scores, cosine
+    from fdf_spark.llm.similarity import _ivf_index_probes, cosine
 
-    cents = [
-        (int(r["cent_id"]), list(r["centroid"]))
-        for r in sorted(
-            spark.read.parquet(f"{index_path}/centroids").collect(),
-            key=lambda r: r["cent_id"],
-        )
-    ]
-    probes = benchmark.select(
-        bench_id,
-        bench_vec,
-        F.explode(
-            F.slice(F.array_sort(_cell_scores(F.col(bench_vec), cents)), 1, nprobe)
-        ).alias("__pr"),
-    ).select(bench_id, bench_vec, F.col("__pr")["cent_id"].alias("cell"))
-    # one evaluation feeds BOTH the pruned-cell set and the join
-    probes = probes.localCheckpoint()
-    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    probes, cells = _ivf_index_probes(
+        spark, index_path, benchmark, bench_id, bench_vec, nprobe
+    )
     corpus = spark.read.parquet(f"{index_path}/corpus").filter(F.col("cell").isin(cells))
     scored = (
         corpus.join(F.broadcast(probes), "cell")

@@ -332,6 +332,12 @@ def lsh_candidate_pairs(
     set.
     """
     rows_per_band = num_hashes // bands
+    # band index = seed // rows_per_band, EXACTLY the pre-collapse
+    # bucketing: when bands does not divide num_hashes the trailing
+    # seeds form one extra PARTIAL band (F.slice truncates at the
+    # array end) rather than being silently dropped — two documents
+    # agreeing only on the tail minhashes stay candidates
+    n_bands = -(-num_hashes // rows_per_band)
     full = signatures.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
@@ -353,7 +359,7 @@ def lsh_candidate_pairs(
                         F.lit(b).alias("band"),
                         F.slice("__sig", b * rows_per_band + 1, rows_per_band).alias("bsig"),
                     )
-                    for b in range(bands)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bv"),

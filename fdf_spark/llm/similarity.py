@@ -334,21 +334,7 @@ def ivf_probe_pruned(
     ``tests/test_sinks.py::test_ivf_index_partition_pruned_probe``
     pins both the equivalence and the pruned plan.
     """
-    cents = [
-        (int(r["cent_id"]), list(r["centroid"]))
-        for r in sorted(
-            spark.read.parquet(f"{index_path}/centroids").collect(),
-            key=lambda r: r["cent_id"],
-        )
-    ]
-    probes = queries.select(
-        query_id,
-        query_vec,
-        F.explode(
-            F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
-        ).alias("__pr"),
-    ).select(query_id, query_vec, F.col("__pr")["cent_id"].alias("cell"))
-    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    probes, cells = _ivf_index_probes(spark, index_path, queries, query_id, query_vec, nprobe)
     corpus = spark.read.parquet(f"{index_path}/corpus").filter(F.col("cell").isin(cells))
     cand = corpus.join(F.broadcast(probes), "cell")
     if exclude_self:
@@ -360,6 +346,35 @@ def ivf_probe_pruned(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cos_sim", "rank")
     )
+
+
+def _ivf_index_probes(
+    spark, index_path: str, df: DataFrame, id_col: str, vec_col: str, nprobe: int
+) -> tuple[DataFrame, list[int]]:
+    """Shared probe construction over a :func:`write_ivf_index` layout:
+    load the centroid sidecar, build the per-row (id, vec, cell) probe
+    relation, and return it with the distinct probed-cell list.  The
+    probe relation is materialized ONCE (localCheckpoint — tiny:
+    |rows| × nprobe) so the collected cell set and any downstream join
+    read the same evaluation, and the query pipeline never runs twice.
+    Used by :func:`ivf_probe_pruned` and
+    ``llm/decontam.semantic_decontaminate_indexed``."""
+    cents = [
+        (int(r["cent_id"]), list(r["centroid"]))
+        for r in sorted(
+            spark.read.parquet(f"{index_path}/centroids").collect(),
+            key=lambda r: r["cent_id"],
+        )
+    ]
+    probes = df.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.slice(F.array_sort(_cell_scores(F.col(vec_col), cents)), 1, nprobe)
+        ).alias("__pr"),
+    ).select(id_col, vec_col, F.col("__pr")["cent_id"].alias("cell")).localCheckpoint()
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    return probes, cells
 
 
 def embedding_quantize(
@@ -1097,17 +1112,31 @@ def write_ivf_pq_index(
     shuffle) and the only exchange is the cell-clustering write — the
     LAST shuffle those codes ever pay.
     """
-    from fdf_spark.sources.versioned import commit_version, set_partition_spec
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        list_versions,
+        partition_spec,
+        set_partition_spec,
+    )
 
     cents, books, codes = _ivf_pq_build(
         corpus, num_cells, m, ks, dim, by_residual, train_iters,
         assign_mode, encode_mode, corpus_id, corpus_vec,
     )
-    clustered = (
-        codes.select(corpus_id, "cell", "code")
-        .repartitionByRange(num_cells, "cell")
-        .sortWithinPartitions("cell")
-    )
+    out = codes.select(corpus_id, "cell", "code")
+    # the layout rides the table's PARTITION SPEC: every writer — this
+    # build, ivf_pq_add, or a plain commit_version — cell-clusters its
+    # new files through commit_version's one spec mechanism.  Only a
+    # path whose spec doesn't already say so needs the explicit
+    # clustering + set-spec (a REBUILD on an indexed path would
+    # otherwise range-shuffle the codes twice and append a duplicate
+    # spec entry per rebuild).
+    want = {"cols": ["cell"], "buckets": num_cells}
+    has_spec = bool(list_versions(path)) and {
+        k: partition_spec(path)[k] for k in ("cols", "buckets")
+    } == want
+    if not has_spec:
+        out = out.repartitionByRange(num_cells, "cell").sortWithinPartitions("cell")
     meta = {
         "ivf_pq": {
             "cents": [[int(cid), [float(x) for x in vec]] for cid, vec in cents],
@@ -1119,13 +1148,9 @@ def write_ivf_pq_index(
             },
         }
     }
-    v = commit_version(clustered, path, mode="overwrite", meta=meta)
-    # pin the layout as the table's PARTITION SPEC: every future append
-    # (ivf_pq_add, or any plain commit_version) cell-clusters its new
-    # files automatically, so probes stay partition-pruned across the
-    # index's whole life — the spec mechanism and the index share one
-    # clustering contract instead of each append re-implementing it
-    set_partition_spec(path, ["cell"], buckets=num_cells)
+    v = commit_version(out, path, mode="overwrite", meta=meta)
+    if not has_spec:
+        set_partition_spec(path, ["cell"], buckets=num_cells)
     return v
 
 
@@ -1142,10 +1167,19 @@ def read_ivf_pq_meta(path: str, version: int | None = None) -> dict:
     if not versions:
         raise FileNotFoundError(f"no index versions at {path}")
     v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    # walk back ONLY through metadata-only commits (the same mode set
+    # the change feed skips): a DATA commit without ivf_pq meta means
+    # the table was repurposed — probing stale model state against
+    # unrelated rows must fail loudly, not score garbage
     for cand in reversed([x for x in versions if x <= v]):
-        meta = _read_manifest(path, cand)["meta"].get("ivf_pq")
+        m = _read_manifest(path, cand)
+        meta = m["meta"].get("ivf_pq")
         if meta is not None:
             return {**meta, "version": v}
+        if m.get("mode") not in ("rename", "drop", "widen", "set-spec", "optimize"):
+            break
     raise ValueError(f"{path} v{v} is not an IVF-PQ index (no ivf_pq meta in chain)")
 
 
@@ -1181,16 +1215,21 @@ def ivf_pq_add(
         src, p["m"], p["ks"], corpus_id, vcol, p["dim"], encode_mode,
         keep=("cell",), codebooks=idx["books"],
     )
-    # no explicit clustering here: the index's PARTITION SPEC (set by
-    # write_ivf_pq_index) makes commit_version range-cluster the new
-    # files by cell — one clustering contract for every writer.
-    # The model meta is re-stated so each data commit is
-    # self-describing (read_ivf_pq_meta walks back to the nearest one).
+    out = codes.select(corpus_id, "cell", "code")
+    # the index's PARTITION SPEC normally makes commit_version
+    # range-cluster the new files by cell (one clustering contract for
+    # every writer); an index persisted BEFORE the spec wiring has no
+    # set-spec commit in its chain, so fall back to explicit
+    # clustering — the partition-pruned-probe invariant must hold for
+    # appends to any index vintage
+    from fdf_spark.sources.versioned import partition_spec
+
+    if partition_spec(path)["cols"] != ["cell"]:
+        out = out.repartitionByRange(p["num_cells"], "cell").sortWithinPartitions("cell")
+    # the model meta is re-stated so each data commit is
+    # self-describing (read_ivf_pq_meta walks back to the nearest one)
     model = {kk: vv for kk, vv in idx.items() if kk != "version"}
-    return commit_version(
-        codes.select(corpus_id, "cell", "code"), path, mode="append",
-        meta={"ivf_pq": model},
-    )
+    return commit_version(out, path, mode="append", meta={"ivf_pq": model})
 
 
 def ivf_pq_probe_index(

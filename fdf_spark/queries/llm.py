@@ -3866,8 +3866,14 @@ def q156_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = stream_changes_sink(
             stream_version_events(spark, t), t, capture, checkpoint=f"{d}/ck"
         )
-        q.processAllAvailable()
-        q.stop()
+        # stop() must run even if a delta collect throws: the outer
+        # finally deletes the checkpoint dir, and removing it under a
+        # live StreamingQuery leaves a background thread erroring for
+        # the rest of the session
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         out = spark.createDataFrame(
             rows, "version int, doc_id long, change string, nchars int"
         )

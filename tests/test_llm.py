@@ -2617,3 +2617,98 @@ def test_incremental_near_dup_two_phase_equals_full(spark, tmp_path):
     assert not (set(p1) & set(p2))
     merged = {**p1, **p2}
     assert merged == full
+
+
+def test_lsh_partial_band_not_dropped(spark):
+    """bands not dividing num_hashes: the trailing seeds form a PARTIAL
+    band (seed // rows_per_band bucketing), never silently vanish — two
+    docs agreeing only on the tail minhash must stay candidates."""
+    from fdf_spark.llm.dedup import lsh_candidate_pairs
+
+    rows = []
+    for doc in (1, 2):
+        for seed in range(16):
+            # agree ONLY on seed 15 (the partial band when bands=5)
+            rows.append((doc, seed, 999 if seed == 15 else doc * 100 + seed))
+    sigs = spark.createDataFrame(rows, "doc_id long, seed int, minhash long")
+    got = {(r["id_a"], r["id_b"]) for r in
+           lsh_candidate_pairs(sigs, num_hashes=16, bands=5).collect()}
+    assert (1, 2) in got
+    # and full-band agreement still pairs under the divisible setting
+    got4 = {(r["id_a"], r["id_b"]) for r in
+            lsh_candidate_pairs(sigs, num_hashes=16, bands=4).collect()}
+    assert (1, 2) not in got4  # no FULL 4-hash band agrees
+
+
+def test_ivf_pq_meta_guards(spark, tmp_path):
+    """Walk-back crosses metadata-only commits ONLY: a repurposing data
+    commit (no ivf_pq meta) fails loudly instead of probing stale model
+    state against unrelated rows; unknown versions raise."""
+    from fdf_spark.llm.similarity import read_ivf_pq_meta, write_ivf_pq_index
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        rename_column,
+        set_partition_spec,
+    )
+
+    emb = load_table(spark, SMOKE_DIR, "embeddings")
+    d = str(tmp_path / "idx")
+    write_ivf_pq_index(emb, d, num_cells=8, m=8, ks=8)
+    rename_column(d, "code", "pq_code")                # metadata-only: fine
+    assert read_ivf_pq_meta(d)["params"]["num_cells"] == 8
+    with pytest.raises(FileNotFoundError, match="not in"):
+        read_ivf_pq_meta(d, version=99)
+    # repurpose the table: clear the spec (metadata-only — the
+    # walk-back crosses it too), then land unrelated data
+    set_partition_spec(d, [])
+    assert read_ivf_pq_meta(d)["params"]["num_cells"] == 8  # still resolves
+    commit_version(emb.limit(5), d, mode="overwrite")  # repurposed!
+    with pytest.raises(ValueError, match="not an IVF-PQ index"):
+        read_ivf_pq_meta(d)
+
+
+def test_ivf_pq_rebuild_and_legacy_add_keep_clustering(spark, tmp_path):
+    """(a) Rebuilding an index on the same path neither duplicates the
+    partition spec nor changes results; (b) ivf_pq_add to a LEGACY
+    index (no set-spec commit in its chain) still cell-clusters its
+    appended files — the pruned-probe invariant holds for any vintage."""
+    from fdf_spark.llm.similarity import (
+        ivf_pq_add,
+        ivf_pq_probe_index,
+        read_ivf_pq_meta,
+        write_ivf_pq_index,
+    )
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        list_versions,
+        read_version,
+    )
+
+    emb = load_table(spark, SMOKE_DIR, "embeddings")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    d1 = str(tmp_path / "idx1")
+    write_ivf_pq_index(half, d1, num_cells=8, m=8, ks=8)
+    before = ivf_pq_probe_index(spark, d1, qs, k=3).orderBy("query_id", "rank").collect()
+    write_ivf_pq_index(half, d1, num_cells=8, m=8, ks=8)  # rebuild
+    m = _read_manifest(d1, list_versions(d1)[-1])
+    assert len(m["partition_specs"]) == 2  # spec 0 + ONE cell spec, no dup
+    after = ivf_pq_probe_index(spark, d1, qs, k=3).orderBy("query_id", "rank").collect()
+    assert after == before
+
+    # legacy index: data commit with meta, NO set-spec in the chain
+    d2 = str(tmp_path / "idx2")
+    codes = read_version(spark, d1)
+    model = {k: v for k, v in read_ivf_pq_meta(d1).items() if k != "version"}
+    commit_version(codes, d2, meta={"ivf_pq": model})
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    v = ivf_pq_add(d2, rest)
+    m2 = _read_manifest(d2, v)
+    added = sorted(set(m2["files"]) - set(_read_manifest(d2, 1)["files"]))
+    assert added
+    for f in added:  # appended files are cell-tight despite no spec
+        lo, hi = m2["stats"][f]["cell"]
+        assert hi - lo <= 2, (f, lo, hi)
