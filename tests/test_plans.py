@@ -42,9 +42,13 @@ EXPECT: dict[str, dict] = {
     "q152_ivf_pq_residual_topk": dict(absent=["hashpartitioning(vec_id"], max_smj=0, max_scans=2),
     # semantic decontam: benchmark broadcasts (the BNL is the intended
     # tiny-side cross join); the argmax agg's map-side partial collapses
-    # per-corpus-row scores, so the 2 exchanges carry one narrow row per
-    # corpus row (agg merge + final sort) — embeddings never shuffle
-    "q153_semantic_decontam": dict(max_exchanges=2, max_bnl=1, max_smj=0, max_scans=2),
+    # per-corpus-row scores collapse map-side; since r9 the output is
+    # keyed by the CORPUS (unmatched rows come back contaminated=false
+    # — ADVICE r8), which adds one narrow SMJ of corpus ids against the
+    # argmax relation: the 3 exchanges all carry one narrow row per
+    # corpus row (agg merge + id join + final sort) — the embeddings
+    # themselves still never shuffle (the id re-scan reads ONE column)
+    "q153_semantic_decontam": dict(max_exchanges=3, max_bnl=1, max_smj=1, max_scans=3),
     # multi-dim agg family: fact rows pre-aggregate to base cells, the
     # Expand multiplies only those (~9 rows); 3 exchanges all tiny
     "q31_cube_grouping": dict(max_exchanges=3),
