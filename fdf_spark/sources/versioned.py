@@ -827,6 +827,7 @@ def optimize(
             )
         )
     df = reader.parquet(*rewrite)
+    zorder_logical = list(zorder) if zorder else []
     if zorder:
         zorder = [_physical(m, c) for c in zorder]
     total = sum(sizes[f] for f in rewrite)
@@ -897,13 +898,19 @@ def optimize(
         **{f: _file_stats(f) for f in new_files},
     }
     carry = _spec_carry(m)
-    # rewritten files lose their original clustering (bin-pack is
-    # round-robin; zorder is its own layout) — record them under
-    # spec 0 so nothing claims tightness they no longer have; kept
-    # files keep their spec entries
+    # rewritten files normally lose their original clustering
+    # (bin-pack is round-robin; an unrelated zorder is its own layout)
+    # and drop to spec 0 so nothing claims tightness they no longer
+    # have — EXCEPT when the zorder key IS the current partition spec:
+    # that rewrite is the spec's own compaction (the index-maintenance
+    # case: many small per-cell files from appends re-pack into few,
+    # still spec-tight), so the new files keep the spec stamp.  Kept
+    # files keep their entries either way.
+    cur_cols = carry["partition_specs"][str(carry["current_spec"])]["cols"]
+    new_spec = carry["current_spec"] if (cur_cols and zorder_logical == cur_cols) else 0
     file_specs = {
         **{f: carry["file_specs"].get(f, 0) for f in kept},
-        **{f: 0 for f in new_files},
+        **{f: new_spec for f in new_files},
     }
     manifest = {
         "version": version,

@@ -2712,3 +2712,45 @@ def test_ivf_pq_rebuild_and_legacy_add_keep_clustering(spark, tmp_path):
     for f in added:  # appended files are cell-tight despite no spec
         lo, hi = m2["stats"][f]["cell"]
         assert hi - lo <= 2, (f, lo, hi)
+
+
+def test_ivf_pq_index_optimize_compaction(spark, tmp_path):
+    """Index maintenance completes the lifecycle: after several adds
+    leave many small per-cell files, OPTIMIZE(zorder=['cell']) — the
+    spec's own compaction — re-packs them into fewer files that KEEP
+    the spec stamp and tight cell stats; probe results are unchanged
+    and the pruned probe still scans a strict file subset."""
+    from fdf_spark.llm.similarity import ivf_pq_add, ivf_pq_probe_index, write_ivf_pq_index
+    from fdf_spark.sources.versioned import _read_manifest, list_versions, optimize
+
+    emb = load_table(spark, SMOKE_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    d = str(tmp_path / "idx")
+    write_ivf_pq_index(emb.filter(F.col("vec_id") % 4 == 0), d, num_cells=8, m=8, ks=8)
+    for r in (1, 2, 3):
+        ivf_pq_add(d, emb.filter(F.col("vec_id") % 4 == r))
+    before = ivf_pq_probe_index(spark, d, qs, k=3).orderBy("query_id", "rank").collect()
+    n_before = len(_read_manifest(d, list_versions(d)[-1])["files"])
+
+    # small target so the fixture still produces several output files
+    # (at the default 128 MB everything packs into one — correct, but
+    # then per-file tightness is vacuous)
+    res = optimize(spark, d, zorder=["cell"], target_bytes=16 * 1024)
+    assert res["files_after"] < n_before
+    m = _read_manifest(d, list_versions(d)[-1])
+    assert len(m["files"]) >= 3
+    # compacted files keep the spec stamp (zorder key == spec cols)
+    # and stay cell-tight (cell ids here are the centroid vec_ids
+    # 0,4,...,28 — a tight file spans one or two of them)
+    spans = []
+    for f in m["files"]:
+        assert m["file_specs"][f] == 1, (f, m["file_specs"][f])
+        lo, hi = m["stats"][f]["cell"]
+        spans.append(hi - lo)
+    assert sorted(spans)[len(spans) // 2] <= 8, spans  # median file ~1-2 cells
+    after = ivf_pq_probe_index(spark, d, qs, k=3)
+    assert after.orderBy("query_id", "rank").collect() == before
+    scanned = [f for f in after.inputFiles() if f.replace("file://", "").startswith(d)]
+    assert 0 < len(scanned) <= len(m["files"])
