@@ -338,12 +338,29 @@ def lsh_candidate_pairs(
     # array end) rather than being silently dropped — two documents
     # agreeing only on the tail minhashes stay candidates
     n_bands = -(-num_hashes // rows_per_band)
-    full = signatures.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-            lambda s: s["minhash"],
-        ).alias("__sig")
+    # positional slicing assumes every document carries the COMPLETE
+    # contiguous seed set 0..num_hashes-1 — a relation missing a middle
+    # seed (or carrying extras) would silently band the WRONG minhashes
+    # and lose candidates, so the contract is enforced INSIDE the plan
+    # (ADVICE r9; the hamming width-guard discipline): any violating
+    # document fails the job loudly instead of degrading recall.
+    structs = F.array_sort(F.collect_list(F.struct("seed", "minhash")))
+    seeds = F.transform(structs, lambda s: s["seed"].cast("int"))
+    sig = F.transform(structs, lambda s: s["minhash"])
+    checked = F.when(
+        seeds == F.sequence(F.lit(0), F.lit(num_hashes - 1)), sig
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"lsh_candidate_pairs: signature must carry exactly seeds "
+                    f"0..{num_hashes - 1}; got "
+                ),
+                F.to_json(seeds),
+            )
+        )
     )
+    full = signatures.groupBy(id_col).agg(checked.alias("__sig"))
     groups = full.groupBy("__sig").agg(
         F.min(id_col).alias("__rep"), F.count("*").alias("__n")
     )
@@ -773,6 +790,12 @@ def _collapsed_hamming_pairs_probe(
     )
 
 
+class DuplicateIngestError(RuntimeError):
+    """This batch's ``ingest_id`` was already committed to the index —
+    a replayed ingest (at-least-once delivery); the batch's pairs were
+    already reported and its fingerprints already landed."""
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     index_path: str,
@@ -782,6 +805,7 @@ def incremental_near_dup(
     bands_per_word: int = 6,
     band_bits: int = 10,
     bits_per_word: int = 60,
+    ingest_id: str | None = None,
 ) -> DataFrame:
     """N2, continuous-ingest tier — the near-dup sibling of
     :func:`incremental_dedup`: fingerprint a NEW batch (120-bit
@@ -806,10 +830,30 @@ def incremental_near_dup(
     re-evaluation can never band a batch against itself twice.  Ids
     must be globally unique across ingests (the caller's contract,
     same as incremental_dedup).
+
+    The fingerprints land EAGERLY, before the returned pairs frame is
+    consumed — so a caller whose downstream fails and retries the
+    ingest would double-land the batch.  Pass ``ingest_id`` (any
+    stable per-batch token) to make replays loud: the id is recorded
+    in the commit meta, and a batch whose id is already in the index
+    raises :class:`DuplicateIngestError` BEFORE probing or landing
+    anything (ADVICE r9; the same version-guard pattern
+    ``stream_changes_sink`` documents for its at-least-once
+    consumers).
     """
-    from fdf_spark.sources.versioned import commit_version, list_versions, read_version
+    from fdf_spark.sources.versioned import (
+        applied_ingest_ids,
+        commit_version,
+        list_versions,
+        read_version,
+    )
 
     spark = new_docs.sparkSession
+    if ingest_id is not None and ingest_id in applied_ingest_ids(index_path):
+        raise DuplicateIngestError(
+            f"ingest {ingest_id!r} already landed in {index_path}; its pairs "
+            "were reported by the original run (replayed at-least-once batch)"
+        )
     fps_batch = simhash128(new_docs, text=text, id_col=id_col, bits_per_word=bits_per_word)
     fps_batch = fps_batch.localCheckpoint()
     if list_versions(index_path):
@@ -825,5 +869,8 @@ def incremental_near_dup(
     pairs = _collapsed_hamming_pairs_probe(
         all_fps, "simhash", id_col, "__isb", bands_expr, dist, max_dist
     )
-    commit_version(fps_batch, index_path, mode="append")
+    commit_version(
+        fps_batch, index_path, mode="append",
+        meta={"ingest_id": ingest_id} if ingest_id is not None else None,
+    )
     return pairs

@@ -82,6 +82,23 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def applied_ingest_ids(path: str) -> set:
+    """Every ``meta["ingest_id"]`` any commit at ``path`` has recorded.
+
+    The replay-detection primitive for at-least-once ingest loops
+    (ADVICE r9): a caller that stamps each batch commit with an ingest
+    id can detect a retried batch BEFORE re-landing it — the id rides
+    in the manifest, so the check is atomic with the commit it guards.
+    O(commits) metadata reads, zero data files.
+    """
+    ids = set()
+    for v in list_versions(path):
+        iid = _read_manifest(path, v).get("meta", {}).get("ingest_id")
+        if iid is not None:
+            ids.add(iid)
+    return ids
+
+
 # --- column mapping (rename/drop without rewrite) ---------------------------
 #
 # The manifest's "schema" holds LOGICAL field names — what readers see.
@@ -430,9 +447,27 @@ def read_version(
     if prune is not None:
         if len(prune) == 2:
             col, values = prune
-            values = list(values)
+            # a str/bytes "values" is almost certainly ONE intended value,
+            # but list() would silently explode it into characters and
+            # prune away the files that contain it — a row-loss violation
+            # of the superset guarantee (ADVICE r9). Reject loudly; wrap
+            # a non-iterable scalar into a one-element list instead.
+            if isinstance(values, (str, bytes)):
+                raise TypeError(
+                    "membership prune values must be a collection of values, "
+                    f"not a single {type(values).__name__} (wrap it in a list)"
+                )
+            try:
+                values = list(values)
+            except TypeError:
+                values = [values]
             if not values:
                 raise ValueError("membership prune needs at least one value")
+            if any(v is None for v in values):
+                raise ValueError(
+                    "membership prune values must not contain None — NULL "
+                    "never matches a [min, max] range; filter rows instead"
+                )
             lo, hi = None, None
         else:
             col, lo, hi = prune

@@ -2640,6 +2640,52 @@ def test_lsh_partial_band_not_dropped(spark):
     assert (1, 2) not in got4  # no FULL 4-hash band agrees
 
 
+def test_lsh_incomplete_signature_fails_loudly(spark):
+    """Positional banding assumes the complete contiguous seed set —
+    a signature missing a middle seed (or carrying extras) must kill
+    the job in-plan, not silently band the wrong minhashes and lose
+    candidates (ADVICE r9)."""
+    from fdf_spark.llm.dedup import lsh_candidate_pairs
+
+    rows = [
+        (doc, seed, 999)
+        for doc in (1, 2)
+        for seed in range(16)
+        if not (doc == 2 and seed == 5)  # doc 2 lacks seed 5
+    ]
+    sigs = spark.createDataFrame(rows, "doc_id long, seed int, minhash long")
+    with pytest.raises(Exception, match="lsh_candidate_pairs"):
+        lsh_candidate_pairs(sigs, num_hashes=16, bands=4).collect()
+    # extra seeds beyond num_hashes are just as silent a mis-slice
+    full = [(d, s, 999) for d in (1, 2) for s in range(17)]
+    sigs17 = spark.createDataFrame(full, "doc_id long, seed int, minhash long")
+    with pytest.raises(Exception, match="lsh_candidate_pairs"):
+        lsh_candidate_pairs(sigs17, num_hashes=16, bands=4).collect()
+
+
+def test_incremental_near_dup_replay_guard(spark, tmp_path):
+    """A replayed batch (same ingest_id) raises BEFORE landing its
+    fingerprints again — at-least-once callers get a loud signal
+    instead of duplicate index rows (ADVICE r9)."""
+    from fdf_spark.llm.dedup import DuplicateIngestError, incremental_near_dup
+    from fdf_spark.sources.versioned import list_versions, read_version
+
+    docs = load_table(spark, SMOKE_DIR, "documents").filter(F.col("doc_id") < 10)
+    idx = str(tmp_path / "fpidx")
+    incremental_near_dup(docs, idx, ingest_id="batch-1").collect()
+    assert list_versions(idx) == [1]
+    with pytest.raises(DuplicateIngestError, match="batch-1"):
+        incremental_near_dup(docs, idx, ingest_id="batch-1")
+    assert list_versions(idx) == [1]  # nothing re-landed
+    n1 = read_version(spark, idx).count()
+    incremental_near_dup(
+        docs.select((F.col("doc_id") + 100).alias("doc_id"), "text"),
+        idx, ingest_id="batch-2",
+    ).collect()
+    assert list_versions(idx) == [1, 2]
+    assert read_version(spark, idx).count() == 2 * n1
+
+
 def test_ivf_pq_meta_guards(spark, tmp_path):
     """Walk-back crosses metadata-only commits ONLY: a repurposing data
     commit (no ivf_pq meta) fails loudly instead of probing stale model

@@ -724,3 +724,29 @@ def test_partition_spec_evolution(spark, tmp_path):
     assert partition_spec(p)["cols"] == ["yy"]
     with pytest.raises(ValueError, match="current partition spec"):
         drop_column(p, "yy")
+
+
+def test_membership_prune_value_validation(spark, tmp_path):
+    """Membership prune values: a bare str would list() into characters
+    and silently prune away matching files (ADVICE r9) — reject it;
+    a non-iterable scalar wraps to a one-element list; None elements
+    are rejected (NULL never matches a [min, max] range)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"val{i:03d}") for i in range(100)], "k long, s string"
+    )
+    commit_version(df.repartitionByRange(4, "k"), p)
+
+    with pytest.raises(TypeError, match="single str"):
+        read_version(spark, p, prune=("s", "val050"))
+    with pytest.raises(TypeError, match="single bytes"):
+        read_version(spark, p, prune=("s", b"val050"))
+    with pytest.raises(ValueError, match="None"):
+        read_version(spark, p, prune=("k", [1, None]))
+
+    # scalar wraps: same rows as the explicit one-element list
+    scalar = read_version(spark, p, prune=("k", 50)).filter(F.col("k") == 50)
+    listed = read_version(spark, p, prune=("k", [50])).filter(F.col("k") == 50)
+    assert scalar.count() == listed.count() == 1
+    # and the pruned file set is a strict subset of the table
+    assert len(scalar.inputFiles()) < 4
