@@ -100,18 +100,33 @@ def incremental_dedup(
     index_path: str,
     text: str = "text",
     id_col: str = "doc_id",
+    ingest_id: str | None = None,
 ) -> DataFrame:
     """N1, continuous-ingest tier: dedup a NEW batch against the landed
     corpus without ever rescanning it.
 
-    The landed state is a persistent hash index at ``index_path`` —
-    one (content_hash binary, doc_id) row per unique document ever
-    accepted, partitioned by the first hash byte (``hb``, 256 dirs) so
-    (a) the per-batch probe prunes to the partitions the batch's hashes
-    touch and (b) the index itself never needs compaction-by-key. Each
-    call: dedup the batch internally (first-seen by smallest id), anti-
-    join its hashes against the index, append the survivors' hashes,
-    and return the surviving rows.
+    The landed state is a VERSIONED TABLE at ``index_path`` (VERDICT
+    r9 #2 — the same seam as :func:`incremental_near_dup`'s
+    fingerprint index): one (content_hash binary, doc_id, hb) row per
+    unique document ever accepted, with ``hb`` = first hash byte as
+    the table's partition-spec column, so new index files are
+    range-clustered by hb and the per-batch probe prunes by
+    MEMBERSHIP (``read_version(prune=("hb", values))``) to only the
+    files the batch's hash bytes touch.  Each call: dedup the batch
+    internally (first-seen by smallest id), anti-join its hashes
+    against the pinned landed snapshot, commit the survivors' hashes
+    ATOMICALLY (manifest publish — a crash mid-ingest leaves only
+    invisible orphan files, never a partial index that silently admits
+    future duplicates), and return the surviving rows.
+
+    Concurrency is SERIALIZABLE, not blind-append: a lost commit race
+    means another ingest landed between our probe and our publish, so
+    the loop RE-PROBES against the new head before retrying — two
+    concurrent ingests carrying the same hash can never both land it
+    (the one-live-row-per-key contract).  This is exactly why the
+    commit uses ``on_conflict="error"`` and its own retry loop rather
+    than the manifest-only rebase fast path.  Pass ``ingest_id`` to
+    make at-least-once replays loud (:class:`DuplicateIngestError`).
 
     At 100 TB this is the batch-ingest complement to the streaming
     ``running_dedup``: the index is ~48 bytes per unique doc (a 100 B-doc
@@ -119,52 +134,82 @@ def incremental_dedup(
     global ``exact_dedup`` per ingest would rescan the full corpus
     every time.
     """
-    import os
+    from fdf_spark.sources.versioned import (
+        ConcurrentCommitError,
+        applied_ingest_ids,
+        commit_version,
+        list_versions,
+        partition_spec,
+        read_version,
+        set_partition_spec,
+    )
 
+    if ingest_id is not None and ingest_id in applied_ingest_ids(index_path):
+        raise DuplicateIngestError(
+            f"ingest {ingest_id!r} already landed in {index_path}; its "
+            "survivors were returned by the original run (replayed batch)"
+        )
     key = F.unhex(F.sha2(F.col(text), 256))
-    hb_of = lambda k: F.pmod(  # noqa: E731 — shared with the append below
+    hb_of = lambda k: F.pmod(  # noqa: E731 — shared with the commit below
         F.conv(F.hex(k).substr(1, 2), 16, 10).cast("int"), F.lit(256)
     )
     # persist: the batch aggregate feeds the hbs collect AND the
     # anti-join/checkpoint below — without it the full new_docs
-    # hash+groupBy runs twice per ingest
+    # hash+groupBy runs twice per ingest (and once more per retry)
     batch = (
         new_docs.withColumn("__k", key)
         .groupBy("__k")
         .agg(F.min(id_col).alias(id_col))
     ).persist()
-    if os.path.isdir(index_path) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(index_path)
-    ):
-        # the promised partition-pruned probe: the batch's distinct hash
-        # bytes (≤256 values, one tiny job over the batch) become a
-        # partition filter on the index — the anti-join reads only the
-        # touched hb=NN directories, not the full landed index
-        hbs = [r[0] for r in batch.select(hb_of(F.col("__k")).alias("hb")).distinct().collect()]
-        landed = (
-            spark.read.parquet(index_path)
-            .filter(F.col("hb").isin(hbs))
-            .select("content_hash")
-        )
-        fresh = batch.join(
-            landed, batch["__k"] == landed["content_hash"], "left_anti"
-        )
-    else:
-        fresh = batch
-    # pin the probe result BEFORE appending to the index: a lazy plan
-    # re-evaluated after the append would anti-join the batch against
-    # its own freshly-landed hashes and return nothing
-    fresh = fresh.localCheckpoint(eager=True)
-    (
-        fresh.select(
+    meta = {"ingest_id": ingest_id} if ingest_id is not None else None
+    while True:
+        if list_versions(index_path):
+            # the promised pruned probe: the batch's distinct hash bytes
+            # (≤256 values, one tiny job over the batch) prune the landed
+            # snapshot to the files whose hb range they touch — the
+            # anti-join never reads the rest of the index
+            hbs = [r[0] for r in batch.select(hb_of(F.col("__k")).alias("hb")).distinct().collect()]
+            landed = (
+                read_version(spark, index_path, prune=("hb", hbs))
+                .filter(F.col("hb").isin(hbs))
+                .select("content_hash")
+            )
+            fresh = batch.join(
+                landed, batch["__k"] == landed["content_hash"], "left_anti"
+            )
+            bootstrap = False
+        else:
+            fresh = batch
+            bootstrap = True
+        # pin the probe result BEFORE committing to the index: a lazy
+        # plan re-evaluated after the commit would anti-join the batch
+        # against its own freshly-landed hashes and return nothing
+        fresh = fresh.localCheckpoint(eager=True)
+        rows = fresh.select(
             F.col("__k").alias("content_hash"),
             F.col(id_col),
             hb_of(F.col("__k")).alias("hb"),
         )
-        .write.mode("append")
-        .partitionBy("hb")
-        .parquet(index_path)
-    )
+        if bootstrap:
+            # spec 0 has no clustering — cluster the first batch's files
+            # by hand so even v1's manifest stats prune tightly on hb
+            rows = rows.repartitionByRange(F.col("hb")).sortWithinPartitions("hb")
+        try:
+            commit_version(rows, index_path, mode="append", meta=meta)
+            break
+        except ConcurrentCommitError:
+            # another ingest landed between our probe and our publish —
+            # serializability demands a RE-PROBE against the new head
+            # (it may have landed some of our hashes), never a rebase
+            continue
+    if bootstrap:
+        # future commits cluster by hb via the table's partition spec;
+        # racing bootstraps: whoever wins, the spec ends up on hb
+        while partition_spec(index_path)["cols"] != ["hb"]:
+            try:
+                set_partition_spec(index_path, ["hb"])
+            except ConcurrentCommitError:
+                continue
     batch.unpersist()  # fresh is checkpointed; the cache is spent
     return new_docs.join(
         fresh.select(F.col(id_col).alias("__keep")),

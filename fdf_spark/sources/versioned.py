@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -148,6 +149,13 @@ def _load_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
     return df.select(
         *[F.col(mapping.get(f.name, f.name)).alias(f.name) for f in schema.fields]
     )
+
+
+def _file_row_count(file_path: str) -> int:
+    """Exact row count from the parquet footer (no data pages read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(file_path).num_rows
 
 
 def _file_stats(file_path: str) -> dict:
@@ -267,6 +275,7 @@ def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
         "mode": "set-spec",
         "files": m["files"],
         "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
         "schema": m["schema"] if "schema" in m else None,
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
@@ -282,7 +291,8 @@ def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
 
 
 def commit_version(
-    df: DataFrame, path: str, mode: str = "append", meta: dict | None = None
+    df: DataFrame, path: str, mode: str = "append", meta: dict | None = None,
+    on_conflict: str = "error",
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
 
@@ -294,11 +304,27 @@ def commit_version(
     :func:`read_version`'s metadata pruning. ``meta`` rides along in
     the manifest (JSON) — e.g. the ingesting stream's batch id, which
     makes replay detection atomic with the commit itself.
+
+    ``on_conflict`` controls what a lost commit race costs
+    (VERDICT r9 #4).  ``"error"`` (default) raises
+    :class:`ConcurrentCommitError` — the caller re-runs the whole
+    write, which is what a read-modify-write caller (an ingest that
+    anti-joined against the head it read) NEEDS for serializability.
+    ``"rebase"`` is the Iceberg non-conflicting-append fast path for
+    blind appends: the already-staged data files are re-based onto the
+    new head MANIFEST-ONLY (zero bytes rewritten, each racer's data
+    written exactly once), retrying until the publish wins.  Only
+    ``append`` commits rebase — an overwrite that lost a race is a
+    real conflict — and a head whose concurrent commits re-mapped a
+    column this append also writes re-raises (the staged files' bytes
+    would be inconsistent with the table's one physical naming).
     """
     from pyspark.sql import functions as F
 
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if on_conflict not in ("error", "rebase"):
+        raise ValueError(f"unknown on_conflict {on_conflict!r}")
     versions = list_versions(path)
     parent = versions[-1] if versions else None
     version = (parent + 1) if parent is not None else 1
@@ -309,23 +335,18 @@ def commit_version(
     carry = _spec_carry(head)
     mapping = dict(_mapping(pm)) if pm else {}
     retired = list(pm.get("retired_physical", [])) if pm else []
-    schema = df.schema
     out = df
     if pm is not None and "schema" in pm:
-        # schema evolution: the snapshot schema is parent ∪ new —
-        # kept in the manifest so reads never footer-scan for it;
-        # files missing a column yield NULLs
+        # schema evolution happens at manifest-build time (_manifest_for
+        # below: snapshot schema = parent ∪ new; files missing a column
+        # yield NULLs); HERE only the physical naming of the bytes about
+        # to be written is decided.  A NEW logical column whose name
+        # collides with any physical name ever used (a dropped or
+        # renamed-away column's bytes still live in old files) gets a
+        # FRESH physical name — the field-id rule that stops old bytes
+        # resurrecting
         parent_schema = _logical_schema(pm)
         have = {f.name for f in parent_schema.fields}
-        merged = list(parent_schema.fields) + [
-            f for f in schema.fields if f.name not in have
-        ]
-        schema = StructType(merged)
-        # physical naming: appended files must carry the table's ONE
-        # physical naming; a NEW logical column whose name collides
-        # with any physical name ever used (a dropped or renamed-away
-        # column's bytes still live in old files) gets a FRESH physical
-        # name — the field-id rule that stops old bytes resurrecting
         used_phys = {mapping.get(f.name, f.name) for f in parent_schema.fields} | set(retired)
         for f in df.schema.fields:
             if f.name not in have and f.name not in mapping and f.name in used_phys:
@@ -361,28 +382,87 @@ def commit_version(
         os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
     )
     file_stats = {f: _file_stats(f) for f in new_files}
-    files = new_files
-    file_specs = {f: carry["current_spec"] for f in new_files}
-    if pm is not None:
-        files = pm["files"] + new_files
-        file_stats = {**pm.get("stats", {}), **file_stats}
-        file_specs = {**carry["file_specs"], **file_specs}
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "mode": mode,
-        "files": files,
-        "stats": file_stats,
-        "schema": json.dumps(schema.jsonValue()),
-        "column_mapping": mapping,
-        "retired_physical": retired,
-        "partition_specs": carry["partition_specs"],
-        "current_spec": carry["current_spec"],
-        "file_specs": file_specs,
-        "meta": meta or {},
-    }
-    _stage_and_publish_manifest(path, version, manifest)
-    return version
+    file_rows = {f: _file_row_count(f) for f in new_files}
+    # what the staged parquet bytes ACTUALLY carry — fixed once written;
+    # every manifest (first attempt or rebase) must stay consistent with it
+    written_spec = carry["current_spec"]
+    written_phys = {f.name: mapping.get(f.name, f.name) for f in df.schema.fields}
+
+    def _manifest_for(head2: dict | None, version2: int) -> dict:
+        """Bind the already-staged files to ``head2`` as parent — used
+        by the first attempt AND by manifest-only rebases of a lost
+        append race.  Raises ConcurrentCommitError if the head's naming
+        has become incompatible with the staged bytes."""
+        pm2 = head2 if mode == "append" else None
+        carry2 = _spec_carry(head2)
+        mapping2 = dict(_mapping(pm2)) if pm2 else {}
+        retired2 = list(pm2.get("retired_physical", [])) if pm2 else []
+        schema2 = df.schema
+        if pm2 is not None and "schema" in pm2:
+            parent_schema = _logical_schema(pm2)
+            have = {f.name for f in parent_schema.fields}
+            schema2 = StructType(
+                list(parent_schema.fields)
+                + [f for f in df.schema.fields if f.name not in have]
+            )
+            used_phys = {mapping2.get(f.name, f.name) for f in parent_schema.fields} | set(retired2)
+            for f in df.schema.fields:
+                wp = written_phys[f.name]
+                if f.name in have:
+                    if mapping2.get(f.name, f.name) != wp:
+                        raise ConcurrentCommitError(
+                            f"concurrent commits re-mapped column {f.name!r} "
+                            f"(staged files carry {wp!r}); re-run the write"
+                        )
+                elif wp in used_phys:
+                    raise ConcurrentCommitError(
+                        f"staged physical name {wp!r} collides with a "
+                        "concurrent commit's naming; re-run the write"
+                    )
+                elif wp != f.name:
+                    mapping2[f.name] = wp
+        elif any(written_phys[f.name] != f.name for f in df.schema.fields):
+            raise ConcurrentCommitError(
+                "staged files carry a column mapping the new head lost; re-run the write"
+            )
+        files2, stats2, rows2 = new_files, dict(file_stats), dict(file_rows)
+        # staged files keep the spec they were CLUSTERED under at write
+        # time (spec ids are append-only, so it exists in every head)
+        specs2 = {f: written_spec for f in new_files}
+        if pm2 is not None:
+            files2 = pm2["files"] + new_files
+            stats2 = {**pm2.get("stats", {}), **stats2}
+            rows2 = {**pm2.get("file_rows", {}), **rows2}
+            specs2 = {**carry2["file_specs"], **specs2}
+        return {
+            "version": version2,
+            "parent": head2["version"] if head2 else None,
+            "mode": mode,
+            "files": files2,
+            "stats": stats2,
+            "file_rows": rows2,
+            "schema": json.dumps(schema2.jsonValue()),
+            "column_mapping": mapping2,
+            "retired_physical": retired2,
+            "partition_specs": carry2["partition_specs"],
+            "current_spec": carry2["current_spec"],
+            "file_specs": specs2,
+            "meta": meta or {},
+        }
+
+    while True:
+        # compute OUTSIDE the try: an incompatible head raises straight
+        # to the caller (a full re-run), never loops
+        manifest = _manifest_for(head, version)
+        try:
+            _stage_and_publish_manifest(path, version, manifest)
+            return version
+        except ConcurrentCommitError:
+            if not (on_conflict == "rebase" and mode == "append"):
+                raise
+            parent = list_versions(path)[-1]
+            head = _read_manifest(path, parent)
+            version = parent + 1
 
 
 def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None:
@@ -399,6 +479,12 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
     the new head — the Iceberg/Delta optimistic-commit loop. The
     staging file never survives, success or failure.
     """
+    # every snapshot carries a wall-clock publish stamp (set HERE so no
+    # manifest writer can forget it) — the resolution key for
+    # read_version(as_of_ts=...); clock skew between committers is
+    # tolerated by the reader's monotonic-by-version rule, never
+    # "fixed" at write time (version order is the truth)
+    manifest.setdefault("ts", time.time())
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
     try:
@@ -413,14 +499,137 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
         os.unlink(tmp)
 
 
+def resolve_as_of(path: str, as_of_ts: float) -> int:
+    """The version a ``TIMESTAMP AS OF`` read resolves to: the NEWEST
+    version whose EFFECTIVE publish stamp is at-or-before ``as_of_ts``.
+
+    Effective stamp = running max of manifest ``ts`` in version order —
+    the monotonic-by-version rule: a committer with a lagging clock can
+    stamp v3 earlier than v2, but version order is the truth, so v3's
+    effective time is clamped up to v2's (Delta applies the same
+    monotonicity adjustment to its commit timestamps).  Pre-timestamp
+    manifests (older tables) inherit the running max — conservative:
+    they never resolve LATER than a stamped successor.  O(commits)
+    metadata reads.
+    """
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    best = None
+    eff = float("-inf")
+    for v in versions:
+        ts = _read_manifest(path, v).get("ts")
+        if ts is not None:
+            eff = max(eff, ts)
+        if eff <= as_of_ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version at-or-before ts {as_of_ts} (oldest commit is {eff})"
+        )
+    return best
+
+
+def metadata_aggregate(
+    spark: SparkSession,
+    path: str,
+    cols=(),
+    version: int | None = None,
+) -> dict:
+    """``count(*)`` and per-column ``min``/``max`` answered from the
+    MANIFEST — zero data-file reads (VERDICT r9 #5; the Iceberg/Delta
+    metadata-aggregate path).
+
+    Returns ``{"count": int, "min": {col: v}, "max": {col: v},
+    "source": "metadata" | "scan"}``.  ``count`` comes from the
+    per-file row counts recorded at commit time (``file_rows``; a
+    pre-upgrade manifest falls back to footer reads — still zero data
+    pages); ``min``/``max`` fold the manifest's per-file [min, max]
+    stats.  The answer falls back to ONE real scan (``source:
+    "scan"``) whenever metadata cannot be EXACT:
+
+    - the snapshot carries deletion vectors (``delete_files``): a
+      masked row may hold the extreme value, and deleted rows must not
+      count;
+    - a requested column is non-numeric (parquet string stats may be
+      truncated by writers — safe for pruning's superset guarantee,
+      not for an exact answer) or lacks footer stats in some non-empty
+      file (nested types, all-NULL chunks, NaN-poisoned doubles).
+
+    Pruning tolerates loose stats; THIS function never returns a value
+    a full scan would not — the fallback is the guard.
+    """
+    from pyspark.sql import functions as F
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"version {v} not in {versions}")
+    m = _read_manifest(path, v)
+    files = m["files"]
+    cols = list(cols)
+    schema = _logical_schema(m)
+    if schema is not None:
+        names = [f.name for f in schema.fields]
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"no columns {missing} (have {names})")
+
+    def _scan() -> dict:
+        df = read_version(spark, path, v)
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            g for c in cols for g in (F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}"))
+        ]
+        row = df.agg(*aggs).collect()[0]
+        return {
+            "count": row["__n"],
+            "min": {c: row[f"__lo_{c}"] for c in cols},
+            "max": {c: row[f"__hi_{c}"] for c in cols},
+            "source": "scan",
+        }
+
+    if m.get("delete_files"):
+        return _scan()
+    rows_map = m.get("file_rows", {})
+    per_file_rows = {f: (rows_map[f] if f in rows_map else _file_row_count(f)) for f in files}
+    count = sum(per_file_rows.values())
+    _NUMERIC = {"byte", "short", "integer", "long", "float", "double", "boolean"}
+    stats = m.get("stats", {})
+    lo: dict = {}
+    hi: dict = {}
+    for c in cols:
+        if schema is not None and schema[c].dataType.typeName() not in _NUMERIC:
+            return _scan()
+        pc = _physical(m, c)
+        bounds = []
+        for f in files:
+            st = stats.get(f, {}).get(pc)
+            if st is None:
+                if per_file_rows[f] == 0:
+                    continue  # an empty file contributes no extremes
+                return _scan()
+            bounds.append(st)
+        lo[c] = min((b[0] for b in bounds), default=None)
+        hi[c] = max((b[1] for b in bounds), default=None)
+    return {"count": count, "min": lo, "max": hi, "source": "metadata"}
+
+
 def read_version(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Snapshot read: the explicit file list of ``version`` (latest if
     None) — pinned, immune to later commits/vacuums.
+
+    ``as_of_ts`` is timestamp time travel ("the table as of last
+    night's run"): the snapshot is the newest version published
+    at-or-before the stamp (:func:`resolve_as_of` — monotonic by
+    version under clock skew).  Mutually exclusive with ``version``.
 
     ``prune=(col, lo, hi)`` enables MANIFEST-LEVEL file pruning: only
     files whose recorded [min, max] for ``col`` overlaps [lo, hi] are
@@ -436,6 +645,10 @@ def read_version(
     still applies the row-level filter — pruning is a superset
     guarantee, not an exact selection.
     """
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass version OR as_of_ts, not both")
+    if as_of_ts is not None:
+        version = resolve_as_of(path, as_of_ts)
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -596,6 +809,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         "mode": "rename",
         "files": m["files"],
         "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
         "schema": json.dumps(StructType(fields).jsonValue()),
         "column_mapping": mapping,
         "retired_physical": m.get("retired_physical", []),
@@ -649,6 +863,7 @@ def drop_column(path: str, col: str) -> int:
         "mode": "drop",
         "files": m["files"],
         "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
         "schema": json.dumps(
             StructType([f for f in schema.fields if f.name != col]).jsonValue()
         ),
@@ -718,6 +933,7 @@ def widen_column(path: str, col: str, new_type: str) -> int:
         "mode": "widen",
         "files": m["files"],
         "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
         "schema": json.dumps(StructType(fields).jsonValue()),
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
@@ -932,6 +1148,11 @@ def optimize(
         **{f: old_stats[f] for f in kept if f in old_stats},
         **{f: _file_stats(f) for f in new_files},
     }
+    old_rows = m.get("file_rows", {})
+    file_rows = {
+        **{f: old_rows[f] for f in kept if f in old_rows},
+        **{f: _file_row_count(f) for f in new_files},
+    }
     carry = _spec_carry(m)
     # rewritten files normally lose their original clustering
     # (bin-pack is round-robin; an unrelated zorder is its own layout)
@@ -953,6 +1174,7 @@ def optimize(
         "mode": "optimize",
         "files": kept + new_files,
         "stats": file_stats,
+        "file_rows": file_rows,
         "schema": m["schema"] if "schema" in m else json.dumps(df.schema.jsonValue()),
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),

@@ -469,11 +469,10 @@ def test_split_corpus_group_leakage_safe_and_stable(spark):
 def test_incremental_dedup_across_batches(spark, tmp_path):
     """Continuous-ingest dedup: batch 2's repeats of batch 1 (and its own
     internal dups) are dropped without rescanning batch 1's rows; the
-    landed index grows by exactly the new uniques and is partitioned by
-    hash byte for probe pruning."""
-    import os
-
+    landed index is a VERSIONED table (one commit per ingest) whose
+    partition spec clusters by hash byte for membership-pruned probes."""
     from fdf_spark.llm.dedup import incremental_dedup
+    from fdf_spark.sources.versioned import list_versions, partition_spec, read_version
 
     idx = str(tmp_path / "hash_index")
     b1 = spark.createDataFrame(
@@ -481,6 +480,7 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     )
     out1 = incremental_dedup(spark, b1, idx)
     assert sorted(r["doc_id"] for r in out1.collect()) == [1, 2]  # 3 is an in-batch dup
+    assert partition_spec(idx)["cols"] == ["hb"]  # bootstrap set the spec
 
     b2 = spark.createDataFrame(
         [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
@@ -489,15 +489,80 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     out2 = incremental_dedup(spark, b2, idx)
     assert sorted(r["doc_id"] for r in out2.collect()) == [11, 13]  # beta landed in b1
 
-    index = spark.read.parquet(idx)
+    index = read_version(spark, idx)
     assert index.count() == 4  # alpha beta gamma delta
     assert index.select("content_hash").distinct().count() == 4
-    assert any(d.startswith("hb=") for d in os.listdir(idx))
+    assert set(index.columns) == {"content_hash", "doc_id", "hb"}
 
     # replaying an already-landed batch yields nothing and leaves the index alone
     out3 = incremental_dedup(spark, b1, idx)
     assert out3.count() == 0
-    assert spark.read.parquet(idx).count() == 4
+    assert read_version(spark, idx).count() == 4
+    # one data commit per ingest (+ the bootstrap set-spec commit)
+    assert len(list_versions(idx)) == 4
+
+
+def test_incremental_dedup_crash_and_race_safety(spark, tmp_path, monkeypatch):
+    """The index commit is atomic (VERDICT r9 #2): a crash mid-ingest
+    leaves only invisible orphan files — the next probe sees none of
+    them; a lost commit race RE-PROBES against the new head, so two
+    concurrent ingests carrying the same hash land it exactly once."""
+    import fdf_spark.sources.versioned as V
+    from fdf_spark.llm.dedup import DuplicateIngestError, incremental_dedup
+    from fdf_spark.sources.versioned import read_version
+
+    idx = str(tmp_path / "hash_index")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    incremental_dedup(spark, b1, idx, ingest_id="b1")
+
+    # crash simulation: the publish dies AFTER data files are staged
+    real_publish = V._publish_manifest_atomic
+
+    def crashing_publish(staged, dst):
+        raise RuntimeError("simulated crash between stage and publish")
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", crashing_publish)
+    b2 = spark.createDataFrame([(10, "gamma")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        incremental_dedup(spark, b2, idx)
+    monkeypatch.undo()
+    # the crashed ingest's rows are INVISIBLE: gamma is not in the index,
+    # so re-running the ingest lands it (no silent duplicate admission)
+    assert read_version(spark, idx).count() == 2
+    out = incremental_dedup(spark, b2, idx, ingest_id="b2")
+    assert [r["doc_id"] for r in out.collect()] == [10]
+
+    # race: another ingest lands the SAME hash between probe and publish
+    state = {"raced": False}
+
+    def racing_publish(staged, dst):
+        if not state["raced"]:
+            state["raced"] = True
+            incremental_dedup(
+                spark,
+                spark.createDataFrame([(20, "delta")], "doc_id long, text string"),
+                idx,
+            )
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", racing_publish)
+    out = incremental_dedup(
+        spark,
+        spark.createDataFrame([(21, "delta"), (22, "eps")], "doc_id long, text string"),
+        idx,
+    )
+    monkeypatch.undo()
+    # the re-probe saw the racer's delta: only eps survives here
+    assert sorted(r["doc_id"] for r in out.collect()) == [22]
+    landed = read_version(spark, idx)
+    assert landed.count() == 5  # alpha beta gamma delta eps — delta ONCE
+    assert landed.select("content_hash").distinct().count() == 5
+
+    # replay guard
+    with pytest.raises(DuplicateIngestError, match="b2"):
+        incremental_dedup(spark, b2, idx, ingest_id="b2")
 
 
 def test_kmeans_refine_improves_objective(spark):

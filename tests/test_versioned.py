@@ -750,3 +750,137 @@ def test_membership_prune_value_validation(spark, tmp_path):
     assert scalar.count() == listed.count() == 1
     # and the pruned file set is a strict subset of the table
     assert len(scalar.inputFiles()) < 4
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF: reads resolve to the newest version published
+    at-or-before the stamp, monotonic BY VERSION under clock skew (a
+    later version with an earlier wall stamp never shadows its
+    predecessor), and pre-stamp reads fail loudly."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    stamps = iter([100.0, 200.0, 150.0])  # v3's committer clock lags
+
+    class _Clock:
+        @staticmethod
+        def time():
+            return next(stamps)
+
+    monkeypatch.setattr(V, "time", _Clock)
+    commit_version(_df(spark, 0, 10), p)                      # v1 @ 100
+    commit_version(_df(spark, 10, 20), p)                     # v2 @ 200
+    commit_version(_df(spark, 20, 30), p)                     # v3 @ 150 (skewed)
+
+    assert V.resolve_as_of(p, 100.0) == 1
+    # at wall time 170 the head was v1: v2 published at 200, and v3 —
+    # despite its lagging stamp — came after v2 (effective ts clamps up)
+    assert V.resolve_as_of(p, 170.0) == 1
+    assert V.resolve_as_of(p, 1e18) == 3
+    assert read_version(spark, p, as_of_ts=170.0).count() == 10
+    assert read_version(spark, p, as_of_ts=200.0).count() == 30
+
+    with pytest.raises(ValueError, match="at-or-before"):
+        V.resolve_as_of(p, 99.0)
+    with pytest.raises(ValueError, match="not both"):
+        read_version(spark, p, version=1, as_of_ts=100.0)
+
+
+def test_metadata_aggregate_zero_data_reads(spark, tmp_path):
+    """count/min/max answered from the manifest alone: values equal a
+    full scan, and the metadata path still answers after the data files
+    are physically GONE (the strongest possible zero-data-reads proof);
+    non-numeric columns and stat-less files fall back to one real scan
+    (exactness guard, VERDICT r9 #5)."""
+    import shutil
+
+    from fdf_spark.sources.versioned import metadata_aggregate
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, float(i) * 0.5, f"s{i:04d}") for i in range(1000)],
+        "k long, x double, s string",
+    )
+    commit_version(df.repartition(4), p)
+    commit_version(
+        spark.createDataFrame([(5000, 2500.0, "zz")], "k long, x double, s string"), p
+    )
+
+    scan = read_version(spark, p).agg(
+        F.count(F.lit(1)), F.min("k"), F.max("k"), F.min("x"), F.max("x")
+    ).collect()[0]
+    got = metadata_aggregate(spark, p, ["k", "x"])
+    assert got["source"] == "metadata"
+    assert got["count"] == scan[0] == 1001
+    assert got["min"]["k"] == scan[1] and got["max"]["k"] == scan[2] == 5000
+    assert got["min"]["x"] == scan[3] and got["max"]["x"] == scan[4] == 2500.0
+    # older snapshot resolves through its own manifest
+    assert metadata_aggregate(spark, p, ["k"], version=1)["max"]["k"] == 999
+
+    # string column: parquet stats may be truncated — exactness needs a scan
+    s = metadata_aggregate(spark, p, ["s"])
+    assert s["source"] == "scan" and s["max"]["s"] == "zz" and s["count"] == 1001
+
+    # the proof: data files gone, metadata still answers (a scan cannot)
+    shutil.move(os.path.join(p, "data"), str(tmp_path / "hidden"))
+    got2 = metadata_aggregate(spark, p, ["k", "x"])
+    assert got2 == got
+    with pytest.raises(Exception):
+        read_version(spark, p).count()
+
+
+def test_append_race_rebases_manifest_only(spark, tmp_path, monkeypatch):
+    """Non-conflicting-append fast path (VERDICT r9 #4): two racing
+    appends — the loser re-bases its ALREADY-STAGED data files onto the
+    new head manifest-only (each racer's data written exactly once,
+    proven by the stage-dir version prefix), both land.  A head whose
+    concurrent commits re-mapped a column the append also writes is a
+    REAL conflict and re-raises."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 5), p)  # v1
+
+    real_publish = V._publish_manifest_atomic
+    state = {"raced": False}
+
+    def racing_publish(staged, dst):
+        if not state["raced"]:
+            state["raced"] = True
+            commit_version(_df(spark, 100, 110), p)  # winner takes v2
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", racing_publish)
+    v = commit_version(_df(spark, 5, 10), p, on_conflict="rebase")
+    monkeypatch.undo()
+    assert v == 3
+    assert sorted(r["k"] for r in read_version(spark, p).collect()) == (
+        list(range(10)) + list(range(100, 110))
+    )
+    # the loser's files were staged while targeting v2 and were NOT
+    # rewritten on rebase: they still live in a c00000002-* stage dir
+    m2, m3 = V._read_manifest(p, 2), V._read_manifest(p, 3)
+    rebased = set(m3["files"]) - set(m2["files"])
+    assert rebased and all("/c00000002-" in f for f in rebased)
+
+    # default on_conflict="error" still raises (serializability callers)
+    state["raced"] = False
+    monkeypatch.setattr(V, "_publish_manifest_atomic", racing_publish)
+    with pytest.raises(V.ConcurrentCommitError):
+        commit_version(_df(spark, 10, 15), p)
+    monkeypatch.undo()
+
+    # re-mapped column during the race → real conflict, re-raises
+    from fdf_spark.sources.versioned import rename_column
+
+    state2 = {"raced": False}
+
+    def renaming_publish(staged, dst):
+        if not state2["raced"]:
+            state2["raced"] = True
+            rename_column(p, "v", "v2")
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", renaming_publish)
+    with pytest.raises(V.ConcurrentCommitError, match="re-run the write"):
+        commit_version(_df(spark, 20, 25), p, on_conflict="rebase")
