@@ -151,6 +151,219 @@ def _load_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
     )
 
 
+# --- deletion vectors (merge-on-read row-level deletes) ---------------------
+#
+# A delete/update commit writes a TOMBSTONE relation — (file, pos) rows
+# naming the deleted positions, ``pos`` = the parquet row index Spark
+# exposes as ``_metadata.row_index`` — instead of rewriting data files
+# (Delta's deletion vectors / Iceberg's position deletes).  The manifest
+# maps each affected data file to the tombstone files that carry rows
+# for it ("delete_files"); readers apply the mask as an anti-join on
+# (file, pos) — files WITHOUT deletes stream through the plain scan
+# path untouched, so a table with a few deleted rows pays the mask only
+# where it applies.  OPTIMIZE folds tombstones into rewritten files;
+# copy-on-write (``merge_versioned``) and merge-on-read
+# (:func:`merge_on_read`) produce IDENTICAL read results and identical
+# change-feed deltas — the choice is purely a write-amplification
+# trade: CoW rewrites O(touched file bytes) per commit and reads stay
+# mask-free; MoR writes O(changed rows) per commit and reads carry the
+# anti-join until the next OPTIMIZE.  Reference motivation: the
+# logbook's ``voided IS null`` soft-delete (factory.py:537,583) — the
+# reference never hard-deletes either; a tombstone is ``voided`` made
+# engine-native.
+
+_DELETE_SCHEMA = "file string, pos long"
+
+
+def _norm_file_path(col):
+    """``_metadata.file_path`` URIs (``file:/x`` or ``file:///x``) →
+    the plain absolute paths manifests record."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col, r"^[a-z]+:/+", "/")
+
+
+def _delete_map(m: dict) -> dict:
+    return m.get("delete_files", {})
+
+
+def _load_physical_with_pos(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
+    """Files under their PHYSICAL schema plus ``(__file, __pos)`` — the
+    row-position identity a deletion vector addresses."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField
+
+    schema = _logical_schema(m)
+    reader = spark.read
+    if schema is not None:
+        mapping = _mapping(m)
+        reader = reader.schema(
+            StructType(
+                [StructField(mapping.get(f.name, f.name), f.dataType, f.nullable) for f in schema.fields]
+            )
+        )
+    return reader.parquet(*files).select(
+        "*",
+        _norm_file_path(F.col("_metadata.file_path")).alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+
+
+def _read_tombstones(spark: SparkSession, tomb_files) -> DataFrame:
+    """The (file, pos) tombstone relation, broadcast when small — the
+    sizes are known locally (no job), and a delete mask is usually
+    orders smaller than the data it masks."""
+    from pyspark.sql import functions as F
+
+    tombs = sorted(tomb_files)
+    td = spark.read.schema(_DELETE_SCHEMA).parquet(*tombs)
+    if sum(os.path.getsize(t) for t in tombs) < (32 << 20):
+        td = F.broadcast(td)
+    return td
+
+
+def _anti_join_positions(df: DataFrame, td: DataFrame) -> DataFrame:
+    return df.join(
+        td, (df["__file"] == td["file"]) & (df["__pos"] == td["pos"]), "left_anti"
+    )
+
+
+def _to_logical(df: DataFrame, m: dict, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Physical columns → the logical names readers see (+ passthroughs)."""
+    from pyspark.sql import functions as F
+
+    schema = _logical_schema(m)
+    if schema is None:
+        return df
+    mapping = _mapping(m)
+    return df.select(
+        *[F.col(mapping.get(f.name, f.name)).alias(f.name) for f in schema.fields],
+        *[F.col(c) for c in extra],
+    )
+
+
+def _effective_rows(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
+    """The snapshot's LIVE rows over ``files``: clean files stream
+    through the plain scan path (zero masking overhead — same plan as a
+    DV-free table), files with deletion vectors anti-join their
+    tombstone positions."""
+    dv = _delete_map(m)
+    dirty = [f for f in files if dv.get(f)]
+    clean = [f for f in files if not dv.get(f)]
+    parts = []
+    if clean:
+        parts.append(_load_files(spark, m, clean))
+    if dirty:
+        td = _read_tombstones(spark, {t for f in dirty for t in dv[f]})
+        masked = _anti_join_positions(_load_physical_with_pos(spark, m, dirty), td)
+        parts.append(_to_logical(masked.drop("__file", "__pos"), m))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _effective_with_pos(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
+    """Live rows with their ``(__file, __pos)`` identity — what a new
+    delete/update commit tombstones."""
+    df = _load_physical_with_pos(spark, m, files)
+    dv = _delete_map(m)
+    tombs = {t for f in files for t in dv.get(f, [])}
+    if tombs:
+        df = _anti_join_positions(df, _read_tombstones(spark, tombs))
+    return _to_logical(df, m, extra=("__file", "__pos"))
+
+
+def _write_tombstones(
+    spark: SparkSession, path: str, version: int, matches: DataFrame
+) -> tuple[list[str], dict[str, list[str]], int]:
+    """Stage a tombstone relation; returns (tombstone files, affected
+    data file → tombstones containing rows for it, deleted row count).
+    Returns ``([], {}, 0)`` — stage removed — when nothing matched.
+    Cost: O(deleted rows) written; the per-file attribution reads back
+    only the tombstones' ``file`` column (tombstone-sized)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    stage = os.path.join(path, "deletes", f"d{version:08d}-{uuid.uuid4().hex[:8]}")
+    matches.write.parquet(stage)
+    tomb_files = [
+        os.path.join(stage, f) for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+    ]
+    tomb_files = [t for t in tomb_files if _file_row_count(t) > 0]
+    if not tomb_files:
+        shutil.rmtree(stage, ignore_errors=True)
+        return [], {}, 0
+    n = sum(_file_row_count(t) for t in tomb_files)
+    affected: dict[str, list[str]] = {}
+    for t in tomb_files:
+        for fval in pq.read_table(t, columns=["file"]).column("file").unique().to_pylist():
+            affected.setdefault(fval, []).append(t)
+    return tomb_files, affected, n
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> int:
+    """Row-level DELETE as a MERGE-ON-READ commit: writes a tombstone
+    relation naming the deleted (file, position) pairs — zero data
+    files rewritten (VERDICT r9 #1).  Returns the new version (the
+    parent version, unchanged, when nothing matched).
+
+    ``condition`` is a Column or SQL string over the table's LOGICAL
+    columns, evaluated against the current snapshot's LIVE rows (rows
+    already masked by earlier deletes can never be tombstoned twice).
+    The scan benefits from predicate pushdown; the WRITE is
+    O(matching rows) — a 1-row delete on a wide table costs one tiny
+    tombstone file, not a data-file rewrite (measured in
+    tools/stress.py).  Readers of this and later versions apply the
+    mask (:func:`_effective_rows`); pinned readers of older versions
+    are untouched; :func:`optimize` folds tombstones away; the change
+    feed emits the deleted rows exactly as a copy-on-write delete
+    would.  Same optimistic-commit seam as every writer.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if not isinstance(cond, Column):
+        raise TypeError("condition must be a Column or SQL string")
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    version = parent + 1
+    matches = (
+        _effective_with_pos(spark, m, m["files"])
+        .filter(cond)
+        .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
+    )
+    tomb_files, affected, n = _write_tombstones(spark, path, version, matches)
+    if n == 0:
+        return parent
+    dv = {k: list(v) for k, v in _delete_map(m).items()}
+    for f, ts in affected.items():
+        dv[f] = dv.get(f, []) + ts
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "delete",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
+        "delete_files": dv,
+        "schema": m["schema"] if "schema" in m else None,
+        "column_mapping": _mapping(m),
+        "retired_physical": m.get("retired_physical", []),
+        **_spec_carry(m),
+        "meta": {"delete": {"rows": n, "files_affected": len(affected)}},
+    }
+    if manifest["schema"] is None:
+        del manifest["schema"]
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
+
+
 def _file_row_count(file_path: str) -> int:
     """Exact row count from the parquet footer (no data pages read)."""
     import pyarrow.parquet as pq
@@ -276,6 +489,7 @@ def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
         "files": m["files"],
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
+        "delete_files": m.get("delete_files", {}),
         "schema": m["schema"] if "schema" in m else None,
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
@@ -429,11 +643,13 @@ def commit_version(
         # staged files keep the spec they were CLUSTERED under at write
         # time (spec ids are append-only, so it exists in every head)
         specs2 = {f: written_spec for f in new_files}
+        dv2: dict = {}
         if pm2 is not None:
             files2 = pm2["files"] + new_files
             stats2 = {**pm2.get("stats", {}), **stats2}
             rows2 = {**pm2.get("file_rows", {}), **rows2}
             specs2 = {**carry2["file_specs"], **specs2}
+            dv2 = dict(pm2.get("delete_files", {}))
         return {
             "version": version2,
             "parent": head2["version"] if head2 else None,
@@ -441,6 +657,7 @@ def commit_version(
             "files": files2,
             "stats": stats2,
             "file_rows": rows2,
+            "delete_files": dv2,
             "schema": json.dumps(schema2.jsonValue()),
             "column_mapping": mapping2,
             "retired_physical": retired2,
@@ -590,7 +807,7 @@ def metadata_aggregate(
             "source": "scan",
         }
 
-    if m.get("delete_files"):
+    if any(_delete_map(m).values()):
         return _scan()
     rows_map = m.get("file_rows", {})
     per_file_rows = {f: (rows_map[f] if f in rows_map else _file_row_count(f)) for f in files}
@@ -703,7 +920,9 @@ def read_version(
             return spark.createDataFrame([], _logical_schema(m))
     if not files:
         raise FileNotFoundError(f"version {v} is empty")
-    return _load_files(spark, m, files)
+    # merge-on-read: files with deletion vectors anti-join their
+    # tombstones; a DV-free snapshot takes the identical plan as before
+    return _effective_rows(spark, m, files)
 
 
 def diff_versions(
@@ -734,19 +953,57 @@ def diff_versions(
     m_to = _read_manifest(path, v_to)
     f_from, f_to = set(m_from["files"]), set(m_to["files"])
     added, removed = sorted(f_to - f_from), sorted(f_from - f_to)
+    dv_from, dv_to = _delete_map(m_from), _delete_map(m_to)
+    # shared files whose deletion-vector list GREW between the snapshots
+    # (tombstones only accumulate on a live file; shrinking happens via
+    # OPTIMIZE/overwrite, which replace the file — the added/removed
+    # paths): their delta is exactly the rows at the newly-masked
+    # positions, read back at O(new tombstones + affected files)
+    newly_masked: dict[str, set[str]] = {}
+    for f in sorted(f_from & f_to):
+        extra = set(dv_to.get(f, [])) - set(dv_from.get(f, []))
+        if extra:
+            newly_masked[f] = extra
 
-    def _load(files: list[str]) -> DataFrame | None:
+    def _eff(files: list[str], dv: dict) -> DataFrame | None:
         if not files:
             return None
         # both sides through the v_to manifest: its schema AND mapping
         # (a renamed column diffs under its new name; dropped columns
-        # are invisible on both sides)
-        return _load_files(spark, m_to, files)
+        # are invisible on both sides) — but each side's OWN deletion
+        # vectors (a removed file's masked rows were never live at
+        # v_from and must not surface as deletes)
+        return _effective_rows(spark, {**m_to, "delete_files": dv}, files)
 
-    new_rows, old_rows = _load(added), _load(removed)
+    new_rows, old_rows = _eff(added, dv_to), _eff(removed, dv_from)
+    from pyspark.sql import functions as F
+
+    if newly_masked:
+        parts_t = []
+        for t in sorted({t for ts in newly_masked.values() for t in ts}):
+            valid = [f for f, ts in newly_masked.items() if t in ts]
+            parts_t.append(
+                spark.read.schema(_DELETE_SCHEMA).parquet(t)
+                .filter(F.col("file").isin(valid))
+            )
+        tomb = parts_t[0]
+        for p in parts_t[1:]:
+            tomb = tomb.unionByName(p)
+        all_t = {t for ts in newly_masked.values() for t in ts}
+        if sum(os.path.getsize(t) for t in all_t) < (32 << 20):
+            tomb = F.broadcast(tomb)
+        rows = _load_physical_with_pos(spark, m_to, sorted(newly_masked))
+        dv_deleted = _to_logical(
+            rows.join(
+                tomb,
+                (rows["__file"] == tomb["file"]) & (rows["__pos"] == tomb["pos"]),
+                "left_semi",
+            ).drop("__file", "__pos"),
+            m_to,
+        )
+        old_rows = dv_deleted if old_rows is None else old_rows.unionByName(dv_deleted)
     if new_rows is None and old_rows is None:
         raise ValueError(f"versions {v_from} and {v_to} share all files — empty diff")
-    from pyspark.sql import functions as F
 
     parts = []
     if new_rows is not None:
@@ -810,6 +1067,7 @@ def rename_column(path: str, old: str, new: str) -> int:
         "files": m["files"],
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
+        "delete_files": m.get("delete_files", {}),
         "schema": json.dumps(StructType(fields).jsonValue()),
         "column_mapping": mapping,
         "retired_physical": m.get("retired_physical", []),
@@ -864,6 +1122,7 @@ def drop_column(path: str, col: str) -> int:
         "files": m["files"],
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
+        "delete_files": m.get("delete_files", {}),
         "schema": json.dumps(
             StructType([f for f in schema.fields if f.name != col]).jsonValue()
         ),
@@ -934,6 +1193,7 @@ def widen_column(path: str, col: str, new_type: str) -> int:
         "files": m["files"],
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
+        "delete_files": m.get("delete_files", {}),
         "schema": json.dumps(StructType(fields).jsonValue()),
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
@@ -963,26 +1223,36 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
     dead, live = versions[:-keep], versions[-keep:]
     if not live:
         raise ValueError("keep must retain at least one version")
-    referenced = {f for v in live for f in _read_manifest(path, v)["files"]}
+
+    def _all_files(m: dict):
+        # a manifest references its data files AND its tombstone files —
+        # deleting a live snapshot's deletion vector would RESURRECT rows
+        yield from m["files"]
+        for ts in _delete_map(m).values():
+            yield from ts
+    referenced = {f for v in live for f in _all_files(_read_manifest(path, v))}
     removed = []
     for v in dead:
-        for f in _read_manifest(path, v)["files"]:
+        for f in _all_files(_read_manifest(path, v)):
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
         os.remove(_manifest_path(path, v))
-    # orphaned stages: c<version>-<uuid> dirs strictly below head whose
-    # files no surviving manifest names, idle past the grace period
+    # orphaned stages: c<version>-<uuid> data dirs / d<version>-<uuid>
+    # tombstone dirs strictly below head whose files no surviving
+    # manifest names, idle past the grace period
     import shutil
     import time
 
     head = live[-1]
-    data_dir = os.path.join(path, "data")
     referenced_dirs = {os.path.dirname(f) for f in referenced}
-    if os.path.isdir(data_dir):
-        for d in sorted(os.listdir(data_dir)):
-            full = os.path.join(data_dir, d)
-            if not (d.startswith("c") and os.path.isdir(full)):
+    for sub, prefix in (("data", "c"), ("deletes", "d")):
+        stage_root = os.path.join(path, sub)
+        if not os.path.isdir(stage_root):
+            continue
+        for d in sorted(os.listdir(stage_root)):
+            full = os.path.join(stage_root, d)
+            if not (d.startswith(prefix) and os.path.isdir(full)):
                 continue
             try:
                 stage_v = int(d[1:9])
@@ -1051,12 +1321,17 @@ def optimize(
     m = _read_manifest(path, parent)
     files = m["files"]
     sizes = {f: os.path.getsize(f) for f in files}
+    dvmap = _delete_map(m)
     if zorder:
         rewrite = list(files)
     else:
         cutoff = small_bytes if small_bytes is not None else target_bytes // 2
-        rewrite = [f for f in files if sizes[f] < cutoff]
-        if len(rewrite) < 2:  # nothing to pack — no new version
+        # files carrying deletion vectors are rewrite candidates at ANY
+        # size: OPTIMIZE is where tombstones FOLD into data (the
+        # merge-on-read debt is repaid here, Delta's PURGE semantics)
+        rewrite = [f for f in files if sizes[f] < cutoff or dvmap.get(f)]
+        if len(rewrite) < 2 and not any(dvmap.get(f) for f in rewrite):
+            # nothing to pack and no tombstones to fold — no new version
             return {
                 "version": parent, "rewritten": 0,
                 "files_before": len(files), "files_after": len(files),
@@ -1077,7 +1352,15 @@ def optimize(
                 [StructField(mp.get(f.name, f.name), f.dataType, f.nullable) for f in schema.fields]
             )
         )
-    df = reader.parquet(*rewrite)
+    dirty = [f for f in rewrite if dvmap.get(f)]
+    if dirty:
+        # fold: the rewrite reads the EFFECTIVE rows (tombstoned
+        # positions masked), so the new files carry no delete debt
+        raw = _load_physical_with_pos(spark, m, rewrite)
+        td = _read_tombstones(spark, {t for f in dirty for t in dvmap[f]})
+        df = _anti_join_positions(raw, td).drop("__file", "__pos")
+    else:
+        df = reader.parquet(*rewrite)
     zorder_logical = list(zorder) if zorder else []
     if zorder:
         zorder = [_physical(m, c) for c in zorder]
@@ -1175,6 +1458,9 @@ def optimize(
         "files": kept + new_files,
         "stats": file_stats,
         "file_rows": file_rows,
+        # rewritten files' tombstones are FOLDED (their masked rows
+        # never reached the new files); kept files keep their masks
+        "delete_files": {f: ts for f, ts in dvmap.items() if f in set(kept) and ts},
         "schema": m["schema"] if "schema" in m else json.dumps(df.schema.jsonValue()),
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
@@ -1222,6 +1508,165 @@ def merge_versioned(
         on_duplicate_keys=on_duplicate_keys, order_col=order_col,
     )
     return commit_version(merged, path, mode="overwrite")
+
+
+def merge_on_read(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys,
+    update_cols=None,
+    delete_flag: str | None = None,
+    on_duplicate_keys: str = "error",
+    order_col: str | None = None,
+) -> int:
+    """CDC merge as a MERGE-ON-READ commit (VERDICT r9 #1): identical
+    result to :func:`merge_versioned` (same ``merge_upsert`` semantics,
+    same change-feed deltas — both pinned by tests), but the write is
+    O(changed rows), not O(touched file bytes):
+
+    - matched keys (updates AND deletes) tombstone their old row's
+      (file, position) — data files untouched;
+    - updated/inserted rows land as ordinary appended files, clustered
+      by the table's partition spec;
+    - ONE manifest publishes both atomically (mode ``merge-mor``).
+
+    The read-side cost is the tombstone anti-join on the affected
+    files until :func:`optimize` folds it.  This is the landing path
+    for a high-frequency CDC stream against large files, where
+    copy-on-write's write amplification (rewrite a 1 GB file to update
+    one row) dominates; batch restatements that touch most rows should
+    keep using ``merge_versioned``.  Change-set contract and
+    ``on_duplicate_keys`` exactly as :func:`merge_upsert`.
+    """
+    from pyspark.sql import functions as F
+
+    from fdf_spark.operators.merge import (
+        _check_unique_live_keys,
+        _reduce_changes_last_wins,
+        _resolve_update_cols,
+    )
+
+    keys = list(keys)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no versions at {path} — bootstrap with commit_version or merge_versioned"
+        )
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    version = parent + 1
+    if on_duplicate_keys == "last_wins":
+        if order_col is None:
+            raise ValueError("on_duplicate_keys='last_wins' requires order_col")
+        changes = _reduce_changes_last_wins(changes, keys, order_col)
+    elif on_duplicate_keys == "error":
+        _check_unique_live_keys(changes, keys, delete_flag)
+    elif on_duplicate_keys != "assume_unique":
+        raise ValueError(f"unknown on_duplicate_keys {on_duplicate_keys!r}")
+
+    base = _effective_with_pos(spark, m, m["files"])
+    base_cols = [c for c in base.columns if c not in ("__file", "__pos")]
+    schema = _logical_schema(m)
+    if schema is None:  # legacy manifest without a recorded schema
+        schema = base.drop("__file", "__pos").schema
+    update_cols = _resolve_update_cols(
+        base.drop("__file", "__pos"), changes, keys, update_cols
+    )
+    chg_payload = keys + [c for c in update_cols if c not in keys]
+    live = changes
+    deletes = None
+    if delete_flag is not None:
+        deletes = changes.filter(F.col(delete_flag)).select(*keys)
+        live = changes.filter(~F.coalesce(F.col(delete_flag), F.lit(False)))
+    live = live.select(*chg_payload)
+
+    # positions to tombstone: every live base row whose key the change
+    # set touches (an update's old image and a delete both die here);
+    # the base is NEVER shuffled — the tiny change side broadcasts
+    touched = changes.select(*keys).distinct()
+    tomb_src = base.join(F.broadcast(touched), keys, "left_semi").select(
+        F.col("__file").alias("file"), F.col("__pos").alias("pos")
+    )
+    # rows to append: updated images of matched keys + pure inserts
+    b = base.alias("b")
+    c = live.alias("c")
+    cond = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in keys]
+    matched = b.join(F.broadcast(c), cond, "inner")
+    updated = matched.select(
+        *[
+            (F.col(f"c.{col}") if col in update_cols else F.col(f"b.{col}")).alias(col)
+            for col in base_cols
+        ]
+    )
+    matched_keys = matched.select(*[F.col(f"b.{k}").alias(k) for k in keys]).distinct()
+    inserts = live.join(F.broadcast(matched_keys), keys, "left_anti")
+    if deletes is not None:
+        # delete wins when a key carries both an update and a delete row
+        updated = updated.join(F.broadcast(deletes), keys, "left_anti")
+        inserts = inserts.join(F.broadcast(deletes), keys, "left_anti")
+    inserts = inserts.select(
+        *[
+            (
+                F.col(col) if col in chg_payload
+                else F.lit(None).cast(schema[col].dataType)
+            ).alias(col)
+            for col in base_cols
+        ]
+    )
+    appended = updated.unionByName(inserts)
+
+    # stage both sides, publish ONE manifest (atomic: a crash leaves
+    # only invisible orphans, exactly like any other commit)
+    tomb_files, affected, n_del = _write_tombstones(spark, path, version, tomb_src)
+    mapping = _mapping(m)
+    out = appended.select(*[F.col(c).alias(mapping.get(c, c)) for c in base_cols])
+    carry = _spec_carry(m)
+    spec = carry["partition_specs"][str(carry["current_spec"])]
+    if spec["cols"]:
+        pcols = [F.col(mapping.get(c, c)) for c in spec["cols"]]
+        if spec.get("buckets"):
+            out = out.repartitionByRange(int(spec["buckets"]), *pcols)
+        else:
+            out = out.repartitionByRange(*pcols)
+        out = out.sortWithinPartitions(*pcols)
+    stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
+    out.write.parquet(stage)
+    new_files = [
+        f
+        for f in sorted(
+            os.path.join(stage, x) for x in os.listdir(stage) if x.endswith(".parquet")
+        )
+        if _file_row_count(f) > 0
+    ]
+    if not new_files and n_del == 0:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return parent  # nothing matched, nothing inserted — no new version
+    dv = {k: list(v) for k, v in _delete_map(m).items()}
+    for f, ts in affected.items():
+        dv[f] = dv.get(f, []) + ts
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "merge-mor",
+        "files": m["files"] + new_files,
+        "stats": {**m.get("stats", {}), **{f: _file_stats(f) for f in new_files}},
+        "file_rows": {**m.get("file_rows", {}), **{f: _file_row_count(f) for f in new_files}},
+        "delete_files": dv,
+        "schema": m["schema"] if "schema" in m else None,
+        "column_mapping": mapping,
+        "retired_physical": m.get("retired_physical", []),
+        "partition_specs": carry["partition_specs"],
+        "current_spec": carry["current_spec"],
+        "file_specs": {**carry["file_specs"], **{f: carry["current_spec"] for f in new_files}},
+        "meta": {"merge_on_read": {"deleted_positions": n_del, "appended_files": len(new_files)}},
+    }
+    if manifest["schema"] is None:
+        del manifest["schema"]
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
 
 
 def stream_version_events(spark: SparkSession, path: str) -> DataFrame:
