@@ -102,7 +102,7 @@ PRIORITY: tuple[str, ...] = (
     "q44_baseline_subtract",        # A1 F2
     "q08_union_dedup_custkeys",     # U1 U2 U3 A3
     "q19_rollup_revenue",           # A8
-    "q127_cm_merge_estimate",       # N20 Count-Min MERGEABILITY tier (r6; displaced q47 — A9 stays covered in-window by q126, which tags A9 alongside N25/N3)
+    "q159_deletion_vector_merge",   # N15+N17 deletion vectors / merge-on-read (r10; displaced q127 — N20 stays covered in-window by q119, N5 by q119/q134). The write-amplification answer for CDC at 100 TB now sits inside the driver hash gate.
     "q16_scalar_functions",         # F1 F3 F6 F7 F8 F10
     "q57_date_functions",           # F5 F13
     "q84_contour_levels",           # F11
@@ -118,7 +118,7 @@ PRIORITY: tuple[str, ...] = (
     "q39_json_roundtrip",           # N8
     "q121_fuzzy_match",             # N22 blocked ER (r5; displaced q34 — N9 covered by q118+q119, N4 by q70/q103)
     # -- breadth fillers, all oracle-checked --
-    "q137_quantile_sketch",          # N5 quantile tier — sketch family complete (r7; displaced q50 — its ST1/ST3/S7 tags are all multiply-covered in-window by q53/q54/q55; q50 stays the streaming headline in bench)
+    "q156_change_data_feed",         # N17+N15+ST1 streaming change-data-feed value oracle (r10, VERDICT r9 #6; displaced q137 — N5 stays covered in-window by q119/q134, A9 by q126; q137 remains sweep-green)
     "q54_stateful_dedup_count",
     "q149_stream_left_outer_join",  # ST4 outer tier + J7 batch-horizon oracle (r8; displaced q25 — its J7 tag stays double-covered by q55+q149, and q149's oracle IS a batch interval join)
     "q98_bm25_topk",               # N10 (J4's second rep q41 demoted below)

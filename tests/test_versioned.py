@@ -1045,3 +1045,29 @@ def test_delete_vectors_compose_with_rename_and_prune(spark, tmp_path):
     fold(rows, 0)
     assert seen and seen[0][0] == 2
     assert all(c == "delete" for _, c in seen[0][1]) and len(seen[0][1]) == 10
+
+
+def test_dv_read_plan_shape(spark, tmp_path):
+    """The merge-on-read plan contract: a DV-free snapshot reads with NO
+    join at all (identical plan to pre-DV tables); with deletes, only
+    the files that HAVE tombstones pay the mask — one broadcast anti-
+    join (tombstones broadcast, never a sort-merge), clean files union
+    in through a plain scan."""
+    from fdf_spark.sources.versioned import _read_manifest, delete_where
+
+    p = str(tmp_path / "t")
+    commit_version(_orders_df(spark, 100).repartitionByRange(2, "k"), p)
+    plan0 = read_version(spark, p)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan0 and "Exchange" not in plan0
+
+    delete_where(spark, p, "k = 75")  # only the upper range file is hit
+    m = _read_manifest(p, 2)
+    assert len(m["delete_files"]) == 1  # one dirty file
+    df = read_version(spark, p)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # clean scan + dirty scan + tombstone scan — the clean file is NOT
+    # routed through the anti-join branch
+    assert plan.count("Scan parquet") == 3
+    assert df.count() == 99
