@@ -1055,6 +1055,128 @@ def main() -> None:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(d, ignore_errors=True)
 
+    # 32) deletion-vector ledger (N15/N17, r10): the write-amplification
+    # trade MEASURED.  A 1-row delete under copy-on-write rewrites the
+    # touched files (here: the whole 20M-row table — merge_versioned is
+    # an overwrite commit); the SAME delete as a deletion-vector commit
+    # writes one tiny tombstone and rewrites nothing.  The read-side
+    # price of the tombstone mask and the one-time OPTIMIZE fold that
+    # repays it are measured alongside — the full MoR lifecycle.
+    import os
+
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        delete_where,
+        merge_versioned,
+        read_version,
+    )
+    from fdf_spark.sources.versioned import optimize as vt_optimize
+
+    d = tempfile.mkdtemp(prefix="stress_dv_")
+    try:
+        n = 20_000_000
+        base = spark.range(0, n, 1, 64).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 13) % 97).cast("double").alias("v"),
+            (F.col("id") % 1000).alias("g"),
+        )
+        p = os.path.join(d, "t")
+        commit_version(base.repartition(8), p)
+        ch = spark.createDataFrame(
+            [(12345, None, None, True)], "k long, v double, g long, deleted boolean"
+        )
+        t0 = time.perf_counter()
+        merge_versioned(spark, p, ch, ["k"], delete_flag="deleted")
+        dt = time.perf_counter() - t0
+        print(
+            f"{'cow 1-row delete (N15)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        delete_where(spark, p, "k = 54321")
+        dt = time.perf_counter() - t0
+        print(
+            f"{'dv 1-row delete (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        delete_where(spark, p, "k % 100 = 7")  # 1%, scattered — every file affected
+        dt = time.perf_counter() - t0
+        print(
+            f"{'dv 1% scattered delete (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        timed(
+            "dv masked read (N17)", n,
+            read_version(spark, p).groupBy("g").agg(F.sum("v")),
+        )
+        t0 = time.perf_counter()
+        vt_optimize(spark, p, target_bytes=512 << 20, small_bytes=1)
+        dt = time.perf_counter() - t0
+        print(
+            f"{'dv optimize fold (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        timed(
+            "dv folded read (N17)", n,
+            read_version(spark, p).groupBy("g").agg(F.sum("v")),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # 33) continuous-ingest near-dup cadence (N2/q158, VERDICT r9 #8):
+    # 100k-doc ingests probing landed fingerprint indexes of 1M and 10M
+    # — per-ingest cost is one scan of the INDEX (16 B fingerprints,
+    # orders below corpus bytes) plus the batch fingerprint + the
+    # asymmetric banded probe, never landed×landed.  Bands are sized to
+    # the corpus (3×20-bit bands per word — ~10 landed rows per bucket
+    # value at 10M; pigeonhole keeps dist<=5 exact), the tuning knob a
+    # production deployment turns as the index grows.  The repeat row
+    # pins the FLAT cadence: the second consecutive ingest against the
+    # just-grown index costs the same.
+    from fdf_spark.llm.dedup import incremental_near_dup
+
+    d = tempfile.mkdtemp(prefix="stress_incr_")
+    try:
+        def synth_fps(lo: int, hi: int):
+            w = lambda salt: F.pmod(  # noqa: E731
+                F.xxhash64((F.col("id") + salt).cast("string")), F.lit(1 << 60)
+            )
+            return spark.range(lo, hi, 1, 64).select(
+                F.col("id").alias("doc_id"), F.array(w(0), w(1_000_000_007)).alias("simhash")
+            )
+
+        def batch_docs(lo: int, hi: int):
+            words = F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda i: F.conv(((F.col("id") * 31 + i * 7) % 5_000_000).cast("string"), 10, 16),
+            )
+            return spark.range(lo, hi, 1, 32).select(
+                F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+            )
+
+        kw = dict(max_dist=5, bands_per_word=3, band_bits=20)
+        p1, p10 = os.path.join(d, "i1"), os.path.join(d, "i10")
+        commit_version(synth_fps(0, 1_000_000), p1)
+        commit_version(synth_fps(0, 10_000_000), p10)
+        b = 100_000
+        for label, path, lo in (
+            ("incr near-dup vs 1M landed (N2)", p1, 100_000_000),
+            ("incr near-dup vs 10M landed (N2)", p10, 100_000_000),
+            ("incr near-dup repeat ingest (N2)", p10, 200_000_000),
+        ):
+            t0 = time.perf_counter()
+            incremental_near_dup(batch_docs(lo, lo + b), path, **kw).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            print(
+                f"{label:28s} {b/1e6:8.1f} Mrows {dt:7.2f} s {b/dt/1e6:8.1f} Mrows/s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     spark.stop()
 
 
