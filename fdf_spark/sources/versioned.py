@@ -506,7 +506,7 @@ def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
 
 def commit_version(
     df: DataFrame, path: str, mode: str = "append", meta: dict | None = None,
-    on_conflict: str = "error",
+    on_conflict: str = "error", expected_parent: int | None = None,
 ) -> int:
     """Write ``df`` as a new table version; returns the version number.
 
@@ -532,6 +532,17 @@ def commit_version(
     real conflict — and a head whose concurrent commits re-mapped a
     column this append also writes re-raises (the staged files' bytes
     would be inconsistent with the table's one physical naming).
+
+    ``expected_parent`` is the SERIALIZABILITY pin for read-modify-write
+    callers: pass the version your read was computed against (0 for "I
+    read an empty table") and the commit targets exactly
+    ``expected_parent + 1`` — if ANY commit landed after your read, the
+    publish (or the up-front head check) raises
+    ``ConcurrentCommitError`` even though the version number itself was
+    free.  Without it, a racer landing between your read and this
+    call's own head read commits cleanly one version later and the
+    conflict your anti-join logic depends on never fires (r10 review
+    finding).  Mutually exclusive with ``on_conflict="rebase"``.
     """
     from pyspark.sql import functions as F
 
@@ -540,7 +551,21 @@ def commit_version(
     if on_conflict not in ("error", "rebase"):
         raise ValueError(f"unknown on_conflict {on_conflict!r}")
     versions = list_versions(path)
-    parent = versions[-1] if versions else None
+    if expected_parent is not None:
+        if on_conflict == "rebase":
+            raise ValueError(
+                "expected_parent pins the read snapshot for serializability; "
+                "rebasing onto a different head would defeat it"
+            )
+        head_now = versions[-1] if versions else 0
+        if head_now != expected_parent:
+            raise ConcurrentCommitError(
+                f"head moved: read at version {expected_parent}, now {head_now} "
+                "— re-read and retry"
+            )
+        parent = expected_parent if expected_parent > 0 else None
+    else:
+        parent = versions[-1] if versions else None
     version = (parent + 1) if parent is not None else 1
     head = _read_manifest(path, parent) if parent is not None else None
     pm = head if mode == "append" else None
@@ -734,15 +759,23 @@ def resolve_as_of(path: str, as_of_ts: float) -> int:
         raise FileNotFoundError(f"no versions at {path}")
     best = None
     eff = float("-inf")
+    oldest = None  # first effective stamp — what "before the table existed" means
     for v in versions:
         ts = _read_manifest(path, v).get("ts")
         if ts is not None:
             eff = max(eff, ts)
+            if oldest is None:
+                oldest = eff
         if eff <= as_of_ts:
             best = v
+    if oldest is None:
+        raise ValueError(
+            f"no commit at {path} carries a timestamp (pre-upgrade table) — "
+            "time travel by version instead"
+        )
     if best is None:
         raise ValueError(
-            f"no version at-or-before ts {as_of_ts} (oldest commit is {eff})"
+            f"no version at-or-before ts {as_of_ts} (oldest stamped commit is {oldest})"
         )
     return best
 
@@ -809,16 +842,21 @@ def metadata_aggregate(
 
     if any(_delete_map(m).values()):
         return _scan()
+    _NUMERIC = {"byte", "short", "integer", "long", "float", "double", "boolean"}
+    # type checks FIRST — before paying any per-file footer reads a
+    # fallback would discard; a legacy manifest without a recorded
+    # schema cannot prove a column numeric, so it scans too (r10 review)
+    if cols and schema is None:
+        return _scan()
+    if any(schema[c].dataType.typeName() not in _NUMERIC for c in cols):
+        return _scan()
     rows_map = m.get("file_rows", {})
     per_file_rows = {f: (rows_map[f] if f in rows_map else _file_row_count(f)) for f in files}
     count = sum(per_file_rows.values())
-    _NUMERIC = {"byte", "short", "integer", "long", "float", "double", "boolean"}
     stats = m.get("stats", {})
     lo: dict = {}
     hi: dict = {}
     for c in cols:
-        if schema is not None and schema[c].dataType.typeName() not in _NUMERIC:
-            return _scan()
         pc = _physical(m, c)
         bounds = []
         for f in files:
