@@ -119,14 +119,21 @@ def incremental_dedup(
     invisible orphan files, never a partial index that silently admits
     future duplicates), and return the surviving rows.
 
-    Concurrency is SERIALIZABLE, not blind-append: a lost commit race
-    means another ingest landed between our probe and our publish, so
-    the loop RE-PROBES against the new head before retrying — two
-    concurrent ingests carrying the same hash can never both land it
-    (the one-live-row-per-key contract).  This is exactly why the
-    commit uses ``on_conflict="error"`` and its own retry loop rather
-    than the manifest-only rebase fast path.  Pass ``ingest_id`` to
-    make at-least-once replays loud (:class:`DuplicateIngestError`).
+    Concurrency is SERIALIZABLE, not blind-append: each iteration
+    captures the head version, probes THAT pinned snapshot, and
+    commits with ``expected_parent=head`` — so a racer landing
+    ANYWHERE between the probe's read and our publish (including
+    during the eager localCheckpoint job) forces
+    :class:`ConcurrentCommitError` and a RE-PROBE against the new
+    head.  Two concurrent ingests carrying the same hash can never
+    both land it (the one-live-row-per-key contract).  Without the
+    pin, a racer landing before ``commit_version``'s own head read
+    would let this commit slide in one version later with no
+    conflict (r10 review finding).  Pass ``ingest_id`` to make
+    at-least-once replays loud (:class:`DuplicateIngestError`) —
+    the id check runs inside the same pinned loop, so a replay
+    racing its original also loses the commit race and re-raises on
+    retry rather than double-landing.
 
     At 100 TB this is the batch-ingest complement to the streaming
     ``running_dedup``: the index is ~48 bytes per unique doc (a 100 B-doc
@@ -163,14 +170,27 @@ def incremental_dedup(
     ).persist()
     meta = {"ingest_id": ingest_id} if ingest_id is not None else None
     while True:
-        if list_versions(index_path):
+        versions = list_versions(index_path)
+        head = versions[-1] if versions else 0
+        if ingest_id is not None and ingest_id in applied_ingest_ids(index_path):
+            # re-checked on every retry: a replay racing its original
+            # loses the expected_parent pin below, lands here, and
+            # raises instead of double-landing (ADVICE r10)
+            batch.unpersist()
+            raise DuplicateIngestError(
+                f"ingest {ingest_id!r} already landed in {index_path}; its "
+                "survivors were returned by the original run (replayed batch)"
+            )
+        if head:
             # the promised pruned probe: the batch's distinct hash bytes
             # (≤256 values, one tiny job over the batch) prune the landed
             # snapshot to the files whose hb range they touch — the
-            # anti-join never reads the rest of the index
+            # anti-join never reads the rest of the index.  The probe is
+            # PINNED to `head`, the same version the commit below pins as
+            # expected_parent — read and write form one serializable unit.
             hbs = [r[0] for r in batch.select(hb_of(F.col("__k")).alias("hb")).distinct().collect()]
             landed = (
-                read_version(spark, index_path, prune=("hb", hbs))
+                read_version(spark, index_path, version=head, prune=("hb", hbs))
                 .filter(F.col("hb").isin(hbs))
                 .select("content_hash")
             )
@@ -195,7 +215,16 @@ def incremental_dedup(
             # by hand so even v1's manifest stats prune tightly on hb
             rows = rows.repartitionByRange(F.col("hb")).sortWithinPartitions("hb")
         try:
-            commit_version(rows, index_path, mode="append", meta=meta)
+            # expected_parent closes the probe-to-commit window END TO
+            # END: a racer landing during the localCheckpoint job above
+            # (long — it materializes the anti-join) moves the head, so
+            # this publish raises even when the next version number is
+            # still free (r10 review finding; the pin was built for
+            # exactly this caller)
+            commit_version(
+                rows, index_path, mode="append", meta=meta,
+                expected_parent=head,
+            )
             break
         except ConcurrentCommitError:
             # another ingest landed between our probe and our publish —
@@ -887,6 +916,7 @@ def incremental_near_dup(
     consumers).
     """
     from fdf_spark.sources.versioned import (
+        ConcurrentCommitError,
         applied_ingest_ids,
         commit_version,
         list_versions,
@@ -901,21 +931,43 @@ def incremental_near_dup(
         )
     fps_batch = simhash128(new_docs, text=text, id_col=id_col, bits_per_word=bits_per_word)
     fps_batch = fps_batch.localCheckpoint()
-    if list_versions(index_path):
-        landed = read_version(spark, index_path).select(id_col, "simhash")
-    else:
-        landed = spark.createDataFrame([], fps_batch.schema)
-    all_fps = landed.withColumn("__isb", F.lit(False)).unionByName(
-        fps_batch.withColumn("__isb", F.lit(True))
-    )
     bands_expr, dist = _wide_bands_and_dist(
         "simhash", max_dist, 2, bands_per_word, band_bits
     )
-    pairs = _collapsed_hamming_pairs_probe(
-        all_fps, "simhash", id_col, "__isb", bands_expr, dist, max_dist
-    )
-    commit_version(
-        fps_batch, index_path, mode="append",
-        meta={"ingest_id": ingest_id} if ingest_id is not None else None,
-    )
-    return pairs
+    meta = {"ingest_id": ingest_id} if ingest_id is not None else None
+    while True:
+        # probe and publish pin the SAME head: a racer landing anywhere
+        # between this read and the commit below (including while the
+        # caller's driver is busy planning) trips expected_parent and we
+        # RE-PROBE against the new head — the pairs we return are always
+        # computed against the exact parent snapshot our fingerprints
+        # landed on, so no landed×batch pair is ever missed or doubled
+        # (r10 review finding — the same pin as incremental_dedup's).
+        versions = list_versions(index_path)
+        head = versions[-1] if versions else 0
+        if ingest_id is not None and ingest_id in applied_ingest_ids(index_path):
+            # re-checked per retry: a replay racing its original loses
+            # the pinned commit, lands here, and raises instead of
+            # double-landing the fingerprints (ADVICE r10)
+            raise DuplicateIngestError(
+                f"ingest {ingest_id!r} already landed in {index_path}; its pairs "
+                "were reported by the original run (replayed at-least-once batch)"
+            )
+        if head:
+            landed = read_version(spark, index_path, version=head).select(id_col, "simhash")
+        else:
+            landed = spark.createDataFrame([], fps_batch.schema)
+        all_fps = landed.withColumn("__isb", F.lit(False)).unionByName(
+            fps_batch.withColumn("__isb", F.lit(True))
+        )
+        pairs = _collapsed_hamming_pairs_probe(
+            all_fps, "simhash", id_col, "__isb", bands_expr, dist, max_dist
+        )
+        try:
+            commit_version(
+                fps_batch, index_path, mode="append", meta=meta,
+                expected_parent=head,
+            )
+            return pairs
+        except ConcurrentCommitError:
+            continue

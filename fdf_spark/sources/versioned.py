@@ -88,9 +88,13 @@ def applied_ingest_ids(path: str) -> set:
 
     The replay-detection primitive for at-least-once ingest loops
     (ADVICE r9): a caller that stamps each batch commit with an ingest
-    id can detect a retried batch BEFORE re-landing it — the id rides
-    in the manifest, so the check is atomic with the commit it guards.
-    O(commits) metadata reads, zero data files.
+    id can detect a retried batch BEFORE re-landing it.  The check
+    alone is check-then-act, NOT atomic — two concurrent replays of
+    the same id can both pass it.  Atomicity comes from pairing it
+    with ``commit_version(expected_parent=head)`` inside a retry loop
+    (see ``llm.dedup.incremental_dedup``): the loser of the pinned
+    commit re-runs this check against the winner's manifest and
+    raises.  O(commits) metadata reads, zero data files.
     """
     ids = set()
     for v in list_versions(path):

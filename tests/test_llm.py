@@ -565,6 +565,129 @@ def test_incremental_dedup_crash_and_race_safety(spark, tmp_path, monkeypatch):
         incremental_dedup(spark, b2, idx, ingest_id="b2")
 
 
+def test_incremental_dedup_probe_to_commit_race(spark, tmp_path, monkeypatch):
+    """expected_parent pin (VERDICT r10 #1): a racer landing BETWEEN the
+    probe's localCheckpoint and the commit call — i.e. BEFORE
+    commit_version's own head read, outside _publish_manifest_atomic —
+    must trip ConcurrentCommitError and force a re-probe.  Without the
+    pin the victim's commit slides in at the racer's head+1 with no
+    conflict and the shared hash lands twice."""
+    import fdf_spark.sources.versioned as V
+    from fdf_spark.llm.dedup import incremental_dedup
+    from fdf_spark.sources.versioned import list_versions, read_version
+
+    idx = str(tmp_path / "hash_index")
+    incremental_dedup(
+        spark,
+        spark.createDataFrame([(1, "alpha")], "doc_id long, text string"),
+        idx,
+    )
+
+    real_commit = V.commit_version
+    state = {"raced": False, "conflicts": 0}
+
+    def racing_commit(df, path, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # the racer lands the SAME hash through the REAL path while
+            # the victim sits between its probe and its publish
+            monkeypatch.setattr(V, "commit_version", real_commit)
+            try:
+                incremental_dedup(
+                    spark,
+                    spark.createDataFrame(
+                        [(20, "delta")], "doc_id long, text string"
+                    ),
+                    idx,
+                )
+            finally:
+                monkeypatch.setattr(V, "commit_version", racing_commit)
+        try:
+            return real_commit(df, path, **kw)
+        except V.ConcurrentCommitError:
+            state["conflicts"] += 1
+            raise
+
+    monkeypatch.setattr(V, "commit_version", racing_commit)
+    out = incremental_dedup(
+        spark,
+        spark.createDataFrame(
+            [(21, "delta"), (22, "eps")], "doc_id long, text string"
+        ),
+        idx,
+    )
+    monkeypatch.undo()
+    # the pin actually fired (this is the window the old code missed)
+    assert state["conflicts"] >= 1
+    # re-probe saw the racer's delta: only eps survives the victim ingest
+    assert sorted(r["doc_id"] for r in out.collect()) == [22]
+    landed = read_version(spark, idx)
+    assert landed.count() == 3  # alpha delta eps — delta exactly ONCE
+    assert landed.select("content_hash").distinct().count() == 3
+    # v1 bootstrap data, v2 the bootstrap's hb spec commit, v3 racer,
+    # v4 victim retry — the victim's FIRST (conflicted) attempt left no
+    # version behind
+    assert list_versions(idx) == [1, 2, 3, 4]
+
+
+def test_incremental_near_dup_probe_to_commit_race(spark, tmp_path, monkeypatch):
+    """The near-dup sibling of the probe-to-commit race: a racer landing
+    fingerprints between the victim's probe and its commit forces a
+    re-probe, so the returned pairs reflect the NEW head (the
+    batch×racer pair is reported) and the batch's fingerprints land
+    exactly once."""
+    import fdf_spark.sources.versioned as V
+    from fdf_spark.llm.dedup import incremental_near_dup
+    from fdf_spark.sources.versioned import list_versions, read_version
+
+    idx = str(tmp_path / "fpidx")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    kw = dict(id_col="vid", max_dist=10, bands_per_word=6, band_bits=10)
+    incremental_near_dup(
+        spark.createDataFrame([(1, base)], "vid long, text string"),
+        idx, **kw,
+    )
+
+    real_commit = V.commit_version
+    state = {"raced": False, "conflicts": 0}
+
+    def racing_commit(df, path, **kw2):
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(V, "commit_version", real_commit)
+            try:
+                # racer lands a near-dup of the victim's doc
+                incremental_near_dup(
+                    spark.createDataFrame(
+                        [(20, base + " zz")], "vid long, text string"
+                    ),
+                    idx, **kw,
+                )
+            finally:
+                monkeypatch.setattr(V, "commit_version", racing_commit)
+        try:
+            return real_commit(df, path, **kw2)
+        except V.ConcurrentCommitError:
+            state["conflicts"] += 1
+            raise
+
+    monkeypatch.setattr(V, "commit_version", racing_commit)
+    pairs = incremental_near_dup(
+        spark.createDataFrame([(30, base + " yy")], "vid long, text string"),
+        idx, **kw,
+    )
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    monkeypatch.undo()
+    assert state["conflicts"] >= 1  # the pin fired in the missed window
+    # pairs were recomputed against the racer's head: both the original
+    # doc AND the racer's near-dup pair with the victim's batch doc
+    assert (1, 30) in got and (20, 30) in got
+    # fingerprints landed exactly once each, one version per ingest+retry
+    landed = read_version(spark, idx)
+    assert sorted(r["vid"] for r in landed.collect()) == [1, 20, 30]
+    assert list_versions(idx) == [1, 2, 3]
+
+
 def test_kmeans_refine_improves_objective(spark):
     # spherical k-means: centroid=mean maximizes the within-cell cosine
     # sum, so 2 Lloyd rounds must not worsen the mean cosine-to-centroid
