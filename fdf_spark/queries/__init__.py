@@ -128,13 +128,13 @@ PRIORITY: tuple[str, ...] = (
     "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
     "q125_pipeline_export",        # N1+N12+N7+N24 full pipeline incl. shard export (r5; supersedes q106 as the in-window acceptance test)
     "q122_incremental_view",       # N23 incremental view maintenance (r5; displaced q107 — N6 covered by q68)
-    "q116_time_travel",             # N17 (q88 A2/P7 both covered by q01)
+    "q161_timestamp_time_travel",   # N17 TIMESTAMP AS OF resolution (r11; displaced q116 — version time travel stays in-window via q155/q156/q159's pinned-version reads, S10/U2 via q148/q159/q08; q116 remains sweep-green). The as_of clock-skew clamping rule enters the driver hash gate (VERDICT r10 #8).
     "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
     "q134_bloom_membership",       # N5 bloom tier + J6 (r8; displaced q64 — N2 stays double-covered in-window by q61/q108, and q64 remains sweep-green)
     "q124_training_shards",         # N24 shard export (r5; displaced q75 — N3 covered by q65+q108, LSH-ANN stays pytest-oracle)
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
-    "q110_upsert_merge",            # N15 (q91 P2/P3 was an exact dup of q43's cover)
+    "q162_equality_delete",         # N15+N17+J6 equality-delete tier (r11, VERDICT r10 #6; displaced q110 — N15 stays in-window via q159+q162 itself, J2 via q03/q04/q148, U2/S10 via q08/q148/q159; q110 remains sweep-green). The zero-scan delete-by-key path and its scope rule enter the driver hash gate.
     "q115_pagerank",                # N16 (q92 J3/F1/F2/P3 all covered by q03/q16/q44/q42)
 )
 

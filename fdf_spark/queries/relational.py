@@ -1754,6 +1754,22 @@ def q161_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_version(orders.filter(k % 4 == 0), path)
     commit_version(orders.filter(k % 4 == 1), path, mode="append")
     ts1, ts2 = _read_manifest(path, 1)["ts"], _read_manifest(path, 2)["ts"]
+    if not ts2 > ts1:
+        # coarse-clock tick: both commits stamped identically, so no
+        # instant lies strictly between them — (ts1+ts2)/2 would
+        # resolve stage 1 to v2 and flake the oracle hash (ADVICE
+        # r10).  Restamp v2 1 ms later: resolution order is unchanged
+        # (monotonic by version) and a strict, float-representable
+        # midpoint exists again.
+        import json as _json
+
+        from fdf_spark.sources.versioned import _manifest_path
+
+        ts2 = ts1 + 1e-3
+        mp = _manifest_path(path, 2)
+        m2 = _json.load(open(mp))
+        m2["ts"] = ts2
+        _json.dump(m2, open(mp, "w"))
     mid = (ts1 + ts2) / 2.0  # strictly between the two publishes
 
     def audit(as_of: float, stage: int) -> DataFrame:
@@ -1765,6 +1781,86 @@ def q161_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = audit(mid, 1).unionByName(audit(ts2, 2)).orderBy("stage")
     return _materialize_and_cleanup(out, path)
+
+
+@query(
+    "q162_equality_delete",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0),
+    final AS (
+      SELECT * FROM base WHERE o_custkey % 50 <> 7
+      UNION ALL
+      SELECT * FROM base WHERE o_custkey % 50 = 7 AND o_orderkey % 5 = 0),
+    agg AS (
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      FROM final WHERE o_totalprice <= 150000
+      GROUP BY o_orderpriority)
+    SELECT 'eq' AS path, o_orderpriority, n_orders, total_price FROM agg
+    UNION ALL
+    SELECT 'pos' AS path, o_orderpriority, n_orders, total_price FROM agg
+    ORDER BY path, o_orderpriority
+    """,
+    operators=("N15", "N17", "J6"),
+    doc="Equality deletes (VERDICT r10 #6; Iceberg's equality-delete "
+    "tier): delete-by-KEY writes the key relation itself — ZERO base "
+    "scan, O(keys) bytes — and readers apply it as a broadcast "
+    "anti-join scoped to the files present at delete time. Two twin "
+    "tables run the SAME logical sequence — key delete (delete_keys "
+    "vs delete_where on the same predicate), an append that "
+    "re-introduces some deleted keys (the Iceberg sequence rule: "
+    "later appends are NOT masked), then a positional delete "
+    "composing on top — and both paths' audits must agree with the "
+    "relational oracle AND each other (same hash rows, different "
+    "path tag). Scale: the eq write never reads the table, so a CDC "
+    "delete stream lands at key-arrival rate; the read-side "
+    "anti-join broadcasts keys and attaches only to stat-overlapping "
+    "files; OPTIMIZE folds the mask (pinned in tests).",
+)
+def q162_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        delete_keys,
+        delete_where,
+        read_version,
+    )
+
+    orders = (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .filter(F.col("o_orderkey") % 3 == 0)
+    )
+    keys = orders.filter(F.col("o_custkey") % 50 == 7).select("o_custkey").distinct()
+    reapp = orders.filter(
+        (F.col("o_custkey") % 50 == 7) & (F.col("o_orderkey") % 5 == 0)
+    )
+    root = tempfile.mkdtemp(prefix="fdf_eqdel_")
+    outs = []
+    for tag in ("eq", "pos"):
+        p = _os.path.join(root, tag)
+        commit_version(orders.repartitionByRange(4, "o_custkey"), p)
+        if tag == "eq":
+            delete_keys(spark, p, keys, ["o_custkey"])
+        else:
+            delete_where(spark, p, "o_custkey % 50 = 7")
+        commit_version(reapp, p, mode="append")
+        delete_where(spark, p, "o_totalprice > 150000")
+        outs.append(
+            read_version(spark, p)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+            .select(F.lit(tag).alias("path"), "o_orderpriority", "n_orders", "total_price")
+        )
+    out = outs[0].unionByName(outs[1]).orderBy("path", "o_orderpriority")
+    return _materialize_and_cleanup(out, root)
 
 
 @query(

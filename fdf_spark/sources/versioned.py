@@ -232,6 +232,82 @@ def _anti_join_positions(df: DataFrame, td: DataFrame) -> DataFrame:
     )
 
 
+# --- equality deletes (delete-by-key, ZERO data scan at write) --------------
+#
+# The second tombstone tier (VERDICT r10 #6; Iceberg's equality deletes):
+# ``delete_keys`` writes the KEY RELATION itself — no base-table scan, no
+# position attribution, O(keys) bytes — and readers apply it as one more
+# broadcast anti-join on the key columns.  Scoping is Iceberg's sequence
+# rule in manifest form: the entry applies ONLY to data files present at
+# delete time (``eq_applies``), so rows appended later with the same key
+# are NOT masked — an equality delete is "delete what exists now", which
+# is exactly what lets a CDC delete land without reading anything.
+# OPTIMIZE folds equality tombstones the same way it folds positional
+# ones (the rewrite reads effective rows); ``delete_where`` /
+# ``merge_on_read`` read through the mask, so their tombstones never
+# re-delete an eq-deleted row.  Key columns are recorded under PHYSICAL
+# names — a later rename never detaches the mask from the bytes.
+
+
+def _eq_map(m: dict) -> dict:
+    """data file -> [equality-delete entry ids that apply to it]."""
+    return m.get("eq_applies", {})
+
+
+def _eq_entries(m: dict) -> dict:
+    """entry id -> {"files": [key parquet files], "cols": [physical]}."""
+    return m.get("eq_deletes", {})
+
+
+def _read_eq_keys(spark: SparkSession, entry: dict) -> DataFrame:
+    """One equality-delete entry's key relation, broadcast when small
+    (same locally-known size gate as :func:`_read_tombstones`)."""
+    from pyspark.sql import functions as F
+
+    files = sorted(entry["files"])
+    kd = spark.read.parquet(*files).select(*entry["cols"])
+    if sum(os.path.getsize(f) for f in files) < (32 << 20):
+        kd = F.broadcast(kd)
+    return kd
+
+
+def _apply_eq_masks(
+    spark: SparkSession, m: dict, df: DataFrame, files: list[str]
+) -> DataFrame:
+    """Apply every equality-delete entry to exactly the files it scopes.
+
+    ``df`` carries PHYSICAL columns plus ``__file``.  Files are grouped
+    by their entry-id set (appends after a delete carry none and stream
+    through untouched); each group anti-joins its entries' key relations
+    with NULL-SAFE equality (an explicit delete of a NULL key must mask
+    NULL-key rows — plain ``=`` would silently keep them).
+    """
+    from pyspark.sql import functions as F
+
+    eqa, eqd = _eq_map(m), _eq_entries(m)
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        groups.setdefault(tuple(sorted(eqa.get(f, []))), []).append(f)
+    if set(groups) == {()}:
+        return df
+    parts = []
+    for eids, fs in sorted(groups.items()):
+        part = df.filter(F.col("__file").isin(fs)) if len(groups) > 1 else df
+        for eid in eids:
+            entry = eqd[eid]
+            keys = _read_eq_keys(spark, entry)
+            part = part.join(
+                keys,
+                [part[c].eqNullSafe(keys[c]) for c in entry["cols"]],
+                "left_anti",
+            )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _to_logical(df: DataFrame, m: dict, extra: tuple[str, ...] = ()) -> DataFrame:
     """Physical columns → the logical names readers see (+ passthroughs)."""
     from pyspark.sql import functions as F
@@ -250,16 +326,20 @@ def _effective_rows(spark: SparkSession, m: dict, files: list[str]) -> DataFrame
     """The snapshot's LIVE rows over ``files``: clean files stream
     through the plain scan path (zero masking overhead — same plan as a
     DV-free table), files with deletion vectors anti-join their
-    tombstone positions."""
-    dv = _delete_map(m)
-    dirty = [f for f in files if dv.get(f)]
-    clean = [f for f in files if not dv.get(f)]
+    tombstone positions, files scoped by equality deletes anti-join the
+    key relations."""
+    dv, eqa = _delete_map(m), _eq_map(m)
+    dirty = [f for f in files if dv.get(f) or eqa.get(f)]
+    clean = [f for f in files if not (dv.get(f) or eqa.get(f))]
     parts = []
     if clean:
         parts.append(_load_files(spark, m, clean))
     if dirty:
-        td = _read_tombstones(spark, {t for f in dirty for t in dv[f]})
-        masked = _anti_join_positions(_load_physical_with_pos(spark, m, dirty), td)
+        masked = _load_physical_with_pos(spark, m, dirty)
+        pos_dirty = {t for f in dirty for t in dv.get(f, [])}
+        if pos_dirty:
+            masked = _anti_join_positions(masked, _read_tombstones(spark, pos_dirty))
+        masked = _apply_eq_masks(spark, m, masked, dirty)
         parts.append(_to_logical(masked.drop("__file", "__pos"), m))
     out = parts[0]
     for p in parts[1:]:
@@ -275,6 +355,7 @@ def _effective_with_pos(spark: SparkSession, m: dict, files: list[str]) -> DataF
     tombs = {t for f in files for t in dv.get(f, [])}
     if tombs:
         df = _anti_join_positions(df, _read_tombstones(spark, tombs))
+    df = _apply_eq_masks(spark, m, df, files)
     return _to_logical(df, m, extra=("__file", "__pos"))
 
 
@@ -307,6 +388,181 @@ def _write_tombstones(
     return tomb_files, affected, n
 
 
+def _predicate_bounds(spark: SparkSession, schema: StructType, cond) -> dict:
+    """Conservative per-column [lo, hi] bounds implied by a predicate —
+    the data-skipping translation Delta/Iceberg run before a DELETE's
+    match scan (VERDICT r10 #3).
+
+    The predicate is ANALYZED against an empty frame with the table
+    schema, then the resolved Catalyst tree (its JSON form — public
+    Spark API, stable pre-order flattening) is folded: conjuncts of
+    ``=``, ``<``, ``<=``, ``>``, ``>=``, ``IN`` and ``BETWEEN``-style
+    pairs on a bare (or numerically widened) column against literals
+    contribute bounds; anything else — OR, functions, casts that could
+    reorder, non-scalar literals — contributes NOTHING, never a wrong
+    bound.  Returns {} when nothing is extractable, which disables
+    pruning (every file read — the superset guarantee).
+    """
+    import json as _json
+
+    try:
+        analyzed = _json.loads(
+            spark.createDataFrame([], schema).filter(cond)
+            ._jdf.queryExecution().analyzed().toJSON()
+        )
+        tree = next(
+            n["condition"] for n in analyzed
+            if n.get("class", "").endswith(".Filter")
+        )
+    except Exception:
+        return {}
+
+    pos = 0
+
+    def parse(nodes):
+        """Pre-order flattened TreeNode list -> (node, [children])."""
+        nonlocal pos
+        node = nodes[pos]
+        pos += 1
+        kids = [parse(nodes) for _ in range(node.get("num-children", 0))]
+        return node, kids
+
+    root = parse(tree)
+    _SAFE_CASTS = {"integer", "long", "short", "byte", "float", "double"}
+
+    def attr_of(node):
+        """Column name if the subtree is a bare attribute or a
+        numeric-widening cast of one; else None."""
+        n, kids = node
+        cls = n["class"].rsplit(".", 1)[-1]
+        if cls == "AttributeReference":
+            return n["name"]
+        if cls == "Cast" and n.get("dataType") in _SAFE_CASTS and kids:
+            inner, _ = kids[0]
+            if (
+                inner["class"].rsplit(".", 1)[-1] == "AttributeReference"
+                and inner.get("dataType") in _SAFE_CASTS
+            ):
+                return inner["name"]
+        return None
+
+    def lit_of(node):
+        n, kids = node
+        cls = n["class"].rsplit(".", 1)[-1]
+        if cls == "Cast" and n.get("dataType") in _SAFE_CASTS and kids:
+            # the analyzer wraps literals in widening casts (990 int ->
+            # long); numeric widening preserves the value exactly
+            inner, _ = kids[0]
+            if (
+                inner["class"].rsplit(".", 1)[-1] == "Literal"
+                and inner.get("dataType") in _SAFE_CASTS
+            ):
+                return lit_of(kids[0])
+            return None
+        if cls != "Literal" or n.get("value") is None:
+            return None
+        dt, v = n.get("dataType"), n["value"]
+        try:
+            if dt in ("integer", "long", "short", "byte"):
+                return int(v)
+            if dt in ("float", "double") or str(dt).startswith("decimal"):
+                return float(v)
+            if dt == "string":
+                return str(v)
+            if dt == "boolean":
+                return v if isinstance(v, bool) else str(v).lower() == "true"
+        except (TypeError, ValueError):
+            return None
+        return None
+
+    NEG_INF, POS_INF = object(), object()
+
+    def merge(bounds, col, lo, hi):
+        old = bounds.get(col)
+        if old is None:
+            bounds[col] = [lo, hi]
+            return
+        olo, ohi = old
+        try:
+            if lo is not NEG_INF and (olo is NEG_INF or lo > olo):
+                old[0] = lo
+            if hi is not POS_INF and (ohi is POS_INF or hi < ohi):
+                old[1] = hi
+        except TypeError:
+            pass  # incomparable mixed types — keep the looser bound
+
+    def walk(node, bounds):
+        n, kids = node
+        cls = n["class"].rsplit(".", 1)[-1]
+        if cls == "And":
+            for k in kids:
+                walk(k, bounds)
+            return
+        if cls in ("EqualTo", "EqualNullSafe", "GreaterThan",
+                   "GreaterThanOrEqual", "LessThan", "LessThanOrEqual") and len(kids) == 2:
+            a, b = kids
+            col, lit, flipped = attr_of(a), lit_of(b), False
+            if col is None or lit is None:
+                col, lit, flipped = attr_of(b), lit_of(a), True
+            if col is None or lit is None:
+                return
+            if cls in ("EqualTo", "EqualNullSafe"):
+                merge(bounds, col, lit, lit)
+            elif (cls in ("GreaterThan", "GreaterThanOrEqual")) != flipped:
+                merge(bounds, col, lit, POS_INF)   # col >= lit
+            else:
+                merge(bounds, col, NEG_INF, lit)   # col <= lit
+            return
+        if cls == "In" and kids:
+            col = attr_of(kids[0])
+            lits = [lit_of(k) for k in kids[1:]]
+            if col is not None and lits and all(v is not None for v in lits):
+                try:
+                    merge(bounds, col, min(lits), max(lits))
+                except TypeError:
+                    pass
+            return
+        # any other node (Or, Not, IsNull, UDF, ...) → no information
+
+    bounds: dict = {}
+    walk(root, bounds)
+    return {
+        c: (None if lo is NEG_INF else lo, None if hi is POS_INF else hi)
+        for c, (lo, hi) in bounds.items()
+        if lo is not NEG_INF or hi is not POS_INF
+    }
+
+
+def _prune_files_by_bounds(m: dict, files: list[str], bounds: dict) -> list[str]:
+    """Manifest-stats file pruning: drop files whose recorded
+    per-column [min, max] is DISJOINT from the predicate bounds on ANY
+    bounded column.  Files without stats for a bounded column are kept
+    (conservative) — the superset guarantee `read_version(prune=...)`
+    makes, reused for write-side match scans."""
+    if not bounds:
+        return files
+    stats = m.get("stats", {})
+    phys = {c: _physical(m, c) for c in bounds}
+
+    def _keep(f: str) -> bool:
+        fstats = stats.get(f, {})
+        for c, (lo, hi) in bounds.items():
+            st = fstats.get(phys[c])
+            if st is None:
+                continue  # no stats → must read
+            fmin, fmax = st
+            try:
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            except TypeError:
+                continue  # incomparable stats/bound types — keep
+        return True
+
+    return [f for f in files if _keep(f)]
+
+
 def delete_where(spark: SparkSession, path: str, condition) -> int:
     """Row-level DELETE as a MERGE-ON-READ commit: writes a tombstone
     relation naming the deleted (file, position) pairs — zero data
@@ -337,8 +593,17 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     parent = versions[-1]
     m = _read_manifest(path, parent)
     version = parent + 1
+    # manifest-stats pruning BEFORE the match scan (VERDICT r10 #3): on
+    # a spec-clustered table a keyed delete reads only the files whose
+    # [min, max] overlap the predicate's bounds — the same skipping the
+    # read path gets from read_version(prune=...), applied to the write
+    schema = _logical_schema(m)
+    bounds = _predicate_bounds(spark, schema, cond) if schema is not None else {}
+    scan_files = _prune_files_by_bounds(m, m["files"], bounds)
+    if not scan_files:
+        return parent  # no file can contain a matching row
     matches = (
-        _effective_with_pos(spark, m, m["files"])
+        _effective_with_pos(spark, m, scan_files)
         .filter(cond)
         .select(F.col("__file").alias("file"), F.col("__pos").alias("pos"))
     )
@@ -356,11 +621,156 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
         "delete_files": dv,
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
         "schema": m["schema"] if "schema" in m else None,
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
         **_spec_carry(m),
-        "meta": {"delete": {"rows": n, "files_affected": len(affected)}},
+        "meta": {
+            "delete": {
+                "rows": n,
+                "files_affected": len(affected),
+                "files_scanned": len(scan_files),
+                "files_pruned": len(m["files"]) - len(scan_files),
+            }
+        },
+    }
+    if manifest["schema"] is None:
+        del manifest["schema"]
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
+
+
+def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame, key_cols) -> int:
+    """Row-level DELETE by KEY as an EQUALITY-DELETE commit — writes the
+    key relation itself, with NO base-table scan at all (VERDICT r10
+    #6; Iceberg's equality deletes).  Returns the new version (the
+    parent, unchanged, when ``keys_df`` is empty).
+
+    Where :func:`delete_where` scans the (pruned) table to attribute
+    positions, this writes O(keys) bytes and finishes — the landing
+    path for a CDC delete stream whose keys arrive faster than any
+    scan could run.  The trade moves to the READ side: every affected
+    file pays a broadcast anti-join on the key columns until
+    :func:`optimize` folds the mask into rewritten files (positional
+    tombstones from later ``delete_where``/``merge_on_read`` commits
+    compose with it — both masks apply).
+
+    Scope is "delete what exists NOW": the entry applies only to data
+    files present in the current snapshot (``eq_applies``), so a row
+    with the same key appended LATER is not masked — exactly Iceberg's
+    sequence-number rule.  NULL key values match NULL-key rows
+    (null-safe equality).  Key columns are recorded under their
+    PHYSICAL names, so a later :func:`rename_column` never detaches
+    the mask.  Same optimistic-commit seam as every writer.
+    """
+    from pyspark.sql import functions as F
+
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("delete_keys needs at least one key column")
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    version = parent + 1
+    schema = _logical_schema(m)
+    if schema is not None:
+        names = [f.name for f in schema.fields]
+        missing = [c for c in key_cols if c not in names]
+        if missing:
+            raise ValueError(f"key columns {missing} not in schema (have {names})")
+    missing = [c for c in key_cols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(f"keys_df lacks key columns {missing}")
+    mapping = _mapping(m)
+    phys = [mapping.get(c, c) for c in key_cols]
+    rows = keys_df.select(
+        *[F.col(c).alias(p) for c, p in zip(key_cols, phys)]
+    ).dropDuplicates()
+    stage = os.path.join(path, "deletes", f"e{version:08d}-{uuid.uuid4().hex[:8]}")
+    rows.write.parquet(stage)
+    eq_files = [
+        os.path.join(stage, f) for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+    ]
+    eq_files = [f for f in eq_files if _file_row_count(f) > 0]
+    if not eq_files:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return parent
+    n = sum(_file_row_count(f) for f in eq_files)
+    # scope the entry by KEY-COLUMN STATS, zero extra jobs: the freshly
+    # written key files' footers give [min, max] per key column, so the
+    # entry attaches only to data files whose manifest stats overlap —
+    # the read-side anti-join never touches files that cannot hold a
+    # deleted key.  A key column with NULLs (or missing footer stats)
+    # is unbounded: NULL keys must reach every file (parquet min/max
+    # ignores nulls, so range overlap proves nothing about them).
+    import pyarrow.parquet as pq
+
+    kb: dict[str, list] = {p: [None, None, False] for p in phys}  # lo, hi, poisoned
+    for f in eq_files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                a = kb.get(col.path_in_schema)
+                if a is None:
+                    continue
+                s = col.statistics
+                if (
+                    s is None or not s.has_min_max or s.null_count != 0
+                    or not isinstance(s.min, (int, float, str, bool))
+                ):
+                    a[2] = True
+                    continue
+                a[0] = s.min if a[0] is None else min(a[0], s.min)
+                a[1] = s.max if a[1] is None else max(a[1], s.max)
+    bounds = {
+        c: (a[0], a[1])
+        for c, p in zip(key_cols, phys)
+        for a in [kb[p]]
+        if not a[2] and a[0] is not None
+    }
+    applies = _prune_files_by_bounds(m, m["files"], bounds)
+    if not applies:
+        # no data file's stats overlap any key — nothing can match
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return parent
+    eid = f"e{version:08d}"
+    eqd = dict(_eq_entries(m))
+    eqd[eid] = {"files": eq_files, "cols": phys}
+    eqa = {f: list(v) for f, v in _eq_map(m).items()}
+    for f in applies:
+        eqa[f] = eqa.get(f, []) + [eid]
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "delete-eq",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
+        "delete_files": _delete_map(m),
+        "eq_deletes": eqd,
+        "eq_applies": eqa,
+        "schema": m["schema"] if "schema" in m else None,
+        "column_mapping": mapping,
+        "retired_physical": m.get("retired_physical", []),
+        **_spec_carry(m),
+        "meta": {
+            "delete_keys": {
+                "keys": n,
+                "cols": key_cols,
+                "files_applied": len(applies),
+                "files_pruned": len(m["files"]) - len(applies),
+            }
+        },
     }
     if manifest["schema"] is None:
         del manifest["schema"]
@@ -494,6 +904,8 @@ def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
         "delete_files": m.get("delete_files", {}),
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
         "schema": m["schema"] if "schema" in m else None,
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
@@ -673,12 +1085,19 @@ def commit_version(
         # time (spec ids are append-only, so it exists in every head)
         specs2 = {f: written_spec for f in new_files}
         dv2: dict = {}
+        eqd2: dict = {}
+        eqa2: dict = {}
         if pm2 is not None:
             files2 = pm2["files"] + new_files
             stats2 = {**pm2.get("stats", {}), **stats2}
             rows2 = {**pm2.get("file_rows", {}), **rows2}
             specs2 = {**carry2["file_specs"], **specs2}
             dv2 = dict(pm2.get("delete_files", {}))
+            # equality deletes scope by PRESENCE AT DELETE TIME: the
+            # appended files are newer than every existing entry, so
+            # they inherit nothing (Iceberg's sequence-number rule)
+            eqd2 = dict(_eq_entries(pm2))
+            eqa2 = dict(_eq_map(pm2))
         return {
             "version": version2,
             "parent": head2["version"] if head2 else None,
@@ -687,6 +1106,8 @@ def commit_version(
             "stats": stats2,
             "file_rows": rows2,
             "delete_files": dv2,
+            "eq_deletes": eqd2,
+            "eq_applies": eqa2,
             "schema": json.dumps(schema2.jsonValue()),
             "column_mapping": mapping2,
             "retired_physical": retired2,
@@ -753,24 +1174,28 @@ def resolve_as_of(path: str, as_of_ts: float) -> int:
     the monotonic-by-version rule: a committer with a lagging clock can
     stamp v3 earlier than v2, but version order is the truth, so v3's
     effective time is clamped up to v2's (Delta applies the same
-    monotonicity adjustment to its commit timestamps).  Pre-timestamp
-    manifests (older tables) inherit the running max — conservative:
-    they never resolve LATER than a stamped successor.  O(commits)
+    monotonicity adjustment to its commit timestamps).  UNSTAMPED
+    manifests (pre-upgrade tables) after the first stamp inherit the
+    running max — conservative: they never resolve LATER than a
+    stamped successor.  Unstamped versions BEFORE the first stamp have
+    no effective time at all and are never selectable — a stamp below
+    the first stamped commit raises rather than silently resolving to
+    a version of unknown age (r10 review finding).  O(commits)
     metadata reads.
     """
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
     best = None
-    eff = float("-inf")
+    eff = None
     oldest = None  # first effective stamp — what "before the table existed" means
     for v in versions:
         ts = _read_manifest(path, v).get("ts")
         if ts is not None:
-            eff = max(eff, ts)
+            eff = ts if eff is None else max(eff, ts)
             if oldest is None:
                 oldest = eff
-        if eff <= as_of_ts:
+        if eff is not None and eff <= as_of_ts:
             best = v
     if oldest is None:
         raise ValueError(
@@ -802,9 +1227,14 @@ def metadata_aggregate(
     stats.  The answer falls back to ONE real scan (``source:
     "scan"``) whenever metadata cannot be EXACT:
 
-    - the snapshot carries deletion vectors (``delete_files``): a
-      masked row may hold the extreme value, and deleted rows must not
-      count;
+    - ``min``/``max`` under deletion vectors (``delete_files``): a
+      masked row may hold the extreme value.  ``count(*)`` stays
+      metadata-exact: live rows = Σ per-file rows − Σ tombstone-file
+      rows (tombstone positions are unique by construction — only live
+      rows are ever tombstoned — and the tombstone row counts are
+      footer-only reads);
+    - ANY request under equality deletes (``eq_applies``): how many
+      rows a key mask kills is unknowable without matching;
     - a requested column is non-numeric (parquet string stats may be
       truncated by writers — safe for pruning's superset guarantee,
       not for an exact answer) or lacks footer stats in some non-empty
@@ -844,8 +1274,18 @@ def metadata_aggregate(
             "source": "scan",
         }
 
-    if any(_delete_map(m).values()):
+    if any(_eq_map(m).get(f) for f in files):
         return _scan()
+    dvm = _delete_map(m)
+    has_dv = any(dvm.get(f) for f in files)
+    if has_dv:
+        if cols:
+            return _scan()
+        rows_map0 = m.get("file_rows", {})
+        live = sum(
+            (rows_map0[f] if f in rows_map0 else _file_row_count(f)) for f in files
+        ) - sum(_file_row_count(t) for t in {t for f in files for t in dvm.get(f, [])})
+        return {"count": live, "min": {}, "max": {}, "source": "metadata"}
     _NUMERIC = {"byte", "short", "integer", "long", "float", "double", "boolean"}
     # type checks FIRST — before paying any per-file footer reads a
     # fallback would discard; a legacy manifest without a recorded
@@ -996,28 +1436,44 @@ def diff_versions(
     f_from, f_to = set(m_from["files"]), set(m_to["files"])
     added, removed = sorted(f_to - f_from), sorted(f_from - f_to)
     dv_from, dv_to = _delete_map(m_from), _delete_map(m_to)
+    eqa_from, eqa_to = _eq_map(m_from), _eq_map(m_to)
+    # shared files whose EQUALITY-DELETE scope changed take the generic
+    # both-sides path: each side reads its own effective rows and the
+    # exceptAll below surfaces exactly the key-masked rows as deletes —
+    # O(affected files), same cost class as a rewritten file's diff
+    eq_changed = sorted(
+        f for f in f_from & f_to
+        if sorted(eqa_to.get(f, [])) != sorted(eqa_from.get(f, []))
+    )
     # shared files whose deletion-vector list GREW between the snapshots
     # (tombstones only accumulate on a live file; shrinking happens via
     # OPTIMIZE/overwrite, which replace the file — the added/removed
     # paths): their delta is exactly the rows at the newly-masked
-    # positions, read back at O(new tombstones + affected files)
+    # positions, read back at O(new tombstones + affected files).
+    # eq-changed files are excluded — the generic path covers their
+    # positional growth too.
     newly_masked: dict[str, set[str]] = {}
-    for f in sorted(f_from & f_to):
+    for f in sorted((f_from & f_to) - set(eq_changed)):
         extra = set(dv_to.get(f, [])) - set(dv_from.get(f, []))
         if extra:
             newly_masked[f] = extra
 
-    def _eff(files: list[str], dv: dict) -> DataFrame | None:
+    def _eff(files: list[str], dv: dict, eqa: dict, eqd: dict) -> DataFrame | None:
         if not files:
             return None
         # both sides through the v_to manifest: its schema AND mapping
         # (a renamed column diffs under its new name; dropped columns
-        # are invisible on both sides) — but each side's OWN deletion
-        # vectors (a removed file's masked rows were never live at
-        # v_from and must not surface as deletes)
-        return _effective_rows(spark, {**m_to, "delete_files": dv}, files)
+        # are invisible on both sides) — but each side's OWN delete
+        # masks, positional and equality (a removed file's masked rows
+        # were never live at v_from and must not surface as deletes)
+        return _effective_rows(
+            spark,
+            {**m_to, "delete_files": dv, "eq_applies": eqa, "eq_deletes": eqd},
+            files,
+        )
 
-    new_rows, old_rows = _eff(added, dv_to), _eff(removed, dv_from)
+    new_rows = _eff(added + eq_changed, dv_to, eqa_to, _eq_entries(m_to))
+    old_rows = _eff(removed + eq_changed, dv_from, eqa_from, _eq_entries(m_from))
     from pyspark.sql import functions as F
 
     if newly_masked:
@@ -1110,6 +1566,8 @@ def rename_column(path: str, old: str, new: str) -> int:
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
         "delete_files": m.get("delete_files", {}),
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
         "schema": json.dumps(StructType(fields).jsonValue()),
         "column_mapping": mapping,
         "retired_physical": m.get("retired_physical", []),
@@ -1153,6 +1611,13 @@ def drop_column(path: str, col: str) -> int:
             "set a new spec first (Iceberg's rule — future writes could "
             "not be clustered by a dropped column)"
         )
+    phys_col = _mapping(m).get(col, col)
+    if any(phys_col in e["cols"] for e in _eq_entries(m).values()):
+        raise ValueError(
+            f"column {col!r} is a key of a live equality delete; run "
+            "optimize() to fold the mask first (dropping it would detach "
+            "the delete from the rows it masks)"
+        )
     mapping = dict(_mapping(m))
     retired = list(m.get("retired_physical", []))
     retired.append(mapping.pop(col, col))
@@ -1165,6 +1630,8 @@ def drop_column(path: str, col: str) -> int:
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
         "delete_files": m.get("delete_files", {}),
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
         "schema": json.dumps(
             StructType([f for f in schema.fields if f.name != col]).jsonValue()
         ),
@@ -1236,6 +1703,8 @@ def widen_column(path: str, col: str, new_type: str) -> int:
         "stats": m.get("stats", {}),
         "file_rows": m.get("file_rows", {}),
         "delete_files": m.get("delete_files", {}),
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
         "schema": json.dumps(StructType(fields).jsonValue()),
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
@@ -1267,11 +1736,14 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
         raise ValueError("keep must retain at least one version")
 
     def _all_files(m: dict):
-        # a manifest references its data files AND its tombstone files —
-        # deleting a live snapshot's deletion vector would RESURRECT rows
+        # a manifest references its data files AND its tombstone files
+        # (positional and equality) — deleting a live snapshot's delete
+        # mask would RESURRECT rows
         yield from m["files"]
         for ts in _delete_map(m).values():
             yield from ts
+        for e in _eq_entries(m).values():
+            yield from e["files"]
     referenced = {f for v in live for f in _all_files(_read_manifest(path, v))}
     removed = []
     for v in dead:
@@ -1288,7 +1760,7 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
 
     head = live[-1]
     referenced_dirs = {os.path.dirname(f) for f in referenced}
-    for sub, prefix in (("data", "c"), ("deletes", "d")):
+    for sub, prefix in (("data", "c"), ("deletes", "d"), ("deletes", "e")):
         stage_root = os.path.join(path, sub)
         if not os.path.isdir(stage_root):
             continue
@@ -1364,15 +1836,17 @@ def optimize(
     files = m["files"]
     sizes = {f: os.path.getsize(f) for f in files}
     dvmap = _delete_map(m)
+    eqmap = _eq_map(m)
     if zorder:
         rewrite = list(files)
     else:
         cutoff = small_bytes if small_bytes is not None else target_bytes // 2
-        # files carrying deletion vectors are rewrite candidates at ANY
-        # size: OPTIMIZE is where tombstones FOLD into data (the
-        # merge-on-read debt is repaid here, Delta's PURGE semantics)
-        rewrite = [f for f in files if sizes[f] < cutoff or dvmap.get(f)]
-        if len(rewrite) < 2 and not any(dvmap.get(f) for f in rewrite):
+        # files carrying deletion vectors OR equality-delete scope are
+        # rewrite candidates at ANY size: OPTIMIZE is where tombstones
+        # FOLD into data (the merge-on-read debt is repaid here,
+        # Delta's PURGE semantics)
+        rewrite = [f for f in files if sizes[f] < cutoff or dvmap.get(f) or eqmap.get(f)]
+        if len(rewrite) < 2 and not any(dvmap.get(f) or eqmap.get(f) for f in rewrite):
             # nothing to pack and no tombstones to fold — no new version
             return {
                 "version": parent, "rewritten": 0,
@@ -1394,13 +1868,17 @@ def optimize(
                 [StructField(mp.get(f.name, f.name), f.dataType, f.nullable) for f in schema.fields]
             )
         )
-    dirty = [f for f in rewrite if dvmap.get(f)]
+    dirty = [f for f in rewrite if dvmap.get(f) or eqmap.get(f)]
     if dirty:
         # fold: the rewrite reads the EFFECTIVE rows (tombstoned
-        # positions masked), so the new files carry no delete debt
+        # positions AND equality-deleted keys masked), so the new
+        # files carry no delete debt of either kind
         raw = _load_physical_with_pos(spark, m, rewrite)
-        td = _read_tombstones(spark, {t for f in dirty for t in dvmap[f]})
-        df = _anti_join_positions(raw, td).drop("__file", "__pos")
+        pos_tombs = {t for f in dirty for t in dvmap.get(f, [])}
+        if pos_tombs:
+            raw = _anti_join_positions(raw, _read_tombstones(spark, pos_tombs))
+        raw = _apply_eq_masks(spark, m, raw, rewrite)
+        df = raw.drop("__file", "__pos")
     else:
         df = reader.parquet(*rewrite)
     zorder_logical = list(zorder) if zorder else []
@@ -1501,8 +1979,16 @@ def optimize(
         "stats": file_stats,
         "file_rows": file_rows,
         # rewritten files' tombstones are FOLDED (their masked rows
-        # never reached the new files); kept files keep their masks
+        # never reached the new files); kept files keep their masks —
+        # positional AND equality; eq entries no kept file scopes are
+        # dropped so vacuum can reclaim their key files
         "delete_files": {f: ts for f, ts in dvmap.items() if f in set(kept) and ts},
+        "eq_applies": {f: es for f, es in eqmap.items() if f in set(kept) and es},
+        "eq_deletes": {
+            eid: e
+            for eid, e in _eq_entries(m).items()
+            if any(eid in eqmap.get(f, []) for f in kept)
+        },
         "schema": m["schema"] if "schema" in m else json.dumps(df.schema.jsonValue()),
         "column_mapping": _mapping(m),
         "retired_physical": m.get("retired_physical", []),
@@ -1561,6 +2047,7 @@ def merge_on_read(
     delete_flag: str | None = None,
     on_duplicate_keys: str = "error",
     order_col: str | None = None,
+    broadcast_max_rows: int = 1_000_000,
 ) -> int:
     """CDC merge as a MERGE-ON-READ commit (VERDICT r9 #1): identical
     result to :func:`merge_versioned` (same ``merge_upsert`` semantics,
@@ -1580,7 +2067,18 @@ def merge_on_read(
     one row) dominates; batch restatements that touch most rows should
     keep using ``merge_versioned``.  Change-set contract and
     ``on_duplicate_keys`` exactly as :func:`merge_upsert`.
+
+    Scale guards (VERDICT r10 #3/#7): the base's match scan is PRUNED
+    by intersecting the change set's per-key [min, max] (one tiny agg
+    over the cached changes) with the manifest's per-file stats — on a
+    spec-clustered table a narrow CDC batch touches only the files
+    that can hold its keys.  The change-side broadcast hint is gated
+    on ``broadcast_max_rows``: a change set above it joins via the
+    shuffle path (AQE picks the strategy) instead of force-broadcasting
+    an arbitrarily large batch into driver memory.
     """
+    import math
+
     from pyspark.sql import functions as F
 
     from fdf_spark.operators.merge import (
@@ -1598,6 +2096,10 @@ def merge_on_read(
     parent = versions[-1]
     m = _read_manifest(path, parent)
     version = parent + 1
+    # one cache serves the uniqueness check, the bounds/count agg, and
+    # every join below — without it the change plan re-evaluates per use
+    src = changes.persist()
+    changes = src
     if on_duplicate_keys == "last_wins":
         if order_col is None:
             raise ValueError("on_duplicate_keys='last_wins' requires order_col")
@@ -1607,7 +2109,33 @@ def merge_on_read(
     elif on_duplicate_keys != "assume_unique":
         raise ValueError(f"unknown on_duplicate_keys {on_duplicate_keys!r}")
 
-    base = _effective_with_pos(spark, m, m["files"])
+    # ONE tiny job: change count (broadcast gate) + per-key bounds
+    # (file pruning); both metadata-sized regardless of batch size
+    row = changes.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            g for k in keys
+            for g in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
+        ],
+    ).collect()[0]
+    n_changes = row["__n"]
+    if n_changes == 0:
+        src.unpersist()
+        return parent
+    _bc = F.broadcast if n_changes <= broadcast_max_rows else (lambda df: df)
+    bounds = {}
+    for k in keys:
+        lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+        if (
+            isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str))
+            and not (isinstance(lo, float) and math.isnan(lo))
+            and not (isinstance(hi, float) and math.isnan(hi))
+        ):
+            bounds[k] = (lo, hi)
+    scan_files = _prune_files_by_bounds(m, m["files"], bounds)
+    # an all-pruned scan still needs the base SCHEMA for the insert
+    # images — read (at most) one file's plan, it matches zero keys
+    base = _effective_with_pos(spark, m, scan_files or m["files"][:1])
     base_cols = [c for c in base.columns if c not in ("__file", "__pos")]
     schema = _logical_schema(m)
     if schema is None:  # legacy manifest without a recorded schema
@@ -1625,16 +2153,17 @@ def merge_on_read(
 
     # positions to tombstone: every live base row whose key the change
     # set touches (an update's old image and a delete both die here);
-    # the base is NEVER shuffled — the tiny change side broadcasts
+    # the base is NEVER shuffled — a small change side broadcasts, a
+    # large one goes through the gated shuffle path (_bc above)
     touched = changes.select(*keys).distinct()
-    tomb_src = base.join(F.broadcast(touched), keys, "left_semi").select(
+    tomb_src = base.join(_bc(touched), keys, "left_semi").select(
         F.col("__file").alias("file"), F.col("__pos").alias("pos")
     )
     # rows to append: updated images of matched keys + pure inserts
     b = base.alias("b")
     c = live.alias("c")
     cond = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in keys]
-    matched = b.join(F.broadcast(c), cond, "inner")
+    matched = b.join(_bc(c), cond, "inner")
     updated = matched.select(
         *[
             (F.col(f"c.{col}") if col in update_cols else F.col(f"b.{col}")).alias(col)
@@ -1642,11 +2171,11 @@ def merge_on_read(
         ]
     )
     matched_keys = matched.select(*[F.col(f"b.{k}").alias(k) for k in keys]).distinct()
-    inserts = live.join(F.broadcast(matched_keys), keys, "left_anti")
+    inserts = live.join(_bc(matched_keys), keys, "left_anti")
     if deletes is not None:
         # delete wins when a key carries both an update and a delete row
-        updated = updated.join(F.broadcast(deletes), keys, "left_anti")
-        inserts = inserts.join(F.broadcast(deletes), keys, "left_anti")
+        updated = updated.join(_bc(deletes), keys, "left_anti")
+        inserts = inserts.join(_bc(deletes), keys, "left_anti")
     inserts = inserts.select(
         *[
             (
@@ -1685,6 +2214,7 @@ def merge_on_read(
         import shutil
 
         shutil.rmtree(stage, ignore_errors=True)
+        src.unpersist()
         return parent  # nothing matched, nothing inserted — no new version
     dv = {k: list(v) for k, v in _delete_map(m).items()}
     for f, ts in affected.items():
@@ -1697,17 +2227,29 @@ def merge_on_read(
         "stats": {**m.get("stats", {}), **{f: _file_stats(f) for f in new_files}},
         "file_rows": {**m.get("file_rows", {}), **{f: _file_row_count(f) for f in new_files}},
         "delete_files": dv,
+        # appended files carry no equality scope (newer than every entry)
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
         "schema": m["schema"] if "schema" in m else None,
         "column_mapping": mapping,
         "retired_physical": m.get("retired_physical", []),
         "partition_specs": carry["partition_specs"],
         "current_spec": carry["current_spec"],
         "file_specs": {**carry["file_specs"], **{f: carry["current_spec"] for f in new_files}},
-        "meta": {"merge_on_read": {"deleted_positions": n_del, "appended_files": len(new_files)}},
+        "meta": {
+            "merge_on_read": {
+                "deleted_positions": n_del,
+                "appended_files": len(new_files),
+                "files_scanned": len(scan_files),
+                "files_pruned": len(m["files"]) - len(scan_files),
+                "broadcast": n_changes <= broadcast_max_rows,
+            }
+        },
     }
     if manifest["schema"] is None:
         del manifest["schema"]
     _stage_and_publish_manifest(path, version, manifest)
+    src.unpersist()
     return version
 
 
