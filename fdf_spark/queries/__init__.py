@@ -132,7 +132,7 @@ PRIORITY: tuple[str, ...] = (
     "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
     "q134_bloom_membership",       # N5 bloom tier + J6 (r8; displaced q64 — N2 stays double-covered in-window by q61/q108, and q64 remains sweep-green)
-    "q124_training_shards",         # N24 shard export (r5; displaced q75 — N3 covered by q65+q108, LSH-ANN stays pytest-oracle)
+    "q163_wap_audit_publish",       # N17+N18 write-audit-publish + named refs (r11; displaced q124 — N24 stays in-window via q125_pipeline_export's shard-export stage, q124 remains sweep-green). The stage-invisible/audit/fast-forward-publish lifecycle and the tag pin enter the driver hash gate.
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
     "q162_equality_delete",         # N15+N17+J6 equality-delete tier (r11, VERDICT r10 #6; displaced q110 — N15 stays in-window via q159+q162 itself, J2 via q03/q04/q148, U2/S10 via q08/q148/q159; q110 remains sweep-green). The zero-scan delete-by-key path and its scope rule enter the driver hash gate.
     "q115_pagerank",                # N16 (q92 J3/F1/F2/P3 all covered by q03/q16/q44/q42)

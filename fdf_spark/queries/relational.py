@@ -1864,6 +1864,124 @@ def q162_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q163_wap_audit_publish",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 0),
+    batch AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 1),
+    audit_bad AS (
+      SELECT 'audit_bad' AS stage, o_orderpriority,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      FROM batch WHERE o_totalprice <= 0 GROUP BY o_orderpriority),
+    head_during AS (
+      SELECT 'head_during_stage' AS stage, 'ALL' AS o_orderpriority,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      FROM base),
+    final AS (
+      SELECT 'final' AS stage, o_orderpriority, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      FROM (SELECT * FROM base
+            UNION ALL
+            SELECT * FROM batch WHERE o_totalprice > 0)
+      GROUP BY o_orderpriority)
+    SELECT * FROM audit_bad
+    UNION ALL SELECT * FROM head_during
+    UNION ALL SELECT * FROM final
+    ORDER BY stage, o_orderpriority
+    """,
+    operators=("N17", "N18", "S10"),
+    doc="WRITE-AUDIT-PUBLISH over the versioned-table substrate "
+    "(Iceberg's WAP pattern; engine-native preventive form of the "
+    "reference's logbook 'voided' soft-delete, factory.py:537): an "
+    "ingest batch with planted violations (negated totalprice on "
+    "orderkey%7) is STAGED as a full invisible snapshot "
+    "(stage_commit), audited by reading exactly the bytes that would "
+    "land (read_staged — the audit_bad rows), and dropped; the "
+    "head_during_stage row proves readers never saw it. The "
+    "violation-filtered batch stages, audits clean, publishes "
+    "(publish_staged — a manifest-only fast-forward, zero data bytes "
+    "moved), and a TAG pins the published snapshot for the final "
+    "read (read_version(ref=...)). Scale: audit cost is one read of "
+    "the staged batch's files (the parent's are already trusted); "
+    "publish is O(1) metadata regardless of batch size; the tag "
+    "survives vacuum, so a training run's exact input is "
+    "reproducible forever.",
+)
+def q163_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        create_tag,
+        drop_staged,
+        publish_staged,
+        read_staged,
+        read_version,
+        stage_commit,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 4 == 0)
+    batch = orders.filter(F.col("o_orderkey") % 4 == 1).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="fdf_wap_")
+    p = _os.path.join(root, "t")
+    commit_version(base, p)  # v1, the trusted head
+    # stage the raw batch: a full snapshot NO reader sees
+    stage_commit(batch, p, "ingest-1")
+    agg = lambda df, stage: df.groupBy("o_orderpriority").agg(  # noqa: E731
+        F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price")
+    ).select(F.lit(stage).alias("stage"), "o_orderpriority", "n_rows", "total_price")
+    # the AUDIT: validate exactly the bytes that would land — only the
+    # staged batch needs checking, the parent snapshot is already
+    # trusted, so filter to the batch's keyspace before the rule scan
+    staged_batch = read_staged(spark, p, "ingest-1").filter(F.col("o_orderkey") % 4 == 1)
+    audit_bad = agg(staged_batch.filter(F.col("o_totalprice") <= 0), "audit_bad")
+    # materialize NOW: drop_staged below deletes the very files this
+    # lazy plan reads (audit relations are a handful of rows)
+    audit_bad = spark.createDataFrame(audit_bad.collect(), audit_bad.schema)
+    # readers at the head never saw the staged rows
+    head_during = (
+        read_version(spark, p)
+        .agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
+        .select(
+            F.lit("head_during_stage").alias("stage"),
+            F.lit("ALL").alias("o_orderpriority"),
+            "n_rows",
+            "total_price",
+        )
+    )
+    # audit failed -> drop the staged snapshot, files and all; re-stage
+    # the violation-filtered batch, audit clean, fast-forward publish
+    drop_staged(p, "ingest-1")
+    stage_commit(batch.filter(F.col("o_totalprice") > 0), p, "ingest-1-fix")
+    assert (
+        read_staged(spark, p, "ingest-1-fix").filter(F.col("o_totalprice") <= 0).count() == 0
+    )
+    publish_staged(spark, p, "ingest-1-fix")
+    create_tag(p, "published")  # the reproducibility pin
+    final = agg(read_version(spark, p, ref="published"), "final")
+    out = audit_bad.unionByName(head_during).unionByName(final).orderBy(
+        "stage", "o_orderpriority"
+    )
+    return _materialize_and_cleanup(out, root)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 import uuid
@@ -984,6 +985,40 @@ def commit_version(
         parent = versions[-1] if versions else None
     version = (parent + 1) if parent is not None else 1
     head = _read_manifest(path, parent) if parent is not None else None
+    _manifest_for, _ = _stage_files_and_builder(df, path, mode, meta, head, version)
+
+    while True:
+        # compute OUTSIDE the try: an incompatible head raises straight
+        # to the caller (a full re-run), never loops
+        manifest = _manifest_for(head, version)
+        try:
+            _stage_and_publish_manifest(path, version, manifest)
+            return version
+        except ConcurrentCommitError:
+            if not (on_conflict == "rebase" and mode == "append"):
+                raise
+            parent = list_versions(path)[-1]
+            head = _read_manifest(path, parent)
+            version = parent + 1
+
+
+def _stage_files_and_builder(
+    df: DataFrame, path: str, mode: str, meta: dict | None,
+    head: dict | None, version: int, stage_prefix: str = "c",
+):
+    """Write ``df``'s bytes as staged parquet under ``path/data`` and
+    return ``(manifest_for, new_files)``.
+
+    ``manifest_for(head2, version2)`` binds the already-staged files to
+    ANY head as parent — the seam shared by :func:`commit_version`'s
+    publish/rebase loop and :func:`stage_commit`'s write-audit-publish
+    tier (both must agree on schema evolution, physical naming and spec
+    clustering, so the logic lives once).  Raises
+    ``ConcurrentCommitError`` from inside ``manifest_for`` when the
+    target head's naming is incompatible with the staged bytes.
+    """
+    from pyspark.sql import functions as F
+
     pm = head if mode == "append" else None
     # the partition spec is TABLE metadata: it survives overwrite (the
     # data is replaced, the layout contract is not), like Iceberg's
@@ -1031,7 +1066,7 @@ def commit_version(
         else:
             out = out.repartitionByRange(*pcols)
         out = out.sortWithinPartitions(*pcols)
-    stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
+    stage = os.path.join(path, "data", f"{stage_prefix}{version:08d}-{uuid.uuid4().hex[:8]}")
     out.write.parquet(stage)
     new_files = sorted(
         os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
@@ -1117,19 +1152,7 @@ def commit_version(
             "meta": meta or {},
         }
 
-    while True:
-        # compute OUTSIDE the try: an incompatible head raises straight
-        # to the caller (a full re-run), never loops
-        manifest = _manifest_for(head, version)
-        try:
-            _stage_and_publish_manifest(path, version, manifest)
-            return version
-        except ConcurrentCommitError:
-            if not (on_conflict == "rebase" and mode == "append"):
-                raise
-            parent = list_versions(path)[-1]
-            head = _read_manifest(path, parent)
-            version = parent + 1
+    return _manifest_for, new_files
 
 
 def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None:
@@ -1321,6 +1344,7 @@ def read_version(
     version: int | None = None,
     prune: tuple[str, object, object] | None = None,
     as_of_ts: float | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot read: the explicit file list of ``version`` (latest if
     None) — pinned, immune to later commits/vacuums.
@@ -1328,7 +1352,11 @@ def read_version(
     ``as_of_ts`` is timestamp time travel ("the table as of last
     night's run"): the snapshot is the newest version published
     at-or-before the stamp (:func:`resolve_as_of` — monotonic by
-    version under clock skew).  Mutually exclusive with ``version``.
+    version under clock skew).  ``ref`` reads through a NAMED ref —
+    a tag ("the exact snapshot training run X consumed") or a branch
+    head (:func:`create_tag` / :func:`create_branch`); ref'd versions
+    are protected from :func:`vacuum`.  ``version`` / ``as_of_ts`` /
+    ``ref`` are mutually exclusive.
 
     ``prune=(col, lo, hi)`` enables MANIFEST-LEVEL file pruning: only
     files whose recorded [min, max] for ``col`` overlaps [lo, hi] are
@@ -1344,10 +1372,12 @@ def read_version(
     still applies the row-level filter — pruning is a superset
     guarantee, not an exact selection.
     """
-    if version is not None and as_of_ts is not None:
-        raise ValueError("pass version OR as_of_ts, not both")
+    if sum(x is not None for x in (version, as_of_ts, ref)) > 1:
+        raise ValueError("pass at most one of version / as_of_ts / ref")
     if as_of_ts is not None:
         version = resolve_as_of(path, as_of_ts)
+    if ref is not None:
+        version = resolve_ref(path, ref)
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -1731,7 +1761,12 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
     if keep < 1:
         raise ValueError("keep must retain at least one version")
     versions = list_versions(path)
-    dead, live = versions[:-keep], versions[-keep:]
+    # named refs PIN their versions (Iceberg's retention rule): a tag
+    # someone's training run reads through must survive any vacuum
+    refd = {r["version"] for r in list_refs(path).values()}
+    live_set = set(versions[-keep:]) | (refd & set(versions))
+    dead = [v for v in versions if v not in live_set]
+    live = sorted(live_set)
     if not live:
         raise ValueError("keep must retain at least one version")
 
@@ -1745,6 +1780,11 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
         for e in _eq_entries(m).values():
             yield from e["files"]
     referenced = {f for v in live for f in _all_files(_read_manifest(path, v))}
+    # staged write-audit-publish manifests reference the staged batch's
+    # files AND the parent snapshot's (publish may still fast-forward
+    # them into a live version) — all protected until drop/publish
+    for wid in list_staged(path):
+        referenced.update(_all_files(_read_staged(path, wid)))
     removed = []
     for v in dead:
         for f in _all_files(_read_manifest(path, v)):
@@ -1758,9 +1798,9 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
     import shutil
     import time
 
-    head = live[-1]
+    head = versions[-1]
     referenced_dirs = {os.path.dirname(f) for f in referenced}
-    for sub, prefix in (("data", "c"), ("deletes", "d"), ("deletes", "e")):
+    for sub, prefix in (("data", "c"), ("data", "w"), ("deletes", "d"), ("deletes", "e")):
         stage_root = os.path.join(path, sub)
         if not os.path.isdir(stage_root):
             continue
@@ -1778,6 +1818,307 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
                     if f.endswith(".parquet"):
                         removed.append(os.path.join(full, f))
                 shutil.rmtree(full, ignore_errors=True)
+    return removed
+
+
+# --- named refs (tags / branches) and write-audit-publish -------------------
+#
+# Iceberg's refs + WAP pattern, re-expressed on the manifest chain: a
+# REF is a named pointer at a version (`_refs/<name>.json`) — a TAG is
+# immutable (pin the exact snapshot a training run consumed; vacuum
+# never deletes a ref'd version), a BRANCH is movable.  WRITE-AUDIT-
+# PUBLISH stages a fully-built snapshot manifest under `_staged/`
+# where no reader sees it, lets an audit job read and validate exactly
+# the bytes that would land, then fast-forwards it into the version
+# chain manifest-only — or drops it, files and all.  Reference parity:
+# the reference's logbook "voided" flag (factory.py:537) gates bad
+# shots out of analysis after the fact; WAP is the engine-native
+# preventive form (bad data never becomes a readable version).
+
+_REFS_DIR = "_refs"
+_STAGED_DIR = "_staged"
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+
+def _ref_path(path: str, name: str) -> str:
+    if not _NAME_RE.match(name):
+        raise ValueError(f"invalid ref name {name!r}")
+    return os.path.join(path, _REFS_DIR, f"{name}.json")
+
+
+def list_refs(path: str) -> dict[str, dict]:
+    """All named refs at ``path``: name -> {"version", "type", "ts"}."""
+    d = os.path.join(path, _REFS_DIR)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out[f[:-5]] = json.load(fh)
+    return out
+
+
+def resolve_ref(path: str, name: str) -> int:
+    """The version a named ref points at; raises if absent."""
+    p = _ref_path(path, name)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no ref {name!r} at {path}")
+    with open(p) as fh:
+        return json.load(fh)["version"]
+
+
+def _write_ref(path: str, name: str, version: int, kind: str, move: bool) -> None:
+    versions = list_versions(path)
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    dst = _ref_path(path, name)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"name": name, "version": version, "type": kind, "ts": time.time()}, fh)
+        if move:
+            os.replace(tmp, dst)  # branch move: last writer wins, documented
+            tmp = None
+        else:
+            _publish_manifest_atomic(tmp, dst)  # create-if-absent
+    except FileExistsError:
+        raise ValueError(f"ref {name!r} already exists at {path}") from None
+    finally:
+        if tmp is not None and not move and os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """Create an IMMUTABLE named tag at ``version`` (head if None).
+
+    Tags are the reproducibility primitive: ``read_version(...,
+    ref=name)`` pins the exact snapshot forever (vacuum keeps ref'd
+    versions), and re-creating an existing name raises — a tag never
+    silently moves.  Returns the tagged version.
+    """
+    v = version if version is not None else (list_versions(path) or [None])[-1]
+    if v is None:
+        raise FileNotFoundError(f"no versions at {path}")
+    _write_ref(path, name, v, "tag", move=False)
+    return v
+
+
+def create_branch(path: str, name: str, version: int | None = None) -> int:
+    """Create a MOVABLE named branch pointer at ``version`` (head if
+    None); advance it with :func:`set_branch`.  Returns the version."""
+    v = version if version is not None else (list_versions(path) or [None])[-1]
+    if v is None:
+        raise FileNotFoundError(f"no versions at {path}")
+    _write_ref(path, name, v, "branch", move=False)
+    return v
+
+
+def set_branch(path: str, name: str, version: int) -> None:
+    """Move an existing branch pointer (tags refuse).  Plain replace —
+    concurrent moves are last-writer-wins, like a git forced update."""
+    refs = list_refs(path)
+    if name not in refs:
+        raise FileNotFoundError(f"no ref {name!r} at {path}")
+    if refs[name]["type"] != "branch":
+        raise ValueError(f"ref {name!r} is a tag — tags are immutable")
+    _write_ref(path, name, version, "branch", move=True)
+
+
+def drop_ref(path: str, name: str) -> None:
+    p = _ref_path(path, name)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no ref {name!r} at {path}")
+    os.remove(p)
+
+
+def _staged_path(path: str, wap_id: str) -> str:
+    if not _NAME_RE.match(wap_id):
+        raise ValueError(f"invalid wap_id {wap_id!r}")
+    return os.path.join(path, _STAGED_DIR, f"{wap_id}.json")
+
+
+def list_staged(path: str) -> list[str]:
+    d = os.path.join(path, _STAGED_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+
+def _read_staged(path: str, wap_id: str) -> dict:
+    p = _staged_path(path, wap_id)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no staged commit {wap_id!r} at {path}")
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def stage_commit(
+    df: DataFrame, path: str, wap_id: str, mode: str = "append", meta: dict | None = None,
+) -> str:
+    """WRITE-AUDIT-PUBLISH, step 1: build a full snapshot (data files +
+    manifest) that NO reader sees — it lives under ``_staged/<wap_id>``,
+    outside the version chain.  Audit it with :func:`read_staged` (the
+    exact bytes that would land), then :func:`publish_staged` or
+    :func:`drop_staged`.  ``wap_id`` doubles as the idempotency key: a
+    retried pipeline staging the same id raises instead of landing a
+    second copy.  Works on an empty table (the staged commit becomes
+    v1 at publish).  Returns ``wap_id``.
+    """
+    dst = _staged_path(path, wap_id)
+    if os.path.exists(dst):
+        raise ValueError(f"wap_id {wap_id!r} already staged at {path}")
+    versions = list_versions(path)
+    parent = versions[-1] if versions else None
+    head = _read_manifest(path, parent) if parent is not None else None
+    version = (parent or 0) + 1
+    manifest_for, new_files = _stage_files_and_builder(
+        df, path, mode, meta, head, version, stage_prefix="w"
+    )
+    m = manifest_for(head, version)
+    m["ts"] = time.time()  # audit-time stamp; publish re-stamps (as_of sees publish time)
+    m["wap"] = {"wap_id": wap_id, "staged_new_files": new_files, "mode": mode}
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(m, fh)
+        _publish_manifest_atomic(tmp, dst)
+    except FileExistsError:
+        # a concurrent stage of the same id won the create — this
+        # attempt's bytes are garbage; remove them before raising
+        import shutil
+
+        for d in {os.path.dirname(f) for f in new_files}:
+            shutil.rmtree(d, ignore_errors=True)
+        raise ValueError(f"wap_id {wap_id!r} already staged at {path}") from None
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return wap_id
+
+
+def read_staged(spark: SparkSession, path: str, wap_id: str) -> DataFrame:
+    """The AUDIT read: the staged snapshot exactly as it would publish
+    (parent files + staged batch, through any delete masks)."""
+    m = _read_staged(path, wap_id)
+    if not m["files"]:
+        schema = _logical_schema(m)
+        return spark.createDataFrame([], schema)
+    return _effective_rows(spark, m, m["files"])
+
+
+def publish_staged(spark: SparkSession, path: str, wap_id: str) -> int:
+    """WRITE-AUDIT-PUBLISH, step 3: fast-forward the audited staged
+    snapshot into the version chain — MANIFEST-ONLY, zero data bytes
+    move.  If the head is still the staged parent, the staged manifest
+    publishes as-is.  If commits landed since staging, an ``append``
+    re-bases exactly like :func:`commit_version`'s non-conflicting-
+    append path (the staged files attach to the new head; raises
+    ``ConcurrentCommitError`` if concurrent commits re-mapped a column
+    the staged bytes carry, or introduced a colliding physical name);
+    a staged ``overwrite`` whose parent moved is a REAL conflict and
+    raises.  Returns the published version.
+    """
+    m = _read_staged(path, wap_id)
+    wap = m["wap"]
+    new_files = wap["staged_new_files"]
+    staged_parent = m.get("parent")
+    staged_schema = _logical_schema(m)
+    staged_map = _mapping(m)
+    while True:
+        versions = list_versions(path)
+        head_v = versions[-1] if versions else None
+        if head_v == staged_parent:
+            out = {k: v for k, v in m.items() if k not in ("wap", "ts")}
+            out["meta"] = {**m.get("meta", {}), "wap_id": wap["wap_id"]}
+            version = (head_v or 0) + 1
+            out["version"] = version
+            try:
+                _stage_and_publish_manifest(path, version, out)
+            except ConcurrentCommitError:
+                continue
+            os.remove(_staged_path(path, wap_id))
+            return version
+        if wap["mode"] != "append":
+            raise ConcurrentCommitError(
+                f"staged overwrite {wap_id!r} was built against version "
+                f"{staged_parent}, head is now {head_v} — a real conflict; "
+                "drop_staged and re-stage against the new head"
+            )
+        # rebase the staged batch onto the moved head, manifest-only —
+        # the same compatibility rules commit_version's rebase enforces
+        head = _read_manifest(path, head_v)
+        head_schema = _logical_schema(head)
+        head_names = {f.name for f in head_schema.fields}
+        head_map = dict(_mapping(head))
+        retired = list(head.get("retired_physical", []))
+        used_phys = {head_map.get(f.name, f.name) for f in head_schema.fields} | set(retired)
+        new_fields, map2 = [], dict(head_map)
+        for f in staged_schema.fields:
+            phys = staged_map.get(f.name, f.name)
+            if f.name in head_names:
+                if head_map.get(f.name, f.name) != phys:
+                    raise ConcurrentCommitError(
+                        f"concurrent commits re-mapped column {f.name!r} "
+                        f"(staged files carry {phys!r}); drop_staged and re-stage"
+                    )
+            elif phys in used_phys:
+                raise ConcurrentCommitError(
+                    f"staged physical name {phys!r} collides with a concurrent "
+                    "commit's naming; drop_staged and re-stage"
+                )
+            else:
+                new_fields.append(f)
+                if phys != f.name:
+                    map2[f.name] = phys
+        schema2 = StructType(list(head_schema.fields) + new_fields)
+        out = {
+            "version": head_v + 1,
+            "parent": head_v,
+            "mode": "append",
+            "files": head["files"] + new_files,
+            "stats": {**head.get("stats", {}), **{f: m["stats"][f] for f in new_files}},
+            "file_rows": {
+                **head.get("file_rows", {}),
+                **{f: m["file_rows"][f] for f in new_files},
+            },
+            "delete_files": dict(_delete_map(head)),
+            # Iceberg's sequence rule: the staged files are NEWER than
+            # every eq-delete entry on the head, so they inherit none
+            "eq_deletes": dict(_eq_entries(head)),
+            "eq_applies": dict(_eq_map(head)),
+            "schema": json.dumps(schema2.jsonValue()),
+            "column_mapping": map2,
+            "retired_physical": retired,
+            "partition_specs": _spec_carry(head)["partition_specs"],
+            "current_spec": _spec_carry(head)["current_spec"],
+            "file_specs": {
+                **_spec_carry(head)["file_specs"],
+                **{f: m["file_specs"][f] for f in new_files},
+            },
+            "meta": {**m.get("meta", {}), "wap_id": wap["wap_id"]},
+        }
+        try:
+            _stage_and_publish_manifest(path, head_v + 1, out)
+        except ConcurrentCommitError:
+            continue
+        os.remove(_staged_path(path, wap_id))
+        return head_v + 1
+
+
+def drop_staged(path: str, wap_id: str) -> list[str]:
+    """Abandon a staged commit: its batch files are deleted NOW (they
+    were never visible), the staged manifest removed.  Returns the
+    deleted files."""
+    import shutil
+
+    m = _read_staged(path, wap_id)
+    removed = [f for f in m["wap"]["staged_new_files"] if os.path.exists(f)]
+    for d in {os.path.dirname(f) for f in m["wap"]["staged_new_files"]}:
+        shutil.rmtree(d, ignore_errors=True)
+    os.remove(_staged_path(path, wap_id))
     return removed
 
 

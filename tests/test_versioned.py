@@ -782,7 +782,7 @@ def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="at-or-before"):
         V.resolve_as_of(p, 99.0)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         read_version(spark, p, version=1, as_of_ts=100.0)
 
 
@@ -1308,3 +1308,203 @@ def test_resolve_as_of_unstamped_leading_versions(spark, tmp_path):
         V.resolve_as_of(p, ts3 - 0.001)  # below the first stamp
     assert V.resolve_as_of(p, ts3) == 3
     assert V.resolve_as_of(p, ts3 + 100) == 3
+
+
+# --- named refs (tags / branches) -------------------------------------------
+
+
+def test_tag_pins_snapshot_and_vacuum_protects(spark, tmp_path):
+    """A tag is immutable, readable by name forever, and pins its
+    version through vacuum (Iceberg's ref retention)."""
+    from fdf_spark.sources.versioned import create_tag, drop_ref, list_refs
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)                      # v1
+    create_tag(p, "train-2026-08", 1)
+    commit_version(_df(spark, 10, 20), p, mode="overwrite")   # v2
+    commit_version(_df(spark, 20, 30), p, mode="overwrite")   # v3
+    with pytest.raises(ValueError, match="already exists"):
+        create_tag(p, "train-2026-08", 3)
+    # vacuum keeps head + the tagged version; v2 dies
+    vacuum(p, keep=1, orphan_grace_s=0.0)
+    assert list_versions(p) == [1, 3]
+    got = sorted(
+        r.k for r in read_version(spark, p, ref="train-2026-08").collect()
+    )
+    assert got == list(range(10))
+    assert list_refs(p)["train-2026-08"]["type"] == "tag"
+    # untagged, the old snapshot is reclaimable again
+    drop_ref(p, "train-2026-08")
+    vacuum(p, keep=1, orphan_grace_s=0.0)
+    assert list_versions(p) == [3]
+
+
+def test_branch_moves_tag_refuses(spark, tmp_path):
+    from fdf_spark.sources.versioned import (
+        create_branch,
+        create_tag,
+        resolve_ref,
+        set_branch,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)   # v1
+    commit_version(_df(spark, 10, 20), p)  # v2
+    create_branch(p, "dev", 1)
+    assert resolve_ref(p, "dev") == 1
+    assert read_version(spark, p, ref="dev").count() == 10
+    set_branch(p, "dev", 2)
+    assert resolve_ref(p, "dev") == 2
+    assert read_version(spark, p, ref="dev").count() == 20
+    create_tag(p, "rel", 1)
+    with pytest.raises(ValueError, match="immutable"):
+        set_branch(p, "rel", 2)
+    with pytest.raises(FileNotFoundError):
+        resolve_ref(p, "nope")
+    with pytest.raises(ValueError, match="at most one"):
+        read_version(spark, p, version=1, ref="dev")
+
+
+# --- write-audit-publish ------------------------------------------------
+
+
+def test_wap_lifecycle_stage_audit_publish(spark, tmp_path):
+    """The staged snapshot is invisible until publish; the audit read
+    sees exactly what would land; publish is manifest-only."""
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        list_staged,
+        publish_staged,
+        read_staged,
+        stage_commit,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)  # v1
+    stage_commit(_df(spark, 10, 15), p, "batch-1")
+    # no reader sees the staged batch
+    assert read_version(spark, p).count() == 10
+    assert list_versions(p) == [1]
+    # the audit read sees parent + batch
+    assert read_staged(spark, p, "batch-1").count() == 15
+    assert list_staged(p) == ["batch-1"]
+    with pytest.raises(ValueError, match="already staged"):
+        stage_commit(_df(spark, 99, 100), p, "batch-1")
+    v = publish_staged(spark, p, "batch-1")
+    assert v == 2 and list_versions(p) == [1, 2]
+    assert read_version(spark, p).count() == 15
+    assert list_staged(p) == []
+    m = _read_manifest(p, 2)
+    assert m["meta"]["wap_id"] == "batch-1"
+    # the staged bytes were fast-forwarded, not rewritten
+    assert any("/data/w" in f for f in m["files"])
+
+
+def test_wap_drop_deletes_staged_files(spark, tmp_path):
+    from fdf_spark.sources.versioned import (
+        _read_staged,
+        drop_staged,
+        list_staged,
+        stage_commit,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    stage_commit(_df(spark, 10, 15), p, "bad-batch")
+    staged_files = _read_staged(p, "bad-batch")["wap"]["staged_new_files"]
+    assert staged_files and all(os.path.exists(f) for f in staged_files)
+    removed = drop_staged(p, "bad-batch")
+    assert sorted(removed) == sorted(staged_files)
+    assert not any(os.path.exists(f) for f in staged_files)
+    assert list_staged(p) == []
+    assert read_version(spark, p).count() == 10
+
+
+def test_wap_publish_rebases_append_over_moved_head(spark, tmp_path):
+    """Commits landing between stage and publish fast-forward a staged
+    APPEND manifest-only (the non-conflicting-append rule)."""
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        _read_staged,
+        publish_staged,
+        stage_commit,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)        # v1
+    stage_commit(_df(spark, 10, 15), p, "b1")   # parent = v1
+    commit_version(_df(spark, 20, 30), p)       # v2 lands first
+    staged_files = _read_staged(p, "b1")["wap"]["staged_new_files"]
+    v = publish_staged(spark, p, "b1")
+    assert v == 3
+    got = sorted(r.k for r in read_version(spark, p).collect())
+    assert got == list(range(0, 15)) + list(range(20, 30))
+    # the staged files attached verbatim — zero bytes rewritten
+    m = _read_manifest(p, 3)
+    assert all(f in m["files"] for f in staged_files)
+
+
+def test_wap_staged_overwrite_conflicts_on_moved_head(spark, tmp_path):
+    from fdf_spark.sources.versioned import (
+        ConcurrentCommitError,
+        drop_staged,
+        publish_staged,
+        stage_commit,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)                        # v1
+    stage_commit(_df(spark, 100, 105), p, "ow", mode="overwrite")
+    commit_version(_df(spark, 10, 20), p)                       # v2 lands
+    with pytest.raises(ConcurrentCommitError, match="real conflict"):
+        publish_staged(spark, p, "ow")
+    drop_staged(p, "ow")
+    assert read_version(spark, p).count() == 20
+
+
+def test_wap_on_empty_table(spark, tmp_path):
+    from fdf_spark.sources.versioned import publish_staged, read_staged, stage_commit
+
+    p = str(tmp_path / "t")
+    stage_commit(_df(spark, 0, 5), p, "first")
+    assert list_versions(p) == []
+    assert read_staged(spark, p, "first").count() == 5
+    assert publish_staged(spark, p, "first") == 1
+    assert read_version(spark, p).count() == 5
+
+
+def test_vacuum_protects_staged_batch_and_its_parent_files(spark, tmp_path):
+    """A staged WAP snapshot pins its files — the batch's own AND its
+    parent's (publish may still fast-forward them into a live
+    version) — through any vacuum."""
+    from fdf_spark.sources.versioned import publish_staged, stage_commit
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)       # v1
+    stage_commit(_df(spark, 10, 15), p, "b1")  # parent = v1 (append)
+    commit_version(_df(spark, 20, 30), p, mode="overwrite")  # v2
+    commit_version(_df(spark, 30, 40), p, mode="overwrite")  # v3
+    vacuum(p, keep=1, orphan_grace_s=0.0)
+    # v1's manifest is gone, but the staged manifest kept every file
+    # it references alive; publish rebases onto v3 and reads clean
+    assert publish_staged(spark, p, "b1") == 4
+    got = sorted(r.k for r in read_version(spark, p).collect())
+    assert got == list(range(10, 15)) + list(range(30, 40))
+
+
+def test_wap_rebase_detects_concurrent_column_remap(spark, tmp_path):
+    """A rename landing between stage and publish re-maps the physical
+    naming the staged bytes carry — the rebase must refuse."""
+    from fdf_spark.sources.versioned import (
+        ConcurrentCommitError,
+        publish_staged,
+        rename_column,
+        stage_commit,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)       # v1: columns (k, v)
+    stage_commit(_df(spark, 10, 15), p, "b1")  # staged bytes carry "v"
+    rename_column(p, "v", "v2")                # v2: logical v2 -> physical v
+    with pytest.raises(ConcurrentCommitError):
+        publish_staged(spark, p, "b1")
