@@ -84,6 +84,8 @@ ROWS = [
     ("dv masked read (N17)", "full-table agg THROUGH the tombstone mask: broadcast anti-join on (file, position) over only the files with deletes (N17)", "20 M"),
     ("dv optimize fold (N17)", "OPTIMIZE folds the tombstones into rewritten files — the merge-on-read debt repaid once (N17)", "20 M"),
     ("dv folded read (N17)", "the same agg after the fold: mask gone, plain-scan plan restored (N17)", "20 M"),
+    ("eq-delete 100k keys (N17)", "EQUALITY-DELETE of 100k keys: delete_keys writes the key relation itself, ZERO base-table scan — write O(keys) bytes, scoped to current files by footer stats (N17/q162)", "100 k keys"),
+    ("eq masked read (N17)", "full-table agg THROUGH the equality mask: one broadcast anti-join on the key columns over only stats-overlapping files, until the next OPTIMIZE fold (N17/q162)", "20 M"),
     ("incr near-dup vs 1M landed (N2)", "continuous-ingest near-dup: 100k-doc ingest probing a 1M-fingerprint landed index (3×20-bit bands/word, exact for dist<=5) (N2/q158)", "100 k batch"),
     ("incr near-dup vs 10M landed (N2)", "the SAME 100k ingest against a 10M-fingerprint landed index — cost is one 16 B/doc index scan + the probe, never landed×landed (N2/q158)", "100 k batch"),
     ("incr near-dup repeat ingest (N2)", "the next consecutive 100k ingest against the just-grown 10M index — the flat per-ingest cadence (N2/q158)", "100 k batch"),
@@ -166,6 +168,11 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         f"{w('dv 1% scattered delete (N17)'):.1f} s, the masked read pays "
         f"{w('dv masked read (N17)'):.1f} s vs {w('dv folded read (N17)'):.1f} s after "
         f"the one-time {w('dv optimize fold (N17)'):.1f} s OPTIMIZE fold. The "
+        f"equality-delete tier goes further: deleting 100k KEYS costs "
+        f"{w('eq-delete 100k keys (N17)'):.1f} s with ZERO base-table scan (the write "
+        f"is O(keys) bytes — the commit ships the key relation itself) and the masked "
+        f"read pays {w('eq masked read (N17)'):.1f} s for one broadcast key anti-join "
+        "over stats-overlapping files until the next fold. The "
         "continuous-ingest cadence: a 100k-doc near-dup ingest costs "
         f"{w('incr near-dup vs 1M landed (N2)'):.1f} s against 1 M landed fingerprints "
         f"and {w('incr near-dup vs 10M landed (N2)'):.1f} s against 10 M "

@@ -1121,6 +1121,27 @@ def main() -> None:
             "dv folded read (N17)", n,
             read_version(spark, p).groupBy("g").agg(F.sum("v")),
         )
+
+        # 32b) equality-delete tier (N17, r11): delete 100k KEYS with
+        # ZERO base-table scan — delete_keys writes the key relation
+        # itself (O(keys) bytes) and scopes it by footer stats; the
+        # read side pays one broadcast anti-join on the key columns
+        # until the next OPTIMIZE fold.  Run on the just-folded table
+        # so the wall isolates the eq mask, not leftover positional DVs.
+        from fdf_spark.sources.versioned import delete_keys
+
+        keys = spark.range(0, 100_000, 1, 8).select((F.col("id") * 199 + 11).alias("k"))
+        t0 = time.perf_counter()
+        delete_keys(spark, p, keys, ["k"])
+        dt = time.perf_counter() - t0
+        print(
+            f"{'eq-delete 100k keys (N17)':28s} {0.1:8.1f} Mrows {dt:7.2f} s {0.1/dt:8.1f} Mrows/s",
+            flush=True,
+        )
+        timed(
+            "eq masked read (N17)", n,
+            read_version(spark, p).groupBy("g").agg(F.sum("v")),
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
