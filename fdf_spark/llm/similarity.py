@@ -585,6 +585,22 @@ def _l2_flat(vec: Column, base: int, cvec: list[float]) -> Column:
     return F.round(s, 6)
 
 
+def _l2_sub(qsub: Column, c: Column) -> Column:
+    """Squared L2 of a pre-cast double subvector against a RUNTIME
+    array (a codebook row iterated by ``F.transform``) — bit-identical
+    to :func:`_l2_flat`: zip_with squares element-wise, aggregate sums
+    left-assoc from 0.0 (exact: 0.0+d0==d0, and every term is a square
+    so never −0.0), same round(…, 6)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(qsub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     m: int = 8,
@@ -699,18 +715,23 @@ def _pq_seed_books(
 
 
 def _pq_code_col(vec: Column, book_j, base: int) -> Column:
-    """Nearest-centroid code for one subspace — flat scalar sum, NOT a
-    zip_with fold: identical IEEE order (0.0+d0 == d0), but pure
-    codegen — no per-centroid array allocation, which dominates encode
-    cost at millions of rows."""
-    scores = F.array(
-        *[
-            F.struct(
-                _l2_flat(vec, base, cvec).alias("dist"),
-                F.lit(c).alias("cent_ord"),
-            )
-            for c, cvec in enumerate(book_j)
-        ]
+    """Nearest-centroid code for one subspace.
+
+    The codebook rides as ONE constant-folded literal array and
+    ``F.transform`` computes the per-centroid distance with a single
+    lambda body — identical IEEE order to the old flat expansion
+    (:func:`_l2_sub`) but O(sub) generated code instead of O(ks·sub):
+    the flat form's m·ks·sub terms blew janino's 64 KB method limit
+    and silently dropped the whole encode projection to INTERPRETED
+    evaluation (VERDICT r10 #5 — the 'ERROR CodeGenerator' in the
+    sweep), which costs far more than the per-row array the fold
+    allocates."""
+    sub = len(book_j[0])
+    qsub = F.array(*[vec.getItem(base + i).cast("double") for i in range(sub)])
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in cvec]) for cvec in book_j])
+    scores = F.transform(
+        cents,
+        lambda c, i: F.struct(_l2_sub(qsub, c).alias("dist"), i.alias("cent_ord")),
     )
     return F.array_min(scores)["cent_ord"]
 
@@ -843,12 +864,18 @@ def _pq_lut(books, query_vec: str | Column, m: int, ks: int, dim: int) -> Column
     name or an expression (the residual tier passes q − centroid)."""
     sub = dim // m
     vec = F.col(query_vec) if isinstance(query_vec, str) else query_vec
-    return F.array(
-        *[
-            F.array(*[_l2_flat(vec, j * sub, books[j][c]) for c in range(ks)])
-            for j in range(m)
-        ]
-    )
+    luts = []
+    for j in range(m):
+        # constant-folded literal codebook + one transform lambda: the
+        # old per-entry flat expansion generated m·ks·sub terms in one
+        # projection and tripped janino's 64 KB method limit (VERDICT
+        # r10 #5) — interpreted fallback on the probe's hottest column
+        qsub = F.array(*[vec.getItem(j * sub + i).cast("double") for i in range(sub)])
+        cents = F.array(*[F.array(*[F.lit(float(x)) for x in books[j][c]]) for c in range(ks)])
+        # closure factory, NOT a default arg: pyspark counts lambda
+        # params, and a defaulted second param reads as (element, index)
+        luts.append(F.transform(cents, (lambda q: lambda c: _l2_sub(q, c))(qsub)))
+    return F.array(*luts)
 
 
 def _adc_score_topk(
