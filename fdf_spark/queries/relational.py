@@ -1982,6 +1982,76 @@ def q163_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q164_restore_rollback",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 0),
+    appended AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 5 = 1),
+    v3 AS (
+      SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM appended)
+      WHERE o_totalprice <= 200000),
+    agg AS (
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      FROM v3 GROUP BY o_orderpriority)
+    SELECT 'restored' AS stage, o_orderpriority, n_orders, total_price FROM agg
+    UNION ALL
+    SELECT 'timetravel_v3' AS stage, o_orderpriority, n_orders, total_price FROM agg
+    ORDER BY stage, o_orderpriority
+    """,
+    operators=("N17",),
+    doc="RESTORE / rollback-as-new-commit (Delta RESTORE analog): a "
+    "table builds up base + append + a deletion-vector delete (v3), "
+    "then a BAD overwrite lands (v4); restore_table(version=3) resets "
+    "the head to v3's exact state — files, schema AND delete mask — "
+    "as a new commit, MANIFEST-ONLY (zero data bytes move; the "
+    "restored head's file list is v3's verbatim, asserted in pytest). "
+    "The query proves restored-head == time-travel-to-v3 row-for-row "
+    "(same hash rows under two stage tags). Scale: rolling back a "
+    "100 TB table after a bad pipeline run costs one manifest write; "
+    "history stays time-travelable until vacuum.",
+)
+def q164_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile
+
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        delete_where,
+        read_version,
+        restore_table,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="fdf_restore_")
+    p = _os.path.join(root, "t")
+    commit_version(orders.filter(F.col("o_orderkey") % 5 == 0), p)                  # v1
+    commit_version(orders.filter(F.col("o_orderkey") % 5 == 1), p, mode="append")   # v2
+    delete_where(spark, p, "o_totalprice > 200000")                                 # v3
+    commit_version(
+        orders.filter(F.col("o_orderkey") % 5 == 2).limit(7), p, mode="overwrite"
+    )                                                                               # v4: bad
+    restore_table(p, version=3)                                                     # v5
+
+    def agg(df, stage):
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+            .select(F.lit(stage).alias("stage"), "o_orderpriority", "n_orders", "total_price")
+        )
+
+    out = agg(read_version(spark, p), "restored").unionByName(
+        agg(read_version(spark, p, 3), "timetravel_v3")
+    ).orderBy("stage", "o_orderpriority")
+    return _materialize_and_cleanup(out, root)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

@@ -1237,6 +1237,7 @@ def metadata_aggregate(
     path: str,
     cols=(),
     version: int | None = None,
+    ref: str | None = None,
 ) -> dict:
     """``count(*)`` and per-column ``min``/``max`` answered from the
     MANIFEST — zero data-file reads (VERDICT r9 #5; the Iceberg/Delta
@@ -1268,6 +1269,10 @@ def metadata_aggregate(
     """
     from pyspark.sql import functions as F
 
+    if version is not None and ref is not None:
+        raise ValueError("pass version OR ref, not both")
+    if ref is not None:
+        version = resolve_ref(path, ref)
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -2120,6 +2125,53 @@ def drop_staged(path: str, wap_id: str) -> list[str]:
         shutil.rmtree(d, ignore_errors=True)
     os.remove(_staged_path(path, wap_id))
     return removed
+
+
+def restore_table(
+    path: str,
+    version: int | None = None,
+    as_of_ts: float | None = None,
+    ref: str | None = None,
+) -> int:
+    """Delta RESTORE / Iceberg rollback: reset the table HEAD to an
+    older snapshot's state as a NEW commit — history preserved (the
+    bad commits stay time-travelable until vacuum), restore of a
+    restore fine, and the operation is MANIFEST-ONLY: the new manifest
+    re-references the target snapshot's files, stats, delete masks,
+    schema, column mapping and partition specs verbatim, so rolling
+    back a 100 TB table moves zero data bytes.  The wrong-write
+    recovery path WAP cannot cover (the bad commit already published).
+
+    Target by ``version``, ``as_of_ts`` or ``ref`` (same resolution
+    rules as :func:`read_version`).  Returns the new head version (or
+    the current head, unchanged, when it IS the target).  Publishes
+    through the optimistic-commit seam; a lost race retries against
+    the new head.
+    """
+    if sum(x is not None for x in (version, as_of_ts, ref)) != 1:
+        raise ValueError("pass exactly one of version / as_of_ts / ref")
+    if as_of_ts is not None:
+        version = resolve_as_of(path, as_of_ts)
+    if ref is not None:
+        version = resolve_ref(path, ref)
+    versions = list_versions(path)
+    if version not in versions:
+        raise FileNotFoundError(f"version {version} not in {versions}")
+    target = _read_manifest(path, version)
+    while True:
+        head_v = list_versions(path)[-1]
+        if head_v == version:
+            return head_v  # restoring the head is a no-op
+        out = {k: v for k, v in target.items() if k != "ts"}
+        out["version"] = head_v + 1
+        out["parent"] = head_v
+        out["mode"] = "overwrite"
+        out["meta"] = {"restore": {"of": version}}
+        try:
+            _stage_and_publish_manifest(path, head_v + 1, out)
+            return head_v + 1
+        except ConcurrentCommitError:
+            continue
 
 
 def optimize(

@@ -1508,3 +1508,69 @@ def test_wap_rebase_detects_concurrent_column_remap(spark, tmp_path):
     rename_column(p, "v", "v2")                # v2: logical v2 -> physical v
     with pytest.raises(ConcurrentCommitError):
         publish_staged(spark, p, "b1")
+
+
+# --- restore (rollback-as-new-commit) ----------------------------------------
+
+
+def test_restore_table_manifest_only_rollback(spark, tmp_path):
+    """RESTORE resets head to an old snapshot as a NEW commit: data,
+    schema, and delete masks all roll back; history stays readable;
+    zero data files are written."""
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        create_tag,
+        delete_where,
+        restore_table,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)                       # v1
+    commit_version(_df(spark, 10, 20), p)                      # v2 append
+    delete_where(spark, p, "k = 5")                            # v3 (DV mask)
+    commit_version(_df(spark, 100, 105), p, mode="overwrite")  # v4: the bad write
+    assert read_version(spark, p).count() == 5
+    v = restore_table(p, version=3)
+    assert v == 5 and list_versions(p) == [1, 2, 3, 4, 5]
+    got = sorted(r.k for r in read_version(spark, p).collect())
+    assert got == [k for k in range(20) if k != 5]  # v3 state incl. its mask
+    # manifest-only: the restored head references v3's files verbatim
+    assert _read_manifest(p, 5)["files"] == _read_manifest(p, 3)["files"]
+    assert _read_manifest(p, 5)["meta"] == {"restore": {"of": 3}}
+    # history intact: the bad snapshot is still time-travelable
+    assert sorted(r.k for r in read_version(spark, p, 4).collect()) == list(range(100, 105))
+    # restore by ref; restoring the current state still lands a commit
+    create_tag(p, "good", 3)
+    assert restore_table(p, ref="good") == 6
+    # restoring the head itself is a no-op
+    assert restore_table(p, version=6) == 6
+    # vacuum keeps the restored head's (= v3's) files
+    vacuum(p, keep=1, orphan_grace_s=0.0)
+    assert sorted(r.k for r in read_version(spark, p).collect()) == got
+
+
+def test_restore_table_target_validation(spark, tmp_path):
+    from fdf_spark.sources.versioned import restore_table
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_table(p)
+    with pytest.raises(ValueError, match="exactly one"):
+        restore_table(p, version=1, ref="x")
+    with pytest.raises(FileNotFoundError):
+        restore_table(p, version=9)
+
+
+def test_metadata_aggregate_through_ref(spark, tmp_path):
+    from fdf_spark.sources.versioned import create_tag, metadata_aggregate
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    create_tag(p, "snap", 1)
+    commit_version(_df(spark, 10, 30), p)
+    got = metadata_aggregate(spark, p, ["k"], ref="snap")
+    assert got["count"] == 10 and got["max"]["k"] == 9
+    assert got["source"] == "metadata"
+    with pytest.raises(ValueError, match="not both"):
+        metadata_aggregate(spark, p, version=1, ref="snap")
