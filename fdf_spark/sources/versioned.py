@@ -81,7 +81,117 @@ def list_versions(path: str) -> list[int]:
 
 def _read_manifest(path: str, version: int) -> dict:
     with open(_manifest_path(path, version)) as fh:
-        return json.load(fh)
+        return _resolve_manifest(path, json.load(fh))
+
+
+# --- delta-encoded manifests -------------------------------------------------
+#
+# A manifest is O(live files): at 1M files the file list + per-file
+# stats are ~100 MB of JSON, and rewriting ALL of it for a 1-row
+# append is the metadata analog of copy-on-write.  So the publish seam
+# stores most commits as a DELTA against their parent (Delta Lake's
+# JSON-actions + checkpoint idea): scalar fields ride verbatim, the
+# file list stores its append/add-remove, dict fields (stats,
+# file_rows, delete masks, file_specs) store put/del entries, and an
+# unchanged field is simply omitted and inherited.  Every
+# _CHECKPOINT_EVERY-th version stores FULL (the checkpoint), bounding
+# reconstruction at that many metadata reads.  Both forms are valid
+# forever — decoding happens only when "delta_base" is present, so
+# pre-upgrade tables and hand-written test manifests read unchanged.
+# vacuum materializes any surviving delta whose base is about to die
+# (see vacuum) — a chain never dangles.
+
+_CHECKPOINT_EVERY = 8
+_DELTA_DICTS = ("stats", "file_rows", "delete_files", "eq_deletes", "eq_applies", "file_specs")
+_DELTA_SETS = ("schema", "column_mapping", "retired_physical", "partition_specs", "current_spec")
+_DELTA_KEYS = frozenset(
+    {"delta_base", "__absent__", "files_append", "files_add", "files_remove"}
+    | {k + "__put" for k in _DELTA_DICTS}
+    | {k + "__del" for k in _DELTA_DICTS}
+)
+
+
+def _encode_manifest_delta(manifest: dict, parent_m: dict | None) -> dict:
+    """The stored form of ``manifest``: a delta against ``parent_m``
+    where that is smaller, the manifest itself where not (or where
+    there is no parent)."""
+    if parent_m is None:
+        return manifest
+    enc: dict = {
+        k: v
+        for k, v in manifest.items()
+        if k not in ("files",) + _DELTA_DICTS + _DELTA_SETS
+    }
+    enc["delta_base"] = manifest["parent"]
+    absent = [
+        k for k in ("files",) + _DELTA_DICTS + _DELTA_SETS if k not in manifest and k in parent_m
+    ]
+    if absent:
+        enc["__absent__"] = absent
+    pf, nf = parent_m.get("files", []), manifest.get("files", [])
+    if "files" in manifest:
+        if nf == pf:
+            pass  # inherit
+        elif nf[: len(pf)] == pf:
+            enc["files_append"] = nf[len(pf):]
+        else:
+            pset = set(pf)
+            removed = sorted(pset - set(nf))
+            added = [f for f in nf if f not in pset]
+            if [f for f in pf if f not in set(removed)] + added == nf:
+                if removed:
+                    enc["files_remove"] = removed
+                enc["files_add"] = added
+            else:
+                enc["files"] = nf  # reordered (e.g. restore) — store full
+    for k in _DELTA_DICTS:
+        if k not in manifest:
+            continue
+        pv, nv = parent_m.get(k, {}), manifest[k]
+        if nv == pv:
+            continue
+        put = {kk: v for kk, v in nv.items() if kk not in pv or pv[kk] != v}
+        drop = [kk for kk in pv if kk not in nv]
+        if len(put) + len(drop) <= max(1, len(nv) // 2):
+            if put:
+                enc[k + "__put"] = put
+            if drop:
+                enc[k + "__del"] = drop
+        else:
+            enc[k] = nv
+    for k in _DELTA_SETS:
+        if k in manifest and manifest[k] != parent_m.get(k):
+            enc[k] = manifest[k]
+    return enc
+
+
+def _resolve_manifest(path: str, m: dict) -> dict:
+    """Decode a stored manifest into its full form (identity for full
+    manifests).  Recursion depth is bounded by the checkpoint cadence."""
+    if "delta_base" not in m:
+        return m
+    base = _read_manifest(path, m["delta_base"])
+    out = {k: v for k, v in base.items() if k in ("files",) + _DELTA_DICTS + _DELTA_SETS}
+    for k in m.get("__absent__", ()):
+        out.pop(k, None)
+    for k, v in m.items():
+        if k not in _DELTA_KEYS:
+            out[k] = v
+    if "files_append" in m:
+        out["files"] = base.get("files", []) + m["files_append"]
+    elif "files_add" in m or "files_remove" in m:
+        rem = set(m.get("files_remove", ()))
+        out["files"] = [f for f in base.get("files", []) if f not in rem] + m.get(
+            "files_add", []
+        )
+    for k in _DELTA_DICTS:
+        if k + "__put" in m or k + "__del" in m:
+            d = dict(base.get(k, {}))
+            for kk in m.get(k + "__del", ()):
+                d.pop(kk, None)
+            d.update(m.get(k + "__put", {}))
+            out[k] = d
+    return out
 
 
 def applied_ingest_ids(path: str) -> set:
@@ -1175,11 +1285,21 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
     # tolerated by the reader's monotonic-by-version rule, never
     # "fixed" at write time (version order is the truth)
     manifest.setdefault("ts", time.time())
+    # store a DELTA against the parent except at checkpoint versions
+    # (bounds reconstruction depth) — metadata written per commit is
+    # O(changed files), not O(table files)
+    stored = manifest
+    parent = manifest.get("parent")
+    if parent is not None and version % _CHECKPOINT_EVERY != 0:
+        try:
+            stored = _encode_manifest_delta(manifest, _read_manifest(path, parent))
+        except FileNotFoundError:
+            stored = manifest
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as fh:
-            json.dump(manifest, fh)
+            json.dump(stored, fh)
         _publish_manifest_atomic(tmp, _manifest_path(path, version))
     except FileExistsError:
         raise ConcurrentCommitError(
@@ -1790,9 +1910,28 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
     # them into a live version) — all protected until drop/publish
     for wid in list_staged(path):
         referenced.update(_all_files(_read_staged(path, wid)))
+    # a surviving DELTA manifest whose base is about to die must be
+    # materialized full first (while the chain is still intact) —
+    # ascending order, so a chain of survivors re-roots on its first
+    # materialized member
+    dead_set = set(dead)
+    for v in live:
+        with open(_manifest_path(path, v)) as fh:
+            raw = json.load(fh)
+        if raw.get("delta_base") in dead_set:
+            full = _resolve_manifest(path, raw)
+            fd, tmp = tempfile.mkstemp(
+                dir=os.path.join(path, _MANIFEST_DIR), suffix=".tmp"
+            )
+            with os.fdopen(fd, "w") as fh:
+                json.dump(full, fh)
+            os.replace(tmp, _manifest_path(path, v))
+    # resolve every dead manifest BEFORE removing any: a dead delta may
+    # chain through an earlier dead version's manifest file
+    dead_manifests = {v: _read_manifest(path, v) for v in dead}
     removed = []
     for v in dead:
-        for f in _all_files(_read_manifest(path, v)):
+        for f in _all_files(dead_manifests[v]):
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)

@@ -1574,3 +1574,93 @@ def test_metadata_aggregate_through_ref(spark, tmp_path):
     assert got["source"] == "metadata"
     with pytest.raises(ValueError, match="not both"):
         metadata_aggregate(spark, p, version=1, ref="snap")
+
+
+# --- delta-encoded manifests --------------------------------------------------
+
+
+def test_delta_manifest_append_is_o_changed_files(spark, tmp_path):
+    """A small append to a many-file table stores O(changed) manifest
+    bytes, not O(table files); reads decode identically."""
+    import json as _json
+
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 20000).repartition(64), p)   # v1: 64 files, full
+    commit_version(_df(spark, 20000, 20010).coalesce(1), p)   # v2: 1-file append
+    raw1 = _json.load(open(V._manifest_path(p, 1)))
+    raw2 = _json.load(open(V._manifest_path(p, 2)))
+    assert "delta_base" not in raw1                       # first commit is full
+    assert raw2["delta_base"] == 1                        # append stored as delta
+    assert len(raw2.get("files_append", [])) == 1
+    assert "stats" not in raw2 and len(raw2.get("stats__put", {})) == 1
+    sz1 = os.path.getsize(V._manifest_path(p, 1))
+    sz2 = os.path.getsize(V._manifest_path(p, 2))
+    assert sz2 * 10 < sz1, (sz1, sz2)
+    # decoded view is complete: stats carry over, reads see all rows
+    m2 = V._read_manifest(p, 2)
+    assert len(m2["files"]) == 65 and len(m2["stats"]) == 65
+    assert read_version(spark, p).count() == 20010
+    # a delete mask and a metadata-only rename also ride as deltas
+    from fdf_spark.sources.versioned import delete_where, rename_column
+
+    delete_where(spark, p, "k = 7")         # v3
+    rename_column(p, "v", "v2")             # v4
+    raw3 = _json.load(open(V._manifest_path(p, 3)))
+    raw4 = _json.load(open(V._manifest_path(p, 4)))
+    assert raw3["delta_base"] == 2 and "files" not in raw3 and "files_append" not in raw3
+    assert raw4["delta_base"] == 3 and "column_mapping" in raw4
+    got = read_version(spark, p)
+    assert got.columns == ["k", "v2"] and got.count() == 20009
+
+
+def test_delta_manifest_checkpoint_bounds_chain(spark, tmp_path):
+    import json as _json
+
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    for i in range(10):
+        commit_version(_df(spark, i * 5, (i + 1) * 5).coalesce(1), p)
+    raws = {v: _json.load(open(V._manifest_path(p, v))) for v in range(1, 11)}
+    assert "delta_base" not in raws[1]
+    assert "delta_base" not in raws[8]     # checkpoint at % _CHECKPOINT_EVERY
+    for v in (2, 3, 4, 5, 6, 7, 9, 10):
+        assert raws[v]["delta_base"] == v - 1
+    assert read_version(spark, p).count() == 50
+    assert len(V._read_manifest(p, 10)["files"]) == 10  # full decode through the chain
+
+
+def test_vacuum_materializes_surviving_deltas(spark, tmp_path):
+    """Vacuum deletes a delta chain's base manifests — survivors must
+    re-root as full manifests first, never dangle."""
+    import json as _json
+
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    for i in range(5):
+        commit_version(_df(spark, i * 10, (i + 1) * 10).coalesce(1), p)  # v1..v5
+    before = sorted(map(tuple, read_version(spark, p).collect()))
+    v4_full = V._read_manifest(p, 4)
+    vacuum(p, keep=2, orphan_grace_s=0.0)  # v1..v3 die; v4 was a delta of v3
+    assert list_versions(p) == [4, 5]
+    raw4 = _json.load(open(V._manifest_path(p, 4)))
+    assert "delta_base" not in raw4            # materialized full
+    assert V._read_manifest(p, 4) == v4_full   # same decoded content
+    raw5 = _json.load(open(V._manifest_path(p, 5)))
+    assert raw5.get("delta_base") == 4         # still a delta of a LIVE base
+    assert sorted(map(tuple, read_version(spark, p).collect())) == before
+
+
+def test_delta_manifest_overwrite_and_restore_roundtrip(spark, tmp_path):
+    from fdf_spark.sources.versioned import restore_table
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)                       # v1
+    commit_version(_df(spark, 50, 60), p, mode="overwrite")    # v2: files replaced
+    commit_version(_df(spark, 60, 70), p)                      # v3: append
+    restore_table(p, version=1)                                # v4
+    assert sorted(r.k for r in read_version(spark, p).collect()) == list(range(10))
+    assert sorted(r.k for r in read_version(spark, p, 3).collect()) == list(range(50, 70))
