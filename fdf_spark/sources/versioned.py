@@ -79,9 +79,27 @@ def list_versions(path: str) -> list[int]:
     )
 
 
+#: decoded-manifest cache: (path, version, mtime_ns, size) -> full dict.
+#: The file-stat key makes every legitimate mutation (vacuum's delta
+#: materialization, test restamps — all os.replace / rewrite) a miss,
+#: so the cache can never serve a stale decode; bounded FIFO.
+_MANIFEST_CACHE: dict = {}
+_MANIFEST_CACHE_CAP = 256
+
+
 def _read_manifest(path: str, version: int) -> dict:
-    with open(_manifest_path(path, version)) as fh:
-        return _resolve_manifest(path, json.load(fh))
+    mp = _manifest_path(path, version)
+    st = os.stat(mp)
+    key = (path, version, st.st_mtime_ns, st.st_size)
+    hit = _MANIFEST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    with open(mp) as fh:
+        m = _resolve_manifest(path, json.load(fh))
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[key] = m
+    return m
 
 
 # --- delta-encoded manifests -------------------------------------------------
@@ -1583,7 +1601,15 @@ def diff_versions(
     Both sides read with the ``v_to`` manifest schema (append-mode
     evolution only adds columns; removed-file rows surface NULLs for
     columns born after ``v_from``).
+
+    Either endpoint may be a NAMED REF (a str): "what changed since
+    the snapshot training run X read" is
+    ``diff_versions(spark, path, "train-tag", head)``.
     """
+    if isinstance(v_from, str):
+        v_from = resolve_ref(path, v_from)
+    if isinstance(v_to, str):
+        v_to = resolve_ref(path, v_to)
     if v_from == v_to:
         raise ValueError("diff_versions needs two distinct versions")
     m_from = _read_manifest(path, v_from)

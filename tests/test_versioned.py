@@ -1664,3 +1664,30 @@ def test_delta_manifest_overwrite_and_restore_roundtrip(spark, tmp_path):
     restore_table(p, version=1)                                # v4
     assert sorted(r.k for r in read_version(spark, p).collect()) == list(range(10))
     assert sorted(r.k for r in read_version(spark, p, 3).collect()) == list(range(50, 70))
+
+
+def test_diff_versions_accepts_refs_and_cache_integrity(spark, tmp_path):
+    """Ref endpoints in diff_versions; and the decoded-manifest cache
+    can never serve a stale decode across vacuum's delta
+    materialization (file-stat keyed)."""
+    from fdf_spark.sources.versioned import create_tag, diff_versions
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)   # v1
+    create_tag(p, "base", 1)
+    commit_version(_df(spark, 10, 15), p)  # v2
+    d = diff_versions(spark, p, "base", 2)
+    assert sorted(r.k for r in d.collect()) == list(range(10, 15))
+    assert {r.change for r in d.collect()} == {"insert"}
+    # warm the cache on v2 (a delta), then vacuum materializes it —
+    # the rewritten file must re-decode, not serve the cached delta
+    from fdf_spark.sources.versioned import _manifest_path, drop_ref
+
+    commit_version(_df(spark, 15, 20), p)  # v3
+    before = sorted(r.k for r in read_version(spark, p, 2).collect())
+    drop_ref(p, "base")                    # untag so v1 can actually die
+    vacuum(p, keep=2, orphan_grace_s=0.0)  # v1 dies; v2 materializes
+    import json as _json
+
+    assert "delta_base" not in _json.load(open(_manifest_path(p, 2)))
+    assert sorted(r.k for r in read_version(spark, p, 2).collect()) == before
