@@ -1691,3 +1691,44 @@ def test_diff_versions_accepts_refs_and_cache_integrity(spark, tmp_path):
 
     assert "delta_base" not in _json.load(open(_manifest_path(p, 2)))
     assert sorted(r.k for r in read_version(spark, p, 2).collect()) == before
+
+
+def test_wap_publish_rebase_inherits_concurrent_masks(spark, tmp_path):
+    """Deletes (positional AND equality) landing between stage and
+    publish survive the rebase: the published snapshot carries the
+    head's masks, and the staged files — newer than every mask —
+    inherit none (the sequence rule)."""
+    from fdf_spark.sources.versioned import (
+        delete_keys,
+        delete_where,
+        publish_staged,
+        stage_commit,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)        # v1
+    stage_commit(_df(spark, 3, 6), p, "b1")     # re-lands keys 3..5 as NEW rows
+    delete_where(spark, p, "k = 2")             # v2: positional mask
+    delete_keys(spark, p, spark.createDataFrame([(4,)], "k long"), ["k"])  # v3: eq mask
+    v = publish_staged(spark, p, "b1")
+    assert v == 4
+    got = sorted(r.k for r in read_version(spark, p).collect())
+    # base 0..9 minus {2,4}, plus the staged 3,4,5 (all live: staged
+    # files are newer than both masks)
+    assert got == [0, 1, 3, 3, 4, 5, 5, 6, 7, 8, 9]
+
+
+def test_wap_publish_rebases_over_concurrent_optimize(spark, tmp_path):
+    """OPTIMIZE between stage and publish replaces every base file —
+    the staged append still fast-forwards onto the compacted head."""
+    from fdf_spark.sources.versioned import optimize as vt_optimize
+    from fdf_spark.sources.versioned import publish_staged, stage_commit
+
+    p = str(tmp_path / "t")
+    for i in range(4):
+        commit_version(_df(spark, i * 10, (i + 1) * 10).repartition(3), p)
+    stage_commit(_df(spark, 100, 105), p, "b1")
+    vt_optimize(spark, p, small_bytes=None)  # compacts the 12 small files
+    v = publish_staged(spark, p, "b1")
+    got = sorted(r.k for r in read_version(spark, p, v).collect())
+    assert got == list(range(40)) + list(range(100, 105))
