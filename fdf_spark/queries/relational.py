@@ -2052,6 +2052,129 @@ def q164_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q165_bucket_pruned_lookup",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           TRUE AS pruned
+    FROM orders
+    WHERE o_custkey IN (7, 419, 1000)
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    operators=("N17", "S10", "P6"),
+    doc="Hidden BUCKET partitioning (Iceberg's bucket(N, col) "
+    "transform; sources/transforms.py): the table's partition spec is "
+    "bucket(8, o_custkey), so each committed file carries tight "
+    "manifest stats on a HIDDEN derived column pmod(hash(key), 8) — "
+    "written into the bytes, never in the logical schema — and a "
+    "point/IN probe prunes through the transform via a driver-side "
+    "Murmur3 port (functions/spark_hash.py, property-tested "
+    "bit-for-bit against F.hash). This is the lookup shape range "
+    "stats fundamentally cannot prune: a high-cardinality key nothing "
+    "is sorted by routes every value to 1/N of the files regardless "
+    "of distribution. The query pins the pruning itself in the hash "
+    "gate: `pruned` is computed engine-side as files_read < "
+    "files_total (the oracle hardcodes TRUE), so a regression that "
+    "silently reads everything flips the hash, and the value columns "
+    "prove the probe lost no rows. At 100 TB: a 3-key lookup opens "
+    "3 buckets' files, not 100 TB of footers; delete_keys / "
+    "merge_on_read scope their match scans by the same membership "
+    "(tests/test_transforms.py).",
+)
+def q165_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        list_versions,
+        read_version,
+        set_partition_spec,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="fdf_bucket_")
+    commit_version(orders.filter(F.col("o_orderkey") % 4 == 0), path)       # v1 unclustered
+    set_partition_spec(path, ["bucket(8, o_custkey)"])                      # v2
+    commit_version(orders.filter(F.col("o_orderkey") % 4 != 0), path, mode="append")  # v3
+    keys = [7, 419, 1000]
+    probe = read_version(spark, path, prune=("o_custkey", keys))
+    n_total = len(_read_manifest(path, list_versions(path)[-1])["files"])
+    pruned = len(probe.inputFiles()) < n_total
+    out = (
+        probe.filter(F.col("o_custkey").isin(keys))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .withColumn("pruned", F.lit(pruned))
+        .orderBy("o_custkey")
+    )
+    return _materialize_and_cleanup(out, path)
+
+
+@query(
+    "q166_metadata_history",
+    """
+    WITH s1 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 3 = 0),
+         s2 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 3 = 1),
+         s3 AS (SELECT COUNT(*) AS c FROM orders WHERE o_orderkey % 3 = 2),
+         d  AS (SELECT COUNT(*) AS c FROM orders
+                WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice > 180000)
+    SELECT * FROM (
+      SELECT 1 AS version, 'append' AS mode,
+             (SELECT c FROM s1) AS n_rows, (SELECT c FROM s1) AS rows_added,
+             CAST(0 AS BIGINT) AS delete_debt
+      UNION ALL
+      SELECT 2, 'append', (SELECT c FROM s1) + (SELECT c FROM s2),
+             (SELECT c FROM s2), 0
+      UNION ALL
+      SELECT 3, 'delete', (SELECT c FROM s1) + (SELECT c FROM s2), 0,
+             (SELECT c FROM d)
+      UNION ALL
+      SELECT 4, 'append',
+             (SELECT c FROM s1) + (SELECT c FROM s2) + (SELECT c FROM s3),
+             (SELECT c FROM s3), (SELECT c FROM d)
+    ) ORDER BY version
+    """,
+    operators=("N17", "S5"),
+    doc="METADATA TABLES (Iceberg history/snapshots parity; "
+    "sources/metatables.py): the table's own write history as a "
+    "relation — one row per commit with mode, physical row totals, "
+    "per-commit added rows and outstanding DELETE DEBT (tombstoned "
+    "positions still masking live files — what OPTIMIZE would fold), "
+    "derived purely from the manifest chain + tombstone footers, "
+    "ZERO data pages read. The oracle recomputes every number "
+    "relationally from the same commit subsets, so a manifest that "
+    "misattributes rows_added or loses a tombstone flips the hash. "
+    "At 100 TB this is the operability surface: 'what landed last "
+    "night' / 'how much MoR debt is outstanding' are metadata "
+    "queries, never scans (table_files / table_refs / "
+    "table_eq_deletes give the per-file and per-ref views; "
+    "tests/test_versioned.py).",
+)
+def q166_metadata_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.metatables import table_history
+    from fdf_spark.sources.versioned import commit_version, delete_where
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="fdf_hist_")
+    commit_version(orders.filter(k % 3 == 0), path)                      # v1
+    commit_version(orders.filter(k % 3 == 1), path, mode="append")      # v2
+    delete_where(spark, path, "o_totalprice > 180000")                   # v3
+    commit_version(orders.filter(k % 3 == 2), path, mode="append")      # v4
+    out = table_history(spark, path).select(
+        "version", "mode",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("rows_added").cast("long").alias("rows_added"),
+        F.col("delete_debt").cast("long").alias("delete_debt"),
+    ).orderBy("version")
+    return _materialize_and_cleanup(out, path)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

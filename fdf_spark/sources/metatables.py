@@ -1,0 +1,147 @@
+"""Metadata TABLES over versioned tables — Iceberg's ``history`` /
+``snapshots`` / ``files`` relations, derived purely from the manifest
+chain (zero data reads; tombstone row counts come from parquet
+FOOTERS, the same O(metadata) trade every manifest op makes).
+
+These are the operability surface a 100 TB table lives by: "what
+landed last night", "which commit doubled the file count", "how much
+delete debt is outstanding per file" — all answerable as DataFrames
+that join/filter/aggregate like any other relation, without touching
+a single data page.
+
+Reference parity: the reference exposes its run history as the
+logbook relation (factory.py:515-648); these tables are the engine's
+own write history in the same query-it-like-data spirit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fdf_spark.sources.versioned import (
+    _delete_map,
+    _eq_entries,
+    _eq_map,
+    _file_row_count,
+    _read_manifest,
+    list_refs,
+    list_versions,
+)
+
+_HISTORY_SCHEMA = (
+    "version int, parent int, mode string, ts double, n_files int, "
+    "n_rows bigint, files_added int, files_removed int, rows_added bigint, "
+    "delete_debt bigint, spec_id int, wap_id string"
+)
+
+_FILES_SCHEMA = (
+    "file string, rows bigint, bytes bigint, spec_id int, "
+    "dv_tombstones bigint, eq_entries int"
+)
+
+_REFS_SCHEMA = "name string, kind string, version int"
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """One row per commit: mode, physical file/row totals, per-commit
+    added/removed deltas, outstanding DELETE DEBT (tombstoned positions
+    still masking live files — the number OPTIMIZE would fold), the
+    spec in force and the WAP id when the commit came through
+    write-audit-publish.  ``ts`` is the publish stamp (wall-clock;
+    monotonic only through ``resolve_as_of``'s rule, so exposed raw)."""
+    rows = []
+    prev_files: set[str] = set()
+    tomb_rows: dict[str, int] = {}
+    for v in list_versions(path):
+        m = _read_manifest(path, v)
+        files = m["files"]
+        fr = m.get("file_rows", {})
+        n_rows = sum(fr.get(f, 0) for f in files)
+        fset = set(files)
+        added = fset - prev_files
+        debt = 0
+        for f in files:
+            for t in _delete_map(m).get(f, []):
+                if t not in tomb_rows:
+                    tomb_rows[t] = _file_row_count(t)
+                debt += tomb_rows[t]
+        rows.append(
+            (
+                v,
+                m.get("parent"),
+                m.get("mode", ""),
+                float(m["ts"]) if m.get("ts") is not None else None,
+                len(files),
+                n_rows,
+                len(added),
+                len(prev_files - fset),
+                sum(fr.get(f, 0) for f in added),
+                debt,
+                int(m.get("current_spec", 0)),
+                (m.get("meta") or {}).get("wap_id"),
+            )
+        )
+        prev_files = fset
+    return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+
+def table_files(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """One row per LIVE data file of a snapshot (latest if None):
+    physical row count, on-disk bytes, the spec it was written under,
+    its outstanding deletion-vector tombstone rows and the number of
+    equality-delete entries scoping it."""
+    import os
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    fr = m.get("file_rows", {})
+    specs = m.get("file_specs", {})
+    dv, eqa = _delete_map(m), _eq_map(m)
+    tomb_rows: dict[str, int] = {}
+    rows = []
+    for f in m["files"]:
+        debt = 0
+        for t in dv.get(f, []):
+            if t not in tomb_rows:
+                tomb_rows[t] = _file_row_count(t)
+            debt += tomb_rows[t]
+        rows.append(
+            (
+                f,
+                fr.get(f, _file_row_count(f)),
+                os.path.getsize(f) if os.path.exists(f) else None,
+                int(specs.get(f, 0)),
+                debt,
+                len(eqa.get(f, [])),
+            )
+        )
+    return spark.createDataFrame(rows, _FILES_SCHEMA)
+
+
+def table_refs(spark: SparkSession, path: str) -> DataFrame:
+    """Named refs (tags/branches) as a relation."""
+    rows = [(name, r["type"], r["version"]) for name, r in sorted(list_refs(path).items())]
+    return spark.createDataFrame(rows, _REFS_SCHEMA)
+
+
+def table_eq_deletes(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Outstanding equality-delete entries of a snapshot: entry id, key
+    columns, key count, and how many live files each scopes."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    eqa = _eq_map(m)
+    scope: dict[str, int] = {}
+    for es in eqa.values():
+        for e in es:
+            scope[e] = scope.get(e, 0) + 1
+    rows = [
+        (eid, ",".join(e["cols"]), sum(_file_row_count(f) for f in e["files"]), scope.get(eid, 0))
+        for eid, e in sorted(_eq_entries(m).items())
+    ]
+    return spark.createDataFrame(rows, "entry string, cols string, keys bigint, files_scoped int")

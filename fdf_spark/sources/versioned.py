@@ -662,28 +662,63 @@ def _predicate_bounds(spark: SparkSession, schema: StructType, cond) -> dict:
     }
 
 
-def _prune_files_by_bounds(m: dict, files: list[str], bounds: dict) -> list[str]:
+def _prune_files_by_bounds(
+    m: dict, files: list[str], bounds: dict, memberships: dict | None = None
+) -> list[str]:
     """Manifest-stats file pruning: drop files whose recorded
     per-column [min, max] is DISJOINT from the predicate bounds on ANY
     bounded column.  Files without stats for a bounded column are kept
     (conservative) — the superset guarantee `read_version(prune=...)`
-    makes, reused for write-side match scans."""
-    if not bounds:
+    makes, reused for write-side match scans.
+
+    Bounds compose through partition TRANSFORMS: an equality bound
+    (lo == hi) on a column with a ``bucket(N, col)`` layout also
+    checks the bucket image against the hidden derived-column stats;
+    range bounds map through monotonic transforms (truncate).
+    ``memberships`` adds explicit value-set checks keyed by PHYSICAL
+    stat name — what :func:`merge_on_read` passes after mapping a CDC
+    batch's distinct keys through the table's bucket transform.
+    """
+    if not bounds and not memberships:
         return files
     stats = m.get("stats", {})
-    phys = {c: _physical(m, c) for c in bounds}
+    schema = _logical_schema(m)
+    checks: list[tuple] = []  # (stat name, value set | None, lo, hi)
+    for c, (lo, hi) in bounds.items():
+        pc = _physical(m, c)
+        checks.append((pc, None, lo, hi))
+        if schema is None or c not in schema.fieldNames():
+            continue
+        from fdf_spark.sources.transforms import all_transforms_on
+
+        src_type = schema[c].dataType.simpleString()
+        for t in all_transforms_on(m, c):
+            try:
+                if lo is not None and lo == hi:
+                    checks.append((t.derived_name(pc), [t.apply_py(lo, src_type)], None, None))
+                elif t.monotonic:
+                    checks.append(
+                        (t.derived_name(pc), None,
+                         None if lo is None else t.apply_py(lo, src_type),
+                         None if hi is None else t.apply_py(hi, src_type))
+                    )
+            except TypeError:
+                continue  # transform not portable for this type — skip
+    for name, vals in (memberships or {}).items():
+        checks.append((name, list(vals), None, None))
 
     def _keep(f: str) -> bool:
         fstats = stats.get(f, {})
-        for c, (lo, hi) in bounds.items():
-            st = fstats.get(phys[c])
+        for name, vals, lo, hi in checks:
+            st = fstats.get(name)
             if st is None:
                 continue  # no stats → must read
             fmin, fmax = st
             try:
-                if lo is not None and fmax < lo:
-                    return False
-                if hi is not None and fmin > hi:
+                if vals is not None:
+                    if not any(fmin <= x <= fmax for x in vals):
+                        return False
+                elif (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
                     return False
             except TypeError:
                 continue  # incomparable stats/bound types — keep
@@ -865,7 +900,30 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame, key_cols) ->
         for a in [kb[p]]
         if not a[2] and a[0] is not None
     }
-    applies = _prune_files_by_bounds(m, m["files"], bounds)
+    # on a bucket(N, key)-clustered table, range bounds over random
+    # keys scope nothing — map the distinct keys through the transform
+    # (one tiny agg over the key relation) so the entry attaches only
+    # to the buckets its keys route to, and the read-side anti-join
+    # never touches the rest
+    memberships: dict[str, list] = {}
+    if schema is not None:
+        from fdf_spark.sources.transforms import all_transforms_on
+
+        for c, p in zip(key_cols, phys):
+            ktype = schema[c].dataType.simpleString()
+            for t in all_transforms_on(m, c):
+                if t.kind != "bucket":
+                    continue
+                vals = [
+                    r[0]
+                    for r in keys_df.select(
+                        t.column(F.col(c), ktype).alias("__b")
+                    ).distinct().collect()
+                    if r[0] is not None
+                ]
+                if vals:
+                    memberships[t.derived_name(p)] = vals
+    applies = _prune_files_by_bounds(m, m["files"], bounds, memberships)
     if not applies:
         # no data file's stats overlap any key — nothing can match
         import shutil
@@ -981,6 +1039,61 @@ def _spec_carry(pm: dict | None) -> dict:
     }
 
 
+def _cluster_by_spec(out: DataFrame, spec: dict, mapping: dict) -> DataFrame:
+    """Cluster a frame about to be WRITTEN by the partition spec — the
+    one block every data writer (commit staging, merge-on-read appends)
+    shares, so layout and transform semantics can never diverge.
+
+    Identity columns range-cluster exactly as before.  TRANSFORM
+    columns (``bucket(N, col)``, ``truncate(W, col)``, ``days``/
+    ``hours`` — ``sources/transforms.py``) derive a HIDDEN physical
+    column (``__part__…``) that is written into the parquet bytes:
+    the commit's footer-stat collection then records tight per-file
+    [min, max] for the transform value with zero extra jobs, and the
+    logical schema never contains it, so readers (which select logical
+    fields against an explicit physical schema) never see it —
+    Iceberg's hidden partitioning.  Within each transform group rows
+    are additionally sorted by the raw source, keeping raw-column
+    row-group stats tight too.  A pure-bucket spec with no explicit
+    file count defaults to one output partition per bucket
+    combination (capped), so each file is ideally one bucket.
+    """
+    from pyspark.sql import functions as F
+
+    from fdf_spark.sources.transforms import spec_transforms
+
+    if not spec.get("cols"):
+        return out
+    tfs = spec_transforms(spec)
+    phys_src = [mapping.get(t.source, t.source) for t in tfs]
+    missing = [p for p in phys_src if p not in out.columns]
+    if missing:
+        raise ValueError(
+            f"current partition spec needs columns {missing}; commit has {out.columns}"
+        )
+    pcols, sort_cols = [], []
+    for t, p in zip(tfs, phys_src):
+        if t.is_identity:
+            pcols.append(F.col(p))
+            sort_cols.append(F.col(p))
+        else:
+            dname = t.derived_name(p)
+            stype = out.schema[p].dataType.simpleString()
+            out = out.withColumn(dname, t.column(F.col(p), stype))
+            pcols.append(F.col(dname))
+            sort_cols.extend([F.col(dname), F.col(p)])
+    if spec.get("buckets"):
+        out = out.repartitionByRange(int(spec["buckets"]), *pcols)
+    elif tfs and all(t.kind == "bucket" for t in tfs):
+        n = 1
+        for t in tfs:
+            n *= t.param
+        out = out.repartitionByRange(min(n, 4096), *pcols)
+    else:
+        out = out.repartitionByRange(*pcols)
+    return out.sortWithinPartitions(*sort_cols)
+
+
 def partition_spec(path: str, version: int | None = None) -> dict:
     """The spec in force at ``version`` (latest if None):
     ``{"spec_id": int, "cols": [...], "buckets": int | None}``."""
@@ -1008,7 +1121,13 @@ def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
     pruning under THEIR spec's stats; time travel is unaffected.  Same
     optimistic-commit seam as every metadata commit.
     """
-    cols = list(cols)
+    from fdf_spark.sources.transforms import parse_spec_col
+
+    # normalize each entry through the parser: raw names stay raw,
+    # transforms (bucket/truncate/days/hours) are validated and
+    # canonicalized; only the SOURCE column must exist in the schema
+    tfs = [parse_spec_col(c) for c in cols]
+    cols = [t.spec_str() for t in tfs]
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -1017,7 +1136,7 @@ def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
     schema = _logical_schema(m)
     if schema is not None:
         names = [f.name for f in schema.fields]
-        missing = [c for c in cols if c not in names]
+        missing = [t.source for t in tfs if t.source not in names]
         if missing:
             raise ValueError(f"spec columns {missing} not in schema (have {names})")
     carry = _spec_carry(m)
@@ -1173,27 +1292,12 @@ def _stage_files_and_builder(
             out = df.select(
                 *[F.col(f.name).alias(mapping.get(f.name, f.name)) for f in df.schema.fields]
             )
-    spec = carry["partition_specs"][str(carry["current_spec"])]
-    if spec["cols"]:
-        # cluster the NEW files by the current spec: range-repartition
-        # + in-file sort make each file's [min, max] tight on the spec
-        # columns, which is what turns read_version's stats pruning
-        # into layout pruning.  Spec columns are logical names; files
-        # carry physical ones.
-        from pyspark.sql import functions as F
-
-        phys = [mapping.get(c, c) for c in spec["cols"]]
-        missing = [c for c in phys if c not in out.columns]
-        if missing:
-            raise ValueError(
-                f"current partition spec needs columns {missing}; commit has {out.columns}"
-            )
-        pcols = [F.col(c) for c in phys]
-        if spec.get("buckets"):
-            out = out.repartitionByRange(int(spec["buckets"]), *pcols)
-        else:
-            out = out.repartitionByRange(*pcols)
-        out = out.sortWithinPartitions(*pcols)
+    # cluster the NEW files by the current spec: range-repartition +
+    # in-file sort make each file's [min, max] tight on the spec
+    # columns (identity AND derived transform values), which is what
+    # turns read_version's stats pruning into layout pruning.  Spec
+    # columns are logical names; files carry physical ones.
+    out = _cluster_by_spec(out, carry["partition_specs"][str(carry["current_spec"])], mapping)
     stage = os.path.join(path, "data", f"{stage_prefix}{version:08d}-{uuid.uuid4().hex[:8]}")
     out.write.parquet(stage)
     new_files = sorted(
@@ -1559,15 +1663,51 @@ def read_version(
             values = None
         stats = m.get("stats", {})
         pcol = _physical(m, col)  # footer stats carry physical names
+        # every check is CONJUNCTIVE — the raw-column stats plus the
+        # image of the probe under each partition TRANSFORM of the
+        # column (sources/transforms.py): a bucket(N, col) layout
+        # prunes an equality/IN probe to ~1/N of the files even though
+        # the raw [min, max] of a hash-routed file spans everything.
+        # A transform that can't map the probe driver-side (or a file
+        # without derived stats) simply contributes nothing — the
+        # superset guarantee is untouched.
+        checks: list[tuple] = [(pcol, values, lo, hi)]
+        schema = _logical_schema(m)
+        if schema is not None and col in schema.fieldNames():
+            from fdf_spark.sources.transforms import all_transforms_on
+
+            src_type = schema[col].dataType.simpleString()
+            for t in all_transforms_on(m, col):
+                try:
+                    if values is not None:
+                        checks.append(
+                            (t.derived_name(pcol),
+                             [t.apply_py(x, src_type) for x in values], None, None)
+                        )
+                    elif t.monotonic:
+                        checks.append(
+                            (t.derived_name(pcol), None,
+                             t.apply_py(lo, src_type), t.apply_py(hi, src_type))
+                        )
+                except TypeError:
+                    continue  # not portable for this type — skip, never guess
 
         def _overlaps(f: str) -> bool:
-            st = stats.get(f, {}).get(pcol)
-            if st is None:
-                return True  # no stats → must read
-            fmin, fmax = st
-            if values is not None:
-                return any(fmin <= x <= fmax for x in values)
-            return not (fmax < lo or fmin > hi)
+            fstats = stats.get(f, {})
+            for name, vals, clo, chi in checks:
+                st = fstats.get(name)
+                if st is None:
+                    continue  # no stats for this check → it can't prune
+                fmin, fmax = st
+                try:
+                    if vals is not None:
+                        if not any(fmin <= x <= fmax for x in vals):
+                            return False
+                    elif fmax < clo or fmin > chi:
+                        return False
+                except TypeError:
+                    continue  # incomparable types — keep the file
+            return True
 
         files = [f for f in files if _overlaps(f)]
         if not files:
@@ -1732,10 +1872,21 @@ def rename_column(path: str, old: str, new: str) -> int:
         for f in schema.fields
     ]
     # specs hold LOGICAL names — a renamed column renames through every
-    # spec (the physical bytes and stats keys are untouched)
+    # spec, INCLUDING as the source inside a transform entry like
+    # bucket(16, col) (the physical bytes, stats keys and the hidden
+    # derived column's name — keyed by the physical source — are all
+    # untouched, so old files' transform stats keep pruning)
+    from dataclasses import replace as _dc_replace
+
+    from fdf_spark.sources.transforms import parse_spec_col
+
+    def _rename_spec_col(c: str) -> str:
+        t = parse_spec_col(c)
+        return _dc_replace(t, source=new).spec_str() if t.source == old else c
+
     carry = _spec_carry(m)
     specs = {
-        sid: {**s, "cols": [new if c == old else c for c in s["cols"]]}
+        sid: {**s, "cols": [_rename_spec_col(c) for c in s["cols"]]}
         for sid, s in carry["partition_specs"].items()
     }
     version = parent + 1
@@ -1785,8 +1936,13 @@ def drop_column(path: str, col: str) -> int:
         raise ValueError(f"no column {col!r} (have {names})")
     if len(names) == 1:
         raise ValueError("cannot drop the only column")
+    from fdf_spark.sources.transforms import spec_transforms
+
     carry = _spec_carry(m)
-    if col in carry["partition_specs"][str(carry["current_spec"])]["cols"]:
+    if col in {
+        t.source
+        for t in spec_transforms(carry["partition_specs"][str(carry["current_spec"])])
+    }:
         raise ValueError(
             f"column {col!r} is referenced by the current partition spec; "
             "set a new spec first (Iceberg's rule — future writes could "
@@ -2690,7 +2846,33 @@ def merge_on_read(
             and not (isinstance(hi, float) and math.isnan(hi))
         ):
             bounds[k] = (lo, hi)
-    scan_files = _prune_files_by_bounds(m, m["files"], bounds)
+    # a bucket(N, key) layout prunes by MEMBERSHIP, not range: map the
+    # batch's distinct keys through the transform (one tiny distinct
+    # agg over the cached batch — ≤N values) so a narrow CDC batch
+    # touches only the buckets its keys route to, even though the raw
+    # key [min, max] of a hash-routed file spans everything
+    memberships: dict[str, list] = {}
+    schema0 = _logical_schema(m)
+    if schema0 is not None:
+        from fdf_spark.sources.transforms import all_transforms_on
+
+        for k in keys:
+            if k not in schema0.fieldNames():
+                continue
+            ktype = schema0[k].dataType.simpleString()
+            for t in all_transforms_on(m, k):
+                if t.kind != "bucket":
+                    continue  # monotonic transforms already prune via bounds
+                vals = [
+                    r[0]
+                    for r in changes.select(
+                        t.column(F.col(k), ktype).alias("__b")
+                    ).distinct().collect()
+                    if r[0] is not None
+                ]
+                if vals:
+                    memberships[t.derived_name(_physical(m, k))] = vals
+    scan_files = _prune_files_by_bounds(m, m["files"], bounds, memberships)
     # an all-pruned scan still needs the base SCHEMA for the insert
     # images — read (at most) one file's plan, it matches zero keys
     base = _effective_with_pos(spark, m, scan_files or m["files"][:1])
@@ -2751,14 +2933,7 @@ def merge_on_read(
     mapping = _mapping(m)
     out = appended.select(*[F.col(c).alias(mapping.get(c, c)) for c in base_cols])
     carry = _spec_carry(m)
-    spec = carry["partition_specs"][str(carry["current_spec"])]
-    if spec["cols"]:
-        pcols = [F.col(mapping.get(c, c)) for c in spec["cols"]]
-        if spec.get("buckets"):
-            out = out.repartitionByRange(int(spec["buckets"]), *pcols)
-        else:
-            out = out.repartitionByRange(*pcols)
-        out = out.sortWithinPartitions(*pcols)
+    out = _cluster_by_spec(out, carry["partition_specs"][str(carry["current_spec"])], mapping)
     stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
     out.write.parquet(stage)
     new_files = [

@@ -1,0 +1,82 @@
+"""Metadata tables (sources/metatables.py) — Iceberg history/files/refs
+parity, derived from the manifest chain with zero data reads."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fdf_spark.sources.metatables import (
+    table_eq_deletes,
+    table_files,
+    table_history,
+    table_refs,
+)
+from fdf_spark.sources.versioned import (
+    commit_version,
+    create_branch,
+    create_tag,
+    delete_keys,
+    delete_where,
+    optimize,
+    publish_staged,
+    stage_commit,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    commit_version(df.filter("k < 600"), p)                       # v1
+    commit_version(df.filter("k >= 600"), p, mode="append")      # v2
+    delete_where(spark, p, "k between 100 and 149")               # v3: 50 tombstones
+    return p
+
+
+def test_history_rows_and_debt(spark, table):
+    h = {r.version: r for r in table_history(spark, table).collect()}
+    assert h[1].mode == "append" and h[1].n_rows == 600 and h[1].rows_added == 600
+    assert h[2].n_rows == 1000 and h[2].rows_added == 400
+    assert h[3].mode == "delete" and h[3].n_rows == 1000  # physical rows unchanged
+    assert h[3].delete_debt == 50
+    # optimize folds the debt away
+    optimize(spark, table)
+    h4 = table_history(spark, table).orderBy("version").collect()[-1]
+    assert h4.mode == "optimize" and h4.delete_debt == 0 and h4.n_rows == 950
+
+
+def test_history_timestamps_monotonic_enough(spark, table):
+    ts = [r.ts for r in table_history(spark, table).orderBy("version").collect()]
+    assert all(t is not None for t in ts)
+
+
+def test_files_reports_debt_and_eq_entries(spark, table):
+    f = table_files(spark, table)
+    rows = f.collect()
+    assert sum(r.rows for r in rows) == 1000
+    assert sum(r.dv_tombstones for r in rows) == 50
+    assert all(r.bytes > 0 for r in rows)
+    keys = spark.createDataFrame([(200,), (201,)], "k long")
+    delete_keys(spark, table, keys, ["k"])
+    f2 = table_files(spark, table).collect()
+    assert sum(r.eq_entries for r in f2) > 0
+    eq = table_eq_deletes(spark, table).collect()
+    assert len(eq) == 1 and eq[0].keys == 2 and eq[0].cols == "k"
+    assert eq[0].files_scoped == sum(1 for r in f2 if r.eq_entries)
+
+
+def test_refs_table(spark, table):
+    create_tag(table, "release-1", version=2)
+    create_branch(table, "dev")
+    r = {x.name: x for x in table_refs(spark, table).collect()}
+    assert r["release-1"].kind == "tag" and r["release-1"].version == 2
+    assert r["dev"].kind == "branch" and r["dev"].version == 3
+
+
+def test_history_carries_wap_id(spark, table):
+    extra = spark.createDataFrame([(5000, 1)], "k long, v long")
+    stage_commit(extra, table, wap_id="batch-77")
+    publish_staged(spark, table, "batch-77")
+    last = table_history(spark, table).orderBy("version").collect()[-1]
+    assert last.wap_id == "batch-77" and last.rows_added == 1

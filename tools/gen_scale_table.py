@@ -86,6 +86,11 @@ ROWS = [
     ("dv folded read (N17)", "the same agg after the fold: mask gone, plain-scan plan restored (N17)", "20 M"),
     ("eq-delete 100k keys (N17)", "EQUALITY-DELETE of 100k keys: delete_keys writes the key relation itself, ZERO base-table scan — write O(keys) bytes, scoped to current files by footer stats (N17/q162)", "100 k keys"),
     ("eq masked read (N17)", "full-table agg THROUGH the equality mask: one broadcast anti-join on the key columns over only stats-overlapping files, until the next OPTIMIZE fold (N17/q162)", "20 M"),
+    ("bucket(32) spec commit (N17)", "commit under a bucket(32, k) partition TRANSFORM: rows hash-routed to 32 bucket files, hidden derived-stats column written for free (N17/q165)", "20 M"),
+    ("bucket 3-key lookup (N17)", "3-key point lookup THROUGH the bucket transform: probe values mapped driver-side (Murmur3 port, zero jobs), only the touched buckets' files opened — files_read printed in-run (N17/q165)", "20 M"),
+    ("plain 3-key lookup (N17)", "the SAME 3-key lookup on an unclustered copy — range stats on a high-cardinality key prune nothing, every file read: the transform's counterfactual (N17/q165)", "20 M"),
+    ("1-file append to 512 files (N17)", "DELTA-ENCODED manifest: one more append to a 512-file table publishes O(changed files) metadata — delta vs full(checkpoint) manifest bytes printed in-run (N17)", "512+1 files"),
+    ("restore 8M-row head (N17)", "RESTORE to v1: head resets to the old snapshot's exact state (files/schema/masks) as a NEW commit — manifest-only, zero data bytes moved at any table size (N17/q164)", "8 M"),
     ("incr near-dup vs 1M landed (N2)", "continuous-ingest near-dup: 100k-doc ingest probing a 1M-fingerprint landed index (3×20-bit bands/word, exact for dist<=5) (N2/q158)", "100 k batch"),
     ("incr near-dup vs 10M landed (N2)", "the SAME 100k ingest against a 10M-fingerprint landed index — cost is one 16 B/doc index scan + the probe, never landed×landed (N2/q158)", "100 k batch"),
     ("incr near-dup repeat ingest (N2)", "the next consecutive 100k ingest against the just-grown 10M index — the flat per-ingest cadence (N2/q158)", "100 k batch"),
@@ -172,7 +177,19 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         f"{w('eq-delete 100k keys (N17)'):.1f} s with ZERO base-table scan (the write "
         f"is O(keys) bytes — the commit ships the key relation itself) and the masked "
         f"read pays {w('eq masked read (N17)'):.1f} s for one broadcast key anti-join "
-        "over stats-overlapping files until the next fold. The "
+        "over stats-overlapping files until the next fold. The r11 "
+        "bucket-transform ledger: a 3-key point lookup through the hidden "
+        f"bucket(32, k) layout answers in {w('bucket 3-key lookup (N17)'):.1f} s "
+        f"({extra('bucket 3-key lookup (N17)')}) vs "
+        f"{w('plain 3-key lookup (N17)'):.1f} s ({extra('plain 3-key lookup (N17)')}) "
+        "over the unclustered copy — range stats on a hash-distributed key prune "
+        "nothing, the transform prunes to the touched buckets; the one-time "
+        f"clustered commit costs {w('bucket(32) spec commit (N17)'):.1f} s. The "
+        "metadata ledger: one more 1-file append to a 512-file table publishes a "
+        f"{extra('1-file append to 512 files (N17)')} manifest — commit metadata is "
+        "O(changed files), bounded by the every-8th-version checkpoint — and RESTORE "
+        f"of the same table's head is {w('restore 8M-row head (N17)'):.2f} s, "
+        "manifest-only at any size. The "
         "continuous-ingest cadence: a 100k-doc near-dup ingest costs "
         f"{w('incr near-dup vs 1M landed (N2)'):.1f} s against 1 M landed fingerprints "
         f"and {w('incr near-dup vs 10M landed (N2)'):.1f} s against 10 M "

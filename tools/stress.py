@@ -1198,6 +1198,109 @@ def main() -> None:
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+    # 34) bucket-transform lookup ledger (N17/q165, r11): the lookup
+    # shape range stats cannot prune.  A 20M-row table committed under
+    # spec bucket(32, k) carries hidden derived-column stats, so a
+    # 3-key point probe opens ~3/32 of the files; the SAME probe over
+    # an unclustered copy must scan everything — the counterfactual.
+    from fdf_spark.sources.versioned import set_partition_spec
+
+    d = tempfile.mkdtemp(prefix="stress_bucket_")
+    try:
+        n = 20_000_000
+        base = spark.range(0, n, 1, 64).select(
+            (F.xxhash64(F.col("id").cast("string")) % n).alias("k"),
+            ((F.col("id") * 13) % 97).cast("double").alias("v"),
+        )
+        pb, pp = os.path.join(d, "bkt"), os.path.join(d, "plain")
+        commit_version(base.limit(0), pb)
+        set_partition_spec(pb, ["bucket(32, k)"])
+        t0 = time.perf_counter()
+        commit_version(base, pb, mode="append")
+        dt = time.perf_counter() - t0
+        print(
+            f"{'bucket(32) spec commit (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        commit_version(base.repartition(32), pp)
+        keys = [r.k for r in read_version(spark, pb).limit(3).collect()]
+        for label, path in (
+            ("bucket 3-key lookup (N17)", pb),
+            ("plain 3-key lookup (N17)", pp),
+        ):
+            probe = read_version(spark, path, prune=("k", keys))
+            n_read = len(probe.inputFiles())
+            t0 = time.perf_counter()
+            probe.filter(F.col("k").isin(keys)).groupBy().agg(
+                F.count("*"), F.sum("v")
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            print(
+                f"{label:28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s "
+                f"files_read={n_read}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # 35) manifest-scaling ledger (N17, r11 delta manifests): commit
+    # metadata must be O(changed files), never O(table files).  Build a
+    # 512-file table (8 appends × 64 files), then append ONE more file:
+    # the published delta manifest is KBs while the equivalent full
+    # (checkpoint) form is the whole file list + stats — the difference
+    # that at 1M files is ~100 MB vs KBs per commit.  RESTORE of the
+    # same table is manifest-only: head resets to v1's exact state with
+    # zero data bytes moved, at any table size.
+    import json as _json
+
+    from fdf_spark.sources.versioned import (
+        _encode_manifest_delta,
+        _read_manifest,
+        list_versions,
+        restore_table,
+    )
+
+    d = tempfile.mkdtemp(prefix="stress_manifest_")
+    try:
+        p = os.path.join(d, "t")
+        for i in range(8):
+            commit_version(
+                spark.range(i * 1_000_000, (i + 1) * 1_000_000, 1, 64).select(
+                    F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+                ),
+                p,
+                mode="append" if i else "overwrite",
+            )
+        head = list_versions(p)[-1]
+        t0 = time.perf_counter()
+        commit_version(
+            spark.range(0, 1000, 1, 1).select(F.col("id").alias("k"), (F.col("id") % 97).alias("v")),
+            p,
+            mode="append",
+        )
+        dt = time.perf_counter() - t0
+        m = _read_manifest(p, head + 1)
+        delta_b = len(_json.dumps(_encode_manifest_delta(m, _read_manifest(p, head))))
+        full_b = len(_json.dumps(m))
+        print(
+            f"{'1-file append to 512 files (N17)':28s} {0.001:8.1f} Mrows {dt:7.2f} s "
+            f"{0.001/dt:8.1f} Mrows/s delta manifest {delta_b/1024:.1f} KB vs full {full_b/1024:.0f} KB "
+            f"({full_b/delta_b:.0f}×)",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        restore_table(p, version=1)
+        dt = time.perf_counter() - t0
+        n = 8_000_000
+        print(
+            f"{'restore 8M-row head (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     spark.stop()
 
 
