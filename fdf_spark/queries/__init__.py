@@ -131,7 +131,7 @@ PRIORITY: tuple[str, ...] = (
     "q161_timestamp_time_travel",   # N17 TIMESTAMP AS OF resolution (r11; displaced q116 — version time travel stays in-window via q155/q156/q159's pinned-version reads, S10/U2 via q148/q159/q08; q116 remains sweep-green). The as_of clock-skew clamping rule enters the driver hash gate (VERDICT r10 #8).
     "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
-    "q134_bloom_membership",       # N5 bloom tier + J6 (r8; displaced q64 — N2 stays double-covered in-window by q61/q108, and q64 remains sweep-green)
+    "q165_bucket_pruned_lookup",    # N17+S10+P6 hidden bucket partitioning (r11; displaced q134 — N5 stays in-window via q119, J6 via q86; q134 remains sweep-green). The transform-pruned point lookup (the shape range stats cannot prune) enters the driver hash gate with an engine-computed pruned flag.
     "q163_wap_audit_publish",       # N17+N18 write-audit-publish + named refs (r11; displaced q124 — N24 stays in-window via q125_pipeline_export's shard-export stage, q124 remains sweep-green). The stage-invisible/audit/fast-forward-publish lifecycle and the tag pin enter the driver hash gate.
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
     "q162_equality_delete",         # N15+N17+J6 equality-delete tier (r11, VERDICT r10 #6; displaced q110 — N15 stays in-window via q159+q162 itself, J2 via q03/q04/q148, U2/S10 via q08/q148/q159; q110 remains sweep-green). The zero-scan delete-by-key path and its scope rule enter the driver hash gate.
