@@ -2175,6 +2175,74 @@ def q166_metadata_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q167_update_where",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0),
+    upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 10 < 5
+                  THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 10 < 5
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      FROM base)
+    SELECT stage, o_orderpriority, n_orders, total_price FROM (
+      SELECT 'after' AS stage, o_orderpriority, COUNT(*) AS n_orders,
+             {sql_dsum('o_totalprice')} AS total_price
+      FROM upd GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'before', o_orderpriority, COUNT(*),
+             {sql_dsum('o_totalprice')}
+      FROM base GROUP BY o_orderpriority
+    ) ORDER BY stage, o_orderpriority
+    """,
+    operators=("N15", "N17"),
+    doc="Row-level UPDATE (update_where — Delta's UPDATE … SET verb, "
+    "merge-on-read): matched rows' old images are position-tombstoned "
+    "and the updated images (SET expressions over any logical column, "
+    "cast to the declared type so the schema never drifts) land as "
+    "appended files — ONE atomic manifest, data files untouched, "
+    "write O(matched rows). The audit aggregates the same snapshot "
+    "before and after against a relational CASE-WHEN oracle, so a row "
+    "double-counted (tombstone lost) or an un-updated image flips the "
+    "hash; the pre-update version stays pinned for time travel. At "
+    "100 TB this is the restatement verb: the match scan prunes via "
+    "predicate bounds against manifest stats (incl. through bucket "
+    "transforms — tests/test_update.py), the change feed emits "
+    "CoW-identical delete+insert pairs, OPTIMIZE folds the debt.",
+)
+def q167_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.versioned import commit_version, read_version, update_where
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="fdf_upd_")
+    commit_version(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4), path)
+    update_where(
+        spark,
+        path,
+        "o_orderpriority = '1-URGENT' and o_orderkey % 10 < 5",
+        {"o_orderpriority": F.lit("5-LOW"), "o_totalprice": "o_totalprice * 2"},
+    )
+
+    def agg(df, stage):
+        return (
+            df.groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+            .select(F.lit(stage).alias("stage"), "o_orderpriority", "n_orders", "total_price")
+        )
+
+    out = agg(read_version(spark, path), "after").unionByName(
+        agg(read_version(spark, path, 1), "before")
+    ).orderBy("stage", "o_orderpriority")
+    return _materialize_and_cleanup(out, path)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

@@ -727,6 +727,32 @@ def _prune_files_by_bounds(
     return [f for f in files if _keep(f)]
 
 
+def _masks_rebasable(pm: dict, hm: dict, files) -> bool:
+    """Whether a row-level commit (position tombstones computed against
+    parent snapshot ``pm``, touching ``files``) can re-base onto head
+    ``hm`` MANIFEST-ONLY.  True iff the head kept every touched file
+    live with IDENTICAL delete masks (no concurrent delete/update/
+    OPTIMIZE touched them — positions are per-file, so untouched files'
+    tombstones stay valid verbatim) and neither schema nor column
+    mapping moved.  Concurrent blind APPENDS always pass — Delta's
+    WriteSerializable rule: the delete/update serializes BEFORE the
+    concurrent insert, so rows appended during the race are simply not
+    in its scope."""
+    if pm.get("schema") != hm.get("schema") or _mapping(pm) != _mapping(hm):
+        return False
+    live = set(hm["files"])
+    pdv, hdv = _delete_map(pm), _delete_map(hm)
+    peq, heq = _eq_map(pm), _eq_map(hm)
+    for f in files:
+        if f not in live:
+            return False
+        if sorted(pdv.get(f, [])) != sorted(hdv.get(f, [])):
+            return False
+        if sorted(peq.get(f, [])) != sorted(heq.get(f, [])):
+            return False
+    return True
+
+
 def delete_where(spark: SparkSession, path: str, condition) -> int:
     """Row-level DELETE as a MERGE-ON-READ commit: writes a tombstone
     relation naming the deleted (file, position) pairs — zero data
@@ -743,7 +769,15 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     mask (:func:`_effective_rows`); pinned readers of older versions
     are untouched; :func:`optimize` folds tombstones away; the change
     feed emits the deleted rows exactly as a copy-on-write delete
-    would.  Same optimistic-commit seam as every writer.
+    would.  Same optimistic-commit seam as every writer — and a LOST
+    RACE against a compatible head re-bases MANIFEST-ONLY instead of
+    raising: position tombstones address immutable files, so any head
+    that kept the touched files live with identical masks (concurrent
+    blind appends, deletes on OTHER files) accepts them verbatim
+    (:func:`_masks_rebasable`); rows appended during the race are not
+    in the delete's scope (Delta's WriteSerializable rule).  A head
+    that rewrote/re-masked a touched file or moved the schema is a
+    real conflict and raises — the caller re-runs.
     """
     from pyspark.sql import Column
     from pyspark.sql import functions as F
@@ -774,36 +808,49 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     tomb_files, affected, n = _write_tombstones(spark, path, version, matches)
     if n == 0:
         return parent
-    dv = {k: list(v) for k, v in _delete_map(m).items()}
-    for f, ts in affected.items():
-        dv[f] = dv.get(f, []) + ts
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "mode": "delete",
-        "files": m["files"],
-        "stats": m.get("stats", {}),
-        "file_rows": m.get("file_rows", {}),
-        "delete_files": dv,
-        "eq_deletes": _eq_entries(m),
-        "eq_applies": _eq_map(m),
-        "schema": m["schema"] if "schema" in m else None,
-        "column_mapping": _mapping(m),
-        "retired_physical": m.get("retired_physical", []),
-        **_spec_carry(m),
-        "meta": {
-            "delete": {
-                "rows": n,
-                "files_affected": len(affected),
-                "files_scanned": len(scan_files),
-                "files_pruned": len(m["files"]) - len(scan_files),
-            }
-        },
+    meta = {
+        "delete": {
+            "rows": n,
+            "files_affected": len(affected),
+            "files_scanned": len(scan_files),
+            "files_pruned": len(m["files"]) - len(scan_files),
+        }
     }
-    if manifest["schema"] is None:
-        del manifest["schema"]
-    _stage_and_publish_manifest(path, version, manifest)
-    return version
+    pm, hm, hv = m, m, parent
+    while True:
+        # the tombstones were computed against pm; each (re)build binds
+        # them to head hm — identical on the first pass, manifest-only
+        # after a compatible race (files are immutable, so positions in
+        # untouched files never go stale)
+        dv = {k: list(v) for k, v in _delete_map(hm).items()}
+        for f, ts in affected.items():
+            dv[f] = dv.get(f, []) + ts
+        manifest = {
+            "version": hv + 1,
+            "parent": hv if hv else None,
+            "mode": "delete",
+            "files": hm["files"],
+            "stats": hm.get("stats", {}),
+            "file_rows": hm.get("file_rows", {}),
+            "delete_files": dv,
+            "eq_deletes": _eq_entries(hm),
+            "eq_applies": _eq_map(hm),
+            "schema": hm["schema"] if "schema" in hm else None,
+            "column_mapping": _mapping(hm),
+            "retired_physical": hm.get("retired_physical", []),
+            **_spec_carry(hm),
+            "meta": meta,
+        }
+        if manifest["schema"] is None:
+            del manifest["schema"]
+        try:
+            _stage_and_publish_manifest(path, hv + 1, manifest)
+            return hv + 1
+        except ConcurrentCommitError:
+            hv = list_versions(path)[-1]
+            hm = _read_manifest(path, hv)
+            if not _masks_rebasable(pm, hm, affected):
+                raise  # a real conflict — caller re-runs the delete
 
 
 def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame, key_cols) -> int:
@@ -963,6 +1010,138 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame, key_cols) ->
         del manifest["schema"]
     _stage_and_publish_manifest(path, version, manifest)
     return version
+
+
+def update_where(spark: SparkSession, path: str, condition, set_exprs: dict) -> int:
+    """Row-level UPDATE as a MERGE-ON-READ commit (Delta's ``UPDATE …
+    SET`` verb): matched rows' old images are position-tombstoned
+    (data files untouched) and their updated images land as ordinary
+    appended files, clustered by the table's partition spec — ONE
+    manifest publishes both atomically.  Returns the new version (the
+    parent, unchanged, when nothing matched).
+
+    ``condition`` is a Column or SQL string over LOGICAL columns;
+    ``set_exprs`` maps target column → Column/SQL expression evaluated
+    per matched row (may reference any logical column).  Results are
+    cast to the column's declared type, so the snapshot schema never
+    drifts.  The match scan is pruned by the predicate's conservative
+    bounds against manifest stats — including THROUGH partition
+    transforms, so ``k = lit`` on a bucket(N, k) table scans one
+    bucket.  The write is O(matched rows); the change feed emits the
+    same delete+insert pairs a copy-on-write restatement would
+    (pytest-pinned); OPTIMIZE folds the tombstone debt.  Same
+    optimistic-commit seam as every writer, with the same compatible-
+    head MANIFEST-ONLY rebase as :func:`delete_where` on a lost race
+    (tombstones and already-staged images both bind to the new head;
+    incompatible heads raise and the caller re-runs).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if not isinstance(cond, Column):
+        raise TypeError("condition must be a Column or SQL string")
+    if not set_exprs:
+        raise ValueError("update_where needs at least one SET expression")
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    version = parent + 1
+    schema = _logical_schema(m)
+    if schema is None:
+        raise ValueError("table has no manifest schema; cannot update")
+    names = [f.name for f in schema.fields]
+    missing = [c for c in set_exprs if c not in names]
+    if missing:
+        raise ValueError(f"SET targets {missing} not in schema (have {names})")
+    sets = {
+        c: (F.expr(e) if isinstance(e, str) else e).cast(schema[c].dataType)
+        for c, e in set_exprs.items()
+    }
+    bounds = _predicate_bounds(spark, schema, cond)
+    scan_files = _prune_files_by_bounds(m, m["files"], bounds)
+    if not scan_files:
+        return parent
+    # one persist serves the tombstone write AND the updated images —
+    # the snapshot is pinned so recompute would be consistent, but not
+    # re-scanning the matched files twice is the point
+    matches = _effective_with_pos(spark, m, scan_files).filter(cond).persist()
+    try:
+        tomb_files, affected, n = _write_tombstones(
+            spark, path, version,
+            matches.select(F.col("__file").alias("file"), F.col("__pos").alias("pos")),
+        )
+        if n == 0:
+            return parent
+        mapping = _mapping(m)
+        images = matches.select(
+            *[sets.get(c, F.col(c)).alias(mapping.get(c, c)) for c in names]
+        )
+        carry = _spec_carry(m)
+        images = _cluster_by_spec(
+            images, carry["partition_specs"][str(carry["current_spec"])], mapping
+        )
+        stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
+        images.write.parquet(stage)
+        new_files = [
+            f
+            for f in sorted(
+                os.path.join(stage, x) for x in os.listdir(stage) if x.endswith(".parquet")
+            )
+            if _file_row_count(f) > 0
+        ]
+    finally:
+        matches.unpersist()
+    new_stats = {f: _file_stats(f) for f in new_files}
+    new_rows = {f: _file_row_count(f) for f in new_files}
+    written_spec = carry["current_spec"]  # what the images were clustered under
+    meta = {
+        "update": {
+            "rows": n,
+            "set": sorted(set_exprs),
+            "files_affected": len(affected),
+            "files_scanned": len(scan_files),
+            "files_pruned": len(m["files"]) - len(scan_files),
+        }
+    }
+    pm, hm, hv = m, m, parent
+    while True:
+        # tombstones + staged images bind to head hm — identical on the
+        # first pass, manifest-only after a compatible race (same rule
+        # as delete_where: _masks_rebasable)
+        dv = {k: list(v) for k, v in _delete_map(hm).items()}
+        for f, ts in affected.items():
+            dv[f] = dv.get(f, []) + ts
+        carry2 = _spec_carry(hm)
+        manifest = {
+            "version": hv + 1,
+            "parent": hv,
+            "mode": "update-mor",
+            "files": hm["files"] + new_files,
+            "stats": {**hm.get("stats", {}), **new_stats},
+            "file_rows": {**hm.get("file_rows", {}), **new_rows},
+            "delete_files": dv,
+            # appended images are newer than every eq entry (sequence rule)
+            "eq_deletes": _eq_entries(hm),
+            "eq_applies": _eq_map(hm),
+            "schema": hm["schema"],
+            "column_mapping": _mapping(hm),
+            "retired_physical": hm.get("retired_physical", []),
+            "partition_specs": carry2["partition_specs"],
+            "current_spec": carry2["current_spec"],
+            "file_specs": {**carry2["file_specs"], **{f: written_spec for f in new_files}},
+            "meta": meta,
+        }
+        try:
+            _stage_and_publish_manifest(path, hv + 1, manifest)
+            return hv + 1
+        except ConcurrentCommitError:
+            hv = list_versions(path)[-1]
+            hm = _read_manifest(path, hv)
+            if not _masks_rebasable(pm, hm, affected):
+                raise  # a real conflict — caller re-runs the update
 
 
 def _file_row_count(file_path: str) -> int:
