@@ -1218,7 +1218,9 @@ def _spec_carry(pm: dict | None) -> dict:
     }
 
 
-def _cluster_by_spec(out: DataFrame, spec: dict, mapping: dict) -> DataFrame:
+def _cluster_by_spec(
+    out: DataFrame, spec: dict, mapping: dict, n_files: int | None = None
+) -> DataFrame:
     """Cluster a frame about to be WRITTEN by the partition spec — the
     one block every data writer (commit staging, merge-on-read appends)
     shares, so layout and transform semantics can never diverge.
@@ -1261,7 +1263,12 @@ def _cluster_by_spec(out: DataFrame, spec: dict, mapping: dict) -> DataFrame:
             out = out.withColumn(dname, t.column(F.col(p), stype))
             pcols.append(F.col(dname))
             sort_cols.extend([F.col(dname), F.col(p)])
-    if spec.get("buckets"):
+    if n_files is not None:
+        # caller-chosen file count (OPTIMIZE bin-pack): contiguous
+        # ranges of the clustering key per file — stats stay tight at
+        # whatever granularity the packing leaves
+        out = out.repartitionByRange(n_files, *pcols)
+    elif spec.get("buckets"):
         out = out.repartitionByRange(int(spec["buckets"]), *pcols)
     elif tfs and all(t.kind == "bucket" for t in tfs):
         n = 1
@@ -2832,7 +2839,16 @@ def optimize(
             .drop(zkey)
         )
     else:
-        out = df.repartition(n_out)
+        spec_now = _spec_carry(m)["partition_specs"][str(_spec_carry(m)["current_spec"])]
+        if spec_now["cols"]:
+            # bin-pack UNDER the current spec: same one exchange of the
+            # rewritten bytes a round-robin would pay, but the output
+            # stays clustered (transforms re-derived), so an OPTIMIZE
+            # fold on a bucketed table never degrades point-lookup
+            # pruning on the rewritten files
+            out = _cluster_by_spec(df, spec_now, _mapping(m), n_files=n_out)
+        else:
+            out = df.repartition(n_out)
     version = parent + 1
     stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
     out.write.option("maxRecordsPerFile", str(rows_per_file)).parquet(stage)
@@ -2850,16 +2866,18 @@ def optimize(
         **{f: _file_row_count(f) for f in new_files},
     }
     carry = _spec_carry(m)
-    # rewritten files normally lose their original clustering
-    # (bin-pack is round-robin; an unrelated zorder is its own layout)
-    # and drop to spec 0 so nothing claims tightness they no longer
-    # have — EXCEPT when the zorder key IS the current partition spec:
-    # that rewrite is the spec's own compaction (the index-maintenance
-    # case: many small per-cell files from appends re-pack into few,
-    # still spec-tight), so the new files keep the spec stamp.  Kept
-    # files keep their entries either way.
+    # rewritten files keep the CURRENT spec stamp whenever the rewrite
+    # actually clustered by it: every bin-pack (which now re-clusters
+    # under the spec, transforms re-derived) and a zorder whose key IS
+    # the spec (the index-maintenance compaction case).  Only an
+    # UNRELATED zorder is its own layout and drops to spec 0 so nothing
+    # claims tightness it no longer has.  Kept files keep their entries.
     cur_cols = carry["partition_specs"][str(carry["current_spec"])]["cols"]
-    new_spec = carry["current_spec"] if (cur_cols and zorder_logical == cur_cols) else 0
+    new_spec = (
+        carry["current_spec"]
+        if (cur_cols and (zorder is None or zorder_logical == cur_cols))
+        else 0
+    )
     file_specs = {
         **{f: carry["file_specs"].get(f, 0) for f in kept},
         **{f: new_spec for f in new_files},

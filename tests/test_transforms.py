@@ -199,11 +199,26 @@ def test_bucket_survives_source_rename(spark, bucketed_table):
 def test_bucket_optimize_folds_and_keeps_results(spark, bucketed_table):
     delete_where(spark, bucketed_table, "k = 11")
     before = {(r.k, r.v) for r in read_version(spark, bucketed_table).collect()}
-    res = optimize(spark, bucketed_table)
+    # small target so the fold still yields several files (at real
+    # scale OPTIMIZE always does); pruning needs >1 file to show
+    res = optimize(spark, bucketed_table, target_bytes=64 * 1024)
     assert res["rewritten"] > 0
     assert diff_versions(spark, bucketed_table, res["version"] - 1, res["version"]).count() == 0
     after = {(r.k, r.v) for r in read_version(spark, bucketed_table).collect()}
     assert after == before
+    # the fold re-clustered under the spec: rewritten files carry fresh
+    # derived stats and keep the spec stamp, so point lookups still
+    # prune after OPTIMIZE (the bucketed table's full lifecycle)
+    m = _read_manifest(bucketed_table, res["version"])
+    assert all(
+        m["file_specs"][f] == m["current_spec"]
+        and "__part__bucket_8__k" in m["stats"].get(f, {})
+        for f in m["files"]
+        if f"/c{res['version']:08d}-" in f
+    )
+    probe = read_version(spark, bucketed_table, prune=("k", [5000]))
+    assert probe.filter("k = 5000").count() == 1
+    assert len(probe.inputFiles()) < len(m["files"])
 
 
 def test_bucket_null_keys_never_lose_rows(spark, tmp_path):
