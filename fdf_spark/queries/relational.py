@@ -1762,6 +1762,8 @@ def q161_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (monotonic by version) and a strict, float-representable
         # midpoint exists again.
         import json as _json
+        import os as _os
+        import tempfile as _tempfile
 
         from fdf_spark.sources.versioned import _manifest_path
 
@@ -1769,7 +1771,15 @@ def q161_timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         mp = _manifest_path(path, 2)
         m2 = _json.load(open(mp))
         m2["ts"] = ts2
-        _json.dump(m2, open(mp, "w"))
+        # atomic replace, and the marker key guarantees the stored SIZE
+        # changes — the decoded-manifest cache is keyed on (mtime_ns,
+        # size), and a same-tick same-length rewrite would otherwise
+        # keep serving the pre-restamp decode (code-review finding)
+        m2["restamped"] = True
+        fd, tmp = _tempfile.mkstemp(dir=_os.path.dirname(mp), suffix=".tmp")
+        with _os.fdopen(fd, "w") as fh:
+            _json.dump(m2, fh)
+        _os.replace(tmp, mp)
     mid = (ts1 + ts2) / 2.0  # strictly between the two publishes
 
     def audit(as_of: float, stage: int) -> DataFrame:

@@ -42,6 +42,22 @@ _FILES_SCHEMA = (
 _REFS_SCHEMA = "name string, kind string, version int"
 
 
+def _tomb_counts(tomb_file: str) -> dict:
+    """Per-DATA-FILE position counts inside one tombstone parquet.
+
+    One tombstone file carries positions for MANY data files (the
+    delete scan packs small files into one partition), so a per-file
+    debt must count only the rows attributed to that file — counting
+    the tombstone's full row count once per referencing file would
+    over-report (code-review finding).  Reads only the ``file`` column.
+    """
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    return dict(Counter(pq.read_table(tomb_file, columns=["file"]).column("file").to_pylist()))
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """One row per commit: mode, physical file/row totals, per-commit
     added/removed deltas, outstanding DELETE DEBT (tombstoned positions
@@ -51,7 +67,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     monotonic only through ``resolve_as_of``'s rule, so exposed raw)."""
     rows = []
     prev_files: set[str] = set()
-    tomb_rows: dict[str, int] = {}
+    counts: dict[str, dict] = {}
     for v in list_versions(path):
         m = _read_manifest(path, v)
         files = m["files"]
@@ -62,9 +78,9 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
         debt = 0
         for f in files:
             for t in _delete_map(m).get(f, []):
-                if t not in tomb_rows:
-                    tomb_rows[t] = _file_row_count(t)
-                debt += tomb_rows[t]
+                if t not in counts:
+                    counts[t] = _tomb_counts(t)
+                debt += counts[t].get(f, 0)
         rows.append(
             (
                 v,
@@ -100,14 +116,14 @@ def table_files(spark: SparkSession, path: str, version: int | None = None) -> D
     fr = m.get("file_rows", {})
     specs = m.get("file_specs", {})
     dv, eqa = _delete_map(m), _eq_map(m)
-    tomb_rows: dict[str, int] = {}
+    counts: dict[str, dict] = {}
     rows = []
     for f in m["files"]:
         debt = 0
         for t in dv.get(f, []):
-            if t not in tomb_rows:
-                tomb_rows[t] = _file_row_count(t)
-            debt += tomb_rows[t]
+            if t not in counts:
+                counts[t] = _tomb_counts(t)
+            debt += counts[t].get(f, 0)
         rows.append(
             (
                 f,

@@ -100,7 +100,14 @@ class Transform:
         if self.kind == "identity":
             return col
         if self.kind == "bucket":
-            return F.pmod(F.hash(col), F.lit(self.param))
+            # hash under the TABLE's declared type, never the caller's
+            # runtime type: Spark hashes int and long values differently
+            # (hash_int(5) != hash_long(5)), so a probe batch carrying
+            # the key as int against a long table column would compute
+            # wrong buckets and silently prune the files that hold the
+            # keys (code-review finding).  src_type is the table type;
+            # the cast is a no-op on the write path.
+            return F.pmod(F.hash(col.cast(src_type)), F.lit(self.param))
         if self.kind == "truncate":
             if t in _INT_TYPES:
                 w = self.param

@@ -419,12 +419,20 @@ def _apply_eq_masks(
         groups.setdefault(tuple(sorted(eqa.get(f, []))), []).append(f)
     if set(groups) == {()}:
         return df
+    # one read/broadcast per ENTRY, shared across every file group that
+    # scopes it — overlapping groups otherwise re-read and re-broadcast
+    # the same key relation once per group (code-review finding)
+    key_dfs = {
+        eid: _read_eq_keys(spark, eqd[eid])
+        for eids in groups
+        for eid in eids
+    }
     parts = []
     for eids, fs in sorted(groups.items()):
         part = df.filter(F.col("__file").isin(fs)) if len(groups) > 1 else df
         for eid in eids:
             entry = eqd[eid]
-            keys = _read_eq_keys(spark, entry)
+            keys = key_dfs[eid]
             part = part.join(
                 keys,
                 [part[c].eqNullSafe(keys[c]) for c in entry["cols"]],
@@ -558,19 +566,39 @@ def _predicate_bounds(spark: SparkSession, schema: StructType, cond) -> dict:
 
     root = parse(tree)
     _SAFE_CASTS = {"integer", "long", "short", "byte", "float", "double"}
+    # a cast is value-preserving ONLY when the target strictly contains
+    # the source: integer-family widening, float→double, and small-int→
+    # float/double (short fits float's 24-bit mantissa; int fits double's
+    # 53 — long→double does NOT: cast(2^53+1 as double) collides with
+    # 2^53, so bounds derived through it would wrongly prune files).
+    # Narrowing casts (long→int wraps) are never accepted — a predicate
+    # carrying one contributes nothing (code-review finding).
+    _EXACT_WIDENING = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+        ("byte", "float"), ("byte", "double"),
+        ("short", "float"), ("short", "double"),
+        ("integer", "double"),
+        # identity casts: the analyzer wraps IN-list columns in a
+        # same-type Cast — trivially value-preserving
+        ("byte", "byte"), ("short", "short"), ("integer", "integer"),
+        ("long", "long"), ("float", "float"), ("double", "double"),
+    }
 
     def attr_of(node):
-        """Column name if the subtree is a bare attribute or a
-        numeric-widening cast of one; else None."""
+        """Column name if the subtree is a bare attribute or an
+        exactly-widening cast of one; else None."""
         n, kids = node
         cls = n["class"].rsplit(".", 1)[-1]
         if cls == "AttributeReference":
             return n["name"]
-        if cls == "Cast" and n.get("dataType") in _SAFE_CASTS and kids:
+        if cls == "Cast" and kids:
             inner, _ = kids[0]
             if (
                 inner["class"].rsplit(".", 1)[-1] == "AttributeReference"
-                and inner.get("dataType") in _SAFE_CASTS
+                and (inner.get("dataType"), n.get("dataType")) in _EXACT_WIDENING
             ):
                 return inner["name"]
         return None
@@ -580,11 +608,11 @@ def _predicate_bounds(spark: SparkSession, schema: StructType, cond) -> dict:
         cls = n["class"].rsplit(".", 1)[-1]
         if cls == "Cast" and n.get("dataType") in _SAFE_CASTS and kids:
             # the analyzer wraps literals in widening casts (990 int ->
-            # long); numeric widening preserves the value exactly
+            # long); only an exactly-widening cast preserves the value
             inner, _ = kids[0]
             if (
                 inner["class"].rsplit(".", 1)[-1] == "Literal"
-                and inner.get("dataType") in _SAFE_CASTS
+                and (inner.get("dataType"), n.get("dataType")) in _EXACT_WIDENING
             ):
                 return lit_of(kids[0])
             return None
@@ -662,50 +690,48 @@ def _predicate_bounds(spark: SparkSession, schema: StructType, cond) -> dict:
     }
 
 
-def _prune_files_by_bounds(
-    m: dict, files: list[str], bounds: dict, memberships: dict | None = None
-) -> list[str]:
-    """Manifest-stats file pruning: drop files whose recorded
-    per-column [min, max] is DISJOINT from the predicate bounds on ANY
-    bounded column.  Files without stats for a bounded column are kept
-    (conservative) — the superset guarantee `read_version(prune=...)`
-    makes, reused for write-side match scans.
-
-    Bounds compose through partition TRANSFORMS: an equality bound
-    (lo == hi) on a column with a ``bucket(N, col)`` layout also
-    checks the bucket image against the hidden derived-column stats;
-    range bounds map through monotonic transforms (truncate).
-    ``memberships`` adds explicit value-set checks keyed by PHYSICAL
-    stat name — what :func:`merge_on_read` passes after mapping a CDC
-    batch's distinct keys through the table's bucket transform.
-    """
-    if not bounds and not memberships:
-        return files
-    stats = m.get("stats", {})
+def _stat_checks(m: dict, col: str, values, lo, hi) -> list[tuple]:
+    """The conjunctive stat checks one column probe implies:
+    ``[(stat name, value set | None, lo, hi)]`` — the raw column's
+    stats plus the probe's image under every partition TRANSFORM of the
+    column (membership and equality probes map value-by-value; range
+    bounds map through monotonic transforms only).  A transform that
+    can't map the probe driver-side contributes nothing — the superset
+    guarantee is untouched.  THE one place probe-through-transform
+    logic lives: read_version's prune and every write-side match scan
+    call through here (code-review finding: three near-copies)."""
+    pc = _physical(m, col)
+    checks: list[tuple] = [(pc, values, lo, hi)]
     schema = _logical_schema(m)
-    checks: list[tuple] = []  # (stat name, value set | None, lo, hi)
-    for c, (lo, hi) in bounds.items():
-        pc = _physical(m, c)
-        checks.append((pc, None, lo, hi))
-        if schema is None or c not in schema.fieldNames():
-            continue
-        from fdf_spark.sources.transforms import all_transforms_on
+    if schema is None or col not in schema.fieldNames():
+        return checks
+    from fdf_spark.sources.transforms import all_transforms_on
 
-        src_type = schema[c].dataType.simpleString()
-        for t in all_transforms_on(m, c):
-            try:
-                if lo is not None and lo == hi:
-                    checks.append((t.derived_name(pc), [t.apply_py(lo, src_type)], None, None))
-                elif t.monotonic:
-                    checks.append(
-                        (t.derived_name(pc), None,
-                         None if lo is None else t.apply_py(lo, src_type),
-                         None if hi is None else t.apply_py(hi, src_type))
-                    )
-            except TypeError:
-                continue  # transform not portable for this type — skip
-    for name, vals in (memberships or {}).items():
-        checks.append((name, list(vals), None, None))
+    src_type = schema[col].dataType.simpleString()
+    for t in all_transforms_on(m, col):
+        try:
+            if values is not None:
+                checks.append(
+                    (t.derived_name(pc), [t.apply_py(x, src_type) for x in values], None, None)
+                )
+            elif lo is not None and lo == hi:
+                checks.append((t.derived_name(pc), [t.apply_py(lo, src_type)], None, None))
+            elif t.monotonic:
+                checks.append(
+                    (t.derived_name(pc), None,
+                     None if lo is None else t.apply_py(lo, src_type),
+                     None if hi is None else t.apply_py(hi, src_type))
+                )
+        except TypeError:
+            continue  # transform not portable for this type — skip
+    return checks
+
+
+def _files_passing(m: dict, files: list[str], checks: list[tuple]) -> list[str]:
+    """Keep the files whose recorded [min, max] stats survive every
+    check; files without stats for a checked name are kept
+    (conservative), incomparable types are kept."""
+    stats = m.get("stats", {})
 
     def _keep(f: str) -> bool:
         fstats = stats.get(f, {})
@@ -725,6 +751,63 @@ def _prune_files_by_bounds(
         return True
 
     return [f for f in files if _keep(f)]
+
+
+def _prune_files_by_bounds(
+    m: dict, files: list[str], bounds: dict, memberships: dict | None = None
+) -> list[str]:
+    """Manifest-stats file pruning: drop files whose recorded
+    per-column [min, max] is DISJOINT from the predicate bounds on ANY
+    bounded column.  Files without stats for a bounded column are kept
+    (conservative) — the superset guarantee `read_version(prune=...)`
+    makes, reused for write-side match scans.
+
+    Bounds compose through partition TRANSFORMS (:func:`_stat_checks`).
+    ``memberships`` adds explicit value-set checks keyed by PHYSICAL
+    stat name — what :func:`merge_on_read` / :func:`delete_keys` pass
+    after mapping a batch's distinct keys through the table's bucket
+    transform (:func:`_batch_bucket_memberships`).
+    """
+    if not bounds and not memberships:
+        return files
+    checks: list[tuple] = []
+    for c, (lo, hi) in bounds.items():
+        checks.extend(_stat_checks(m, c, None, lo, hi))
+    for name, vals in (memberships or {}).items():
+        checks.append((name, list(vals), None, None))
+    return _files_passing(m, files, checks)
+
+
+def _batch_bucket_memberships(m: dict, df: DataFrame, cols) -> dict:
+    """Map a batch's distinct key values through every bucket transform
+    of ``cols`` (one tiny distinct agg per transform over the — ideally
+    cached — batch; ≤N values each): the membership sets that let a
+    keyed write touch only the buckets its keys route to.  ``df``
+    carries LOGICAL column names; hashing happens under the TABLE's
+    declared type (:meth:`Transform.column` casts)."""
+    from pyspark.sql import functions as F
+
+    from fdf_spark.sources.transforms import all_transforms_on
+
+    schema = _logical_schema(m)
+    out: dict[str, list] = {}
+    if schema is None:
+        return out
+    for c in cols:
+        if c not in schema.fieldNames() or c not in df.columns:
+            continue
+        ktype = schema[c].dataType.simpleString()
+        for t in all_transforms_on(m, c):
+            if t.kind != "bucket":
+                continue  # monotonic transforms already prune via bounds
+            vals = [
+                r[0]
+                for r in df.select(t.column(F.col(c), ktype).alias("__b")).distinct().collect()
+                if r[0] is not None
+            ]
+            if vals:
+                out[t.derived_name(_physical(m, c))] = vals
+    return out
 
 
 def _masks_rebasable(pm: dict, hm: dict, files) -> bool:
@@ -952,24 +1035,7 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame, key_cols) ->
     # (one tiny agg over the key relation) so the entry attaches only
     # to the buckets its keys route to, and the read-side anti-join
     # never touches the rest
-    memberships: dict[str, list] = {}
-    if schema is not None:
-        from fdf_spark.sources.transforms import all_transforms_on
-
-        for c, p in zip(key_cols, phys):
-            ktype = schema[c].dataType.simpleString()
-            for t in all_transforms_on(m, c):
-                if t.kind != "bucket":
-                    continue
-                vals = [
-                    r[0]
-                    for r in keys_df.select(
-                        t.column(F.col(c), ktype).alias("__b")
-                    ).distinct().collect()
-                    if r[0] is not None
-                ]
-                if vals:
-                    memberships[t.derived_name(p)] = vals
+    memberships = _batch_bucket_memberships(m, keys_df, key_cols)
     applies = _prune_files_by_bounds(m, m["files"], bounds, memberships)
     if not applies:
         # no data file's stats overlap any key — nothing can match
@@ -1847,55 +1913,12 @@ def read_version(
         else:
             col, lo, hi = prune
             values = None
-        stats = m.get("stats", {})
-        pcol = _physical(m, col)  # footer stats carry physical names
         # every check is CONJUNCTIVE — the raw-column stats plus the
         # image of the probe under each partition TRANSFORM of the
-        # column (sources/transforms.py): a bucket(N, col) layout
-        # prunes an equality/IN probe to ~1/N of the files even though
-        # the raw [min, max] of a hash-routed file spans everything.
-        # A transform that can't map the probe driver-side (or a file
-        # without derived stats) simply contributes nothing — the
-        # superset guarantee is untouched.
-        checks: list[tuple] = [(pcol, values, lo, hi)]
-        schema = _logical_schema(m)
-        if schema is not None and col in schema.fieldNames():
-            from fdf_spark.sources.transforms import all_transforms_on
-
-            src_type = schema[col].dataType.simpleString()
-            for t in all_transforms_on(m, col):
-                try:
-                    if values is not None:
-                        checks.append(
-                            (t.derived_name(pcol),
-                             [t.apply_py(x, src_type) for x in values], None, None)
-                        )
-                    elif t.monotonic:
-                        checks.append(
-                            (t.derived_name(pcol), None,
-                             t.apply_py(lo, src_type), t.apply_py(hi, src_type))
-                        )
-                except TypeError:
-                    continue  # not portable for this type — skip, never guess
-
-        def _overlaps(f: str) -> bool:
-            fstats = stats.get(f, {})
-            for name, vals, clo, chi in checks:
-                st = fstats.get(name)
-                if st is None:
-                    continue  # no stats for this check → it can't prune
-                fmin, fmax = st
-                try:
-                    if vals is not None:
-                        if not any(fmin <= x <= fmax for x in vals):
-                            return False
-                    elif fmax < clo or fmin > chi:
-                        return False
-                except TypeError:
-                    continue  # incomparable types — keep the file
-            return True
-
-        files = [f for f in files if _overlaps(f)]
+        # column (_stat_checks): a bucket(N, col) layout prunes an
+        # equality/IN probe to ~1/N of the files even though the raw
+        # [min, max] of a hash-routed file spans everything.
+        files = _files_passing(m, files, _stat_checks(m, col, values, lo, hi))
         if not files:
             # empty relation with the snapshot schema
             return spark.createDataFrame([], _logical_schema(m))
@@ -3010,177 +3033,161 @@ def merge_on_read(
     # one cache serves the uniqueness check, the bounds/count agg, and
     # every join below — without it the change plan re-evaluates per use
     src = changes.persist()
-    changes = src
-    if on_duplicate_keys == "last_wins":
-        if order_col is None:
-            raise ValueError("on_duplicate_keys='last_wins' requires order_col")
-        changes = _reduce_changes_last_wins(changes, keys, order_col)
-    elif on_duplicate_keys == "error":
-        _check_unique_live_keys(changes, keys, delete_flag)
-    elif on_duplicate_keys != "assume_unique":
-        raise ValueError(f"unknown on_duplicate_keys {on_duplicate_keys!r}")
+    # one finally owns the cache: every exit — early return, a lost
+    # commit race, a failed uniqueness check — unpins the change set
+    # (code-review finding: a retrying CDC loop leaked one cache per
+    # lost race)
+    try:
+        changes = src
+        if on_duplicate_keys == "last_wins":
+            if order_col is None:
+                raise ValueError("on_duplicate_keys='last_wins' requires order_col")
+            changes = _reduce_changes_last_wins(changes, keys, order_col)
+        elif on_duplicate_keys == "error":
+            _check_unique_live_keys(changes, keys, delete_flag)
+        elif on_duplicate_keys != "assume_unique":
+            raise ValueError(f"unknown on_duplicate_keys {on_duplicate_keys!r}")
 
-    # ONE tiny job: change count (broadcast gate) + per-key bounds
-    # (file pruning); both metadata-sized regardless of batch size
-    row = changes.agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            g for k in keys
-            for g in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
-        ],
-    ).collect()[0]
-    n_changes = row["__n"]
-    if n_changes == 0:
-        src.unpersist()
-        return parent
-    _bc = F.broadcast if n_changes <= broadcast_max_rows else (lambda df: df)
-    bounds = {}
-    for k in keys:
-        lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
-        if (
-            isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str))
-            and not (isinstance(lo, float) and math.isnan(lo))
-            and not (isinstance(hi, float) and math.isnan(hi))
-        ):
-            bounds[k] = (lo, hi)
-    # a bucket(N, key) layout prunes by MEMBERSHIP, not range: map the
-    # batch's distinct keys through the transform (one tiny distinct
-    # agg over the cached batch — ≤N values) so a narrow CDC batch
-    # touches only the buckets its keys route to, even though the raw
-    # key [min, max] of a hash-routed file spans everything
-    memberships: dict[str, list] = {}
-    schema0 = _logical_schema(m)
-    if schema0 is not None:
-        from fdf_spark.sources.transforms import all_transforms_on
-
+        # ONE tiny job: change count (broadcast gate) + per-key bounds
+        # (file pruning); both metadata-sized regardless of batch size
+        row = changes.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                g for k in keys
+                for g in (F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}"))
+            ],
+        ).collect()[0]
+        n_changes = row["__n"]
+        if n_changes == 0:
+            return parent
+        _bc = F.broadcast if n_changes <= broadcast_max_rows else (lambda df: df)
+        bounds = {}
         for k in keys:
-            if k not in schema0.fieldNames():
-                continue
-            ktype = schema0[k].dataType.simpleString()
-            for t in all_transforms_on(m, k):
-                if t.kind != "bucket":
-                    continue  # monotonic transforms already prune via bounds
-                vals = [
-                    r[0]
-                    for r in changes.select(
-                        t.column(F.col(k), ktype).alias("__b")
-                    ).distinct().collect()
-                    if r[0] is not None
-                ]
-                if vals:
-                    memberships[t.derived_name(_physical(m, k))] = vals
-    scan_files = _prune_files_by_bounds(m, m["files"], bounds, memberships)
-    # an all-pruned scan still needs the base SCHEMA for the insert
-    # images — read (at most) one file's plan, it matches zero keys
-    base = _effective_with_pos(spark, m, scan_files or m["files"][:1])
-    base_cols = [c for c in base.columns if c not in ("__file", "__pos")]
-    schema = _logical_schema(m)
-    if schema is None:  # legacy manifest without a recorded schema
-        schema = base.drop("__file", "__pos").schema
-    update_cols = _resolve_update_cols(
-        base.drop("__file", "__pos"), changes, keys, update_cols
-    )
-    chg_payload = keys + [c for c in update_cols if c not in keys]
-    live = changes
-    deletes = None
-    if delete_flag is not None:
-        deletes = changes.filter(F.col(delete_flag)).select(*keys)
-        live = changes.filter(~F.coalesce(F.col(delete_flag), F.lit(False)))
-    live = live.select(*chg_payload)
-
-    # positions to tombstone: every live base row whose key the change
-    # set touches (an update's old image and a delete both die here);
-    # the base is NEVER shuffled — a small change side broadcasts, a
-    # large one goes through the gated shuffle path (_bc above)
-    touched = changes.select(*keys).distinct()
-    tomb_src = base.join(_bc(touched), keys, "left_semi").select(
-        F.col("__file").alias("file"), F.col("__pos").alias("pos")
-    )
-    # rows to append: updated images of matched keys + pure inserts
-    b = base.alias("b")
-    c = live.alias("c")
-    cond = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in keys]
-    matched = b.join(_bc(c), cond, "inner")
-    updated = matched.select(
-        *[
-            (F.col(f"c.{col}") if col in update_cols else F.col(f"b.{col}")).alias(col)
-            for col in base_cols
-        ]
-    )
-    matched_keys = matched.select(*[F.col(f"b.{k}").alias(k) for k in keys]).distinct()
-    inserts = live.join(_bc(matched_keys), keys, "left_anti")
-    if deletes is not None:
-        # delete wins when a key carries both an update and a delete row
-        updated = updated.join(_bc(deletes), keys, "left_anti")
-        inserts = inserts.join(_bc(deletes), keys, "left_anti")
-    inserts = inserts.select(
-        *[
-            (
-                F.col(col) if col in chg_payload
-                else F.lit(None).cast(schema[col].dataType)
-            ).alias(col)
-            for col in base_cols
-        ]
-    )
-    appended = updated.unionByName(inserts)
-
-    # stage both sides, publish ONE manifest (atomic: a crash leaves
-    # only invisible orphans, exactly like any other commit)
-    tomb_files, affected, n_del = _write_tombstones(spark, path, version, tomb_src)
-    mapping = _mapping(m)
-    out = appended.select(*[F.col(c).alias(mapping.get(c, c)) for c in base_cols])
-    carry = _spec_carry(m)
-    out = _cluster_by_spec(out, carry["partition_specs"][str(carry["current_spec"])], mapping)
-    stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
-    out.write.parquet(stage)
-    new_files = [
-        f
-        for f in sorted(
-            os.path.join(stage, x) for x in os.listdir(stage) if x.endswith(".parquet")
+            lo, hi = row[f"__lo_{k}"], row[f"__hi_{k}"]
+            if (
+                isinstance(lo, (int, float, str)) and isinstance(hi, (int, float, str))
+                and not (isinstance(lo, float) and math.isnan(lo))
+                and not (isinstance(hi, float) and math.isnan(hi))
+            ):
+                bounds[k] = (lo, hi)
+        # a bucket(N, key) layout prunes by MEMBERSHIP, not range: map the
+        # batch's distinct keys through the transform (one tiny distinct
+        # agg over the cached batch — ≤N values) so a narrow CDC batch
+        # touches only the buckets its keys route to, even though the raw
+        # key [min, max] of a hash-routed file spans everything
+        memberships = _batch_bucket_memberships(m, changes, keys)
+        scan_files = _prune_files_by_bounds(m, m["files"], bounds, memberships)
+        # an all-pruned scan still needs the base SCHEMA for the insert
+        # images — read (at most) one file's plan, it matches zero keys
+        base = _effective_with_pos(spark, m, scan_files or m["files"][:1])
+        base_cols = [c for c in base.columns if c not in ("__file", "__pos")]
+        schema = _logical_schema(m)
+        if schema is None:  # legacy manifest without a recorded schema
+            schema = base.drop("__file", "__pos").schema
+        update_cols = _resolve_update_cols(
+            base.drop("__file", "__pos"), changes, keys, update_cols
         )
-        if _file_row_count(f) > 0
-    ]
-    if not new_files and n_del == 0:
-        import shutil
+        chg_payload = keys + [c for c in update_cols if c not in keys]
+        live = changes
+        deletes = None
+        if delete_flag is not None:
+            deletes = changes.filter(F.col(delete_flag)).select(*keys)
+            live = changes.filter(~F.coalesce(F.col(delete_flag), F.lit(False)))
+        live = live.select(*chg_payload)
 
-        shutil.rmtree(stage, ignore_errors=True)
+        # positions to tombstone: every live base row whose key the change
+        # set touches (an update's old image and a delete both die here);
+        # the base is NEVER shuffled — a small change side broadcasts, a
+        # large one goes through the gated shuffle path (_bc above)
+        touched = changes.select(*keys).distinct()
+        tomb_src = base.join(_bc(touched), keys, "left_semi").select(
+            F.col("__file").alias("file"), F.col("__pos").alias("pos")
+        )
+        # rows to append: updated images of matched keys + pure inserts
+        b = base.alias("b")
+        c = live.alias("c")
+        cond = [F.col(f"b.{k}") == F.col(f"c.{k}") for k in keys]
+        matched = b.join(_bc(c), cond, "inner")
+        updated = matched.select(
+            *[
+                (F.col(f"c.{col}") if col in update_cols else F.col(f"b.{col}")).alias(col)
+                for col in base_cols
+            ]
+        )
+        matched_keys = matched.select(*[F.col(f"b.{k}").alias(k) for k in keys]).distinct()
+        inserts = live.join(_bc(matched_keys), keys, "left_anti")
+        if deletes is not None:
+            # delete wins when a key carries both an update and a delete row
+            updated = updated.join(_bc(deletes), keys, "left_anti")
+            inserts = inserts.join(_bc(deletes), keys, "left_anti")
+        inserts = inserts.select(
+            *[
+                (
+                    F.col(col) if col in chg_payload
+                    else F.lit(None).cast(schema[col].dataType)
+                ).alias(col)
+                for col in base_cols
+            ]
+        )
+        appended = updated.unionByName(inserts)
+
+        # stage both sides, publish ONE manifest (atomic: a crash leaves
+        # only invisible orphans, exactly like any other commit)
+        tomb_files, affected, n_del = _write_tombstones(spark, path, version, tomb_src)
+        mapping = _mapping(m)
+        out = appended.select(*[F.col(c).alias(mapping.get(c, c)) for c in base_cols])
+        carry = _spec_carry(m)
+        out = _cluster_by_spec(out, carry["partition_specs"][str(carry["current_spec"])], mapping)
+        stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
+        out.write.parquet(stage)
+        new_files = [
+            f
+            for f in sorted(
+                os.path.join(stage, x) for x in os.listdir(stage) if x.endswith(".parquet")
+            )
+            if _file_row_count(f) > 0
+        ]
+        if not new_files and n_del == 0:
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            return parent  # nothing matched, nothing inserted — no new version
+        dv = {k: list(v) for k, v in _delete_map(m).items()}
+        for f, ts in affected.items():
+            dv[f] = dv.get(f, []) + ts
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "mode": "merge-mor",
+            "files": m["files"] + new_files,
+            "stats": {**m.get("stats", {}), **{f: _file_stats(f) for f in new_files}},
+            "file_rows": {**m.get("file_rows", {}), **{f: _file_row_count(f) for f in new_files}},
+            "delete_files": dv,
+            # appended files carry no equality scope (newer than every entry)
+            "eq_deletes": _eq_entries(m),
+            "eq_applies": _eq_map(m),
+            "schema": m["schema"] if "schema" in m else None,
+            "column_mapping": mapping,
+            "retired_physical": m.get("retired_physical", []),
+            "partition_specs": carry["partition_specs"],
+            "current_spec": carry["current_spec"],
+            "file_specs": {**carry["file_specs"], **{f: carry["current_spec"] for f in new_files}},
+            "meta": {
+                "merge_on_read": {
+                    "deleted_positions": n_del,
+                    "appended_files": len(new_files),
+                    "files_scanned": len(scan_files),
+                    "files_pruned": len(m["files"]) - len(scan_files),
+                    "broadcast": n_changes <= broadcast_max_rows,
+                }
+            },
+        }
+        if manifest["schema"] is None:
+            del manifest["schema"]
+        _stage_and_publish_manifest(path, version, manifest)
+        return version
+    finally:
         src.unpersist()
-        return parent  # nothing matched, nothing inserted — no new version
-    dv = {k: list(v) for k, v in _delete_map(m).items()}
-    for f, ts in affected.items():
-        dv[f] = dv.get(f, []) + ts
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "mode": "merge-mor",
-        "files": m["files"] + new_files,
-        "stats": {**m.get("stats", {}), **{f: _file_stats(f) for f in new_files}},
-        "file_rows": {**m.get("file_rows", {}), **{f: _file_row_count(f) for f in new_files}},
-        "delete_files": dv,
-        # appended files carry no equality scope (newer than every entry)
-        "eq_deletes": _eq_entries(m),
-        "eq_applies": _eq_map(m),
-        "schema": m["schema"] if "schema" in m else None,
-        "column_mapping": mapping,
-        "retired_physical": m.get("retired_physical", []),
-        "partition_specs": carry["partition_specs"],
-        "current_spec": carry["current_spec"],
-        "file_specs": {**carry["file_specs"], **{f: carry["current_spec"] for f in new_files}},
-        "meta": {
-            "merge_on_read": {
-                "deleted_positions": n_del,
-                "appended_files": len(new_files),
-                "files_scanned": len(scan_files),
-                "files_pruned": len(m["files"]) - len(scan_files),
-                "broadcast": n_changes <= broadcast_max_rows,
-            }
-        },
-    }
-    if manifest["schema"] is None:
-        del manifest["schema"]
-    _stage_and_publish_manifest(path, version, manifest)
-    src.unpersist()
-    return version
 
 
 def stream_version_events(spark: SparkSession, path: str) -> DataFrame:

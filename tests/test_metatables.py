@@ -74,6 +74,27 @@ def test_refs_table(spark, table):
     assert r["dev"].kind == "branch" and r["dev"].version == 3
 
 
+def test_debt_counts_positions_not_tombstone_rows(spark, tmp_path):
+    """One tombstone parquet carries positions for MANY data files (the
+    delete scan packs small files into one partition): per-file debt
+    must count only that file's positions, never the tombstone's full
+    row count once per referencing file (code-review finding)."""
+    p = str(tmp_path / "t")
+    commit_version(spark.createDataFrame([(i, 0) for i in range(100)], "k long, v long").coalesce(1), p)
+    commit_version(
+        spark.createDataFrame([(i, 0) for i in range(100, 200)], "k long, v long").coalesce(1),
+        p, mode="append",
+    )
+    delete_where(spark, p, "k in (5, 150)")  # one row in EACH file
+    m = __import__("fdf_spark.sources.versioned", fromlist=["_read_manifest"])._read_manifest(p, 3)
+    tombs = {t for ts in m["delete_files"].values() for t in ts}
+    h = table_history(spark, p).orderBy("version").collect()[-1]
+    assert h.delete_debt == 2  # 4 under the over-count bug when len(tombs)==1
+    f = table_files(spark, p).collect()
+    assert sorted(r.dv_tombstones for r in f) == [1, 1]
+    assert len(tombs) >= 1  # shape sanity: the masks exist
+
+
 def test_history_carries_wap_id(spark, table):
     extra = spark.createDataFrame([(5000, 1)], "k long, v long")
     stage_commit(extra, table, wap_id="batch-77")

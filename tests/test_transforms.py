@@ -233,6 +233,52 @@ def test_bucket_null_keys_never_lose_rows(spark, tmp_path):
     assert probe.filter("k = 2").count() == 1
 
 
+def test_bucket_probe_type_mismatch_still_deletes(spark, tmp_path):
+    """A probe batch carrying the key as INT against a LONG table column
+    must hash under the TABLE's type: hash_int(5) and hash_long(5) land
+    in different buckets, so an uncast hash would scope the eq-delete
+    (and merge_on_read's match scan) to the WRONG bucket and silently
+    skip the key (code-review finding)."""
+    p = str(tmp_path / "t")
+    df = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+    commit_version(df.limit(0), p)
+    set_partition_spec(p, ["bucket(8, k)"])
+    commit_version(df, p, mode="append")
+    keys_int = spark.createDataFrame([(5,), (1234,)], "k int")  # int, table is long
+    delete_keys(spark, p, keys_int, ["k"])
+    assert read_version(spark, p).filter("k in (5, 1234)").count() == 0
+    ch_int = spark.createDataFrame([(77, -1)], "k int, v long")
+    merge_on_read(spark, p, ch_int.select(F.col("k").cast("long"), "v"), keys=["k"])
+    assert read_version(spark, p).filter("k = 77").first().v == -1
+
+
+def test_predicate_bounds_reject_lossy_casts(spark, tmp_path):
+    """cast(k as double) == 2^53 on a long column matches BOTH k=2^53
+    and k=2^53+1 (double has 53 mantissa bits — the cast collides
+    them); bounds derived through the precision-losing cast would
+    prune the 2^53+1 file (its stats sit above the literal) and
+    silently skip its matching row (code-review finding) — the guard
+    must derive nothing instead."""
+    p = str(tmp_path / "t")
+    commit_version(spark.createDataFrame([(2**53, 1)], "k long, v int"), p)
+    commit_version(
+        spark.createDataFrame([(2**53 + 1, 2)], "k long, v int"), p, mode="append"
+    )
+    v = delete_where(spark, p, F.col("k").cast("double") == float(2**53))
+    m = _read_manifest(p, v)
+    assert m["meta"]["delete"]["rows"] == 2  # both colliding matches died
+    assert m["meta"]["delete"]["files_pruned"] == 0  # nothing derivable
+    assert read_version(spark, p).count() == 0
+    # exact widening still prunes: k = 5 (int literal on long column)
+    p2 = str(tmp_path / "t2")
+    commit_version(spark.createDataFrame([(5, 1)], "k long, v int").coalesce(1), p2)
+    commit_version(
+        spark.createDataFrame([(10**10, 2)], "k long, v int").coalesce(1), p2, mode="append"
+    )
+    v2 = delete_where(spark, p2, "k = 5")
+    assert _read_manifest(p2, v2)["meta"]["delete"]["files_pruned"] == 1
+
+
 # --- truncate (monotonic) -------------------------------------------------
 
 
