@@ -143,6 +143,57 @@ def table_refs(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, _REFS_SCHEMA)
 
 
+def table_partitions(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Iceberg's ``partitions`` metadata table, adapted to the stats
+    model: live files grouped by their partition-spec KEY RANGE (for a
+    bucket transform each file's derived stats are a single bucket id,
+    so groups are the buckets themselves; identity/truncate specs group
+    by the clustered value range).  One row per (spec_id, key range):
+    file count, physical rows, bytes — the skew/balance view an
+    operator reads before choosing bucket counts or re-clustering.
+    Files written before any spec (or without stats) group under the
+    ``"?"`` range.  Zero data reads."""
+    import os
+
+    from fdf_spark.sources.transforms import spec_transforms
+    from fdf_spark.sources.versioned import _mapping, _spec_carry
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    carry = _spec_carry(m)
+    mapping = _mapping(m)
+    fr = m.get("file_rows", {})
+    stats = m.get("stats", {})
+    groups: dict[tuple, list] = {}
+    for f in m["files"]:
+        sid = int(carry["file_specs"].get(f, 0))
+        spec = carry["partition_specs"].get(str(sid), {"cols": []})
+        parts = []
+        for t in spec_transforms(spec):
+            name = t.derived_name(mapping.get(t.source, t.source))
+            st = stats.get(f, {}).get(name)
+            if st is None:
+                parts.append(f"{t.spec_str()}=?")
+            elif st[0] == st[1]:
+                parts.append(f"{t.spec_str()}={st[0]}")
+            else:
+                parts.append(f"{t.spec_str()}=[{st[0]},{st[1]}]")
+        key = (sid, "; ".join(parts) if parts else "?")
+        g = groups.setdefault(key, [0, 0, 0])
+        g[0] += 1
+        g[1] += fr.get(f, 0)
+        g[2] += os.path.getsize(f) if os.path.exists(f) else 0
+    rows = [
+        (sid, part, n, r, b) for (sid, part), (n, r, b) in sorted(groups.items())
+    ]
+    return spark.createDataFrame(
+        rows, "spec_id int, partition string, n_files int, n_rows bigint, bytes bigint"
+    )
+
+
 def table_eq_deletes(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Outstanding equality-delete entries of a snapshot: entry id, key
     columns, key count, and how many live files each scopes."""

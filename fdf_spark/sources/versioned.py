@@ -2261,9 +2261,22 @@ def widen_column(path: str, col: str, new_type: str) -> int:
     return version
 
 
-def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str]:
+def vacuum(
+    path: str,
+    keep: int = 1,
+    orphan_grace_s: float = 3600.0,
+    retain_last_s: float | None = None,
+) -> list[str]:
     """Drop all but the newest ``keep`` versions and delete data files
     no surviving manifest references; returns the deleted files.
+
+    ``retain_last_s`` adds Delta's TIME-BASED retention on top of the
+    count: every version whose effective publish stamp (the same
+    monotonic-by-version rule ``resolve_as_of`` reads by) is within the
+    last ``retain_last_s`` seconds ALSO survives — so ``vacuum(p,
+    keep=1, retain_last_s=7*86400)`` is "keep a week of time travel",
+    regardless of how many commits the week saw.  Unstamped
+    (pre-upgrade) versions are retained conservatively.
 
     Also sweeps ORPHANED stage directories — fully-written data from a
     lost commit race or a crash between stage and publish. A stage dir
@@ -2281,6 +2294,15 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
     # someone's training run reads through must survive any vacuum
     refd = {r["version"] for r in list_refs(path).values()}
     live_set = set(versions[-keep:]) | (refd & set(versions))
+    if retain_last_s is not None:
+        cutoff = time.time() - retain_last_s
+        eff = None
+        for v in versions:
+            ts = _read_manifest(path, v).get("ts")
+            if ts is not None:
+                eff = ts if eff is None else max(eff, ts)
+            if eff is None or eff >= cutoff:
+                live_set.add(v)
     dead = [v for v in versions if v not in live_set]
     live = sorted(live_set)
     if not live:
@@ -2331,7 +2353,6 @@ def vacuum(path: str, keep: int = 1, orphan_grace_s: float = 3600.0) -> list[str
     # tombstone dirs strictly below head whose files no surviving
     # manifest names, idle past the grace period
     import shutil
-    import time
 
     head = versions[-1]
     referenced_dirs = {os.path.dirname(f) for f in referenced}

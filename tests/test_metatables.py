@@ -95,6 +95,41 @@ def test_debt_counts_positions_not_tombstone_rows(spark, tmp_path):
     assert len(tombs) >= 1  # shape sanity: the masks exist
 
 
+def test_partitions_table_groups_by_bucket(spark, tmp_path):
+    from fdf_spark.sources.versioned import set_partition_spec
+
+    p = str(tmp_path / "b")
+    df = spark.range(0, 8000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    commit_version(df.limit(0), p)
+    set_partition_spec(p, ["bucket(4, k)"])
+    commit_version(df, p, mode="append")
+    from fdf_spark.sources.metatables import table_partitions
+
+    rows = table_partitions(spark, p).collect()
+    bucketed = [r for r in rows if r.partition.startswith("bucket(4, k)=")]
+    assert sum(r.n_rows for r in rows) == 8000
+    assert len(bucketed) >= 2  # per-bucket groups visible
+    assert all(r.bytes > 0 and r.n_files >= 1 for r in bucketed)
+
+
+def test_vacuum_time_retention(spark, tmp_path, monkeypatch):
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    commit_version(df, p)                                      # v1
+    commit_version(df.filter("k < 50"), p, mode="overwrite")   # v2
+    commit_version(df.filter("k < 10"), p, mode="overwrite")   # v3
+    # retain everything: all stamps are "recent"
+    assert V.vacuum(p, keep=1, retain_last_s=3600) == []
+    assert V.list_versions(p) == [1, 2, 3]
+    # age v1/v2 out by restamping the clock forward is invasive; instead
+    # a zero-window retention degrades to pure count-based keep
+    removed = V.vacuum(p, keep=1, retain_last_s=-1)
+    assert V.list_versions(p) == [3]
+    assert removed  # v1/v2-only files reclaimed
+
+
 def test_history_carries_wap_id(spark, table):
     extra = spark.createDataFrame([(5000, 1)], "k long, v long")
     stage_commit(extra, table, wap_id="batch-77")
