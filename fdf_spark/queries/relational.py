@@ -2253,6 +2253,70 @@ def q167_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q168_check_constraint_gate",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           TRUE AS rejected
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    operators=("N17", "N18"),
+    doc="CHECK constraints (Delta parity): add_check_constraint gates "
+    "EVERY write seam — commit/WAP staging, both CDC merge strategies, "
+    "UPDATE images — with one combined agg over the new rows BEFORE "
+    "anything publishes; NULL evaluates as a violation (Delta's rule) "
+    "and schema-evolution appends are checked as the NULLs readers "
+    "will see. The query lands a clean batch, offers a batch with "
+    "negated prices (rejected — ConstraintViolationError, table "
+    "untouched), and pins BOTH facts in the driver hash: the final "
+    "aggregate proves the bad batch never landed, and the engine-"
+    "computed `rejected` flag (oracle hardcodes TRUE) proves the gate "
+    "actually fired rather than the batch being silently skipped. At "
+    "100 TB this is the write-side data-quality contract: bad data "
+    "never becomes a readable version, at the cost of one extra pass "
+    "over each batch's new rows (tests/test_constraints.py).",
+)
+def q168_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_check_constraint,
+        commit_version,
+        read_version,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="fdf_check_")
+    commit_version(orders.filter(k % 3 == 0), path)
+    add_check_constraint(spark, path, "price_positive", "o_totalprice > 0")
+    commit_version(orders.filter(k % 3 == 1), path, mode="append")  # clean
+    bad = orders.filter(k % 3 == 2).withColumn(
+        "o_totalprice",
+        F.when(k % 97 == 0, -F.col("o_totalprice")).otherwise(F.col("o_totalprice")),
+    )
+    try:
+        commit_version(bad, path, mode="append")
+        rejected = False
+    except ConstraintViolationError:
+        rejected = True
+    out = (
+        read_version(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .withColumn("rejected", F.lit(rejected))
+        .orderBy("o_orderpriority")
+    )
+    return _materialize_and_cleanup(out, path)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

@@ -1135,16 +1135,18 @@ def update_where(spark: SparkSession, path: str, condition, set_exprs: dict) -> 
     # re-scanning the matched files twice is the point
     matches = _effective_with_pos(spark, m, scan_files).filter(cond).persist()
     try:
+        mapping = _mapping(m)
+        upd = matches.select(*[sets.get(c, F.col(c)).alias(c) for c in names])
+        # updated images must satisfy the table's CHECK constraints —
+        # validated BEFORE any tombstone or image byte is staged
+        _enforce_constraints(path, upd, schema)
         tomb_files, affected, n = _write_tombstones(
             spark, path, version,
             matches.select(F.col("__file").alias("file"), F.col("__pos").alias("pos")),
         )
         if n == 0:
             return parent
-        mapping = _mapping(m)
-        images = matches.select(
-            *[sets.get(c, F.col(c)).alias(mapping.get(c, c)) for c in names]
-        )
+        images = upd.select(*[F.col(c).alias(mapping.get(c, c)) for c in names])
         carry = _spec_carry(m)
         images = _cluster_by_spec(
             images, carry["partition_specs"][str(carry["current_spec"])], mapping
@@ -1420,6 +1422,115 @@ def set_partition_spec(path: str, cols, buckets: int | None = None) -> int:
     return version
 
 
+class ConstraintViolationError(ValueError):
+    """A write's rows violate a table CHECK constraint — nothing was
+    published (the staged bytes, if any, are vacuum-able orphans)."""
+
+
+_CONSTRAINTS_DIR = "_constraints"
+
+
+def add_check_constraint(spark: SparkSession, path: str, name: str, expr: str) -> None:
+    """Attach a Delta-style CHECK constraint: every FUTURE write
+    (commit/stage, CDC merge on either strategy, UPDATE images)
+    validates its new rows against ``expr`` (a SQL boolean over logical
+    columns) BEFORE anything publishes — a violating batch raises
+    :class:`ConstraintViolationError` with per-constraint violation
+    counts and leaves the table untouched.  NULL results count as
+    violations (Delta's rule: the constraint must be TRUE).
+
+    Adding the constraint validates the CURRENT snapshot first (one
+    scan — the same price Delta pays), so a constraint can never be
+    attached to data that already breaks it.  Constraints are table
+    metadata like named refs (``_constraints/<name>.json``), not
+    snapshot state: they govern writes from now on and are not
+    time-travel-versioned (documented difference from Delta).
+    """
+    from pyspark.sql import functions as F
+
+    if not _NAME_RE.match(name):
+        raise ValueError(f"invalid constraint name {name!r}")
+    dst = os.path.join(path, _CONSTRAINTS_DIR, f"{name}.json")
+    if os.path.exists(dst):
+        raise ValueError(f"constraint {name!r} already exists at {path}")
+    if list_versions(path):
+        df = read_version(spark, path)
+        bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"existing rows at {path} violate CHECK ({expr}) — "
+                "clean the data before attaching the constraint"
+            )
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"name": name, "expr": expr, "ts": time.time()}, fh)
+        _publish_manifest_atomic(tmp, dst)  # create-if-absent, like refs
+    except FileExistsError:
+        raise ValueError(f"constraint {name!r} already exists at {path}") from None
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def drop_check_constraint(path: str, name: str) -> None:
+    p = os.path.join(path, _CONSTRAINTS_DIR, f"{name}.json")
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no constraint {name!r} at {path}")
+    os.remove(p)
+
+
+def list_check_constraints(path: str) -> dict[str, str]:
+    """name -> SQL expression of every attached CHECK constraint."""
+    d = os.path.join(path, _CONSTRAINTS_DIR)
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                c = json.load(fh)
+            out[c["name"]] = c["expr"]
+    return out
+
+
+def _enforce_constraints(path: str, df: DataFrame, parent_schema=None) -> None:
+    """Validate a write's NEW rows (logical names) against every CHECK
+    constraint in ONE combined agg job; raise with per-constraint
+    violation counts.  Columns a constraint references that the batch
+    doesn't carry (schema-evolution append) are evaluated as the NULLs
+    readers will see for those rows."""
+    from pyspark.sql import functions as F
+
+    cons = list_check_constraints(path)
+    if not cons:
+        return
+    probe = df
+    if parent_schema is not None:
+        for f in parent_schema.fields:
+            if f.name not in probe.columns:
+                probe = probe.withColumn(f.name, F.lit(None).cast(f.dataType))
+    row = probe.agg(
+        *[
+            F.sum(
+                F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+            ).alias(f"__c{i}")
+            for i, expr in enumerate(cons.values())
+        ]
+    ).collect()[0]
+    bad = {
+        name: int(row[f"__c{i}"] or 0)
+        for i, name in enumerate(cons)
+        if (row[f"__c{i}"] or 0) > 0
+    }
+    if bad:
+        detail = "; ".join(
+            f"CHECK {n} ({cons[n]}): {c} violating row(s)" for n, c in bad.items()
+        )
+        raise ConstraintViolationError(f"write to {path} rejected — {detail}")
+
+
 def commit_version(
     df: DataFrame, path: str, mode: str = "append", meta: dict | None = None,
     on_conflict: str = "error", expected_parent: int | None = None,
@@ -1519,6 +1630,11 @@ def _stage_files_and_builder(
     from pyspark.sql import functions as F
 
     pm = head if mode == "append" else None
+    # CHECK constraints gate every commit path (commit_version, WAP
+    # staging, merge_versioned's rewrite) BEFORE any byte is staged —
+    # one combined agg over the new rows, violations raise with nothing
+    # to clean up
+    _enforce_constraints(path, df, _logical_schema(pm) if pm else None)
     # the partition spec is TABLE metadata: it survives overwrite (the
     # data is replaced, the layout contract is not), like Iceberg's
     carry = _spec_carry(head)
@@ -2580,6 +2696,11 @@ def publish_staged(spark: SparkSession, path: str, wap_id: str) -> int:
     m = _read_staged(path, wap_id)
     wap = m["wap"]
     new_files = wap["staged_new_files"]
+    # constraints are re-checked at PUBLISH time: staging validated too,
+    # but a CHECK attached between stage and publish must still gate
+    # the fast-forward (the staged bytes predate it)
+    if new_files and list_check_constraints(path):
+        _enforce_constraints(path, _load_files(spark, m, new_files), _logical_schema(m))
     staged_parent = m.get("parent")
     staged_schema = _logical_schema(m)
     staged_map = _mapping(m)
@@ -3152,6 +3273,9 @@ def merge_on_read(
         )
         appended = updated.unionByName(inserts)
 
+        # appended rows (updated images + inserts) must satisfy the
+        # table's CHECK constraints — validated before anything stages
+        _enforce_constraints(path, appended, schema)
         # stage both sides, publish ONE manifest (atomic: a crash leaves
         # only invisible orphans, exactly like any other commit)
         tomb_files, affected, n_del = _write_tombstones(spark, path, version, tomb_src)
