@@ -86,6 +86,7 @@ ROWS = [
     ("dv folded read (N17)", "the same agg after the fold: mask gone, plain-scan plan restored (N17)", "20 M"),
     ("eq-delete 100k keys (N17)", "EQUALITY-DELETE of 100k keys: delete_keys writes the key relation itself, ZERO base-table scan — write O(keys) bytes, scoped to current files by footer stats (N17/q162)", "100 k keys"),
     ("eq masked read (N17)", "full-table agg THROUGH the equality mask: one broadcast anti-join on the key columns over only stats-overlapping files, until the next OPTIMIZE fold (N17/q162)", "20 M"),
+    ("mor 1-row update (N15)", "row-level UPDATE of one matched row: old image position-tombstoned + SET image appended under ONE manifest — write O(matched rows); the CoW row above is the rewrite counterfactual (N15/q167)", "20 M"),
     ("bucket(32) spec commit (N17)", "commit under a bucket(32, k) partition TRANSFORM: rows hash-routed to 32 bucket files, hidden derived-stats column written for free (N17/q165)", "20 M"),
     ("bucket 3-key lookup (N17)", "3-key point lookup THROUGH the bucket transform: probe values mapped driver-side (Murmur3 port, zero jobs), only the touched buckets' files opened — files_read printed in-run (N17/q165)", "20 M"),
     ("plain 3-key lookup (N17)", "the SAME 3-key lookup on an unclustered copy — range stats on a high-cardinality key prune nothing, every file read: the transform's counterfactual (N17/q165)", "20 M"),
@@ -177,7 +178,9 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         f"{w('eq-delete 100k keys (N17)'):.1f} s with ZERO base-table scan (the write "
         f"is O(keys) bytes — the commit ships the key relation itself) and the masked "
         f"read pays {w('eq masked read (N17)'):.1f} s for one broadcast key anti-join "
-        "over stats-overlapping files until the next fold. The r11 "
+        "over stats-overlapping files until the next fold; a 1-row UPDATE "
+        f"(tombstone + appended image, one manifest) costs {w('mor 1-row update (N15)'):.1f} s "
+        "against the same 20 M-row table. The r11 "
         "bucket-transform ledger: a 3-key point lookup through the hidden "
         f"bucket(32, k) layout answers in {w('bucket 3-key lookup (N17)'):.1f} s "
         f"({extra('bucket 3-key lookup (N17)')}) vs "

@@ -1142,6 +1142,20 @@ def main() -> None:
             "eq masked read (N17)", n,
             read_version(spark, p).groupBy("g").agg(F.sum("v")),
         )
+
+        # 32c) row-level UPDATE (N15/q167, r11): one matched row —
+        # old image tombstoned, new image appended, ONE manifest; the
+        # write is O(matched rows) while the CoW counterfactual above
+        # rewrites the table.
+        from fdf_spark.sources.versioned import update_where
+
+        t0 = time.perf_counter()
+        update_where(spark, p, "k = 424242", {"v": "v + 1.0"})
+        dt = time.perf_counter() - t0
+        print(
+            f"{'mor 1-row update (N15)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
