@@ -131,6 +131,30 @@ def morton_key(x: Column, y: Column, bits: int = 16) -> Column:
     return k
 
 
+def morton_key_n(cols: list, bits: int = 12) -> Column:
+    """Z-order interleave of N non-negative int columns → one long
+    clustering key (bit i of column j → bit ``i*N + j``) — the k-dim
+    generalization of :func:`morton_key`, still a pure JVM expression
+    (``bits × N`` shift/mask terms; keep ``bits * N <= 63`` so the key
+    fits a long; the default 12 bits supports up to 5 columns).
+
+    Callers bound each input into [0, 2^bits); ``optimize(zorder=[a,
+    b, c])`` scales from manifest stats the same way as the 2-column
+    path and uses this for 3+ clustering columns.
+    """
+    n = len(cols)
+    if n < 1:
+        raise ValueError("morton_key_n needs at least one column")
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds a long's 63 usable bits")
+    cols = [c.cast("long") for c in cols]
+    k = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            k = k + F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+    return k
+
+
 def sql_morton_key(x: str, y: str, bits: int = 16) -> str:
     """DuckDB twin of :func:`morton_key` (same shift/mask arithmetic)."""
     terms = []

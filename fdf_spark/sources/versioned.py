@@ -2862,7 +2862,7 @@ def optimize(
     ``target_bytes // 2``) are read once and rewritten as
     ~``target_bytes`` files; files already at target are carried over
     untouched (their manifest stats entries are inherited, no footer
-    re-read). With ``zorder=[a]`` or ``zorder=[a, b]``: ALL live files
+    re-read). With ``zorder=[a]`` up to ``zorder=[a, b, c, d]``: ALL live files
     are rewritten range-partitioned + sorted on the (Morton-interleaved
     for two columns) clustering key, so parquet AND manifest [min, max]
     stats become tight in every clustered dimension — metadata pruning
@@ -2894,8 +2894,8 @@ def optimize(
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
-    if zorder is not None and not 1 <= len(zorder) <= 2:
-        raise ValueError("zorder supports one or two clustering columns")
+    if zorder is not None and not 1 <= len(zorder) <= 4:
+        raise ValueError("zorder supports one to four clustering columns")
     parent = versions[-1]
     m = _read_manifest(path, parent)
     files = m["files"]
@@ -2996,7 +2996,16 @@ def optimize(
                 x = (F.col(c).cast("double") - F.lit(lo)) * F.lit(top) / F.lit(span)
                 return F.least(F.lit(top), F.greatest(F.lit(0), x.cast("bigint")))
 
-            key = morton_key(scaled(0, zorder[0]), scaled(1, zorder[1]), bits=zorder_bits)
+            if len(zorder) == 2:
+                key = morton_key(scaled(0, zorder[0]), scaled(1, zorder[1]), bits=zorder_bits)
+            else:
+                from fdf_spark.functions.scalar import morton_key_n
+
+                # 3-4 dims: same bit layout generalized (col j → bit
+                # i*N+j); 12 bits × 4 cols = 48-bit key, still one long
+                key = morton_key_n(
+                    [scaled(i, c) for i, c in enumerate(zorder)], bits=zorder_bits
+                )
         out = (
             df.withColumn(zkey, key)
             .repartitionByRange(n_out, zkey)

@@ -91,6 +91,44 @@ def test_optimize_zorder_tightens_manifest_pruning(spark, tmp_path):
     assert sorted(r.payload for r in got.collect()) == want
 
 
+def test_optimize_zorder_three_columns(spark, tmp_path):
+    """3-dim Z-ORDER (morton_key_n): every clustered dimension's
+    manifest stats tighten, rows identical — the k-dim generalization
+    of the 2-column path."""
+    from fdf_spark.sources.versioned import _read_manifest, diff_versions, optimize
+
+    p = str(tmp_path / "t")
+    base = spark.range(0, 8000).select(
+        (F.col("id") % 20).alias("x"),
+        ((F.col("id") / 20) % 20).cast("bigint").alias("y"),
+        (F.col("id") / 400).cast("bigint").alias("z"),
+        F.col("id").alias("payload"),
+    )
+    commit_version(base.repartition(8), p)
+    parent = list_versions(p)[-1]
+    # small target → ≥8 files, so the Morton split reaches every
+    # dimension's top bit (4 files split only the two highest
+    # interleaved bits and the third dim can't tighten yet)
+    res = optimize(spark, p, zorder=["x", "y", "z"], target_bytes=6 * 1024)
+    assert diff_versions(spark, p, parent, res["version"]).count() == 0
+    m = _read_manifest(p, res["version"])
+
+    def hits(col, lo, hi):
+        n = 0
+        for f in m["files"]:
+            st = m["stats"].get(f, {}).get(col)
+            if st is None or not (st[1] < lo or st[0] > hi):
+                n += 1
+        return n
+
+    total = len(m["files"])
+    assert total >= 8
+    for col, lo, hi in (("x", 3, 4), ("y", 3, 4), ("z", 3, 4)):
+        assert hits(col, lo, hi) < total, col
+    with pytest.raises(ValueError, match="one to four"):
+        optimize(spark, p, zorder=["x", "y", "z", "payload", "x"])
+
+
 def test_time_travel_and_modes(spark, tmp_path):
     p = str(tmp_path / "t")
     assert commit_version(_df(spark, 0, 10), p) == 1
