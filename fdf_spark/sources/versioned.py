@@ -2261,6 +2261,16 @@ def drop_column(path: str, col: str) -> int:
         raise ValueError(f"no column {col!r} (have {names})")
     if len(names) == 1:
         raise ValueError("cannot drop the only column")
+    # a CHECK constraint referencing the column would turn every future
+    # write into an analysis error — refuse, like Delta does (word-level
+    # match is conservative: a false positive costs an explicit
+    # drop_check_constraint, a miss would brick the write path)
+    for cname, expr in list_check_constraints(path).items():
+        if re.search(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])", expr) or f"`{col}`" in expr:
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint {cname!r} "
+                f"({expr}); drop the constraint first"
+            )
     from fdf_spark.sources.transforms import spec_transforms
 
     carry = _spec_carry(m)

@@ -95,6 +95,16 @@ def test_publish_staged_rechecks(spark, table):
     assert publish_staged(spark, table, "w1") > 0
 
 
+def test_drop_column_blocked_by_constraint(spark, table):
+    from fdf_spark.sources.versioned import drop_column
+
+    with pytest.raises(ValueError, match="referenced by CHECK constraint"):
+        drop_column(table, "v")
+    drop_check_constraint(table, "v_positive")
+    drop_column(table, "v")  # unblocked
+    assert read_version(spark, table).columns == ["k"]
+
+
 def test_drop_constraint_unblocks(spark, table):
     drop_check_constraint(table, "v_positive")
     bad = spark.createDataFrame([(9300, -1.0)], "k long, v double")
