@@ -99,15 +99,17 @@ def main() -> None:
     # lottery (single-run totals swing ±15% run-to-run on a shared box;
     # min-of-3 tightened the r3→r4 cross-run spread vs min-of-2).
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = registry[name].fn(spark, SF_DIR)
             # force full execution without driver-side result transfer
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -115,6 +117,10 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        # every individual run, so the recorded JSON is self-evidencing
+        # about cross-run noise (VERDICT r11 #6) — "value" stays the
+        # min-of-3 total, same shape as every prior round
+        "runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

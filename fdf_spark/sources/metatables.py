@@ -68,11 +68,25 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     rows = []
     prev_files: set[str] = set()
     counts: dict[str, dict] = {}
+    fr_fallback: dict[str, int] = {}  # legacy manifests without file_rows
+
+    def _rows_of(fr: dict, f: str) -> int:
+        # pre-upgrade manifests lack a file_rows map: fall back to the
+        # parquet footer (cached per file) exactly like table_files does,
+        # so the two metadata tables agree on legacy tables (ADVICE r11)
+        if f in fr:
+            return fr[f]
+        if f not in fr_fallback:
+            import os
+
+            fr_fallback[f] = _file_row_count(f) if os.path.exists(f) else 0
+        return fr_fallback[f]
+
     for v in list_versions(path):
         m = _read_manifest(path, v)
         files = m["files"]
         fr = m.get("file_rows", {})
-        n_rows = sum(fr.get(f, 0) for f in files)
+        n_rows = sum(_rows_of(fr, f) for f in files)
         fset = set(files)
         added = fset - prev_files
         debt = 0
@@ -91,7 +105,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
                 n_rows,
                 len(added),
                 len(prev_files - fset),
-                sum(fr.get(f, 0) for f in added),
+                sum(_rows_of(fr, f) for f in added),
                 debt,
                 int(m.get("current_spec", 0)),
                 (m.get("meta") or {}).get("wap_id"),

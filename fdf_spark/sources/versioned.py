@@ -1149,7 +1149,8 @@ def update_where(spark: SparkSession, path: str, condition, set_exprs: dict) -> 
         images = upd.select(*[F.col(c).alias(mapping.get(c, c)) for c in names])
         carry = _spec_carry(m)
         images = _cluster_by_spec(
-            images, carry["partition_specs"][str(carry["current_spec"])], mapping
+            images, carry["partition_specs"][str(carry["current_spec"])], mapping,
+            schema=schema,
         )
         stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
         images.write.parquet(stage)
@@ -1287,7 +1288,8 @@ def _spec_carry(pm: dict | None) -> dict:
 
 
 def _cluster_by_spec(
-    out: DataFrame, spec: dict, mapping: dict, n_files: int | None = None
+    out: DataFrame, spec: dict, mapping: dict, n_files: int | None = None,
+    schema: StructType | None = None,
 ) -> DataFrame:
     """Cluster a frame about to be WRITTEN by the partition spec — the
     one block every data writer (commit staging, merge-on-read appends)
@@ -1327,7 +1329,16 @@ def _cluster_by_spec(
             sort_cols.append(F.col(p))
         else:
             dname = t.derived_name(p)
-            stype = out.schema[p].dataType.simpleString()
+            # hash/truncate under the table's DECLARED type, not the
+            # batch's runtime type: Transform.column documents that all
+            # probe paths (_batch_bucket_memberships, _stat_checks)
+            # evaluate under the declared type, so a castable-but-
+            # narrower append batch (int key vs long column) must write
+            # bucket stats in the same hash domain (ADVICE r11)
+            if schema is not None and t.source in {f.name for f in schema.fields}:
+                stype = schema[t.source].dataType.simpleString()
+            else:
+                stype = out.schema[p].dataType.simpleString()
             out = out.withColumn(dname, t.column(F.col(p), stype))
             pcols.append(F.col(dname))
             sort_cols.extend([F.col(dname), F.col(p)])
@@ -1665,7 +1676,10 @@ def _stage_files_and_builder(
     # columns (identity AND derived transform values), which is what
     # turns read_version's stats pruning into layout pruning.  Spec
     # columns are logical names; files carry physical ones.
-    out = _cluster_by_spec(out, carry["partition_specs"][str(carry["current_spec"])], mapping)
+    out = _cluster_by_spec(
+        out, carry["partition_specs"][str(carry["current_spec"])], mapping,
+        schema=_logical_schema(pm) if pm else None,
+    )
     stage = os.path.join(path, "data", f"{stage_prefix}{version:08d}-{uuid.uuid4().hex[:8]}")
     out.write.parquet(stage)
     new_files = sorted(
@@ -2423,12 +2437,23 @@ def vacuum(
     if retain_last_s is not None:
         cutoff = time.time() - retain_last_s
         eff = None
+        boundary = None  # newest version whose effective stamp predates the window
         for v in versions:
             ts = _read_manifest(path, v).get("ts")
             if ts is not None:
                 eff = ts if eff is None else max(eff, ts)
             if eff is None or eff >= cutoff:
                 live_set.add(v)
+            else:
+                boundary = v
+        # the snapshot CURRENT at the window's start must survive too:
+        # resolve_as_of(ts) for any ts inside the window picks the newest
+        # version stamped <= ts, which for the window's oldest span is the
+        # last pre-cutoff version — dropping it would break "keep a week
+        # of time travel" for timestamps older than the earliest retained
+        # commit (ADVICE r11)
+        if boundary is not None:
+            live_set.add(boundary)
     dead = [v for v in versions if v not in live_set]
     live = sorted(live_set)
     if not live:
@@ -3030,7 +3055,9 @@ def optimize(
             # stays clustered (transforms re-derived), so an OPTIMIZE
             # fold on a bucketed table never degrades point-lookup
             # pruning on the rewritten files
-            out = _cluster_by_spec(df, spec_now, _mapping(m), n_files=n_out)
+            out = _cluster_by_spec(
+                df, spec_now, _mapping(m), n_files=n_out, schema=_logical_schema(m)
+            )
         else:
             out = df.repartition(n_out)
     version = parent + 1
@@ -3301,7 +3328,10 @@ def merge_on_read(
         mapping = _mapping(m)
         out = appended.select(*[F.col(c).alias(mapping.get(c, c)) for c in base_cols])
         carry = _spec_carry(m)
-        out = _cluster_by_spec(out, carry["partition_specs"][str(carry["current_spec"])], mapping)
+        out = _cluster_by_spec(
+            out, carry["partition_specs"][str(carry["current_spec"])], mapping,
+            schema=schema,
+        )
         stage = os.path.join(path, "data", f"c{version:08d}-{uuid.uuid4().hex[:8]}")
         out.write.parquet(stage)
         new_files = [

@@ -136,3 +136,65 @@ def test_history_carries_wap_id(spark, table):
     publish_staged(spark, table, "batch-77")
     last = table_history(spark, table).orderBy("version").collect()[-1]
     assert last.wap_id == "batch-77" and last.rows_added == 1
+
+
+def test_vacuum_time_retention_keeps_window_boundary(spark, tmp_path, monkeypatch):
+    """retain_last_s must keep the snapshot CURRENT at the window's
+    start: an as_of stamp inside the advertised window but older than
+    the earliest in-window commit still resolves (ADVICE r11 — before
+    the fix the boundary version was dropped and 'keep a week of time
+    travel' failed for the window's oldest span)."""
+    import time as _time
+
+    import fdf_spark.sources.versioned as V
+    from fdf_spark.sources.versioned import read_version
+
+    p = str(tmp_path / "tb")
+    now = _time.time()
+    stamps = iter([now - 10 * 86400, now - 9 * 86400, now - 86400])
+
+    class _Clock:
+        @staticmethod
+        def time():
+            try:
+                return next(stamps)
+            except StopIteration:
+                return _time.time()
+
+    monkeypatch.setattr(V, "time", _Clock)
+    df = spark.range(0, 30).select(F.col("id").alias("k"))
+    commit_version(df.filter("k < 10"), p)                 # v1 @ now-10d
+    commit_version(df.filter("k < 20"), p, "overwrite")    # v2 @ now-9d
+    commit_version(df, p, "overwrite")                     # v3 @ now-1d
+    V.vacuum(p, keep=1, retain_last_s=7 * 86400, orphan_grace_s=1e12)
+    # v2 is the boundary (newest pre-cutoff stamp): it was the table at
+    # the window's start and must survive; v1 is strictly older and dies
+    assert V.list_versions(p) == [2, 3]
+    assert V.resolve_as_of(p, now - 5 * 86400) == 2
+    assert read_version(spark, p, as_of_ts=now - 5 * 86400).count() == 20
+
+
+def test_history_falls_back_to_footers_on_legacy_manifest(spark, tmp_path):
+    """A pre-upgrade manifest without a file_rows map: table_history
+    must agree with table_files (footer fallback), not report 0
+    (ADVICE r11)."""
+    import json
+    import os
+
+    from fdf_spark.sources.versioned import _manifest_path
+
+    p = str(tmp_path / "legacy")
+    commit_version(
+        spark.range(0, 123).select(F.col("id").alias("k")), p
+    )  # v1 — stored FULL (no parent)
+    mp = _manifest_path(p, 1)
+    with open(mp) as fh:
+        raw = json.load(fh)
+    raw.pop("file_rows", None)
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(raw, fh)
+    os.replace(tmp, mp)
+    h = table_history(spark, p).collect()[0]
+    assert h.n_rows == 123 and h.rows_added == 123
+    assert sum(r.rows for r in table_files(spark, p).collect()) == 123

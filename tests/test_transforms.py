@@ -314,3 +314,43 @@ def test_truncate_string_prefix(spark, tmp_path):
     probe = read_version(spark, p, prune=("name", ["c0100"]))
     assert probe.filter("name = 'c0100'").count() == 1
     assert len(probe.inputFiles()) < len(m["files"])
+
+
+def test_cluster_by_spec_hashes_under_declared_type(spark):
+    """The write path must derive the hidden bucket column under the
+    table's DECLARED type, not the batch's runtime type: a castable-
+    but-narrower batch (int key into a long column) otherwise writes
+    bucket stats in the wrong hash domain and desynchronizes every
+    driver-side probe (ADVICE r11)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from fdf_spark.sources.versioned import _cluster_by_spec
+
+    spec = {"cols": ["bucket(8, k)"]}
+    t = parse_spec_col("bucket(8, k)")
+    df = spark.range(0, 200).select(F.col("id").cast("int").alias("k"))
+    declared = StructType([StructField("k", LongType())])
+    out = _cluster_by_spec(df, spec, {}, schema=declared)
+    dname = t.derived_name("k")
+    got = {r.k: r[dname] for r in out.collect()}
+    want = {
+        r.k: r.b
+        for r in spark.range(0, 200)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.pmod(F.hash(F.col("id").cast("long")), F.lit(8)).alias("b"),
+        )
+        .collect()
+    }
+    assert got == want
+    # and int-vs-long hash domains genuinely differ (the test has teeth)
+    runtime = {
+        r.k: r.b
+        for r in spark.range(0, 200)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(8)).alias("b"),
+        )
+        .collect()
+    }
+    assert got != runtime
