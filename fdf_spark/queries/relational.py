@@ -2317,6 +2317,75 @@ def q168_check_constraint_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q169_sql_snapshot_view",
+    f"""
+    SELECT 0 AS stage, 'history' AS priority, CAST(2 AS BIGINT) AS n_orders,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0)
+              + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (0, 1))
+                AS DOUBLE) AS total_val
+    UNION ALL
+    SELECT 1, o_orderpriority, COUNT(*), {sql_dsum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 4 = 0 GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 2, o_orderpriority, COUNT(*), {sql_dsum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 4 IN (0, 1) GROUP BY o_orderpriority
+    ORDER BY stage, priority
+    """,
+    operators=("N17", "S4"),
+    doc="SQL surface over the versioned substrate (VERDICT r11 #3): "
+    "register_versioned_view pins snapshots as catalog temp views so "
+    "plain spark.sql answers against them — here a TIME-TRAVEL view at "
+    "v1 (stage 1), the v2 head (stage 2), and the <name>_snapshots "
+    "metadata view (stage 0: commit count + per-snapshot row totals, "
+    "zero data reads). A THIRD commit lands AFTER registration and "
+    "before the SQL runs — the views' explicit pinned file lists must "
+    "not leak it, so snapshot immutability itself is inside the driver "
+    "hash gate (the oracle replays only v1/v2). Reference parity: the "
+    "logbook is the reference's SQL surface (factory.py:537-542); this "
+    "gives the engine's own tables the same interface. Scale: a view "
+    "is one manifest read — downstream BI/SQL tooling reads a 100 TB "
+    "snapshot without the engine's Python API in the loop.",
+)
+def q169_sql_snapshot_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.versioned import commit_version, register_versioned_view
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="fdf_sqlview_")
+    commit_version(orders.filter(k % 4 == 0), path)                   # v1
+    commit_version(orders.filter(k % 4 == 1), path, mode="append")    # v2
+    assert register_versioned_view(spark, path, "q169_v1", version=1) == 1
+    assert register_versioned_view(spark, path, "q169_head") == 2
+    # lands AFTER registration: the pinned views must not see it
+    commit_version(orders.filter(k % 4 == 2), path, mode="append")    # v3
+    out = spark.sql(
+        """
+        SELECT 0 AS stage, 'history' AS priority, COUNT(*) AS n_orders,
+               CAST(SUM(n_rows) AS DOUBLE) AS total_val
+        FROM q169_head_snapshots
+        UNION ALL
+        SELECT 1, o_orderpriority, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        FROM q169_v1 GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 2, o_orderpriority, COUNT(*),
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        FROM q169_head GROUP BY o_orderpriority
+        ORDER BY stage, priority
+        """
+    )
+    try:
+        return _materialize_and_cleanup(out, path)
+    finally:
+        for v in ("q169_v1", "q169_head", "q169_head_snapshots", "q169_v1_snapshots"):
+            spark.catalog.dropTempView(v)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

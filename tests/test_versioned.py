@@ -1920,3 +1920,35 @@ def test_merge_mor_race_vs_inserted_matched_key_reprobes(spark, tmp_path, monkey
     assert df.filter("k = 7").first().v == 777
     assert df.filter("k = 600").count() == 0  # the delete reached the racer's row
     assert df.count() == 100 + 1
+
+
+def test_register_versioned_view_pins_snapshot(spark, tmp_path):
+    """SQL snapshot views (VERDICT r11 #3): spark.sql reads the
+    versioned substrate through a pinned temp view; commits landing
+    after registration never leak in (snapshot immutability); refs and
+    the _snapshots metadata view work; bad input raises."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)        # v1
+    commit_version(_df(spark, 10, 30), p)       # v2
+    V.create_tag(p, "audit", 1)
+    assert V.register_versioned_view(spark, p, "vv_head") == 2
+    assert V.register_versioned_view(spark, p, "vv_tag", ref="audit") == 1
+    assert spark.sql("SELECT COUNT(*) AS n FROM vv_head").first().n == 30
+    assert spark.sql("SELECT COUNT(*) AS n FROM vv_tag").first().n == 10
+    # later commits (append AND a delete) never leak into pinned views
+    commit_version(_df(spark, 30, 35), p)
+    V.delete_where(spark, p, "k < 5")
+    assert spark.sql("SELECT COUNT(*) AS n FROM vv_head").first().n == 30
+    assert spark.sql("SELECT COUNT(*) AS n FROM vv_tag").first().n == 10
+    h = spark.sql(
+        "SELECT version, n_rows FROM vv_head_snapshots ORDER BY version"
+    ).collect()
+    assert [r.version for r in h] == [1, 2] and h[-1].n_rows == 30
+    with pytest.raises(ValueError, match="at most one"):
+        V.register_versioned_view(spark, p, "x", version=1, ref="audit")
+    with pytest.raises(ValueError, match="invalid view name"):
+        V.register_versioned_view(spark, p, "bad name!")
+    for vname in ("vv_head", "vv_tag", "vv_head_snapshots", "vv_tag_snapshots"):
+        spark.catalog.dropTempView(vname)
