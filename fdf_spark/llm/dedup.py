@@ -35,6 +35,31 @@ from fdf_spark.llm.hashing import portable_hash60
 MINHASH_P = 2_147_483_647
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of currently-pinned RDDs (DataFrame caches once materialized,
+    localCheckpoint pins) — the before-snapshot for
+    :func:`_release_persists_since`."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _release_persists_since(spark, before: set) -> None:
+    """Unpersist every RDD pinned since ``before`` was captured — the
+    FAILURE-path cleanup for the incremental ingests' persist +
+    localCheckpoint pins (VERDICT r11 #5): a commit I/O failure or a
+    replayed-ingest raise must not leave cached RDDs accumulating in a
+    long-lived ingest session (the leak shape merge_on_read's
+    try/finally already fixed for its own cache)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() not in before:
+            t._2().unpersist(False)
+
+
 def minhash_coeff(i: int) -> tuple[int, int]:
     """Deterministic (a_i, b_i) for the i-th universal hash
     h_i(x) = (a_i*x + b_i) mod MINHASH_P — LCG-spread constants, a_i != 0."""
@@ -163,74 +188,83 @@ def incremental_dedup(
     # persist: the batch aggregate feeds the hbs collect AND the
     # anti-join/checkpoint below — without it the full new_docs
     # hash+groupBy runs twice per ingest (and once more per retry)
+    start_pins = _persistent_rdd_ids(spark)
     batch = (
         new_docs.withColumn("__k", key)
         .groupBy("__k")
         .agg(F.min(id_col).alias(id_col))
     ).persist()
     meta = {"ingest_id": ingest_id} if ingest_id is not None else None
-    while True:
-        versions = list_versions(index_path)
-        head = versions[-1] if versions else 0
-        if ingest_id is not None and ingest_id in applied_ingest_ids(index_path):
-            # re-checked on every retry: a replay racing its original
-            # loses the expected_parent pin below, lands here, and
-            # raises instead of double-landing (ADVICE r10)
-            batch.unpersist()
-            raise DuplicateIngestError(
-                f"ingest {ingest_id!r} already landed in {index_path}; its "
-                "survivors were returned by the original run (replayed batch)"
+    try:
+        while True:
+            versions = list_versions(index_path)
+            head = versions[-1] if versions else 0
+            if ingest_id is not None and ingest_id in applied_ingest_ids(index_path):
+                # re-checked on every retry: a replay racing its original
+                # loses the expected_parent pin below, lands here, and
+                # raises instead of double-landing (ADVICE r10)
+                raise DuplicateIngestError(
+                    f"ingest {ingest_id!r} already landed in {index_path}; its "
+                    "survivors were returned by the original run (replayed batch)"
+                )
+            if head:
+                # the promised pruned probe: the batch's distinct hash bytes
+                # (≤256 values, one tiny job over the batch) prune the landed
+                # snapshot to the files whose hb range they touch — the
+                # anti-join never reads the rest of the index.  The probe is
+                # PINNED to `head`, the same version the commit below pins as
+                # expected_parent — read and write form one serializable unit.
+                hbs = [r[0] for r in batch.select(hb_of(F.col("__k")).alias("hb")).distinct().collect()]
+                landed = (
+                    read_version(spark, index_path, version=head, prune=("hb", hbs))
+                    .filter(F.col("hb").isin(hbs))
+                    .select("content_hash")
+                )
+                fresh = batch.join(
+                    landed, batch["__k"] == landed["content_hash"], "left_anti"
+                )
+                bootstrap = False
+            else:
+                fresh = batch
+                bootstrap = True
+            # pin the probe result BEFORE committing to the index: a lazy
+            # plan re-evaluated after the commit would anti-join the batch
+            # against its own freshly-landed hashes and return nothing
+            fresh = fresh.localCheckpoint(eager=True)
+            rows = fresh.select(
+                F.col("__k").alias("content_hash"),
+                F.col(id_col),
+                hb_of(F.col("__k")).alias("hb"),
             )
-        if head:
-            # the promised pruned probe: the batch's distinct hash bytes
-            # (≤256 values, one tiny job over the batch) prune the landed
-            # snapshot to the files whose hb range they touch — the
-            # anti-join never reads the rest of the index.  The probe is
-            # PINNED to `head`, the same version the commit below pins as
-            # expected_parent — read and write form one serializable unit.
-            hbs = [r[0] for r in batch.select(hb_of(F.col("__k")).alias("hb")).distinct().collect()]
-            landed = (
-                read_version(spark, index_path, version=head, prune=("hb", hbs))
-                .filter(F.col("hb").isin(hbs))
-                .select("content_hash")
-            )
-            fresh = batch.join(
-                landed, batch["__k"] == landed["content_hash"], "left_anti"
-            )
-            bootstrap = False
-        else:
-            fresh = batch
-            bootstrap = True
-        # pin the probe result BEFORE committing to the index: a lazy
-        # plan re-evaluated after the commit would anti-join the batch
-        # against its own freshly-landed hashes and return nothing
-        fresh = fresh.localCheckpoint(eager=True)
-        rows = fresh.select(
-            F.col("__k").alias("content_hash"),
-            F.col(id_col),
-            hb_of(F.col("__k")).alias("hb"),
-        )
-        if bootstrap:
-            # spec 0 has no clustering — cluster the first batch's files
-            # by hand so even v1's manifest stats prune tightly on hb
-            rows = rows.repartitionByRange(F.col("hb")).sortWithinPartitions("hb")
-        try:
-            # expected_parent closes the probe-to-commit window END TO
-            # END: a racer landing during the localCheckpoint job above
-            # (long — it materializes the anti-join) moves the head, so
-            # this publish raises even when the next version number is
-            # still free (r10 review finding; the pin was built for
-            # exactly this caller)
-            commit_version(
-                rows, index_path, mode="append", meta=meta,
-                expected_parent=head,
-            )
-            break
-        except ConcurrentCommitError:
-            # another ingest landed between our probe and our publish —
-            # serializability demands a RE-PROBE against the new head
-            # (it may have landed some of our hashes), never a rebase
-            continue
+            if bootstrap:
+                # spec 0 has no clustering — cluster the first batch's files
+                # by hand so even v1's manifest stats prune tightly on hb
+                rows = rows.repartitionByRange(F.col("hb")).sortWithinPartitions("hb")
+            try:
+                # expected_parent closes the probe-to-commit window END TO
+                # END: a racer landing during the localCheckpoint job above
+                # (long — it materializes the anti-join) moves the head, so
+                # this publish raises even when the next version number is
+                # still free (r10 review finding; the pin was built for
+                # exactly this caller)
+                commit_version(
+                    rows, index_path, mode="append", meta=meta,
+                    expected_parent=head,
+                )
+                break
+            except ConcurrentCommitError:
+                # another ingest landed between our probe and our publish —
+                # serializability demands a RE-PROBE against the new head
+                # (it may have landed some of our hashes), never a rebase
+                continue
+    except BaseException:
+        # a replayed-ingest raise, a commit I/O failure, a killed job:
+        # nothing this call pinned (batch cache, probe checkpoints) may
+        # survive into the caller's long-lived session (VERDICT r11 #5)
+        _release_persists_since(spark, start_pins)
+        raise
+    finally:
+        batch.unpersist()  # on success: fresh is checkpointed, cache spent
     if bootstrap:
         # future commits cluster by hb via the table's partition spec;
         # racing bootstraps: whoever wins, the spec ends up on hb
@@ -239,7 +273,6 @@ def incremental_dedup(
                 set_partition_spec(index_path, ["hb"])
             except ConcurrentCommitError:
                 continue
-    batch.unpersist()  # fresh is checkpointed; the cache is spent
     return new_docs.join(
         fresh.select(F.col(id_col).alias("__keep")),
         new_docs[id_col] == F.col("__keep"),
@@ -929,12 +962,37 @@ def incremental_near_dup(
             f"ingest {ingest_id!r} already landed in {index_path}; its pairs "
             "were reported by the original run (replayed at-least-once batch)"
         )
+    start_pins = _persistent_rdd_ids(spark)
     fps_batch = simhash128(new_docs, text=text, id_col=id_col, bits_per_word=bits_per_word)
     fps_batch = fps_batch.localCheckpoint()
     bands_expr, dist = _wide_bands_and_dist(
         "simhash", max_dist, 2, bands_per_word, band_bits
     )
     meta = {"ingest_id": ingest_id} if ingest_id is not None else None
+    try:
+        return _incremental_near_dup_loop(
+            spark, fps_batch, index_path, id_col, bands_expr, dist, max_dist,
+            ingest_id, meta,
+        )
+    except BaseException:
+        # replayed-ingest raise or commit I/O failure: the fingerprint
+        # checkpoint must not outlive the call (VERDICT r11 #5); on
+        # success it backs the returned pairs plan and stays pinned
+        _release_persists_since(spark, start_pins)
+        raise
+
+
+def _incremental_near_dup_loop(
+    spark, fps_batch, index_path, id_col, bands_expr, dist, max_dist, ingest_id, meta
+):
+    from fdf_spark.sources.versioned import (
+        ConcurrentCommitError,
+        applied_ingest_ids,
+        commit_version,
+        list_versions,
+        read_version,
+    )
+
     while True:
         # probe and publish pin the SAME head: a racer landing anywhere
         # between this read and the commit below (including while the

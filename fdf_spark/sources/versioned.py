@@ -120,7 +120,10 @@ def _read_manifest(path: str, version: int) -> dict:
 # (see vacuum) — a chain never dangles.
 
 _CHECKPOINT_EVERY = 8
-_DELTA_DICTS = ("stats", "file_rows", "delete_files", "eq_deletes", "eq_applies", "file_specs")
+_DELTA_DICTS = (
+    "stats", "file_rows", "delete_files", "eq_deletes", "eq_applies",
+    "file_specs", "tomb_rows",
+)
 _DELTA_SETS = ("schema", "column_mapping", "retired_physical", "partition_specs", "current_spec")
 _DELTA_KEYS = frozenset(
     {"delta_base", "__absent__", "files_append", "files_add", "files_remove"}
@@ -353,6 +356,35 @@ def _read_tombstones(spark: SparkSession, tomb_files) -> DataFrame:
     if sum(os.path.getsize(t) for t in tombs) < (32 << 20):
         td = F.broadcast(td)
     return td
+
+
+#: per-tombstone-file position counts ({data file -> rows}) — immutable
+#: once written, so a bounded FIFO cache is always coherent
+_TOMB_COUNTS_CACHE: dict[str, dict] = {}
+
+
+def _tomb_counts_footer(tomb_file: str) -> dict:
+    """Per-DATA-FILE position counts inside one tombstone parquet —
+    reads only the ``file`` column (tombstone-sized).  One tombstone
+    file carries positions for MANY data files, so the per-file debt
+    must count only rows attributed to that file.  Commit time records
+    the result in the manifest (``tomb_rows``) so metadata tables
+    never re-read tombstones; this stays the fallback for pre-upgrade
+    manifests (VERDICT r11 #4)."""
+    hit = _TOMB_COUNTS_CACHE.get(tomb_file)
+    if hit is not None:
+        return hit
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    c = dict(
+        Counter(pq.read_table(tomb_file, columns=["file"]).column("file").to_pylist())
+    )
+    if len(_TOMB_COUNTS_CACHE) >= 1024:
+        _TOMB_COUNTS_CACHE.pop(next(iter(_TOMB_COUNTS_CACHE)))
+    _TOMB_COUNTS_CACHE[tomb_file] = c
+    return c
 
 
 def _anti_join_positions(df: DataFrame, td: DataFrame) -> DataFrame:
@@ -1812,6 +1844,23 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
     # tolerated by the reader's monotonic-by-version rule, never
     # "fixed" at write time (version order is the truth)
     manifest.setdefault("ts", time.time())
+    # delete-debt stats ride the manifest (VERDICT r11 #4): per
+    # referenced tombstone file, the {data file -> masked rows} counts
+    # — inherited from the parent where known (tombstones are
+    # immutable), footer-read once for new ones (the writer just wrote
+    # them; the process cache makes it one read total).  Centralized
+    # HERE so no manifest writer can forget the carry; metadata tables
+    # then answer delete debt with zero tombstone reads.
+    refd = {t for ts in manifest.get("delete_files", {}).values() for t in ts}
+    known: dict = {}
+    if refd and manifest.get("parent") is not None:
+        try:
+            known = _read_manifest(path, manifest["parent"]).get("tomb_rows", {})
+        except FileNotFoundError:
+            known = {}
+    manifest["tomb_rows"] = {
+        t: (known[t] if t in known else _tomb_counts_footer(t)) for t in sorted(refd)
+    }
     # store a DELTA against the parent except at checkpoint versions
     # (bounds reconstruction depth) — metadata written per commit is
     # O(changed files), not O(table files)

@@ -3013,3 +3013,42 @@ def test_pq_codegen_compiles_strict(spark):
         )
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_incremental_ingests_release_caches_on_failure(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #5: a commit I/O failure (or a replayed-ingest raise)
+    inside incremental_dedup / incremental_near_dup must not leave ANY
+    cached RDD behind — neither the batch persist nor the probe's
+    localCheckpoint pins — in the caller's long-lived ingest session."""
+    import fdf_spark.sources.versioned as V
+    from fdf_spark.llm.dedup import (
+        _persistent_rdd_ids,
+        incremental_dedup,
+        incremental_near_dup,
+    )
+
+    spark.catalog.clearCache()
+    before = _persistent_rdd_ids(spark)
+    b1 = spark.createDataFrame(
+        [(1, "alpha bravo charlie delta echo"), (2, "foxtrot golf hotel india")],
+        "doc_id long, text string",
+    )
+
+    def boom(staged, dst):
+        raise OSError("object store rejected the publish")
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", boom)
+    with pytest.raises(OSError):
+        incremental_dedup(spark, b1, str(tmp_path / "hash_idx"))
+    # no NEW pin survives (older tests' pins may be GC-cleaned mid-test,
+    # so subset — not equality — is the stable invariant)
+    assert _persistent_rdd_ids(spark) <= before
+    with pytest.raises(OSError):
+        incremental_near_dup(b1, str(tmp_path / "fp_idx"))
+    assert _persistent_rdd_ids(spark) <= before
+    monkeypatch.undo()
+
+    # success path still returns consumable results and spends the batch
+    # cache (only the probe checkpoint backing the result may stay)
+    out = incremental_dedup(spark, b1, str(tmp_path / "ok_idx"))
+    assert out.count() == 2
