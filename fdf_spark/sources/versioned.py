@@ -1193,7 +1193,10 @@ def update_where(spark: SparkSession, path: str, condition, set_exprs: dict) -> 
         mapping = _mapping(m)
         upd = matches.select(*[sets.get(c, F.col(c)).alias(c) for c in names])
         # updated images must satisfy the table's CHECK constraints —
-        # validated BEFORE any tombstone or image byte is staged
+        # validated BEFORE any tombstone or image byte is staged (the
+        # constraint set is remembered: a rebase re-validates the staged
+        # images iff a constraint landed during the race — ADVICE r11)
+        cons0 = list_check_constraints(path)
         _enforce_constraints(path, upd, schema)
         tomb_files, affected, n = _write_tombstones(
             spark, path, version,
@@ -1266,6 +1269,13 @@ def update_where(spark: SparkSession, path: str, condition, set_exprs: dict) -> 
             hm = _read_manifest(path, hv)
             if not _masks_rebasable(pm, hm, affected):
                 raise  # a real conflict — caller re-runs the update
+            if list_check_constraints(path) != cons0:
+                # a constraint landed during the race: the staged images
+                # were never gated by it — re-validate them (O(matched
+                # rows), reading back the already-staged files) before
+                # they can publish on the new head (ADVICE r11)
+                _enforce_constraints(path, _load_files(spark, hm, new_files), schema)
+                cons0 = list_check_constraints(path)
 
 
 def _file_row_count(file_path: str) -> int:
@@ -1507,7 +1517,16 @@ def add_check_constraint(spark: SparkSession, path: str, name: str, expr: str) -
 
     Adding the constraint validates the CURRENT snapshot first (one
     scan — the same price Delta pays), so a constraint can never be
-    attached to data that already breaks it.  Constraints are table
+    attached to data that already breaks it.  The validated head
+    version is recorded, and after the constraint file publishes, any
+    commit that landed in the validate-to-publish window is
+    RE-VALIDATED (rolling the constraint back on violation) until the
+    head is stable across the check (ADVICE r11 — the TOCTOU where a
+    racing write was never gated).  Residual window: a write that read
+    the constraint list before our publish and commits after the
+    stability check; Delta closes it by carrying constraints in the
+    transactional log itself — here the add-side loop is the
+    approximation.  Constraints are table
     metadata like named refs (``_constraints/<name>.json``), not
     snapshot state: they govern writes from now on and are not
     time-travel-versioned (documented difference from Delta).
@@ -1519,14 +1538,21 @@ def add_check_constraint(spark: SparkSession, path: str, name: str, expr: str) -
     dst = os.path.join(path, _CONSTRAINTS_DIR, f"{name}.json")
     if os.path.exists(dst):
         raise ValueError(f"constraint {name!r} already exists at {path}")
-    if list_versions(path):
-        df = read_version(spark, path)
+
+    def _validate(version: int | None) -> None:
+        if version is None:
+            return
+        df = read_version(spark, path, version=version)
         bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).count()
         if bad:
             raise ConstraintViolationError(
                 f"existing rows at {path} violate CHECK ({expr}) — "
                 "clean the data before attaching the constraint"
             )
+
+    versions = list_versions(path)
+    validated = versions[-1] if versions else None
+    _validate(validated)
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".tmp")
     try:
@@ -1538,6 +1564,20 @@ def add_check_constraint(spark: SparkSession, path: str, name: str, expr: str) -
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+    # the constraint now gates every NEW write; close the window behind
+    # us — re-validate any head that landed since the first scan, and
+    # roll the constraint back if a racer slipped violating data in
+    while True:
+        versions = list_versions(path)
+        head_now = versions[-1] if versions else None
+        if head_now == validated:
+            return
+        validated = head_now
+        try:
+            _validate(validated)
+        except ConstraintViolationError:
+            os.remove(dst)  # roll back — never leave it over violating data
+            raise
 
 
 def drop_check_constraint(path: str, name: str) -> None:
@@ -1699,8 +1739,13 @@ def _stage_files_and_builder(
     # CHECK constraints gate every commit path (commit_version, WAP
     # staging, merge_versioned's rewrite) BEFORE any byte is staged —
     # one combined agg over the new rows, violations raise with nothing
-    # to clean up
-    _enforce_constraints(path, df, _logical_schema(pm) if pm else None)
+    # to clean up.  The HEAD's schema rides along even for overwrite
+    # (ADVICE r11): a constraint referencing a column the batch doesn't
+    # carry is evaluated over the NULLs readers would see — a
+    # ConstraintViolationError, not a raw AnalysisException (an
+    # overwrite that drops a constrained column must drop the
+    # constraint first)
+    _enforce_constraints(path, df, _logical_schema(head) if head else None)
     # the partition spec is TABLE metadata: it survives overwrite (the
     # data is replaced, the layout contract is not), like Iceberg's
     carry = _spec_carry(head)

@@ -110,3 +110,102 @@ def test_drop_constraint_unblocks(spark, table):
     bad = spark.createDataFrame([(9300, -1.0)], "k long, v double")
     commit_version(bad, table, mode="append")
     assert read_version(spark, table).filter("v < 0").count() == 1
+
+
+def test_add_constraint_revalidates_racing_write(spark, tmp_path, monkeypatch):
+    """TOCTOU close (ADVICE r11): a write landing between
+    add_check_constraint's validation scan and the constraint file's
+    publish is re-validated after publish — a violating racer rolls the
+    constraint back (never attached over violating data); a clean racer
+    leaves it attached."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(spark.createDataFrame([(1, 1.0)], "k long, v double"), p)
+
+    real_publish = V._publish_manifest_atomic
+    state = {"raced": False}
+
+    def racing_publish(staged, dst):
+        # fires for the CONSTRAINT file's publish: sneak a violating
+        # commit in just before it lands (the window the scan missed)
+        if not state["raced"] and "_constraints" in dst:
+            state["raced"] = True
+            commit_version(
+                spark.createDataFrame([(2, -5.0)], "k long, v double"), p,
+                mode="append",
+            )
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", racing_publish)
+    with pytest.raises(ConstraintViolationError, match="existing rows"):
+        add_check_constraint(spark, p, "v_positive", "v > 0")
+    monkeypatch.undo()
+    assert list_check_constraints(p) == {}  # rolled back
+
+    # clean racer (fresh table — the violating racer's row above stays
+    # in its table by design): constraint survives the re-validation
+    p2 = str(tmp_path / "t2")
+    commit_version(spark.createDataFrame([(1, 1.0)], "k long, v double"), p2)
+    state2 = {"raced": False}
+
+    def clean_racing_publish(staged, dst):
+        if not state2["raced"] and "_constraints" in dst:
+            state2["raced"] = True
+            commit_version(
+                spark.createDataFrame([(3, 7.0)], "k long, v double"), p2,
+                mode="append",
+            )
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", clean_racing_publish)
+    add_check_constraint(spark, p2, "v_positive", "v > 0")
+    assert list_check_constraints(p2) == {"v_positive": "v > 0"}
+
+
+def test_overwrite_missing_constrained_column_is_violation(spark, table):
+    """An overwrite batch that doesn't carry a constrained column is a
+    loud ConstraintViolationError (the NULLs readers would see), not a
+    raw AnalysisException (ADVICE r11)."""
+    batch = spark.createDataFrame([(1,)], "k long")  # no v at all
+    with pytest.raises(ConstraintViolationError, match="v_positive"):
+        commit_version(batch, table, mode="overwrite")
+
+
+def test_update_rebase_rechecks_constraint_added_during_race(
+    spark, tmp_path, monkeypatch
+):
+    """A constraint landing DURING an update_where's race window gates
+    the already-staged images on the rebase path (ADVICE r11): the
+    rebase re-reads the staged files and raises instead of publishing
+    ungated images."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    df = spark.range(1, 101).select(F.col("id").alias("k"), (F.col("id") % 9 + 1.0).alias("v"))
+    commit_version(df, p)
+
+    real_publish = V._publish_manifest_atomic
+    state = {"raced": False}
+
+    def racing_publish(staged, dst):
+        # fire on the UPDATE's manifest publish: land a blind append
+        # (compatible head → rebase path) AND attach a constraint the
+        # staged images violate
+        if not state["raced"] and "_versions" in dst and "v00000002" in dst:
+            state["raced"] = True
+            commit_version(
+                spark.createDataFrame([(9001, 5.0)], "k long, v double"), p,
+                mode="append",
+            )
+            add_check_constraint(spark, p, "v_small", "v < 100")
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", racing_publish)
+    with pytest.raises(ConstraintViolationError, match="v_small"):
+        update_where(spark, p, "k <= 3", {"v": F.lit(500.0)})
+    monkeypatch.undo()
+    # nothing of the update landed; the racer's append did
+    got = read_version(spark, p)
+    assert got.filter("v >= 100").count() == 0
+    assert got.filter("k = 9001").count() == 1
