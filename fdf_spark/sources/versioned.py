@@ -1258,6 +1258,15 @@ def update_where(spark: SparkSession, path: str, condition, set_exprs: dict) -> 
             "retired_physical": hm.get("retired_physical", []),
             "partition_specs": carry2["partition_specs"],
             "current_spec": carry2["current_spec"],
+            # the images were clustered under the PARENT's spec
+            # (written_spec); the stamp records that HONESTLY even when
+            # a racing set_partition_spec moved the head's current_spec
+            # (spec ids are append-only, so the id exists in every
+            # head).  Probes prune each file under its OWN stamped
+            # spec, and OPTIMIZE re-clusters under the current spec —
+            # a stamp that never overstates means neither ever trusts
+            # tightness the bytes don't have (VERDICT r11 #7; race
+            # pytest: test_update_race_vs_set_spec_stamps_parent_spec).
             "file_specs": {**carry2["file_specs"], **{f: written_spec for f in new_files}},
             "meta": meta,
         }

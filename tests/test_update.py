@@ -211,3 +211,51 @@ def test_update_type_cast_keeps_schema(spark, table):
     df = read_version(spark, table)
     assert dict(df.dtypes)["v"] == "double"
     assert df.filter("k = 3").first().v == 9.0
+
+
+def test_update_race_vs_set_spec_stamps_parent_spec(spark, tmp_path, monkeypatch):
+    """A racing set_partition_spec is mask-compatible (manifest-only),
+    so the update re-bases — and the staged images keep the PARENT's
+    spec stamp, which is what they were actually clustered under
+    (VERDICT r11 #7: the stamp must never overstate the layout; a
+    later OPTIMIZE re-clusters them under the current spec because
+    their stamp differs from it)."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 9 + 0.0).alias("v")
+    )
+    commit_version(df.repartition(2), p)  # v1, spec 0
+
+    real_publish = V._publish_manifest_atomic
+    state = {"raced": False}
+
+    def racing_publish(staged, dst):
+        if not state["raced"] and "_versions" in dst and "v00000002" in dst:
+            state["raced"] = True
+            set_partition_spec(p, ["bucket(4, k)"])  # head moves the spec
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", racing_publish)
+    v = update_where(spark, p, "k < 10", {"v": F.lit(-1.0)})
+    monkeypatch.undo()
+    assert v == 3  # racer took v2 (set-spec), the update re-based
+    m = V._read_manifest(p, 3)
+    assert m["current_spec"] == 1  # head's spec governs FUTURE writes
+    new_files = [f for f in m["files"] if "/c00000002-" in f]
+    assert new_files and all(m["file_specs"][f] == 0 for f in new_files)
+    got = read_version(spark, p)
+    assert got.filter("k < 10").count() == 10
+    assert got.filter("v = -1.0").count() == 10
+    assert got.count() == 1000
+    # OPTIMIZE re-clusters the spec-0-stamped images under the current
+    # spec — after it, every live file claims the layout it really has
+    res = optimize(spark, p)
+    mo = V._read_manifest(p, res["version"])
+    assert all(
+        int(mo["file_specs"].get(f, 0)) == 1
+        for f in mo["files"]
+        if f"/c{res['version']:08d}-" in f
+    )
+    assert diff_versions(spark, p, 3, res["version"]).count() == 0
