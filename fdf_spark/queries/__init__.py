@@ -91,13 +91,10 @@ PRIORITY: tuple[str, ...] = (
     "q04_top_orders",               # S4 O1 O2 O3 J2
     "q119_countmin_hot_tokens",     # N20 Count-Min sketch (r5; displaced q87 — S10 triple-covered by q116/q110)
     "q53_stream_event_decode",      # S7 S8 ST1 ST2 F9 A7
-    "q55_stream_stream_join",       # ST3 ST4 J7(stream)
     "q40_nearest_event",            # P5 A4 O4 J4
     "q43_positional_slice",         # P2 P3
     "q42_value_window_snap",        # P4
     "q01_pricing_summary",          # A2 A5 A6 P7
-    "q05_active_customers_by_segment",  # J5 P8
-    "q03_revenue_by_nation",        # J3
     "q86_efit_discovery",           # X3 J6
     "q44_baseline_subtract",        # A1 F2
     "q08_union_dedup_custkeys",     # U1 U2 U3 A3
@@ -111,7 +108,6 @@ PRIORITY: tuple[str, ...] = (
     "q126_logreg_quality",          # N25 in-engine trained classifier (r5; displaced q24 — N5 keeps the frequency-sketch rep q119; percentiles stay pytest-oracle)
     "q60_exact_dedup",              # N1
     "q155_ivf_pq_persisted_probe",  # N3+N17 persisted-index probe (r9; displaced q61 — N2 stays in-window via q108, which tags N2 alongside N14/N3; q61 remains a bench headline and sweep-green). The single most scale-critical composite (IVF-PQ over a versioned code table) now sits inside the driver hash gate.
-    "q65_cosine_topk",              # N3
     "q70_text_quality",             # N4
     "q129_jpeg_codec_roundtrip",    # N6 REAL baseline-JPEG decode (r6; displaced q68 — same single N6 tag, but q129 exercises the real compressed codec instead of the deterministic fake)
     "q120_lm_quality",              # N21 unigram-LM scoring (r5; displaced q37 — N7/P6/N4 all triple-covered, q120 re-tags N7+N4)
@@ -128,14 +124,24 @@ PRIORITY: tuple[str, ...] = (
     "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
     "q125_pipeline_export",        # N1+N12+N7+N24 full pipeline incl. shard export (r5; supersedes q106 as the in-window acceptance test)
     "q122_incremental_view",       # N23 incremental view maintenance (r5; displaced q107 — N6 covered by q68)
-    "q161_timestamp_time_travel",   # N17 TIMESTAMP AS OF resolution (r11; displaced q116 — version time travel stays in-window via q155/q156/q159's pinned-version reads, S10/U2 via q148/q159/q08; q116 remains sweep-green). The as_of clock-skew clamping rule enters the driver hash gate (VERDICT r10 #8).
-    "q117_data_quality",            # N18 (q89 U1/A3 both covered by q08/q60)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
     "q165_bucket_pruned_lookup",    # N17+S10+P6 hidden bucket partitioning (r11; displaced q134 — N5 stays in-window via q119, J6 via q86; q134 remains sweep-green). The transform-pruned point lookup (the shape range stats cannot prune) enters the driver hash gate with an engine-computed pruned flag.
     "q163_wap_audit_publish",       # N17+N18 write-audit-publish + named refs (r11; displaced q124 — N24 stays in-window via q125_pipeline_export's shard-export stage, q124 remains sweep-green). The stage-invisible/audit/fast-forward-publish lifecycle and the tag pin enter the driver hash gate.
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
     "q162_equality_delete",         # N15+N17+J6 equality-delete tier (r11, VERDICT r10 #6; displaced q110 — N15 stays in-window via q159+q162 itself, J2 via q03/q04/q148, U2/S10 via q08/q148/q159; q110 remains sweep-green). The zero-scan delete-by-key path and its scope rule enter the driver hash gate.
-    "q115_pagerank",                # N16 (q92 J3/F1/F2/P3 all covered by q03/q16/q44/q42)
+    "q115_pagerank",                # N16 (q92 J3/F1/F2/P3 all covered by q148/q16/q44/q42)
+    # -- r12 rotation (VERDICT r11 #2/#3): the six headline versioned-table
+    # features enter the driver hash gate.  Displaced, all sweep-green and
+    # coverage-neutral (checked mechanically by test_registry):
+    # q03 (J2/J3/P6 via q04/q148/q01/q165), q05 (J5/P8/A6 via q121/q86's
+    # family reps), q55 (ST1/ST3/ST4/S7/J7 fully via q53/q54/q149),
+    # q65 (N3 via q155), q117 (N18 via q163+q168), q161 (N17 via ~12 reps).
+    "q160_metadata_aggregates",     # N17+A6 zero-scan count/min/max from the manifest
+    "q164_restore_rollback",        # N17 RESTORE: rollback as manifest-only commit
+    "q166_metadata_history",        # N17+S5 history/files/partitions metadata tables
+    "q167_update_where",            # N15+N17 row-level UPDATE as merge-on-read
+    "q168_check_constraint_gate",   # N17+N18 write-time CHECK enforcement
+    "q169_sql_snapshot_view",       # N17+S4 spark.sql over pinned snapshot views (r12)
 )
 
 

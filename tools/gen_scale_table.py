@@ -87,6 +87,11 @@ ROWS = [
     ("eq-delete 100k keys (N17)", "EQUALITY-DELETE of 100k keys: delete_keys writes the key relation itself, ZERO base-table scan — write O(keys) bytes, scoped to current files by footer stats (N17/q162)", "100 k keys"),
     ("eq masked read (N17)", "full-table agg THROUGH the equality mask: one broadcast anti-join on the key columns over only stats-overlapping files, until the next OPTIMIZE fold (N17/q162)", "20 M"),
     ("mor 1-row update (N15)", "row-level UPDATE of one matched row: old image position-tombstoned + SET image appended under ONE manifest — write O(matched rows); the CoW row above is the rewrite counterfactual (N15/q167)", "20 M"),
+    ("wap stage 1M batch (N17)", "WRITE-AUDIT-PUBLISH stage: a 1M-row batch lands fully-written but INVISIBLE under _staged/ (N17/q163)", "1 M batch"),
+    ("wap audit read (N17)", "the audit pass reads exactly the staged bytes (explicit file list) before anything is readable to consumers (N17/q163)", "1 M batch"),
+    ("wap publish manifest-only", "fast-forward publish of the audited batch: MANIFEST-ONLY — zero data bytes move regardless of batch or table size (N17/q163)", "1 M batch"),
+    ("append 5M no constraints", "baseline 5M-row append commit to the 20M-row table (spec clustering + footer stats), no constraints attached (N18/q168)", "5 M"),
+    ("append 5M, 3 constraints", "the SAME append with THREE CHECK constraints attached: the write gate is one combined agg over the new rows — the delta vs the row above is the whole enforcement price (N18/q168)", "5 M"),
     ("bucket(32) spec commit (N17)", "commit under a bucket(32, k) partition TRANSFORM: rows hash-routed to 32 bucket files, hidden derived-stats column written for free (N17/q165)", "20 M"),
     ("bucket 3-key lookup (N17)", "3-key point lookup THROUGH the bucket transform: probe values mapped driver-side (Murmur3 port, zero jobs), only the touched buckets' files opened — files_read printed in-run (N17/q165)", "20 M"),
     ("plain 3-key lookup (N17)", "the SAME 3-key lookup on an unclustered copy — range stats on a high-cardinality key prune nothing, every file read: the transform's counterfactual (N17/q165)", "20 M"),
@@ -180,7 +185,13 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         f"read pays {w('eq masked read (N17)'):.1f} s for one broadcast key anti-join "
         "over stats-overlapping files until the next fold; a 1-row UPDATE "
         f"(tombstone + appended image, one manifest) costs {w('mor 1-row update (N15)'):.1f} s "
-        "against the same 20 M-row table. The r11 "
+        "against the same 20 M-row table. The r12 WAP ledger: staging a 1M-row batch "
+        f"costs {w('wap stage 1M batch (N17)'):.1f} s (ordinary write, invisible), the "
+        f"audit pass {w('wap audit read (N17)'):.1f} s, and the publish itself "
+        f"{w('wap publish manifest-only'):.2f} s — manifest-only at any size. CHECK "
+        f"constraints: the same 5M-row append costs {w('append 5M no constraints'):.1f} s "
+        f"bare vs {w('append 5M, 3 constraints'):.1f} s with three constraints attached "
+        "(the gate is one combined agg over the new rows). The r11 "
         "bucket-transform ledger: a 3-key point lookup through the hidden "
         f"bucket(32, k) layout answers in {w('bucket 3-key lookup (N17)'):.1f} s "
         f"({extra('bucket 3-key lookup (N17)')}) vs "

@@ -1156,6 +1156,81 @@ def main() -> None:
             f"{'mor 1-row update (N15)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s",
             flush=True,
         )
+
+        # 32d) write-audit-publish lifecycle (N17/q163, VERDICT r11 #8):
+        # stage a 1M-row batch invisibly on the 20M-row table, audit-read
+        # exactly the staged bytes, then fast-forward it into the chain.
+        # The PUBLISH wall is the manifest-only claim, measured: it moves
+        # zero data bytes regardless of batch or table size.
+        from fdf_spark.sources.versioned import (
+            publish_staged,
+            read_staged,
+            stage_commit,
+        )
+
+        nb = 1_000_000
+        batch = spark.range(n, n + nb, 1, 16).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 13) % 97).cast("double").alias("v"),
+            (F.col("id") % 1000).alias("g"),
+        )
+        t0 = time.perf_counter()
+        stage_commit(batch, p, wap_id="stress-wap")
+        dt = time.perf_counter() - t0
+        print(
+            f"{'wap stage 1M batch (N17)':28s} {nb/1e6:8.1f} Mrows {dt:7.2f} s {nb/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        assert read_staged(spark, p, "stress-wap").count() == nb  # the audit pass
+        dt = time.perf_counter() - t0
+        print(
+            f"{'wap audit read (N17)':28s} {nb/1e6:8.1f} Mrows {dt:7.2f} s {nb/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        publish_staged(spark, p, "stress-wap")
+        dt = time.perf_counter() - t0
+        print(
+            f"{'wap publish manifest-only':28s} {nb/1e6:8.1f} Mrows {dt:7.2f} s {nb/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+
+        # 32e) CHECK-constraint write overhead (N18/q168, VERDICT r11
+        # #8): the same 5M-row append with zero vs THREE attached
+        # constraints — the gate is one combined agg over the new rows,
+        # so the delta between the two walls is the whole price.
+        from fdf_spark.sources.versioned import add_check_constraint
+
+        nc = 5_000_000
+
+        def _batch(lo):
+            return spark.range(lo, lo + nc, 1, 32).select(
+                F.col("id").alias("k"),
+                ((F.col("id") * 13) % 97).cast("double").alias("v"),
+                (F.col("id") % 1000).alias("g"),
+            )
+
+        t0 = time.perf_counter()
+        commit_version(_batch(100_000_000), p, mode="append")
+        dt = time.perf_counter() - t0
+        print(
+            f"{'append 5M no constraints':28s} {nc/1e6:8.1f} Mrows {dt:7.2f} s {nc/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        for cname, cexpr in (
+            ("v_bounded", "v >= 0 AND v < 97"),
+            ("k_present", "k IS NOT NULL"),
+            ("g_range", "g BETWEEN 0 AND 999"),
+        ):
+            add_check_constraint(spark, p, cname, cexpr)
+        t0 = time.perf_counter()
+        commit_version(_batch(200_000_000), p, mode="append")
+        dt = time.perf_counter() - t0
+        print(
+            f"{'append 5M, 3 constraints':28s} {nc/1e6:8.1f} Mrows {dt:7.2f} s {nc/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
