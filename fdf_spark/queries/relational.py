@@ -2386,6 +2386,95 @@ def q169_sql_snapshot_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q170_sql_dml_lifecycle",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 6 = 0),
+    t1 AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 6 = 1),
+    t2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM t1),
+    t3 AS (SELECT * FROM t2 WHERE o_custkey % 7 <> 3),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 5 AS o_totalprice,
+             o_custkey % 11 = 0 AS is_del
+      FROM orders WHERE o_orderkey % 6 IN (0, 2)),
+    merged AS (
+      SELECT
+        CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+      FROM t3 t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE NOT COALESCE(s.is_del, FALSE))
+    SELECT o_custkey % 5 AS bucket, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM merged GROUP BY bucket ORDER BY bucket
+    """,
+    operators=("N17", "N15", "S4"),
+    doc="SQL DML router (sources/sqldml.py, r12): the four ANSI write "
+    "verbs as plain SQL strings against one versioned table — INSERT "
+    "INTO … SELECT (append commit), UPDATE … SET … WHERE (merge-on-read "
+    "images), DELETE … WHERE (deletion vectors), and canonical MERGE "
+    "INTO … USING (merge_on_read CDC with update/insert/delete clauses) "
+    "— then one aggregate over the final snapshot, hash-compared to the "
+    "oracle's relational replay of all four steps. Statement SHAPE is "
+    "parsed with a quote/paren-aware scanner; expressions pass verbatim "
+    "to Spark, and every verb lands through the SAME engine seams as "
+    "the Python API (constraints, optimistic concurrency, manifest "
+    "stats, change feed). Scale: SQL-speaking pipelines drive the 100 TB "
+    "substrate without bespoke Python in the loop.",
+)
+def q170_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml
+    from fdf_spark.sources.versioned import commit_version, read_version
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.createOrReplaceTempView("q170_orders")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="fdf_dml_")
+    try:
+        commit_version(orders.filter(k % 6 == 0), path)
+        execute_dml(
+            spark, path,
+            "INSERT INTO t SELECT o_orderkey, o_custkey, o_totalprice "
+            "FROM q170_orders WHERE o_orderkey % 6 = 1",
+        )
+        execute_dml(
+            spark, path,
+            "UPDATE t SET o_totalprice = o_totalprice + 1000 WHERE o_orderkey % 10 = 0",
+        )
+        execute_dml(spark, path, "DELETE FROM t WHERE o_custkey % 7 = 3")
+        execute_dml(
+            spark, path,
+            """
+            MERGE INTO t USING (
+              SELECT o_orderkey, o_custkey, o_totalprice + 5 AS o_totalprice,
+                     o_custkey % 11 = 0 AS is_del
+              FROM q170_orders WHERE o_orderkey % 6 IN (0, 2)
+            ) s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND is_del THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        out = (
+            read_version(spark, path)
+            .groupBy((F.col("o_custkey") % 5).alias("bucket"))
+            .agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
+            .orderBy("bucket")
+        )
+        return _materialize_and_cleanup(out, path)
+    finally:
+        spark.catalog.dropTempView("q170_orders")
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

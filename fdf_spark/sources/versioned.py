@@ -1319,7 +1319,15 @@ def _file_stats(file_path: str) -> dict:
                 bad.add(name)
                 stats.pop(name, None)
                 continue
-            lo, hi = s.min, s.max
+            try:
+                lo, hi = s.min, s.max
+            except Exception:
+                # pyarrow raises ArrowNotImplementedError for some
+                # physical types (e.g. decimals) even with has_min_max
+                # set — no stats is always safe (file never pruned)
+                bad.add(name)
+                stats.pop(name, None)
+                continue
             if not isinstance(lo, (int, float, str, bool)):
                 bad.add(name)
                 stats.pop(name, None)
@@ -3511,6 +3519,13 @@ def merge_on_read(
             ]
         )
         appended = updated.unionByName(inserts)
+        # change payloads land under the table's DECLARED types (a
+        # decimal-literal CDC value into a double column must not write
+        # decimal bytes a declared-schema reader chokes on) — the same
+        # never-drift rule update_where applies to SET results
+        appended = appended.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in base_cols]
+        )
 
         # appended rows (updated images + inserts) must satisfy the
         # table's CHECK constraints — validated before anything stages
@@ -3608,7 +3623,7 @@ def merge_on_read(
                                 (
                                     F.col(f"c.{col}") if col in update_cols
                                     else F.col(f"b.{col}")
-                                ).alias(col)
+                                ).cast(schema[col].dataType).alias(col)
                                 for col in base_cols
                             ]
                         )

@@ -1,0 +1,150 @@
+"""SQL DML router (sources/sqldml.py) — DELETE/UPDATE/INSERT/MERGE as
+plain SQL strings, landing through the same engine seams as the Python
+API (constraints, optimistic concurrency, manifest stats, change feed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fdf_spark.sources.sqldml import execute_dml
+from fdf_spark.sources.versioned import (
+    commit_version,
+    list_versions,
+    read_version,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+        F.concat(F.lit("row "), F.col("id")).alias("s"),
+    )
+    commit_version(df, p)
+    return p
+
+
+def test_delete_where_sql(spark, table):
+    v = execute_dml(spark, table, "DELETE FROM t WHERE k < 10")
+    assert v == 2
+    df = read_version(spark, table)
+    assert df.count() == 90 and df.filter("k < 10").count() == 0
+
+
+def test_delete_all_sql(spark, table):
+    execute_dml(spark, table, "DELETE FROM t")
+    assert read_version(spark, table).count() == 0
+
+
+def test_update_sql_multiple_sets_and_quoted_where(spark, table):
+    # the string literal contains both a comma and the word WHERE — the
+    # quote-aware scanner must not split on either
+    v = execute_dml(
+        spark, table,
+        "UPDATE t SET v = v * 2 + 1, s = 'a, where b' WHERE k BETWEEN 10 AND 12",
+    )
+    assert v == 2
+    got = {r.k: (r.v, r.s) for r in read_version(spark, table).filter("k <= 13").collect()}
+    for k in (10, 11, 12):
+        assert got[k] == ((k % 7) * 2 + 1, "a, where b")
+    assert got[13] == (13 % 7, "row 13")
+
+
+def test_update_without_where_touches_all(spark, table):
+    execute_dml(spark, table, "UPDATE t SET v = 0.5")
+    df = read_version(spark, table)
+    assert df.filter("v = 0.5").count() == 100
+
+
+def test_insert_select_positional_casts(spark, table):
+    # query yields (int, int, string) — cast to the declared (long,
+    # double, string) schema positionally
+    v = execute_dml(
+        spark, table,
+        "INSERT INTO t SELECT 1000 + id, CAST(id AS INT), 'new' FROM RANGE(3)",
+    )
+    assert v == 2
+    got = read_version(spark, table).filter("k >= 1000").orderBy("k").collect()
+    assert [(r.k, r.v, r.s) for r in got] == [
+        (1000, 0.0, "new"), (1001, 1.0, "new"), (1002, 2.0, "new"),
+    ]
+
+
+def test_insert_column_list_null_fills(spark, table):
+    execute_dml(spark, table, "INSERT INTO t (k, s) VALUES (2000, 'partial')")
+    r = read_version(spark, table).filter("k = 2000").first()
+    assert r.s == "partial" and r.v is None
+
+
+def test_insert_overwrite(spark, table):
+    execute_dml(
+        spark, table, "INSERT OVERWRITE t SELECT CAST(1 AS LONG), 2.0, 'only'"
+    )
+    got = read_version(spark, table).collect()
+    assert len(got) == 1 and got[0].k == 1
+    # time travel to the pre-overwrite snapshot still works
+    assert read_version(spark, table, 1).count() == 100
+
+
+def test_merge_canonical_cdc(spark, table):
+    ch = spark.createDataFrame(
+        [(5, 99.0, "upd", False), (500, 1.0, "ins", False), (7, None, None, True)],
+        "k long, v double, s string, is_del boolean",
+    )
+    ch.createOrReplaceTempView("dml_changes")
+    v = execute_dml(
+        spark, table,
+        """
+        MERGE INTO t USING dml_changes c ON t.k = c.k
+        WHEN MATCHED AND is_del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    assert v == 2
+    df = read_version(spark, table)
+    assert df.count() == 100 - 1 + 1  # k=7 deleted, k=500 inserted
+    assert df.filter("k = 5").first().v == 99.0
+    assert df.filter("k = 7").count() == 0
+    assert df.filter("k = 500").first().s == "ins"
+    spark.catalog.dropTempView("dml_changes")
+
+
+def test_merge_subquery_source(spark, table):
+    v = execute_dml(
+        spark, table,
+        "MERGE INTO t USING (SELECT CAST(3 AS LONG) AS k, 7.5 AS v, 'x' AS s, "
+        "false AS is_del) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert v == 2
+    assert read_version(spark, table).filter("k = 3").first().v == 7.5
+
+
+def test_dml_respects_check_constraints(spark, table):
+    from fdf_spark.sources.versioned import (
+        ConstraintViolationError,
+        add_check_constraint,
+    )
+
+    add_check_constraint(spark, table, "v_nonneg", "v >= 0 OR v IS NULL")
+    with pytest.raises(ConstraintViolationError):
+        execute_dml(spark, table, "UPDATE t SET v = -1.0 WHERE k = 1")
+    assert list_versions(table) == [1]  # nothing landed
+
+
+def test_unsupported_shapes_raise(spark, table):
+    with pytest.raises(ValueError, match="unsupported DML"):
+        execute_dml(spark, table, "TRUNCATE TABLE t")
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        execute_dml(
+            spark, table,
+            "MERGE INTO t USING (SELECT CAST(1 AS LONG) AS k) s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = 1 "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    with pytest.raises(ValueError, match="SET assignment"):
+        execute_dml(spark, table, "UPDATE t SET WHERE k = 1")
