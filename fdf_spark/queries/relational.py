@@ -2475,6 +2475,72 @@ def q170_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q171_bloom_point_lookup",
+    f"""
+    SELECT o_orderkey, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price, TRUE AS pruned
+    FROM orders WHERE o_orderkey IN (1, 7, 32) GROUP BY o_orderkey
+    UNION ALL
+    SELECT CAST(10000000 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0.0 AS DOUBLE), TRUE
+    ORDER BY o_orderkey
+    """,
+    operators=("N17", "P6"),
+    doc="Per-file BLOOM skipping (sources/bloomskip.py, r12): the "
+    "compute-stats maintenance action builds <file>.bloom.json "
+    "sidecars (vectorized splitmix64/md5, ~10 bits/row), and "
+    "read_version(prune=(col, values)) then drops files whose bloom "
+    "rejects every probed value — the point-lookup shape range stats "
+    "and bucket transforms CANNOT prune (a hash-scattered key on an "
+    "UNclustered layout overlaps every file's [min,max]). The "
+    "engine-computed `pruned` flags (oracle hardcodes TRUE) pin that "
+    "files were actually skipped for both present keys and an absent "
+    "key; values must still equal the oracle's full scan — the "
+    "superset/no-false-negative guarantee inside the driver hash "
+    "gate. Scale: finding one doc by id in a 100 TB date-clustered "
+    "corpus reads ~1 file instead of all of them, for a one-time "
+    "O(rows) sidecar build that re-runs incrementally per ingest.",
+)
+def q171_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.bloomskip import build_blooms
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        list_versions,
+        read_version,
+    )
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="fdf_bloom_")
+    # round-robin files: every file's [min, max] spans the whole key
+    # range, so ONLY the blooms can skip anything
+    commit_version(orders.repartition(8), path)
+    build_blooms(spark, path, ["o_orderkey"])
+    n_total = len(_read_manifest(path, list_versions(path)[-1])["files"])
+    keys = [1, 7, 32]
+    probe = read_version(spark, path, prune=("o_orderkey", keys))
+    pruned = len(probe.inputFiles()) < n_total
+    absent = read_version(spark, path, prune=("o_orderkey", [10_000_000]))
+    absent_pruned = len(absent.inputFiles() or []) < n_total
+    out = (
+        probe.filter(F.col("o_orderkey").isin(keys))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .withColumn("pruned", F.lit(pruned))
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_000, 0, 0.0)],
+                "o_orderkey long, n_orders long, total_price double",
+            ).withColumn("pruned", F.lit(absent_pruned))
+        )
+        .orderBy("o_orderkey")
+    )
+    return _materialize_and_cleanup(out, path)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

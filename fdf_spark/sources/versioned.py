@@ -2183,6 +2183,20 @@ def read_version(
         # equality/IN probe to ~1/N of the files even though the raw
         # [min, max] of a hash-routed file spans everything.
         files = _files_passing(m, files, _stat_checks(m, col, values, lo, hi))
+        # …then per-file BLOOM sidecars, where built (sources/bloomskip
+        # — the r12 compute-stats action): an equality/IN probe on a
+        # column the layout does NOT cluster drops every file whose
+        # bloom rejects all probed values; files without a sidecar are
+        # kept (superset guarantee intact)
+        probe_vals = (
+            values if values is not None
+            else [lo] if (lo is not None and lo == hi)
+            else None
+        )
+        if probe_vals is not None and files:
+            from fdf_spark.sources.bloomskip import bloom_prune
+
+            files = bloom_prune(files, _physical(m, col), probe_vals)
         if not files:
             # empty relation with the snapshot schema
             return spark.createDataFrame([], _logical_schema(m))
@@ -2687,6 +2701,9 @@ def vacuum(
             if f not in referenced and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
+                # a bloom sidecar dies with its data file (bloomskip)
+                if os.path.exists(f + ".bloom.json"):
+                    os.remove(f + ".bloom.json")
         os.remove(_manifest_path(path, v))
     # orphaned stages: c<version>-<uuid> data dirs / d<version>-<uuid>
     # tombstone dirs strictly below head whose files no surviving

@@ -1,0 +1,104 @@
+"""Per-file bloom skipping (sources/bloomskip.py): the compute-stats
+maintenance action, probe-side pruning through read_version, executor/
+driver hash agreement, and the superset guarantee."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fdf_spark.sources.bloomskip import (
+    BLOOM_SUFFIX,
+    _hash_pair,
+    _load_sidecar,
+    build_blooms,
+    might_contain,
+)
+from fdf_spark.sources.versioned import commit_version, read_version
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.range(0, 20_000).select(
+        (F.col("id") * 7919 % 1_000_003).alias("doc"),  # hash-scattered ids
+        (F.col("id") % 50).alias("day"),
+        F.concat(F.lit("u"), (F.col("id") % 4096)).alias("user"),
+    )
+    commit_version(df.repartition(8), p)  # 8 files, each spanning ~full doc range
+    return p
+
+
+def test_no_false_negatives_and_real_skipping(spark, table):
+    res = build_blooms(spark, table, ["doc", "user"])
+    assert res["built"] == 8
+    m_files = read_version(spark, table).inputFiles()
+    assert len(m_files) == 8
+
+    # every present value is found (no false negative — row-loss check)
+    for vid in (0, 7919, (137 * 7919) % 1_000_003):
+        df = read_version(spark, table, prune=("doc", [vid]))
+        assert df.filter(F.col("doc") == vid).count() == 1
+    # an absent value prunes most files (8 blooms at 1% fpp: expected
+    # ~0 survivors; allow generous slack)
+    df = read_version(spark, table, prune=("doc", [999_999_999]))
+    assert len(df.inputFiles() or []) <= 2
+    # the present value's probe reads FEWER than all files only if its
+    # own file survives — it must, and the others' blooms reject
+    df = read_version(spark, table, prune=("doc", [7919]))
+    assert 1 <= len(df.inputFiles()) <= 3
+
+    # string column probes work the same way
+    df = read_version(spark, table, prune=("user", ["u5"]))
+    assert df.filter("user = 'u5'").count() > 0
+
+
+def test_incremental_and_superset(spark, table):
+    build_blooms(spark, table, ["doc"])
+    assert build_blooms(spark, table, ["doc"])["built"] == 0  # idempotent
+    # a new commit's files lack sidecars → probes KEEP them (superset),
+    # and the next build covers exactly them
+    extra = spark.createDataFrame([(424242, 1, "ux")], "doc long, day long, user string")
+    commit_version(extra, table, mode="append")
+    df = read_version(spark, table, prune=("doc", [424242]))
+    assert df.filter("doc = 424242").count() == 1  # uncovered file kept
+    res = build_blooms(spark, table, ["doc"])
+    assert 0 < res["built"] <= 2  # only the new files
+    df = read_version(spark, table, prune=("doc", [424242]))
+    assert df.filter("doc = 424242").count() == 1  # still found post-build
+
+
+def test_hash_pair_matches_executor_build(spark, table):
+    """Driver-side probe hashes and the vectorized executor build agree:
+    every value folded into a bloom tests positive through the scalar
+    path (the property the whole scheme rests on)."""
+    build_blooms(spark, table, ["doc"])
+    files = read_version(spark, table).inputFiles()
+    f = files[0].replace("file:", "")
+    sc = _load_sidecar(f)
+    assert sc is not None and "doc" in sc
+    rows = spark.read.parquet(f).select("doc").limit(200).collect()
+    assert all(might_contain(sc["doc"], r.doc) for r in rows)
+
+
+def test_unsupported_types_and_validation(spark, table):
+    with pytest.raises(ValueError, match="not in table schema"):
+        build_blooms(spark, table, ["nope"])
+    with pytest.raises(TypeError):
+        _hash_pair(3.14)
+
+
+def test_vacuum_removes_sidecars(spark, table):
+    from fdf_spark.sources.versioned import vacuum
+
+    build_blooms(spark, table, ["doc"])
+    commit_version(
+        spark.createDataFrame([(1, 1, "a")], "doc long, day long, user string"),
+        table, mode="overwrite",
+    )
+    removed = vacuum(table, keep=1, orphan_grace_s=1e9)
+    assert removed
+    for f in removed:
+        assert not os.path.exists(f + BLOOM_SUFFIX)
