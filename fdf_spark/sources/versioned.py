@@ -1074,6 +1074,19 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame, key_cols) ->
     # never touches the rest
     memberships = _batch_bucket_memberships(m, keys_df, key_cols)
     applies = _prune_files_by_bounds(m, m["files"], bounds, memberships)
+    # a SMALL key set additionally scopes through per-file BLOOM
+    # sidecars where built (bloomskip): on an unclustered layout the
+    # range/bucket checks above scope nothing for hash-scattered keys,
+    # but a file whose bloom rejects every key cannot hold one — fewer
+    # scoped files means fewer read-side anti-joins.  NULL keys or
+    # unsupported types skip the column (superset guarantee).
+    if applies and n <= 1024:
+        from fdf_spark.sources.bloomskip import bloom_prune
+
+        for p in phys:
+            vals = [r[0] for r in rows.select(p).distinct().collect()]
+            if vals and all(v is not None for v in vals):
+                applies = bloom_prune(applies, p, vals)
     if not applies:
         # no data file's stats overlap any key — nothing can match
         import shutil
@@ -3483,6 +3496,17 @@ def merge_on_read(
         # key [min, max] of a hash-routed file spans everything
         memberships = _batch_bucket_memberships(m, changes, keys)
         scan_files = _prune_files_by_bounds(m, m["files"], bounds, memberships)
+        # a SMALL change batch additionally scopes the match scan
+        # through per-file BLOOM sidecars where built (bloomskip) —
+        # the narrow-CDC-batch-on-unclustered-layout case range stats
+        # cannot prune; NULL keys / unsupported types skip the column
+        if scan_files and n_changes <= 1024:
+            from fdf_spark.sources.bloomskip import bloom_prune
+
+            for kc in keys:
+                vals = [r[0] for r in changes.select(kc).distinct().collect()]
+                if vals and all(v is not None for v in vals):
+                    scan_files = bloom_prune(scan_files, _physical(m, kc), vals)
         # an all-pruned scan still needs the base SCHEMA for the insert
         # images — read (at most) one file's plan, it matches zero keys
         base = _effective_with_pos(spark, m, scan_files or m["files"][:1])

@@ -102,3 +102,37 @@ def test_vacuum_removes_sidecars(spark, table):
     assert removed
     for f in removed:
         assert not os.path.exists(f + BLOOM_SUFFIX)
+
+
+def test_keyed_writes_scope_through_blooms(spark, table):
+    """delete_keys' eq-entry scope and merge_on_read's match scan both
+    shrink through the sidecars for small key sets — the write-side
+    point-lookup win on an UNclustered layout (range stats scope
+    nothing for hash-scattered keys)."""
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        delete_keys,
+        list_versions,
+        merge_on_read,
+        read_version,
+    )
+
+    build_blooms(spark, table, ["doc"])
+    present = read_version(spark, table).select("doc").limit(2).collect()
+    k0, k1 = present[0].doc, present[1].doc
+
+    v = delete_keys(
+        spark, table, spark.createDataFrame([(k0,), (k1,)], "doc long"), ["doc"]
+    )
+    meta = _read_manifest(table, v)["meta"]["delete_keys"]
+    assert meta["files_applied"] < 8  # blooms scoped the entry
+    df = read_version(spark, table)
+    assert df.filter(F.col("doc").isin([k0, k1])).count() == 0
+    assert df.count() == 20_000 - 2
+
+    ch = spark.createDataFrame([(k0, 7, "back")], "doc long, day long, user string")
+    v2 = merge_on_read(spark, table, ch, ["doc"])
+    meta2 = _read_manifest(table, v2)["meta"]["merge_on_read"]
+    assert meta2["files_scanned"] < 8  # blooms pruned the match scan
+    assert read_version(spark, table).filter(F.col("doc") == k0).count() == 1
+    assert list_versions(table) == [1, 2, 3]

@@ -94,6 +94,8 @@ ROWS = [
     ("append 5M, 3 constraints", "the SAME append with THREE CHECK constraints attached: the write gate is one combined agg over the new rows — the delta vs the row above is the whole enforcement price (N18/q168)", "5 M"),
     ("bucket(32) spec commit (N17)", "commit under a bucket(32, k) partition TRANSFORM: rows hash-routed to 32 bucket files, hidden derived-stats column written for free (N17/q165)", "20 M"),
     ("bucket 3-key lookup (N17)", "3-key point lookup THROUGH the bucket transform: probe values mapped driver-side (Murmur3 port, zero jobs), only the touched buckets' files opened — files_read printed in-run (N17/q165)", "20 M"),
+    ("bloom sidecar build (N17)", "one-time bloom-sidecar build over the UNclustered copy (compute-stats action, ~10 bits/row vectorized splitmix64): the point-lookup answer for columns the layout does not serve (N17/q171)", "20 M"),
+    ("bloom 3-key lookup (N17)", "the SAME 3-key probe through the sidecars: files whose bloom rejects every key are skipped driver-side — files_read printed in-run; compare the plain row above (N17/q171)", "20 M"),
     ("plain 3-key lookup (N17)", "the SAME 3-key lookup on an unclustered copy — range stats on a high-cardinality key prune nothing, every file read: the transform's counterfactual (N17/q165)", "20 M"),
     ("1-file append to 512 files (N17)", "DELTA-ENCODED manifest: one more append to a 512-file table publishes O(changed files) metadata — delta vs full(checkpoint) manifest bytes printed in-run (N17)", "512+1 files"),
     ("restore 8M-row head (N17)", "RESTORE to v1: head resets to the old snapshot's exact state (files/schema/masks) as a NEW commit — manifest-only, zero data bytes moved at any table size (N17/q164)", "8 M"),
@@ -198,7 +200,11 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         f"{w('plain 3-key lookup (N17)'):.1f} s ({extra('plain 3-key lookup (N17)')}) "
         "over the unclustered copy — range stats on a hash-distributed key prune "
         "nothing, the transform prunes to the touched buckets; the one-time "
-        f"clustered commit costs {w('bucket(32) spec commit (N17)'):.1f} s. The "
+        f"clustered commit costs {w('bucket(32) spec commit (N17)'):.1f} s. The r12 "
+        "bloom tier serves the same probe WITHOUT re-clustering: a "
+        f"{w('bloom sidecar build (N17)'):.1f} s one-time sidecar build over the "
+        f"unclustered copy drops the lookup to {w('bloom 3-key lookup (N17)'):.1f} s "
+        f"({extra('bloom 3-key lookup (N17)')}). The "
         "metadata ledger: one more 1-file append to a 512-file table publishes a "
         f"{extra('1-file append to 512 files (N17)')} manifest — commit metadata is "
         "O(changed files), bounded by the every-8th-version checkpoint — and RESTORE "

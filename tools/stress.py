@@ -1330,6 +1330,33 @@ def main() -> None:
                 f"files_read={n_read}",
                 flush=True,
             )
+
+        # 34b) bloom-skip tier (r12): sidecars on the UNCLUSTERED copy
+        # turn the same 3-key probe into a few-file read WITHOUT
+        # re-clustering anything — the point-lookup answer for columns
+        # the layout does not serve (sources/bloomskip.py / q171).
+        from fdf_spark.sources.bloomskip import build_blooms
+
+        t0 = time.perf_counter()
+        build_blooms(spark, pp, ["k"])
+        dt = time.perf_counter() - t0
+        print(
+            f"{'bloom sidecar build (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+        probe = read_version(spark, pp, prune=("k", keys))
+        n_read = len(probe.inputFiles())
+        t0 = time.perf_counter()
+        probe.filter(F.col("k").isin(keys)).groupBy().agg(
+            F.count("*"), F.sum("v")
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(
+            f"{'bloom 3-key lookup (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n/dt/1e6:8.1f} Mrows/s files_read={n_read}",
+            flush=True,
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
