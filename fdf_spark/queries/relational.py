@@ -2541,6 +2541,71 @@ def q171_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q172_shallow_clone_fork",
+    f"""
+    SELECT 'clone' AS side, o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'src', o_orderpriority, COUNT(*), {sql_dsum('o_totalprice')}
+    FROM orders WHERE o_orderkey % 5 IN (0, 1)
+    GROUP BY o_orderpriority
+    ORDER BY side, o_orderpriority
+    """,
+    operators=("N17",),
+    doc="Shallow CLONE (clone_table, r12 — Delta CLONE analog): a "
+    "manifest-only zero-copy fork of a snapshot, pinned at the source "
+    "by an auto-created immutable tag (vacuum-safe both ways: the tag "
+    "protects shared files from source-side vacuum; the ownership "
+    "guard stops clone-side vacuum from ever deleting source bytes). "
+    "The query forks a table, DELETEs on the clone and APPENDs to the "
+    "source, then aggregates BOTH — the hash proves full write "
+    "isolation over shared immutable bytes. Scale: a 100 TB dev/test "
+    "fork costs one metadata write.",
+)
+def q172_shallow_clone_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fdf_spark.sources.versioned import (
+        clone_table,
+        commit_version,
+        delete_where,
+        read_version,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    root = tempfile.mkdtemp(prefix="fdf_clone_")
+    src, dst = f"{root}/src", f"{root}/fork"
+    try:
+        commit_version(orders.filter(k % 5 == 0), src)
+        clone_table(src, dst)
+        delete_where(spark, dst, "o_orderkey % 10 = 0")           # clone diverges
+        commit_version(orders.filter(k % 5 == 1), src, mode="append")  # src diverges
+
+        def agg(df: DataFrame, side: str) -> DataFrame:
+            return (
+                df.groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+                .select(F.lit(side).alias("side"), "o_orderpriority", "n_orders", "total_price")
+            )
+
+        out = (
+            agg(read_version(spark, dst), "clone")
+            .unionByName(agg(read_version(spark, src), "src"))
+            .orderBy("side", "o_orderpriority")
+        )
+        rows = out.limit(100_001).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

@@ -1927,12 +1927,14 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
     # HERE so no manifest writer can forget the carry; metadata tables
     # then answer delete debt with zero tombstone reads.
     refd = {t for ts in manifest.get("delete_files", {}).values() for t in ts}
-    known: dict = {}
+    # counts the writer already carried (clone/restore re-reference an
+    # older snapshot's manifest wholesale) are trusted as-is
+    known: dict = dict(manifest.get("tomb_rows") or {})
     if refd and manifest.get("parent") is not None:
         try:
-            known = _read_manifest(path, manifest["parent"]).get("tomb_rows", {})
+            known = {**_read_manifest(path, manifest["parent"]).get("tomb_rows", {}), **known}
         except FileNotFoundError:
-            known = {}
+            pass
     manifest["tomb_rows"] = {
         t: (known[t] if t in known else _tomb_counts_footer(t)) for t in sorted(refd)
     }
@@ -2708,10 +2710,15 @@ def vacuum(
     # resolve every dead manifest BEFORE removing any: a dead delta may
     # chain through an earlier dead version's manifest file
     dead_manifests = {v: _read_manifest(path, v) for v in dead}
+    # OWNERSHIP guard: vacuum only ever deletes files under THIS
+    # table's root.  A SHALLOW CLONE's manifests reference the source
+    # table's files by absolute path; when clone history ages out, the
+    # shared bytes belong to the source and must survive (clone_table)
+    root = os.path.abspath(path) + os.sep
     removed = []
     for v in dead:
         for f in _all_files(dead_manifests[v]):
-            if f not in referenced and os.path.exists(f):
+            if f not in referenced and os.path.abspath(f).startswith(root) and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
                 # a bloom sidecar dies with its data file (bloomskip)
@@ -3097,6 +3104,112 @@ def restore_table(
             return head_v + 1
         except ConcurrentCommitError:
             continue
+
+
+def clone_table(
+    path: str,
+    dst: str,
+    version: int | None = None,
+    ref: str | None = None,
+    as_of_ts: float | None = None,
+    deep: bool = False,
+) -> int:
+    """Delta ``CLONE``: materialize a snapshot of this table as a NEW
+    versioned table at ``dst``.  Returns the clone's v1.
+
+    SHALLOW (default) is MANIFEST-ONLY: the clone's v1 manifest
+    re-references the source snapshot's data/tombstone/equality files
+    by path — zero bytes copied, a 100 TB dev/test fork in one
+    metadata write.  Safety is two-sided: (a) the clone is
+    automatically pinned at the SOURCE with an immutable tag
+    (``clone-<basename(dst)>-v<N>``), so source-side :func:`vacuum`
+    keeps the shared files alive as long as the tag exists (drop the
+    tag to disown the clone); (b) clone-side vacuum only ever deletes
+    files under the CLONE's own root (the ownership guard), so aging
+    out shared snapshots never touches source bytes.  Writes to the
+    clone (appends, deletes, OPTIMIZE) stage under ``dst`` and never
+    mutate the source — files are immutable everywhere.
+
+    DEEP copies every referenced file under ``dst`` first — O(bytes),
+    fully self-contained (no tag, no shared fate).
+
+    Snapshot selection by ``version`` / ``ref`` / ``as_of_ts`` exactly
+    as :func:`read_version` (default: current head).
+    """
+    import shutil
+
+    if sum(x is not None for x in (version, ref, as_of_ts)) > 1:
+        raise ValueError("pass at most one of version / as_of_ts / ref")
+    if as_of_ts is not None:
+        version = resolve_as_of(path, as_of_ts)
+    if ref is not None:
+        version = resolve_ref(path, ref)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    if list_versions(dst):
+        raise ValueError(f"clone destination {dst} already has versions")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    out = {k: val for k, val in m.items() if k != "ts"}
+    if deep:
+        stage = os.path.join(dst, "data", f"c{1:08d}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(stage, exist_ok=True)
+        moved: dict[str, str] = {}
+
+        def _copy(f: str) -> str:
+            if f not in moved:
+                moved[f] = os.path.join(stage, f"{len(moved):06d}-{os.path.basename(f)}")
+                shutil.copyfile(f, moved[f])
+            return moved[f]
+
+        def _copy_tomb(t: str) -> str:
+            # a tombstone's ROWS name (file, pos) pairs — the file
+            # column must be REMAPPED to the copied data paths, or the
+            # clone's delete mask would anti-join against nothing
+            if t not in moved:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                dst_t = os.path.join(stage, f"{len(moved):06d}-{os.path.basename(t)}")
+                tbl = pq.read_table(t)
+                remapped = pa.array(
+                    [moved.get(f, f) for f in tbl.column("file").to_pylist()],
+                    type=pa.string(),
+                )
+                tbl = tbl.set_column(tbl.schema.get_field_index("file"), "file", remapped)
+                pq.write_table(tbl, dst_t)
+                moved[t] = dst_t
+            return moved[t]
+
+        out["files"] = [_copy(f) for f in m["files"]]
+        out["stats"] = {_copy(f): s for f, s in m.get("stats", {}).items() if f in set(m["files"])}
+        out["file_rows"] = {_copy(f): r for f, r in m.get("file_rows", {}).items() if f in set(m["files"])}
+        out["file_specs"] = {
+            _copy(f): sp for f, sp in m.get("file_specs", {}).items() if f in set(m["files"])
+        }
+        out["delete_files"] = {
+            _copy(f): [_copy_tomb(t) for t in ts] for f, ts in _delete_map(m).items()
+        }
+        out["tomb_rows"] = {
+            _copy_tomb(t): {_copy(f) if f in set(m["files"]) else f: c for f, c in counts.items()}
+            for t, counts in m.get("tomb_rows", {}).items()
+        }
+        out["eq_deletes"] = {
+            e: {**entry, "files": [_copy(f) for f in entry["files"]]}
+            for e, entry in _eq_entries(m).items()
+        }
+        out["eq_applies"] = {_copy(f): list(es) for f, es in _eq_map(m).items()}
+    else:
+        # pin the shared files at the source: an immutable tag survives
+        # any source-side vacuum (Iceberg's ref-retention rule)
+        create_tag(path, f"clone-{os.path.basename(os.path.abspath(dst))}-v{v}", v)
+    out["version"] = 1
+    out["parent"] = None
+    out["mode"] = "clone"
+    out["meta"] = {"clone": {"src": os.path.abspath(path), "version": v, "deep": deep}}
+    _stage_and_publish_manifest(dst, 1, out)
+    return 1
 
 
 def optimize(
