@@ -229,7 +229,12 @@ def incremental_dedup(
                 bootstrap = True
             # pin the probe result BEFORE committing to the index: a lazy
             # plan re-evaluated after the commit would anti-join the batch
-            # against its own freshly-landed hashes and return nothing
+            # against its own freshly-landed hashes and return nothing.
+            # Pins captured per iteration: a LOST race's stale checkpoint
+            # is released before the re-probe, so success-after-N-retries
+            # leaves exactly ONE pinned checkpoint (code-review r12 —
+            # the success path leaked N-1 under contention)
+            iter_pins = _persistent_rdd_ids(spark)
             fresh = fresh.localCheckpoint(eager=True)
             rows = fresh.select(
                 F.col("__k").alias("content_hash"),
@@ -255,7 +260,11 @@ def incremental_dedup(
             except ConcurrentCommitError:
                 # another ingest landed between our probe and our publish —
                 # serializability demands a RE-PROBE against the new head
-                # (it may have landed some of our hashes), never a rebase
+                # (it may have landed some of our hashes), never a rebase;
+                # this iteration's checkpoint is stale — release it (the
+                # batch cache self-heals if it registered inside the
+                # window: unpersisted blocks simply recompute)
+                _release_persists_since(spark, iter_pins)
                 continue
     except BaseException:
         # a replayed-ingest raise, a commit I/O failure, a killed job:

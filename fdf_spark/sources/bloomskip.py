@@ -208,69 +208,77 @@ def build_blooms(
     mapping = _mapping(m)
     phys = [mapping.get(c, c) for c in cols]
     fr = m.get("file_rows", {})
-    todo = [
-        f for f in m["files"]
-        if fr.get(f, 1) != 0 and not os.path.exists(f + BLOOM_SUFFIX)
-    ]
+
+    def _covered(f: str) -> bool:
+        # a sidecar counts only if it carries EVERY requested column —
+        # adding a bloom on a new column must rebuild existing files'
+        # sidecars too (code-review r12 finding: mere existence let a
+        # second build_blooms call silently index nothing)
+        sc = _load_sidecar(f)
+        return sc is not None and all(p in sc for p in phys)
+
+    todo = [f for f in m["files"] if fr.get(f, 1) != 0 and not _covered(f)]
     if not todo:
         return {"built": 0, "skipped": len(m["files"]), "cols": cols}
 
     fpp_ = fpp
     phys_ = list(phys)
 
-    def _fold(pdf):
+    def _fold(tbl):
+        # ARROW group handler (one call per file): pyarrow preserves
+        # int64-with-nulls exactly (validity mask), where a pandas
+        # handler would promote the column to float64 and hash "7.0"
+        # through the string path — a bloom false NEGATIVE, i.e. silent
+        # row loss on probe (code-review r12 finding).
         import base64 as b64
         import hashlib
         import json as _json
 
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        out_rows = []
-        for fname, g in pdf.groupby("__file"):
-            sidecar = {}
-            n = len(g)
-            mbits, k = _params(n, fpp_)
-            for pc in phys_:
-                vals = g[pc].dropna()
-                bits = np.zeros(mbits // 8, dtype=np.uint8)
-                if pd.api.types.is_integer_dtype(vals.dtype):
-                    x = vals.to_numpy(dtype=np.int64).astype(np.uint64)
-                    with np.errstate(over="ignore"):
-                        def mix(z):
-                            z = z + np.uint64(0x9E3779B97F4A7C15)
-                            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-                            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-                            return z ^ (z >> np.uint64(31))
+        fname = tbl.column("__file")[0].as_py()
+        n = tbl.num_rows
+        mbits, k = _params(n, fpp_)
+        sidecar = {}
+        for pc in phys_:
+            col = tbl.column(pc).combine_chunks()
+            vals = col.drop_null()
+            bits = np.zeros(mbits // 8, dtype=np.uint8)
+            if pa.types.is_integer(col.type):
+                x = vals.to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
+                with np.errstate(over="ignore"):
+                    def mix(z):
+                        z = z + np.uint64(0x9E3779B97F4A7C15)
+                        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                        return z ^ (z >> np.uint64(31))
 
-                        h1 = mix(x)
-                        h2 = mix(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+                    h1 = mix(x)
+                    h2 = mix(x ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+                for i in range(k):
+                    pos = (h1 + np.uint64(i) * h2) % np.uint64(mbits)
+                    np.bitwise_or.at(
+                        bits, (pos >> np.uint64(3)).astype(np.int64),
+                        np.left_shift(
+                            np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                        ),
+                    )
+            else:
+                for sv in vals.to_pylist():
+                    d = hashlib.md5(str(sv).encode("utf-8")).digest()
+                    h1 = int.from_bytes(d[:8], "little")
+                    h2 = int.from_bytes(d[8:], "little") | 1
                     for i in range(k):
-                        pos = (h1 + np.uint64(i) * h2) % np.uint64(mbits)
-                        np.bitwise_or.at(
-                            bits, (pos >> np.uint64(3)).astype(np.int64),
-                            np.left_shift(
-                                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
-                            ),
-                        )
-                else:
-                    for s in vals:
-                        d = hashlib.md5(str(s).encode("utf-8")).digest()
-                        h1 = int.from_bytes(d[:8], "little")
-                        h2 = int.from_bytes(d[8:], "little") | 1
-                        for i in range(k):
-                            # same 64-bit wrap as the probe (see
-                            # might_contain) — both paths must agree
-                            pos = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % mbits
-                            bits[pos >> 3] |= 1 << (pos & 7)
-                sidecar[pc] = {
-                    "m": mbits, "k": k, "n": int(n), "fpp": fpp_,
-                    "bits": b64.b64encode(bits.tobytes()).decode("ascii"),
-                }
-            out_rows.append((fname, _json.dumps(sidecar)))
-        import pandas as pd  # noqa: F811
-
-        return pd.DataFrame(out_rows, columns=["file", "sidecar"])
+                        # same 64-bit wrap as the probe (see
+                        # might_contain) — both paths must agree
+                        pos = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % mbits
+                        bits[pos >> 3] |= 1 << (pos & 7)
+            sidecar[pc] = {
+                "m": mbits, "k": k, "n": int(n), "fpp": fpp_,
+                "bits": b64.b64encode(bits.tobytes()).decode("ascii"),
+            }
+        return pa.table({"file": [fname], "sidecar": [_json.dumps(sidecar)]})
 
     from fdf_spark.sources.versioned import _norm_file_path
 
@@ -281,14 +289,26 @@ def build_blooms(
             _norm_file_path(F.col("_metadata.file_path")).alias("__file"),
         )
         .groupBy("__file")
-        .applyInPandas(_fold, schema="file string, sidecar string")
+        .applyInArrow(_fold, schema="file string, sidecar string")
     )
     built = 0
     for row in df.collect():
         sp = row["file"] + BLOOM_SUFFIX
+        payload = row["sidecar"]
+        if os.path.exists(sp):
+            # merge: keep columns an earlier build indexed that this
+            # call didn't request (sidecars are per-column immutable)
+            try:
+                with open(sp) as fh:
+                    prev = json.load(fh)
+            except Exception:
+                prev = {}
+            merged = {**prev, **json.loads(payload)}
+            payload = json.dumps(merged)
         tmp = sp + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(row["sidecar"])
+            fh.write(payload)
         os.replace(tmp, sp)  # atomic: readers see whole sidecars or none
+        _SIDECAR_CACHE.pop(sp, None)  # the decode cache must never go stale
         built += 1
     return {"built": built, "skipped": len(m["files"]) - len(todo), "cols": cols}

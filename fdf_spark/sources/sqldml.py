@@ -150,11 +150,18 @@ def _insert_frame(spark: SparkSession, path: str, cols_txt, query: str) -> DataF
             )
         df = df.toDF(*names)  # positional rename — robust to odd source names
         if schema is not None:
-            # NULL-fill unlisted columns and order to the table schema
+            # NULL-fill unlisted columns, order to the table schema and
+            # CAST listed ones to the declared types — same never-drift
+            # rule as the positional branch (code-review r12 finding:
+            # an un-cast int into a double column writes bytes the
+            # declared-schema reader cannot decode)
             have = set(names)
             df = df.select(
                 *[
-                    (F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType)).alias(f.name)
+                    (
+                        F.col(f.name).cast(f.dataType) if f.name in have
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
                     for f in schema.fields
                 ]
             )
@@ -213,10 +220,12 @@ def _parse_merge(spark: SparkSession, rest: str):
                 f"MERGE ON key names must match on both sides (got "
                 f"{m.group(1)!r} = {m.group(2)!r}); rename in the source query"
             )
-    # WHEN clauses: canonical CDC form only
+    # WHEN clauses: canonical CDC form only (case- and whitespace-
+    # insensitive split, like every other keyword here — code-review
+    # r12 finding: the literal "WHEN " split rejected lowercase DML)
     delete_flag = None
     saw_update = saw_insert = False
-    for clause in ("WHEN " + clauses_txt).split("WHEN "):
+    for clause in re.split(r"(?i)\bWHEN\b", clauses_txt):
         c = clause.strip().rstrip(";").strip()
         if not c:
             continue

@@ -1083,8 +1083,15 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame, key_cols) ->
     if applies and n <= 1024:
         from fdf_spark.sources.bloomskip import bloom_prune
 
+        # probe values come from the STAGED key files, not from a
+        # re-evaluation of the caller's plan — a nondeterministic
+        # keys_df source could otherwise stage one key set and
+        # bloom-scope by another, silently losing deletes (code-review
+        # r12 finding); footer-sized pyarrow reads, zero Spark jobs
         for p in phys:
-            vals = [r[0] for r in rows.select(p).distinct().collect()]
+            vals: list = []
+            for f in eq_files:
+                vals.extend(pq.read_table(f, columns=[p]).column(p).to_pylist())
             if vals and all(v is not None for v in vals):
                 applies = bloom_prune(applies, p, vals)
     if not applies:
@@ -1596,8 +1603,14 @@ def add_check_constraint(spark: SparkSession, path: str, name: str, expr: str) -
             os.unlink(tmp)
     # the constraint now gates every NEW write; close the window behind
     # us — re-validate any head that landed since the first scan, and
-    # roll the constraint back if a racer slipped violating data in
-    while True:
+    # roll the constraint back if a racer slipped violating data in.
+    # Bounded: on a table too hot to reach a stable head (each full
+    # validation outlasted by the next commit), roll back and raise
+    # rather than spinning O(table)-per-commit forever; ANY validation
+    # failure (not just a violation — e.g. a racing drop_column making
+    # the expr unresolvable) also rolls back, so the constraint can
+    # never survive over commits it did not validate (code-review r12).
+    for _ in range(5):
         versions = list_versions(path)
         head_now = versions[-1] if versions else None
         if head_now == validated:
@@ -1605,9 +1618,14 @@ def add_check_constraint(spark: SparkSession, path: str, name: str, expr: str) -
         validated = head_now
         try:
             _validate(validated)
-        except ConstraintViolationError:
-            os.remove(dst)  # roll back — never leave it over violating data
+        except BaseException:
+            os.remove(dst)  # roll back — never leave it over unvalidated data
             raise
+    os.remove(dst)
+    raise ConcurrentCommitError(
+        f"could not reach a stable head validating CHECK {name!r} under "
+        "sustained write traffic; retry in a quieter window"
+    )
 
 
 def drop_check_constraint(path: str, name: str) -> None:
@@ -1930,7 +1948,9 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
     # counts the writer already carried (clone/restore re-reference an
     # older snapshot's manifest wholesale) are trusted as-is
     known: dict = dict(manifest.get("tomb_rows") or {})
-    if refd and manifest.get("parent") is not None:
+    if (refd - set(known)) and manifest.get("parent") is not None:
+        # cheap in practice: the caller just decoded this manifest, so
+        # the keyed decode cache serves it without re-resolving deltas
         try:
             known = {**_read_manifest(path, manifest["parent"]).get("tomb_rows", {}), **known}
         except FileNotFoundError:
@@ -3200,15 +3220,31 @@ def clone_table(
             for e, entry in _eq_entries(m).items()
         }
         out["eq_applies"] = {_copy(f): list(es) for f, es in _eq_map(m).items()}
-    else:
+    tag = None
+    if not deep:
         # pin the shared files at the source: an immutable tag survives
-        # any source-side vacuum (Iceberg's ref-retention rule)
-        create_tag(path, f"clone-{os.path.basename(os.path.abspath(dst))}-v{v}", v)
+        # any source-side vacuum (Iceberg's ref-retention rule).  The
+        # uuid suffix keeps same-basename destinations from colliding;
+        # the tag name rides in the clone's meta so operators can find
+        # and drop it when disowning the clone (code-review r12).
+        tag = f"clone-{os.path.basename(os.path.abspath(dst))}-v{v}-{uuid.uuid4().hex[:6]}"
+        create_tag(path, tag, v)
     out["version"] = 1
     out["parent"] = None
     out["mode"] = "clone"
-    out["meta"] = {"clone": {"src": os.path.abspath(path), "version": v, "deep": deep}}
-    _stage_and_publish_manifest(dst, 1, out)
+    out["meta"] = {
+        "clone": {"src": os.path.abspath(path), "version": v, "deep": deep,
+                  **({"src_tag": tag} if tag else {})}
+    }
+    try:
+        _stage_and_publish_manifest(dst, 1, out)
+    except BaseException:
+        if tag is not None:
+            try:
+                drop_ref(path, tag)  # a failed clone must not pin the source
+            except FileNotFoundError:
+                pass
+        raise
     return 1
 
 

@@ -136,3 +136,39 @@ def test_keyed_writes_scope_through_blooms(spark, table):
     assert meta2["files_scanned"] < 8  # blooms pruned the match scan
     assert read_version(spark, table).filter(F.col("doc") == k0).count() == 1
     assert list_versions(table) == [1, 2, 3]
+
+
+def test_int_column_with_nulls_no_false_negatives(spark, tmp_path):
+    """Code-review r12: an int64 column containing NULLs must still
+    hash through the INTEGER path (Arrow preserves the validity mask;
+    a pandas handler would promote to float64 and md5 '7.0') — probing
+    a present value must never lose the file."""
+    from fdf_spark.sources.versioned import commit_version, read_version
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") * 7919).alias("doc"),
+        F.col("id").alias("ord"),
+    )
+    commit_version(df.repartition(4), p)
+    build_blooms(spark, p, ["doc"])
+    present = 7919  # id=1's value, non-null
+    got = read_version(spark, p, prune=("doc", [present]))
+    assert got.filter(F.col("doc") == present).count() == 1
+    # absent value still prunes (blooms are real, not degenerate)
+    missing = read_version(spark, p, prune=("doc", [123_456_789_123]))
+    assert len(missing.inputFiles() or []) < 4
+
+
+def test_second_build_covers_new_column_and_merges(spark, table):
+    """Code-review r12: build_blooms on a NEW column must rebuild
+    sidecars that exist but lack it — and merge, keeping the old
+    column's bloom intact."""
+    assert build_blooms(spark, table, ["doc"])["built"] == 8
+    assert build_blooms(spark, table, ["user"])["built"] == 8  # not 0
+    from fdf_spark.sources.versioned import read_version
+
+    f = read_version(spark, table).inputFiles()[0].replace("file:", "")
+    sc = _load_sidecar(f)
+    assert sc is not None and "doc" in sc and "user" in sc  # merged
+    assert build_blooms(spark, table, ["doc", "user"])["built"] == 0

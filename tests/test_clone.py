@@ -97,3 +97,31 @@ def test_clone_rejects_existing_destination(spark, tmp_path, src):
     clone_table(src, dst)
     with pytest.raises(ValueError, match="already has versions"):
         clone_table(src, dst)
+
+
+def test_two_clones_same_basename_and_failed_publish_rollback(
+    spark, tmp_path, src, monkeypatch
+):
+    """Code-review r12: two clones to same-basename destinations get
+    distinct source tags; a failed clone publish drops its tag instead
+    of leaking a vacuum-blocking pin."""
+    import fdf_spark.sources.versioned as V
+
+    a, b = str(tmp_path / "x" / "fork"), str(tmp_path / "y" / "fork")
+    clone_table(src, a)
+    clone_table(src, b)  # must not collide on the tag name
+    tags = [n for n in list_refs(src) if n.startswith("clone-fork-")]
+    assert len(tags) == 2
+
+    real_publish = V._publish_manifest_atomic
+
+    def failing_publish(staged, dst):
+        if "/fail/" in dst:
+            raise OSError("publish rejected")
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", failing_publish)
+    with pytest.raises(OSError):
+        clone_table(src, str(tmp_path / "fail" / "fork"))
+    monkeypatch.undo()
+    assert len([n for n in list_refs(src) if n.startswith("clone-fork-")]) == 2

@@ -209,3 +209,31 @@ def test_update_rebase_rechecks_constraint_added_during_race(
     got = read_version(spark, p)
     assert got.filter("v >= 100").count() == 0
     assert got.filter("k = 9001").count() == 1
+
+
+def test_add_constraint_rolls_back_on_unresolvable_revalidation(
+    spark, tmp_path, monkeypatch
+):
+    """Code-review r12: the post-publish revalidation rolls the
+    constraint back on ANY failure, not just a violation — e.g. a
+    racing drop_column that makes the expression unresolvable."""
+    import fdf_spark.sources.versioned as V
+    from fdf_spark.sources.versioned import drop_column
+
+    p = str(tmp_path / "t")
+    commit_version(spark.createDataFrame([(1, 1.0)], "k long, v double"), p)
+
+    real_publish = V._publish_manifest_atomic
+    state = {"raced": False}
+
+    def racing_publish(staged, dst):
+        if not state["raced"] and "_constraints" in dst:
+            state["raced"] = True
+            drop_column(p, "v")  # legal: the constraint file isn't live yet
+        real_publish(staged, dst)
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", racing_publish)
+    with pytest.raises(Exception):
+        add_check_constraint(spark, p, "v_positive", "v > 0")
+    monkeypatch.undo()
+    assert list_check_constraints(p) == {}  # rolled back, not leaked

@@ -148,3 +148,26 @@ def test_unsupported_shapes_raise(spark, table):
         )
     with pytest.raises(ValueError, match="SET assignment"):
         execute_dml(spark, table, "UPDATE t SET WHERE k = 1")
+
+
+def test_merge_lowercase_and_multiline(spark, table):
+    """Code-review r12: WHEN-clause splitting is case- and whitespace-
+    insensitive like the rest of the grammar."""
+    ch = spark.createDataFrame([(3, 7.5, "x", False)], "k long, v double, s string, is_del boolean")
+    ch.createOrReplaceTempView("dml_lc")
+    v = execute_dml(
+        spark, table,
+        "merge into t using dml_lc c on t.k = c.k\nwhen\nmatched and is_del then delete\n"
+        "when matched then update set *\nwhen not matched then insert *",
+    )
+    assert v == 2
+    assert read_version(spark, table).filter("k = 3").first().v == 7.5
+    spark.catalog.dropTempView("dml_lc")
+
+
+def test_insert_column_list_casts_to_declared_types(spark, table):
+    """Code-review r12: listed columns cast to the declared schema —
+    an int literal into the double column must not write int bytes."""
+    execute_dml(spark, table, "INSERT INTO t (k, v) VALUES (3000, 7)")
+    r = read_version(spark, table).filter("k = 3000").first()
+    assert r.v == 7.0 and r.s is None
