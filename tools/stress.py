@@ -1182,7 +1182,10 @@ def main() -> None:
             flush=True,
         )
         t0 = time.perf_counter()
-        assert read_staged(spark, p, "stress-wap").count() == nb  # the audit pass
+        # the staged manifest is the FULL would-be snapshot (parent
+        # files + batch) — the audit reads exactly what would land
+        n_aud = read_staged(spark, p, "stress-wap").count()
+        assert n_aud >= nb
         dt = time.perf_counter() - t0
         print(
             f"{'wap audit read (N17)':28s} {nb/1e6:8.1f} Mrows {dt:7.2f} s {nb/dt/1e6:8.1f} Mrows/s",
