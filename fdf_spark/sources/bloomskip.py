@@ -50,7 +50,8 @@ _MASK = (1 << 64) - 1
 
 
 def _splitmix64(x: int) -> int:
-    """Scalar splitmix64 — must match :func:`_splitmix64_np` bit-for-bit."""
+    """Scalar splitmix64 — must match the executor-side numpy ``mix``
+    in :func:`build_blooms` bit-for-bit (property-pinned in tests)."""
     z = (x + 0x9E3779B97F4A7C15) & _MASK
     z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
     z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK

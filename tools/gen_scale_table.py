@@ -88,7 +88,7 @@ ROWS = [
     ("eq masked read (N17)", "full-table agg THROUGH the equality mask: one broadcast anti-join on the key columns over only stats-overlapping files, until the next OPTIMIZE fold (N17/q162)", "20 M"),
     ("mor 1-row update (N15)", "row-level UPDATE of one matched row: old image position-tombstoned + SET image appended under ONE manifest — write O(matched rows); the CoW row above is the rewrite counterfactual (N15/q167)", "20 M"),
     ("wap stage 1M batch (N17)", "WRITE-AUDIT-PUBLISH stage: a 1M-row batch lands fully-written but INVISIBLE under _staged/ (N17/q163)", "1 M batch"),
-    ("wap audit read (N17)", "the audit pass reads exactly the staged bytes (explicit file list) before anything is readable to consumers (N17/q163)", "1 M batch"),
+    ("wap audit read (N17)", "the audit pass reads the FULL would-be snapshot (parent files + staged batch, through delete masks) before anything is readable to consumers (N17/q163)", "20 M + 1 M"),
     ("wap publish manifest-only", "fast-forward publish of the audited batch: MANIFEST-ONLY — zero data bytes move regardless of batch or table size (N17/q163)", "1 M batch"),
     ("append 5M no constraints", "baseline 5M-row append commit to the 20M-row table (spec clustering + footer stats), no constraints attached (N18/q168)", "5 M"),
     ("append 5M, 3 constraints", "the SAME append with THREE CHECK constraints attached: the write gate is one combined agg over the new rows — the delta vs the row above is the whole enforcement price (N18/q168)", "5 M"),
