@@ -3487,11 +3487,43 @@ def optimize(
         "meta": {"optimize": {"rewritten": len(rewrite), "zorder": list(zorder or [])}},
     }
     _stage_and_publish_manifest(path, version, manifest)
+    # bloom coverage FOLLOWS the rewrite (r12): if any replaced file
+    # carried a sidecar, rebuild those columns' blooms over the new
+    # snapshot (incremental — still-covered survivors are skipped), so
+    # OPTIMIZE never silently erodes point-lookup pruning.  Runs after
+    # publish (the snapshot is already correct without blooms; sidecar
+    # absence only costs conservatism, so a failure here must not fail
+    # the completed OPTIMIZE).
+    blooms_rebuilt: list[str] = []
+    phys_bloomed: set[str] = set()
+    from fdf_spark.sources.bloomskip import _load_sidecar
+
+    for f in rewrite:
+        sc = _load_sidecar(f)
+        if sc:
+            phys_bloomed.update(sc.keys())
+    if phys_bloomed:
+        from fdf_spark.sources.bloomskip import build_blooms
+
+        rev = {v: k for k, v in _mapping(m).items()}
+        lschema = _logical_schema(m)
+        names = set(lschema.fieldNames()) if lschema is not None else None
+        cols2 = [
+            c for c in sorted(rev.get(p, p) for p in phys_bloomed)
+            if names is None or c in names
+        ]
+        if cols2:
+            try:
+                build_blooms(spark, path, cols2)
+                blooms_rebuilt = cols2
+            except Exception:
+                pass  # coverage gap, never a correctness issue
     return {
         "version": version,
         "rewritten": len(rewrite),
         "files_before": len(files),
         "files_after": len(kept) + len(new_files),
+        "blooms_rebuilt": blooms_rebuilt,
     }
 
 

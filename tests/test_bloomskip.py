@@ -172,3 +172,21 @@ def test_second_build_covers_new_column_and_merges(spark, table):
     sc = _load_sidecar(f)
     assert sc is not None and "doc" in sc and "user" in sc  # merged
     assert build_blooms(spark, table, ["doc", "user"])["built"] == 0
+
+
+def test_optimize_rebuilds_bloom_coverage(spark, table):
+    """OPTIMIZE rewrites files; bloom coverage must follow — the
+    rewritten files get fresh sidecars for every column any replaced
+    file had indexed (incremental, post-publish, best-effort)."""
+    from fdf_spark.sources.versioned import optimize, read_version
+
+    build_blooms(spark, table, ["doc"])
+    res = optimize(spark, table, zorder=["day"])  # rewrites ALL files
+    assert res["blooms_rebuilt"] == ["doc"]
+    files = [f.replace("file:", "") for f in read_version(spark, table).inputFiles()]
+    assert files and all(os.path.exists(f + BLOOM_SUFFIX) for f in files)
+    # probes keep pruning after the rewrite
+    present = read_version(spark, table).select("doc").first().doc
+    got = read_version(spark, table, prune=("doc", [present]))
+    assert got.filter(F.col("doc") == present).count() >= 1
+    assert len(got.inputFiles()) <= len(files)
