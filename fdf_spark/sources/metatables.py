@@ -237,3 +237,30 @@ def table_eq_deletes(spark: SparkSession, path: str, version: int | None = None)
         for eid, e in sorted(_eq_entries(m).items())
     ]
     return spark.createDataFrame(rows, "entry string, cols string, keys bigint, files_scoped int")
+
+
+def table_blooms(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Bloom-sidecar coverage of a snapshot's live files (bloomskip):
+    one row per (file, indexed column) with the filter's parameters,
+    plus a ``(file, NULL)`` row for each uncovered file — so
+    ``WHERE col IS NULL`` is the "what still needs build_blooms" query.
+    Zero data reads (sidecar JSONs are metadata-sized)."""
+    from fdf_spark.sources.bloomskip import _load_sidecar
+    from fdf_spark.sources.versioned import _read_manifest, list_versions
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    m = _read_manifest(path, v)
+    rows = []
+    for f in m["files"]:
+        sc = _load_sidecar(f)
+        if not sc:
+            rows.append((f, None, None, None, None, None))
+            continue
+        for col, e in sorted(sc.items()):
+            rows.append((f, col, int(e["m"]), int(e["k"]), int(e["n"]), float(e["fpp"])))
+    return spark.createDataFrame(
+        rows, "file string, col string, m_bits bigint, k int, n_rows bigint, fpp double"
+    )

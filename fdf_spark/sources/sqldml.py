@@ -300,6 +300,54 @@ def execute_dml(spark: SparkSession, path: str, statement: str) -> int:
     if m:
         changes, keys, delete_flag = _parse_merge(spark, m.group(3))
         return merge_on_read(spark, path, changes, keys, delete_flag=delete_flag)
+    v = _utility_statement(spark, path, stmt)
+    if v is not None:
+        return v
     raise ValueError(
-        f"unsupported DML statement (DELETE/UPDATE/INSERT/MERGE): {stmt[:80]!r}"
+        "unsupported DML statement (DELETE/UPDATE/INSERT/MERGE/"
+        f"OPTIMIZE/VACUUM/RESTORE): {stmt[:80]!r}"
     )
+
+
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*$", re.I | re.S
+)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*$", re.I | re.S
+)
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+    r"(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?)\s*$",
+    re.I | re.S,
+)
+
+
+def _utility_statement(spark: SparkSession, path: str, stmt: str):
+    """Delta's SQL utility verbs, routed onto the maintenance ops:
+
+        OPTIMIZE t [ZORDER BY (a, b)]
+        VACUUM t [RETAIN <n> HOURS]
+        RESTORE [TABLE] t TO VERSION AS OF <n>
+        RESTORE [TABLE] t TO TIMESTAMP AS OF <epoch-seconds>
+
+    Returns the resulting version number (OPTIMIZE/RESTORE) or the
+    number of files reclaimed (VACUUM); ``None`` when the statement is
+    not a utility verb (the caller raises its combined error).
+    """
+    from fdf_spark.sources.versioned import optimize, restore_table, vacuum
+
+    m = _OPTIMIZE_RE.match(stmt)
+    if m:
+        z = [c.strip().strip("`") for c in m.group(2).split(",")] if m.group(2) else None
+        return optimize(spark, path, zorder=z)["version"]
+    m = _VACUUM_RE.match(stmt)
+    if m:
+        retain = float(m.group(2)) * 3600.0 if m.group(2) else None
+        return len(vacuum(path, keep=1, retain_last_s=retain))
+    m = _RESTORE_RE.match(stmt)
+    if m:
+        kind, val = m.group(2).upper(), m.group(3).strip().strip("'\"")
+        if kind == "VERSION":
+            return restore_table(path, version=int(val))
+        return restore_table(path, as_of_ts=float(val))
+    return None

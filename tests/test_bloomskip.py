@@ -190,3 +190,13 @@ def test_optimize_rebuilds_bloom_coverage(spark, table):
     got = read_version(spark, table, prune=("doc", [present]))
     assert got.filter(F.col("doc") == present).count() >= 1
     assert len(got.inputFiles()) <= len(files)
+
+
+def test_table_blooms_metadata_view(spark, table):
+    from fdf_spark.sources.metatables import table_blooms
+
+    rows = table_blooms(spark, table).collect()
+    assert len(rows) == 8 and all(r.col is None for r in rows)  # uncovered
+    build_blooms(spark, table, ["doc"])
+    rows = table_blooms(spark, table).collect()
+    assert len(rows) == 8 and all(r.col == "doc" and r.m_bits > 0 for r in rows)

@@ -171,3 +171,24 @@ def test_insert_column_list_casts_to_declared_types(spark, table):
     execute_dml(spark, table, "INSERT INTO t (k, v) VALUES (3000, 7)")
     r = read_version(spark, table).filter("k = 3000").first()
     assert r.v == 7.0 and r.s is None
+
+
+def test_utility_verbs_optimize_vacuum_restore(spark, table):
+    """Delta's SQL maintenance verbs route onto the engine ops:
+    OPTIMIZE (bin-pack/zorder → new version), RESTORE TO VERSION AS OF
+    (manifest-only rollback), VACUUM RETAIN n HOURS (time-retention)."""
+    execute_dml(spark, table, "DELETE FROM t WHERE k < 10")           # v2
+    v = execute_dml(spark, table, "OPTIMIZE t ZORDER BY (k)")
+    assert v == 3
+    assert read_version(spark, table).count() == 90
+    v = execute_dml(spark, table, "RESTORE TABLE t TO VERSION AS OF 1")
+    assert v == 4
+    assert read_version(spark, table).count() == 100  # rollback restored rows
+    # retention window covers everything recent → nothing reclaimed
+    assert execute_dml(spark, table, "VACUUM t RETAIN 168 HOURS") == 0
+    assert len(list_versions(table)) == 4
+    # count-only vacuum drops history; pre-restore files stay because
+    # the restored head references v1's bytes
+    execute_dml(spark, table, "VACUUM t")
+    assert list_versions(table) == [4]
+    assert read_version(spark, table).count() == 100
