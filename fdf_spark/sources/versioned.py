@@ -868,6 +868,28 @@ def _masks_rebasable(pm: dict, hm: dict, files) -> bool:
     return True
 
 
+
+def _bloom_prune_equalities(m: dict, files: list[str], bounds: dict) -> list[str]:
+    """Bloom-scope a predicate's EQUALITY conjuncts (lo == hi bounds):
+    the same sidecar consult the read path applies, reused by the
+    delete/update match scans.  Range-only bounds contribute nothing;
+    files without sidecars are kept (superset guarantee)."""
+    if not files:
+        return files
+    eqs = {
+        c: lo for c, (lo, hi) in bounds.items()
+        if lo is not None and lo == hi and isinstance(lo, (int, str))
+        and not isinstance(lo, bool)
+    }
+    if not eqs:
+        return files
+    from fdf_spark.sources.bloomskip import bloom_prune
+
+    for c, v in eqs.items():
+        files = bloom_prune(files, _physical(m, c), [v])
+    return files
+
+
 def delete_where(spark: SparkSession, path: str, condition) -> int:
     """Row-level DELETE as a MERGE-ON-READ commit: writes a tombstone
     relation naming the deleted (file, position) pairs — zero data
@@ -913,6 +935,7 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     schema = _logical_schema(m)
     bounds = _predicate_bounds(spark, schema, cond) if schema is not None else {}
     scan_files = _prune_files_by_bounds(m, m["files"], bounds)
+    scan_files = _bloom_prune_equalities(m, scan_files, bounds)
     if not scan_files:
         return parent  # no file can contain a matching row
     matches = (
@@ -1203,6 +1226,7 @@ def update_where(spark: SparkSession, path: str, condition, set_exprs: dict) -> 
     }
     bounds = _predicate_bounds(spark, schema, cond)
     scan_files = _prune_files_by_bounds(m, m["files"], bounds)
+    scan_files = _bloom_prune_equalities(m, scan_files, bounds)
     if not scan_files:
         return parent
     # one persist serves the tombstone write AND the updated images —

@@ -200,3 +200,27 @@ def test_table_blooms_metadata_view(spark, table):
     build_blooms(spark, table, ["doc"])
     rows = table_blooms(spark, table).collect()
     assert len(rows) == 8 and all(r.col == "doc" and r.m_bits > 0 for r in rows)
+
+
+def test_delete_and_update_where_scope_through_blooms(spark, table):
+    """Equality predicates in delete_where / update_where bloom-prune
+    their match scans — the same sidecar consult as the read path."""
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        delete_where,
+        read_version,
+        update_where,
+    )
+
+    build_blooms(spark, table, ["doc"])
+    k0 = read_version(spark, table).select("doc").first().doc
+    v = delete_where(spark, table, f"doc = {k0}")
+    meta = _read_manifest(table, v)["meta"]["delete"]
+    assert meta["files_scanned"] < 8
+    assert read_version(spark, table).filter(F.col("doc") == k0).count() == 0
+    k1 = read_version(spark, table).select("doc").first().doc
+    v = update_where(spark, table, f"doc = {k1}", {"day": F.lit(999)})
+    meta = _read_manifest(table, v)["meta"]["update"]
+    assert meta["files_scanned"] < 8
+    got = read_version(spark, table).filter(F.col("doc") == k1).collect()
+    assert len(got) == 1 and got[0].day == 999
