@@ -4088,6 +4088,7 @@ def stream_merge_sink(
     delete_flag: str | None = None,
     checkpoint: str | None = None,
     order_col: str | None = None,
+    bloom_cols=None,
 ):
     """Streaming CDC upsert sink: every micro-batch is merged into the
     versioned table as one commit (``foreachBatch`` → merge_upsert →
@@ -4108,6 +4109,16 @@ def stream_merge_sink(
     idempotent-commit pair; a re-run batch re-merges the same keys to
     the same result (upserts are idempotent by key).
 
+    ``bloom_cols`` keeps per-file BLOOM sidecars (``bloomskip``)
+    CONTINUOUSLY maintained: after each batch's commit, the
+    incremental ``build_blooms`` covers exactly the files the merge
+    wrote (already-covered files are skipped by a metadata check), so
+    point lookups on the named columns stay file-pruned while the
+    table ingests — the steady-state answer to "find one doc by id in
+    the live 100 TB corpus".  Best-effort: a bloom-build failure never
+    fails the committed batch (missing sidecars only cost probe
+    conservatism).
+
     Returns the StreamingQuery (caller awaits/stops it).
     """
 
@@ -4118,6 +4129,13 @@ def stream_merge_sink(
                 on_duplicate_keys="last_wins" if order_col is not None else "error",
                 order_col=order_col,
             )
+            if bloom_cols:
+                from fdf_spark.sources.bloomskip import build_blooms
+
+                try:
+                    build_blooms(batch_df.sparkSession, path, list(bloom_cols))
+                except Exception:
+                    pass  # coverage gap only — never fail the landed batch
 
     writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("update")
     if checkpoint:

@@ -224,3 +224,32 @@ def test_delete_and_update_where_scope_through_blooms(spark, table):
     assert meta["files_scanned"] < 8
     got = read_version(spark, table).filter(F.col("doc") == k1).collect()
     assert len(got) == 1 and got[0].day == 999
+
+
+def test_stream_merge_sink_maintains_blooms(spark, tmp_path):
+    """bloom_cols on the streaming CDC sink: every micro-batch's commit
+    is followed by an incremental sidecar build, so point lookups stay
+    pruned while the table ingests."""
+    from fdf_spark.sources.metatables import table_blooms
+    from fdf_spark.sources.versioned import read_version, stream_merge_sink
+
+    p = str(tmp_path / "t")
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc long, payload string"
+    )
+    b1.write.parquet(src)
+    stream = spark.readStream.schema("doc long, payload string").parquet(src)
+    q = stream_merge_sink(stream, p, keys=["doc"], checkpoint=ckpt, bloom_cols=["doc"])
+    q.processAllAvailable()
+    q.stop()
+    assert read_version(spark, p).count() == 2
+    cov = table_blooms(spark, p).collect()
+    covered = {r.file for r in cov if r.col == "doc"}
+    from fdf_spark.sources.metatables import table_files
+
+    nonempty = {r.file for r in table_files(spark, p).collect() if r.rows > 0}
+    assert nonempty and nonempty <= covered  # every non-empty live file covered
+    got = read_version(spark, p, prune=("doc", [1]))
+    assert got.filter("doc = 1").count() == 1
