@@ -139,6 +139,25 @@ def _load_sidecar(data_file: str) -> dict | None:
     return raw
 
 
+def sidecar_meta(data_file: str) -> dict | None:
+    """Sidecar PARAMETERS only ({col: {m, k, n, fpp}}) — JSON parse
+    without the base64/numpy bitset decode and without touching the
+    probe cache, for metadata consumers (table_blooms, coverage
+    checks) that never probe (code-review r12: decoding bitsets to
+    read six scalars, and caching soon-dead files, was waste)."""
+    sp = data_file + BLOOM_SUFFIX
+    if not os.path.exists(sp):
+        return None
+    try:
+        with open(sp) as fh:
+            raw = json.load(fh)
+        return {
+            c: {k: v for k, v in e.items() if k != "bits"} for c, e in raw.items()
+        }
+    except Exception:
+        return None
+
+
 def bloom_prune(files: list[str], phys_col: str, values) -> list[str]:
     """Drop files whose bloom REJECTS every probed value; files without
     a sidecar (or without this column's bloom) are kept — the superset
@@ -214,8 +233,9 @@ def build_blooms(
         # a sidecar counts only if it carries EVERY requested column —
         # adding a bloom on a new column must rebuild existing files'
         # sidecars too (code-review r12 finding: mere existence let a
-        # second build_blooms call silently index nothing)
-        sc = _load_sidecar(f)
+        # second build_blooms call silently index nothing); params-only
+        # read — no bitset decode, no cache churn
+        sc = sidecar_meta(f)
         return sc is not None and all(p in sc for p in phys)
 
     todo = [f for f in m["files"] if fr.get(f, 1) != 0 and not _covered(f)]

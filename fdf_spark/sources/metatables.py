@@ -245,7 +245,7 @@ def table_blooms(spark: SparkSession, path: str, version: int | None = None) -> 
     plus a ``(file, NULL)`` row for each uncovered file — so
     ``WHERE col IS NULL`` is the "what still needs build_blooms" query.
     Zero data reads (sidecar JSONs are metadata-sized)."""
-    from fdf_spark.sources.bloomskip import _load_sidecar
+    from fdf_spark.sources.bloomskip import sidecar_meta
     from fdf_spark.sources.versioned import _read_manifest, list_versions
 
     versions = list_versions(path)
@@ -255,7 +255,7 @@ def table_blooms(spark: SparkSession, path: str, version: int | None = None) -> 
     m = _read_manifest(path, v)
     rows = []
     for f in m["files"]:
-        sc = _load_sidecar(f)
+        sc = sidecar_meta(f)
         if not sc:
             rows.append((f, None, None, None, None, None))
             continue

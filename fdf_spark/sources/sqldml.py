@@ -256,7 +256,13 @@ def _parse_merge(spark: SparkSession, rest: str):
 def execute_dml(spark: SparkSession, path: str, statement: str) -> int:
     """Execute one DML statement against the versioned table at
     ``path``; returns the new version number (the unchanged head when
-    nothing matched).  See module docstring for the supported grammar.
+    nothing matched) — except ``VACUUM``, which returns the number of
+    files reclaimed.  Utility verbs: ``OPTIMIZE t [ZORDER BY (a, b)]``,
+    ``VACUUM t [RETAIN n HOURS]`` (bare VACUUM keeps 7 days of time
+    travel, Delta's default; ``RETAIN 0 HOURS`` is the explicit
+    destructive form), ``RESTORE [TABLE] t TO VERSION AS OF n`` /
+    ``TO TIMESTAMP AS OF <epoch-or-ISO-datetime>``.  See module
+    docstring for the DML grammar.
     """
     from fdf_spark.sources.versioned import (
         commit_version,
@@ -338,16 +344,36 @@ def _utility_statement(spark: SparkSession, path: str, stmt: str):
 
     m = _OPTIMIZE_RE.match(stmt)
     if m:
-        z = [c.strip().strip("`") for c in m.group(2).split(",")] if m.group(2) else None
+        z = None
+        if m.group(2) is not None:
+            z = [c.strip().strip("`") for c in m.group(2).split(",")]
+            if not z or not all(z):
+                # an empty list or trailing comma must fail AT PARSE
+                # time, not silently bin-pack without z-ordering
+                raise ValueError(f"empty column in ZORDER BY: {stmt[:80]!r}")
         return optimize(spark, path, zorder=z)["version"]
     m = _VACUUM_RE.match(stmt)
     if m:
-        retain = float(m.group(2)) * 3600.0 if m.group(2) else None
+        # Delta parity: bare VACUUM keeps 7 days of time travel — the
+        # destructive form must be EXPLICIT (RETAIN 0 HOURS)
+        retain = float(m.group(2)) * 3600.0 if m.group(2) is not None else 168 * 3600.0
         return len(vacuum(path, keep=1, retain_last_s=retain))
     m = _RESTORE_RE.match(stmt)
     if m:
         kind, val = m.group(2).upper(), m.group(3).strip().strip("'\"")
         if kind == "VERSION":
             return restore_table(path, version=int(val))
-        return restore_table(path, as_of_ts=float(val))
+        try:
+            ts = float(val)  # epoch seconds
+        except ValueError:
+            from datetime import datetime
+
+            try:
+                ts = datetime.fromisoformat(val).timestamp()  # '2026-08-15 00:00:00'
+            except ValueError:
+                raise ValueError(
+                    f"TIMESTAMP AS OF takes epoch seconds or an ISO "
+                    f"datetime string, got {val!r}"
+                ) from None
+        return restore_table(path, as_of_ts=ts)
     return None

@@ -3272,6 +3272,47 @@ def clone_table(
     return 1
 
 
+def _follow_bloom_coverage(spark, path: str, replaced_files, pm: dict) -> list[str]:
+    """Rebuild bloom sidecars after a REWRITE replaced covered files —
+    the one hook every rewriter (OPTIMIZE, copy-on-write merge) shares,
+    so no rewrite path can silently erode point-lookup pruning
+    (code-review r12: the fix belongs on the rewrite seam, not on one
+    caller).  Columns = union of the replaced files' indexed columns
+    (params-only sidecar reads, no bitset decode), mapped back to
+    logical names still in the schema; the incremental
+    :func:`bloomskip.build_blooms` then covers exactly the uncovered
+    files of the NEW head.  Runs post-publish and best-effort: the
+    snapshot is already correct without blooms (absence only costs
+    probe conservatism), so a build failure never fails the commit.
+    Returns the logical columns rebuilt ([] when nothing was covered).
+    """
+    from fdf_spark.sources.bloomskip import sidecar_meta
+
+    phys_bloomed: set[str] = set()
+    for f in replaced_files:
+        sc = sidecar_meta(f)
+        if sc:
+            phys_bloomed.update(sc.keys())
+    if not phys_bloomed:
+        return []
+    from fdf_spark.sources.bloomskip import build_blooms
+
+    rev = {v: k for k, v in _mapping(pm).items()}
+    lschema = _logical_schema(pm)
+    names = set(lschema.fieldNames()) if lschema is not None else None
+    cols = [
+        c for c in sorted(rev.get(p, p) for p in phys_bloomed)
+        if names is None or c in names
+    ]
+    if not cols:
+        return []
+    try:
+        build_blooms(spark, path, cols)
+        return cols
+    except Exception:
+        return []  # coverage gap, never a correctness issue
+
+
 def optimize(
     spark: SparkSession,
     path: str,
@@ -3511,37 +3552,8 @@ def optimize(
         "meta": {"optimize": {"rewritten": len(rewrite), "zorder": list(zorder or [])}},
     }
     _stage_and_publish_manifest(path, version, manifest)
-    # bloom coverage FOLLOWS the rewrite (r12): if any replaced file
-    # carried a sidecar, rebuild those columns' blooms over the new
-    # snapshot (incremental — still-covered survivors are skipped), so
-    # OPTIMIZE never silently erodes point-lookup pruning.  Runs after
-    # publish (the snapshot is already correct without blooms; sidecar
-    # absence only costs conservatism, so a failure here must not fail
-    # the completed OPTIMIZE).
-    blooms_rebuilt: list[str] = []
-    phys_bloomed: set[str] = set()
-    from fdf_spark.sources.bloomskip import _load_sidecar
-
-    for f in rewrite:
-        sc = _load_sidecar(f)
-        if sc:
-            phys_bloomed.update(sc.keys())
-    if phys_bloomed:
-        from fdf_spark.sources.bloomskip import build_blooms
-
-        rev = {v: k for k, v in _mapping(m).items()}
-        lschema = _logical_schema(m)
-        names = set(lschema.fieldNames()) if lschema is not None else None
-        cols2 = [
-            c for c in sorted(rev.get(p, p) for p in phys_bloomed)
-            if names is None or c in names
-        ]
-        if cols2:
-            try:
-                build_blooms(spark, path, cols2)
-                blooms_rebuilt = cols2
-            except Exception:
-                pass  # coverage gap, never a correctness issue
+    # bloom coverage FOLLOWS the rewrite (r12): see _follow_bloom_coverage
+    blooms_rebuilt = _follow_bloom_coverage(spark, path, rewrite, m)
     return {
         "version": version,
         "rewritten": len(rewrite),
@@ -3571,7 +3583,11 @@ def merge_versioned(
     manual base commit."""
     from fdf_spark.operators.merge import merge_upsert
 
+    replaced: list[str] = []
+    pm: dict | None = None
     if list_versions(path):
+        pm = _read_manifest(path, list_versions(path)[-1])
+        replaced = pm["files"]
         base = read_version(spark, path)
     else:
         cols = [c for c in changes.columns if c != delete_flag]
@@ -3580,7 +3596,12 @@ def merge_versioned(
         base, changes, keys, update_cols, delete_flag,
         on_duplicate_keys=on_duplicate_keys, order_col=order_col,
     )
-    return commit_version(merged, path, mode="overwrite")
+    v = commit_version(merged, path, mode="overwrite")
+    if replaced and pm is not None:
+        # the overwrite replaced every covered file — bloom coverage
+        # follows the rewrite, same hook as OPTIMIZE (code-review r12)
+        _follow_bloom_coverage(spark, path, replaced, pm)
+    return v
 
 
 def merge_on_read(
@@ -4111,13 +4132,16 @@ def stream_merge_sink(
 
     ``bloom_cols`` keeps per-file BLOOM sidecars (``bloomskip``)
     CONTINUOUSLY maintained: after each batch's commit, the
-    incremental ``build_blooms`` covers exactly the files the merge
-    wrote (already-covered files are skipped by a metadata check), so
-    point lookups on the named columns stay file-pruned while the
-    table ingests — the steady-state answer to "find one doc by id in
-    the live 100 TB corpus".  Best-effort: a bloom-build failure never
-    fails the committed batch (missing sidecars only cost probe
-    conservatism).
+    incremental ``build_blooms`` covers the snapshot's uncovered files
+    — which for this COPY-ON-WRITE sink is the files the overwrite
+    just wrote, i.e. the per-batch bloom cost tracks the merge's own
+    rewrite cost (a merge-on-read sink would pay only O(appended
+    files)).  Point lookups on the named columns stay file-pruned
+    while the table ingests — the steady-state answer to "find one
+    doc by id in the live 100 TB corpus".  A deterministic
+    misconfiguration (unknown column / unsupported type) fails the
+    stream loudly; transient build failures are swallowed (missing
+    sidecars only cost probe conservatism, never correctness).
 
     Returns the StreamingQuery (caller awaits/stops it).
     """
@@ -4134,8 +4158,14 @@ def stream_merge_sink(
 
                 try:
                     build_blooms(batch_df.sparkSession, path, list(bloom_cols))
+                except (ValueError, TypeError):
+                    # deterministic misconfiguration (unknown column,
+                    # unsupported type) would otherwise be swallowed on
+                    # EVERY batch and the feature silently dead — fail
+                    # the stream loudly (code-review r12)
+                    raise
                 except Exception:
-                    pass  # coverage gap only — never fail the landed batch
+                    pass  # transient build failure — coverage gap only
 
     writer = stream.writeStream.foreachBatch(_merge_batch).outputMode("update")
     if checkpoint:

@@ -253,3 +253,45 @@ def test_stream_merge_sink_maintains_blooms(spark, tmp_path):
     assert nonempty and nonempty <= covered  # every non-empty live file covered
     got = read_version(spark, p, prune=("doc", [1]))
     assert got.filter("doc = 1").count() == 1
+
+
+def test_cow_merge_rebuilds_bloom_coverage(spark, table):
+    """Code-review r12: bloom-follows-rewrite is a rewrite-seam hook,
+    not an OPTIMIZE special case — a copy-on-write merge that replaces
+    covered files rebuilds their columns' sidecars too."""
+    from fdf_spark.sources.metatables import table_files
+    from fdf_spark.sources.versioned import merge_versioned, read_version
+
+    build_blooms(spark, table, ["doc"])
+    k0 = read_version(spark, table).select("doc").first().doc
+    ch = spark.createDataFrame([(k0, 99, "upd")], "doc long, day long, user string")
+    merge_versioned(spark, table, ch, ["doc"])
+    from fdf_spark.sources.bloomskip import sidecar_meta
+
+    nonempty = [r.file for r in table_files(spark, table).collect() if r.rows > 0]
+    assert nonempty and all(
+        (sidecar_meta(f) or {}).get("doc") is not None for f in nonempty
+    )
+    got = read_version(spark, table, prune=("doc", [k0]))
+    assert got.filter(F.col("doc") == k0).count() == 1
+
+
+def test_stream_sink_bloom_misconfig_fails_loudly(spark, tmp_path):
+    """Code-review r12: a deterministic bloom_cols misconfiguration
+    (unknown column) fails the stream instead of being silently
+    swallowed every batch."""
+    from fdf_spark.sources.versioned import stream_merge_sink
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame([(1, "a")], "doc long, payload string").write.parquet(src)
+    stream = spark.readStream.schema("doc long, payload string").parquet(src)
+    q = stream_merge_sink(
+        stream, str(tmp_path / "t"), keys=["doc"],
+        checkpoint=str(tmp_path / "ck"), bloom_cols=["nope"],
+    )
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="not in table schema"):
+        q.processAllAvailable()
+        q.awaitTermination(30)
+    q.stop()

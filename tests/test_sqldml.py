@@ -184,11 +184,17 @@ def test_utility_verbs_optimize_vacuum_restore(spark, table):
     v = execute_dml(spark, table, "RESTORE TABLE t TO VERSION AS OF 1")
     assert v == 4
     assert read_version(spark, table).count() == 100  # rollback restored rows
-    # retention window covers everything recent → nothing reclaimed
-    assert execute_dml(spark, table, "VACUUM t RETAIN 168 HOURS") == 0
+    # bare VACUUM defaults to Delta's 7-day retention (code-review
+    # r12: the destructive form must be explicit) → nothing reclaimed
+    assert execute_dml(spark, table, "VACUUM t") == 0
     assert len(list_versions(table)) == 4
-    # count-only vacuum drops history; pre-restore files stay because
-    # the restored head references v1's bytes
-    execute_dml(spark, table, "VACUUM t")
+    # the explicit zero-retention form drops history; pre-restore
+    # files stay because the restored head references v1's bytes
+    execute_dml(spark, table, "VACUUM t RETAIN 0 HOURS")
     assert list_versions(table) == [4]
     assert read_version(spark, table).count() == 100
+    # parse-time guards
+    with pytest.raises(ValueError, match="empty column in ZORDER"):
+        execute_dml(spark, table, "OPTIMIZE t ZORDER BY (k,)")
+    with pytest.raises(ValueError, match="epoch seconds or an ISO"):
+        execute_dml(spark, table, "RESTORE t TO TIMESTAMP AS OF 'yesterday'")
