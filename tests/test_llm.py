@@ -3052,3 +3052,36 @@ def test_incremental_ingests_release_caches_on_failure(spark, tmp_path, monkeypa
     # cache (only the probe checkpoint backing the result may stay)
     out = incremental_dedup(spark, b1, str(tmp_path / "ok_idx"))
     assert out.count() == 2
+
+
+def test_failing_ingest_spares_concurrent_pins(spark, tmp_path, monkeypatch):
+    """ADVICE r12: the failure-path cleanup unpersists only the pins
+    THIS call created — a concurrent ingest's localCheckpoint (whose
+    lineage is truncated: the pin IS its only copy) must survive
+    another ingest's failure in the same session."""
+    import fdf_spark.sources.versioned as V
+    from fdf_spark.llm.dedup import _checkpoint_rdd_id, incremental_dedup
+
+    # stand-in for a concurrent ingest's mid-flight checkpoint
+    other = spark.createDataFrame(
+        [(9, "lineage truncated")], "doc_id long, text string"
+    ).localCheckpoint(eager=True)
+    other_id = _checkpoint_rdd_id(other)
+    assert other_id is not None
+
+    def boom(staged, dst):
+        raise OSError("object store rejected the publish")
+
+    monkeypatch.setattr(V, "_publish_manifest_atomic", boom)
+    b1 = spark.createDataFrame([(1, "alpha bravo")], "doc_id long, text string")
+    with pytest.raises(OSError):
+        incremental_dedup(spark, b1, str(tmp_path / "idx"))
+    monkeypatch.undo()
+    # the concurrent pin is still registered AND still readable
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    live = set()
+    while it.hasNext():
+        live.add(it.next()._1())
+    assert other_id in live
+    assert other.count() == 1
+    other.unpersist()
