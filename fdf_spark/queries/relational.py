@@ -2606,6 +2606,92 @@ def q172_shallow_clone_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q173_sql_merge_clauses",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 10 AS p
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+    j AS (
+      SELECT t.o_orderkey AS tk, s.o_orderkey AS sk,
+             t.o_custkey AS tc, s.o_custkey AS sc,
+             t.o_totalprice AS tp, s.p AS sp
+      FROM base t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey),
+    merged AS (
+      SELECT
+        CASE WHEN sk IS NULL THEN tc
+             WHEN tk IS NOT NULL AND sp > 50000 THEN tc + 1
+             WHEN tk IS NOT NULL THEN tc
+             ELSE sc END AS o_custkey,
+        CASE WHEN sk IS NULL THEN tp
+             WHEN tk IS NOT NULL AND sp > 50000 THEN sp
+             WHEN tk IS NOT NULL THEN tp + 1
+             ELSE sp END AS o_totalprice,
+        CASE WHEN sk IS NULL THEN 1
+             WHEN tk IS NOT NULL AND sp > tp * 2 THEN 0
+             WHEN tk IS NOT NULL THEN 1
+             WHEN sp < 100000 THEN 1 ELSE 0 END AS keep
+      FROM j)
+    SELECT o_custkey % 5 AS bucket, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM merged WHERE keep = 1 GROUP BY bucket ORDER BY bucket
+    """,
+    operators=("N15", "N17", "S4"),
+    doc="General SQL MERGE (sqldml._general_merge, r13 — VERDICT r12 "
+    "#3): multiple conditional WHEN clauses with explicit assignments "
+    "and Delta's first-matching-clause-wins precedence — a DELETE "
+    "guarded by a cross-side condition (s.p > t.price*2), an UPDATE "
+    "SET col = expr clause, an unconditional UPDATE fallthrough, and "
+    "a conditional INSERT (cols) VALUES (...) — compiled onto ONE "
+    "merge_on_read commit (the source left-joins the file-pruned "
+    "target snapshot; a chained CASE picks each row's winning clause; "
+    "rows matching no clause drop out before the merge). The oracle "
+    "replays the clause lattice as a FULL OUTER JOIN + CASE in "
+    "DuckDB. Scale: the conditional-CDC shape real Delta users write "
+    "lands through the same O(changed rows) merge-on-read seam as the "
+    "canonical form, constraints/race-rebase/change-feed included.",
+)
+def q173_sql_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml
+    from fdf_spark.sources.versioned import commit_version, read_version
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    orders.createOrReplaceTempView("q173_orders")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="fdf_gmerge_")
+    try:
+        commit_version(orders.filter(k % 4 == 0), path)
+        execute_dml(
+            spark, path,
+            """
+            MERGE INTO t AS t USING (
+              SELECT o_orderkey, o_custkey, o_totalprice + 10 AS p
+              FROM q173_orders WHERE o_orderkey % 4 IN (0, 1)
+            ) AS s ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.p > t.o_totalprice * 2 THEN DELETE
+            WHEN MATCHED AND s.p > 50000 THEN UPDATE
+              SET o_totalprice = s.p, o_custkey = t.o_custkey + 1
+            WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 1
+            WHEN NOT MATCHED AND s.p < 100000 THEN INSERT
+              (o_orderkey, o_custkey, o_totalprice)
+              VALUES (s.o_orderkey, s.o_custkey, s.p)
+            """,
+        )
+        out = (
+            read_version(spark, path)
+            .groupBy((F.col("o_custkey") % 5).alias("bucket"))
+            .agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
+            .orderBy("bucket")
+        )
+        return _materialize_and_cleanup(out, path)
+    finally:
+        spark.catalog.dropTempView("q173_orders")
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

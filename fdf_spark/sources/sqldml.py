@@ -21,12 +21,18 @@ Deliberate scope (documented, loudly enforced):
   is parsed here, with a quote/paren-aware scanner (never a blind
   regex over expression text — a ``WHERE`` inside a string literal
   cannot derail the split).
-- MERGE supports the canonical CDC form: equality ``ON`` conjunction,
-  ``WHEN MATCHED THEN UPDATE SET *``, ``WHEN NOT MATCHED THEN INSERT
-  *``, optional ``WHEN MATCHED AND <boolcol> THEN DELETE`` — which
-  routes 1:1 onto :func:`merge_on_read` (merge-on-read write
-  amplification, the 100 TB CDC landing path).  Arbitrary per-clause
-  projections raise with a pointer to the Python API.
+- MERGE supports equality ``ON`` conjunctions with the FULL clause
+  grammar real Delta/Iceberg users write (VERDICT r12 #3): any number
+  of ``WHEN MATCHED [AND <cond>] THEN UPDATE SET */col = expr, …`` /
+  ``THEN DELETE`` and ``WHEN NOT MATCHED [AND <cond>] THEN INSERT
+  */(cols) VALUES (…)`` clauses, first-matching-clause-wins (Delta
+  precedence).  The canonical CDC form routes 1:1 onto
+  :func:`merge_on_read`; conditional/projected clauses compile onto
+  the same seam through :func:`_general_merge` (conditions may
+  reference both aliases, e.g. ``s.ts > t.ts``).  Two deliberate
+  restrictions keep one atomic merge-on-read commit expressible:
+  UPDATE may not SET a join key, and INSERT must carry keys verbatim
+  from the source.
 
 Every verb lands through the SAME engine seams as the Python API
 (delete_where / update_where / commit_version / merge_on_read): CHECK
@@ -183,9 +189,87 @@ def _insert_frame(spark: SparkSession, path: str, cols_txt, query: str) -> DataF
     return df
 
 
+class _MergeClause:
+    """One parsed WHEN clause: ``matched`` (bool), ``cond`` (SQL text
+    or None), ``action`` in {'update', 'update_star', 'delete',
+    'insert', 'insert_star'}, ``sets`` ({col: expr} for 'update'),
+    ``insert_cols``/``insert_vals`` (for 'insert')."""
+
+    def __init__(self, matched, cond, action, sets=None, insert_cols=None, insert_vals=None):
+        self.matched = matched
+        self.cond = cond
+        self.action = action
+        self.sets = sets or {}
+        self.insert_cols = insert_cols or []
+        self.insert_vals = insert_vals or []
+
+
+def _parse_when_clause(c: str) -> _MergeClause:
+    head, action_txt = _scan_split(c, "THEN")
+    if action_txt is None:
+        raise ValueError(f"MERGE WHEN clause needs THEN: {c!r}")
+    m = re.match(r"^\s*(NOT\s+)?MATCHED\b(.*)$", head, re.I | re.S)
+    if not m:
+        raise ValueError(f"MERGE WHEN clause must start with [NOT] MATCHED: {c!r}")
+    matched = m.group(1) is None
+    cond_part = m.group(2).strip()
+    cond = None
+    if cond_part:
+        m2 = re.match(r"^AND\b(.*)$", cond_part, re.I | re.S)
+        if not m2 or not m2.group(1).strip():
+            raise ValueError(f"cannot parse WHEN condition {cond_part!r}")
+        cond = m2.group(1).strip()
+    a = action_txt.strip().rstrip(";").strip()
+    m3 = re.match(r"^UPDATE\s+SET\s+(.*)$", a, re.I | re.S)
+    if m3:
+        if not matched:
+            raise ValueError("WHEN NOT MATCHED cannot UPDATE")
+        body = m3.group(1).strip()
+        if body == "*":
+            return _MergeClause(matched, cond, "update_star")
+        sets = {}
+        for asg in _scan_split_commas(body):
+            col, eq, expr = asg.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise ValueError(f"cannot parse SET assignment {asg!r}")
+            sets[col.strip().strip("`").split(".")[-1]] = expr.strip()
+        return _MergeClause(matched, cond, "update", sets=sets)
+    if re.fullmatch(r"DELETE", a, re.I):
+        if not matched:
+            raise ValueError("WHEN NOT MATCHED cannot DELETE")
+        return _MergeClause(matched, cond, "delete")
+    m4 = re.match(r"^INSERT\s+(.*)$", a, re.I | re.S)
+    if m4:
+        if matched:
+            raise ValueError("WHEN MATCHED cannot INSERT")
+        body = m4.group(1).strip()
+        if body == "*":
+            return _MergeClause(matched, cond, "insert_star")
+        cols_txt, vals_txt = _scan_split(body, "VALUES")
+        m5 = re.match(r"^\s*\((.*)\)\s*$", cols_txt, re.S)
+        m6 = re.match(r"^\s*\((.*)\)\s*$", vals_txt or "", re.S)
+        if not m5 or not m6:
+            raise ValueError(
+                f"cannot parse INSERT clause {a!r} — expected "
+                "INSERT (col, …) VALUES (expr, …) or INSERT *"
+            )
+        cols = [x.strip().strip("`").split(".")[-1] for x in _scan_split_commas(m5.group(1))]
+        vals = _scan_split_commas(m6.group(1))
+        if len(cols) != len(vals) or not cols:
+            raise ValueError(
+                f"INSERT lists {len(cols)} columns but {len(vals)} values"
+            )
+        return _MergeClause(matched, cond, "insert", insert_cols=cols, insert_vals=vals)
+    raise ValueError(
+        f"unsupported MERGE clause action {a!r} — supported: UPDATE SET "
+        "*/col = expr, DELETE, INSERT */(cols) VALUES (…)"
+    )
+
+
 def _parse_merge(spark: SparkSession, rest: str):
-    """``rest`` = everything after USING.  Returns (changes_df, keys,
-    delete_flag) for :func:`merge_on_read`."""
+    """``rest`` = everything after USING.  Returns ``(changes_df, keys,
+    clauses, src_alias)`` — clauses in statement order (first matching
+    clause wins, Delta precedence)."""
     src_txt, after_on = _scan_split(rest, "ON")
     if after_on is None:
         raise ValueError("MERGE needs an ON clause")
@@ -220,37 +304,191 @@ def _parse_merge(spark: SparkSession, rest: str):
                 f"MERGE ON key names must match on both sides (got "
                 f"{m.group(1)!r} = {m.group(2)!r}); rename in the source query"
             )
-    # WHEN clauses: canonical CDC form only (case- and whitespace-
-    # insensitive split, like every other keyword here — code-review
-    # r12 finding: the literal "WHEN " split rejected lowercase DML)
-    delete_flag = None
-    saw_update = saw_insert = False
+    # WHEN clauses (case- and whitespace-insensitive split, like every
+    # other keyword here)
+    clauses = []
     for clause in re.split(r"(?i)\bWHEN\b", clauses_txt):
         c = clause.strip().rstrip(";").strip()
         if not c:
             continue
-        if re.fullmatch(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+\*", c, re.I):
+        clauses.append(_parse_when_clause(c))
+    if not clauses:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    return changes, keys, clauses, src_alias
+
+
+def _canonical_cdc(clauses) -> str | bool | None:
+    """Detect the canonical CDC form (optional ``MATCHED AND <boolcol>
+    THEN DELETE``, ``MATCHED THEN UPDATE SET *``, ``NOT MATCHED THEN
+    INSERT *``) that routes 1:1 onto :func:`merge_on_read` without the
+    general compiler's target pre-join.  Returns the delete flag column
+    (or False for no delete clause) — ``None`` when the statement needs
+    the general path."""
+    delete_flag = False
+    saw_update = saw_insert = False
+    for cl in clauses:
+        if cl.action == "update_star" and cl.cond is None and not saw_update:
             saw_update = True
-        elif re.fullmatch(r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", c, re.I):
+        elif cl.action == "insert_star" and cl.cond is None and not saw_insert:
             saw_insert = True
+        elif (
+            cl.action == "delete"
+            and cl.cond is not None
+            and delete_flag is False
+            and re.fullmatch(rf"{_IDENT}", cl.cond.strip())
+        ):
+            delete_flag = cl.cond.strip().split(".")[-1].strip("`")
         else:
-            m = re.fullmatch(r"MATCHED\s+AND\s+(\S+)\s+THEN\s+DELETE", c, re.I)
-            if m:
-                delete_flag = m.group(1).split(".")[-1].strip("`")
-            else:
-                raise ValueError(
-                    f"unsupported MERGE clause {c!r} — supported: WHEN MATCHED "
-                    "THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT *, WHEN "
-                    "MATCHED AND <boolcol> THEN DELETE (general projections: "
-                    "use merge_on_read / merge_versioned)"
-                )
+            return None
     if not (saw_update and saw_insert):
-        raise ValueError(
-            "MERGE needs both WHEN MATCHED THEN UPDATE SET * and "
-            "WHEN NOT MATCHED THEN INSERT * (the canonical CDC upsert)"
+        return None
+    return delete_flag
+
+
+def _general_merge(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list,
+    clauses: list,
+    tgt_alias: str,
+    src_alias: str,
+) -> int:
+    """Compile a general MERGE (multiple conditional clauses, explicit
+    assignments, Delta's first-matching-clause-wins precedence) onto
+    :func:`merge_on_read` (VERDICT r12 #3): the source left-joins the
+    target SNAPSHOT so clause conditions can reference both sides
+    (``s.ts > t.ts``), a chained CASE picks each row's winning clause,
+    and the change relation carries the FULL per-row image — merge's
+    seams (uniqueness check = the multiple-matches error, CHECK
+    constraints, race rebase, change feed) all apply unchanged.
+
+    Scale: the target side of the condition join is file-pruned through
+    the PUBLIC prune API for single-key merges with ≤BLOOM_PROBE_CAP
+    distinct keys (stats + bucket transforms + bloom sidecars), so a
+    narrow conditional-CDC batch never joins the full table; rows whose
+    clauses all miss are dropped BEFORE merge_on_read, which then
+    prunes its own match scan the same way.
+
+    Key discipline: UPDATE may not SET a key column, and INSERT must
+    carry every key verbatim from the source (``s.k``) — the image key
+    is then always the join key, which is what lets ONE merge-on-read
+    commit express the whole statement atomically.
+    """
+    from pyspark.sql import functions as F
+
+    from fdf_spark.sources.bloomskip import BLOOM_PROBE_CAP
+    from fdf_spark.sources.versioned import (
+        _logical_schema,
+        _read_manifest,
+        list_versions,
+        merge_on_read,
+        read_version,
+    )
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    head = versions[-1]
+    schema = _logical_schema(_read_manifest(path, head))
+    src_cols = set(changes.columns)
+
+    def _is_src_key_ref(expr: str, k: str) -> bool:
+        e = expr.strip().strip("`")
+        return e == k or e == f"{src_alias}.{k}" or e.replace("`", "") == f"{src_alias}.{k}"
+
+    for cl in clauses:
+        if cl.action == "update" and any(c in keys for c in cl.sets):
+            raise ValueError(
+                "MERGE UPDATE may not SET a join key column "
+                "(rewrite as DELETE + INSERT, or use the Python API)"
+            )
+        if cl.action == "insert":
+            for k in keys:
+                if k not in cl.insert_cols:
+                    raise ValueError(f"MERGE INSERT must list key column {k!r}")
+                if not _is_src_key_ref(cl.insert_vals[cl.insert_cols.index(k)], k):
+                    raise ValueError(
+                        f"MERGE INSERT key {k!r} must come verbatim from the "
+                        f"source ({src_alias}.{k}) — an arbitrary key image "
+                        "could collide with existing rows; use commit_version "
+                        "for free-form inserts"
+                    )
+
+    # single-key narrow batch: prune the condition join's target side
+    # through the public prune API (stats/buckets/blooms)
+    prune = None
+    if len(keys) == 1:
+        kvals = [
+            r[0]
+            for r in changes.select(keys[0]).distinct().limit(BLOOM_PROBE_CAP + 1).collect()
+        ]
+        if len(kvals) <= BLOOM_PROBE_CAP and all(v is not None for v in kvals):
+            prune = (keys[0], kvals)
+    base = read_version(spark, path, version=head, prune=prune)
+    if schema is None:
+        schema = base.schema
+    base_cols = [f.name for f in schema.fields]
+
+    t = base.withColumn("__t_hit", F.lit(True)).alias(tgt_alias)
+    s = changes.alias(src_alias)
+    j = s.join(
+        t,
+        [F.col(f"{src_alias}.{k}") == F.col(f"{tgt_alias}.{k}") for k in keys],
+        "left",
+    )
+    is_m = F.coalesce(F.col("__t_hit"), F.lit(False))
+    act = None
+    for i, cl in enumerate(clauses):
+        pred = is_m if cl.matched else ~is_m
+        if cl.cond is not None:
+            pred = pred & F.expr(cl.cond)
+        act = (F.when if act is None else act.when)(pred, F.lit(i))
+    j = j.withColumn("__act", act).filter(F.col("__act").isNotNull())
+
+    def _clause_value(cl: _MergeClause, c: str):
+        tcol, scol = F.col(f"{tgt_alias}.{c}"), (
+            F.col(f"{src_alias}.{c}") if c in src_cols else None
         )
-    _ = src_alias  # alias is cosmetic: ON names are reduced to bare columns
-    return changes, keys, delete_flag
+        null = F.lit(None).cast(schema[c].dataType)
+        if cl.action == "update":
+            return F.expr(cl.sets[c]) if c in cl.sets else tcol
+        if cl.action == "update_star":
+            return scol if scol is not None else tcol
+        if cl.action == "delete":
+            return tcol  # payload irrelevant; key comes from the key image
+        if cl.action == "insert_star":
+            return scol if scol is not None else null
+        if c in cl.insert_cols:
+            return F.expr(cl.insert_vals[cl.insert_cols.index(c)])
+        return null
+
+    images = []
+    for c in base_cols:
+        if c in keys:
+            # matched rows: t.k (== s.k); inserts: s.k — coalesce is both
+            images.append(
+                F.coalesce(F.col(f"{tgt_alias}.{c}"), F.col(f"{src_alias}.{c}")).alias(c)
+            )
+            continue
+        img = None
+        for i, cl in enumerate(clauses):
+            img = (F.when if img is None else img.when)(
+                F.col("__act") == i, _clause_value(cl, c)
+            )
+        images.append(img.alias(c))
+    del_ids = [i for i, cl in enumerate(clauses) if cl.action == "delete"]
+    rel = j.select(
+        *images,
+        (
+            F.col("__act").isin(del_ids) if del_ids else F.lit(False)
+        ).alias("__mdel"),
+    )
+    return merge_on_read(
+        spark, path, rel, keys,
+        update_cols=[c for c in base_cols if c not in keys],
+        delete_flag="__mdel",
+    )
 
 
 def execute_dml(spark: SparkSession, path: str, statement: str) -> int:
@@ -304,8 +542,23 @@ def execute_dml(spark: SparkSession, path: str, statement: str) -> int:
         return commit_version(df, path, mode=mode)
     m = _MERGE_RE.match(stmt)
     if m:
-        changes, keys, delete_flag = _parse_merge(spark, m.group(3))
-        return merge_on_read(spark, path, changes, keys, delete_flag=delete_flag)
+        changes, keys, clauses, src_alias = _parse_merge(spark, m.group(3))
+        flag = _canonical_cdc(clauses)
+        if flag is not None:
+            # canonical CDC form: 1:1 onto merge_on_read, no target
+            # pre-join needed
+            return merge_on_read(
+                spark, path, changes, keys, delete_flag=(flag or None)
+            )
+        if src_alias is None:
+            raise ValueError(
+                "general MERGE clauses reference the source by alias — "
+                "add one: USING (…) AS s"
+            )
+        tgt_alias = m.group(2) or m.group(1).split(".")[-1]
+        return _general_merge(
+            spark, path, changes, keys, clauses, tgt_alias, src_alias
+        )
     v = _utility_statement(spark, path, stmt)
     if v is not None:
         return v

@@ -139,12 +139,17 @@ def test_dml_respects_check_constraints(spark, table):
 def test_unsupported_shapes_raise(spark, table):
     with pytest.raises(ValueError, match="unsupported DML"):
         execute_dml(spark, table, "TRUNCATE TABLE t")
-    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+    with pytest.raises(ValueError, match="cannot UPDATE"):
         execute_dml(
             spark, table,
             "MERGE INTO t USING (SELECT CAST(1 AS LONG) AS k) s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET v = 1 "
-            "WHEN NOT MATCHED THEN INSERT *",
+            "WHEN NOT MATCHED THEN UPDATE SET v = 1",
+        )
+    with pytest.raises(ValueError, match="equality conjunctions"):
+        execute_dml(
+            spark, table,
+            "MERGE INTO t USING (SELECT CAST(1 AS LONG) AS k) s ON t.k > s.k "
+            "WHEN MATCHED THEN UPDATE SET *",
         )
     with pytest.raises(ValueError, match="SET assignment"):
         execute_dml(spark, table, "UPDATE t SET WHERE k = 1")
@@ -198,3 +203,112 @@ def test_utility_verbs_optimize_vacuum_restore(spark, table):
         execute_dml(spark, table, "OPTIMIZE t ZORDER BY (k,)")
     with pytest.raises(ValueError, match="epoch seconds or an ISO"):
         execute_dml(spark, table, "RESTORE t TO TIMESTAMP AS OF 'yesterday'")
+
+
+# --- r13: general MERGE (conditional clauses, explicit assignments) --------
+
+
+def test_merge_general_conditional_clauses(spark, table):
+    """VERDICT r12 #3: multiple WHEN MATCHED [AND cond] with explicit
+    UPDATE SET col = expr, conditional NOT MATCHED INSERT (cols)
+    VALUES (…), first-matching-clause-wins precedence."""
+    ch = spark.createDataFrame(
+        [(5, 50.0), (6, 1.0), (500, 9.0), (600, -1.0)],
+        "k long, nv double",
+    )
+    ch.createOrReplaceTempView("gm_src")
+    v = execute_dml(
+        spark, table,
+        """
+        MERGE INTO t AS t USING gm_src AS s ON t.k = s.k
+        WHEN MATCHED AND s.nv > 10 THEN UPDATE SET v = s.nv, s = 'big'
+        WHEN MATCHED THEN UPDATE SET s = 'small'
+        WHEN NOT MATCHED AND s.nv > 0 THEN INSERT (k, v, s) VALUES (s.k, s.nv * 2, 'new')
+        """,
+    )
+    assert v == 2
+    df = read_version(spark, table)
+    r5 = df.filter("k = 5").first()
+    assert (r5.v, r5.s) == (50.0, "big")  # first clause wins
+    r6 = df.filter("k = 6").first()
+    assert (r6.v, r6.s) == (6 % 7, "small")  # second clause: v untouched
+    r500 = df.filter("k = 500").first()
+    assert (r500.v, r500.s) == (18.0, "new")
+    assert df.filter("k = 600").count() == 0  # no clause matched → dropped
+    assert df.count() == 101
+    spark.catalog.dropTempView("gm_src")
+
+
+def test_merge_general_cross_side_condition_and_delete(spark, table):
+    """Conditions referencing BOTH aliases (s.v > t.v) and a
+    conditional DELETE clause, compiled onto merge_on_read."""
+    ch = spark.createDataFrame(
+        [(10, 100.0, False), (11, -5.0, False), (12, 0.0, True)],
+        "k long, v double, drop boolean",
+    )
+    ch.createOrReplaceTempView("gm_src2")
+    execute_dml(
+        spark, table,
+        """
+        MERGE INTO t USING gm_src2 AS s ON t.k = s.k
+        WHEN MATCHED AND s.drop THEN DELETE
+        WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+        """,
+    )
+    df = read_version(spark, table)
+    assert df.filter("k = 10").first().v == 100.0  # s.v 100 > t.v 3
+    assert df.filter("k = 11").first().v == 11 % 7  # s.v -5 < t.v: untouched
+    assert df.filter("k = 12").count() == 0  # deleted
+    assert df.count() == 99
+    spark.catalog.dropTempView("gm_src2")
+
+
+def test_merge_general_precedence_is_clause_order(spark, table):
+    """Swapping clause order flips the outcome — first-match-wins is
+    the statement's order, not specificity."""
+    ch = spark.createDataFrame([(20, 99.0)], "k long, nv double")
+    ch.createOrReplaceTempView("gm_src3")
+    execute_dml(
+        spark, table,
+        """
+        MERGE INTO t USING gm_src3 AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET s = 'generic'
+        WHEN MATCHED AND s.nv > 10 THEN UPDATE SET s = 'specific'
+        """,
+    )
+    assert read_version(spark, table).filter("k = 20").first().s == "generic"
+    spark.catalog.dropTempView("gm_src3")
+
+
+def test_merge_general_multiple_matches_error(spark, table):
+    """Two source rows hitting the same target key raise (Delta's
+    multiple-matches error, via merge_on_read's uniqueness check)."""
+    ch = spark.createDataFrame([(30, 1.0), (30, 2.0)], "k long, nv double")
+    ch.createOrReplaceTempView("gm_src4")
+    with pytest.raises(Exception, match="[Dd]uplicate|unique"):
+        execute_dml(
+            spark, table,
+            "MERGE INTO t USING gm_src4 AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv",
+        )
+    assert list_versions(table) == [1]  # nothing landed
+    spark.catalog.dropTempView("gm_src4")
+
+
+def test_merge_general_key_discipline(spark, table):
+    ch = spark.createDataFrame([(40, 1.0)], "k long, nv double")
+    ch.createOrReplaceTempView("gm_src5")
+    with pytest.raises(ValueError, match="may not SET a join key"):
+        execute_dml(
+            spark, table,
+            "MERGE INTO t USING gm_src5 AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET k = s.k + 1",
+        )
+    with pytest.raises(ValueError, match="verbatim from the"):
+        execute_dml(
+            spark, table,
+            "MERGE INTO t USING gm_src5 AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.nv "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1000, s.nv)",
+        )
+    spark.catalog.dropTempView("gm_src5")
