@@ -38,6 +38,7 @@ import json
 import os
 import re
 import tempfile
+import threading
 import time
 import uuid
 
@@ -2033,6 +2034,10 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
         )
     finally:
         os.unlink(tmp)
+    # follower views (register_versioned_view(follow=…)) see the new
+    # head immediately in this session; best-effort by contract — the
+    # commit IS published, a refresh hiccup must not fail it
+    _refresh_follow_views(path)
 
 
 def resolve_as_of(path: str, as_of_ts: float) -> int:
@@ -2305,6 +2310,7 @@ def register_versioned_view(
     ref: str | None = None,
     as_of_ts: float | None = None,
     snapshots: bool = True,
+    follow: str | bool | None = None,
 ) -> int:
     """SQL surface for versioned tables (VERDICT r11 #3): pin a
     snapshot as a catalog TEMP VIEW so ``spark.sql("SELECT … FROM
@@ -2327,6 +2333,19 @@ def register_versioned_view(
     is materialized at registration time (metadata-only, O(versions))
     and is likewise a snapshot of the history as of now.
 
+    ``follow`` makes the view TRACK a moving pointer instead of
+    pinning (VERDICT r12 #4): ``follow=True`` (or ``"head"``) tracks
+    the table head; ``follow="<branch>"`` tracks a movable branch ref.
+    Every ENGINE commit in this session (any writer — they all publish
+    through ``_stage_and_publish_manifest`` — and every
+    :func:`set_branch` move) re-registers follower views
+    automatically, so an analyst's ``spark.sql`` sees the new snapshot
+    with no action on their part; commits from OTHER processes are
+    picked up by :func:`refresh_versioned_views` (the view is a
+    re-registration hook, not a live plan — Spark temp views pin their
+    file lists at analysis time, which is exactly what makes the
+    pinned variant a true snapshot).
+
     Reference parity: the logbook is the reference's SQL surface
     (factory.py:537-542) — this is the engine's own tables reaching
     the same interface.
@@ -2335,10 +2354,22 @@ def register_versioned_view(
         raise ValueError(f"invalid view name {name!r}")
     if sum(x is not None for x in (version, ref, as_of_ts)) > 1:
         raise ValueError("pass at most one of version / as_of_ts / ref")
+    if follow is not None and (version is not None or ref is not None or as_of_ts is not None):
+        raise ValueError("follow is exclusive with version / as_of_ts / ref")
     if as_of_ts is not None:
         version = resolve_as_of(path, as_of_ts)
     if ref is not None:
         version = resolve_ref(path, ref)
+    if follow is not None:
+        if follow in (True, "head"):
+            follow = "head"
+        else:
+            if list_refs(path).get(follow, {}).get("type") != "branch":
+                raise ValueError(
+                    f"follow={follow!r} is not a branch (tags are immutable "
+                    "— pin them with ref= instead)"
+                )
+            version = resolve_ref(path, follow)
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -2348,7 +2379,92 @@ def register_versioned_view(
         from fdf_spark.sources.metatables import table_history
 
         table_history(spark, path).createOrReplaceTempView(f"{name}_snapshots")
+    import weakref
+
+    with _FOLLOW_LOCK:
+        if follow is not None:
+            _FOLLOW_VIEWS[name] = {
+                "path": os.path.abspath(path), "follow": follow,
+                "spark": weakref.ref(spark), "version": v,
+                "snapshots": snapshots,
+            }
+        else:
+            # a pinned registration under the same name replaces (and
+            # therefore stops) any earlier follower
+            _FOLLOW_VIEWS.pop(name, None)
     return v
+
+
+#: follower-view registry (register_versioned_view(follow=…)): name →
+#: {path, follow, spark weakref, version, snapshots}
+_FOLLOW_VIEWS: dict[str, dict] = {}
+_FOLLOW_LOCK = threading.Lock()
+
+
+def _refresh_follow_views(path: str) -> None:
+    """Re-register every follower view of ``path`` whose pointer moved
+    — called AFTER a successful manifest publish / branch move, so it
+    must never fail the commit it follows: refresh errors leave the
+    view at its previous (still perfectly consistent) snapshot and the
+    next refresh_versioned_views call reports them loudly."""
+    ap = os.path.abspath(path)
+    with _FOLLOW_LOCK:
+        entries = [(n, dict(e)) for n, e in _FOLLOW_VIEWS.items() if e["path"] == ap]
+    for name, e in entries:
+        spark = e["spark"]()
+        if spark is None:
+            with _FOLLOW_LOCK:
+                _FOLLOW_VIEWS.pop(name, None)
+            continue
+        try:
+            _refresh_one_follow_view(spark, name, e)
+        except Exception:
+            pass  # commit already succeeded; refresh_versioned_views recovers
+
+
+def _refresh_one_follow_view(spark: SparkSession, name: str, e: dict) -> int:
+    v = (
+        list_versions(e["path"])[-1]
+        if e["follow"] == "head"
+        else resolve_ref(e["path"], e["follow"])
+    )
+    if v != e["version"]:
+        read_version(spark, e["path"], version=v).createOrReplaceTempView(name)
+        if e.get("snapshots"):
+            from fdf_spark.sources.metatables import table_history
+
+            table_history(spark, e["path"]).createOrReplaceTempView(f"{name}_snapshots")
+        with _FOLLOW_LOCK:
+            if name in _FOLLOW_VIEWS:
+                _FOLLOW_VIEWS[name]["version"] = v
+    return v
+
+
+def refresh_versioned_views(spark: SparkSession) -> dict[str, int]:
+    """Re-resolve every follower view registered in THIS session
+    against its pointer (head or branch) and re-register the ones that
+    moved — the recovery path for commits made by OTHER processes
+    (same-session engine commits refresh automatically).  Returns
+    ``{view_name: current_version}``; errors raise (unlike the
+    in-commit best-effort hook, a deliberate refresh must be loud)."""
+    out: dict[str, int] = {}
+    with _FOLLOW_LOCK:
+        entries = [(n, dict(e)) for n, e in _FOLLOW_VIEWS.items()]
+    for name, e in entries:
+        s = e["spark"]()
+        if s is None or s is not spark:
+            continue
+        out[name] = _refresh_one_follow_view(spark, name, e)
+    return out
+
+
+def unregister_versioned_view(spark: SparkSession, name: str) -> None:
+    """Drop a registered view (pinned or follower) and forget any
+    follower entry for it."""
+    with _FOLLOW_LOCK:
+        _FOLLOW_VIEWS.pop(name, None)
+    spark.catalog.dropTempView(name)
+    spark.catalog.dropTempView(f"{name}_snapshots")
 
 
 def diff_versions(
@@ -2931,6 +3047,7 @@ def set_branch(path: str, name: str, version: int) -> None:
     if refs[name]["type"] != "branch":
         raise ValueError(f"ref {name!r} is a tag — tags are immutable")
     _write_ref(path, name, version, "branch", move=True)
+    _refresh_follow_views(path)  # follower views of this branch move too
 
 
 def drop_ref(path: str, name: str) -> None:

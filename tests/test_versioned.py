@@ -1952,3 +1952,66 @@ def test_register_versioned_view_pins_snapshot(spark, tmp_path):
         V.register_versioned_view(spark, p, "bad name!")
     for vname in ("vv_head", "vv_tag", "vv_head_snapshots", "vv_tag_snapshots"):
         spark.catalog.dropTempView(vname)
+
+
+def test_follow_head_view_tracks_commits(spark, tmp_path):
+    """Follow-head SQL views (VERDICT r12 #4): a follow=True view sees
+    every same-session engine commit WITHOUT re-registration, while a
+    pinned view registered alongside stays frozen."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)                       # v1
+    assert V.register_versioned_view(spark, p, "fv_pin") == 1
+    assert V.register_versioned_view(spark, p, "fv_follow", follow=True) == 1
+    commit_version(_df(spark, 10, 30), p)                      # v2 (append)
+    assert spark.sql("SELECT COUNT(*) AS n FROM fv_follow").first().n == 30
+    assert spark.sql("SELECT COUNT(*) AS n FROM fv_pin").first().n == 10
+    V.delete_where(spark, p, "k < 5")                          # v3 (MoR delete)
+    assert spark.sql("SELECT COUNT(*) AS n FROM fv_follow").first().n == 25
+    assert spark.sql("SELECT COUNT(*) AS n FROM fv_pin").first().n == 10
+    # the _snapshots companion follows too
+    h = spark.sql("SELECT MAX(version) AS v FROM fv_follow_snapshots").first().v
+    assert h == 3
+    V.unregister_versioned_view(spark, "fv_pin")
+    V.unregister_versioned_view(spark, "fv_follow")
+
+
+def test_follow_branch_view_tracks_set_branch(spark, tmp_path):
+    """follow='<branch>' re-resolves the branch pointer: set_branch
+    moves the view; tags refuse to be followed."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)        # v1
+    commit_version(_df(spark, 10, 30), p)       # v2
+    V.create_branch(p, "dev", 1)
+    V.create_tag(p, "rel", 1)
+    assert V.register_versioned_view(spark, p, "fb_dev", follow="dev") == 1
+    assert spark.sql("SELECT COUNT(*) AS n FROM fb_dev").first().n == 10
+    V.set_branch(p, "dev", 2)
+    assert spark.sql("SELECT COUNT(*) AS n FROM fb_dev").first().n == 30
+    with pytest.raises(ValueError, match="not a branch"):
+        V.register_versioned_view(spark, p, "fb_bad", follow="rel")
+    with pytest.raises(ValueError, match="exclusive"):
+        V.register_versioned_view(spark, p, "fb_bad", follow=True, version=1)
+    V.unregister_versioned_view(spark, "fb_dev")
+
+
+def test_refresh_versioned_views_recovers_external_commits(spark, tmp_path, monkeypatch):
+    """Commits from ANOTHER process don't fire the in-session hook;
+    refresh_versioned_views re-resolves and re-registers loudly."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    V.register_versioned_view(spark, p, "rv_follow", follow=True)
+    # simulate an external committer: the in-session refresh hook is dark
+    monkeypatch.setattr(V, "_refresh_follow_views", lambda path: None)
+    commit_version(_df(spark, 10, 30), p)
+    monkeypatch.undo()
+    assert spark.sql("SELECT COUNT(*) AS n FROM rv_follow").first().n == 10  # stale
+    out = V.refresh_versioned_views(spark)
+    assert out == {"rv_follow": 2}
+    assert spark.sql("SELECT COUNT(*) AS n FROM rv_follow").first().n == 30
+    V.unregister_versioned_view(spark, "rv_follow")
