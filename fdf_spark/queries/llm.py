@@ -4013,3 +4013,90 @@ def q158_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_id", "b_id"
     )
     return materialize_and_cleanup(out, d)
+
+
+# the synthetic page q174 wraps around each document — ONE definition
+# drives both engines (Spark concat / SQL ||), so the query pins the
+# EXTRACTION chain, not the fixture
+_Q174_HTML_SQL = (
+    "'<html><head><title>' || source || "
+    "'</title><style type=\"text/css\"> p { color: #333; } </style>"
+    "<script>if (a < b && c > d) { track(\"' || lang || '\"); }</script></head>' "
+    "|| chr(10) || '<body>' || chr(10) || "
+    "'<div class=\"nav\">home | about</div>' || chr(10) || "
+    "'<h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || ' &lt;draft&gt;</h1>' "
+    "|| chr(10) || '<!-- hidden comment -->' || chr(10) || "
+    "'<p>' || text || '</p>' || chr(10) || "
+    "'<div>&#39;footer&#39;&nbsp;links</div>' || chr(10) || '</body></html>'"
+)
+
+from fdf_spark.llm.htmltext import (  # noqa: E402 — query-module tail
+    sql_boilerplate_line_filter,
+    sql_html_to_text,
+)
+
+
+@query(
+    "q174_html_extract",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, {_Q174_HTML_SQL} AS html FROM documents),
+    extracted AS (
+      SELECT doc_id, {sql_html_to_text('html')} AS txt FROM pages),
+    cleaned AS (
+      SELECT doc_id, txt, {sql_boilerplate_line_filter('txt', 4)} AS clean
+      FROM extracted)
+    SELECT doc_id,
+           {sql_hash60('txt')} AS h_text,
+           CAST(len(string_split(txt, chr(10))) AS INTEGER) AS n_lines,
+           {sql_hash60('clean')} AS h_clean
+    FROM cleaned ORDER BY doc_id
+    """,
+    operators=("N4",),
+    doc="HTML→text extraction (llm/htmltext.py, r13 — VERDICT r12 #7): "
+    "the most common real web-corpus ingest step as a DETERMINISTIC "
+    "JVM regexp_replace chain — script/style/comment block removal, "
+    "block-aware tag strip (structural tags become newlines), a fixed "
+    "entity subset decoded in standard order (&amp; last), whitespace "
+    "normalization — plus the tier-2 line-level boilerplate filter as "
+    "explode-free array ops. Every step is RE2∩Java regex (the N13 "
+    "discipline), and the oracle IS the same chain: sql_html_to_text "
+    "emits the DuckDB replay from the same step table the Spark "
+    "function applies, so the driver hash gate pins the two "
+    "implementations against each other per document (60-bit content "
+    "hashes of both tiers). Scale: pure column→column expressions — "
+    "no UDF, no shuffle; runs at scan speed inside whole-stage "
+    "codegen over 100 TB of crawl.",
+)
+def q174_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fdf_spark.llm.hashing import portable_hash60
+    from fdf_spark.llm.htmltext import boilerplate_line_filter, html_to_text
+
+    docs = T(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit('</title><style type="text/css"> p { color: #333; } </style>'
+              '<script>if (a < b && c > d) { track("'),
+        F.col("lang"),
+        F.lit('"); }</script></head>'), nl,
+        F.lit("<body>"), nl,
+        F.lit('<div class="nav">home | about</div>'), nl,
+        F.lit("<h1>Doc &amp; "), F.col("doc_id").cast("string"),
+        F.lit(" &lt;draft&gt;</h1>"), nl,
+        F.lit("<!-- hidden comment -->"), nl,
+        F.lit("<p>"), F.col("text"), F.lit("</p>"), nl,
+        F.lit("<div>&#39;footer&#39;&nbsp;links</div>"), nl,
+        F.lit("</body></html>"),
+    )
+    txt = html_to_text(html)
+    return (
+        docs.select(F.col("doc_id"), txt.alias("txt"))
+        .select(
+            "doc_id",
+            portable_hash60(F.col("txt")).alias("h_text"),
+            F.size(F.split(F.col("txt"), "\n")).alias("n_lines"),
+            portable_hash60(boilerplate_line_filter("txt", 4)).alias("h_clean"),
+        )
+        .orderBy("doc_id")
+    )

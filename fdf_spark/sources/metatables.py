@@ -143,6 +143,7 @@ def table_files(spark: SparkSession, path: str, version: int | None = None) -> D
     v = versions[-1] if version is None else version
     m = _read_manifest(path, v)
     fr = m.get("file_rows", {})
+    fb = m.get("file_bytes", {})
     specs = m.get("file_specs", {})
     dv, eqa = _delete_map(m), _eq_map(m)
     counts: dict[str, dict] = {}
@@ -152,8 +153,14 @@ def table_files(spark: SparkSession, path: str, version: int | None = None) -> D
         rows.append(
             (
                 f,
-                fr.get(f, _file_row_count(f)),
-                os.path.getsize(f) if os.path.exists(f) else None,
+                # conditional, NOT dict.get(f, footer_read(f)) — Python
+                # evaluates a .get default eagerly, which re-read every
+                # footer even when the manifest carried the count (and
+                # crashed on vacuumed files)
+                fr[f] if f in fr else _file_row_count(f),
+                # manifest bytes first (recorded at commit, r13) — the
+                # stat fallback covers pre-upgrade manifests only
+                fb.get(f, os.path.getsize(f) if os.path.exists(f) else None),
                 int(specs.get(f, 0)),
                 debt,
                 len(eqa.get(f, [])),
@@ -210,7 +217,9 @@ def table_partitions(spark: SparkSession, path: str, version: int | None = None)
         g = groups.setdefault(key, [0, 0, 0])
         g[0] += 1
         g[1] += fr.get(f, 0)
-        g[2] += os.path.getsize(f) if os.path.exists(f) else 0
+        g[2] += m.get("file_bytes", {}).get(
+            f, os.path.getsize(f) if os.path.exists(f) else 0
+        )
     rows = [
         (sid, part, n, r, b) for (sid, part), (n, r, b) in sorted(groups.items())
     ]
@@ -277,4 +286,147 @@ def table_blooms(spark: SparkSession, path: str, version: int | None = None) -> 
         rows,
         "file string, col string, phys_col string, m_bits bigint, k int, "
         "n_rows bigint, fpp double, algo string",
+    )
+
+
+def plan_maintenance(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 << 20,
+    min_small_files: int = 4,
+    max_debt_ratio: float = 0.10,
+    keep: int = 1,
+    retain_last_s: float = 168 * 3600.0,
+) -> DataFrame:
+    """The maintenance PLANNER (VERDICT r12 #6): one row per
+    recommended action over the table at ``path``, derived ENTIRELY
+    from metadata (manifest chain, parquet footer counts already in
+    the manifest, bloom sidecar parameter JSONs) — zero data reads,
+    thresholds as arguments.  A 100 TB operator reads this relation
+    instead of eyeballing table_files/table_blooms per table:
+
+    - ``('optimize', 'bin-pack', …)`` when ≥ ``min_small_files`` live
+      files sit under ``small_file_bytes`` (byte sizes from the
+      manifest's commit-time ``file_bytes``);
+    - ``('optimize', 'fold-deletes', …)`` when outstanding
+      deletion-vector debt exceeds ``max_debt_ratio`` of live rows, or
+      any equality-delete entries are outstanding (both from manifest
+      stats — never a tombstone scan);
+    - ``('build_blooms', '<col>', …)`` per indexed column with
+      uncovered live files (coverage gaps appear after ingests until
+      the incremental build re-runs);
+    - ``('vacuum', '', …)`` with the files/bytes a
+      ``vacuum(keep, retain_last_s)`` would reclaim — computed by the
+      SAME retention rule the destructive op applies
+      (``_retained_versions`` / ``_referenced_files``, one source of
+      truth), including named-ref pins and the window-boundary
+      snapshot.
+
+    Returns an empty relation when the table needs nothing.  Columns:
+    ``action, target, files, bytes, rows, detail``.
+    """
+    from fdf_spark.sources.bloomskip import sidecar_meta
+    from fdf_spark.sources.versioned import (
+        _manifest_all_files,
+        _mapping,
+        _read_manifest,
+        _referenced_files,
+        _retained_versions,
+        list_versions,
+    )
+
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    m = _read_manifest(path, versions[-1])
+    fr = m.get("file_rows", {})
+    fb = m.get("file_bytes", {})
+    dv, eqa = _delete_map(m), _eq_map(m)
+    rows: list[tuple] = []
+
+    # -- optimize: bin-pack small files --------------------------------
+    def _bytes(f: str) -> int | None:
+        if f in fb:
+            return fb[f]
+        import os
+
+        return os.path.getsize(f) if os.path.exists(f) else None
+
+    small = [
+        f for f in m["files"]
+        if fr.get(f, 1) != 0 and (_bytes(f) or 0) and (_bytes(f) or 0) < small_file_bytes
+    ]
+    if len(small) >= min_small_files:
+        rows.append(
+            (
+                "optimize", "bin-pack", len(small),
+                sum(_bytes(f) or 0 for f in small),
+                sum(fr.get(f, 0) for f in small),
+                f"{len(small)} live files under {small_file_bytes} bytes "
+                f"(threshold {min_small_files})",
+            )
+        )
+
+    # -- optimize: fold outstanding delete debt ------------------------
+    counts: dict[str, dict] = {}
+    debt_files = [f for f in m["files"] if dv.get(f) or eqa.get(f)]
+    dv_debt = sum(_debt_of(m, counts, f, dv.get(f, [])) for f in m["files"])
+    n_rows = sum(fr.get(f, 0) for f in m["files"])
+    n_eq = len({e for es in eqa.values() for e in es})
+    if (n_rows and dv_debt / n_rows > max_debt_ratio) or n_eq:
+        rows.append(
+            (
+                "optimize", "fold-deletes", len(debt_files),
+                None, dv_debt,
+                f"dv debt {dv_debt}/{n_rows} rows"
+                + (f" > {max_debt_ratio:.2f} of live" if n_rows and dv_debt / n_rows > max_debt_ratio else "")
+                + (f"; {n_eq} equality-delete entries" if n_eq else ""),
+            )
+        )
+
+    # -- build_blooms: coverage gaps per indexed column ----------------
+    rev = {p: c for c, p in _mapping(m).items()}
+    covered: dict[str, set] = {}
+    uncovered: dict[str, set] = {}
+    live_files = [f for f in m["files"] if fr.get(f, 1) != 0]
+    metas = {f: sidecar_meta(f) for f in live_files}
+    indexed = {p for sc in metas.values() if sc for p in sc}
+    for p in sorted(indexed):
+        gap = [f for f in live_files if not metas[f] or p not in metas[f]]
+        if gap:
+            rows.append(
+                (
+                    "build_blooms", rev.get(p, p), len(gap),
+                    None, sum(fr.get(f, 0) for f in gap),
+                    f"{len(gap)}/{len(live_files)} live files lack the "
+                    f"{rev.get(p, p)!r} bloom",
+                )
+            )
+    _ = covered, uncovered
+
+    # -- vacuum: reclaim estimate under the real retention rule --------
+    live_v, dead_v = _retained_versions(path, keep, retain_last_s)
+    if dead_v:
+        referenced = _referenced_files(path, live_v)
+        import os
+
+        root = os.path.abspath(path) + os.sep
+        reclaim: set[str] = set()
+        for v in dead_v:
+            for f in _manifest_all_files(_read_manifest(path, v)):
+                if f not in referenced and os.path.abspath(f).startswith(root):
+                    reclaim.add(f)
+        if reclaim:
+            sizes = [b for b in (_bytes(f) for f in sorted(reclaim)) if b is not None]
+            rows.append(
+                (
+                    "vacuum", "", len(reclaim), sum(sizes) or None, None,
+                    f"{len(dead_v)} versions outside keep={keep}/"
+                    f"retain={retain_last_s / 3600.0:.0f}h; "
+                    f"{len(reclaim)} unreferenced files",
+                )
+            )
+    return spark.createDataFrame(
+        rows, "action string, target string, files int, bytes bigint, "
+        "rows bigint, detail string",
     )

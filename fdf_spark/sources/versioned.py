@@ -125,7 +125,7 @@ def _read_manifest(path: str, version: int) -> dict:
 _CHECKPOINT_EVERY = 8
 _DELTA_DICTS = (
     "stats", "file_rows", "delete_files", "eq_deletes", "eq_applies",
-    "file_specs", "tomb_rows",
+    "file_specs", "tomb_rows", "file_bytes",
 )
 _DELTA_SETS = ("schema", "column_mapping", "retired_physical", "partition_specs", "current_spec")
 _DELTA_KEYS = frozenset(
@@ -2012,6 +2012,26 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
     manifest["tomb_rows"] = {
         t: (known[t] if t in known else _tomb_counts_footer(t)) for t in sorted(refd)
     }
+    # per-file on-disk byte sizes (Iceberg's file_size_in_bytes),
+    # centralized HERE like tomb_rows so no writer can forget them:
+    # inherited from the parent for carried files (data files are
+    # immutable), one os.stat for new ones — the metadata tables and
+    # plan_maintenance then answer size questions with zero filesystem
+    # walks even after files are gone (r13)
+    known_b: dict = dict(manifest.get("file_bytes") or {})
+    if (set(manifest["files"]) - set(known_b)) and manifest.get("parent") is not None:
+        try:
+            known_b = {
+                **_read_manifest(path, manifest["parent"]).get("file_bytes", {}),
+                **known_b,
+            }
+        except FileNotFoundError:
+            pass
+    manifest["file_bytes"] = {
+        f: known_b[f] if f in known_b else os.path.getsize(f)
+        for f in manifest["files"]
+        if f in known_b or os.path.exists(f)
+    }
     # store a DELTA against the parent except at checkpoint versions
     # (bounds reconstruction depth) — metadata written per commit is
     # O(changed files), not O(table files)
@@ -2809,32 +2829,14 @@ def widen_column(path: str, col: str, new_type: str) -> int:
     return version
 
 
-def vacuum(
-    path: str,
-    keep: int = 1,
-    orphan_grace_s: float = 3600.0,
-    retain_last_s: float | None = None,
-) -> list[str]:
-    """Drop all but the newest ``keep`` versions and delete data files
-    no surviving manifest references; returns the deleted files.
-
-    ``retain_last_s`` adds Delta's TIME-BASED retention on top of the
-    count: every version whose effective publish stamp (the same
-    monotonic-by-version rule ``resolve_as_of`` reads by) is within the
-    last ``retain_last_s`` seconds ALSO survives — so ``vacuum(p,
-    keep=1, retain_last_s=7*86400)`` is "keep a week of time travel",
-    regardless of how many commits the week saw.  Unstamped
-    (pre-upgrade) versions are retained conservatively.
-
-    Also sweeps ORPHANED stage directories — fully-written data from a
-    lost commit race or a crash between stage and publish. A stage dir
-    is swept only when its embedded version number is STRICTLY below
-    the current head (an in-flight commit targets head+1; a loser's
-    head+1 dir only becomes sweepable after the table moves past it)
-    AND it has been idle for ``orphan_grace_s`` — the mtime grace
-    guards the residual race where head advances twice while a slow
-    writer is still staging (same retention idea as Delta's vacuum
-    grace period)."""
+def _retained_versions(
+    path: str, keep: int, retain_last_s: float | None
+) -> tuple[list[int], list[int]]:
+    """The ``(live, dead)`` version split under vacuum's retention rule
+    — count-based ``keep``, named-ref pins, the time window, and the
+    window-boundary snapshot (ADVICE r11).  Extracted so
+    :func:`metatables.plan_maintenance` can ESTIMATE a vacuum with the
+    exact rule the destructive op applies (one source of truth)."""
     if keep < 1:
         raise ValueError("keep must retain at least one version")
     versions = list_versions(path)
@@ -2866,22 +2868,59 @@ def vacuum(
     live = sorted(live_set)
     if not live:
         raise ValueError("keep must retain at least one version")
+    return live, dead
 
-    def _all_files(m: dict):
-        # a manifest references its data files AND its tombstone files
-        # (positional and equality) — deleting a live snapshot's delete
-        # mask would RESURRECT rows
-        yield from m["files"]
-        for ts in _delete_map(m).values():
-            yield from ts
-        for e in _eq_entries(m).values():
-            yield from e["files"]
-    referenced = {f for v in live for f in _all_files(_read_manifest(path, v))}
-    # staged write-audit-publish manifests reference the staged batch's
-    # files AND the parent snapshot's (publish may still fast-forward
-    # them into a live version) — all protected until drop/publish
+
+def _manifest_all_files(m: dict):
+    """A manifest references its data files AND its tombstone files
+    (positional and equality) — deleting a live snapshot's delete mask
+    would RESURRECT rows."""
+    yield from m["files"]
+    for ts in _delete_map(m).values():
+        yield from ts
+    for e in _eq_entries(m).values():
+        yield from e["files"]
+
+
+def _referenced_files(path: str, live: list[int]) -> set[str]:
+    """Every file the retained versions reference, plus staged
+    write-audit-publish manifests' files (publish may still
+    fast-forward them into a live version) — all protected until
+    drop/publish."""
+    referenced = {f for v in live for f in _manifest_all_files(_read_manifest(path, v))}
     for wid in list_staged(path):
-        referenced.update(_all_files(_read_staged(path, wid)))
+        referenced.update(_manifest_all_files(_read_staged(path, wid)))
+    return referenced
+
+
+def vacuum(
+    path: str,
+    keep: int = 1,
+    orphan_grace_s: float = 3600.0,
+    retain_last_s: float | None = None,
+) -> list[str]:
+    """Drop all but the newest ``keep`` versions and delete data files
+    no surviving manifest references; returns the deleted files.
+
+    ``retain_last_s`` adds Delta's TIME-BASED retention on top of the
+    count: every version whose effective publish stamp (the same
+    monotonic-by-version rule ``resolve_as_of`` reads by) is within the
+    last ``retain_last_s`` seconds ALSO survives — so ``vacuum(p,
+    keep=1, retain_last_s=7*86400)`` is "keep a week of time travel",
+    regardless of how many commits the week saw.  Unstamped
+    (pre-upgrade) versions are retained conservatively.
+
+    Also sweeps ORPHANED stage directories — fully-written data from a
+    lost commit race or a crash between stage and publish. A stage dir
+    is swept only when its embedded version number is STRICTLY below
+    the current head (an in-flight commit targets head+1; a loser's
+    head+1 dir only becomes sweepable after the table moves past it)
+    AND it has been idle for ``orphan_grace_s`` — the mtime grace
+    guards the residual race where head advances twice while a slow
+    writer is still staging (same retention idea as Delta's vacuum
+    grace period)."""
+    live, dead = _retained_versions(path, keep, retain_last_s)
+    referenced = _referenced_files(path, live)
     # a surviving DELTA manifest whose base is about to die must be
     # materialized full first (while the chain is still intact) —
     # ascending order, so a chain of survivors re-roots on its first
@@ -2908,7 +2947,7 @@ def vacuum(
     root = os.path.abspath(path) + os.sep
     removed = []
     for v in dead:
-        for f in _all_files(dead_manifests[v]):
+        for f in _manifest_all_files(dead_manifests[v]):
             if f not in referenced and os.path.abspath(f).startswith(root) and os.path.exists(f):
                 os.remove(f)
                 removed.append(f)
@@ -2921,7 +2960,7 @@ def vacuum(
     # manifest names, idle past the grace period
     import shutil
 
-    head = versions[-1]
+    head = max(live)
     referenced_dirs = {os.path.dirname(f) for f in referenced}
     for sub, prefix in (("data", "c"), ("data", "w"), ("deletes", "d"), ("deletes", "e")):
         stage_root = os.path.join(path, sub)

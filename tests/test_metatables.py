@@ -217,3 +217,83 @@ def test_metadata_tables_use_manifest_tomb_rows(spark, table, monkeypatch):
     assert h[3].delete_debt == 50 and h[2].delete_debt == 0
     f = table_files(spark, table).collect()
     assert sum(r.dv_tombstones for r in f) == 50
+
+
+def test_plan_maintenance_all_actions_and_metadata_only(spark, tmp_path):
+    """plan_maintenance (VERDICT r12 #6): a table engineered to need
+    bin-pack, fold-deletes, build_blooms AND vacuum yields one row per
+    action; the plan is metadata-only — it still answers after every
+    data file is deleted from disk (the q160 trick), because byte
+    sizes ride the manifest (file_bytes, recorded at commit)."""
+    import glob
+    import os
+
+    from fdf_spark.sources.bloomskip import build_blooms
+    from fdf_spark.sources.metatables import plan_maintenance
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+    commit_version(
+        spark.createDataFrame([(-1, 0)], "k long, v long").coalesce(1), p
+    )                                             # v1: junk → vacuum target
+    commit_version(df.repartition(6), p, mode="overwrite")  # v2: six SMALL files
+    build_blooms(spark, p, ["k"])                 # full coverage at v2
+    commit_version(
+        spark.createDataFrame([(10_000, 1)], "k long, v long"), p, mode="append"
+    )                                             # v3: uncovered file → bloom gap
+    delete_where(spark, p, "k < 2500")            # v4: ~50% dv debt
+    plan = {r.action + "/" + r.target: r for r in plan_maintenance(
+        spark, p, small_file_bytes=32 << 20, min_small_files=4,
+        max_debt_ratio=0.10, keep=1, retain_last_s=0.0,
+    ).collect()}
+    assert "optimize/bin-pack" in plan and plan["optimize/bin-pack"].files >= 6
+    assert plan["optimize/bin-pack"].bytes > 0
+    assert "optimize/fold-deletes" in plan and plan["optimize/fold-deletes"].rows >= 2000
+    assert "build_blooms/k" in plan and plan["build_blooms/k"].files == 1
+    assert "vacuum/" in plan and plan["vacuum/"].files >= 1 and plan["vacuum/"].bytes > 0
+    # closing the bloom gap removes exactly that row
+    build_blooms(spark, p, ["k"])
+    plan2 = plan_maintenance(
+        spark, p, small_file_bytes=32 << 20, min_small_files=4,
+        max_debt_ratio=0.10, keep=1, retain_last_s=0.0,
+    ).collect()
+    assert not [r for r in plan2 if r.action == "build_blooms"]
+    # the q160 trick: every data page gone → the plan still answers
+    # (sizes from manifest file_bytes, debt from tomb_rows, coverage
+    # from sidecar JSONs)
+    for f in glob.glob(os.path.join(p, "data", "*", "*.parquet")):
+        os.remove(f)
+    plan3 = {r.action + "/" + r.target: r for r in plan_maintenance(
+        spark, p, small_file_bytes=32 << 20, min_small_files=4,
+        max_debt_ratio=0.10, keep=1, retain_last_s=0.0,
+    ).collect()}
+    assert plan3["optimize/bin-pack"].bytes == plan["optimize/bin-pack"].bytes
+    assert plan3["optimize/fold-deletes"].rows == plan["optimize/fold-deletes"].rows
+
+
+def test_plan_maintenance_empty_on_healthy_table(spark, tmp_path):
+    """A freshly-optimized single-version table recommends nothing
+    (with default thresholds and no history to reclaim)."""
+    from fdf_spark.sources.metatables import plan_maintenance
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    commit_version(df.coalesce(1), p)
+    plan = plan_maintenance(spark, p, min_small_files=4).collect()
+    assert plan == []
+
+
+def test_table_files_bytes_from_manifest(spark, tmp_path):
+    """table_files serves byte sizes from the manifest's commit-time
+    file_bytes — identical to the stat, and still present after the
+    file is gone."""
+    import os
+
+    p = str(tmp_path / "t")
+    commit_version(spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1), p)
+    rows = table_files(spark, p).collect()
+    assert len(rows) == 1
+    f = rows[0].file
+    assert rows[0].bytes == os.path.getsize(f)
+    os.remove(f)
+    assert table_files(spark, p).collect()[0].bytes == rows[0].bytes
