@@ -125,23 +125,25 @@ PRIORITY: tuple[str, ...] = (
     "q125_pipeline_export",        # N1+N12+N7+N24 full pipeline incl. shard export (r5; supersedes q106 as the in-window acceptance test)
     "q122_incremental_view",       # N23 incremental view maintenance (r5; displaced q107 — N6 covered by q68)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
-    "q165_bucket_pruned_lookup",    # N17+S10+P6 hidden bucket partitioning (r11; displaced q134 — N5 stays in-window via q119, J6 via q86; q134 remains sweep-green). The transform-pruned point lookup (the shape range stats cannot prune) enters the driver hash gate with an engine-computed pruned flag.
     "q163_wap_audit_publish",       # N17+N18 write-audit-publish + named refs (r11; displaced q124 — N24 stays in-window via q125_pipeline_export's shard-export stage, q124 remains sweep-green). The stage-invisible/audit/fast-forward-publish lifecycle and the tag pin enter the driver hash gate.
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
     "q162_equality_delete",         # N15+N17+J6 equality-delete tier (r11, VERDICT r10 #6; displaced q110 — N15 stays in-window via q159+q162 itself, J2 via q03/q04/q148, U2/S10 via q08/q148/q159; q110 remains sweep-green). The zero-scan delete-by-key path and its scope rule enter the driver hash gate.
     "q115_pagerank",                # N16 (q92 J3/F1/F2/P3 all covered by q148/q16/q44/q42)
-    # -- r12 rotation (VERDICT r11 #2/#3): the six headline versioned-table
-    # features enter the driver hash gate.  Displaced, all sweep-green and
-    # coverage-neutral (checked mechanically by test_registry):
-    # q03 (J2/J3/P6 via q04/q148/q01/q165), q05 (J5/P8/A6 via q121/q86's
-    # family reps), q55 (ST1/ST3/ST4/S7/J7 fully via q53/q54/q149),
-    # q65 (N3 via q155), q117 (N18 via q163+q168), q161 (N17 via ~12 reps).
-    "q160_metadata_aggregates",     # N17+A6 zero-scan count/min/max from the manifest
-    "q164_restore_rollback",        # N17 RESTORE: rollback as manifest-only commit
-    "q166_metadata_history",        # N17+S5 history/files/partitions metadata tables
-    "q167_update_where",            # N15+N17 row-level UPDATE as merge-on-read
+    # -- r12 rotation remnant (VERDICT r11 #2/#3); q160/q164/q166/q167/
+    # q169 rotated back out in r13 (below), all sweep-green.
     "q168_check_constraint_gate",   # N17+N18 write-time CHECK enforcement
-    "q169_sql_snapshot_view",       # N17+S4 spark.sql over pinned snapshot views (r12)
+    # -- r13 rotation (VERDICT r12 #2 + the round's headline features).
+    # Displaced, all sweep-green and coverage-neutral (checked
+    # mechanically by test_registry): q160 (A6 via q19/q100/q122),
+    # q164 (N17 via ~12 reps), q165 (S10 via q148/q159/q163, P6 via
+    # q82/q121/q171), q166 (S5 via q81/q80/q175), q167 (N15 via
+    # q159/q156/q162/q170/q173), q169 (S4 via q04/q170/q173).
+    "q170_sql_dml_lifecycle",       # N17+N15+S4 all four SQL DML verbs, one table (r12)
+    "q171_bloom_point_lookup",      # N17+P6 per-file bloom sidecar skipping (r12)
+    "q172_shallow_clone_fork",      # N17 zero-copy CLONE fork isolation (r12)
+    "q173_sql_merge_clauses",       # N15+N17+S4 general MERGE: conditional clauses (r13)
+    "q174_html_extract",            # N4 HTML→text regexp chain, oracle IS the same chain (r13)
+    "q175_plan_maintenance",        # N17+S5 metadata-only maintenance planner (r13)
 )
 
 

@@ -2692,6 +2692,72 @@ def q173_sql_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q175_plan_maintenance",
+    """
+    WITH appended AS (SELECT * FROM orders WHERE o_orderkey % 8 = 3),
+    live AS (
+      SELECT * FROM orders WHERE o_orderkey % 8 IN (0, 1, 2)
+      UNION ALL SELECT * FROM appended)
+    SELECT 'build_blooms' AS action, 'o_orderkey' AS target,
+           CAST(1 AS INTEGER) AS files,
+           (SELECT COUNT(*) FROM appended) AS n_rows
+    UNION ALL
+    SELECT 'optimize', 'bin-pack', CAST(7 AS INTEGER),
+           (SELECT COUNT(*) FROM live)
+    UNION ALL
+    SELECT 'optimize', 'fold-deletes', CAST(NULL AS INTEGER),
+           (SELECT COUNT(*) FROM live WHERE o_custkey % 5 = 0)
+    UNION ALL
+    SELECT 'vacuum', '', CAST(1 AS INTEGER), CAST(NULL AS BIGINT)
+    ORDER BY action, target
+    """,
+    operators=("N17", "S5"),
+    doc="Maintenance planner (metatables.plan_maintenance, r13 — "
+    "VERDICT r12 #6): ONE metadata-only relation recommending every "
+    "outstanding action for a table engineered to need all four — "
+    "bin-pack (7 small live files), fold-deletes (20% dv debt > the "
+    "10% threshold), a bloom coverage gap (the post-build append), "
+    "and a vacuum reclaim estimate computed by the SAME retention "
+    "rule the destructive op applies (the overwritten v1 file). The "
+    "oracle derives the expected file counts and row magnitudes "
+    "relationally; byte columns are excluded (compression-dependent). "
+    "Scale: a 100 TB operator reads this relation per table instead "
+    "of eyeballing table_files/table_blooms — zero data reads, "
+    "answerable even after files are gone (sizes ride the manifest).",
+)
+def q175_plan_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.bloomskip import build_blooms
+    from fdf_spark.sources.metatables import plan_maintenance
+    from fdf_spark.sources.versioned import commit_version, delete_where
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="fdf_plan_")
+    commit_version(orders.filter(k % 8 == 7).coalesce(1), path)          # v1: vacuum bait
+    commit_version(
+        orders.filter(k % 8 < 3).repartition(6), path, mode="overwrite"  # v2: 6 small files
+    )
+    build_blooms(spark, path, ["o_orderkey"])                            # cover v2
+    commit_version(orders.filter(k % 8 == 3).coalesce(1), path, mode="append")  # v3: gap
+    delete_where(spark, path, "o_custkey % 5 = 0")                       # v4: 20% debt
+    plan = plan_maintenance(
+        spark, path, small_file_bytes=32 << 20, min_small_files=4,
+        max_debt_ratio=0.10, keep=1, retain_last_s=0.0,
+    )
+    out = plan.select(
+        "action", "target",
+        # fold-deletes file counts depend on how deleted keys scatter
+        # across files — not relationally derivable, nulled for the gate
+        F.when(F.col("target") == "fold-deletes", F.lit(None))
+        .otherwise(F.col("files")).alias("files"),
+        F.col("rows").alias("n_rows"),
+    ).orderBy("action", "target")
+    return _materialize_and_cleanup(out, path)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

@@ -30,6 +30,7 @@ ROWS = [
     ("gradient (A10)", "non-uniform-grid gradient, 10k series (A10)", "100 M"),
     ("simhash 48-bit (N2)", "SimHash 48-bit map-side fold (N2)", "2 M docs (24 M tokens)"),
     ("pii detect+redact (N13)", "PII detect+redact, 6-regex chain (N13)", "20 M docs"),
+    ("html extract (N4)", "HTML→text extraction: regexp_replace chain (script/style/comment strip, block-aware tag removal, entity decode) + line-level boilerplate filter — zero-shuffle whole-stage codegen (N4/q174, r13)", "5 M pages"),
     ("decontaminate (N12)", "decontaminate vs 50k-doc benchmark (N12)", "5 M docs (40 M shingles)"),
     ("dup spans (N2)", "span-level substring dedup (N2), 1% planted boilerplate", "2 M docs (34 M grams)"),
     ("mixture sample (N7)", "mixture sample, 100 sources (N7)", "50 M docs"),
@@ -87,6 +88,8 @@ ROWS = [
     ("eq-delete 100k keys (N17)", "EQUALITY-DELETE of 100k keys: delete_keys writes the key relation itself, ZERO base-table scan — write O(keys) bytes, scoped to current files by footer stats (N17/q162)", "100 k keys"),
     ("eq masked read (N17)", "full-table agg THROUGH the equality mask: one broadcast anti-join on the key columns over only stats-overlapping files, until the next OPTIMIZE fold (N17/q162)", "20 M"),
     ("mor 1-row update (N15)", "row-level UPDATE of one matched row: old image position-tombstoned + SET image appended under ONE manifest — write O(matched rows); the CoW row above is the rewrite counterfactual (N15/q167)", "20 M"),
+    ("mor merge racing append (N15)", "merge_on_read LOSING the publish race to a blind append with DISJOINT keys: the rebase binds the staged tombstones/images to the new head MANIFEST-ONLY — zero files probed, merge never re-runs (N15, r13 — the r12 lost-race recovery measured)", "20 M"),
+    ("mor merge racing overlap (N15)", "the SAME lost race where the blind append carries one of the merge's keys: the rebase re-probes ONLY the head-added files (bounds/bucket-pruned), tombstones the racer's row and restages a corrected image — probed_files printed in-run, never a table scan (N15, r13)", "20 M"),
     ("wap stage 1M batch (N17)", "WRITE-AUDIT-PUBLISH stage: a 1M-row batch lands fully-written but INVISIBLE under _staged/ (N17/q163)", "1 M batch"),
     ("wap audit read (N17)", "the audit pass reads the FULL would-be snapshot (parent files + staged batch, through delete masks) before anything is readable to consumers (N17/q163)", "20 M + 1 M"),
     ("wap publish manifest-only", "fast-forward publish of the audited batch: MANIFEST-ONLY — zero data bytes move regardless of batch or table size (N17/q163)", "1 M batch"),
@@ -96,8 +99,11 @@ ROWS = [
     ("bucket 3-key lookup (N17)", "3-key point lookup THROUGH the bucket transform: probe values mapped driver-side (Murmur3 port, zero jobs), only the touched buckets' files opened — files_read printed in-run (N17/q165)", "20 M"),
     ("bloom sidecar build (N17)", "one-time bloom-sidecar build over the UNclustered copy (compute-stats action, ~10 bits/row vectorized splitmix64): the point-lookup answer for columns the layout does not serve (N17/q171)", "20 M"),
     ("bloom 3-key lookup (N17)", "the SAME 3-key probe through the sidecars: files whose bloom rejects every key are skipped driver-side — files_read printed in-run; compare the plain row above (N17/q171)", "20 M"),
+    ("bloom backfill 40M (N17)", "one-time bloom BACKFILL at 2× scale with sidecars written EXECUTOR-SIDE (tmp+rename next to each data file; the driver collect carries one (file, built) row per file) — peak-RSS delta printed in-run as the bounded-driver-memory evidence (N17, r13 — VERDICT r12 #1)", "40 M / 64 files"),
+    ("bloom 3-key lookup 40M (N17)", "the 3-key probe through the backfilled 40M sidecars — files_read printed in-run; pruning scales with the corpus, the probe cost does not (N17/q171)", "40 M"),
     ("plain 3-key lookup (N17)", "the SAME 3-key lookup on an unclustered copy — range stats on a high-cardinality key prune nothing, every file read: the transform's counterfactual (N17/q165)", "20 M"),
     ("1-file append to 512 files (N17)", "DELTA-ENCODED manifest: one more append to a 512-file table publishes O(changed files) metadata — delta vs full(checkpoint) manifest bytes printed in-run (N17)", "512+1 files"),
+    ("plan_maintenance 513 files", "maintenance PLANNER over the 513-file table: bin-pack/fold/bloom/vacuum recommendations from manifest + sidecar metadata only — actions printed in-run, zero data reads at any table size (N17, r13 — VERDICT r12 #6)", "513 files"),
     ("restore 8M-row head (N17)", "RESTORE to v1: head resets to the old snapshot's exact state (files/schema/masks) as a NEW commit — manifest-only, zero data bytes moved at any table size (N17/q164)", "8 M"),
     ("incr near-dup vs 1M landed (N2)", "continuous-ingest near-dup: 100k-doc ingest probing a 1M-fingerprint landed index (3×20-bit bands/word, exact for dist<=5) (N2/q158)", "100 k batch"),
     ("incr near-dup vs 10M landed (N2)", "the SAME 100k ingest against a 10M-fingerprint landed index — cost is one 16 B/doc index scan + the probe, never landed×landed (N2/q158)", "100 k batch"),

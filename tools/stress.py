@@ -210,6 +210,35 @@ def main() -> None:
     )
     timed("pii detect+redact (N13)", n, detect_pii(docs))
 
+    # 13b) HTML→text extraction (N4, r13): the regexp_replace chain +
+    # line-level boilerplate filter — zero-shuffle whole-stage codegen,
+    # same discipline as the PII chain above
+    from fdf_spark.llm.htmltext import boilerplate_line_filter, html_to_text
+
+    n = 5_000_000
+    pages = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit('<html><head><style>p { color: #333; }</style>'
+                  '<script>if (a < b && c > d) { track("x"); }</script></head>'
+                  '<body>\n<div class="nav">home | about</div>\n<h1>Doc &amp; '),
+            F.col("id").cast("string"),
+            F.lit(" &lt;draft&gt;</h1>\n<p>lorem ipsum dolor sit amet consectetur "
+                  "adipiscing elit sed do eiusmod tempor incididunt ut labore et "
+                  "dolore magna aliqua ut enim ad minim veniam</p>\n"
+                  "<div>&#39;footer&#39;&nbsp;links</div>\n</body></html>"),
+        ).alias("html"),
+    )
+    timed(
+        "html extract (N4)", n,
+        pages.select(
+            "doc_id",
+            F.length(
+                boilerplate_line_filter(html_to_text(F.col("html")), 4)
+            ).alias("n_chars"),
+        ),
+    )
+
     # 14) decontamination (N12): 5M corpus docs probed against a 50k-doc
     # benchmark — benchmark shingles broadcast, corpus never join-shuffled
     from fdf_spark.llm.decontam import decontaminate
@@ -1157,6 +1186,65 @@ def main() -> None:
             flush=True,
         )
 
+        # 32c2) LOST-RACE rebase (N15, r13 — VERDICT r12 #8): a
+        # merge_on_read losing the publish race to a BLIND APPEND.
+        # Disjoint keys → the rebase is MANIFEST-ONLY (probes zero
+        # files); an overlapping key → the rebase re-probes ONLY the
+        # head-added files (never the table), tombstones the racer's
+        # row and restages a corrected image.  Mode + probed_files
+        # printed in-run; the uncontended rows above are the baseline.
+        import fdf_spark.sources.versioned as V
+        from fdf_spark.sources.versioned import merge_on_read
+
+        def _merge_racing_append(label, appender, merge_keys):
+            ch = spark.createDataFrame(
+                [(k, float(k % 97), 1) for k in merge_keys],
+                "k long, v double, g long",
+            )
+            orig = V._publish_manifest_atomic
+            state = {"raced": False}
+
+            def racing(staged, dst):
+                if not state["raced"]:
+                    state["raced"] = True
+                    V._publish_manifest_atomic = orig  # racer publishes clean
+                    appender()
+                return orig(staged, dst)
+
+            V._publish_manifest_atomic = racing
+            try:
+                t0 = time.perf_counter()
+                v = merge_on_read(spark, p, ch, ["k"])
+                dt = time.perf_counter() - t0
+            finally:
+                V._publish_manifest_atomic = orig
+            rb = _read_manifest(p, v)["meta"]["merge_on_read"].get("rebase") or {}
+            mode = "manifest-only" if rb.get("probed_files", 0) == 0 else "re-probe"
+            print(
+                f"{label:28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s "
+                f"rebase={mode} probed_files={rb.get('probed_files', 0)}",
+                flush=True,
+            )
+
+        from fdf_spark.sources.versioned import _read_manifest
+
+        _merge_racing_append(
+            "mor merge racing append (N15)",
+            lambda: commit_version(
+                spark.createDataFrame([(900_000_001, 1.0, 2)], "k long, v double, g long"),
+                p, mode="append",
+            ),
+            [111_111, 222_222],
+        )
+        _merge_racing_append(
+            "mor merge racing overlap (N15)",
+            lambda: commit_version(
+                spark.createDataFrame([(333_333, -1.0, 3)], "k long, v double, g long"),
+                p, mode="append",
+            ),
+            [333_333, 444_444],
+        )
+
         # 32d) write-audit-publish lifecycle (N17/q163, VERDICT r11 #8):
         # stage a 1M-row batch invisibly on the 20M-row table, audit-read
         # exactly the staged bytes, then fast-forward it into the chain.
@@ -1360,6 +1448,49 @@ def main() -> None:
             f"{n/dt/1e6:8.1f} Mrows/s files_read={n_read}",
             flush=True,
         )
+
+        # 34c) bloom BACKFILL at 2× with BOUNDED DRIVER MEMORY (r13 —
+        # VERDICT r12 #1): sidecars over a 40M-row/64-file corpus are
+        # written EXECUTOR-SIDE (tmp + os.replace next to each data
+        # file); the driver collect carries one (file, built) row per
+        # file — peak-RSS delta printed in-run as the boundedness
+        # evidence (the pre-r13 design collected every bitset).
+        import resource
+
+        p40 = os.path.join(d, "p40")
+        n40 = 40_000_000
+        commit_version(
+            spark.range(0, n40, 1, 64).select(
+                (F.xxhash64(F.col("id").cast("string")) % n40).alias("k"),
+                ((F.col("id") * 13) % 97).cast("double").alias("v"),
+            ).repartition(64),
+            p40,
+        )
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.perf_counter()
+        res = build_blooms(spark, p40, ["k"])
+        dt = time.perf_counter() - t0
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        print(
+            f"{'bloom backfill 40M (N17)':28s} {n40/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n40/dt/1e6:8.1f} Mrows/s files={res['built']} "
+            f"driver_peak_rss_delta={(rss1 - rss0) / 1024:.0f} MB "
+            f"(collect: 2 tiny cols/file)",
+            flush=True,
+        )
+        keys40 = [r.k for r in read_version(spark, p40).limit(3).collect()]
+        probe = read_version(spark, p40, prune=("k", keys40))
+        n_read = len(probe.inputFiles())
+        t0 = time.perf_counter()
+        probe.filter(F.col("k").isin(keys40)).groupBy().agg(
+            F.count("*"), F.sum("v")
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(
+            f"{'bloom 3-key lookup 40M (N17)':28s} {n40/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n40/dt/1e6:8.1f} Mrows/s files_read={n_read}",
+            flush=True,
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
@@ -1406,6 +1537,20 @@ def main() -> None:
             f"{'1-file append to 512 files (N17)':28s} {0.001:8.1f} Mrows {dt:7.2f} s "
             f"{0.001/dt:8.1f} Mrows/s delta manifest {delta_b/1024:.1f} KB vs full {full_b/1024:.0f} KB "
             f"({full_b/delta_b:.0f}×)",
+            flush=True,
+        )
+        # 35b) maintenance PLANNER over the 513-file table (r13 —
+        # VERDICT r12 #6): one metadata-only relation recommending the
+        # outstanding actions; wall is manifest decode + sidecar stats,
+        # zero data reads at any table size.
+        from fdf_spark.sources.metatables import plan_maintenance
+
+        t0 = time.perf_counter()
+        acts = plan_maintenance(spark, p, retain_last_s=0.0).collect()
+        dt = time.perf_counter() - t0
+        print(
+            f"{'plan_maintenance 513 files':28s} {8.0:8.1f} Mrows {dt:7.2f} s "
+            f"{8.0/dt:8.1f} Mrows/s actions={sorted(set(a.action for a in acts))}",
             flush=True,
         )
         t0 = time.perf_counter()
