@@ -2758,6 +2758,66 @@ def q175_plan_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q176_sql_ddl_lifecycle",
+    f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, o_totalprice AS total
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1)
+    SELECT k % 4 AS bucket, COUNT(*) AS n_rows,
+           {sql_dsum('total')} AS total_price
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    operators=("N17", "S4"),
+    doc="SQL DDL lifecycle (sqldml._ddl_statement, r13): CREATE TABLE "
+    "AS SELECT bootstraps the versioned table, ALTER TABLE RENAME "
+    "COLUMN is a manifest-only column-mapping commit (the physical "
+    "file column keeps its name; later INSERTs and reads resolve "
+    "through the mapping), SET PARTITION SPEC changes the layout of "
+    "future writes only, and ADD CONSTRAINT gates them — then one "
+    "aggregate over the final snapshot replays relationally in the "
+    "oracle. Scale: the full evolve-in-place story (no table rewrite "
+    "for any of these) driven entirely from SQL strings.",
+)
+def q176_sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml
+    from fdf_spark.sources.versioned import read_version
+
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    orders.createOrReplaceTempView("q176_orders")
+    path = tempfile.mkdtemp(prefix="fdf_ddl_")
+    try:
+        execute_dml(
+            spark, path,
+            "CREATE TABLE t AS SELECT o_orderkey AS k, o_totalprice AS price "
+            "FROM q176_orders WHERE o_orderkey % 3 = 0",
+        )
+        execute_dml(spark, path, "ALTER TABLE t RENAME COLUMN price TO total")
+        execute_dml(spark, path, "ALTER TABLE t SET PARTITION SPEC (bucket(8, k))")
+        execute_dml(
+            spark, path,
+            "ALTER TABLE t ADD CONSTRAINT total_pos CHECK (total >= 0)",
+        )
+        execute_dml(
+            spark, path,
+            "INSERT INTO t SELECT o_orderkey, o_totalprice FROM q176_orders "
+            "WHERE o_orderkey % 3 = 1",
+        )
+        out = (
+            read_version(spark, path)
+            .groupBy((F.col("k") % 4).alias("bucket"))
+            .agg(F.count("*").alias("n_rows"), dsum("total").alias("total_price"))
+            .orderBy("bucket")
+        )
+        return _materialize_and_cleanup(out, path)
+    finally:
+        spark.catalog.dropTempView("q176_orders")
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (

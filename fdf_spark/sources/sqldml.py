@@ -562,9 +562,13 @@ def execute_dml(spark: SparkSession, path: str, statement: str) -> int:
     v = _utility_statement(spark, path, stmt)
     if v is not None:
         return v
+    v = _ddl_statement(spark, path, stmt)
+    if v is not None:
+        return v
     raise ValueError(
         "unsupported DML statement (DELETE/UPDATE/INSERT/MERGE/"
-        f"OPTIMIZE/VACUUM/RESTORE): {stmt[:80]!r}"
+        "OPTIMIZE/VACUUM/RESTORE/CREATE TABLE AS/ALTER TABLE): "
+        f"{stmt[:80]!r}"
     )
 
 
@@ -630,3 +634,99 @@ def _utility_statement(spark: SparkSession, path: str, stmt: str):
                 ) from None
         return restore_table(path, as_of_ts=ts)
     return None
+
+
+_CTAS_RE = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+AS\s+(.*)$", re.I | re.S
+)
+_ALTER_RE = re.compile(rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", re.I | re.S)
+_RENAME_COL_RE = re.compile(
+    rf"^RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})\s*$", re.I | re.S
+)
+_DROP_COL_RE = re.compile(rf"^DROP\s+COLUMN\s+({_IDENT})\s*$", re.I | re.S)
+_WIDEN_COL_RE = re.compile(
+    rf"^ALTER\s+COLUMN\s+({_IDENT})\s+TYPE\s+(\w+)\s*$", re.I | re.S
+)
+_ADD_CONS_RE = re.compile(
+    r"^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.*)\)\s*$", re.I | re.S
+)
+_DROP_CONS_RE = re.compile(r"^DROP\s+CONSTRAINT\s+(\w+)\s*$", re.I | re.S)
+_SET_SPEC_RE = re.compile(
+    r"^SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*$", re.I | re.S
+)
+
+
+def _ddl_statement(spark: SparkSession, path: str, stmt: str):
+    """DDL verbs routed onto the engine's schema/spec evolution seams
+    (r13) — the manifest-only commits users of Delta/Iceberg write as
+    SQL today:
+
+        CREATE [OR REPLACE] TABLE t AS SELECT …
+        ALTER TABLE t RENAME COLUMN a TO b
+        ALTER TABLE t DROP COLUMN c
+        ALTER TABLE t ALTER COLUMN c TYPE bigint          (widening only)
+        ALTER TABLE t ADD CONSTRAINT nm CHECK (<expr>)
+        ALTER TABLE t DROP CONSTRAINT nm
+        ALTER TABLE t SET PARTITION SPEC (bucket(16, k), days(ts))
+
+    Returns the resulting version number (constraint verbs return the
+    unchanged head — they publish no snapshot); ``None`` when the
+    statement is not DDL.  The statement's table name is cosmetic, as
+    everywhere in this module — the caller's ``path`` is the target.
+    """
+    from fdf_spark.sources.versioned import (
+        add_check_constraint,
+        commit_version,
+        drop_check_constraint,
+        drop_column,
+        list_versions,
+        rename_column,
+        set_partition_spec,
+        widen_column,
+    )
+
+    m = _CTAS_RE.match(stmt)
+    if m:
+        replace = m.group(1) is not None
+        q = m.group(3).strip()
+        if not q:
+            raise ValueError("CREATE TABLE AS needs a source query")
+        if list_versions(path) and not replace:
+            raise ValueError(
+                f"table already exists at {path} — use CREATE OR REPLACE TABLE"
+            )
+        return commit_version(
+            spark.sql(q), path, mode="overwrite" if replace else "append"
+        )
+    m = _ALTER_RE.match(stmt)
+    if not m:
+        return None
+    action = m.group(2).strip().rstrip(";").strip()
+    m2 = _RENAME_COL_RE.match(action)
+    if m2:
+        return rename_column(path, m2.group(1).strip("`"), m2.group(2).strip("`"))
+    m2 = _DROP_COL_RE.match(action)
+    if m2:
+        return drop_column(path, m2.group(1).strip("`"))
+    m2 = _WIDEN_COL_RE.match(action)
+    if m2:
+        return widen_column(path, m2.group(1).strip("`"), m2.group(2).lower())
+    m2 = _ADD_CONS_RE.match(action)
+    if m2:
+        add_check_constraint(spark, path, m2.group(1), m2.group(2).strip())
+        return list_versions(path)[-1]
+    m2 = _DROP_CONS_RE.match(action)
+    if m2:
+        drop_check_constraint(path, m2.group(1))
+        return list_versions(path)[-1]
+    m2 = _SET_SPEC_RE.match(action)
+    if m2:
+        cols = _scan_split_commas(m2.group(1))
+        if not cols or not all(cols):
+            raise ValueError(f"empty column in SET PARTITION SPEC: {stmt[:80]!r}")
+        return set_partition_spec(path, cols)
+    raise ValueError(
+        f"unsupported ALTER TABLE action {action[:60]!r} — supported: "
+        "RENAME COLUMN, DROP COLUMN, ALTER COLUMN … TYPE (widening), "
+        "ADD/DROP CONSTRAINT, SET PARTITION SPEC"
+    )

@@ -312,3 +312,55 @@ def test_merge_general_key_discipline(spark, table):
             "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1000, s.nv)",
         )
     spark.catalog.dropTempView("gm_src5")
+
+
+# --- r13: DDL verbs --------------------------------------------------------
+
+
+def test_ctas_and_or_replace(spark, tmp_path):
+    p = str(tmp_path / "ctas")
+    v = execute_dml(spark, p, "CREATE TABLE t AS SELECT id AS k, id * 2 AS v FROM RANGE(10)")
+    assert v == 1
+    assert read_version(spark, p).count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        execute_dml(spark, p, "CREATE TABLE t AS SELECT 1 AS k, 2 AS v")
+    v = execute_dml(spark, p, "CREATE OR REPLACE TABLE t AS SELECT 1 AS k, 2 AS v")
+    assert v == 2
+    assert read_version(spark, p).count() == 1
+    assert read_version(spark, p, 1).count() == 10  # time travel intact
+
+
+def test_alter_table_ddl_roundtrip(spark, table):
+    """ALTER TABLE verbs route onto the manifest-only evolution seams:
+    rename/drop/widen columns, constraints, partition spec."""
+    from fdf_spark.sources.versioned import (
+        ConstraintViolationError,
+        list_check_constraints,
+        partition_spec,
+    )
+
+    v = execute_dml(spark, table, "ALTER TABLE t RENAME COLUMN v TO val")
+    assert v == 2
+    assert "val" in read_version(spark, table).columns
+    v = execute_dml(spark, table, "ALTER TABLE t ADD CONSTRAINT pos CHECK (val >= 0 OR val IS NULL)")
+    assert v == 2  # constraints publish no snapshot
+    assert "pos" in list_check_constraints(table)
+    with pytest.raises(ConstraintViolationError):
+        execute_dml(spark, table, "UPDATE t SET val = -1.0 WHERE k = 1")
+    execute_dml(spark, table, "ALTER TABLE t DROP CONSTRAINT pos")
+    assert "pos" not in list_check_constraints(table)
+    v = execute_dml(spark, table, "ALTER TABLE t SET PARTITION SPEC (bucket(8, k))")
+    assert partition_spec(table)["cols"] == ["bucket(8, k)"]
+    v = execute_dml(spark, table, "ALTER TABLE t DROP COLUMN s")
+    assert "s" not in read_version(spark, table).columns
+    with pytest.raises(ValueError, match="unsupported ALTER TABLE"):
+        execute_dml(spark, table, "ALTER TABLE t FROB EVERYTHING")
+
+
+def test_alter_column_widen(spark, tmp_path):
+    p = str(tmp_path / "w")
+    commit_version(
+        spark.range(5).select(F.col("id").cast("int").alias("k")), p
+    )
+    execute_dml(spark, p, "ALTER TABLE t ALTER COLUMN k TYPE bigint")
+    assert dict(read_version(spark, p).dtypes)["k"] == "bigint"
