@@ -386,8 +386,6 @@ def plan_maintenance(
 
     # -- build_blooms: coverage gaps per indexed column ----------------
     rev = {p: c for c, p in _mapping(m).items()}
-    covered: dict[str, set] = {}
-    uncovered: dict[str, set] = {}
     live_files = [f for f in m["files"] if fr.get(f, 1) != 0]
     metas = {f: sidecar_meta(f) for f in live_files}
     indexed = {p for sc in metas.values() if sc for p in sc}
@@ -402,7 +400,6 @@ def plan_maintenance(
                     f"{rev.get(p, p)!r} bloom",
                 )
             )
-    _ = covered, uncovered
 
     # -- vacuum: reclaim estimate under the real retention rule --------
     live_v, dead_v = _retained_versions(path, keep, retain_last_s)
