@@ -1196,6 +1196,22 @@ def main() -> None:
         import fdf_spark.sources.versioned as V
         from fdf_spark.sources.versioned import merge_on_read
 
+        # the UNCONTENDED twin first: the same 2-key merge with no race
+        # — its wall is the merge's own masked match scans (this table
+        # is unclustered, bloom-less and carries an eq mask by now), so
+        # the race rows' delta below isolates the RECOVERY cost alone
+        ch0 = spark.createDataFrame(
+            [(555_555, 1.0, 1), (666_666, 2.0, 1)], "k long, v double, g long"
+        )
+        t0 = time.perf_counter()
+        merge_on_read(spark, p, ch0, ["k"])
+        dt = time.perf_counter() - t0
+        print(
+            f"{'mor merge uncontended (N15)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n/dt/1e6:8.1f} Mrows/s",
+            flush=True,
+        )
+
         def _merge_racing_append(label, appender, merge_keys):
             ch = spark.createDataFrame(
                 [(k, float(k % 97), 1) for k in merge_keys],
