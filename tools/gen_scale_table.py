@@ -224,6 +224,25 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         "for 10× the index — the O(index-scan + batch + collisions) model, where the "
         "index is 16 B/doc, orders below corpus bytes), and the next consecutive "
         f"ingest costs {w('incr near-dup repeat ingest (N2)'):.1f} s — flat. "
+        "The r13 bloom-backfill ledger: the one-time sidecar build over a "
+        f"2×-scale 40 M-row/64-file corpus costs {w('bloom backfill 40M (N17)'):.1f} s "
+        f"with sidecars written EXECUTOR-SIDE ({extra('bloom backfill 40M (N17)')}) — "
+        "the driver holds no bitset bytes at any corpus size — and the 3-key probe "
+        f"through them answers in {w('bloom 3-key lookup 40M (N17)'):.1f} s "
+        f"({extra('bloom 3-key lookup 40M (N17)')}). The r13 lost-race ledger: the "
+        f"uncontended 2-key merge_on_read costs {w('mor merge uncontended (N15)'):.1f} s "
+        "on this unclustered, bloom-less, eq-masked table (the wall is the merge's "
+        "own masked match scans — the bloom rows above are the fix for this shape); "
+        "LOSING the publish race to a blind append with disjoint keys adds "
+        f"{w('mor merge racing append (N15)') - w('mor merge uncontended (N15)'):.1f} s "
+        f"({extra('mor merge racing append (N15)')} — the staged tombstones/images "
+        "bind to the new head manifest-only), and an overlapping-key racer adds "
+        f"{w('mor merge racing overlap (N15)') - w('mor merge uncontended (N15)'):.1f} s "
+        f"({extra('mor merge racing overlap (N15)')} — only the head-ADDED files are "
+        "probed and the racer's row is tombstoned + re-imaged; the merge never "
+        "re-runs, the table is never re-scanned). The maintenance planner answers "
+        f"over the 513-file table in {w('plan_maintenance 513 files'):.1f} s "
+        f"({extra('plan_maintenance 513 files')}) — metadata only. "
         "Cross-round comparisons should read plan shapes and row-to-row ratios, not "
         "absolute seconds (shared-host load differs between rounds)."
     )
