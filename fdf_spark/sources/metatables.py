@@ -427,3 +427,49 @@ def plan_maintenance(
         rows, "action string, target string, files int, bytes bigint, "
         "rows bigint, detail string",
     )
+
+
+def apply_maintenance(
+    spark: SparkSession,
+    path: str,
+    small_file_bytes: int = 32 << 20,
+    min_small_files: int = 4,
+    max_debt_ratio: float = 0.10,
+    keep: int = 1,
+    retain_last_s: float = 168 * 3600.0,
+) -> dict:
+    """Execute what :func:`plan_maintenance` recommends, under the SAME
+    thresholds (the planner is the dry run; this is the loop closed —
+    r13).  Order matters and is fixed: OPTIMIZE first (bin-pack +
+    tombstone folds; bloom coverage follows rewrites via the engine's
+    rewrite-seam hook), then ``build_blooms`` for any remaining
+    coverage gaps, VACUUM last (it can then reclaim what the rewrite
+    replaced, under the retention window).  Returns
+    ``{action: result}`` for exactly the actions the plan recommended;
+    an empty dict means the table needed nothing.
+
+    Concurrency: each underlying op keeps its own optimistic-commit
+    discipline; a racing writer can surface ``ConcurrentCommitError``
+    from OPTIMIZE exactly as it would when called directly.
+    """
+    from fdf_spark.sources.bloomskip import build_blooms
+    from fdf_spark.sources.versioned import optimize, vacuum
+
+    plan = plan_maintenance(
+        spark, path,
+        small_file_bytes=small_file_bytes, min_small_files=min_small_files,
+        max_debt_ratio=max_debt_ratio, keep=keep, retain_last_s=retain_last_s,
+    ).collect()
+    out: dict = {}
+    if any(r.action == "optimize" for r in plan):
+        out["optimize"] = optimize(
+            spark, path, small_bytes=small_file_bytes
+        )
+    gaps = sorted({r.target for r in plan if r.action == "build_blooms"})
+    if gaps:
+        # the rewrite hook above may already have covered these; the
+        # incremental build then costs a metadata check per file
+        out["build_blooms"] = build_blooms(spark, path, gaps)
+    if any(r.action == "vacuum" for r in plan):
+        out["vacuum"] = len(vacuum(path, keep=keep, retain_last_s=retain_last_s))
+    return out

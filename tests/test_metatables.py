@@ -297,3 +297,41 @@ def test_table_files_bytes_from_manifest(spark, tmp_path):
     assert rows[0].bytes == os.path.getsize(f)
     os.remove(f)
     assert table_files(spark, p).collect()[0].bytes == rows[0].bytes
+
+
+def test_apply_maintenance_closes_the_loop(spark, tmp_path):
+    """apply_maintenance executes exactly what plan_maintenance
+    recommends, under the same thresholds — and a fresh plan afterwards
+    recommends (almost) nothing: optimize folded the debt and packed
+    the small files (bloom coverage followed the rewrite), build_blooms
+    closed any remaining gap, vacuum reclaimed dead versions."""
+    from fdf_spark.sources.bloomskip import build_blooms
+    from fdf_spark.sources.metatables import apply_maintenance, plan_maintenance
+    from fdf_spark.sources.versioned import read_version
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 5000).select(F.col("id").alias("k"), (F.col("id") % 9).alias("v"))
+    commit_version(
+        spark.createDataFrame([(-1, 0)], "k long, v long").coalesce(1), p
+    )
+    commit_version(df.repartition(6), p, mode="overwrite")
+    build_blooms(spark, p, ["k"])
+    commit_version(
+        spark.createDataFrame([(10_000, 1)], "k long, v long"), p, mode="append"
+    )
+    delete_where(spark, p, "k < 2500")
+    kw = dict(small_file_bytes=32 << 20, min_small_files=4,
+              max_debt_ratio=0.10, keep=1, retain_last_s=0.0)
+    before = plan_maintenance(spark, p, **kw).collect()
+    assert {r.action for r in before} >= {"optimize", "build_blooms", "vacuum"}
+    out = apply_maintenance(spark, p, **kw)
+    assert set(out) == {"optimize", "build_blooms", "vacuum"}
+    assert out["optimize"]["rewritten"] > 0 and out["vacuum"] > 0
+    # rows survived intact through the whole cycle
+    got = read_version(spark, p)
+    assert got.count() == 5000 - 2500 + 1
+    assert got.filter("k = 10000").count() == 1
+    # the fresh plan is empty except (possibly) a vacuum row for the
+    # just-replaced files still inside their own retention arithmetic
+    after = plan_maintenance(spark, p, **kw).collect()
+    assert not [r for r in after if r.action in ("optimize", "build_blooms")]
