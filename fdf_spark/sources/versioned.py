@@ -3949,8 +3949,7 @@ def merge_on_read(
         # ONCE and serves tombstones, update images and matched-keys
         # alike — before r13 the tombstone write and the image write
         # each re-ran the full DV/eq-masked scan (3× the base cost on
-        # an unprunable layout, measured 39 s vs ~15 s on the 20 M
-        # stress table)
+        # an unprunable layout: 39 s → 14 s on the 20 M stress table)
         touched = changes.select(*keys).distinct()
         hits = base.join(_bc(touched), keys, "inner").persist()
         tomb_src = hits.select(

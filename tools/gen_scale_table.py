@@ -88,7 +88,7 @@ ROWS = [
     ("eq-delete 100k keys (N17)", "EQUALITY-DELETE of 100k keys: delete_keys writes the key relation itself, ZERO base-table scan — write O(keys) bytes, scoped to current files by footer stats (N17/q162)", "100 k keys"),
     ("eq masked read (N17)", "full-table agg THROUGH the equality mask: one broadcast anti-join on the key columns over only stats-overlapping files, until the next OPTIMIZE fold (N17/q162)", "20 M"),
     ("mor 1-row update (N15)", "row-level UPDATE of one matched row: old image position-tombstoned + SET image appended under ONE manifest — write O(matched rows); the CoW row above is the rewrite counterfactual (N15/q167)", "20 M"),
-    ("mor merge uncontended (N15)", "the 2-key merge_on_read with NO race — on this unclustered, bloom-less, eq-masked table the wall is the merge's own masked match scans; the race rows below add only the recovery on top (N15, r13)", "20 M"),
+    ("mor merge uncontended (N15)", "the 2-key merge_on_read with NO race — on this unclustered, bloom-less, eq-masked table the wall is the merge's ONE pinned masked match scan (r13 folded the former 3 scans into a pinned O(changed-rows) hit set); the race rows below add only the recovery on top (N15, r13)", "20 M"),
     ("mor merge racing append (N15)", "merge_on_read LOSING the publish race to a blind append with DISJOINT keys: the rebase binds the staged tombstones/images to the new head MANIFEST-ONLY — zero files probed, merge never re-runs (N15, r13 — the r12 lost-race recovery measured)", "20 M"),
     ("mor merge racing overlap (N15)", "the SAME lost race where the blind append carries one of the merge's keys: the rebase re-probes ONLY the head-added files (bounds/bucket-pruned), tombstones the racer's row and restages a corrected image — probed_files printed in-run, never a table scan (N15, r13)", "20 M"),
     ("wap stage 1M batch (N17)", "WRITE-AUDIT-PUBLISH stage: a 1M-row batch lands fully-written but INVISIBLE under _staged/ (N17/q163)", "1 M batch"),
@@ -232,7 +232,7 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         f"({extra('bloom 3-key lookup 40M (N17)')}). The r13 lost-race ledger: the "
         f"uncontended 2-key merge_on_read costs {w('mor merge uncontended (N15)'):.1f} s "
         "on this unclustered, bloom-less, eq-masked table (the wall is the merge's "
-        "own masked match scans — the bloom rows above are the fix for this shape); "
+        "one pinned masked match scan — the bloom rows above are the fix for this shape); "
         "LOSING the publish race to a blind append with disjoint keys adds "
         f"{w('mor merge racing append (N15)') - w('mor merge uncontended (N15)'):.1f} s "
         f"({extra('mor merge racing append (N15)')} — the staged tombstones/images "
