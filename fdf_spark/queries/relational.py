@@ -2818,6 +2818,77 @@ def q176_sql_ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q177_bloom_date_lookup",
+    f"""
+    WITH t AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0),
+    probe AS (
+      SELECT (SELECT MIN(d) FROM t) AS d0)
+    SELECT t.d, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price,
+           TRUE AS pruned
+    FROM t, probe WHERE t.d = probe.d0 OR t.d = probe.d0 + INTERVAL 3 DAY
+    GROUP BY t.d ORDER BY t.d
+    """,
+    operators=("N17", "P6", "F13"),
+    doc="DATE-keyed bloom point lookup (bloomskip temporal keys, r13 — "
+    "VERDICT r12 #5, the q171 variant): date columns map losslessly "
+    "onto epoch-day int64 on BOTH the vectorized executor build and "
+    "the driver probe, so read_version(prune=('d', [date, date])) "
+    "skips files whose bloom rejects both probed days — on a "
+    "round-robin layout where every file's [min,max] date range "
+    "spans the table and range stats prune nothing. The "
+    "engine-computed `pruned` flag (oracle hardcodes TRUE) probes an "
+    "ABSENT day — every file's bloom must reject it (dates are "
+    "low-cardinality, so at larger SFs every file contains most "
+    "PRESENT days and correctly keeps them: the present-day probes "
+    "here pin the no-false-negative side, the absent probe pins real "
+    "skipping). Scale: 'did day X land yet' against a 100 TB "
+    "unclustered corpus without reading it.",
+)
+def q177_bloom_date_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+
+    from fdf_spark.sources.bloomskip import build_blooms
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        list_versions,
+        read_version,
+    )
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    ).filter(F.col("o_orderkey") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="fdf_bloomdate_")
+    # round-robin files: every file's [min, max] date spans the table,
+    # so ONLY the blooms can skip anything
+    commit_version(orders.repartition(8), path)
+    build_blooms(spark, path, ["d"])
+    n_total = len(_read_manifest(path, list_versions(path)[-1])["files"])
+    d0 = read_version(spark, path).agg(F.min("d")).first()[0]
+    keys = [d0, d0 + dt.timedelta(days=3)]
+    probe = read_version(spark, path, prune=("d", keys))
+    # the ABSENT-day probe is the deterministic skipping evidence: a
+    # present day may legitimately live in every file (dates are
+    # low-cardinality), but no file's bloom may claim a day a decade
+    # before the data starts
+    absent = read_version(
+        spark, path, prune=("d", [d0 - dt.timedelta(days=3650)])
+    )
+    pruned = len(absent.inputFiles() or []) < n_total
+    out = (
+        probe.filter(F.col("d").isin(keys))
+        .groupBy("d")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .withColumn("pruned", F.lit(pruned))
+        .orderBy("d")
+    )
+    return _materialize_and_cleanup(out, path)
+
+
+@query(
     "q117_data_quality",
     """
     WITH dirty AS (
