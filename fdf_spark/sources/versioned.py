@@ -2331,6 +2331,7 @@ def register_versioned_view(
     as_of_ts: float | None = None,
     snapshots: bool = True,
     follow: str | bool | None = None,
+    metadata_tables: bool = False,
 ) -> int:
     """SQL surface for versioned tables (VERDICT r11 #3): pin a
     snapshot as a catalog TEMP VIEW so ``spark.sql("SELECT … FROM
@@ -2345,6 +2346,11 @@ def register_versioned_view(
     for retention beyond that).  ``version`` / ``ref`` / ``as_of_ts``
     select the snapshot exactly as in :func:`read_version` (at most
     one; default = current head).
+
+    ``metadata_tables=True`` additionally registers the full
+    operability surface as views — ``<name>_files`` / ``_refs`` /
+    ``_partitions`` / ``_eq_deletes`` / ``_blooms`` (r13); follower
+    registrations re-materialize them on every refresh.
 
     ``snapshots=True`` additionally registers ``<name>_snapshots`` —
     the commit-history metadata relation (:func:`metatables.
@@ -2399,6 +2405,8 @@ def register_versioned_view(
         from fdf_spark.sources.metatables import table_history
 
         table_history(spark, path).createOrReplaceTempView(f"{name}_snapshots")
+    if metadata_tables:
+        _register_metadata_views(spark, path, name, v)
     import weakref
 
     with _FOLLOW_LOCK:
@@ -2406,13 +2414,34 @@ def register_versioned_view(
             _FOLLOW_VIEWS[name] = {
                 "path": os.path.abspath(path), "follow": follow,
                 "spark": weakref.ref(spark), "version": v,
-                "snapshots": snapshots,
+                "snapshots": snapshots, "metadata": metadata_tables,
             }
         else:
             # a pinned registration under the same name replaces (and
             # therefore stops) any earlier follower
             _FOLLOW_VIEWS.pop(name, None)
     return v
+
+
+def _register_metadata_views(spark: SparkSession, path: str, name: str, v: int) -> None:
+    """The full operability surface as SQL views next to the data view
+    (``metadata_tables=True``, r13): ``<name>_files`` / ``_refs`` /
+    ``_partitions`` / ``_eq_deletes`` / ``_blooms`` — so a SQL-only
+    session can answer "how much delete debt", "which buckets are
+    skewed", "what still needs build_blooms" without touching the
+    Python API.  All metadata-only; materialized at registration (and
+    re-materialized by the follower refresh)."""
+    from fdf_spark.sources import metatables as MT
+
+    MT.table_files(spark, path, version=v).createOrReplaceTempView(f"{name}_files")
+    MT.table_refs(spark, path).createOrReplaceTempView(f"{name}_refs")
+    MT.table_partitions(spark, path, version=v).createOrReplaceTempView(
+        f"{name}_partitions"
+    )
+    MT.table_eq_deletes(spark, path, version=v).createOrReplaceTempView(
+        f"{name}_eq_deletes"
+    )
+    MT.table_blooms(spark, path, version=v).createOrReplaceTempView(f"{name}_blooms")
 
 
 #: follower-view registry (register_versioned_view(follow=…)): name →
@@ -2454,6 +2483,8 @@ def _refresh_one_follow_view(spark: SparkSession, name: str, e: dict) -> int:
             from fdf_spark.sources.metatables import table_history
 
             table_history(spark, e["path"]).createOrReplaceTempView(f"{name}_snapshots")
+        if e.get("metadata"):
+            _register_metadata_views(spark, e["path"], name, v)
         with _FOLLOW_LOCK:
             if name in _FOLLOW_VIEWS:
                 _FOLLOW_VIEWS[name]["version"] = v
@@ -2484,7 +2515,8 @@ def unregister_versioned_view(spark: SparkSession, name: str) -> None:
     with _FOLLOW_LOCK:
         _FOLLOW_VIEWS.pop(name, None)
     spark.catalog.dropTempView(name)
-    spark.catalog.dropTempView(f"{name}_snapshots")
+    for sub in ("snapshots", "files", "refs", "partitions", "eq_deletes", "blooms"):
+        spark.catalog.dropTempView(f"{name}_{sub}")
 
 
 def diff_versions(

@@ -2015,3 +2015,24 @@ def test_refresh_versioned_views_recovers_external_commits(spark, tmp_path, monk
     assert out == {"rv_follow": 2}
     assert spark.sql("SELECT COUNT(*) AS n FROM rv_follow").first().n == 30
     V.unregister_versioned_view(spark, "rv_follow")
+
+
+def test_metadata_table_views_register_and_follow(spark, tmp_path):
+    """metadata_tables=True (r13): the operability relations register
+    as <name>_* SQL views; a follower re-materializes them per commit."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    commit_version(_df(spark, 0, 10), p)
+    V.create_tag(p, "first")
+    V.register_versioned_view(spark, p, "mv", follow=True, metadata_tables=True)
+    assert spark.sql("SELECT COUNT(*) AS n FROM mv_files").first().n >= 1
+    assert spark.sql("SELECT name FROM mv_refs").first().name == "first"
+    assert spark.sql("SELECT COUNT(*) AS n FROM mv_blooms").first().n >= 1
+    assert spark.sql("SELECT COUNT(*) AS n FROM mv_partitions").first().n >= 1
+    n_files0 = spark.sql("SELECT COUNT(*) AS n FROM mv_files").first().n
+    commit_version(_df(spark, 10, 30), p)  # follower refresh re-materializes
+    assert spark.sql("SELECT COUNT(*) AS n FROM mv_files").first().n > n_files0
+    assert spark.sql("SELECT COUNT(*) AS n FROM mv").first().n == 30
+    V.unregister_versioned_view(spark, "mv")
+    assert "mv_files" not in [t.name for t in spark.catalog.listTables()]
