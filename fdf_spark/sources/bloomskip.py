@@ -388,6 +388,14 @@ def build_blooms(
     ``(file, built)`` row per file returns to the driver: a backfill
     over 10^12 rows holds no bitset bytes in driver memory
     (VERDICT r12 #1).
+
+    Concurrency note: two builds racing on the SAME file for DIFFERENT
+    column sets are last-writer-wins on the sidecar (each merges with
+    the base it read) — one column set can lose.  Harmless by the
+    superset guarantee (a missing bloom only costs pruning, never
+    rows), self-healing (``_covered`` reports the gap and the next
+    incremental run rebuilds it, as does ``plan_maintenance``), and
+    unchanged from the pre-r13 driver-side writer.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
