@@ -3983,7 +3983,13 @@ def merge_on_read(
         # each re-ran the full DV/eq-masked scan (3× the base cost on
         # an unprunable layout: 39 s → 14 s on the 20 M stress table)
         touched = changes.select(*keys).distinct()
-        hits = base.join(_bc(touched), keys, "inner").persist()
+        hits = base.join(_bc(touched), keys, "inner")
+        if n_changes <= broadcast_max_rows:
+            # pin only batch-sized hit sets: a table-scale restatement
+            # (which the docstring routes to merge_versioned anyway)
+            # would cache O(table) — there the re-scans amortize into
+            # the rewrite-sized output instead
+            hits = hits.persist()
         tomb_src = hits.select(
             F.col("__file").alias("file"), F.col("__pos").alias("pos")
         )
