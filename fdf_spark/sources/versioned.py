@@ -34,6 +34,7 @@ AND vacuums of later versions.
 
 from __future__ import annotations
 
+import datetime as _datetime
 import json
 import os
 import re
@@ -777,10 +778,22 @@ def _files_passing(m: dict, files: list[str], checks: list[tuple]) -> list[str]:
             fmin, fmax = st
             try:
                 if vals is not None:
-                    if not any(fmin <= x <= fmax for x in vals):
+                    # canonicalize probes into the recorded stat domain
+                    # (dates → epoch-day ints, r13); a value that can't
+                    # canonicalize makes the whole check unevaluable —
+                    # keep the file
+                    cv = [_canon_stat_probe(x) for x in vals]
+                    if any(x is None for x in cv):
+                        continue
+                    if not any(fmin <= x <= fmax for x in cv):
                         return False
-                elif (lo is not None and fmax < lo) or (hi is not None and fmin > hi):
-                    return False
+                else:
+                    clo = _canon_stat_probe(lo) if lo is not None else None
+                    chi = _canon_stat_probe(hi) if hi is not None else None
+                    if (lo is not None and clo is None) or (hi is not None and chi is None):
+                        continue  # un-canonicalizable bound — keep
+                    if (clo is not None and fmax < clo) or (chi is not None and fmin > chi):
+                        return False
             except TypeError:
                 continue  # incomparable stats/bound types — keep
         return True
@@ -1402,6 +1415,20 @@ def _file_stats(file_path: str) -> dict:
                 bad.add(name)
                 stats.pop(name, None)
                 continue
+            if isinstance(lo, _datetime.datetime):
+                # timestamps stay unrecorded: footer stats are UTC-wall
+                # naive while probe values arrive session-local naive —
+                # comparing the two could FALSE-prune (row loss); dates
+                # below carry no timezone and are safe
+                bad.add(name)
+                stats.pop(name, None)
+                continue
+            if isinstance(lo, _datetime.date):
+                # epoch-day ints (r13): order-preserving, so date range
+                # probes prune through the same [min, max] machinery
+                # (_files_passing canonicalizes probe dates the same way)
+                lo = lo.toordinal() - _EPOCH_DAY0
+                hi = hi.toordinal() - _EPOCH_DAY0
             if not isinstance(lo, (int, float, str, bool)):
                 bad.add(name)
                 stats.pop(name, None)
@@ -1411,6 +1438,23 @@ def _file_stats(file_path: str) -> dict:
             else:
                 stats[name] = [lo, hi]
     return stats
+
+
+_EPOCH_DAY0 = 719163  # date(1970, 1, 1).toordinal()
+
+
+def _canon_stat_probe(v):
+    """Probe values → the domain ``_file_stats`` records: dates to
+    epoch-day ints; ``None`` for timestamps (stats unrecorded — see
+    `_file_stats`) and anything else non-comparable, which callers
+    treat as "skip this check" (superset guarantee)."""
+    if isinstance(v, _datetime.datetime):
+        return None
+    if isinstance(v, _datetime.date):
+        return v.toordinal() - _EPOCH_DAY0
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None
 
 
 # --- partition-spec evolution (clustering of FUTURE writes) ----------------
@@ -3657,12 +3701,25 @@ def optimize(
             # only, zero Spark jobs), falling back to one tiny agg
             stats = m.get("stats", {})
 
+            def _znum(c: str):
+                # temporal columns enter the Morton key as epoch-day /
+                # epoch-micros numbers (r13: a raw date→double cast is
+                # an AnalysisException, so zorder=["event_date", …]
+                # failed outright); order-preserving, so clustering and
+                # the tightened manifest stats are unaffected
+                t = df.schema[c].dataType.simpleString()
+                if t == "date":
+                    return F.unix_date(F.col(c)).cast("double")
+                if t.startswith("timestamp"):
+                    return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+                return F.col(c).cast("double")
+
             def _manifest_bounds(c: str):
                 los, his = [], []
                 for f in rewrite:
                     st = stats.get(f, {}).get(c)
                     if st is None or not isinstance(st[0], (int, float)):
-                        return None
+                        return None  # temporal/string stats → agg path
                     los.append(st[0])
                     his.append(st[1])
                 return (float(min(los)), float(max(his))) if los else None
@@ -3670,8 +3727,8 @@ def optimize(
             per_col = [_manifest_bounds(c) for c in zorder]
             if any(b is None for b in per_col):
                 row = df.agg(
-                    *[F.min(c).cast("double").alias(f"lo_{i}") for i, c in enumerate(zorder)],
-                    *[F.max(c).cast("double").alias(f"hi_{i}") for i, c in enumerate(zorder)],
+                    *[F.min(_znum(c)).alias(f"lo_{i}") for i, c in enumerate(zorder)],
+                    *[F.max(_znum(c)).alias(f"hi_{i}") for i, c in enumerate(zorder)],
                 ).collect()[0]
                 per_col = [(row[f"lo_{i}"], row[f"hi_{i}"]) for i in range(len(zorder))]
             top = (1 << zorder_bits) - 1
@@ -3679,7 +3736,7 @@ def optimize(
             def scaled(i: int, c: str):
                 lo, hi = per_col[i]
                 span = (hi - lo) if (hi is not None and lo is not None and hi > lo) else 1.0
-                x = (F.col(c).cast("double") - F.lit(lo)) * F.lit(top) / F.lit(span)
+                x = (_znum(c) - F.lit(lo)) * F.lit(top) / F.lit(span)
                 return F.least(F.lit(top), F.greatest(F.lit(0), x.cast("bigint")))
 
             if len(zorder) == 2:

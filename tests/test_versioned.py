@@ -2036,3 +2036,55 @@ def test_metadata_table_views_register_and_follow(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) AS n FROM mv").first().n == 30
     V.unregister_versioned_view(spark, "mv")
     assert "mv_files" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_date_stats_record_and_prune(spark, tmp_path):
+    """r13: date columns get manifest [min, max] stats (epoch-day ints,
+    order-preserving) so date range/equality probes prune files; probe
+    values canonicalize the same way; timestamps stay unrecorded
+    (UTC-wall footer vs session-local probe could false-prune)."""
+    import datetime as dt
+
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 3000).select(
+        F.date_add(F.lit("2021-01-01").cast("date"), (F.col("id") / 10).cast("int")).alias("d"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+        F.col("id").alias("k"),
+    )
+    # range-clustered on d: each file covers a narrow date span
+    commit_version(df.repartitionByRange(6, "d"), p)
+    m = V._read_manifest(p, 1)
+    st = m["stats"][m["files"][0]]
+    assert isinstance(st["d"][0], int)      # epoch-day ints
+    assert "ts" not in st                   # timestamps unrecorded
+    probe = read_version(
+        spark, p, prune=("d", dt.date(2021, 1, 1), dt.date(2021, 1, 10))
+    )
+    assert len(probe.inputFiles()) < 6      # range prune works
+    want = read_version(spark, p).filter("d <= date'2021-01-10'").count()
+    assert probe.filter("d <= date'2021-01-10'").count() == want  # no loss
+    # equality probe on an absent date prunes everything
+    empty = read_version(spark, p, prune=("d", [dt.date(1990, 1, 1)]))
+    assert (empty.inputFiles() or []) == []
+    # timestamp probes degrade to no stat pruning, never a wrong answer
+    t0 = read_version(spark, p).agg(F.min("ts")).first()[0]
+    got = read_version(spark, p, prune=("ts", [t0]))
+    assert got.count() == 3000  # all files kept (no ts stats)
+
+
+def test_zorder_on_date_column(spark, tmp_path):
+    """r13: multi-column Z-ORDER accepts temporal columns (epoch
+    mapping into the Morton key — previously an AnalysisException)."""
+    from fdf_spark.sources.versioned import optimize
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 20000).select(
+        F.date_add(F.lit("2020-01-01").cast("date"), ((F.col("id") * 37) % 500).cast("int")).alias("d"),
+        (F.col("id") % 100).alias("g"),
+    )
+    commit_version(df.repartition(6), p)
+    res = optimize(spark, p, zorder=["d", "g"], target_bytes=100_000)
+    assert res["rewritten"] == 6
+    assert read_version(spark, p).count() == 20000
