@@ -323,7 +323,15 @@ def _canonical_cdc(clauses) -> str | bool | None:
     INSERT *``) that routes 1:1 onto :func:`merge_on_read` without the
     general compiler's target pre-join.  Returns the delete flag column
     (or False for no delete clause) — ``None`` when the statement needs
-    the general path."""
+    the general path.
+
+    CLAUSE ORDER is semantic (first-matching-clause-wins, Delta
+    precedence — ADVICE r13): ``merge_on_read``'s delete flag always
+    wins over the update, which matches the statement only when the
+    DELETE clause PRECEDES the unconditional ``UPDATE SET *``.  A
+    delete clause appearing after it is shadowed (dead) under the
+    documented precedence, so that shape routes to the order-respecting
+    :func:`_general_merge` compiler instead."""
     delete_flag = False
     saw_update = saw_insert = False
     for cl in clauses:
@@ -335,6 +343,7 @@ def _canonical_cdc(clauses) -> str | bool | None:
             cl.action == "delete"
             and cl.cond is not None
             and delete_flag is False
+            and not saw_update  # after UPDATE SET * the delete is shadowed
             and re.fullmatch(rf"{_IDENT}", cl.cond.strip())
         ):
             delete_flag = cl.cond.strip().split(".")[-1].strip("`")
@@ -415,80 +424,91 @@ def _general_merge(
                         "for free-form inserts"
                     )
 
-    # single-key narrow batch: prune the condition join's target side
-    # through the public prune API (stats/buckets/blooms)
-    prune = None
-    if len(keys) == 1:
-        kvals = [
-            r[0]
-            for r in changes.select(keys[0]).distinct().limit(BLOOM_PROBE_CAP + 1).collect()
-        ]
-        if len(kvals) <= BLOOM_PROBE_CAP and all(v is not None for v in kvals):
-            prune = (keys[0], kvals)
-    base = read_version(spark, path, version=head, prune=prune)
-    if schema is None:
-        schema = base.schema
-    base_cols = [f.name for f in schema.fields]
+    # Pin the source to ONE materialization before anything reads it
+    # (ADVICE r13): the prune collect below and the condition join both
+    # re-evaluate the caller's plan otherwise, and a nondeterministic
+    # source (rand()/uuid()/a re-read external table) could prune files
+    # by one key set and join by another — matched rows silently become
+    # inserts.  MEMORY_AND_DISK (the default) spills rather than OOMs
+    # on a large batch; the pin is released in the finally.
+    changes = changes.persist()
+    try:
+        # single-key narrow batch: prune the condition join's target side
+        # through the public prune API (stats/buckets/blooms)
+        prune = None
+        if len(keys) == 1:
+            kvals = [
+                r[0]
+                for r in changes.select(keys[0]).distinct().limit(BLOOM_PROBE_CAP + 1).collect()
+            ]
+            if len(kvals) <= BLOOM_PROBE_CAP and all(v is not None for v in kvals):
+                prune = (keys[0], kvals)
+        base = read_version(spark, path, version=head, prune=prune)
+        if schema is None:
+            schema = base.schema
+        base_cols = [f.name for f in schema.fields]
 
-    t = base.withColumn("__t_hit", F.lit(True)).alias(tgt_alias)
-    s = changes.alias(src_alias)
-    j = s.join(
-        t,
-        [F.col(f"{src_alias}.{k}") == F.col(f"{tgt_alias}.{k}") for k in keys],
-        "left",
-    )
-    is_m = F.coalesce(F.col("__t_hit"), F.lit(False))
-    act = None
-    for i, cl in enumerate(clauses):
-        pred = is_m if cl.matched else ~is_m
-        if cl.cond is not None:
-            pred = pred & F.expr(cl.cond)
-        act = (F.when if act is None else act.when)(pred, F.lit(i))
-    j = j.withColumn("__act", act).filter(F.col("__act").isNotNull())
-
-    def _clause_value(cl: _MergeClause, c: str):
-        tcol, scol = F.col(f"{tgt_alias}.{c}"), (
-            F.col(f"{src_alias}.{c}") if c in src_cols else None
+        t = base.withColumn("__t_hit", F.lit(True)).alias(tgt_alias)
+        s = changes.alias(src_alias)
+        j = s.join(
+            t,
+            [F.col(f"{src_alias}.{k}") == F.col(f"{tgt_alias}.{k}") for k in keys],
+            "left",
         )
-        null = F.lit(None).cast(schema[c].dataType)
-        if cl.action == "update":
-            return F.expr(cl.sets[c]) if c in cl.sets else tcol
-        if cl.action == "update_star":
-            return scol if scol is not None else tcol
-        if cl.action == "delete":
-            return tcol  # payload irrelevant; key comes from the key image
-        if cl.action == "insert_star":
-            return scol if scol is not None else null
-        if c in cl.insert_cols:
-            return F.expr(cl.insert_vals[cl.insert_cols.index(c)])
-        return null
-
-    images = []
-    for c in base_cols:
-        if c in keys:
-            # matched rows: t.k (== s.k); inserts: s.k — coalesce is both
-            images.append(
-                F.coalesce(F.col(f"{tgt_alias}.{c}"), F.col(f"{src_alias}.{c}")).alias(c)
-            )
-            continue
-        img = None
+        is_m = F.coalesce(F.col("__t_hit"), F.lit(False))
+        act = None
         for i, cl in enumerate(clauses):
-            img = (F.when if img is None else img.when)(
-                F.col("__act") == i, _clause_value(cl, c)
+            pred = is_m if cl.matched else ~is_m
+            if cl.cond is not None:
+                pred = pred & F.expr(cl.cond)
+            act = (F.when if act is None else act.when)(pred, F.lit(i))
+        j = j.withColumn("__act", act).filter(F.col("__act").isNotNull())
+
+        def _clause_value(cl: _MergeClause, c: str):
+            tcol, scol = F.col(f"{tgt_alias}.{c}"), (
+                F.col(f"{src_alias}.{c}") if c in src_cols else None
             )
-        images.append(img.alias(c))
-    del_ids = [i for i, cl in enumerate(clauses) if cl.action == "delete"]
-    rel = j.select(
-        *images,
-        (
-            F.col("__act").isin(del_ids) if del_ids else F.lit(False)
-        ).alias("__mdel"),
-    )
-    return merge_on_read(
-        spark, path, rel, keys,
-        update_cols=[c for c in base_cols if c not in keys],
-        delete_flag="__mdel",
-    )
+            null = F.lit(None).cast(schema[c].dataType)
+            if cl.action == "update":
+                return F.expr(cl.sets[c]) if c in cl.sets else tcol
+            if cl.action == "update_star":
+                return scol if scol is not None else tcol
+            if cl.action == "delete":
+                return tcol  # payload irrelevant; key comes from the key image
+            if cl.action == "insert_star":
+                return scol if scol is not None else null
+            if c in cl.insert_cols:
+                return F.expr(cl.insert_vals[cl.insert_cols.index(c)])
+            return null
+
+        images = []
+        for c in base_cols:
+            if c in keys:
+                # matched rows: t.k (== s.k); inserts: s.k — coalesce is both
+                images.append(
+                    F.coalesce(F.col(f"{tgt_alias}.{c}"), F.col(f"{src_alias}.{c}")).alias(c)
+                )
+                continue
+            img = None
+            for i, cl in enumerate(clauses):
+                img = (F.when if img is None else img.when)(
+                    F.col("__act") == i, _clause_value(cl, c)
+                )
+            images.append(img.alias(c))
+        del_ids = [i for i, cl in enumerate(clauses) if cl.action == "delete"]
+        rel = j.select(
+            *images,
+            (
+                F.col("__act").isin(del_ids) if del_ids else F.lit(False)
+            ).alias("__mdel"),
+        )
+        return merge_on_read(
+            spark, path, rel, keys,
+            update_cols=[c for c in base_cols if c not in keys],
+            delete_flag="__mdel",
+        )
+    finally:
+        changes.unpersist()
 
 
 def execute_dml(spark: SparkSession, path: str, statement: str) -> int:

@@ -364,3 +364,81 @@ def test_alter_column_widen(spark, tmp_path):
     )
     execute_dml(spark, p, "ALTER TABLE t ALTER COLUMN k TYPE bigint")
     assert dict(read_version(spark, p).dtypes)["k"] == "bigint"
+
+
+def test_merge_delete_after_update_star_not_canonical(spark, table):
+    """ADVICE r13: 'UPDATE SET * … MATCHED AND f THEN DELETE' must NOT
+    route to merge_on_read's delete flag — under first-matching-clause-
+    wins the unconditional UPDATE shadows the later DELETE, so the
+    flagged row survives (updated), never deleted."""
+    ch = spark.createDataFrame(
+        [(5, 99.0, "upd", False), (7, 1.5, "shadowed", True), (500, 1.0, "ins", False)],
+        "k long, v double, s string, is_del boolean",
+    )
+    ch.createOrReplaceTempView("dml_shadow")
+    v = execute_dml(
+        spark, table,
+        """
+        MERGE INTO t USING dml_shadow c ON t.k = c.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN MATCHED AND is_del THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    assert v == 2
+    df = read_version(spark, table)
+    assert df.count() == 101  # k=500 inserted, NOTHING deleted
+    r7 = df.filter("k = 7").first()
+    assert (r7.v, r7.s) == (1.5, "shadowed")  # updated by the winning clause
+    assert df.filter("k = 5").first().v == 99.0
+    # the same clauses with DELETE FIRST (the canonical CDC order) do delete
+    execute_dml(
+        spark, table,
+        """
+        MERGE INTO t USING dml_shadow c ON t.k = c.k
+        WHEN MATCHED AND is_del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+    )
+    assert read_version(spark, table).filter("k = 7").count() == 0
+    spark.catalog.dropTempView("dml_shadow")
+
+
+def test_merge_general_source_evaluated_once(spark, table, tmp_path):
+    """ADVICE r13: _general_merge pins the source to ONE materialization
+    — the file-prune key collect and the condition join must never see
+    two evaluations of a nondeterministic source plan.  A counting UDF
+    (marked nondeterministic so Catalyst cannot collapse it) proves the
+    source rows are computed once; without the persist the prune collect
+    and the join each ran the plan (≥2× the calls)."""
+    cnt = str(tmp_path / "calls.log")
+
+    def _mark(k):
+        with open(cnt, "a") as fh:
+            fh.write("1\n")
+        return k
+
+    mark = F.udf(_mark, "long").asNondeterministic()
+    ch = spark.range(0, 20).select(
+        mark(F.col("id")).alias("k"),
+        F.lit(123.0).alias("nv"),
+    )
+    ch.createOrReplaceTempView("gm_once")
+    execute_dml(
+        spark, table,
+        """
+        MERGE INTO t USING gm_once AS s ON t.k = s.k
+        WHEN MATCHED AND s.nv > 0 THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (s.k, s.nv, 'once')
+        """,
+    )
+    df = read_version(spark, table)
+    assert df.filter("v = 123.0").count() == 20  # every source row landed once
+    assert df.count() == 100
+    with open(cnt) as fh:
+        calls = sum(1 for _ in fh)
+    # one evaluation = 20 calls; headroom for a task retry, but far
+    # under the 40 an unpinned double evaluation costs
+    assert calls <= 30, f"source plan evaluated more than once ({calls} UDF calls)"
+    spark.catalog.dropTempView("gm_once")
