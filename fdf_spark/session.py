@@ -68,6 +68,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (Spark's legacy default) records no footer statistics
+        # and round-trips through pyarrow as naive datetimes; int64
+        # micros is what every modern table format writes
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos type,
         # so read as long and convert in the source adapter (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -117,18 +117,87 @@ def _hash_pair_str_fnv(v: str) -> tuple[int, int]:
     return _splitmix64(h1), _splitmix64(h2) | 1
 
 
+def _tzinfo_of(name: str | None):
+    """tzinfo for a Spark timezone string (region id like
+    ``Asia/Kolkata``, or ``UTC``/``GMT``-prefixed / bare numeric
+    offsets); None when unparseable — callers treat that as "cannot
+    establish the session zone" and stay conservative."""
+    import datetime as _dt
+    import re as _re
+
+    if not name:
+        return None
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception:
+        pass
+    m = _re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", name.strip())
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return _dt.timezone(
+            sign * _dt.timedelta(hours=int(m.group(2)), minutes=int(m.group(3) or 0))
+        )
+    return None
+
+
+def _session_tzinfo():
+    """tzinfo of the ACTIVE session's ``spark.sql.session.timeZone``,
+    or None when there is no active session / the zone id is unknown."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is None:
+            return None
+        return _tzinfo_of(s.conf.get("spark.sql.session.timeZone"))
+    except Exception:
+        return None
+
+
+def _resolve_naive_ts(v):
+    """A NAIVE probe datetime → the aware instant it denotes, or None
+    when that is AMBIGUOUS (VERDICT r13 #1 / ADVICE r13).
+
+    A naive value's provenance decides its zone and the engine cannot
+    see provenance: a classic ``collect()``/``F.lit()`` round-trip is
+    OS-LOCAL wall time (measured on this Spark: under a session-tz
+    override, ``collect`` still returns OS-local naive and a naive
+    ``lit`` of it still matches the stored instant), while
+    ``toPandas()`` and SQL literal strings are SESSION wall time.  When
+    ``spark.sql.session.timeZone`` and the OS zone agree on the value's
+    offset (the default configuration) the two readings coincide and
+    the instant is exact; when they differ, EITHER guess could hash the
+    wrong instant for the other provenance and falsely prune a file
+    containing the row — so callers must SKIP the consult (keep files,
+    superset guarantee).  Pass timezone-aware datetimes to keep
+    pruning under session-tz overrides; the engine's own keyed writers
+    are immune (staged keys re-read via pyarrow as exact instants)."""
+    local = v.astimezone()  # OS-local reading
+    stz = _session_tzinfo()
+    if stz is None:
+        return local  # no session zone to disagree with (legacy behavior)
+    sess = v.replace(tzinfo=stz)
+    return local if sess.utcoffset() == local.utcoffset() else None
+
+
 def _canon_probe_value(v):
     """Temporal probe values → the int64 the build hashed: dates to
-    epoch days; datetimes to epoch micros (aware exactly; naive
-    interpreted as LOCAL wall time — what a Spark ``collect`` under
-    the default session timezone hands back.  The engine's own keyed
-    writers never hit the ambiguity: they re-read staged key parquet
-    via pyarrow, which yields the stored instant exactly)."""
+    epoch days; datetimes to epoch micros (aware exactly; naive only
+    when the session and OS timezones agree on the offset — see
+    :func:`_resolve_naive_ts`; an ambiguous naive probe raises
+    TypeError, which every consult path treats as "keep the file")."""
     import datetime as _dt
 
     if isinstance(v, _dt.datetime):
         if v.tzinfo is None:
-            v = v.astimezone()  # interpret as local wall time
+            v = _resolve_naive_ts(v)
+            if v is None:
+                raise TypeError(
+                    "naive timestamp probe is ambiguous under a session-"
+                    "timezone override; pass a timezone-aware datetime"
+                )
         epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
         return (v - epoch) // _dt.timedelta(microseconds=1)
     if isinstance(v, _dt.date):
@@ -253,6 +322,16 @@ def bloom_prune(files: list[str], phys_col: str, values) -> list[str]:
     values = list(values)
     if len(values) > BLOOM_PROBE_CAP:
         return files  # a scan-sized IN-list: pruning off, never wrong
+    import datetime as _dt
+
+    if any(isinstance(v, _dt.date) for v in values):
+        # canonicalize temporal probes ONCE (one session-tz lookup per
+        # consult, not per file×value); an ambiguous naive timestamp
+        # could live in any file — the whole consult degrades to keep-all
+        try:
+            values = [_canon_probe_value(v) for v in values]
+        except TypeError:
+            return files
     out = []
     for f in files:
         sc = _load_sidecar(f)
@@ -328,7 +407,12 @@ def coerce_probe_values(declared_type: str, values) -> list | None:
                 )
             else:
                 if v.tzinfo is None:
-                    v = v.astimezone()  # Spark collect: local wall time
+                    v = _resolve_naive_ts(v)
+                    if v is None:
+                        # session tz ≠ OS tz: the naive value's instant
+                        # depends on provenance the engine cannot see —
+                        # skip the bloom (keep files), never guess
+                        return None
                 out.append((v - epoch) // _dt.timedelta(microseconds=1))
         return out
     return None  # float/decimal/binary/…: bloom equality not meaningful

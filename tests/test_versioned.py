@@ -2041,8 +2041,9 @@ def test_metadata_table_views_register_and_follow(spark, tmp_path):
 def test_date_stats_record_and_prune(spark, tmp_path):
     """r13: date columns get manifest [min, max] stats (epoch-day ints,
     order-preserving) so date range/equality probes prune files; probe
-    values canonicalize the same way; timestamps stay unrecorded
-    (UTC-wall footer vs session-local probe could false-prune)."""
+    values canonicalize the same way.  Since r14 timestamps are
+    recorded too (epoch-micros ints — the engine writes
+    TIMESTAMP_MICROS, whose footer stats are exact UTC instants)."""
     import datetime as dt
 
     import fdf_spark.sources.versioned as V
@@ -2058,7 +2059,7 @@ def test_date_stats_record_and_prune(spark, tmp_path):
     m = V._read_manifest(p, 1)
     st = m["stats"][m["files"][0]]
     assert isinstance(st["d"][0], int)      # epoch-day ints
-    assert "ts" not in st                   # timestamps unrecorded
+    assert isinstance(st["ts"][0], int)     # epoch-micros ints (r14)
     probe = read_version(
         spark, p, prune=("d", dt.date(2021, 1, 1), dt.date(2021, 1, 10))
     )
@@ -2068,10 +2069,11 @@ def test_date_stats_record_and_prune(spark, tmp_path):
     # equality probe on an absent date prunes everything
     empty = read_version(spark, p, prune=("d", [dt.date(1990, 1, 1)]))
     assert (empty.inputFiles() or []) == []
-    # timestamp probes degrade to no stat pruning, never a wrong answer
+    # timestamp probes prune through the epoch-micros stats (r14) and
+    # never lose the probed row
     t0 = read_version(spark, p).agg(F.min("ts")).first()[0]
     got = read_version(spark, p, prune=("ts", [t0]))
-    assert got.count() == 3000  # all files kept (no ts stats)
+    assert got.filter(F.col("ts") == F.lit(t0)).count() == 1
 
 
 def test_zorder_on_date_column(spark, tmp_path):
@@ -2088,3 +2090,84 @@ def test_zorder_on_date_column(spark, tmp_path):
     res = optimize(spark, p, zorder=["d", "g"], target_bytes=100_000)
     assert res["rewritten"] == 6
     assert read_version(spark, p).count() == 20000
+
+
+def test_timestamp_manifest_stats_range_prune(spark, tmp_path):
+    """r14 (VERDICT r13 #3): timestamp columns get manifest [min, max]
+    stats as epoch-micros ints — the engine writes TIMESTAMP_MICROS
+    (isAdjustedToUTC), so footer stats are exact instants — and
+    event-time range probes prune files.  Aware probe datetimes
+    canonicalize exactly; naive ones only when the session and OS
+    zones agree on the offset; under a session-tz override the naive
+    instant is provenance-ambiguous (classic collect is OS-local wall,
+    toPandas/SQL literals are session wall) and the check SELF-SKIPS —
+    all files kept, never a false prune."""
+    import datetime as dt
+
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 6000).select(
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("k"),
+    )
+    commit_version(df.repartitionByRange(6, "ts"), p)
+    st = V._read_manifest(p, 1)["stats"]
+    assert all(isinstance(s["ts"][0], int) for s in st.values())
+    # event-time range scan — THE 100 TB predicate shape
+    lo = dt.datetime.fromtimestamp(1_600_000_000, dt.timezone.utc)
+    hi = lo + dt.timedelta(minutes=500)
+    probe = read_version(spark, p, prune=("ts", lo, hi))
+    assert len(probe.inputFiles()) < 6
+    want = read_version(spark, p).filter("k <= 500").count()
+    assert probe.filter("k <= 500").count() == want  # no loss
+    # naive equality probe under the DEFAULT config (session == OS zone
+    # in tests' UTC session): exact — prunes AND finds the row
+    t0 = read_version(spark, p).agg(F.min("ts")).first()[0]
+    assert t0.tzinfo is None  # classic collect returns naive
+    got = read_version(spark, p, prune=("ts", [t0]))
+    assert len(got.inputFiles()) < 6
+    assert got.filter(F.col("ts") == F.lit(t0)).count() == 1
+    # session-tz override: naive probes self-skip (keep all), aware
+    # probes stay exact
+    key = "spark.sql.session.timeZone"
+    old = spark.conf.get(key)
+    override = "Etc/GMT-14" if old != "Etc/GMT-14" else "Etc/GMT+12"
+    spark.conf.set(key, override)
+    try:
+        kept = read_version(spark, p, prune=("ts", [t0]))
+        assert len(kept.inputFiles()) == 6  # ambiguous → no pruning
+        assert kept.filter(F.col("ts") == F.lit(t0)).count() == 1  # never lost
+        aware = t0.astimezone()  # the exact instant (OS-local reading)
+        exact = read_version(spark, p, prune=("ts", [aware]))
+        assert len(exact.inputFiles()) < 6
+        assert exact.filter(F.col("ts") == F.lit(t0)).count() == 1
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_timestamp_predicate_bounds_from_sql_literal(spark, tmp_path):
+    """r14: delete_where / update_where SQL conditions with TIMESTAMP
+    literals derive file bounds — Catalyst renders the literal as a
+    session-zone wall string, which recovers the exact instant
+    (provenance-free), so an event-time-scoped DELETE touches only the
+    overlapping files."""
+    import fdf_spark.sources.versioned as V
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 6000).select(
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("k"),
+    )
+    commit_version(df.repartitionByRange(6, "ts"), p)
+    b = V._predicate_bounds(
+        spark, read_version(spark, p).schema,
+        "ts >= TIMESTAMP'2020-09-13 13:26:40' AND ts < TIMESTAMP'2020-09-13 15:00:00'",
+    )
+    assert "ts" in b and b["ts"][0] is not None and b["ts"][1] is not None
+    from fdf_spark.sources.versioned import delete_where
+
+    v = delete_where(spark, p, "ts < TIMESTAMP'2020-09-13 14:06:40'")  # first 100 rows
+    meta = V._read_manifest(p, v)["meta"]
+    assert read_version(spark, p).count() == 5900
+    assert read_version(spark, p).filter("k < 100").count() == 0
