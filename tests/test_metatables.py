@@ -335,3 +335,89 @@ def test_apply_maintenance_closes_the_loop(spark, tmp_path):
     # just-replaced files still inside their own retention arithmetic
     after = plan_maintenance(spark, p, **kw).collect()
     assert not [r for r in after if r.action in ("optimize", "build_blooms")]
+
+
+def test_plan_maintenance_clustering_drift(spark, tmp_path):
+    """r14 (VERDICT r13 missing #5): interleaved ingest against a
+    declared spec raises the per-dimension overlap depth (avg files
+    covering a point, from manifest stats only) past drift_factor ×
+    the ideal Z-ORDER depth → a ('optimize', 'zorder:<cols>') row;
+    apply_maintenance executes the Z-ORDER; the re-clustered table is
+    SILENT."""
+    from fdf_spark.sources.metatables import apply_maintenance, plan_maintenance
+    from fdf_spark.sources.versioned import set_partition_spec
+
+    from fdf_spark.sources.versioned import (
+        clone_table,
+        list_versions,
+        optimize,
+        read_version,
+    )
+
+    p = str(tmp_path / "t")
+    commit_version(
+        spark.range(0, 1).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("g"),
+            F.lit(0.0).alias("v"),
+        ),
+        p,
+    )
+    set_partition_spec(p, ["k", "g"])
+    # twelve appends, EACH spanning the full key range: across commits
+    # every file overlaps every point in both dimensions — the drifted
+    # shape continuous ingest produces
+    for i in range(12):
+        df = spark.range(0, 4000).select(
+            F.col("id").alias("k"), ((F.col("id") * 7 + i) % 97).alias("g"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        commit_version(df, p)
+    plan = plan_maintenance(spark, p).collect()
+    drift = [r for r in plan if r.action == "optimize" and r.target.startswith("zorder:")]
+    assert len(drift) == 1
+    assert drift[0].target == "zorder:g,k"
+    assert "drift" in drift[0].detail
+    # counterfactual: the SAME data freshly Z-ORDERed (shallow clone,
+    # small target so the file count stays comparable) is SILENT —
+    # per-dim depth ≈ N^(1/2), the Morton ideal, not ≈ N
+    p2 = str(tmp_path / "t2")
+    clone_table(p, p2)
+    res = optimize(spark, p2, zorder=["g", "k"], target_bytes=60_000)
+    import fdf_spark.sources.versioned as V
+
+    n2 = len(V._read_manifest(p2, res["version"])["files"])
+    assert n2 >= 8  # enough files that silence is the METRIC, not the floor
+    assert not [
+        r for r in plan_maintenance(spark, p2).collect()
+        if r.target.startswith("zorder:")
+    ]
+    # apply_maintenance executes the recommendation on the drifted table
+    out = apply_maintenance(spark, p)
+    assert out["optimize"]["version"] == list_versions(p)[-1]
+    replan = plan_maintenance(spark, p).collect()
+    assert not [r for r in replan if r.target.startswith("zorder:")]
+    # and nothing was lost in the rewrite
+    assert read_version(spark, p).count() == 48001
+
+
+def test_plan_maintenance_no_drift_without_spec_or_files(spark, tmp_path):
+    """No spec → no drift signal; a spec but fewer than drift_min_files
+    stat-covered files → silent (a rewrite cannot matter)."""
+    from fdf_spark.sources.metatables import plan_maintenance
+    from fdf_spark.sources.versioned import set_partition_spec
+
+    p = str(tmp_path / "t")
+    for i in range(3):
+        commit_version(
+            spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1), p
+        )
+    assert not [
+        r for r in plan_maintenance(spark, p).collect()
+        if r.target.startswith("zorder:")
+    ]
+    set_partition_spec(p, ["k"])
+    commit_version(spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1), p)
+    assert not [
+        r for r in plan_maintenance(spark, p).collect()
+        if r.target.startswith("zorder:")
+    ]
