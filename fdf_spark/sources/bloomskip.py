@@ -418,6 +418,46 @@ def coerce_probe_values(declared_type: str, values) -> list | None:
     return None  # float/decimal/binary/…: bloom equality not meaningful
 
 
+def _write_sidecar_atomic(sidecar_path: str, payload: str) -> None:
+    """THE sidecar write seam (VERDICT r13 #2), executor-side: stage the
+    fully-serialized JSON next to the data file, then ``os.replace`` —
+    readers observe whole sidecars or none, concurrent builders are
+    LAST-WRITER-WINS (deliberately weaker than the manifest's
+    create-if-absent ``publish_atomic``: sidecars are non-authoritative
+    derived metadata, a lost write costs pruning, never rows, and the
+    coverage report self-heals it).  On an object store this maps onto
+    an UNCONDITIONAL PUT of the whole object — same visibility, same
+    last-writer-wins.
+
+    REQUIREMENT (ADVICE r13): executors must share the data files'
+    filesystem (true wherever the engine itself runs — the data file
+    the sidecar sits next to was written through the same paths).  If
+    a deployment ever routed data to shared storage but scratch to
+    executor-local disk, the sidecar would land invisibly —
+    :func:`build_blooms` therefore VERIFIES visibility driver-side
+    after the job and reports unreachable files as NOT built, so
+    coverage reporting can never claim pruning that will not engage."""
+    import uuid as _uuid
+
+    tmp = f"{sidecar_path}.tmp.{os.getpid()}.{_uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        os.replace(tmp, sidecar_path)
+    except BaseException:
+        try:
+            os.unlink(tmp)  # a failed publish never leaks its staging file
+        except OSError:
+            pass
+        raise
+
+
+def _sidecar_visible(data_file: str) -> bool:
+    """Driver-side visibility check after an executor-side build —
+    module attribute so deployment tests can swap the probe."""
+    return os.path.exists(data_file + BLOOM_SUFFIX)
+
+
 def _fnv_pair_vec(starts, lens, data):
     """Vectorized two-basis FNV-1a-64 + splitmix finalizer over UTF-8
     string buffers — numpy twin of :func:`_hash_pair_str_fnv`.  One
@@ -539,7 +579,6 @@ def build_blooms(
         import hashlib
         import json as _json
         import os as _os
-        import uuid as _uuid
 
         import numpy as np
         import pyarrow as pa
@@ -623,10 +662,10 @@ def build_blooms(
 
         # EXECUTOR-SIDE sidecar write (VERDICT r12 #1): merge with any
         # pre-existing sidecar (keep columns an earlier build indexed
-        # that this call didn't request), then atomic tmp+rename next
-        # to the immutable data file.  Unique tmp name: a speculative
-        # twin or retried attempt writes its own tmp and the replace
-        # is last-writer-wins over IDENTICAL content.
+        # that this call didn't request), then the atomic stage+replace
+        # seam (_write_sidecar_atomic — last-writer-wins by design; a
+        # speculative twin or retried attempt replaces IDENTICAL
+        # content).
         sp = fname + BLOOM_SUFFIX
         if _os.path.exists(sp):
             try:
@@ -636,10 +675,9 @@ def build_blooms(
                 prev = {}
             prev.update(sidecar)
             sidecar = prev
-        tmp = f"{sp}.tmp.{_os.getpid()}.{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(_json.dumps(sidecar))
-        _os.replace(tmp, sp)  # atomic: readers see whole sidecars or none
+        from fdf_spark.sources.bloomskip import _write_sidecar_atomic
+
+        _write_sidecar_atomic(sp, _json.dumps(sidecar))
         return pa.table({"file": [fname], "built": [True]})
 
     from fdf_spark.sources.versioned import _norm_file_path
@@ -668,7 +706,18 @@ def build_blooms(
         .groupBy("__file")
         .applyInArrow(_fold, schema="file string, built boolean")
     )
-    built = sum(1 for r in df.collect() if r["built"])
+    flagged = [r["file"] for r in df.collect() if r["built"]]
     for f in todo:
         _SIDECAR_CACHE.pop(f + BLOOM_SUFFIX, None)  # never serve stale decodes
-    return {"built": built, "skipped": len(m["files"]) - len(todo), "cols": cols}
+    # driver-side visibility verification (ADVICE r13): an executor that
+    # wrote to non-shared storage would still flag built=True — count
+    # only sidecars the DRIVER can reach, so coverage reporting
+    # (table_blooms, plan_maintenance, this return) never promises
+    # pruning that cannot engage; unreachable stays correctness-safe
+    # (superset guarantee) and is surfaced loudly here
+    built = sum(1 for f in flagged if _sidecar_visible(f))
+    out = {"built": built, "skipped": len(m["files"]) - len(todo), "cols": cols}
+    unreachable = len(flagged) - built
+    if unreachable:
+        out["unreachable"] = unreachable
+    return out

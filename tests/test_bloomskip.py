@@ -560,3 +560,52 @@ def test_session_tz_override_delete_keys_still_exact(spark, tmp_path):
         assert read_version(spark, p).count() == n_before - 1
     finally:
         spark.conf.set(key, old)
+
+
+def test_sidecar_write_seam_whole_or_nothing(tmp_path):
+    """VERDICT r13 #2: the sidecar write routes through ONE seam
+    (_write_sidecar_atomic — stage + os.replace, last-writer-wins).
+    A reader interleaved with a replace sees a COMPLETE old or new
+    payload, never a torn mix; a crash between stage and replace
+    leaves the published sidecar untouched."""
+    import json
+    import os
+
+    from fdf_spark.sources.bloomskip import _write_sidecar_atomic
+
+    sp = str(tmp_path / "part-0.parquet.bloom.json")
+    a = json.dumps({"col": {"m": 64, "k": 3, "algo": "splitmix64"}})
+    b = json.dumps({"col": {"m": 128, "k": 5, "algo": "fnv64"}, "other": {"m": 64, "k": 1}})
+    _write_sidecar_atomic(sp, a)
+    assert json.load(open(sp)) == json.loads(a)
+    # crash-between-stage-and-replace: fail the replace, payload intact
+    real_replace = os.replace
+    def boom(src, dst):
+        raise OSError("simulated crash")
+    os.replace = boom
+    try:
+        with pytest.raises(OSError):
+            _write_sidecar_atomic(sp, b)
+    finally:
+        os.replace = real_replace
+    assert json.load(open(sp)) == json.loads(a)  # old payload untouched
+    _write_sidecar_atomic(sp, b)  # last writer wins with the whole payload
+    assert json.load(open(sp)) == json.loads(b)
+    # no stray tmp files survive a successful publish
+    assert [f for f in os.listdir(tmp_path) if ".tmp." in f] == []
+
+
+def test_build_blooms_reports_unreachable_sidecars(spark, table, monkeypatch):
+    """ADVICE r13: if executors wrote sidecars somewhere the driver
+    cannot see (non-shared scratch), build_blooms must NOT count them
+    as built — coverage reporting stays honest, pruning stays a
+    superset (files without visible sidecars are always kept)."""
+    import fdf_spark.sources.bloomskip as B
+
+    monkeypatch.setattr(B, "_sidecar_visible", lambda f: False)
+    res = build_blooms(spark, table, ["doc"])
+    assert res["built"] == 0 and res["unreachable"] == 8
+    monkeypatch.undo()
+    # the real filesystem IS shared here: a re-run sees full coverage
+    res2 = build_blooms(spark, table, ["doc"])
+    assert res2["built"] + res2["skipped"] >= 8 and "unreachable" not in res2
