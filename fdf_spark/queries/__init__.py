@@ -106,7 +106,6 @@ PRIORITY: tuple[str, ...] = (
     "q85_payload_chr_decode",       # F12
     "q83_fft_per_series",           # X4
     "q126_logreg_quality",          # N25 in-engine trained classifier (r5; displaced q24 — N5 keeps the frequency-sketch rep q119; percentiles stay pytest-oracle)
-    "q60_exact_dedup",              # N1
     "q155_ivf_pq_persisted_probe",  # N3+N17 persisted-index probe (r9; displaced q61 — N2 stays in-window via q108, which tags N2 alongside N14/N3; q61 remains a bench headline and sweep-green). The single most scale-critical composite (IVF-PQ over a versioned code table) now sits inside the driver hash gate.
     "q70_text_quality",             # N4
     "q129_jpeg_codec_roundtrip",    # N6 REAL baseline-JPEG decode (r6; displaced q68 — same single N6 tag, but q129 exercises the real compressed codec instead of the deterministic fake)
@@ -114,7 +113,6 @@ PRIORITY: tuple[str, ...] = (
     "q39_json_roundtrip",           # N8
     "q121_fuzzy_match",             # N22 blocked ER (r5; displaced q34 — N9 covered by q118+q119, N4 by q70/q103)
     # -- breadth fillers, all oracle-checked --
-    "q156_change_data_feed",         # N17+N15+ST1 streaming change-data-feed value oracle (r10, VERDICT r9 #6; displaced q137 — N5 stays covered in-window by q119/q134, A9 by q126; q137 remains sweep-green)
     "q54_stateful_dedup_count",
     "q149_stream_left_outer_join",  # ST4 outer tier + J7 batch-horizon oracle (r8; displaced q25 — its J7 tag stays double-covered by q55+q149, and q149's oracle IS a batch interval join)
     "q98_bm25_topk",               # N10 (J4's second rep q41 demoted below)
@@ -127,7 +125,6 @@ PRIORITY: tuple[str, ...] = (
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
     "q163_wap_audit_publish",       # N17+N18 write-audit-publish + named refs (r11; displaced q124 — N24 stays in-window via q125_pipeline_export's shard-export stage, q124 remains sweep-green). The stage-invisible/audit/fast-forward-publish lifecycle and the tag pin enter the driver hash gate.
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
-    "q162_equality_delete",         # N15+N17+J6 equality-delete tier (r11, VERDICT r10 #6; displaced q110 — N15 stays in-window via q159+q162 itself, J2 via q03/q04/q148, U2/S10 via q08/q148/q159; q110 remains sweep-green). The zero-scan delete-by-key path and its scope rule enter the driver hash gate.
     "q115_pagerank",                # N16 (q92 J3/F1/F2/P3 all covered by q148/q16/q44/q42)
     # -- r12 rotation remnant (VERDICT r11 #2/#3); q160/q164/q166/q167/
     # q169 rotated back out in r13 (below), all sweep-green.
@@ -140,10 +137,18 @@ PRIORITY: tuple[str, ...] = (
     # q159/q156/q162/q170/q173), q169 (S4 via q04/q170/q173).
     "q170_sql_dml_lifecycle",       # N17+N15+S4 all four SQL DML verbs, one table (r12)
     "q171_bloom_point_lookup",      # N17+P6 per-file bloom sidecar skipping (r12)
-    "q172_shallow_clone_fork",      # N17 zero-copy CLONE fork isolation (r12)
     "q173_sql_merge_clauses",       # N15+N17+S4 general MERGE: conditional clauses (r13)
     "q174_html_extract",            # N4 HTML→text regexp chain, oracle IS the same chain (r13)
     "q175_plan_maintenance",        # N17+S5 metadata-only maintenance planner (r13)
+    # -- r14 rotation (VERDICT r13 #2 + the round's headline features).
+    # Displaced, all sweep-green and coverage-neutral (checked
+    # mechanically by test_registry): q60 (N1 via q125/q108), q156
+    # (ST1 via q53/q54, N15/N17 via q159/q170/q173), q162 (J6 via
+    # q86, N15/N17 many reps), q172 (N17 ~12 reps).
+    "q176_sql_ddl_lifecycle",       # N17+S4 CTAS/RENAME/ADD COLUMN/SPEC/CONSTRAINT, one table (r13+r14)
+    "q177_bloom_date_lookup",       # N17+P6+F13 date-keyed bloom sidecar skipping (r13)
+    "q178_sql_time_travel",         # N17+S4 inline VERSION AS OF + cross-version anti-join (r14)
+    "q179_event_time_range_scan",   # N17+P6+F13 timestamp-stats range pruning (r14)
 )
 
 
