@@ -109,6 +109,12 @@ ROWS = [
     ("incr near-dup vs 1M landed (N2)", "continuous-ingest near-dup: 100k-doc ingest probing a 1M-fingerprint landed index (3×20-bit bands/word, exact for dist<=5) (N2/q158)", "100 k batch"),
     ("incr near-dup vs 10M landed (N2)", "the SAME 100k ingest against a 10M-fingerprint landed index — cost is one 16 B/doc index scan + the probe, never landed×landed (N2/q158)", "100 k batch"),
     ("incr near-dup repeat ingest (N2)", "the next consecutive 100k ingest against the just-grown 10M index — the flat per-ingest cadence (N2/q158)", "100 k batch"),
+    ("ts-range scan unpruned", "event-time range filter WITHOUT the manifest prune — every file read: the counterfactual (N17/q179)", "40 M / 64 files"),
+    ("ts-range scan pruned (N17)", "the SAME ~6-day event-time slice through timestamp manifest stats (exact epoch-micros [min, max] per file, r14 — VERDICT r13 #3): files outside the window are never even listed; files_read printed in-run (N17/q179)", "40 M / 64 files"),
+    ("fnv-vs-md5 64B keys (N5)", "bloom string-hash crossover at KEY-sized values: vectorized two-basis FNV vs C md5, FULL build path (hash + bit sets), both timed in-run — _FNV_MAX_LEN=160 is the measured break-even (N5, r14 — VERDICT r13 #8)", "2 M × 64 B"),
+    ("fnv-vs-md5 1KB values (N5)", "the same crossover at DOCUMENT-sized values — md5 wins past the cutoff and the per-(column, file) `algo` dispatch takes the winner automatically on both build and probe (N5, r14)", "0.2 M × 1 KB"),
+    ("drift planner recommend", "clustering-drift planner over 16 full-range appends against an identity spec: avg files-per-point from manifest stats ONLY → ('optimize', 'zorder:k') recommended, zero data reads (N17, r14 — VERDICT r13 #6)", "16 M / 17 files"),
+    ("drift zorder rewrite+silent", "the recommended Z-ORDER rewrite executed (apply_maintenance's path) + replan: the fresh layout is SILENT (depth ≈ ideal) — the drift loop closed (N17, r14)", "16 M"),
 ]
 
 LINE = re.compile(r"^(.*?)\s{2,}([\d.]+) Mrows\s+([\d.]+) s\s+([\d.]+) Mrows/s(.*)$")
@@ -243,6 +249,20 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         "re-runs, the table is never re-scanned). The maintenance planner answers "
         f"over the 513-file table in {w('plan_maintenance 513 files'):.1f} s "
         f"({extra('plan_maintenance 513 files')}) — metadata only. "
+        "The r14 event-time ledger: the same ~6-day slice of a 40 M-row event "
+        f"table answers in {w('ts-range scan pruned (N17)'):.1f} s through the "
+        f"timestamp manifest stats ({extra('ts-range scan pruned (N17)')}) vs "
+        f"{w('ts-range scan unpruned'):.1f} s unpruned "
+        f"({extra('ts-range scan unpruned')}) — the skipped files are never listed, "
+        "so the gap widens with table size. The string-hash crossover measured "
+        f"in-run: 64 B keys {extra('fnv-vs-md5 64B keys (N5)')}; 1 KB values "
+        f"{extra('fnv-vs-md5 1KB values (N5)')} — _FNV_MAX_LEN=160 sits at the "
+        "measured break-even and each (column, file) takes its winning path. The "
+        "r14 drift ledger: the planner reads the 16-append interleaved table in "
+        f"{w('drift planner recommend'):.1f} s ({extra('drift planner recommend')}, "
+        "manifest stats only) and after the "
+        f"{w('drift zorder rewrite+silent'):.1f} s Z-ORDER rewrite the replan is "
+        f"silent ({extra('drift zorder rewrite+silent')}). "
         "Cross-round comparisons should read plan shapes and row-to-row ratios, not "
         "absolute seconds (shared-host load differs between rounds)."
     )

@@ -1581,6 +1581,147 @@ def main() -> None:
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+    # 36) event-time RANGE scan through timestamp manifest stats (r14 —
+    # VERDICT r13 #3/#4): a 40M-row table range-clustered on an event
+    # timestamp carries exact epoch-micros [min, max] per file (the
+    # engine writes TIMESTAMP_MICROS), so a ~6-day slice of a ~460-day
+    # corpus opens ~1/64 of the files; the identical filter WITHOUT the
+    # prune scans everything — the counterfactual pair, files_read
+    # printed in-run.
+    import datetime as _dt
+
+    d = tempfile.mkdtemp(prefix="stress_tsrange_")
+    try:
+        p = os.path.join(d, "t")
+        n = 40_000_000
+        base = spark.range(0, n, 1, 64).select(
+            F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+            ((F.col("id") * 13) % 97).cast("double").alias("v"),
+        )
+        commit_version(base.repartitionByRange(64, "ts"), p)
+        lo = _dt.datetime.fromtimestamp(1_600_000_000 + 5 * n // 64, _dt.timezone.utc)
+        hi = _dt.datetime.fromtimestamp(1_600_000_000 + 6 * n // 64, _dt.timezone.utc)
+        flt = (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+        for label, probe in (
+            ("ts-range scan unpruned", read_version(spark, p)),
+            ("ts-range scan pruned (N17)", read_version(spark, p, prune=("ts", lo, hi))),
+        ):
+            n_read = len(probe.inputFiles())
+            t0 = time.perf_counter()
+            probe.filter(flt).groupBy().agg(F.count("*"), F.sum("v")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            print(
+                f"{label:28s} {n/1e6:8.1f} Mrows {dt:7.2f} s {n/dt/1e6:8.1f} Mrows/s "
+                f"files_read={n_read}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # 36b) string-hash crossover (r14 — VERDICT r13 #8): the bloom
+    # build's vectorized two-basis FNV vs C md5, FULL path (hash + bit
+    # sets) at key-sized and document-sized strings; _FNV_MAX_LEN=160
+    # is the measured break-even, and the per-(column, file) `algo`
+    # dispatch means both rows take their winning path in production.
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from fdf_spark.sources.bloomskip import _fnv_pair_vec, _params
+
+    rng = np.random.default_rng(7)
+    for label, L, n_str in (("fnv-vs-md5 64B keys (N5)", 64, 2_000_000),
+                            ("fnv-vs-md5 1KB values (N5)", 1024, 200_000)):
+        strs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, L))
+                for _ in range(50_000)]
+        reps = n_str // 50_000
+        arr = pa.array(strs, pa.large_string())
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: len(arr) + 1]
+        starts, ends = off[:-1], off[1:]
+        lens = ends - starts
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        mbits, k = _params(len(strs), 0.01)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            bits = np.zeros(mbits // 8, dtype=np.uint8)
+            with np.errstate(over="ignore"):
+                h1, h2 = _fnv_pair_vec(starts, lens, data)
+                for i in range(k):
+                    pos = (h1 + np.uint64(i) * h2) % np.uint64(mbits)
+                    np.bitwise_or.at(
+                        bits, (pos >> np.uint64(3)).astype(np.int64),
+                        np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)),
+                    )
+        t_fnv = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            bits2 = bytearray(mbits // 8)
+            for s in strs:
+                dg = hashlib.md5(s.encode("utf-8")).digest()
+                h1s = int.from_bytes(dg[:8], "little")
+                h2s = int.from_bytes(dg[8:], "little") | 1
+                for i in range(k):
+                    pos = ((h1s + i * h2s) & 0xFFFFFFFFFFFFFFFF) % mbits
+                    bits2[pos >> 3] |= 1 << (pos & 7)
+        t_md5 = time.perf_counter() - t0
+        dt = min(t_fnv, t_md5)
+        print(
+            f"{label:28s} {n_str/1e6:8.1f} Mrows {dt:7.2f} s {n_str/dt/1e6:8.1f} Mrows/s "
+            f"fnv={t_fnv:.2f}s md5={t_md5:.2f}s winner={'fnv' if t_fnv < t_md5 else 'md5'}",
+            flush=True,
+        )
+
+    # 36c) clustering-drift planner (r14 — VERDICT r13 #6): 16 full-
+    # range appends against a declared identity spec erode the layout;
+    # plan_maintenance reads ONLY manifest stats, measures avg
+    # files-per-point and recommends the Z-ORDER; after the rewrite the
+    # same plan is silent — both walls printed (metadata-only: no data
+    # pages read by the planner itself).
+    from fdf_spark.sources.metatables import plan_maintenance
+    from fdf_spark.sources.versioned import optimize, set_partition_spec
+
+    d = tempfile.mkdtemp(prefix="stress_drift_")
+    try:
+        p = os.path.join(d, "t")
+        n_app, per = 16, 1_000_000
+        commit_version(
+            spark.range(0, 1).select(F.col("id").alias("k"), F.lit(0.0).alias("v")), p
+        )
+        set_partition_spec(p, ["k"])
+        for i in range(n_app):
+            commit_version(
+                spark.range(0, per, 1, 4).select(
+                    ((F.col("id") * 37 + i) % (n_app * per)).alias("k"),
+                    (F.col("id") % 97).cast("double").alias("v"),
+                ),
+                p,
+            )
+        nrows = n_app * per
+        t0 = time.perf_counter()
+        plan = plan_maintenance(spark, p).collect()
+        dt = time.perf_counter() - t0
+        rec = [r.target for r in plan if r.target.startswith("zorder:")]
+        print(
+            f"{'drift planner recommend':28s} {nrows/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{nrows/dt/1e6:8.1f} Mrows/s rec={rec[0] if rec else 'NONE'}",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        optimize(spark, p, zorder=["k"], target_bytes=8 << 20)
+        dt = time.perf_counter() - t0
+        plan2 = plan_maintenance(spark, p).collect()
+        silent = not [r for r in plan2 if r.target.startswith("zorder:")]
+        print(
+            f"{'drift zorder rewrite+silent':28s} {nrows/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{nrows/dt/1e6:8.1f} Mrows/s replan_silent={silent}",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     spark.stop()
 
 
