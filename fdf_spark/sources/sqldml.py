@@ -579,6 +579,9 @@ def execute_dml(spark: SparkSession, path: str, statement: str) -> int:
         return _general_merge(
             spark, path, changes, keys, clauses, tgt_alias, src_alias
         )
+    m = _COPY_RE.match(stmt)
+    if m:
+        return _copy_into(spark, path, m.group(2), m.group(3), m.group(4))
     v = _utility_statement(spark, path, stmt)
     if v is not None:
         return v
@@ -586,7 +589,7 @@ def execute_dml(spark: SparkSession, path: str, statement: str) -> int:
     if v is not None:
         return v
     raise ValueError(
-        "unsupported DML statement (DELETE/UPDATE/INSERT/MERGE/"
+        "unsupported DML statement (DELETE/UPDATE/INSERT/MERGE/COPY INTO/"
         "OPTIMIZE/VACUUM/RESTORE/CREATE TABLE AS/ALTER TABLE): "
         f"{stmt[:80]!r}"
     )
@@ -854,6 +857,9 @@ def execute_sql(spark: SparkSession, path: str, statement: str) -> DataFrame:
     from fdf_spark.sources.versioned import read_version
 
     stmt = statement.strip().rstrip(";")
+    m = _DESCRIBE_RE.match(stmt)
+    if m:
+        return _describe(spark, path, m.group(1).upper())
     masked = _mask_quotes(stmt)
     matches = list(_AS_OF_RE.finditer(masked))
     if not matches:
@@ -894,3 +900,133 @@ def execute_sql(spark: SparkSession, path: str, statement: str) -> DataFrame:
                 spark.catalog.dropTempView(v)
             except Exception:
                 pass
+
+
+_COPY_RE = re.compile(
+    rf"^\s*COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+    r"(?:\s+FILEFORMAT\s*=\s*(\w+))?"
+    r"(?:\s+IDEMPOTENT\s+'([^']+)')?\s*$",
+    re.I | re.S,
+)
+_DESCRIBE_RE = re.compile(
+    rf"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+({_IDENT})\s*$", re.I | re.S
+)
+
+
+def _copy_into(spark: SparkSession, path: str, src: str, fmt: str, ingest_id):
+    """Delta's COPY INTO, on the engine's idempotent-ingest seams: load
+    files at ``src`` (parquet; csv/json require an existing table
+    schema), align BY NAME to the table schema (missing columns
+    NULL-fill, extra source columns error — the cast discipline every
+    INSERT path applies), and append.  With ``IDEMPOTENT '<id>'`` the
+    commit stamps ``meta.ingest_id`` and a replay is a NO-OP — the
+    check-then-act race is closed by ``expected_parent`` pinning (the
+    loser re-checks against the winner's manifest), the same
+    serializability loop the incremental ingest tiers run."""
+    from pyspark.sql import functions as F
+
+    from fdf_spark.sources.versioned import (
+        ConcurrentCommitError,
+        _logical_schema,
+        _read_manifest,
+        applied_ingest_ids,
+        commit_version,
+        list_versions,
+    )
+
+    fmt = (fmt or "parquet").lower()
+    if fmt not in ("parquet", "csv", "json"):
+        raise ValueError(f"COPY INTO supports parquet/csv/json, got {fmt!r}")
+    versions = list_versions(path)
+    schema = _logical_schema(_read_manifest(path, versions[-1])) if versions else None
+    if fmt == "parquet":
+        df = spark.read.parquet(src)
+    else:
+        if schema is None:
+            raise ValueError(
+                f"COPY INTO {fmt} needs an existing table schema "
+                "(create the table first; parquet can bootstrap)"
+            )
+        reader = spark.read.schema(schema)
+        df = (
+            reader.option("header", "true").csv(src) if fmt == "csv"
+            else reader.json(src)
+        )
+    if schema is not None:
+        have = {f.name for f in schema.fields}
+        extra = [c for c in df.columns if c not in have]
+        if extra:
+            raise ValueError(
+                f"COPY INTO source carries columns {extra} the table lacks — "
+                "ALTER TABLE ADD COLUMN first (by-name matching, Delta rule)"
+            )
+        src_cols = set(df.columns)
+        df = df.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType) if f.name in src_cols
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+    if ingest_id is None:
+        return commit_version(df, path, mode="append")
+    while True:
+        versions = list_versions(path)
+        head = versions[-1] if versions else 0
+        if ingest_id in applied_ingest_ids(path):
+            return head  # replay: already landed, no-op
+        try:
+            return commit_version(
+                df, path, mode="append",
+                meta={"ingest_id": ingest_id}, expected_parent=head,
+            )
+        except ConcurrentCommitError:
+            continue  # re-check against the winner's manifest
+
+
+def _describe(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """``DESCRIBE HISTORY t`` (Delta parity: the commit log as a
+    relation, latest first — `metatables.table_history`) and
+    ``DESCRIBE DETAIL t`` (one row: head version, live files/bytes/
+    rows, partition spec, constraint and ref counts) — both derived
+    from the manifest chain, zero data reads."""
+    from pyspark.sql import functions as F
+
+    from fdf_spark.sources.metatables import table_history
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        list_check_constraints,
+        list_refs,
+        list_versions,
+        partition_spec,
+    )
+
+    if kind == "HISTORY":
+        return table_history(spark, path).orderBy(F.col("version").desc())
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1]
+    m = _read_manifest(path, v)
+    fr, fb = m.get("file_rows", {}), m.get("file_bytes", {})
+    import os
+
+    row = (
+        v,
+        len(m["files"]),
+        sum(
+            fb[f] if f in fb else (os.path.getsize(f) if os.path.exists(f) else 0)
+            for f in m["files"]
+        ),
+        sum(fr.get(f, 0) for f in m["files"]),
+        ", ".join(partition_spec(path)["cols"]) or None,
+        len(list_check_constraints(path)),
+        len(list_refs(path)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "version int, num_files int, size_bytes bigint, num_rows bigint, "
+        "partition_spec string, num_constraints int, num_refs int",
+    )

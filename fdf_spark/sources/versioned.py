@@ -2274,10 +2274,16 @@ def metadata_aggregate(
       footer-only reads);
     - ANY request under equality deletes (``eq_applies``): how many
       rows a key mask kills is unknowable without matching;
-    - a requested column is non-numeric (parquet string stats may be
-      truncated by writers — safe for pruning's superset guarantee,
-      not for an exact answer) or lacks footer stats in some non-empty
-      file (nested types, all-NULL chunks, NaN-poisoned doubles).
+    - a requested column is neither numeric nor date/timestamp
+      (parquet string stats may be truncated by writers — safe for
+      pruning's superset guarantee, not for an exact answer) or lacks
+      footer stats in some non-empty file (nested types, all-NULL
+      chunks, NaN-poisoned doubles, TIMESTAMP_NTZ).  Date/timestamp
+      extremes (r14) answer from the exact epoch-day/epoch-micros
+      manifest stats, converted back through pyspark's own
+      ``fromInternal`` so the value is bit-identical to a scan's
+      collect — the "event-time watermark of a 100 TB table" question
+      becomes a metadata read.
 
     Pruning tolerates loose stats; THIS function never returns a value
     a full scan would not — the fallback is the guard.
@@ -2329,13 +2335,19 @@ def metadata_aggregate(
             (rows_map0[f] if f in rows_map0 else _file_row_count(f)) for f in files
         ) - sum(_file_row_count(t) for t in {t for f in files for t in dvm.get(f, [])})
         return {"count": live, "min": {}, "max": {}, "source": "metadata"}
+    # temporal columns answer from metadata too (r14): their manifest
+    # stats are exact epoch-day / epoch-micros ints recorded from
+    # lossless footer values, converted back below through pyspark's
+    # own internal converters so the answer is bit-identical to what a
+    # scan's collect returns
     _NUMERIC = {"byte", "short", "integer", "long", "float", "double", "boolean"}
+    _TEMPORAL = {"date", "timestamp"}
     # type checks FIRST — before paying any per-file footer reads a
     # fallback would discard; a legacy manifest without a recorded
     # schema cannot prove a column numeric, so it scans too (r10 review)
     if cols and schema is None:
         return _scan()
-    if any(schema[c].dataType.typeName() not in _NUMERIC for c in cols):
+    if any(schema[c].dataType.typeName() not in _NUMERIC | _TEMPORAL for c in cols):
         return _scan()
     rows_map = m.get("file_rows", {})
     per_file_rows = {f: (rows_map[f] if f in rows_map else _file_row_count(f)) for f in files}
@@ -2353,8 +2365,22 @@ def metadata_aggregate(
                     continue  # an empty file contributes no extremes
                 return _scan()
             bounds.append(st)
-        lo[c] = min((b[0] for b in bounds), default=None)
-        hi[c] = max((b[1] for b in bounds), default=None)
+        clo = min((b[0] for b in bounds), default=None)
+        chi = max((b[1] for b in bounds), default=None)
+        tname = schema[c].dataType.typeName()
+        if clo is not None and tname in _TEMPORAL:
+            if not all(
+                isinstance(b[0], int) and isinstance(b[1], int) for b in bounds
+            ):
+                return _scan()  # pre-r13/r14 stats in a foreign domain
+            # pyspark's own fromInternal — the exact value a scan's
+            # collect() hands back for the same extreme row
+            clo, chi = (
+                schema[c].dataType.fromInternal(clo),
+                schema[c].dataType.fromInternal(chi),
+            )
+        lo[c] = clo
+        hi[c] = chi
     return {"count": count, "min": lo, "max": hi, "source": "metadata"}
 
 

@@ -525,3 +525,64 @@ def test_execute_sql_time_travel(spark, table):
     assert lit == "FROM t VERSION AS OF 99"
     with pytest.raises(ValueError, match="no FROM"):
         execute_sql(spark, table, "SELECT 1")
+
+
+def test_copy_into_idempotent(spark, table, tmp_path):
+    """r14: COPY INTO loads files by-name-aligned to the table schema
+    (missing columns NULL-fill, extra columns error) and the
+    IDEMPOTENT form makes a replayed load a NO-OP via the engine's
+    ingest-id + expected_parent serializability loop."""
+    src = str(tmp_path / "landing")
+    spark.range(500, 520).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    ).write.parquet(src)
+    v = execute_dml(
+        spark, table, f"COPY INTO t FROM '{src}' IDEMPOTENT 'batch-001'"
+    )
+    assert v == 2
+    df = read_version(spark, table)
+    assert df.count() == 120
+    assert df.filter("k = 510").first().s is None  # NULL-filled by name
+    # replay: no-op, head unchanged
+    v2 = execute_dml(
+        spark, table, f"COPY INTO t FROM '{src}' IDEMPOTENT 'batch-001'"
+    )
+    assert v2 == 2 and read_version(spark, table).count() == 120
+    # a different id lands (and non-idempotent form always lands)
+    execute_dml(spark, table, f"COPY INTO t FROM '{src}' IDEMPOTENT 'batch-002'")
+    assert read_version(spark, table).count() == 140
+    # extra source columns refuse (by-name discipline)
+    bad = str(tmp_path / "bad")
+    spark.range(1).select(
+        F.col("id").alias("k"), F.lit("x").alias("zzz")
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="zzz"):
+        execute_dml(spark, table, f"COPY INTO t FROM '{bad}'")
+
+
+def test_copy_into_csv_with_table_schema(spark, table, tmp_path):
+    src = str(tmp_path / "csv")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "part.csv"), "w") as fh:
+        fh.write("k,v,s\n900,1.5,from csv\n901,2.5,also csv\n")
+    execute_dml(spark, table, f"COPY INTO t FROM '{src}' FILEFORMAT = CSV")
+    got = read_version(spark, table).filter("k >= 900").orderBy("k").collect()
+    assert [(r.k, r.v, r.s) for r in got] == [
+        (900, 1.5, "from csv"), (901, 2.5, "also csv"),
+    ]
+
+
+def test_describe_history_and_detail(spark, table):
+    """r14: DESCRIBE HISTORY (latest-first commit log) and DESCRIBE
+    DETAIL (head summary) as SQL — manifest-only."""
+    from fdf_spark.sources.sqldml import execute_sql
+
+    execute_dml(spark, table, "DELETE FROM t WHERE k < 10")
+    h = execute_sql(spark, table, "DESCRIBE HISTORY t").collect()
+    assert [r.version for r in h] == [2, 1]
+    assert h[0].mode == "delete"
+    d = execute_sql(spark, table, "DESCRIBE DETAIL t").first()
+    assert d.version == 2 and d.num_files >= 1 and d.num_rows == 100
+    assert d.num_constraints == 0 and d.size_bytes > 0

@@ -2171,3 +2171,34 @@ def test_timestamp_predicate_bounds_from_sql_literal(spark, tmp_path):
     meta = V._read_manifest(p, v)["meta"]
     assert read_version(spark, p).count() == 5900
     assert read_version(spark, p).filter("k < 100").count() == 0
+
+
+def test_metadata_aggregate_temporal_extremes(spark, tmp_path):
+    """r14: min/max of date AND timestamp columns answer from the
+    manifest (epoch-day/epoch-micros stats converted back through
+    pyspark's own fromInternal — bit-identical to a scan's collect),
+    proven metadata-only by answering after the data files are gone."""
+    import glob
+    import os
+
+    from fdf_spark.sources.versioned import metadata_aggregate
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 5000).select(
+        F.date_add(F.lit("2021-03-01").cast("date"), (F.col("id") % 700).cast("int")).alias("d"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") * 977).alias("ts"),
+        F.col("id").alias("k"),
+    )
+    commit_version(df.repartition(4), p)
+    scan = read_version(spark, p).agg(
+        F.min("d"), F.max("d"), F.min("ts"), F.max("ts")
+    ).first()
+    got = metadata_aggregate(spark, p, ["d", "ts"])
+    assert got["source"] == "metadata"
+    assert (got["min"]["d"], got["max"]["d"]) == (scan[0], scan[1])
+    assert (got["min"]["ts"], got["max"]["ts"]) == (scan[2], scan[3])
+    # metadata-only: still answers after every data page is gone
+    for f in glob.glob(os.path.join(p, "data", "*", "*.parquet")):
+        os.remove(f)
+    again = metadata_aggregate(spark, p, ["d", "ts"])
+    assert again == got
