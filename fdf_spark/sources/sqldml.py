@@ -11,6 +11,9 @@ four ANSI DML verbs, as plain SQL strings, at a versioned table path.
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
     \"\"\")
+    execute_dml(spark, path, "COPY INTO t FROM '/landing' IDEMPOTENT 'b1'")
+    execute_sql(spark, path, "SELECT ... FROM t VERSION AS OF 3")   # reads
+    execute_sql(spark, path, "DESCRIBE HISTORY t")                  # (r14)
 
 Deliberate scope (documented, loudly enforced):
 
