@@ -602,7 +602,8 @@ _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*$", re.I | re.S
 )
 _VACUUM_RE = re.compile(
-    rf"^\s*VACUUM\s+({_IDENT})\s*(?:RETAIN\s+(\d+)\s+HOURS)?\s*$", re.I | re.S
+    rf"^\s*VACUUM\s+({_IDENT})\s*(?:RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*$",
+    re.I | re.S,
 )
 _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
@@ -638,9 +639,12 @@ def _utility_statement(spark: SparkSession, path: str, stmt: str):
     m = _VACUUM_RE.match(stmt)
     if m:
         # Delta parity: bare VACUUM keeps 7 days of time travel — the
-        # destructive form must be EXPLICIT (RETAIN 0 HOURS)
+        # destructive form must be EXPLICIT (RETAIN 0 HOURS); DRY RUN
+        # (r14) counts through the SAME retention rule, deletes nothing
         retain = float(m.group(2)) * 3600.0 if m.group(2) is not None else 168 * 3600.0
-        return len(vacuum(path, keep=1, retain_last_s=retain))
+        return len(
+            vacuum(path, keep=1, retain_last_s=retain, dry_run=m.group(3) is not None)
+        )
     m = _RESTORE_RE.match(stmt)
     if m:
         kind, val = m.group(2).upper(), m.group(3).strip().strip("'\"")

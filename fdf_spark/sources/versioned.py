@@ -3156,6 +3156,7 @@ def vacuum(
     keep: int = 1,
     orphan_grace_s: float = 3600.0,
     retain_last_s: float | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Drop all but the newest ``keep`` versions and delete data files
     no surviving manifest references; returns the deleted files.
@@ -3176,9 +3177,49 @@ def vacuum(
     AND it has been idle for ``orphan_grace_s`` — the mtime grace
     guards the residual race where head advances twice while a slow
     writer is still staging (same retention idea as Delta's vacuum
-    grace period)."""
+    grace period).
+
+    ``dry_run=True`` (Delta's ``VACUUM … DRY RUN``, r14) returns the
+    files the SAME retention/ownership/orphan rules would delete —
+    touching nothing: no file removed, no dead manifest dropped, no
+    delta materialized.  One rule, two modes — the estimate can never
+    drift from the destructive op."""
     live, dead = _retained_versions(path, keep, retain_last_s)
     referenced = _referenced_files(path, live)
+    if dry_run:
+        root = os.path.abspath(path) + os.sep
+        would = []
+        seen: set[str] = set()
+        for v in dead:
+            for f in _manifest_all_files(_read_manifest(path, v)):
+                if (
+                    f not in referenced
+                    and f not in seen
+                    and os.path.abspath(f).startswith(root)
+                    and os.path.exists(f)
+                ):
+                    seen.add(f)
+                    would.append(f)
+        head = max(live)
+        referenced_dirs = {os.path.dirname(f) for f in referenced}
+        for sub, prefix in (("data", "c"), ("data", "w"), ("deletes", "d"), ("deletes", "e")):
+            stage_root = os.path.join(path, sub)
+            if not os.path.isdir(stage_root):
+                continue
+            for d in sorted(os.listdir(stage_root)):
+                full = os.path.join(stage_root, d)
+                if not (d.startswith(prefix) and os.path.isdir(full)):
+                    continue
+                try:
+                    stage_v = int(d[1:9])
+                except ValueError:
+                    continue
+                idle = time.time() - os.path.getmtime(full)
+                if stage_v < head and full not in referenced_dirs and idle >= orphan_grace_s:
+                    for f in sorted(os.listdir(full)):
+                        if f.endswith(".parquet"):
+                            would.append(os.path.join(full, f))
+        return would
     # a surviving DELTA manifest whose base is about to die must be
     # materialized full first (while the chain is still intact) —
     # ascending order, so a chain of survivors re-roots on its first

@@ -586,3 +586,21 @@ def test_describe_history_and_detail(spark, table):
     d = execute_sql(spark, table, "DESCRIBE DETAIL t").first()
     assert d.version == 2 and d.num_files >= 1 and d.num_rows == 100
     assert d.num_constraints == 0 and d.size_bytes > 0
+
+
+def test_vacuum_dry_run(spark, table):
+    """r14: VACUUM … DRY RUN reports exactly what the destructive form
+    then deletes — one retention rule, two modes — and touches nothing."""
+    import os
+
+    from fdf_spark.sources.versioned import _read_manifest
+
+    execute_dml(spark, table, "INSERT OVERWRITE t SELECT CAST(1 AS LONG), 2.0, 'x'")
+    old_files = _read_manifest(table, 1)["files"]
+    n_dry = execute_dml(spark, table, "VACUUM t RETAIN 0 HOURS DRY RUN")
+    assert n_dry == len(old_files)
+    assert all(os.path.exists(f) for f in old_files)  # nothing deleted
+    assert read_version(spark, table, 1).count() == 100  # time travel intact
+    n_real = execute_dml(spark, table, "VACUUM t RETAIN 0 HOURS")
+    assert n_real == n_dry
+    assert not any(os.path.exists(f) for f in old_files)
