@@ -2202,3 +2202,26 @@ def test_metadata_aggregate_temporal_extremes(spark, tmp_path):
         os.remove(f)
     again = metadata_aggregate(spark, p, ["d", "ts"])
     assert again == got
+
+
+def test_zorder_on_timestamp_column(spark, tmp_path):
+    """r14: Z-ORDER accepts timestamp columns (epoch-micros Morton
+    mapping via the manifest stats) and the reclustered layout serves
+    event-time range prunes."""
+    import datetime as dt
+
+    from fdf_spark.sources.versioned import optimize
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 50000).select(
+        F.timestamp_seconds(F.lit(1_600_000_000) + (F.col("id") * 37) % 500000).alias("ts"),
+        (F.col("id") % 100).alias("g"),
+    )
+    commit_version(df.repartition(6), p)
+    res = optimize(spark, p, zorder=["ts", "g"], target_bytes=100_000)
+    assert res["rewritten"] == 6
+    assert read_version(spark, p).count() == 50000
+    lo = dt.datetime.fromtimestamp(1_600_000_000, dt.timezone.utc)
+    probe = read_version(spark, p, prune=("ts", lo, lo + dt.timedelta(seconds=50000)))
+    n_files = len(read_version(spark, p).inputFiles())
+    assert len(probe.inputFiles()) < n_files
