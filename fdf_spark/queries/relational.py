@@ -3285,3 +3285,98 @@ def q148_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "q180_copy_into_idempotent",
+    f"""
+    WITH t AS (
+      SELECT c_custkey AS k, c_acctbal AS bal
+      FROM customer WHERE c_custkey % 4 = 1)
+    SELECT k % 3 AS bucket, COUNT(*) AS n_rows, {sql_dsum('bal')} AS total_bal,
+           1 AS n_loads
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+    operators=("N15", "S4", "N7"),
+    doc="COPY INTO with idempotent replay (r14): the same landing "
+    "directory is COPY'd twice under one IDEMPOTENT id — the replay "
+    "is a NO-OP (meta.ingest_id + expected_parent serializability "
+    "loop), so the table holds exactly one load; the oracle replays "
+    "the single load relationally and the engine-computed n_loads "
+    "(commits that landed data) pins the no-op.  Scale: at-least-once "
+    "ingest pipelines (Airflow retries, stream replays) land exactly "
+    "once without any external ledger.",
+)
+def q180_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml
+    from fdf_spark.sources.versioned import list_versions, read_version
+
+    landing = tempfile.mkdtemp(prefix="fdf_landing_")
+    path = tempfile.mkdtemp(prefix="fdf_copyinto_")
+    T(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 1).select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
+    ).write.mode("overwrite").parquet(landing)
+    try:
+        v1 = execute_dml(
+            spark, path, f"COPY INTO t FROM '{landing}' IDEMPOTENT 'q180-batch'"
+        )
+        v2 = execute_dml(
+            spark, path, f"COPY INTO t FROM '{landing}' IDEMPOTENT 'q180-batch'"
+        )
+        n_loads = len(list_versions(path))  # replay landed NO new version
+        assert v1 == v2 == n_loads == 1
+        out = (
+            read_version(spark, path)
+            .groupBy((F.col("k") % 3).alias("bucket"))
+            .agg(F.count("*").alias("n_rows"), dsum("bal").alias("total_bal"))
+            .withColumn("n_loads", F.lit(n_loads))
+            .orderBy("bucket")
+        )
+        return _materialize_and_cleanup(out, path)
+    finally:
+        import shutil
+
+        shutil.rmtree(landing, ignore_errors=True)
+
+
+@query(
+    "q181_event_time_watermark",
+    """
+    WITH t AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP)
+               + (o_orderkey % 86400) * INTERVAL 1 SECOND AS ts
+      FROM orders)
+    SELECT MIN(ts) AS lo_ts, MAX(ts) AS hi_ts,
+           COUNT(*) AS n_rows, 'metadata' AS source
+    FROM t
+    """,
+    operators=("N17", "A9", "F13"),
+    doc="Event-time WATERMARK from metadata (r14): min/max of a "
+    "timestamp column answered from the manifest's exact epoch-micros "
+    "stats through pyspark's own fromInternal — bit-identical to a "
+    "scan's collect, zero data pages read; the engine-computed "
+    "`source` tag (oracle hardcodes 'metadata') pins that the scan "
+    "fallback did NOT fire.  Scale: 'how fresh is this 100 TB event "
+    "table' becomes a manifest read.",
+)
+def q181_event_time_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.versioned import commit_version, metadata_aggregate
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.timestamp_seconds(
+            F.unix_date(F.col("o_orderdate").cast("date")).cast("long") * 86400
+            + F.col("o_orderkey") % 86400
+        ).alias("ts"),
+    )
+    path = tempfile.mkdtemp(prefix="fdf_wm_")
+    commit_version(orders.repartition(6), path)
+    agg = metadata_aggregate(spark, path, ["ts"])
+    out = spark.createDataFrame(
+        [(agg["min"]["ts"], agg["max"]["ts"], agg["count"], agg["source"])],
+        "lo_ts timestamp, hi_ts timestamp, n_rows bigint, source string",
+    )
+    return _materialize_and_cleanup(out, path)
