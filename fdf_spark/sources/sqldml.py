@@ -871,7 +871,20 @@ def execute_sql(spark: SparkSession, path: str, statement: str) -> DataFrame:
     matches = list(_AS_OF_RE.finditer(masked))
     if not matches:
         raise ValueError(f"no FROM <table> found in statement: {stmt[:80]!r}")
-    target = matches[0].group(2)
+    # the TARGET is the first TOP-LEVEL FROM's table — a scalar
+    # subquery earlier in the select list must not steal it (paren
+    # depth computed over the quote-masked text)
+    depth = [0] * (len(masked) + 1)
+    d = 0
+    for i, ch in enumerate(masked):
+        depth[i] = d
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d = max(0, d - 1)
+    target = next(
+        (m.group(2) for m in matches if depth[m.start()] == 0), matches[0].group(2)
+    )
     out: list[str] = []
     views: list[str] = []
     pos = 0

@@ -604,3 +604,19 @@ def test_vacuum_dry_run(spark, table):
     n_real = execute_dml(spark, table, "VACUUM t RETAIN 0 HOURS")
     assert n_real == n_dry
     assert not any(os.path.exists(f) for f in old_files)
+
+
+def test_execute_sql_target_is_top_level_from(spark, table):
+    """A scalar subquery's FROM earlier in the statement must not
+    steal the target — the versioned table is the first TOP-LEVEL
+    FROM's name."""
+    from fdf_spark.sources.sqldml import execute_sql
+
+    spark.range(7).createOrReplaceTempView("other_rel")
+    r = execute_sql(
+        spark, table,
+        "SELECT (SELECT COUNT(*) FROM other_rel) AS o, COUNT(*) AS n "
+        "FROM t VERSION AS OF 1",
+    ).first()
+    assert (r.o, r.n) == (7, 100)
+    spark.catalog.dropTempView("other_rel")
