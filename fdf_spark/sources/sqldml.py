@@ -823,6 +823,31 @@ def _mask_quotes(s: str) -> str:
     return "".join(out)
 
 
+_SQL_NONALIAS_WORDS = {
+    "JOIN", "ON", "WHERE", "GROUP", "ORDER", "LEFT", "RIGHT", "INNER",
+    "FULL", "CROSS", "NATURAL", "SEMI", "ANTI", "UNION", "EXCEPT",
+    "INTERSECT", "LIMIT", "HAVING", "USING", "WINDOW", "QUALIFY",
+    "VERSION", "TIMESTAMP", "LATERAL",
+}
+
+
+def _has_alias(masked: str, pos: int) -> bool:
+    """Whether the token after ``pos`` is a user alias (optionally
+    AS-prefixed) rather than the next clause keyword / end of text —
+    decides if a rewritten table reference must re-export its original
+    name as an implicit alias."""
+    i, n = pos, len(masked)
+    while i < n and masked[i].isspace():
+        i += 1
+    j = i
+    while j < n and (masked[j].isalnum() or masked[j] == "_"):
+        j += 1
+    word = masked[i:j]
+    if not word:
+        return False
+    return word.upper() == "AS" or word.upper() not in _SQL_NONALIAS_WORDS
+
+
 def _parse_as_of_ts(val: str) -> float:
     """Epoch seconds from a TIMESTAMP AS OF operand — raw epoch number
     or an ISO datetime string (the RESTORE rule, shared)."""
@@ -840,7 +865,9 @@ def _parse_as_of_ts(val: str) -> float:
             ) from None
 
 
-def execute_sql(spark: SparkSession, path: str, statement: str) -> DataFrame:
+def execute_sql(
+    spark: SparkSession, path: str, statement: str, tables: dict | None = None
+) -> DataFrame:
     """Read-side SQL with INLINE time travel (VERDICT r13 missing #3) —
     the SELECT complement of :func:`execute_dml`:
 
@@ -848,16 +875,21 @@ def execute_sql(spark: SparkSession, path: str, statement: str) -> DataFrame:
         execute_sql(spark, path, "SELECT … FROM t TIMESTAMP AS OF 1755300000")
         execute_sql(spark, path, "SELECT … FROM t TIMESTAMP AS OF '2026-08-15 00:00:00'")
         execute_sql(spark, path, "SELECT a.k FROM t VERSION AS OF 1 a JOIN t b ON …")
+        execute_sql(spark, None, "SELECT … FROM a VERSION AS OF 2 JOIN b ON …",
+                    tables={"a": path_a, "b": path_b})
 
-    The FIRST table name in FROM position names the versioned table at
-    ``path`` (cosmetic, like every statement here); EVERY ``FROM``/
-    ``JOIN`` reference to that name resolves to ``path``, each with its
-    OWN optional ``VERSION AS OF n`` / ``TIMESTAMP AS OF ts`` pin (so a
-    cross-version self-join diffs two snapshots in one statement); a
-    bare reference reads the current head.  Other table names resolve
-    through the session catalog as usual.  Scanning is quote-masked —
-    a ``FROM`` inside a string literal cannot derail the rewrite.
-    Returns the (lazily evaluated, eagerly analyzed) DataFrame.
+    The first TOP-LEVEL ``FROM``'s table name names the versioned
+    table at ``path`` (cosmetic, like every statement here); EVERY
+    ``FROM``/``JOIN`` reference to that name resolves to ``path``,
+    each with its OWN optional ``VERSION AS OF n`` / ``TIMESTAMP AS OF
+    ts`` pin (so a cross-version self-join diffs two snapshots in one
+    statement); a bare reference reads the current head.  ``tables``
+    maps ADDITIONAL statement names onto versioned table paths (a
+    federated join over several versioned tables, each independently
+    pinnable); names not bound by either resolve through the session
+    catalog as usual.  Scanning is quote-masked — a ``FROM`` inside a
+    string literal cannot derail the rewrite.  Returns the (lazily
+    evaluated, eagerly analyzed) DataFrame.
     """
     import uuid as _uuid
 
@@ -871,27 +903,36 @@ def execute_sql(spark: SparkSession, path: str, statement: str) -> DataFrame:
     matches = list(_AS_OF_RE.finditer(masked))
     if not matches:
         raise ValueError(f"no FROM <table> found in statement: {stmt[:80]!r}")
-    # the TARGET is the first TOP-LEVEL FROM's table — a scalar
-    # subquery earlier in the select list must not steal it (paren
-    # depth computed over the quote-masked text)
-    depth = [0] * (len(masked) + 1)
-    d = 0
-    for i, ch in enumerate(masked):
-        depth[i] = d
-        if ch == "(":
-            d += 1
-        elif ch == ")":
-            d = max(0, d - 1)
-    target = next(
-        (m.group(2) for m in matches if depth[m.start()] == 0), matches[0].group(2)
-    )
+    bound = {k.lower(): v for k, v in (tables or {}).items()}
+    if path is not None:
+        # the TARGET is the first TOP-LEVEL FROM's table not already
+        # bound via ``tables`` — a scalar subquery earlier in the
+        # select list must not steal it (paren depth computed over the
+        # quote-masked text)
+        depth = [0] * (len(masked) + 1)
+        d = 0
+        for i, ch in enumerate(masked):
+            depth[i] = d
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d = max(0, d - 1)
+        target = next(
+            (
+                m.group(2) for m in matches
+                if depth[m.start()] == 0 and m.group(2).lower() not in bound
+            ),
+            matches[0].group(2),
+        )
+        bound.setdefault(target.lower(), path)
     out: list[str] = []
     views: list[str] = []
     pos = 0
     try:
         for m in matches:
-            if m.group(2).lower() != target.lower():
-                continue  # another relation — leave for the catalog
+            tpath = bound.get(m.group(2).lower())
+            if tpath is None:
+                continue  # an unbound relation — leave for the catalog
             version = None
             as_of_ts = None
             if m.group(3):
@@ -904,12 +945,18 @@ def execute_sql(spark: SparkSession, path: str, statement: str) -> DataFrame:
                 else:
                     as_of_ts = _parse_as_of_ts(raw)
             name = f"__fdf_tt_{_uuid.uuid4().hex[:12]}"
-            read_version(spark, path, version=version, as_of_ts=as_of_ts)\
+            read_version(spark, tpath, version=version, as_of_ts=as_of_ts)\
                 .createOrReplaceTempView(name)
             views.append(name)
             out.append(stmt[pos:m.start(2)])
-            out.append(name)
-            pos = m.end(5) if m.group(3) else m.end(2)
+            end = m.end(5) if m.group(3) else m.end(2)
+            if _has_alias(masked, end):
+                out.append(name)  # the statement's own alias binds
+            else:
+                # keep the original name visible to the rest of the
+                # statement (ON b.k = …) as an implicit alias
+                out.append(f"{name} AS {m.group(2).split('.')[-1]}")
+            pos = end
         out.append(stmt[pos:])
         # spark.sql analyzes EAGERLY, so the temp views can be dropped
         # before returning — the resolved plan holds the relations

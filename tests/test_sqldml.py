@@ -620,3 +620,34 @@ def test_execute_sql_target_is_top_level_from(spark, table):
     ).first()
     assert (r.o, r.n) == (7, 100)
     spark.catalog.dropTempView("other_rel")
+
+
+def test_execute_sql_multi_table_federated_join(spark, tmp_path):
+    """r14: tables={name: path} binds SEVERAL versioned tables in one
+    statement, each with its own AS OF pin — a federated snapshot join."""
+    from fdf_spark.sources.sqldml import execute_sql
+    from fdf_spark.sources.versioned import commit_version
+
+    pa_, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    commit_version(
+        spark.range(10).select(F.col("id").alias("k"), F.lit("a1").alias("tag")), pa_
+    )
+    commit_version(
+        spark.range(10).select(F.col("id").alias("k"), F.lit("a2").alias("tag")),
+        pa_, mode="overwrite",
+    )
+    commit_version(
+        spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w")), pb
+    )
+    r = execute_sql(
+        spark, None,
+        "SELECT COUNT(*) AS n, MIN(a.tag) AS tag, CAST(SUM(b.w) AS LONG) AS w "
+        "FROM a VERSION AS OF 1 a JOIN b ON a.k = b.k",
+        tables={"a": pa_, "b": pb},
+    ).first()
+    assert (r.n, r.tag, r.w) == (5, "a1", 100)
+    # head read of `a` sees the overwrite
+    r2 = execute_sql(
+        spark, None, "SELECT MIN(tag) AS tag FROM a", tables={"a": pa_}
+    ).first()
+    assert r2.tag == "a2"
