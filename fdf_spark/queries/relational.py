@@ -3380,3 +3380,77 @@ def q181_event_time_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo_ts timestamp, hi_ts timestamp, n_rows bigint, source string",
     )
     return _materialize_and_cleanup(out, path)
+
+
+@query(
+    "q182_change_data_feed",
+    f"""
+    WITH base AS (
+      SELECT c_custkey AS k, c_acctbal AS bal
+      FROM customer WHERE c_custkey % 2 = 0),
+    upd AS (SELECT k, bal FROM base WHERE k % 10 = 0),
+    del AS (
+      SELECT k, CASE WHEN k % 10 = 0 THEN bal + 100 ELSE bal END AS bal
+      FROM base WHERE k % 14 = 0),
+    ins AS (
+      SELECT c_custkey AS k, c_acctbal AS bal
+      FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 9 = 0)
+    SELECT cv, ct, n, bal_sum FROM (
+      SELECT CAST(2 AS BIGINT) AS cv, 'update_preimage' AS ct,
+             COUNT(*) AS n, {sql_dsum('bal')} AS bal_sum FROM upd
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'update_postimage',
+             COUNT(*), {sql_dsum('bal + 100')} FROM upd
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'delete', COUNT(*), {sql_dsum('bal')} FROM del
+      UNION ALL
+      SELECT CAST(4 AS BIGINT), 'insert', COUNT(*), {sql_dsum('bal')} FROM ins)
+    ORDER BY cv, ct
+    """,
+    operators=("N17", "N15", "S4"),
+    doc="PER-COMMIT change data feed (table_changes, Delta CDF parity, "
+    "r14): a table takes an UPDATE, a DELETE and an INSERT commit (all "
+    "through the SQL DML router), and table_changes(path, 2, keys=['k']) "
+    "replays them as a keyed feed — delete+insert pairs on the same key "
+    "within one commit reclassified as update_preimage/update_postimage, "
+    "each row stamped with _commit_version.  The oracle replays all "
+    "three commits relationally (the delete CTE applies the preceding "
+    "update's effect before aggregating).  Scale: each commit "
+    "contributes a diff_versions step — O(that commit's changed files), "
+    "never O(table) — so a downstream consumer catching up on N commits "
+    "of a 100 TB table reads only the bytes those commits touched.",
+)
+def q182_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml
+    from fdf_spark.sources.versioned import table_changes
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cust.createOrReplaceTempView("q182_cust")
+    path = tempfile.mkdtemp(prefix="fdf_cdf182_")
+    try:
+        execute_dml(
+            spark, path,
+            "CREATE TABLE t AS SELECT c_custkey AS k, c_acctbal AS bal "
+            "FROM q182_cust WHERE c_custkey % 2 = 0",
+        )
+        execute_dml(spark, path, "UPDATE t SET bal = bal + 100 WHERE k % 10 = 0")
+        execute_dml(spark, path, "DELETE FROM t WHERE k % 14 = 0")
+        execute_dml(
+            spark, path,
+            "INSERT INTO t SELECT c_custkey AS k, c_acctbal AS bal "
+            "FROM q182_cust WHERE c_custkey % 2 = 1 AND c_custkey % 9 = 0",
+        )
+        feed = table_changes(spark, path, 2, keys=["k"])
+        out = (
+            feed.groupBy(
+                F.col("_commit_version").alias("cv"),
+                F.col("_change_type").alias("ct"),
+            )
+            .agg(F.count("*").alias("n"), dsum("bal").alias("bal_sum"))
+            .orderBy("cv", "ct")
+        )
+        return _materialize_and_cleanup(out, path)
+    finally:
+        spark.catalog.dropTempView("q182_cust")

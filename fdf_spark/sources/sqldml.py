@@ -865,6 +865,62 @@ def _parse_as_of_ts(val: str) -> float:
             ) from None
 
 
+_TC_RE = re.compile(
+    rf"\b(FROM|JOIN)\s+TABLE_CHANGES\s*\(\s*({_IDENT})\s*,"
+    r"\s*('[^']*'|\"[^\"]*\"|\d+)\s*(?:,\s*('[^']*'|\"[^\"]*\"|\d+)\s*)?\)",
+    re.I,
+)
+
+
+def _rewrite_table_changes(spark, path, stmt, bound, views):
+    """Resolve every ``FROM/JOIN table_changes(t, v_from[, v_to])``
+    reference into a temp view over :func:`versioned.table_changes`
+    (endpoints: version numbers, or quoted ref names), returning the
+    rewritten ``(stmt, masked)``.  View names are appended to
+    ``views`` so the caller's cleanup drops them; the ``__fdf_tc_``
+    prefix keeps them out of target-table detection."""
+    import uuid as _uuid
+
+    from fdf_spark.sources.versioned import table_changes
+
+    masked = _mask_quotes(stmt)
+    tc = list(_TC_RE.finditer(masked))
+    if not tc:
+        return stmt, masked
+    parts: list[str] = []
+    pos = 0
+    for m in tc:
+        tname = m.group(2)
+        tpath = bound.get(tname.lower(), path)
+        if tpath is None:
+            raise ValueError(
+                f"table_changes: no versioned path bound for {tname!r}"
+            )
+
+        def _endpoint(gi: int):
+            if m.group(gi) is None:
+                return None
+            # operand text from the ORIGINAL statement (the mask blanks
+            # quoted chars); spans are identical
+            raw = stmt[m.start(gi):m.end(gi)].strip().strip("'\"")
+            return int(raw) if raw.isdigit() else raw
+
+        name = f"__fdf_tc_{_uuid.uuid4().hex[:12]}"
+        table_changes(
+            spark, tpath, _endpoint(3), _endpoint(4)
+        ).createOrReplaceTempView(name)
+        views.append(name)
+        parts.append(stmt[pos:m.end(1)] + " ")
+        if _has_alias(masked, m.end()):
+            parts.append(name)  # the statement's own alias binds
+        else:
+            parts.append(f"{name} AS {tname.split('.')[-1]}")
+        pos = m.end()
+    parts.append(stmt[pos:])
+    stmt = "".join(parts)
+    return stmt, _mask_quotes(stmt)
+
+
 def execute_sql(
     spark: SparkSession, path: str, statement: str, tables: dict | None = None
 ) -> DataFrame:
@@ -877,6 +933,7 @@ def execute_sql(
         execute_sql(spark, path, "SELECT a.k FROM t VERSION AS OF 1 a JOIN t b ON …")
         execute_sql(spark, None, "SELECT … FROM a VERSION AS OF 2 JOIN b ON …",
                     tables={"a": path_a, "b": path_b})
+        execute_sql(spark, path, "SELECT … FROM table_changes(t, 2, 5)")
 
     The first TOP-LEVEL ``FROM``'s table name names the versioned
     table at ``path`` (cosmetic, like every statement here); EVERY
@@ -888,8 +945,13 @@ def execute_sql(
     federated join over several versioned tables, each independently
     pinnable); names not bound by either resolve through the session
     catalog as usual.  Scanning is quote-masked — a ``FROM`` inside a
-    string literal cannot derail the rewrite.  Returns the (lazily
-    evaluated, eagerly analyzed) DataFrame.
+    string literal cannot derail the rewrite.
+    ``FROM table_changes(t, v_from[, v_to])`` (Delta's CDF table
+    function) resolves to :func:`fdf_spark.sources.versioned.
+    table_changes` — the per-commit change feed with ``_change_type``
+    / ``_commit_version`` / ``_commit_timestamp`` columns; either
+    endpoint may be a version number or a quoted ref name.  Returns
+    the (lazily evaluated, eagerly analyzed) DataFrame.
     """
     import uuid as _uuid
 
@@ -899,36 +961,44 @@ def execute_sql(
     m = _DESCRIBE_RE.match(stmt)
     if m:
         return _describe(spark, path, m.group(1).upper())
-    masked = _mask_quotes(stmt)
-    matches = list(_AS_OF_RE.finditer(masked))
-    if not matches:
-        raise ValueError(f"no FROM <table> found in statement: {stmt[:80]!r}")
     bound = {k.lower(): v for k, v in (tables or {}).items()}
-    if path is not None:
-        # the TARGET is the first TOP-LEVEL FROM's table not already
-        # bound via ``tables`` — a scalar subquery earlier in the
-        # select list must not steal it (paren depth computed over the
-        # quote-masked text)
-        depth = [0] * (len(masked) + 1)
-        d = 0
-        for i, ch in enumerate(masked):
-            depth[i] = d
-            if ch == "(":
-                d += 1
-            elif ch == ")":
-                d = max(0, d - 1)
-        target = next(
-            (
-                m.group(2) for m in matches
-                if depth[m.start()] == 0 and m.group(2).lower() not in bound
-            ),
-            matches[0].group(2),
-        )
-        bound.setdefault(target.lower(), path)
-    out: list[str] = []
     views: list[str] = []
-    pos = 0
     try:
+        stmt, masked = _rewrite_table_changes(spark, path, stmt, bound, views)
+        matches = list(_AS_OF_RE.finditer(masked))
+        if not matches and not views:
+            raise ValueError(f"no FROM <table> found in statement: {stmt[:80]!r}")
+        if path is not None:
+            # the TARGET is the first TOP-LEVEL FROM's table not already
+            # bound via ``tables`` — a scalar subquery earlier in the
+            # select list must not steal it (paren depth computed over
+            # the quote-masked text); synthetic table_changes views are
+            # never the target (they are already resolved relations)
+            depth = [0] * (len(masked) + 1)
+            d = 0
+            for i, ch in enumerate(masked):
+                depth[i] = d
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d = max(0, d - 1)
+            cands = [
+                m.group(2) for m in matches
+                if not m.group(2).startswith("__fdf_tc_")
+            ]
+            target = next(
+                (
+                    m.group(2) for m in matches
+                    if depth[m.start()] == 0
+                    and m.group(2).lower() not in bound
+                    and not m.group(2).startswith("__fdf_tc_")
+                ),
+                cands[0] if cands else None,
+            )
+            if target is not None:
+                bound.setdefault(target.lower(), path)
+        out: list[str] = []
+        pos = 0
         for m in matches:
             tpath = bound.get(m.group(2).lower())
             if tpath is None:

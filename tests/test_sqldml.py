@@ -651,3 +651,63 @@ def test_execute_sql_multi_table_federated_join(spark, tmp_path):
         spark, None, "SELECT MIN(tag) AS tag FROM a", tables={"a": pa_}
     ).first()
     assert r2.tag == "a2"
+
+
+# ---------------------------------------------------------------------------
+# table_changes(...) SQL table function (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_sql_table_changes_group_counts(spark, table):
+    from fdf_spark.sources.sqldml import execute_sql
+
+    execute_dml(spark, table, "UPDATE t SET v = v + 1 WHERE k % 10 = 0")
+    execute_dml(spark, table, "DELETE FROM t WHERE k >= 95")
+    out = execute_sql(
+        spark, table,
+        "SELECT _commit_version AS cv, _change_type AS ct, COUNT(*) AS n "
+        "FROM table_changes(t, 2, 3) GROUP BY cv, ct ORDER BY cv, ct",
+    ).collect()
+    assert [(r["cv"], r["ct"], r["n"]) for r in out] == [
+        (2, "delete", 10), (2, "insert", 10), (3, "delete", 5),
+    ]
+
+
+def test_sql_table_changes_join_head_and_ref(spark, table):
+    from fdf_spark.sources.sqldml import execute_sql
+    from fdf_spark.sources.versioned import create_tag
+
+    execute_dml(spark, table, "UPDATE t SET v = v + 1 WHERE k % 10 = 0")
+    create_tag(table, "u", 2)
+    # the feed joins back to the HEAD by bare name — target detection
+    # must bind `t`, not the synthetic feed view
+    out = execute_sql(
+        spark, table,
+        "SELECT c.k AS k, h.v AS head_v FROM table_changes(t, 'u', 'u') c "
+        "JOIN t h ON c.k = h.k WHERE c._change_type = 'insert' ORDER BY k",
+    ).collect()
+    assert [r["k"] for r in out] == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+    assert all(r["head_v"] == (r["k"] % 7) + 1 for r in out)
+    # quoted-string FROM cannot derail the rewrite
+    one = execute_sql(
+        spark, table,
+        "SELECT COUNT(*) AS n, 'FROM table_changes(t, 9, 9)' AS lit "
+        "FROM table_changes(t, 1, 1)",
+    ).first()
+    assert one["n"] == 100
+
+
+def test_sql_table_changes_requires_binding(spark, table):
+    from fdf_spark.sources.sqldml import execute_sql
+
+    with pytest.raises(ValueError, match="no versioned path bound"):
+        execute_sql(
+            spark, None, "SELECT * FROM table_changes(nosuch, 1)", tables={}
+        )
+    # but tables= binding resolves it
+    out = execute_sql(
+        spark, None,
+        "SELECT COUNT(*) AS n FROM table_changes(other, 1, 1)",
+        tables={"other": table},
+    ).first()
+    assert out["n"] == 100

@@ -2225,3 +2225,127 @@ def test_zorder_on_timestamp_column(spark, tmp_path):
     probe = read_version(spark, p, prune=("ts", lo, lo + dt.timedelta(seconds=50000)))
     n_files = len(read_version(spark, p).inputFiles())
     assert len(probe.inputFiles()) < n_files
+
+
+# ---------------------------------------------------------------------------
+# table_changes — per-commit change feed (Delta CDF parity, r14)
+# ---------------------------------------------------------------------------
+
+
+def _tc_base(spark, tmp_path):
+    from fdf_spark.sources.sqldml import execute_dml
+
+    p = str(tmp_path / "tc")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("v")
+    )
+    commit_version(df, p)                                        # v1: 20 inserts
+    execute_dml(spark, p, "UPDATE t SET v = v + 1 WHERE k % 5 = 0")  # v2: 4 updates
+    execute_dml(spark, p, "DELETE FROM t WHERE k >= 18")             # v3: 2 deletes
+    return p
+
+
+def test_table_changes_classifies_updates(spark, tmp_path):
+    from fdf_spark.sources.versioned import table_changes
+
+    p = _tc_base(spark, tmp_path)
+    feed = table_changes(spark, p, 2, keys=["k"])
+    got = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in feed.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {
+        (2, "update_preimage"): 4,
+        (2, "update_postimage"): 4,
+        (3, "delete"): 2,
+    }
+    # pre/postimages carry the actual old/new values
+    post = {
+        r["k"]: r["v"]
+        for r in feed.filter("_change_type = 'update_postimage'").collect()
+    }
+    assert post == {0: 1, 5: 51, 10: 101, 15: 151}
+    pre = {
+        r["k"]: r["v"]
+        for r in feed.filter("_change_type = 'update_preimage'").collect()
+    }
+    assert pre == {0: 0, 5: 50, 10: 100, 15: 150}
+    # without keys the same commits surface raw insert/delete pairs
+    raw = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in table_changes(spark, p, 2)
+        .groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert raw == {(2, "insert"): 4, (2, "delete"): 4, (3, "delete"): 2}
+
+
+def test_table_changes_initial_commit_and_dv_deletes(spark, tmp_path):
+    from fdf_spark.sources.versioned import delete_keys, table_changes
+
+    p = _tc_base(spark, tmp_path)
+    # v4: a deletion-vector (merge-on-read) delete surfaces as deletes too
+    delete_keys(spark, p, spark.createDataFrame([(3,), (7,)], "k long"), ["k"])
+    feed = table_changes(spark, p, 1, keys=["k"])
+    n = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in feed.groupBy("_commit_version", "_change_type")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert n[(1, "insert")] == 20
+    assert n[(4, "delete")] == 2
+    assert sorted(
+        r["k"] for r in feed.filter(
+            "_commit_version = 4 AND _change_type = 'delete'").collect()
+    ) == [3, 7]
+
+
+def test_table_changes_skips_metadata_only_and_null_fills(spark, tmp_path):
+    from fdf_spark.sources.versioned import add_column, table_changes
+
+    p = _tc_base(spark, tmp_path)
+    add_column(p, "tag", "string")                               # v4: metadata-only
+    commit_version(
+        spark.createDataFrame([(100, 7, "new")], "k long, v long, tag string"),
+        p,
+    )                                                            # v5: 1 insert
+    feed = table_changes(spark, p, 3, keys=["k"])
+    rows = feed.collect()
+    assert {r["_commit_version"] for r in rows} == {3, 5}        # v4 contributes nothing
+    # the v3 deletes predate the tag column — NULL-filled by unionByName
+    v3 = [r for r in rows if r["_commit_version"] == 3]
+    assert all(r["tag"] is None for r in v3)
+    v5 = [r for r in rows if r["_commit_version"] == 5]
+    assert v5[0]["tag"] == "new" and v5[0]["_change_type"] == "insert"
+
+
+def test_table_changes_refs_timestamps_and_empty_range(spark, tmp_path):
+    import datetime as dt
+
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        add_column,
+        create_tag,
+        table_changes,
+    )
+
+    p = _tc_base(spark, tmp_path)
+    create_tag(p, "upd", 2)
+    feed = table_changes(spark, p, "upd", "upd")
+    assert feed.count() == 8  # v2's raw delete+insert pairs
+    # _commit_timestamp is the manifest's (monotonic-effective) stamp
+    ts2 = _read_manifest(p, 2)["ts"]
+    got = feed.select("_commit_timestamp").first()[0]
+    want = dt.datetime.fromtimestamp(ts2)  # session tz == OS tz in tests
+    assert abs((got - want).total_seconds()) < 1e-3
+    # a pure-metadata range is a legal, EMPTY feed with the feed schema
+    add_column(p, "extra", "long")                               # v4
+    empty = table_changes(spark, p, 4, 4)
+    assert empty.count() == 0
+    for c in ("_change_type", "_commit_version", "_commit_timestamp"):
+        assert c in empty.columns
+    with pytest.raises(ValueError):
+        table_changes(spark, p, 3, 2)
+    with pytest.raises(ValueError):
+        table_changes(spark, p, 0, 2)
