@@ -3454,3 +3454,61 @@ def q182_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize_and_cleanup(out, path)
     finally:
         spark.catalog.dropTempView("q182_cust")
+
+
+@query(
+    "q183_analyze_table_stats",
+    """
+    WITH t AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio
+      FROM orders)
+    SELECT col, ndv, nulls, avg_len, max_len, n_rows FROM (
+      SELECT 'prio' AS col, COUNT(DISTINCT prio) AS ndv,
+             COUNT(*) - COUNT(prio) AS nulls,
+             AVG(LENGTH(prio)) AS avg_len,
+             CAST(MAX(LENGTH(prio)) AS BIGINT) AS max_len,
+             COUNT(*) AS n_rows
+      FROM t
+      UNION ALL
+      SELECT 'k', COUNT(DISTINCT k), COUNT(*) - COUNT(k),
+             CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), COUNT(*) FROM t
+      UNION ALL
+      SELECT 'st', COUNT(DISTINCT st), COUNT(*) - COUNT(st),
+             AVG(LENGTH(st)), CAST(MAX(LENGTH(st)) AS BIGINT), COUNT(*) FROM t)
+    ORDER BY col
+    """,
+    operators=("N17", "A9", "S4"),
+    doc="ANALYZE TABLE … COMPUTE STATISTICS (r14): table-level column "
+    "statistics — NDV, null count, string lengths — computed in ONE "
+    "aggregate pass, recorded as a metadata-only commit every later "
+    "commit inherits, and read back as the DESCRIBE STATS relation "
+    "through the SQL router.  EXACT mode here so the oracle can replay "
+    "it as COUNT(DISTINCT …); the 100 TB default is mode='approx' "
+    "(HyperLogLog++, one pass, bounded mergeable state — pytest-pinned "
+    "within rsd bounds).  The stats drive plan_maintenance's "
+    "NDV-nominated bloom candidates and staleness recommendations.",
+)
+def q183_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml, execute_sql
+    from fdf_spark.sources.versioned import commit_version
+
+    t = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.when(F.col("o_orderkey") % 10 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+    )
+    path = tempfile.mkdtemp(prefix="fdf_analyze_")
+    commit_version(t, path)
+    execute_dml(spark, path, "ANALYZE TABLE t COMPUTE STATISTICS EXACT")
+    out = (
+        execute_sql(spark, path, "DESCRIBE STATS t")
+        .select("col", "ndv", "nulls", "avg_len", "max_len",
+                F.col("rows").alias("n_rows"))
+        .orderBy("col")
+    )
+    return _materialize_and_cleanup(out, path)

@@ -316,6 +316,8 @@ def plan_maintenance(
     retain_last_s: float = 168 * 3600.0,
     drift_factor: float = 2.0,
     drift_min_files: int = 8,
+    analyze_stale_commits: int = 16,
+    bloom_ndv_ratio: float = 0.5,
 ) -> DataFrame:
     """The maintenance PLANNER (VERDICT r12 #6): one row per
     recommended action over the table at ``path``, derived ENTIRELY
@@ -344,7 +346,14 @@ def plan_maintenance(
       can't matter;
     - ``('build_blooms', '<col>', …)`` per indexed column with
       uncovered live files (coverage gaps appear after ingests until
-      the incremental build re-runs);
+      the incremental build re-runs), and per NEVER-indexed column the
+      recorded ANALYZE statistics nominate as key-like (r14: NDV ≥
+      ``bloom_ndv_ratio`` × rows and a bloomable type) — measured
+      cardinality, not guesswork, decides where sidecars pay;
+    - ``('analyze', '', …)`` when the table has no recorded column
+      statistics, or the head has moved ≥ ``analyze_stale_commits``
+      commits past the analyzed snapshot (r14) — stats feed the rule
+      above and external planners;
     - ``('vacuum', '', …)`` with the files/bytes a
       ``vacuum(keep, retain_last_s)`` would reclaim — computed by the
       SAME retention rule the destructive op applies
@@ -472,6 +481,57 @@ def plan_maintenance(
                 )
             )
 
+    # -- analyze: missing or stale column statistics (r14) -------------
+    from fdf_spark.sources.versioned import _logical_schema
+
+    cs = m.get("column_stats")
+    head_v = versions[-1]
+    if m["files"]:
+        if cs is None:
+            rows.append(
+                (
+                    "analyze", "", len(m["files"]), None, n_rows,
+                    "no column statistics recorded — NDV-driven planning "
+                    "unavailable",
+                )
+            )
+        elif head_v - cs["of_version"] >= analyze_stale_commits:
+            rows.append(
+                (
+                    "analyze", "", len(m["files"]), None, n_rows,
+                    f"column statistics are {head_v - cs['of_version']} "
+                    f"commits old (threshold {analyze_stale_commits})",
+                )
+            )
+
+    # -- build_blooms: NDV-nominated key-like columns (r14) ------------
+    if cs and cs.get("rows"):
+        bloomable = {
+            "integer", "long", "short", "byte", "string", "date", "timestamp",
+        }
+        schema = _logical_schema(m)
+        types = (
+            {f.name: f.dataType.typeName() for f in schema.fields}
+            if schema is not None else {}
+        )
+        mapping = _mapping(m)
+        for c, s in sorted(cs["columns"].items()):
+            if types.get(c) not in bloomable:
+                continue
+            if s["ndv"] < bloom_ndv_ratio * cs["rows"]:
+                continue
+            if mapping.get(c, c) in indexed:
+                continue  # has sidecars somewhere — the gap rule owns it
+            rows.append(
+                (
+                    "build_blooms", c, len(live_files), None,
+                    sum(fr.get(f, 0) for f in live_files),
+                    f"key-like column: ndv {s['ndv']} of {cs['rows']} rows "
+                    f"(>= {bloom_ndv_ratio:.2f} ratio, {cs['mode']} "
+                    f"ANALYZE of v{cs['of_version']}); no bloom sidecars yet",
+                )
+            )
+
     # -- vacuum: reclaim estimate under the real retention rule --------
     live_v, dead_v = _retained_versions(path, keep, retain_last_s)
     if dead_v:
@@ -510,14 +570,17 @@ def apply_maintenance(
     retain_last_s: float = 168 * 3600.0,
     drift_factor: float = 2.0,
     drift_min_files: int = 8,
+    analyze_stale_commits: int = 16,
+    bloom_ndv_ratio: float = 0.5,
 ) -> dict:
     """Execute what :func:`plan_maintenance` recommends, under the SAME
     thresholds (the planner is the dry run; this is the loop closed —
     r13).  Order matters and is fixed: OPTIMIZE first (bin-pack +
     tombstone folds; bloom coverage follows rewrites via the engine's
     rewrite-seam hook), then ``build_blooms`` for any remaining
-    coverage gaps, VACUUM last (it can then reclaim what the rewrite
-    replaced, under the retention window).  Returns
+    coverage gaps, then VACUUM (it can then reclaim what the rewrite
+    replaced, under the retention window), ANALYZE last so recorded
+    statistics describe the post-maintenance layout.  Returns
     ``{action: result}`` for exactly the actions the plan recommended;
     an empty dict means the table needed nothing.
 
@@ -526,13 +589,15 @@ def apply_maintenance(
     from OPTIMIZE exactly as it would when called directly.
     """
     from fdf_spark.sources.bloomskip import build_blooms
-    from fdf_spark.sources.versioned import optimize, vacuum
+    from fdf_spark.sources.versioned import analyze_table, optimize, vacuum
 
     plan = plan_maintenance(
         spark, path,
         small_file_bytes=small_file_bytes, min_small_files=min_small_files,
         max_debt_ratio=max_debt_ratio, keep=keep, retain_last_s=retain_last_s,
         drift_factor=drift_factor, drift_min_files=drift_min_files,
+        analyze_stale_commits=analyze_stale_commits,
+        bloom_ndv_ratio=bloom_ndv_ratio,
     ).collect()
     out: dict = {}
     # a drift row names its clustering key; the full-rewrite Z-ORDER
@@ -553,4 +618,7 @@ def apply_maintenance(
         out["build_blooms"] = build_blooms(spark, path, gaps)
     if any(r.action == "vacuum" for r in plan):
         out["vacuum"] = len(vacuum(path, keep=keep, retain_last_s=retain_last_s))
+    if any(r.action == "analyze" for r in plan):
+        # LAST: the stats then describe the post-maintenance layout
+        out["analyze"] = analyze_table(spark, path)
     return out

@@ -636,6 +636,20 @@ def _utility_statement(spark: SparkSession, path: str, stmt: str):
                 # time, not silently bin-pack without z-ordering
                 raise ValueError(f"empty column in ZORDER BY: {stmt[:80]!r}")
         return optimize(spark, path, zorder=z)["version"]
+    m = _ANALYZE_RE.match(stmt)
+    if m:
+        from fdf_spark.sources.versioned import analyze_table
+
+        cols = None
+        if m.group(2):
+            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            if not cols or not all(cols):
+                raise ValueError(f"empty column in FOR COLUMNS: {stmt[:80]!r}")
+        st = analyze_table(
+            spark, path, cols=cols,
+            mode="exact" if m.group(3) else "approx",
+        )
+        return st["of_version"] + 1  # the analyze commit's version
     m = _VACUUM_RE.match(stmt)
     if m:
         # Delta parity: bare VACUUM keeps 7 days of time travel — the
@@ -1046,7 +1060,14 @@ _COPY_RE = re.compile(
     re.I | re.S,
 )
 _DESCRIBE_RE = re.compile(
-    rf"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+({_IDENT})\s*$", re.I | re.S
+    rf"^\s*DESCRIBE\s+(HISTORY|DETAIL|STATS)\s+({_IDENT})\s*$", re.I | re.S
+)
+_ANALYZE_RE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+({_IDENT})"
+    r"(?:\s+COMPUTE\s+STATISTICS)?"
+    r"(?:\s+FOR\s+COLUMNS\s+([\w\s,]+?))?"
+    r"(\s+EXACT)?\s*$",
+    re.I | re.S,
 )
 
 
@@ -1142,6 +1163,24 @@ def _describe(spark: SparkSession, path: str, kind: str) -> DataFrame:
 
     if kind == "HISTORY":
         return table_history(spark, path).orderBy(F.col("version").desc())
+    if kind == "STATS":
+        from fdf_spark.sources.versioned import table_column_stats
+
+        cs = table_column_stats(path)
+        schema = (
+            "col string, ndv bigint, nulls bigint, avg_len double, "
+            "max_len bigint, rows bigint, of_version int, mode string"
+        )
+        if cs is None:
+            return spark.createDataFrame([], schema)
+        rows = [
+            (
+                c, s["ndv"], s["nulls"], s.get("avg_len"), s.get("max_len"),
+                cs["rows"], cs["of_version"], cs["mode"],
+            )
+            for c, s in sorted(cs["columns"].items())
+        ]
+        return spark.createDataFrame(rows, schema)
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")

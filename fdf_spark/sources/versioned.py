@@ -128,7 +128,10 @@ _DELTA_DICTS = (
     "stats", "file_rows", "delete_files", "eq_deletes", "eq_applies",
     "file_specs", "tomb_rows", "file_bytes",
 )
-_DELTA_SETS = ("schema", "column_mapping", "retired_physical", "partition_specs", "current_spec")
+_DELTA_SETS = (
+    "schema", "column_mapping", "retired_physical", "partition_specs",
+    "current_spec", "column_stats",
+)
 _DELTA_KEYS = frozenset(
     {"delta_base", "__absent__", "files_append", "files_add", "files_remove"}
     | {k + "__put" for k in _DELTA_DICTS}
@@ -2176,6 +2179,16 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
         for f in manifest["files"]
         if f in known_b or os.path.exists(f)
     }
+    # table-level column statistics (ANALYZE) persist until the next
+    # ANALYZE — inherited centrally like file_bytes so full-manifest
+    # checkpoints cannot drop them and no writer can forget them (r14)
+    if "column_stats" not in manifest and manifest.get("parent") is not None:
+        try:
+            cs = _read_manifest(path, manifest["parent"]).get("column_stats")
+            if cs is not None:
+                manifest["column_stats"] = cs
+        except FileNotFoundError:
+            pass
     # store a DELTA against the parent except at checkpoint versions
     # (bounds reconstruction depth) — metadata written per commit is
     # O(changed files), not O(table files)
@@ -2938,6 +2951,130 @@ def table_changes(
     for s in steps[1:]:
         out = out.unionByName(s, allowMissingColumns=True)
     return out
+
+
+def analyze_table(
+    spark: SparkSession,
+    path: str,
+    cols=None,
+    mode: str = "approx",
+    rsd: float = 0.05,
+) -> dict:
+    """``ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`` — table-level
+    column statistics (NDV, null count, string/binary byte lengths) in
+    ONE aggregate pass over the head snapshot, recorded as a
+    METADATA-ONLY commit that every later commit inherits until the
+    next ANALYZE (Delta keeps ANALYZE output the same way; the r14
+    operability axis).
+
+    ``mode='approx'`` (default) computes NDV with HyperLogLog++
+    (``approx_count_distinct``, ``rsd`` relative error) — one scan,
+    bounded mergeable map-side state per column: the right call at
+    100 TB.  ``mode='exact'`` uses ``count(DISTINCT …)``; Catalyst
+    EXPANDs one projection per distinct aggregate, so cost multiplies
+    with column count — opt-in for small/medium tables and for oracle
+    checks.  Either way NULL handling matches SQL: NDV counts distinct
+    non-NULL values, ``nulls`` counts the rest.
+
+    Stats live in the manifest under ``column_stats`` keyed by LOGICAL
+    column name, stamped ``of_version``; they describe THAT snapshot
+    and go stale as commits land — :func:`fdf_spark.sources.metatables.
+    plan_maintenance` surfaces both missing and stale stats as
+    ``('analyze', …)`` recommendations and uses the NDV/row ratio to
+    nominate key-like columns for bloom sidecars.  Read them back via
+    ``DESCRIBE STATS t`` (sqldml) or :func:`table_column_stats`.
+
+    Returns the recorded stats dict ``{"of_version", "mode", "rows",
+    "columns": {col: {"ndv", "nulls", "avg_len", "max_len"}}}``.
+    """
+    from pyspark.sql import functions as F
+
+    if mode not in ("approx", "exact"):
+        raise ValueError(f"mode must be 'approx' or 'exact', got {mode!r}")
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    schema = _logical_schema(m)
+    if schema is None:
+        raise ValueError("table has no manifest schema; cannot analyze")
+    atomic = {
+        f.name: f.dataType.typeName()
+        for f in schema.fields
+        if f.dataType.typeName() not in ("array", "map", "struct")
+    }
+    if cols is None:
+        cols = list(atomic)
+    else:
+        bad = [c for c in cols if c not in atomic]
+        if bad:
+            known = [f.name for f in schema.fields]
+            raise ValueError(
+                f"cannot analyze {bad} — not atomic columns of the table "
+                f"(schema: {known})"
+            )
+    df = read_version(spark, path, version=parent)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if mode == "exact"
+                else F.approx_count_distinct(c, rsd)
+            ).alias(f"__ndv__{c}")
+        )
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}")
+        )
+        if atomic[c] in ("string", "binary"):
+            aggs.append(F.avg(F.length(c)).alias(f"__avglen__{c}"))
+            aggs.append(F.max(F.length(c)).cast("long").alias(f"__maxlen__{c}"))
+    row = df.agg(*aggs).first().asDict()
+    stats = {
+        "of_version": parent,
+        "mode": mode,
+        "rows": row["__rows"],
+        "columns": {
+            c: {
+                "ndv": int(row[f"__ndv__{c}"]),
+                "nulls": int(row[f"__nulls__{c}"] or 0),
+                "avg_len": row.get(f"__avglen__{c}"),
+                "max_len": row.get(f"__maxlen__{c}"),
+            }
+            for c in cols
+        },
+    }
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "analyze",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
+        "delete_files": m.get("delete_files", {}),
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
+        "schema": m.get("schema"),
+        "column_mapping": m.get("column_mapping", {}),
+        "retired_physical": m.get("retired_physical", []),
+        **_spec_carry(m),
+        "column_stats": stats,
+        "meta": {"analyze": {"mode": mode, "columns": cols}},
+    }
+    _stage_and_publish_manifest(path, version, manifest)
+    return stats
+
+
+def table_column_stats(path: str, version: int | None = None) -> dict | None:
+    """The ``column_stats`` dict the given (default: head) snapshot
+    carries, or ``None`` if the table was never analyzed."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    return _read_manifest(path, v).get("column_stats")
 
 
 def rename_column(path: str, old: str, new: str) -> int:

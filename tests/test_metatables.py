@@ -421,3 +421,46 @@ def test_plan_maintenance_no_drift_without_spec_or_files(spark, tmp_path):
         r for r in plan_maintenance(spark, p).collect()
         if r.target.startswith("zorder:")
     ]
+
+
+def test_plan_maintenance_analyze_and_ndv_bloom_nomination(spark, tmp_path):
+    from fdf_spark.sources.bloomskip import build_blooms
+    from fdf_spark.sources.metatables import apply_maintenance, plan_maintenance
+    from fdf_spark.sources.versioned import analyze_table, commit_version
+
+    p = str(tmp_path / "plan_an")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("k"),                       # key-like -> nominate
+        (F.col("id") % 4).alias("g"),                 # low NDV -> never
+        (F.col("id") / 2.0).alias("x"),               # double -> not bloomable
+    )
+    commit_version(df.repartition(2), p)
+    plan = {r.action: r.detail for r in plan_maintenance(spark, p).collect()}
+    assert "analyze" in plan and "no column statistics" in plan["analyze"]
+    analyze_table(spark, p, mode="exact")
+    recs = plan_maintenance(spark, p).collect()
+    noms = {r.target for r in recs if r.action == "build_blooms"}
+    assert noms == {"k"}                              # not g (low NDV), not x (type)
+    assert not any(r.action == "analyze" for r in recs)
+    # once k HAS sidecars, the NDV rule hands off to the gap rule
+    build_blooms(spark, p, ["k"])
+    assert not plan_maintenance(spark, p).collect()
+    # staleness: head moves past the threshold -> analyze again
+    for _ in range(3):
+        commit_version(
+            spark.range(1).select(
+                F.col("id").alias("k"), F.lit(0).alias("g"), F.lit(0.0).alias("x")
+            ),
+            p,
+        )
+    recs = plan_maintenance(spark, p, analyze_stale_commits=3).collect()
+    assert any(
+        r.action == "analyze" and "commits old" in r.detail for r in recs
+    )
+    # apply closes the loop: blooms for the ingests' gaps + fresh stats
+    out = apply_maintenance(spark, p, analyze_stale_commits=3)
+    assert "analyze" in out and out["analyze"]["of_version"] > 1
+    assert not any(
+        r.action == "analyze"
+        for r in plan_maintenance(spark, p, analyze_stale_commits=3).collect()
+    )

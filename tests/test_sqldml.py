@@ -711,3 +711,28 @@ def test_sql_table_changes_requires_binding(spark, table):
         tables={"other": table},
     ).first()
     assert out["n"] == 100
+
+
+def test_sql_analyze_and_describe_stats(spark, table):
+    from fdf_spark.sources.sqldml import execute_sql
+
+    # before any ANALYZE: an empty relation with the stats schema
+    empty = execute_sql(spark, table, "DESCRIBE STATS t")
+    assert empty.count() == 0 and "ndv" in empty.columns
+    v = execute_dml(
+        spark, table, "ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS k, s EXACT"
+    )
+    assert v == 2
+    rows = {
+        r["col"]: r for r in execute_sql(spark, table, "DESCRIBE STATS t").collect()
+    }
+    assert set(rows) == {"k", "s"}
+    assert rows["k"]["ndv"] == 100 and rows["k"]["nulls"] == 0
+    assert rows["s"]["max_len"] == len("row 99")
+    assert rows["k"]["rows"] == 100 and rows["k"]["mode"] == "exact"
+    # approx is the default mode
+    execute_dml(spark, table, "ANALYZE TABLE t")
+    got = execute_sql(spark, table, "DESCRIBE STATS t").first()
+    assert got["mode"] == "approx"
+    with pytest.raises(ValueError, match="empty column"):
+        execute_dml(spark, table, "ANALYZE TABLE t FOR COLUMNS k,")

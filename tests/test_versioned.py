@@ -2349,3 +2349,69 @@ def test_table_changes_refs_timestamps_and_empty_range(spark, tmp_path):
         table_changes(spark, p, 3, 2)
     with pytest.raises(ValueError):
         table_changes(spark, p, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# analyze_table — table-level column statistics (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_analyze_table_exact_values_and_persistence(spark, tmp_path):
+    from fdf_spark.sources.versioned import analyze_table, table_column_stats
+
+    p = str(tmp_path / "an")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 9).alias("g"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.concat(F.lit("value-"), F.col("id")))
+        .alias("s"),
+    )
+    commit_version(df, p)
+    st = analyze_table(spark, p, mode="exact")
+    assert st["of_version"] == 1 and st["rows"] == 500 and st["mode"] == "exact"
+    assert st["columns"]["k"] == {"ndv": 500, "nulls": 0, "avg_len": None, "max_len": None}
+    assert st["columns"]["g"]["ndv"] == 9
+    s = st["columns"]["s"]
+    assert s["ndv"] == 400 and s["nulls"] == 100 and s["max_len"] == 9
+    # stats persist across later commits INCLUDING full-manifest
+    # checkpoints (every 8th version stores the whole manifest)
+    for _ in range(9):
+        commit_version(
+            spark.range(1).select(
+                F.col("id").alias("k"), F.lit(0).alias("g"), F.lit("x").alias("s")
+            ),
+            p,
+        )
+    head = table_column_stats(p)
+    assert head is not None and head["of_version"] == 1
+    # time travel: the pre-analyze snapshot has none
+    assert table_column_stats(p, 1) is None
+    # re-analyze REPLACES (head snapshot, new of_version)
+    st2 = analyze_table(spark, p, cols=["k"], mode="exact")
+    assert st2["of_version"] == 11 and st2["rows"] == 509
+    assert list(st2["columns"]) == ["k"]
+
+
+def test_analyze_table_approx_bounds_and_errors(spark, tmp_path):
+    from fdf_spark.sources.versioned import analyze_table
+
+    p = str(tmp_path / "anx")
+    commit_version(
+        spark.range(0, 4000).select(
+            F.col("id").alias("k"), F.array(F.col("id")).alias("arr")
+        ),
+        p,
+    )
+    st = analyze_table(spark, p, cols=["k"], rsd=0.05)
+    # HLL++ at rsd=0.05: allow 4 sigma
+    assert abs(st["columns"]["k"]["ndv"] - 4000) <= 4000 * 0.20
+    with pytest.raises(ValueError, match="not atomic"):
+        analyze_table(spark, p, cols=["arr"])
+    with pytest.raises(ValueError, match="not atomic"):
+        analyze_table(spark, p, cols=["nosuch"])
+    with pytest.raises(ValueError, match="mode"):
+        analyze_table(spark, p, mode="maybe")
+    # default cols: atomic only — arr silently excluded
+    st2 = analyze_table(spark, p)
+    assert list(st2["columns"]) == ["k"]
