@@ -3512,3 +3512,68 @@ def q183_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("col")
     )
     return _materialize_and_cleanup(out, path)
+
+
+@query(
+    "q184_table_properties_audit",
+    """
+    SELECT key, value FROM (
+      SELECT 'owner' AS key, 'data-eng' AS value
+      UNION ALL SELECT 'fdf.appendOnly', 'true'
+      UNION ALL SELECT '__delete_blocked', 'true'
+      UNION ALL SELECT '__n_rows_intact', CAST(
+        (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS VARCHAR))
+    ORDER BY key
+    """,
+    operators=("N17", "S4", "N18"),
+    doc="Table properties + append-only enforcement (r14, Delta's "
+    "delta.appendOnly): SET TBLPROPERTIES lands as a metadata-only "
+    "commit every later commit inherits; with fdf.appendOnly='true' "
+    "the publish seam — the ONE chokepoint every write passes through "
+    "— rejects any commit that removes live files or touches delete "
+    "state.  The query sets the flag, PROVES a DELETE bounces "
+    "(engine-caught ValueError -> '__delete_blocked'; oracle hardcodes "
+    "true) and that the row count is intact, then reads the properties "
+    "back via SHOW TBLPROPERTIES.  Scale: write-discipline enforcement "
+    "is O(1) metadata at commit time — on a 1000-writer cluster no "
+    "coordinator is needed; the optimistic-commit seam carries it.",
+)
+def q184_table_properties_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml, execute_sql
+    from fdf_spark.sources.versioned import read_version
+
+    t = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    ).filter(F.col("o_orderkey") % 2 == 0)
+    t.createOrReplaceTempView("q184_orders")
+    path = tempfile.mkdtemp(prefix="fdf_props_")
+    try:
+        execute_dml(
+            spark, path, "CREATE TABLE t AS SELECT * FROM q184_orders"
+        )
+        execute_dml(
+            spark, path,
+            "ALTER TABLE t SET TBLPROPERTIES "
+            "('owner' = 'data-eng', 'fdf.appendOnly' = 'true')",
+        )
+        try:
+            execute_dml(spark, path, "DELETE FROM t WHERE k < 1000")
+            blocked = "false"
+        except ValueError:
+            blocked = "true"
+        n_intact = read_version(spark, path).count()
+        props = execute_sql(spark, path, "SHOW TBLPROPERTIES t")
+        out = (
+            props.unionByName(
+                spark.createDataFrame(
+                    [("__delete_blocked", blocked),
+                     ("__n_rows_intact", str(n_intact))],
+                    "key string, value string",
+                )
+            ).orderBy("key")
+        )
+        return _materialize_and_cleanup(out, path)
+    finally:
+        spark.catalog.dropTempView("q184_orders")

@@ -703,6 +703,11 @@ _DROP_CONS_RE = re.compile(r"^DROP\s+CONSTRAINT\s+(\w+)\s*$", re.I | re.S)
 _SET_SPEC_RE = re.compile(
     r"^SET\s+PARTITION\s+SPEC\s*\((.*)\)\s*$", re.I | re.S
 )
+_SET_PROPS_RE = re.compile(r"^SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", re.I | re.S)
+_UNSET_PROPS_RE = re.compile(
+    r"^UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\((.*)\)\s*$", re.I | re.S
+)
+_PROP_PAIR_RE = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$", re.S)
 
 
 def _ddl_statement(spark: SparkSession, path: str, stmt: str):
@@ -799,10 +804,33 @@ def _ddl_statement(spark: SparkSession, path: str, stmt: str):
         if not cols or not all(cols):
             raise ValueError(f"empty column in SET PARTITION SPEC: {stmt[:80]!r}")
         return set_partition_spec(path, cols)
+    m2 = _SET_PROPS_RE.match(action)
+    if m2:
+        from fdf_spark.sources.versioned import set_properties
+
+        props = {}
+        for part in _scan_split_commas(m2.group(1)):
+            mm = _PROP_PAIR_RE.match(part)
+            if not mm:
+                raise ValueError(
+                    f"cannot parse TBLPROPERTIES pair {part!r} — "
+                    "expected 'key' = 'value'"
+                )
+            props[mm.group(1)] = mm.group(2)
+        return set_properties(path, props)
+    m2 = _UNSET_PROPS_RE.match(action)
+    if m2:
+        from fdf_spark.sources.versioned import unset_properties
+
+        keys = [k.strip().strip("'\"") for k in _scan_split_commas(m2.group(1))]
+        if not keys or not all(keys):
+            raise ValueError(f"empty key in UNSET TBLPROPERTIES: {stmt[:80]!r}")
+        return unset_properties(path, keys)
     raise ValueError(
         f"unsupported ALTER TABLE action {action[:60]!r} — supported: "
         "ADD COLUMN(S), RENAME COLUMN, DROP COLUMN, ALTER COLUMN … TYPE "
-        "(widening), ADD/DROP CONSTRAINT, SET PARTITION SPEC"
+        "(widening), ADD/DROP CONSTRAINT, SET PARTITION SPEC, "
+        "SET/UNSET TBLPROPERTIES"
     )
 
 
@@ -975,6 +1003,13 @@ def execute_sql(
     m = _DESCRIBE_RE.match(stmt)
     if m:
         return _describe(spark, path, m.group(1).upper())
+    m = _SHOW_PROPS_RE.match(stmt)
+    if m:
+        from fdf_spark.sources.versioned import table_properties
+
+        return spark.createDataFrame(
+            sorted(table_properties(path).items()), "key string, value string"
+        )
     bound = {k.lower(): v for k, v in (tables or {}).items()}
     views: list[str] = []
     try:
@@ -1061,6 +1096,9 @@ _COPY_RE = re.compile(
 )
 _DESCRIBE_RE = re.compile(
     rf"^\s*DESCRIBE\s+(HISTORY|DETAIL|STATS)\s+({_IDENT})\s*$", re.I | re.S
+)
+_SHOW_PROPS_RE = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$", re.I | re.S
 )
 _ANALYZE_RE = re.compile(
     rf"^\s*ANALYZE\s+TABLE\s+({_IDENT})"

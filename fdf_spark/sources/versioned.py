@@ -130,7 +130,7 @@ _DELTA_DICTS = (
 )
 _DELTA_SETS = (
     "schema", "column_mapping", "retired_physical", "partition_specs",
-    "current_spec", "column_stats",
+    "current_spec", "column_stats", "properties",
 )
 _DELTA_KEYS = frozenset(
     {"delta_base", "__absent__", "files_append", "files_add", "files_remove"}
@@ -2179,16 +2179,45 @@ def _stage_and_publish_manifest(path: str, version: int, manifest: dict) -> None
         for f in manifest["files"]
         if f in known_b or os.path.exists(f)
     }
-    # table-level column statistics (ANALYZE) persist until the next
-    # ANALYZE — inherited centrally like file_bytes so full-manifest
-    # checkpoints cannot drop them and no writer can forget them (r14)
-    if "column_stats" not in manifest and manifest.get("parent") is not None:
+    # table-level column statistics (ANALYZE) and table properties
+    # persist until changed — inherited centrally like file_bytes so
+    # full-manifest checkpoints cannot drop them and no writer can
+    # forget them (r14)
+    pm = None
+    if manifest.get("parent") is not None:
         try:
-            cs = _read_manifest(path, manifest["parent"]).get("column_stats")
-            if cs is not None:
-                manifest["column_stats"] = cs
+            pm = _read_manifest(path, manifest["parent"])
         except FileNotFoundError:
-            pass
+            pm = None
+    if pm is not None:
+        if "column_stats" not in manifest and pm.get("column_stats") is not None:
+            manifest["column_stats"] = pm["column_stats"]
+        if "properties" not in manifest and pm.get("properties") is not None:
+            manifest["properties"] = pm["properties"]
+        # fdf.appendOnly (Delta's delta.appendOnly): the parent's
+        # properties GATE this commit at the one seam every write
+        # passes through — any transaction that removes live files or
+        # touches delete state is rejected; OPTIMIZE is exempt
+        # (content-preserving rewrite: folds shrink, never grow).
+        # Enforced against the PARENT so the flag cannot be bypassed
+        # in the same commit that flips it off.
+        props = pm.get("properties") or {}
+        if (
+            str(props.get("fdf.appendOnly", "")).lower() == "true"
+            and manifest.get("mode") not in ("optimize", "set-properties")
+        ):
+            removed = set(pm.get("files", [])) - set(manifest.get("files", []))
+            touched = (
+                _delete_map(manifest) != _delete_map(pm)
+                or _eq_map(manifest) != _eq_map(pm)
+            )
+            if removed or touched:
+                raise ValueError(
+                    "table is append-only (fdf.appendOnly=true): commit "
+                    f"mode {manifest.get('mode')!r} removes "
+                    f"{len(removed)} file(s) or modifies delete state — "
+                    "unset the property first"
+                )
     # store a DELTA against the parent except at checkpoint versions
     # (bounds reconstruction depth) — metadata written per commit is
     # O(changed files), not O(table files)
@@ -3075,6 +3104,113 @@ def table_column_stats(path: str, version: int | None = None) -> dict | None:
         raise FileNotFoundError(f"no versions at {path}")
     v = versions[-1] if version is None else version
     return _read_manifest(path, v).get("column_stats")
+
+
+#: properties whose VALUES the engine validates on set — behavior-
+#: bearing flags must be parseable where they are enforced
+_VALIDATED_PROPS = {"fdf.appendOnly": ("true", "false")}
+
+
+def set_properties(path: str, props: dict) -> int:
+    """``ALTER TABLE … SET TBLPROPERTIES`` — merge string key/value
+    properties into the table as a METADATA-ONLY commit; later commits
+    inherit them until :func:`unset_properties` (Delta semantics —
+    properties version with the table, so time travel shows the
+    properties a snapshot HAD).
+
+    Properties are free-form strings except the engine-enforced ones:
+    ``fdf.appendOnly='true'`` (Delta's ``delta.appendOnly``) makes
+    every subsequent commit that removes live files or touches delete
+    state fail at the publish seam — DELETE/UPDATE/MERGE/RESTORE/
+    overwrite are rejected until the flag is unset, OPTIMIZE (content-
+    preserving) still runs.  The gate reads the PARENT snapshot's
+    properties, so the same commit cannot both flip the flag and
+    violate it.
+    """
+    if not props:
+        raise ValueError("set_properties needs at least one property")
+    clean = {}
+    for k, v in props.items():
+        if not isinstance(k, str) or not k:
+            raise ValueError(f"property keys must be non-empty strings: {k!r}")
+        v = str(v)
+        allowed = _VALIDATED_PROPS.get(k)
+        if allowed and v.lower() not in allowed:
+            raise ValueError(f"property {k!r} must be one of {allowed}, got {v!r}")
+        clean[k] = v
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    merged = {**(m.get("properties") or {}), **clean}
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "set-properties",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
+        "delete_files": m.get("delete_files", {}),
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
+        "schema": m.get("schema"),
+        "column_mapping": m.get("column_mapping", {}),
+        "retired_physical": m.get("retired_physical", []),
+        **_spec_carry(m),
+        "properties": merged,
+        "meta": {"set_properties": clean},
+    }
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
+
+
+def unset_properties(path: str, keys) -> int:
+    """``ALTER TABLE … UNSET TBLPROPERTIES`` — remove properties as a
+    metadata-only commit.  Unknown keys are ignored (Delta's IF EXISTS
+    behavior — unsetting is idempotent)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    if not keys:
+        raise ValueError("unset_properties needs at least one key")
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    parent = versions[-1]
+    m = _read_manifest(path, parent)
+    remaining = {
+        k: v for k, v in (m.get("properties") or {}).items() if k not in set(keys)
+    }
+    version = parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": "set-properties",
+        "files": m["files"],
+        "stats": m.get("stats", {}),
+        "file_rows": m.get("file_rows", {}),
+        "delete_files": m.get("delete_files", {}),
+        "eq_deletes": _eq_entries(m),
+        "eq_applies": _eq_map(m),
+        "schema": m.get("schema"),
+        "column_mapping": m.get("column_mapping", {}),
+        "retired_physical": m.get("retired_physical", []),
+        **_spec_carry(m),
+        "properties": remaining,
+        "meta": {"unset_properties": sorted(set(keys))},
+    }
+    _stage_and_publish_manifest(path, version, manifest)
+    return version
+
+
+def table_properties(path: str, version: int | None = None) -> dict:
+    """The properties dict the given (default: head) snapshot carries."""
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    return dict(_read_manifest(path, v).get("properties") or {})
 
 
 def rename_column(path: str, old: str, new: str) -> int:

@@ -736,3 +736,25 @@ def test_sql_analyze_and_describe_stats(spark, table):
     assert got["mode"] == "approx"
     with pytest.raises(ValueError, match="empty column"):
         execute_dml(spark, table, "ANALYZE TABLE t FOR COLUMNS k,")
+
+
+def test_sql_tblproperties_roundtrip_and_append_only(spark, table):
+    from fdf_spark.sources.sqldml import execute_sql
+
+    execute_dml(
+        spark, table,
+        "ALTER TABLE t SET TBLPROPERTIES ('owner' = 'eng', 'fdf.appendOnly' = 'true')",
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in execute_sql(spark, table, "SHOW TBLPROPERTIES t").collect()
+    }
+    assert props == {"owner": "eng", "fdf.appendOnly": "true"}
+    with pytest.raises(ValueError, match="append-only"):
+        execute_dml(spark, table, "DELETE FROM t WHERE k < 10")
+    execute_dml(
+        spark, table, "ALTER TABLE t UNSET TBLPROPERTIES IF EXISTS ('fdf.appendOnly')"
+    )
+    assert execute_dml(spark, table, "DELETE FROM t WHERE k < 10") > 0
+    with pytest.raises(ValueError, match="TBLPROPERTIES pair"):
+        execute_dml(spark, table, "ALTER TABLE t SET TBLPROPERTIES (owner = 'x')")

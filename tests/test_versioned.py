@@ -2415,3 +2415,81 @@ def test_analyze_table_approx_bounds_and_errors(spark, tmp_path):
     # default cols: atomic only — arr silently excluded
     st2 = analyze_table(spark, p)
     assert list(st2["columns"]) == ["k"]
+
+
+# ---------------------------------------------------------------------------
+# table properties + append-only enforcement (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_properties_roundtrip_inherit_and_time_travel(spark, tmp_path):
+    from fdf_spark.sources.versioned import (
+        set_properties,
+        table_properties,
+        unset_properties,
+    )
+
+    p = str(tmp_path / "props")
+    commit_version(spark.range(10).select(F.col("id").alias("k")), p)
+    set_properties(p, {"owner": "team-a", "retention.days": 7})
+    assert table_properties(p) == {"owner": "team-a", "retention.days": "7"}
+    # later commits inherit, including across a checkpoint boundary
+    for _ in range(8):
+        commit_version(spark.range(1).select(F.col("id").alias("k")), p)
+    assert table_properties(p)["owner"] == "team-a"
+    # merge semantics + idempotent unset
+    set_properties(p, {"owner": "team-b"})
+    unset_properties(p, ["retention.days", "never.was.set"])
+    assert table_properties(p) == {"owner": "team-b"}
+    # snapshots keep THEIR properties
+    assert table_properties(p, 1) == {}
+    assert table_properties(p, 2)["owner"] == "team-a"
+    with pytest.raises(ValueError):
+        set_properties(p, {})
+    with pytest.raises(ValueError):
+        set_properties(p, {"fdf.appendOnly": "maybe"})
+
+
+def test_append_only_gate_blocks_every_write_shape(spark, tmp_path):
+    from fdf_spark.sources.versioned import (
+        delete_keys,
+        delete_where,
+        merge_on_read,
+        optimize,
+        restore_table,
+        set_properties,
+        unset_properties,
+        update_where,
+    )
+
+    p = str(tmp_path / "ao")
+    commit_version(
+        spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 3).alias("v")),
+        p,
+    )
+    set_properties(p, {"fdf.appendOnly": "true"})
+    # appends and metadata commits still land
+    commit_version(spark.range(3).select(F.col("id").alias("k"), F.lit(0).alias("v")), p)
+    with pytest.raises(ValueError, match="append-only"):
+        delete_where(spark, p, "k < 5")
+    with pytest.raises(ValueError, match="append-only"):
+        update_where(spark, p, "k < 5", {"v": "v + 1"})
+    with pytest.raises(ValueError, match="append-only"):
+        delete_keys(spark, p, spark.createDataFrame([(1,)], "k long"), ["k"])
+    with pytest.raises(ValueError, match="append-only"):
+        merge_on_read(
+            spark, p,
+            spark.createDataFrame([(1, 9)], "k long, v long"), ["k"],
+        )
+    with pytest.raises(ValueError, match="append-only"):
+        commit_version(
+            spark.range(1).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+            p, mode="overwrite",
+        )
+    with pytest.raises(ValueError, match="append-only"):
+        restore_table(p, version=1)
+    # OPTIMIZE is content-preserving — allowed
+    assert optimize(spark, p, small_bytes=1 << 30)["rewritten"] > 0
+    # unset (itself a commit) re-opens the table
+    unset_properties(p, "fdf.appendOnly")
+    assert delete_where(spark, p, "k < 5") > 0
