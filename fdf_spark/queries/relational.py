@@ -3577,3 +3577,73 @@ def q184_table_properties_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize_and_cleanup(out, path)
     finally:
         spark.catalog.dropTempView("q184_orders")
+
+
+@query(
+    "q185_feed_consumer_offsets",
+    f"""
+    WITH base AS (
+      SELECT c_custkey AS k, c_acctbal AS bal
+      FROM customer WHERE c_custkey % 2 = 0)
+    SELECT phase, ct, n, bal_sum FROM (
+      SELECT 1 AS phase, 'insert' AS ct, COUNT(*) AS n,
+             {sql_dsum('bal')} AS bal_sum FROM base
+      UNION ALL
+      SELECT 2, 'delete', COUNT(*), {sql_dsum('bal')}
+      FROM base WHERE k % 6 = 0
+      UNION ALL
+      SELECT 2, 'insert', COUNT(*), {sql_dsum('c_acctbal')}
+      FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 15 = 0)
+    ORDER BY phase, ct
+    """,
+    operators=("N17", "N23", "S4"),
+    doc="Change-feed CONSUMER OFFSETS (poll/ack, r14): a downstream "
+    "ETL consumes the table incrementally — poll 1 delivers the whole "
+    "history (the v1 inserts), the ack persists the offset under "
+    "_consumers/, and after a DELETE and an INSERT land, poll 2 "
+    "delivers ONLY those two commits' row-level changes.  Kafka's "
+    "poll/commit discipline on a versioned table: at-least-once "
+    "(unacked polls re-deliver, pytest-pinned), per-consumer O(1) "
+    "metadata offsets, no coordinator.  The oracle replays both "
+    "phases relationally.  Scale: catching up on N commits reads "
+    "exactly the files those commits touched — never O(table).",
+)
+def q185_feed_consumer_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml
+    from fdf_spark.sources.versioned import ack_changes, poll_changes
+
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    cust.createOrReplaceTempView("q185_cust")
+    path = tempfile.mkdtemp(prefix="fdf_poll_")
+    try:
+        execute_dml(
+            spark, path,
+            "CREATE TABLE t AS SELECT c_custkey AS k, c_acctbal AS bal "
+            "FROM q185_cust WHERE c_custkey % 2 = 0",
+        )
+
+        def _agg(feed, phase):
+            return (
+                feed.groupBy(
+                    F.lit(phase).alias("phase"),
+                    F.col("_change_type").alias("ct"),
+                )
+                .agg(F.count("*").alias("n"), dsum("bal").alias("bal_sum"))
+            )
+
+        feed1, thru1 = poll_changes(spark, path, "etl")
+        phase1 = _agg(feed1, 1)
+        ack_changes(path, "etl", thru1)
+        execute_dml(spark, path, "DELETE FROM t WHERE k % 6 = 0")
+        execute_dml(
+            spark, path,
+            "INSERT INTO t SELECT c_custkey AS k, c_acctbal AS bal "
+            "FROM q185_cust WHERE c_custkey % 2 = 1 AND c_custkey % 15 = 0",
+        )
+        feed2, _ = poll_changes(spark, path, "etl")
+        out = phase1.unionByName(_agg(feed2, 2)).orderBy("phase", "ct")
+        return _materialize_and_cleanup(out, path)
+    finally:
+        spark.catalog.dropTempView("q185_cust")

@@ -681,7 +681,11 @@ def _utility_statement(spark: SparkSession, path: str, stmt: str):
 
 
 _CTAS_RE = re.compile(
-    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s+AS\s+(.*)$", re.I | re.S
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
+    r"(?:\s+PARTITIONED\s+BY\s*\((.*?)\)(?=\s+(?:TBLPROPERTIES|AS)\s))?"
+    r"(?:\s+TBLPROPERTIES\s*\((.*?)\)(?=\s+AS\s))?"
+    r"\s+AS\s+(.*)$",
+    re.I | re.S,
 )
 _ALTER_RE = re.compile(rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(.*)$", re.I | re.S)
 _RENAME_COL_RE = re.compile(
@@ -745,16 +749,45 @@ def _ddl_statement(spark: SparkSession, path: str, stmt: str):
     m = _CTAS_RE.match(stmt)
     if m:
         replace = m.group(1) is not None
-        q = m.group(3).strip()
+        spec_txt, props_txt, q = m.group(3), m.group(4), m.group(5).strip()
         if not q:
             raise ValueError("CREATE TABLE AS needs a source query")
         if list_versions(path) and not replace:
             raise ValueError(
                 f"table already exists at {path} — use CREATE OR REPLACE TABLE"
             )
-        return commit_version(
-            spark.sql(q), path, mode="overwrite" if replace else "append"
-        )
+        df = spark.sql(q)
+        if spec_txt is None and props_txt is None:
+            return commit_version(df, path, mode="overwrite" if replace else "append")
+        # PARTITIONED BY / TBLPROPERTIES (r14): establish the schema
+        # with an EMPTY first commit (limit(0) folds to an empty local
+        # relation — no scan), apply spec/properties as metadata
+        # commits, then land the data ONCE, already clustered by the
+        # spec — same final layout as Delta's one-commit CTAS, and
+        # the property gate (e.g. fdf.appendOnly) applies from the
+        # very first data file
+        from fdf_spark.sources.versioned import set_properties
+
+        commit_version(df.limit(0), path, mode="overwrite" if replace else "append")
+        if spec_txt is not None:
+            cols = _scan_split_commas(spec_txt)
+            if not cols or not all(cols):
+                raise ValueError(f"empty column in PARTITIONED BY: {stmt[:80]!r}")
+            set_partition_spec(path, cols)
+        if props_txt is not None:
+            props = {}
+            for part in _scan_split_commas(props_txt):
+                mm = _PROP_PAIR_RE.match(part)
+                if not mm:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES pair {part!r} — "
+                        "expected 'key' = 'value'"
+                    )
+                props[mm.group(1)] = mm.group(2)
+            if not props:
+                raise ValueError("TBLPROPERTIES needs at least one pair")
+            set_properties(path, props)
+        return commit_version(df, path)
     m = _ALTER_RE.match(stmt)
     if not m:
         return None

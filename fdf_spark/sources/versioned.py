@@ -2982,6 +2982,100 @@ def table_changes(
     return out
 
 
+def _consumer_path(path: str, consumer_id: str) -> str:
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", consumer_id or ""):
+        raise ValueError(
+            f"consumer id must be [A-Za-z0-9._-]+, got {consumer_id!r}"
+        )
+    return os.path.join(path, "_consumers", f"{consumer_id}.json")
+
+
+def consumer_offsets(path: str) -> dict:
+    """Every registered change-feed consumer at ``path``:
+    ``id -> last acknowledged version``."""
+    d = os.path.join(path, "_consumers")
+    if not os.path.isdir(d):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                e = json.load(fh)
+            out[e["id"]] = e["version"]
+    return out
+
+
+def poll_changes(
+    spark: SparkSession, path: str, consumer_id: str, keys=None
+):
+    """Incremental AT-LEAST-ONCE consumption of the change feed
+    (Kafka's poll/commit discipline on the versioned table): returns
+    ``(feed, through_version)`` where ``feed`` is
+    :func:`table_changes` from the consumer's last ACKNOWLEDGED
+    version (exclusive) through the current head — or ``(None, head)``
+    when the consumer is caught up.
+
+    The offset advances ONLY via :func:`ack_changes`, which the caller
+    invokes AFTER durably processing the batch — a crash between poll
+    and ack re-delivers the same commits on the next poll (at-least-
+    once; pair with an idempotent sink or the engine's
+    ``meta.ingest_id`` replay guard for effectively-exactly-once).
+    Offsets are per-consumer files under ``_consumers/`` — O(1)
+    metadata, no coordination between consumers, and a consumer
+    re-created after deletion replays from the table's first commit.
+
+    Scale: a consumer catching up on N commits of a 100 TB table reads
+    exactly the files those commits touched (the :func:`table_changes`
+    property); the poll itself is one metadata read.
+    """
+    head = list_versions(path)[-1]
+    cp = _consumer_path(path, consumer_id)
+    acked = 0
+    if os.path.exists(cp):
+        with open(cp) as fh:
+            acked = json.load(fh)["version"]
+    if acked >= head:
+        return None, head
+    return table_changes(spark, path, acked + 1, head, keys=keys), head
+
+
+def ack_changes(path: str, consumer_id: str, through_version: int) -> None:
+    """Acknowledge the feed THROUGH ``through_version`` (the value
+    :func:`poll_changes` returned) — the next poll starts after it.
+    Monotonic: acking below the stored offset raises (a stale worker
+    must not rewind a committed consumer); re-acking the same version
+    is an idempotent no-op.  Last-writer-wins between two workers
+    acking DIFFERENT new versions — the feed is at-least-once either
+    way."""
+    head = list_versions(path)[-1]
+    if not 1 <= through_version <= head:
+        raise ValueError(f"through_version {through_version} outside [1, {head}]")
+    cp = _consumer_path(path, consumer_id)
+    if os.path.exists(cp):
+        with open(cp) as fh:
+            cur = json.load(fh)["version"]
+        if through_version < cur:
+            raise ValueError(
+                f"consumer {consumer_id!r} already acked v{cur}; "
+                f"cannot rewind to v{through_version}"
+            )
+        if through_version == cur:
+            return
+    os.makedirs(os.path.dirname(cp), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cp), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(
+                {"id": consumer_id, "version": through_version, "ts": time.time()},
+                fh,
+            )
+        os.replace(tmp, cp)
+        tmp = None
+    finally:
+        if tmp is not None and os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def analyze_table(
     spark: SparkSession,
     path: str,

@@ -758,3 +758,62 @@ def test_sql_tblproperties_roundtrip_and_append_only(spark, table):
     assert execute_dml(spark, table, "DELETE FROM t WHERE k < 10") > 0
     with pytest.raises(ValueError, match="TBLPROPERTIES pair"):
         execute_dml(spark, table, "ALTER TABLE t SET TBLPROPERTIES (owner = 'x')")
+
+
+def test_ctas_partitioned_by_and_tblproperties(spark, tmp_path):
+    from fdf_spark.sources.sqldml import execute_sql
+    from fdf_spark.sources.versioned import (
+        list_versions,
+        partition_spec,
+        read_version,
+        table_properties,
+    )
+
+    spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("g")
+    ).createOrReplaceTempView("ctas_src")
+    p = str(tmp_path / "ctas")
+    execute_dml(
+        spark, p,
+        "CREATE TABLE t PARTITIONED BY (bucket(8, k)) "
+        "TBLPROPERTIES ('fdf.appendOnly' = 'true') AS SELECT * FROM ctas_src",
+    )
+    assert partition_spec(p)["cols"] == ["bucket(8, k)"]
+    assert table_properties(p)["fdf.appendOnly"] == "true"
+    assert read_version(spark, p).count() == 5000
+    # the property gate applies from the very first data file
+    with pytest.raises(ValueError, match="append-only"):
+        execute_dml(spark, p, "DELETE FROM t WHERE k = 1")
+    # a keyed probe prunes through the transform on the CTAS layout
+    n_all = len(read_version(spark, p).inputFiles())
+    from fdf_spark.sources.versioned import read_version as rv
+
+    probed = rv(spark, p, prune=("k", [17]))
+    assert probed.filter("k = 17").count() == 1
+    if n_all > 1:
+        assert len(probed.inputFiles()) < n_all
+    # spec-only form (no TBLPROPERTIES)
+    p2 = str(tmp_path / "ctas2")
+    execute_dml(
+        spark, p2, "CREATE TABLE t PARTITIONED BY (g) AS SELECT * FROM ctas_src"
+    )
+    assert partition_spec(p2)["cols"] == ["g"]
+    # props-only form (no PARTITIONED BY)
+    p3 = str(tmp_path / "ctas3")
+    execute_dml(
+        spark, p3,
+        "CREATE TABLE t TBLPROPERTIES ('a' = '1') AS SELECT * FROM ctas_src",
+    )
+    assert table_properties(p3) == {"a": "1"}
+    # plain CTAS still lands in ONE commit
+    p4 = str(tmp_path / "ctas4")
+    execute_dml(spark, p4, "CREATE TABLE t AS SELECT * FROM ctas_src")
+    assert list_versions(p4) == [1]
+    # a string literal containing ' AS ' inside the query cannot
+    # derail clause parsing
+    p5 = str(tmp_path / "ctas5")
+    execute_dml(
+        spark, p5,
+        "CREATE TABLE t AS SELECT k, ' AS x FROM y' AS lit FROM ctas_src WHERE k < 3",
+    )
+    assert read_version(spark, p5).columns == ["k", "lit"]

@@ -2493,3 +2493,50 @@ def test_append_only_gate_blocks_every_write_shape(spark, tmp_path):
     # unset (itself a commit) re-opens the table
     unset_properties(p, "fdf.appendOnly")
     assert delete_where(spark, p, "k < 5") > 0
+
+
+# ---------------------------------------------------------------------------
+# poll_changes / ack_changes — consumer offsets over the feed (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_poll_ack_incremental_consumption(spark, tmp_path):
+    from fdf_spark.sources.sqldml import execute_dml
+    from fdf_spark.sources.versioned import (
+        ack_changes,
+        consumer_offsets,
+        poll_changes,
+    )
+
+    p = str(tmp_path / "feed")
+    commit_version(spark.range(10).select(F.col("id").alias("k")), p)
+    commit_version(spark.range(10, 15).select(F.col("id").alias("k")), p)
+    # first poll: the whole history
+    feed, thru = poll_changes(spark, p, "etl-a")
+    assert thru == 2 and feed.count() == 15
+    # at-least-once: an unacked poll re-delivers
+    feed2, thru2 = poll_changes(spark, p, "etl-a")
+    assert thru2 == 2 and feed2.count() == 15
+    ack_changes(p, "etl-a", thru)
+    assert consumer_offsets(p) == {"etl-a": 2}
+    # caught up
+    assert poll_changes(spark, p, "etl-a") == (None, 2)
+    # new commits deliver ONLY the delta
+    execute_dml(spark, p, "DELETE FROM t WHERE k < 3")
+    feed3, thru3 = poll_changes(spark, p, "etl-a")
+    assert thru3 == 3
+    rows = feed3.collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["k"] for r in rows) == [0, 1, 2]
+    # a second consumer is independent and starts from scratch
+    feedb, thrub = poll_changes(spark, p, "etl-b")
+    assert thrub == 3 and feedb.count() == 18
+    # ack discipline: rewind raises, same-version re-ack is a no-op
+    ack_changes(p, "etl-a", 3)
+    ack_changes(p, "etl-a", 3)
+    with pytest.raises(ValueError, match="rewind"):
+        ack_changes(p, "etl-a", 2)
+    with pytest.raises(ValueError):
+        ack_changes(p, "etl-a", 99)
+    with pytest.raises(ValueError, match="consumer id"):
+        poll_changes(spark, p, "bad/../id")
