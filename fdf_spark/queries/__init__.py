@@ -121,7 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "q103_pii_redact",             # N13 (r4; displaced q21 — N5 double-cover)
     "q100_pack_blocks",            # N11 (r5; displaced q20 — A8 triple-cover, q19 keeps A8)
     "q125_pipeline_export",        # N1+N12+N7+N24 full pipeline incl. shard export (r5; supersedes q106 as the in-window acceptance test)
-    "q122_incremental_view",       # N23 incremental view maintenance (r5; displaced q107 — N6 covered by q68)
+    "q185_feed_consumer_offsets",  # N23+N17+S4 poll/ack incremental consumption (r14; displaced q122 — N23 stays covered here, q122 sweep-green)
     "q118_tokenize",               # N19 (q90 F8/P6 covered by q16/q70 and q01/q82)
     "q163_wap_audit_publish",       # N17+N18 write-audit-publish + named refs (r11; displaced q124 — N24 stays in-window via q125_pipeline_export's shard-export stage, q124 remains sweep-green). The stage-invisible/audit/fast-forward-publish lifecycle and the tag pin enter the driver hash gate.
     "q108_semantic_dedup",          # N14 SemDeDup (r5; displaced q17 — F5 double-covered by q57)
@@ -135,18 +135,18 @@ PRIORITY: tuple[str, ...] = (
     # q164 (N17 via ~12 reps), q165 (S10 via q148/q159/q163, P6 via
     # q82/q121/q171), q166 (S5 via q81/q80/q175), q167 (N15 via
     # q159/q156/q162/q170/q173), q169 (S4 via q04/q170/q173).
-    "q170_sql_dml_lifecycle",       # N17+N15+S4 all four SQL DML verbs, one table (r12)
+    "q182_change_data_feed",        # N17+N15+S4 per-commit keyed CDF (r14; displaced q170 — N15 via q159/q173, S4 via q04/q176/q178, q170 sweep-green)
     "q171_bloom_point_lookup",      # N17+P6 per-file bloom sidecar skipping (r12)
     "q173_sql_merge_clauses",       # N15+N17+S4 general MERGE: conditional clauses (r13)
     "q174_html_extract",            # N4 HTML→text regexp chain, oracle IS the same chain (r13)
-    "q175_plan_maintenance",        # N17+S5 metadata-only maintenance planner (r13)
+    "q183_analyze_table_stats",     # N17+A9+S4 ANALYZE TABLE one-pass column stats (r14; displaced q175 — S5 via q81/q80, planner loop stays pytest-pinned, q175 sweep-green)
     # -- r14 rotation (VERDICT r13 #2 + the round's headline features).
     # Displaced, all sweep-green and coverage-neutral (checked
     # mechanically by test_registry): q60 (N1 via q125/q108), q156
     # (ST1 via q53/q54, N15/N17 via q159/q170/q173), q162 (J6 via
     # q86, N15/N17 many reps), q172 (N17 ~12 reps).
     "q176_sql_ddl_lifecycle",       # N17+S4 CTAS/RENAME/ADD COLUMN/SPEC/CONSTRAINT, one table (r13+r14)
-    "q177_bloom_date_lookup",       # N17+P6+F13 date-keyed bloom sidecar skipping (r13)
+    "q184_table_properties_audit",  # N17+S4+N18 TBLPROPERTIES + enforced append-only (r14; displaced q177 — P6 via q82/q171, F13 via q57/q179, q177 sweep-green)
     "q178_sql_time_travel",         # N17+S4 inline VERSION AS OF + cross-version anti-join (r14)
     "q179_event_time_range_scan",   # N17+P6+F13 timestamp-stats range pruning (r14)
 )

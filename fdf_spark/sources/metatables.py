@@ -350,10 +350,11 @@ def plan_maintenance(
       recorded ANALYZE statistics nominate as key-like (r14: NDV ≥
       ``bloom_ndv_ratio`` × rows and a bloomable type) — measured
       cardinality, not guesswork, decides where sidecars pay;
-    - ``('analyze', '', …)`` when the table has no recorded column
-      statistics, or the head has moved ≥ ``analyze_stale_commits``
-      commits past the analyzed snapshot (r14) — stats feed the rule
-      above and external planners;
+    - ``('analyze', '', …)`` when recorded column statistics have gone
+      STALE — the head moved ≥ ``analyze_stale_commits`` commits past
+      the analyzed snapshot (r14).  Same opt-in-then-maintained
+      contract as the bloom gap rule: a table that never ran ANALYZE
+      is silent (the operator opts in; the planner keeps it fresh);
     - ``('vacuum', '', …)`` with the files/bytes a
       ``vacuum(keep, retain_last_s)`` would reclaim — computed by the
       SAME retention rule the destructive op applies
@@ -486,23 +487,19 @@ def plan_maintenance(
 
     cs = m.get("column_stats")
     head_v = versions[-1]
-    if m["files"]:
-        if cs is None:
-            rows.append(
-                (
-                    "analyze", "", len(m["files"]), None, n_rows,
-                    "no column statistics recorded — NDV-driven planning "
-                    "unavailable",
-                )
+    # opt-in-then-maintained (the bloom gap rule's contract): a table
+    # that never ran ANALYZE is silent; once stats exist the planner
+    # keeps them fresh
+    if m["files"] and cs is not None and (
+        head_v - cs["of_version"] >= analyze_stale_commits
+    ):
+        rows.append(
+            (
+                "analyze", "", len(m["files"]), None, n_rows,
+                f"column statistics are {head_v - cs['of_version']} "
+                f"commits old (threshold {analyze_stale_commits})",
             )
-        elif head_v - cs["of_version"] >= analyze_stale_commits:
-            rows.append(
-                (
-                    "analyze", "", len(m["files"]), None, n_rows,
-                    f"column statistics are {head_v - cs['of_version']} "
-                    f"commits old (threshold {analyze_stale_commits})",
-                )
-            )
+        )
 
     # -- build_blooms: NDV-nominated key-like columns (r14) ------------
     if cs and cs.get("rows"):

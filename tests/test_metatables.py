@@ -435,8 +435,9 @@ def test_plan_maintenance_analyze_and_ndv_bloom_nomination(spark, tmp_path):
         (F.col("id") / 2.0).alias("x"),               # double -> not bloomable
     )
     commit_version(df.repartition(2), p)
-    plan = {r.action: r.detail for r in plan_maintenance(spark, p).collect()}
-    assert "analyze" in plan and "no column statistics" in plan["analyze"]
+    # never-analyzed tables are SILENT (opt-in-then-maintained, like
+    # the bloom gap rule)
+    assert not plan_maintenance(spark, p).collect()
     analyze_table(spark, p, mode="exact")
     recs = plan_maintenance(spark, p).collect()
     noms = {r.target for r in recs if r.action == "build_blooms"}

@@ -115,6 +115,9 @@ ROWS = [
     ("fnv-vs-md5 1KB values (N5)", "the same crossover at DOCUMENT-sized values — md5 wins past the cutoff and the per-(column, file) `algo` dispatch takes the winner automatically on both build and probe (N5, r14)", "0.2 M × 1 KB"),
     ("drift planner recommend", "clustering-drift planner over 16 full-range appends against an identity spec: avg files-per-point from manifest stats ONLY → ('optimize', 'zorder:k') recommended, zero data reads (N17, r14 — VERDICT r13 #6)", "16 M / 17 files"),
     ("drift zorder rewrite+silent", "the recommended Z-ORDER rewrite executed (apply_maintenance's path) + replan: the fresh layout is SILENT (depth ≈ ideal) — the drift loop closed (N17, r14)", "16 M"),
+    ("cdf 1-commit feed (N17)", "per-commit CHANGE FEED (table_changes, r14): one narrow update commit against a 20 M-row/64-file table — the keyed feed (update_pre/postimages) reads only that commit's touched files, files_read printed in-run (N17/q182)", "20 M / 64 files"),
+    ("cdf full-history replay (N17)", "the feed's honest upper bound: catching up from v1 replays the whole table (the v1 inserts ARE the table) — feed cost tracks the consumed commits' touched bytes, never the table's age (N17/q182/q185)", "20 M"),
+    ("analyze approx 1-pass (N17)", "ANALYZE TABLE approx (HLL++ NDV + null counts + string lengths) in ONE aggregate pass over 40 M rows × 3 columns — exact-mode counterfactual and measured NDV error printed in-run (N17/q183, r14)", "40 M × 3 cols"),
 ]
 
 LINE = re.compile(r"^(.*?)\s{2,}([\d.]+) Mrows\s+([\d.]+) s\s+([\d.]+) Mrows/s(.*)$")
@@ -263,6 +266,15 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         "manifest stats only) and after the "
         f"{w('drift zorder rewrite+silent'):.1f} s Z-ORDER rewrite the replan is "
         f"silent ({extra('drift zorder rewrite+silent')}). "
+        "The r14 change-feed ledger: after ONE narrow update commit the keyed "
+        f"per-commit feed answers in {w('cdf 1-commit feed (N17)'):.1f} s reading "
+        f"only the touched files ({extra('cdf 1-commit feed (N17)')}) vs the "
+        f"{w('cdf full-history replay (N17)'):.1f} s full-history replay "
+        f"({extra('cdf full-history replay (N17)')}) — a consumer's catch-up cost "
+        "tracks the consumed commits' bytes, never the table's age. ANALYZE "
+        f"TABLE's one-pass approx stats cost {w('analyze approx 1-pass (N17)'):.1f} s "
+        f"over 40 M × 3 columns ({extra('analyze approx 1-pass (N17)')} — the exact "
+        "counterfactual expands one projection per DISTINCT aggregate). "
         "Cross-round comparisons should read plan shapes and row-to-row ratios, not "
         "absolute seconds (shared-host load differs between rounds)."
     )

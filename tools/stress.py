@@ -1722,6 +1722,89 @@ def main() -> None:
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+    # 37) per-commit change feed (r14): a 20 M-row / 64-file range-
+    # clustered table takes ONE update commit touching a narrow key
+    # range; table_changes(head, head) reads O(that commit's files) —
+    # files_read printed vs the table's file count.  The full-history
+    # replay row is the honest upper bound: catching up from v1 IS the
+    # whole table (the v1 inserts), so feed cost tracks the commits'
+    # touched bytes, never the table's age.
+    from fdf_spark.sources.versioned import (
+        list_versions,
+        table_changes,
+        update_where,
+    )
+
+    d = tempfile.mkdtemp(prefix="stress_cdf_")
+    try:
+        p = os.path.join(d, "t")
+        n = 20_000_000
+        base = spark.range(0, n, 1, 64).select(
+            F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+        )
+        commit_version(base.repartitionByRange(64, "k"), p)
+        n_total = len(read_version(spark, p).inputFiles())
+        update_where(spark, p, f"k >= {n - 100_000}", {"v": "v + 1"})
+        head = list_versions(p)[-1]
+        feed = table_changes(spark, p, head, head, keys=["k"])
+        t0 = time.perf_counter()
+        n_changes = feed.count()
+        dt = time.perf_counter() - t0
+        n_read = len(feed.inputFiles())
+        print(
+            f"{'cdf 1-commit feed (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n/dt/1e6:8.1f} Mrows/s files_read={n_read} of {n_total} "
+            f"changes={n_changes}",
+            flush=True,
+        )
+        full = table_changes(spark, p, 1, head, keys=["k"])
+        t0 = time.perf_counter()
+        n_full = full.count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{'cdf full-history replay (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n/dt/1e6:8.1f} Mrows/s files_read={len(full.inputFiles())} "
+            f"changes={n_full}",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # 38) ANALYZE TABLE (r14): one-pass approx (HLL++) column stats vs
+    # the exact counterfactual (count DISTINCT expands one projection
+    # per distinct aggregate) on 40 M rows × 3 columns; NDV error
+    # printed in-run.
+    from fdf_spark.sources.versioned import analyze_table
+
+    d = tempfile.mkdtemp(prefix="stress_an_")
+    try:
+        p = os.path.join(d, "t")
+        n = 40_000_000
+        commit_version(
+            spark.range(0, n, 1, 64).select(
+                F.col("id").alias("k"),
+                (F.col("id") % 1000).alias("g"),
+                F.conv((F.col("id") % (n // 2)).cast("string"), 10, 16).alias("s"),
+            ),
+            p,
+        )
+        t0 = time.perf_counter()
+        st_a = analyze_table(spark, p, mode="approx")
+        dt_a = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        st_e = analyze_table(spark, p, mode="exact")
+        dt_e = time.perf_counter() - t0
+        err = abs(st_a["columns"]["s"]["ndv"] - st_e["columns"]["s"]["ndv"]) / st_e[
+            "columns"
+        ]["s"]["ndv"]
+        print(
+            f"{'analyze approx 1-pass (N17)':28s} {n/1e6:8.1f} Mrows {dt_a:7.2f} s "
+            f"{n/dt_a/1e6:8.1f} Mrows/s exact={dt_e:.2f}s ndv_err={err:.3f}",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     spark.stop()
 
 
