@@ -306,24 +306,65 @@ def _avg_overlap_depth(intervals: list) -> float:
     return depth / len(los)
 
 
+#: maintenance-policy table properties: (property key, param name,
+#: cast, engine default).  Resolution order — explicit argument >
+#: table property > default — so policy VERSIONS WITH THE TABLE
+#: (set once via SET TBLPROPERTIES; every operator's plan/apply run
+#: then follows it) while a caller can still override per call.
+_POLICY_PROPS = (
+    ("fdf.maintenance.smallFileBytes", "small_file_bytes", int, 32 << 20),
+    ("fdf.maintenance.minSmallFiles", "min_small_files", int, 4),
+    ("fdf.maintenance.maxDebtRatio", "max_debt_ratio", float, 0.10),
+    ("fdf.maintenance.keep", "keep", int, 1),
+    ("fdf.maintenance.retainLastHours", "retain_last_s",
+     lambda v: float(v) * 3600.0, 168 * 3600.0),
+    ("fdf.maintenance.driftFactor", "drift_factor", float, 2.0),
+    ("fdf.maintenance.driftMinFiles", "drift_min_files", int, 8),
+    ("fdf.maintenance.analyzeStaleCommits", "analyze_stale_commits", int, 16),
+    ("fdf.maintenance.bloomNdvRatio", "bloom_ndv_ratio", float, 0.5),
+)
+
+
+def _resolve_policy(m: dict, kwargs: dict) -> dict:
+    """Effective maintenance thresholds for the head manifest ``m``:
+    explicit (non-None) arguments win, then ``fdf.maintenance.*``
+    table properties, then the engine defaults."""
+    props = m.get("properties") or {}
+    out = {}
+    for key, name, cast, default in _POLICY_PROPS:
+        arg = kwargs.get(name)
+        if arg is not None:
+            out[name] = arg
+        elif key in props:
+            out[name] = cast(props[key])
+        else:
+            out[name] = default
+    return out
+
+
 def plan_maintenance(
     spark: SparkSession,
     path: str,
-    small_file_bytes: int = 32 << 20,
-    min_small_files: int = 4,
-    max_debt_ratio: float = 0.10,
-    keep: int = 1,
-    retain_last_s: float = 168 * 3600.0,
-    drift_factor: float = 2.0,
-    drift_min_files: int = 8,
-    analyze_stale_commits: int = 16,
-    bloom_ndv_ratio: float = 0.5,
+    small_file_bytes: int | None = None,
+    min_small_files: int | None = None,
+    max_debt_ratio: float | None = None,
+    keep: int | None = None,
+    retain_last_s: float | None = None,
+    drift_factor: float | None = None,
+    drift_min_files: int | None = None,
+    analyze_stale_commits: int | None = None,
+    bloom_ndv_ratio: float | None = None,
 ) -> DataFrame:
     """The maintenance PLANNER (VERDICT r12 #6): one row per
     recommended action over the table at ``path``, derived ENTIRELY
     from metadata (manifest chain, parquet footer counts already in
-    the manifest, bloom sidecar parameter JSONs) — zero data reads,
-    thresholds as arguments.  A 100 TB operator reads this relation
+    the manifest, bloom sidecar parameter JSONs) — zero data reads.
+    Thresholds resolve EXPLICIT ARGUMENT > ``fdf.maintenance.*`` table
+    property > engine default (r14: policy versions with the table —
+    ``ALTER TABLE t SET TBLPROPERTIES ('fdf.maintenance.keep'='5',
+    'fdf.maintenance.retainLastHours'='720')`` makes every subsequent
+    plan/apply run follow that retention without the operator passing
+    it).  A 100 TB operator reads this relation
     instead of eyeballing table_files/table_blooms per table:
 
     - ``('optimize', 'bin-pack', …)`` when ≥ ``min_small_files`` live
@@ -379,6 +420,16 @@ def plan_maintenance(
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
     m = _read_manifest(path, versions[-1])
+    pol = _resolve_policy(m, locals())
+    small_file_bytes = pol["small_file_bytes"]
+    min_small_files = pol["min_small_files"]
+    max_debt_ratio = pol["max_debt_ratio"]
+    keep = pol["keep"]
+    retain_last_s = pol["retain_last_s"]
+    drift_factor = pol["drift_factor"]
+    drift_min_files = pol["drift_min_files"]
+    analyze_stale_commits = pol["analyze_stale_commits"]
+    bloom_ndv_ratio = pol["bloom_ndv_ratio"]
     fr = m.get("file_rows", {})
     fb = m.get("file_bytes", {})
     dv, eqa = _delete_map(m), _eq_map(m)
@@ -560,42 +611,48 @@ def plan_maintenance(
 def apply_maintenance(
     spark: SparkSession,
     path: str,
-    small_file_bytes: int = 32 << 20,
-    min_small_files: int = 4,
-    max_debt_ratio: float = 0.10,
-    keep: int = 1,
-    retain_last_s: float = 168 * 3600.0,
-    drift_factor: float = 2.0,
-    drift_min_files: int = 8,
-    analyze_stale_commits: int = 16,
-    bloom_ndv_ratio: float = 0.5,
+    small_file_bytes: int | None = None,
+    min_small_files: int | None = None,
+    max_debt_ratio: float | None = None,
+    keep: int | None = None,
+    retain_last_s: float | None = None,
+    drift_factor: float | None = None,
+    drift_min_files: int | None = None,
+    analyze_stale_commits: int | None = None,
+    bloom_ndv_ratio: float | None = None,
 ) -> dict:
     """Execute what :func:`plan_maintenance` recommends, under the SAME
-    thresholds (the planner is the dry run; this is the loop closed —
-    r13).  Order matters and is fixed: OPTIMIZE first (bin-pack +
-    tombstone folds; bloom coverage follows rewrites via the engine's
-    rewrite-seam hook), then ``build_blooms`` for any remaining
-    coverage gaps, then VACUUM (it can then reclaim what the rewrite
-    replaced, under the retention window), ANALYZE last so recorded
-    statistics describe the post-maintenance layout.  Returns
-    ``{action: result}`` for exactly the actions the plan recommended;
-    an empty dict means the table needed nothing.
+    thresholds — resolved once here (argument > ``fdf.maintenance.*``
+    property > default, r14) and passed verbatim to the planner, so
+    plan and apply can never disagree.  Order matters and is fixed:
+    OPTIMIZE first (bin-pack + tombstone folds; bloom coverage follows
+    rewrites via the engine's rewrite-seam hook), then ``build_blooms``
+    for any remaining coverage gaps, then VACUUM (it can then reclaim
+    what the rewrite replaced, under the retention window), ANALYZE
+    last so recorded statistics describe the post-maintenance layout.
+    Returns ``{action: result}`` for exactly the actions the plan
+    recommended; an empty dict means the table needed nothing.
 
     Concurrency: each underlying op keeps its own optimistic-commit
     discipline; a racing writer can surface ``ConcurrentCommitError``
     from OPTIMIZE exactly as it would when called directly.
     """
     from fdf_spark.sources.bloomskip import build_blooms
-    from fdf_spark.sources.versioned import analyze_table, optimize, vacuum
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        analyze_table,
+        list_versions,
+        optimize,
+        vacuum,
+    )
 
-    plan = plan_maintenance(
-        spark, path,
-        small_file_bytes=small_file_bytes, min_small_files=min_small_files,
-        max_debt_ratio=max_debt_ratio, keep=keep, retain_last_s=retain_last_s,
-        drift_factor=drift_factor, drift_min_files=drift_min_files,
-        analyze_stale_commits=analyze_stale_commits,
-        bloom_ndv_ratio=bloom_ndv_ratio,
-    ).collect()
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    pol = _resolve_policy(_read_manifest(path, versions[-1]), locals())
+    small_file_bytes = pol["small_file_bytes"]
+    keep, retain_last_s = pol["keep"], pol["retain_last_s"]
+    plan = plan_maintenance(spark, path, **pol).collect()
     out: dict = {}
     # a drift row names its clustering key; the full-rewrite Z-ORDER
     # subsumes bin-pack and tombstone folds, so ONE optimize covers all

@@ -465,3 +465,28 @@ def test_plan_maintenance_analyze_and_ndv_bloom_nomination(spark, tmp_path):
         r.action == "analyze"
         for r in plan_maintenance(spark, p, analyze_stale_commits=3).collect()
     )
+
+
+def test_maintenance_policy_from_table_properties(spark, tmp_path):
+    from fdf_spark.sources.metatables import apply_maintenance, plan_maintenance
+    from fdf_spark.sources.versioned import commit_version, set_properties
+
+    p = str(tmp_path / "pol")
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    # 6 small files -> bin-pack fires at the default min_small_files=4
+    commit_version(df.repartition(6), p)
+    assert any(
+        r.target == "bin-pack" for r in plan_maintenance(spark, p).collect()
+    )
+    # the table's own policy raises the threshold -> silent, NO args
+    set_properties(p, {"fdf.maintenance.minSmallFiles": "50"})
+    assert not plan_maintenance(spark, p).collect()
+    # explicit argument overrides the property
+    assert any(
+        r.target == "bin-pack"
+        for r in plan_maintenance(spark, p, min_small_files=4).collect()
+    )
+    # apply resolves the SAME way: property-silenced table does nothing
+    assert apply_maintenance(spark, p) == {}
+    out = apply_maintenance(spark, p, min_small_files=4)
+    assert out["optimize"]["rewritten"] >= 6
