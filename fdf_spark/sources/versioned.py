@@ -4125,11 +4125,22 @@ def restore_table(
         head_v = list_versions(path)[-1]
         if head_v == version:
             return head_v  # restoring the head is a no-op
-        out = {k: v for k, v in target.items() if k != "ts"}
+        out = {k: v for k, v in target.items() if k not in ("ts", "properties")}
         out["version"] = head_v + 1
         out["parent"] = head_v
         out["mode"] = "overwrite"
         out["meta"] = {"restore": {"of": version}}
+        # r14 split: PROPERTIES are operator POLICY, not data state —
+        # they follow the HEAD across a restore (an appendOnly flag
+        # cannot be silently dropped by restoring a pre-flag snapshot);
+        # COLUMN STATS describe DATA — the target's ride along (they
+        # describe exactly the restored content), and a stat-less
+        # target explicitly clears head stats that would otherwise be
+        # inherited while describing rows that no longer exist
+        head_props = _read_manifest(path, head_v).get("properties")
+        if head_props is not None:
+            out["properties"] = head_props
+        out["column_stats"] = target.get("column_stats")
         try:
             _stage_and_publish_manifest(path, head_v + 1, out)
             return head_v + 1

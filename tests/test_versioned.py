@@ -2540,3 +2540,31 @@ def test_poll_ack_incremental_consumption(spark, tmp_path):
         ack_changes(p, "etl-a", 99)
     with pytest.raises(ValueError, match="consumer id"):
         poll_changes(spark, p, "bad/../id")
+
+
+def test_restore_splits_policy_from_data_state(spark, tmp_path):
+    from fdf_spark.sources.versioned import (
+        analyze_table,
+        restore_table,
+        set_properties,
+        table_column_stats,
+        table_properties,
+    )
+
+    p = str(tmp_path / "rs")
+    commit_version(spark.range(10).select(F.col("id").alias("k")), p)   # v1
+    commit_version(spark.range(10, 30).select(F.col("id").alias("k")), p)  # v2
+    analyze_table(spark, p, mode="exact")                               # v3 (stats of v2)
+    set_properties(p, {"owner": "ops"})                                 # v4
+    # restore to the PRE-stats, PRE-properties snapshot
+    restore_table(p, version=1)                                         # v5
+    # policy follows the head; stale stats are CLEARED (they described
+    # 30 rows that no longer exist)
+    assert table_properties(p) == {"owner": "ops"}
+    assert table_column_stats(p) is None
+    assert read_version(spark, p).count() == 10
+    # restore to the analyzed snapshot: its stats ride along
+    restore_table(p, version=3)                                         # v6
+    cs = table_column_stats(p)
+    assert cs is not None and cs["rows"] == 30 and cs["of_version"] == 2
+    assert table_properties(p) == {"owner": "ops"}
