@@ -267,11 +267,13 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         f"{w('drift zorder rewrite+silent'):.1f} s Z-ORDER rewrite the replan is "
         f"silent ({extra('drift zorder rewrite+silent')}). "
         "The r14 change-feed ledger: after ONE narrow update commit the keyed "
-        f"per-commit feed answers in {w('cdf 1-commit feed (N17)'):.1f} s reading "
-        f"only the touched files ({extra('cdf 1-commit feed (N17)')}) vs the "
-        f"{w('cdf full-history replay (N17)'):.1f} s full-history replay "
-        f"({extra('cdf full-history replay (N17)')}) — a consumer's catch-up cost "
-        "tracks the consumed commits' bytes, never the table's age. ANALYZE "
+        f"per-commit feed answers in {w('cdf 1-commit feed (N17)'):.1f} s touching "
+        f"{extra('cdf 1-commit feed (N17)')} — the wall is the update-pair "
+        "classification joins over 200k changed rows, the I/O is 3 files — while "
+        f"the full-history replay ({w('cdf full-history replay (N17)'):.1f} s, "
+        f"{extra('cdf full-history replay (N17)')}) re-reads the whole table "
+        "because the v1 inserts ARE the table: catch-up cost tracks the consumed "
+        "commits' touched bytes and changed rows, never the table's age. ANALYZE "
         f"TABLE's one-pass approx stats cost {w('analyze approx 1-pass (N17)'):.1f} s "
         f"over 40 M × 3 columns ({extra('analyze approx 1-pass (N17)')} — the exact "
         "counterfactual expands one projection per DISTINCT aggregate). "
