@@ -2982,12 +2982,20 @@ def table_changes(
     return out
 
 
-def _consumer_path(path: str, consumer_id: str) -> str:
+def _consumer_dir(path: str, consumer_id: str) -> str:
     if not re.fullmatch(r"[A-Za-z0-9._-]+", consumer_id or ""):
         raise ValueError(
             f"consumer id must be [A-Za-z0-9._-]+, got {consumer_id!r}"
         )
-    return os.path.join(path, "_consumers", f"{consumer_id}.json")
+    return os.path.join(path, "_consumers", consumer_id)
+
+
+def _acked_version(path: str, consumer_id: str) -> int:
+    d = _consumer_dir(path, consumer_id)
+    if not os.path.isdir(d):
+        return 0
+    vs = [int(f[1:]) for f in os.listdir(d) if re.fullmatch(r"v\d+", f)]
+    return max(vs, default=0)
 
 
 def consumer_offsets(path: str) -> dict:
@@ -2996,13 +3004,11 @@ def consumer_offsets(path: str) -> dict:
     d = os.path.join(path, "_consumers")
     if not os.path.isdir(d):
         return {}
-    out = {}
-    for f in sorted(os.listdir(d)):
-        if f.endswith(".json"):
-            with open(os.path.join(d, f)) as fh:
-                e = json.load(fh)
-            out[e["id"]] = e["version"]
-    return out
+    return {
+        c: _acked_version(path, c)
+        for c in sorted(os.listdir(d))
+        if os.path.isdir(os.path.join(d, c))
+    }
 
 
 def poll_changes(
@@ -3020,20 +3026,17 @@ def poll_changes(
     and ack re-delivers the same commits on the next poll (at-least-
     once; pair with an idempotent sink or the engine's
     ``meta.ingest_id`` replay guard for effectively-exactly-once).
-    Offsets are per-consumer files under ``_consumers/`` — O(1)
-    metadata, no coordination between consumers, and a consumer
-    re-created after deletion replays from the table's first commit.
+    Offsets live as per-version CREATE-IF-ABSENT marker files under
+    ``_consumers/<id>/`` (the effective offset is the max) — no
+    coordination between consumers, and a consumer re-created after
+    deletion replays from the table's first commit.
 
     Scale: a consumer catching up on N commits of a 100 TB table reads
     exactly the files those commits touched (the :func:`table_changes`
     property); the poll itself is one metadata read.
     """
     head = list_versions(path)[-1]
-    cp = _consumer_path(path, consumer_id)
-    acked = 0
-    if os.path.exists(cp):
-        with open(cp) as fh:
-            acked = json.load(fh)["version"]
+    acked = _acked_version(path, consumer_id)
     if acked >= head:
         return None, head
     return table_changes(spark, path, acked + 1, head, keys=keys), head
@@ -3042,38 +3045,47 @@ def poll_changes(
 def ack_changes(path: str, consumer_id: str, through_version: int) -> None:
     """Acknowledge the feed THROUGH ``through_version`` (the value
     :func:`poll_changes` returned) — the next poll starts after it.
-    Monotonic: acking below the stored offset raises (a stale worker
-    must not rewind a committed consumer); re-acking the same version
-    is an idempotent no-op.  Last-writer-wins between two workers
-    acking DIFFERENT new versions — the feed is at-least-once either
-    way."""
+    Monotonic BY CONSTRUCTION: each ack is a create-if-absent marker
+    file ``_consumers/<id>/v<version>`` (the same publish seam every
+    manifest uses — a conditional put on object stores) and the
+    effective offset is the MAX marker, so two workers racing their
+    acks can only ever move the offset FORWARD — no check-then-act
+    window, no lost ack, no silent rewind (re-acking an existing
+    version is an idempotent no-op).  Acking below the current offset
+    raises (a stale worker cannot believe it rewound the consumer);
+    markers below the new offset are garbage-collected best-effort.
+    """
     head = list_versions(path)[-1]
     if not 1 <= through_version <= head:
         raise ValueError(f"through_version {through_version} outside [1, {head}]")
-    cp = _consumer_path(path, consumer_id)
-    if os.path.exists(cp):
-        with open(cp) as fh:
-            cur = json.load(fh)["version"]
-        if through_version < cur:
-            raise ValueError(
-                f"consumer {consumer_id!r} already acked v{cur}; "
-                f"cannot rewind to v{through_version}"
-            )
-        if through_version == cur:
-            return
-    os.makedirs(os.path.dirname(cp), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(cp), suffix=".tmp")
+    cur = _acked_version(path, consumer_id)
+    if through_version < cur:
+        raise ValueError(
+            f"consumer {consumer_id!r} already acked v{cur}; "
+            f"cannot rewind to v{through_version}"
+        )
+    d = _consumer_dir(path, consumer_id)
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, f"v{through_version}")
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as fh:
-            json.dump(
-                {"id": consumer_id, "version": through_version, "ts": time.time()},
-                fh,
-            )
-        os.replace(tmp, cp)
-        tmp = None
+            json.dump({"id": consumer_id, "ts": time.time()}, fh)
+        try:
+            _publish_manifest_atomic(tmp, dst)  # links; staged copy removed below
+        except FileExistsError:
+            pass  # already acked — idempotent
     finally:
-        if tmp is not None and os.path.exists(tmp):
+        if os.path.exists(tmp):
             os.unlink(tmp)
+    # best-effort compaction: superseded markers carry no information
+    for f in os.listdir(d):
+        m = re.fullmatch(r"v(\d+)", f)
+        if m and int(m.group(1)) < through_version:
+            try:
+                os.unlink(os.path.join(d, f))
+            except OSError:
+                pass
 
 
 def analyze_table(

@@ -2568,3 +2568,44 @@ def test_restore_splits_policy_from_data_state(spark, tmp_path):
     cs = table_column_stats(p)
     assert cs is not None and cs["rows"] == 30 and cs["of_version"] == 2
     assert table_properties(p) == {"owner": "ops"}
+
+
+def test_ack_markers_are_create_if_absent_and_forward_only(spark, tmp_path):
+    """The ack race shape (two workers of one consumer acking
+    concurrently): each ack is a create-if-absent marker file and the
+    offset is the MAX marker — interleaved acks can only move forward,
+    and a marker that lost the create race changes nothing."""
+    import os
+
+    from fdf_spark.sources.versioned import (
+        _consumer_dir,
+        ack_changes,
+        consumer_offsets,
+        poll_changes,
+    )
+
+    p = str(tmp_path / "ackr")
+    for i in range(4):
+        commit_version(
+            spark.range(i * 5, i * 5 + 5).select(F.col("id").alias("k")), p
+        )
+    # worker A acks v2; worker B — which polled the same snapshot —
+    # acks v3 "simultaneously"; then a STALE retry of A's ack(2)
+    # arrives after B already moved the offset
+    ack_changes(p, "c", 2)
+    ack_changes(p, "c", 3)
+    with pytest.raises(ValueError, match="rewind"):
+        ack_changes(p, "c", 2)
+    assert consumer_offsets(p) == {"c": 3}
+    # a racing marker that appears OUT OF BAND (simulating the other
+    # worker's create-if-absent landing between read and publish) can
+    # only raise the max — never rewind
+    d = _consumer_dir(p, "c")
+    with open(os.path.join(d, "v4"), "w") as fh:
+        fh.write("{}")
+    assert consumer_offsets(p) == {"c": 4}
+    assert poll_changes(spark, p, "c") == (None, 4)
+    # re-ack of the winning version is an idempotent no-op
+    ack_changes(p, "c", 4)
+    # compaction removed superseded markers
+    assert [f for f in os.listdir(d) if f.startswith("v")] == ["v4"]
