@@ -654,10 +654,26 @@ def _utility_statement(spark: SparkSession, path: str, stmt: str):
     if m:
         # Delta parity: bare VACUUM keeps 7 days of time travel — the
         # destructive form must be EXPLICIT (RETAIN 0 HOURS); DRY RUN
-        # (r14) counts through the SAME retention rule, deletes nothing
-        retain = float(m.group(2)) * 3600.0 if m.group(2) is not None else 168 * 3600.0
+        # (r14) counts through the SAME retention rule, deletes nothing.
+        # A bare VACUUM resolves keep/retention from the table's OWN
+        # fdf.maintenance.* policy properties (r14) — the same
+        # resolution plan_maintenance/apply_maintenance use — so an
+        # operator's ad-hoc VACUUM cannot shrink time travel below the
+        # policy the table declares; an explicit RETAIN clause wins.
+        from fdf_spark.sources.metatables import _resolve_policy
+        from fdf_spark.sources.versioned import _read_manifest, list_versions
+
+        pol = _resolve_policy(
+            _read_manifest(path, list_versions(path)[-1]),
+            {"retain_last_s": (
+                float(m.group(2)) * 3600.0 if m.group(2) is not None else None
+            )},
+        )
         return len(
-            vacuum(path, keep=1, retain_last_s=retain, dry_run=m.group(3) is not None)
+            vacuum(
+                path, keep=pol["keep"], retain_last_s=pol["retain_last_s"],
+                dry_run=m.group(3) is not None,
+            )
         )
     m = _RESTORE_RE.match(stmt)
     if m:

@@ -817,3 +817,21 @@ def test_ctas_partitioned_by_and_tblproperties(spark, tmp_path):
         "CREATE TABLE t AS SELECT k, ' AS x FROM y' AS lit FROM ctas_src WHERE k < 3",
     )
     assert read_version(spark, p5).columns == ["k", "lit"]
+
+
+def test_sql_vacuum_honors_table_policy(spark, table):
+    from fdf_spark.sources.versioned import list_versions, set_properties
+
+    execute_dml(spark, table, "DELETE FROM t WHERE k < 10")
+    execute_dml(spark, table, "OPTIMIZE t")  # folds -> old files unreferenced
+    # policy: keep 2 snapshots, zero time-based retention
+    set_properties(
+        table,
+        {"fdf.maintenance.keep": "2", "fdf.maintenance.retainLastHours": "0"},
+    )
+    # bare VACUUM resolves the policy: keeps the last TWO versions
+    reclaimed = execute_dml(spark, table, "VACUUM t")
+    assert reclaimed > 0
+    assert len(list_versions(table)) == 2
+    # explicit RETAIN overrides the policy hours (dry run: count only)
+    assert execute_dml(spark, table, "VACUUM t RETAIN 168 HOURS DRY RUN") == 0
