@@ -3647,3 +3647,68 @@ def q185_feed_consumer_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _materialize_and_cleanup(out, path)
     finally:
         spark.catalog.dropTempView("q185_cust")
+
+
+@query(
+    "q186_scoped_optimize",
+    f"""
+    WITH t AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d, o_totalprice
+      FROM orders),
+    live AS (SELECT * FROM t WHERE NOT (d < DATE '1993-01-01' AND k % 5 = 0))
+    SELECT YEAR(d) AS yr, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           TRUE AS scoped
+    FROM live GROUP BY yr ORDER BY yr
+    """,
+    operators=("N17", "A8", "F13"),
+    doc="SCOPED OPTIMIZE (r14, Databricks' `OPTIMIZE t WHERE …`): the "
+    "table is range-clustered on order date; a delete lands tombstones "
+    "in the oldest year, and `OPTIMIZE t WHERE d < '1993-01-01' ZORDER "
+    "BY (d, k)` folds that debt by rewriting ONLY the files whose "
+    "manifest stats overlap the predicate — the engine-computed "
+    "`scoped` flag (oracle hardcodes TRUE) asserts most files were "
+    "carried over untouched, and the per-year aggregate pins that the "
+    "partial rewrite lost nothing.  Scale: a 100 TB table re-clusters "
+    "its hot range in O(that range) — the full-table rewrite OPTIMIZE "
+    "would otherwise cost is the difference between a nightly job and "
+    "an impossible one.",
+)
+def q186_scoped_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from fdf_spark.sources.sqldml import execute_dml
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        list_versions,
+        read_version,
+    )
+
+    t = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_totalprice",
+    )
+    path = tempfile.mkdtemp(prefix="fdf_soptq_")
+    commit_version(t.repartitionByRange(8, "d"), path)
+    execute_dml(
+        spark, path, "DELETE FROM t WHERE d < '1993-01-01' AND k % 5 = 0"
+    )
+    before = set(_read_manifest(path, list_versions(path)[-1])["files"])
+    v = execute_dml(
+        spark, path, "OPTIMIZE t WHERE d < DATE '1993-01-01' ZORDER BY (d, k)"
+    )
+    after = _read_manifest(path, v)
+    kept = len(before & set(after["files"]))
+    scoped = kept >= len(before) // 2 and not any(
+        after.get("delete_files", {}).values()
+    )
+    out = (
+        read_version(spark, path)
+        .groupBy(F.year("d").alias("yr"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+        .withColumn("scoped", F.lit(scoped))
+        .orderBy("yr")
+    )
+    return _materialize_and_cleanup(out, path)

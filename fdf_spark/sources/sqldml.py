@@ -599,7 +599,10 @@ def execute_dml(spark: SparkSession, path: str, statement: str) -> int:
 
 
 _OPTIMIZE_RE = re.compile(
-    rf"^\s*OPTIMIZE\s+({_IDENT})\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*$", re.I | re.S
+    rf"^\s*OPTIMIZE\s+({_IDENT})"
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*$",
+    re.I | re.S,
 )
 _VACUUM_RE = re.compile(
     rf"^\s*VACUUM\s+({_IDENT})\s*(?:RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*$",
@@ -629,13 +632,14 @@ def _utility_statement(spark: SparkSession, path: str, stmt: str):
     m = _OPTIMIZE_RE.match(stmt)
     if m:
         z = None
-        if m.group(2) is not None:
-            z = [c.strip().strip("`") for c in m.group(2).split(",")]
+        if m.group(3) is not None:
+            z = [c.strip().strip("`") for c in m.group(3).split(",")]
             if not z or not all(z):
                 # an empty list or trailing comma must fail AT PARSE
                 # time, not silently bin-pack without z-ordering
                 raise ValueError(f"empty column in ZORDER BY: {stmt[:80]!r}")
-        return optimize(spark, path, zorder=z)["version"]
+        cond = m.group(2).strip() if m.group(2) is not None else None
+        return optimize(spark, path, zorder=z, where=cond)["version"]
     m = _ANALYZE_RE.match(stmt)
     if m:
         from fdf_spark.sources.versioned import analyze_table
@@ -1059,6 +1063,11 @@ def execute_sql(
         return spark.createDataFrame(
             sorted(table_properties(path).items()), "key string, value string"
         )
+    m = _SHOW_PARTS_RE.match(stmt)
+    if m:
+        from fdf_spark.sources.metatables import table_partitions
+
+        return table_partitions(spark, path).orderBy("partition")
     bound = {k.lower(): v for k, v in (tables or {}).items()}
     views: list[str] = []
     try:
@@ -1148,6 +1157,9 @@ _DESCRIBE_RE = re.compile(
 )
 _SHOW_PROPS_RE = re.compile(
     rf"^\s*SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*$", re.I | re.S
+)
+_SHOW_PARTS_RE = re.compile(
+    rf"^\s*SHOW\s+PARTITIONS\s+({_IDENT})\s*$", re.I | re.S
 )
 _ANALYZE_RE = re.compile(
     rf"^\s*ANALYZE\s+TABLE\s+({_IDENT})"

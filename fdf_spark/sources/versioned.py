@@ -4330,6 +4330,7 @@ def optimize(
     target_bytes: int = 128 * 1024 * 1024,
     small_bytes: int | None = None,
     zorder_bits: int = 12,
+    where: str | None = None,
 ) -> dict:
     """OPTIMIZE: bin-pack small files — optionally Z-ORDER reclustered —
     into a NEW snapshot (the Delta OPTIMIZE analog on this manifest
@@ -4362,7 +4363,12 @@ def optimize(
     round-robin (bin-pack) exchange of those same bytes, footer-only
     stats on the new files — cost is O(rewritten bytes), never
     O(table); the small-file cutoff keeps steady-state OPTIMIZE runs
-    incremental the way Delta's are.
+    incremental the way Delta's are.  ``where`` (r14, Databricks'
+    ``OPTIMIZE t WHERE …``) scopes BOTH modes to files whose manifest
+    stats overlap the predicate's conservative bounds — the hot recent
+    range of a 100 TB table re-clusters in O(that range); stat-less
+    files conservatively stay candidates, and a predicate no bound can
+    be derived from raises instead of silently rewriting everything.
     """
     import math
 
@@ -4379,15 +4385,44 @@ def optimize(
     sizes = {f: os.path.getsize(f) for f in files}
     dvmap = _delete_map(m)
     eqmap = _eq_map(m)
+    # SCOPED OPTIMIZE (r14, Databricks' `OPTIMIZE t WHERE …`): the
+    # predicate's conservative bounds select only OVERLAPPING files as
+    # rewrite candidates — a 100 TB table re-clusters its hot recent
+    # range in O(that range), never O(table).  Files without stats for
+    # a bounded column stay candidates (the same superset rule every
+    # prune path applies); a predicate that yields no bounds raises
+    # rather than silently rewriting everything.
+    scoped: set[str] | None = None
+    if where is not None:
+        schema_l = _logical_schema(m)
+        if schema_l is None:
+            raise ValueError("scoped OPTIMIZE needs a manifest schema")
+        bounds = _predicate_bounds(spark, schema_l, where)
+        if not bounds:
+            raise ValueError(
+                f"cannot derive file bounds from WHERE {where!r} — a scoped "
+                "OPTIMIZE needs a stats-prunable predicate (drop WHERE to "
+                "rewrite the whole table)"
+            )
+        scoped = set(_prune_files_by_bounds(m, files, bounds))
     if zorder:
-        rewrite = list(files)
+        rewrite = [f for f in files if scoped is None or f in scoped]
+        if not rewrite:
+            return {
+                "version": parent, "rewritten": 0,
+                "files_before": len(files), "files_after": len(files),
+            }
     else:
         cutoff = small_bytes if small_bytes is not None else target_bytes // 2
         # files carrying deletion vectors OR equality-delete scope are
         # rewrite candidates at ANY size: OPTIMIZE is where tombstones
         # FOLD into data (the merge-on-read debt is repaid here,
         # Delta's PURGE semantics)
-        rewrite = [f for f in files if sizes[f] < cutoff or dvmap.get(f) or eqmap.get(f)]
+        rewrite = [
+            f for f in files
+            if (scoped is None or f in scoped)
+            and (sizes[f] < cutoff or dvmap.get(f) or eqmap.get(f))
+        ]
         if len(rewrite) < 2 and not any(dvmap.get(f) or eqmap.get(f) for f in rewrite):
             # nothing to pack and no tombstones to fold — no new version
             return {

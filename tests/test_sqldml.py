@@ -835,3 +835,35 @@ def test_sql_vacuum_honors_table_policy(spark, table):
     assert len(list_versions(table)) == 2
     # explicit RETAIN overrides the policy hours (dry run: count only)
     assert execute_dml(spark, table, "VACUUM t RETAIN 168 HOURS DRY RUN") == 0
+
+
+def test_sql_optimize_where_and_show_partitions(spark, tmp_path):
+    from fdf_spark.sources.sqldml import execute_sql
+    from fdf_spark.sources.versioned import (
+        _read_manifest,
+        commit_version,
+        list_versions,
+        set_partition_spec,
+    )
+
+    p = str(tmp_path / "ow")
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("g")
+    )
+    commit_version(df.limit(0), p)
+    set_partition_spec(p, ["bucket(4, k)"])
+    commit_version(df, p)
+    parts = execute_sql(spark, p, "SHOW PARTITIONS t").collect()
+    assert sum(r.n_rows for r in parts) == 40_000
+    assert any(r.partition.startswith("bucket(4, k)=") for r in parts)
+    # scoped OPTIMIZE needs a layout whose stats can exclude files —
+    # range-cluster on k (under the hash-bucketed layout above every
+    # bucket overlaps k < 5000, and the superset rule keeps them all)
+    p2 = str(tmp_path / "ow2")
+    commit_version(df.repartitionByRange(8, "k"), p2)
+    before = set(_read_manifest(p2, list_versions(p2)[-1])["files"])
+    v = execute_dml(spark, p2, "OPTIMIZE t WHERE k < 5000 ZORDER BY (k)")
+    after = set(_read_manifest(p2, v)["files"])
+    # scoped: most files carried over untouched
+    assert len(before & after) >= 6
+    assert read_version(spark, p2).count() == 40_000

@@ -2609,3 +2609,40 @@ def test_ack_markers_are_create_if_absent_and_forward_only(spark, tmp_path):
     ack_changes(p, "c", 4)
     # compaction removed superseded markers
     assert [f for f in os.listdir(d) if f.startswith("v")] == ["v4"]
+
+
+def test_scoped_optimize_where(spark, tmp_path):
+    from fdf_spark.sources.versioned import (
+        _delete_map,
+        _read_manifest,
+        delete_where,
+        diff_versions,
+        optimize,
+    )
+
+    p = str(tmp_path / "sopt")
+    df = spark.range(0, 80_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    commit_version(df.repartitionByRange(8, "k"), p)
+    before = set(_read_manifest(p, 1)["files"])
+    # a tombstone in the LOW key range — outside the scope below
+    delete_where(spark, p, "k = 5")
+    res = optimize(spark, p, zorder=["k", "v"], where="k >= 70000")
+    # only the top-range file(s) rewrote; out-of-scope files untouched
+    assert 1 <= res["rewritten"] <= 2
+    after = _read_manifest(p, res["version"])
+    kept = before & set(after["files"])
+    assert len(kept) >= 6
+    # rows identical through the scoped rewrite (masks respected)
+    assert diff_versions(spark, p, 2, res["version"]).count() == 0
+    assert read_version(spark, p).count() == 80_000 - 1
+    # the out-of-scope tombstone debt was NOT folded
+    assert any(_delete_map(after).values())
+    # scoping to the dirty range folds it
+    res2 = optimize(spark, p, where="k < 10000", small_bytes=1)
+    after2 = _read_manifest(p, res2["version"])
+    assert not any(_delete_map(after2).values())
+    assert read_version(spark, p).count() == 80_000 - 1
+    with pytest.raises(ValueError, match="stats-prunable"):
+        optimize(spark, p, zorder=["k"], where="rand() > 0.5")
