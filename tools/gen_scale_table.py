@@ -74,6 +74,7 @@ ROWS = [
     ("hll distinct sketch (N5)", "HyperLogLog distinct sketch, 2^12 registers, 20 M distinct (N5)", "200 M rows"),
     ("quantile sketch x8 (N5)", "quantile sketch: 8 shard bottom-k samples built + exactly merged + estimated (N5)", "100 M rows"),
     ("optimize zorder (N17)", "versioned-table OPTIMIZE: Z-ORDER recluster into a new snapshot, pruning skip asserted (N17)", "20 M rows / 64 files"),
+    ("optimize zorder scoped (N17)", "SCOPED OPTIMIZE (r14, `OPTIMIZE t WHERE …`): the same-shape 20 M table re-clusters ONLY the files overlapping the predicate's hot tail — rewritten count printed in-run; cost tracks the scoped bytes, never the table (N17/q186)", "20 M rows / 64 files"),
     ("plain shuffled join (S10)", "fact-fact SMJ over plain parquet — both sides shuffle (the bucketed layout's counterfactual)", "40 M ⋈ 10 M"),
     ("bucketed write (S10)", "one-time bucketed clustering write of both fact tables, 32 buckets (S10/q148)", "50 M"),
     ("bucketed join (S10)", "the SAME fact-fact join over the bucketed layout — ZERO Exchange, plan-asserted in-run (S10/q148)", "40 M ⋈ 10 M"),
@@ -273,7 +274,13 @@ def footer(parsed: dict[str, tuple[float, float, str]]) -> str:
         f"the full-history replay ({w('cdf full-history replay (N17)'):.1f} s, "
         f"{extra('cdf full-history replay (N17)')}) re-reads the whole table "
         "because the v1 inserts ARE the table: catch-up cost tracks the consumed "
-        "commits' touched bytes and changed rows, never the table's age. ANALYZE "
+        "commits' touched bytes and changed rows, never the table's age. The "
+        f"scoped-OPTIMIZE pair: the full Z-ORDER rewrite costs "
+        f"{w('optimize zorder (N17)'):.1f} s for all 64 files while the "
+        f"WHERE-scoped recluster of the hot tail costs "
+        f"{w('optimize zorder scoped (N17)'):.1f} s "
+        f"({extra('optimize zorder scoped (N17)')}) — the difference between a "
+        "nightly maintenance job and an impossible one at 100 TB. ANALYZE "
         f"TABLE's one-pass approx stats cost {w('analyze approx 1-pass (N17)'):.1f} s "
         f"over 40 M × 3 columns ({extra('analyze approx 1-pass (N17)')} — the exact "
         "counterfactual expands one projection per DISTINCT aggregate). "

@@ -1016,6 +1016,32 @@ def main() -> None:
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+    # 30b) SCOPED optimize (r14): the same shape, but a WHERE predicate
+    # bounds the rewrite to the hot tail of a range-clustered layout —
+    # cost tracks the scoped bytes, the other files carry over
+    d = tempfile.mkdtemp(prefix="stress_sopt_")
+    try:
+        p = os.path.join(d, "t")
+        n = 20_000_000
+        base = spark.range(0, n, 1, 64).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 13) % 97).cast("double").alias("v"),
+        )
+        commit_version(base.repartitionByRange(64, "k"), p)
+        t0 = time.perf_counter()
+        res = optimize(
+            spark, p, zorder=["k", "v"], where=f"k >= {n * 15 // 16}",
+            target_bytes=4 * 1024 * 1024,
+        )
+        dt = time.perf_counter() - t0
+        print(
+            f"{'optimize zorder scoped (N17)':28s} {n/1e6:8.1f} Mrows {dt:7.2f} s "
+            f"{n/dt/1e6:8.1f} Mrows/s rewritten={res['rewritten']} of 64",
+            flush=True,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
     # 31) bucketed co-located fact-fact join (S10/q148): pay the
     # clustering write ONCE, then the repeated join runs with ZERO
     # Exchange — measured against the same join over plain parquet
