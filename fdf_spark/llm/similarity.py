@@ -1196,16 +1196,22 @@ def read_ivf_pq_meta(path: str, version: int | None = None) -> dict:
     v = versions[-1] if version is None else version
     if v not in versions:
         raise FileNotFoundError(f"version {v} not in {versions}")
-    # walk back ONLY through metadata-only commits (the same mode set
-    # the change feed skips): a DATA commit without ivf_pq meta means
-    # the table was repurposed — probing stale model state against
-    # unrelated rows must fail loudly, not score garbage
+    # walk back ONLY through commits that cannot have REPURPOSED the
+    # table: metadata-only modes, OPTIMIZE (content-preserving), and
+    # row DELETES (positional or equality — the sync path's masking
+    # step removes code rows but the model still describes the rest).
+    # A data commit without ivf_pq meta means the table was repurposed
+    # — probing stale model state against unrelated rows must fail
+    # loudly, not score garbage
     for cand in reversed([x for x in versions if x <= v]):
         m = _read_manifest(path, cand)
         meta = m["meta"].get("ivf_pq")
         if meta is not None:
             return {**meta, "version": v}
-        if m.get("mode") not in ("rename", "drop", "widen", "set-spec", "optimize"):
+        if m.get("mode") not in (
+            "rename", "drop", "widen", "set-spec", "optimize",
+            "delete", "delete-eq", "analyze", "set-properties", "add_column",
+        ):
             break
     raise ValueError(f"{path} v{v} is not an IVF-PQ index (no ivf_pq meta in chain)")
 
@@ -1257,6 +1263,94 @@ def ivf_pq_add(
     # self-describing (read_ivf_pq_meta walks back to the nearest one)
     model = {kk: vv for kk, vv in idx.items() if kk != "version"}
     return commit_version(out, path, mode="append", meta={"ivf_pq": model})
+
+
+def sync_ivf_pq_index(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    consumer_id: str = "ivf-pq-sync",
+    corpus_vec: str = "embedding",
+    assign_mode: str = "expr",
+    encode_mode: str = "expr",
+) -> dict:
+    """Keep a persisted IVF-PQ index FOLLOWING a versioned corpus via
+    the change feed (r14 — the composition the 100 TB embedding
+    pipeline actually runs: the corpus table takes appends/updates/
+    deletes all day; the index must track it without rebuilds).
+
+    One sync = one poll of the corpus's per-commit feed
+    (:func:`fdf_spark.sources.versioned.poll_changes`, keyed on the
+    index's ``corpus_id``), then:
+
+    1. EVERY changed id is equality-deleted from the index — the key
+       relation is the tombstone, zero index scan; the sequence rule
+       scopes the mask to code files present NOW, so codes added in
+       step 2 stay live;
+    2. inserted/updated vectors append through :func:`ivf_pq_add`
+       (assign to existing cells, encode with existing codebooks —
+       FAISS ``add``, no retrain);
+    3. the feed offset is acknowledged LAST.
+
+    At-least-once safe BY ORDER: a crash anywhere before the ack
+    re-delivers the batch, and because step 1 deletes every changed id
+    (including plain inserts — a no-op mask on first delivery), a
+    replay converges to ONE live code row per id; acks themselves are
+    create-if-absent markers, so racing sync workers cannot rewind
+    each other.  Probes see a consistent index at every point: both
+    steps are atomic commits, and between them the index is merely
+    missing the batch (the same state as before the sync).  Delete
+    debt accumulates as equality entries until ``optimize`` folds them
+    — ``plan_maintenance`` surfaces that.  Cost per sync is
+    O(changed rows) + O(that commit range's touched corpus files) —
+    never O(corpus), never O(index).
+
+    Returns ``{"synced_through", "added", "deleted"}`` (deleted counts
+    changed IDS masked, not code rows).
+    """
+    from fdf_spark.sources.versioned import ack_changes, delete_keys, poll_changes
+
+    idx = read_ivf_pq_meta(index_path)
+    corpus_id = idx["params"]["corpus_id"]
+    feed, thru = poll_changes(spark, corpus_path, consumer_id, keys=[corpus_id])
+    if feed is None:
+        return {"synced_through": thru, "added": 0, "deleted": 0}
+    feed = feed.persist()
+    try:
+        changed = feed.select(corpus_id).distinct()
+        n_changed = changed.count()
+        if n_changed:
+            delete_keys(spark, index_path, changed, [corpus_id])
+        # the poll may span MANY commits, so one id can appear several
+        # times (inserted in one commit, updated in a later one): the
+        # index gets each id's FINAL image only — the newest
+        # insert/postimage, and nothing if the id's last change is a
+        # delete.  O(changed rows) window, never O(corpus).
+        last = (
+            feed.filter(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy(corpus_id).orderBy(
+                        F.col("_commit_version").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+        )
+        adds = last.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(corpus_id, corpus_vec)
+        n_add = adds.count()
+        if n_add:
+            ivf_pq_add(
+                index_path, adds, corpus_vec=corpus_vec,
+                assign_mode=assign_mode, encode_mode=encode_mode,
+            )
+    finally:
+        feed.unpersist()  # own pin only
+    ack_changes(corpus_path, consumer_id, thru)
+    return {"synced_through": thru, "added": n_add, "deleted": n_changed}
 
 
 def ivf_pq_probe_index(

@@ -4100,3 +4100,89 @@ def q174_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q187_index_sync_via_feed",
+    """
+    WITH corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 29 = 7
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings
+      WHERE NOT (vec_id % 17 = 3)),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_sum(list_transform(range(64), i ->
+               (CAST(q.embedding[i+1] AS DOUBLE) - CAST(c.embedding[i+1] AS DOUBLE))
+             * (CAST(q.embedding[i+1] AS DOUBLE) - CAST(c.embedding[i+1] AS DOUBLE)))), 6) AS edist
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+      CROSS JOIN corpus c
+      WHERE q.vec_id != c.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, edist,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY edist ASC, vec_id) AS INTEGER) AS rank
+      FROM p)
+    SELECT query_id, vec_id, edist, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    operators=("N3", "N17", "N23"),
+    doc="INDEX-FOLLOWS-TABLE via the change feed (r14 — the "
+    "composition a 100 TB embedding pipeline runs all day): the "
+    "corpus is a versioned table; after the persisted IVF-PQ index is "
+    "built, the corpus takes an INSERT commit, a DELETE and a "
+    "vector UPDATE (negation — scale-variant, so a stale index is "
+    "caught), and sync_ivf_pq_index consumes the per-commit feed "
+    "(poll/ack): every changed id equality-deleted from the index "
+    "(zero index scan), final images appended through ivf_pq_add "
+    "(existing cells + codebooks, no retrain), offset acked last.  "
+    "The full-rerank probe of the SYNCED index must equal exact "
+    "brute-force L2 ranking over the mutated corpus — which is exactly "
+    "what the oracle computes relationally.  Scale: each sync is "
+    "O(changed rows) + O(the commits' touched files); at-least-once "
+    "replay converges to one live code row per id (pytest-pinned).",
+)
+def q187_index_sync_via_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from fdf_spark.llm.similarity import (
+        ivf_pq_probe_index,
+        sync_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from fdf_spark.sources.versioned import (
+        commit_version,
+        delete_where,
+        merge_on_read,
+        read_version,
+    )
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = tempfile.mkdtemp(prefix="fdf_syncidx_")
+    try:
+        cp, ip = f"{d}/corpus", f"{d}/index"
+        commit_version(emb.filter(F.col("vec_id") >= 10), cp)
+        write_ivf_pq_index(read_version(spark, cp), ip, corpus_id="vec_id")
+        commit_version(emb.filter(F.col("vec_id") < 10), cp)
+        delete_where(spark, cp, "vec_id % 17 = 3")
+        merge_on_read(
+            spark, cp,
+            read_version(spark, cp).filter("vec_id % 29 = 7").select(
+                "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+            ),
+            ["vec_id"],
+        )
+        sync_ivf_pq_index(spark, cp, ip, "q187-etl")
+        qs = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = ivf_pq_probe_index(
+            spark, ip, qs, k=5, nprobe=64, rerank=10**6,
+            corpus=read_version(spark, cp),
+        ).orderBy("query_id", "rank")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

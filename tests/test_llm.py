@@ -3085,3 +3085,82 @@ def test_failing_ingest_spares_concurrent_pins(spark, tmp_path, monkeypatch):
     assert other_id in live
     assert other.count() == 1
     other.unpersist()
+
+
+def test_sync_ivf_pq_index_follows_corpus_feed(spark, tmp_path):
+    """r14: the index-follows-table composition — poll the corpus's
+    change feed, equality-delete every changed id, append new codes,
+    ack last.  Post-sync full-rerank probe == brute force over the
+    mutated corpus; a crash between the index writes and the ack
+    re-delivers and CONVERGES (one live code row per id)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.similarity import (
+        cosine_topk,
+        ivf_pq_probe_index,
+        sync_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+    from fdf_spark.sources import versioned as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cp, ip = str(tmp_path / "corpus"), str(tmp_path / "index")
+    V.commit_version(
+        emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding"), cp
+    )
+    write_ivf_pq_index(V.read_version(spark, cp), ip, corpus_id="vec_id")
+    # corpus mutates: insert, delete, update (negated vectors)
+    V.commit_version(
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding"), cp
+    )
+    V.delete_where(spark, cp, "vec_id % 17 = 3")
+    V.merge_on_read(
+        spark, cp,
+        V.read_version(spark, cp).filter("vec_id % 29 = 7")
+        .select("vec_id", F.transform("embedding", lambda x: -x).alias("embedding")),
+        ["vec_id"],
+    )
+    # crash INSIDE the first sync: index writes land, the ack does not
+    real_ack = V.ack_changes
+    calls = {"n": 0}
+
+    def flaky_ack(path, cid, thru):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash before ack")
+        return real_ack(path, cid, thru)
+
+    import fdf_spark.sources.versioned as VV
+
+    orig = VV.ack_changes
+    VV.ack_changes = flaky_ack
+    try:
+        with _pytest.raises(OSError):
+            sync_ivf_pq_index(spark, cp, ip, "etl")
+        # replay: the unacked batch re-delivers and converges
+        res = sync_ivf_pq_index(spark, cp, ip, "etl")
+        assert res["added"] > 0 and res["deleted"] > 0
+    finally:
+        VV.ack_changes = orig
+    # one live code row per id after the replayed double-apply
+    live = V.read_version(spark, ip).groupBy("vec_id").count()
+    assert live.agg(F.max("count")).first()[0] == 1
+    # full-rerank probe == exact brute force over the corpus head
+    corpus_now = V.read_version(spark, cp)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = ivf_pq_probe_index(
+        spark, ip, qs, k=5, nprobe=64, rerank=10**6, corpus=corpus_now
+    )
+    want = cosine_topk(qs, corpus_now, k=5, corpus_id="vec_id")
+    assert [
+        (r.query_id, r.vec_id, r.rank)
+        for r in got.orderBy("query_id", "rank").collect()
+    ] == [
+        (r.query_id, r.vec_id, r.rank)
+        for r in want.orderBy("query_id", "rank").collect()
+    ]
+    # caught up: another sync is a no-op
+    assert sync_ivf_pq_index(spark, cp, ip, "etl")["added"] == 0
