@@ -106,7 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "q85_payload_chr_decode",       # F12
     "q83_fft_per_series",           # X4
     "q126_logreg_quality",          # N25 in-engine trained classifier (r5; displaced q24 — N5 keeps the frequency-sketch rep q119; percentiles stay pytest-oracle)
-    "q155_ivf_pq_persisted_probe",  # N3+N17 persisted-index probe (r9; displaced q61 — N2 stays in-window via q108, which tags N2 alongside N14/N3; q61 remains a bench headline and sweep-green). The single most scale-critical composite (IVF-PQ over a versioned code table) now sits inside the driver hash gate.
+    "q187_index_sync_via_feed",     # N3+N17+N23 persisted IVF-PQ index FOLLOWING the corpus via the change feed (r14; displaced q155, whose persisted-probe story this subsumes — the probe here IS a persisted-index probe, after a poll/ack sync applied an insert+delete+update commit range; q155 stays sweep-green)
     "q70_text_quality",             # N4
     "q129_jpeg_codec_roundtrip",    # N6 REAL baseline-JPEG decode (r6; displaced q68 — same single N6 tag, but q129 exercises the real compressed codec instead of the deterministic fake)
     "q120_lm_quality",              # N21 unigram-LM scoring (r5; displaced q37 — N7/P6/N4 all triple-covered, q120 re-tags N7+N4)
