@@ -334,18 +334,39 @@ def ngram_jaccard_pairs(
     shingles shared by more than that many documents before the
     self-join (recall-safe for high thresholds, bounds fan-out);
     defaults to :data:`DEFAULT_MAX_SHINGLE_FREQ` — pass ``None``
-    explicitly for the uncapped exact relation.
+    explicitly for the uncapped exact relation. Set sizes in the
+    denominator always count the document's FULL distinct shingle set
+    (computed map-side, pre-cap — exactly the exact relation's sizes);
+    the cap only removes intersection candidates, so its sole effect is
+    a conservative (lower) jaccard on pairs sharing a capped shingle.
     """
     # join on the 60-bit shingle hash, not the string: 8-byte shuffle/compare
     # keys instead of ~25-byte text (collisions are negligible at 2^60 and,
     # because the oracle hashes identically, exactly mirrored there).
     # Per-document dedup is map-LOCAL (hash + array_distinct inside the
     # row) — the old corpus-wide (id, sh) distinct exchange is gone.
+    # r14: the document's shingle-set SIZE rides along each exploded row
+    # (``size()`` of the same per-row array — free at explode time), so
+    # the jaccard denominator needs NO per-id size aggregation and NO
+    # re-join: the old plan's two groupBy exchanges + two broadcast
+    # joins over the pair relation are gone (guide §2.4 — the size is
+    # functionally dependent on the id, so carrying 8 bytes per shingle
+    # row replaces two full aggregation passes and two join barriers).
+    # sz counts the FULL distinct shingle set (pre-cap), which is what
+    # the exact-relation oracle computes; the frequency cap below only
+    # thins intersection candidates, so a capped shingle now lowers the
+    # affected pair's jaccard instead of silently shrinking both set
+    # sizes — strictly closer to the exact relation.
     from fdf_spark.sources.tables import spread
 
-    sh = spread(df).select(
+    grams = spread(df).select(
         F.col(id_col).alias("id"),
-        F.explode(distinct_gram_hashes(F.col(text), n)).alias("sh"),
+        distinct_gram_hashes(F.col(text), n).alias("__g"),
+    )
+    sh = grams.select(
+        "id",
+        F.size("__g").alias("sz"),
+        F.explode("__g").alias("sh"),
     )
     if max_shingle_freq is not None:
         # frequency filter as an unbounded window count, not groupBy+join:
@@ -363,25 +384,29 @@ def ngram_jaccard_pairs(
             .filter(F.col("__f") <= max_shingle_freq)
             .drop("__f")
         )
-    # the (id, sh) relation feeds three consumers (both join sides +
-    # sizes); without a materialization Spark recomputes the full
-    # shingle+md5 pass for each. MEMORY_AND_DISK persist trades one
-    # pass's storage (8B hash + id per distinct shingle — ~1% of corpus
-    # bytes) for 2/3 of the CPU.
+    # the (id, sz, sh) relation feeds both self-join sides; without a
+    # materialization Spark recomputes the full shingle+md5 pass for
+    # each. MEMORY_AND_DISK persist trades one pass's storage (8B hash
+    # + 8B size + id per distinct shingle — ~1% of corpus bytes) for
+    # half the CPU.
     sh = sh.persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
+    # sz is functionally dependent on id, so grouping by (id, sz) pairs
+    # keeps the group count — and the aggregate output already carries
+    # both jaccard denominator terms: no size re-join at all.
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")
     jac = F.col("inter") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -422,26 +447,58 @@ def minhash_signatures(
 
     Universal-hash family over one base md5 hash per shingle:
     ``h_i(x) = (a_i*x + b_i) mod 2^31-1`` with ``x = md5_60(shingle) mod p``
-    — ONE expensive hash per shingle, then ``num_hashes`` multiply-add-mod
-    expressions folded into a single wide groupBy (all mins combine
-    map-side; the shuffle carries one row per document, not one per
-    (shingle, seed)). posexplode reshapes to long format afterwards at
-    per-document cost. min over the distinct shingle set == min over the
-    multiset, so NO distinct pass is needed at all — the only shuffle
-    in this operator is the one-row-per-document final combine.
+    — ONE expensive hash per shingle. r14: the whole signature is
+    computed INSIDE the row (one ``transform`` building the shingle
+    base-hash array, then per-coefficient ``array_min`` lambdas over
+    it) — a document never leaves its scan partition, so the old
+    explode → groupBy plan's shingle-row Generate, two HashAggregates
+    and doc-keyed Exchange are all gone (guide §2.4: zero shuffles
+    fundamentally required — minhash is a per-document quantity). min
+    over the shingle multiset == min over the distinct set, so no
+    distinct pass either. The base-hash array is materialized in its
+    own projection and referenced ONCE by the signature expression —
+    CollapseProject cannot duplicate the md5 work per coefficient.
     """
-    sh = word_shingles(df, text, id_col, n, distinct=False)
-    x = portable_hash60(F.col("shingle")) % MINHASH_P
-    mins = []
-    for i in range(num_hashes):
-        a, b = minhash_coeff(i)
-        mins.append(F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"m{i}"))
-    wide = sh.withColumn("x", x).groupBy(id_col).agg(*mins)
-    return wide.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(num_hashes)])).alias(
-            "seed", "minhash"
+    from fdf_spark.sources.tables import spread
+
+    words = F.split(F.lower(F.col(text)), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    xs = F.when(
+        F.size(words) >= n,
+        F.transform(
+            idx,
+            lambda i: portable_hash60(F.concat_ws(" ", F.slice(words, i, n)))
+            % MINHASH_P,
         ),
+    ).otherwise(F.array().cast("array<long>"))
+    coefs = F.array(
+        *[
+            F.struct(
+                F.lit(minhash_coeff(i)[0]).alias("a"),
+                F.lit(minhash_coeff(i)[1]).alias("b"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    sig = F.transform(
+        coefs,
+        lambda c: F.array_min(
+            F.transform(F.col("__xs"), lambda x: (c["a"] * x + c["b"]) % MINHASH_P)
+        ),
+    )
+    return (
+        spread(df)
+        .select(F.col(id_col), xs.alias("__xs"))
+        .select(F.col(id_col), F.posexplode(sig).alias("seed", "minhash"))
+        # a doc with no shingle produced no group in the old explode →
+        # groupBy plan, hence no output rows; here it yields 16 null
+        # mins (array_min of the empty base-hash array) — drop them
+        # ABOVE the Generate, where the predicate touches only the
+        # generated column (a pre-projection filter on size(__xs) gets
+        # pushed below the md5 projection and re-evaluates the whole
+        # hash array per row — measured as a doubled md5 node in the
+        # plan)
+        .filter(F.col("minhash").isNotNull())
     )
 
 
