@@ -570,11 +570,11 @@ def q18_shot_byte_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never touches fact-table rows.",
 )
 def q19_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fdf_spark.functions.scalar import ACC_DECIMAL
+    from fdf_spark.functions.scalar import SUM_DECIMAL
 
     li = T(spark, sf_dir, "lineitem")
     pre = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_extendedprice").cast(ACC_DECIMAL)).alias("d"),
+        F.sum(F.col("l_extendedprice").cast(SUM_DECIMAL)).alias("d"),
         F.count("*").alias("n"),
     )
     return (
@@ -923,13 +923,13 @@ def q30_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "not 4 scans.",
 )
 def q31_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fdf_spark.functions.scalar import ACC_DECIMAL
+    from fdf_spark.functions.scalar import SUM_DECIMAL
 
     li = T(spark, sf_dir, "lineitem")
     # same pre-aggregate-then-Expand shape as q19: the x4 cube Expand
     # runs over the ~9 base cells, never the fact rows
     pre = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast(ACC_DECIMAL)).alias("d"),
+        F.sum(F.col("l_quantity").cast(SUM_DECIMAL)).alias("d"),
         F.count("*").alias("n"),
     )
     return (
