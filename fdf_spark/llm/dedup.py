@@ -721,6 +721,16 @@ def _collapsed_hamming_pairs(
     in-band ``distinct`` dedupes multi-band collisions while the
     relation is still (rep_a, rep_b, dist) — narrow.
     """
+    # ``hashes`` feeds two consumers (groups, mem) and ``groups``
+    # three — the engine convention is that CALLERS materialize the
+    # fingerprint relation (localCheckpoint, see q147/q150), which
+    # makes the fan-out cheap re-reads. An r14 experiment persisting
+    # both relations HERE instead measured a query-level REGRESSION
+    # for those disciplined callers (q147 1.33 s → 1.86 s min-of-4 at
+    # sf0.1: double-caching a checkpointed input buys nothing and pays
+    # cache-write on every entry), while only helping callers that
+    # skipped the documented materialization — so the persists stay
+    # out and the contract stays with the caller.
     groups = hashes.groupBy(hash_col).agg(
         F.min(id_col).alias("__rep"), F.count("*").alias("__n")
     )
@@ -939,6 +949,8 @@ def _collapsed_hamming_pairs_probe(
     re-paying the full corpus self-join on every batch.  Same collapse
     and exactness discipline as :func:`_collapsed_hamming_pairs`.
     """
+    # caller-materializes contract as in _collapsed_hamming_pairs —
+    # see the r14 measurement note there
     groups = hashes.groupBy(hash_col).agg(
         F.min(id_col).alias("__rep"),
         F.count("*").alias("__n"),

@@ -32,15 +32,27 @@ def text_stats(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Dat
     and a deterministic linear quality score."""
     t = F.col(text)
     words = _words(t)
-    n_tokens = F.size(words)
+    # r14: the stopword counter is a lambda-filter (CodegenFallback, no
+    # CSE) referenced by BOTH stopword_ratio and quality_score — stage
+    # it (and the token count) into their own projection so the
+    # interpreted array pass runs once per row, not twice (same
+    # two-stage pattern as language_id; measured 0.54 s → 0.45 s
+    # min-of-4 on 5k docs at sf0.1). The regexp/length terms stay
+    # inline — they are codegen'd and subexpression-eliminated.
+    df = df.select(F.col(id_col), t, words.alias("__w")).select(
+        F.col(id_col),
+        t,
+        F.size("__w").alias("__n"),
+        F.size(F.filter(F.col("__w"), lambda w: w.isin(EN_STOPWORDS))).alias("__stop"),
+    )
+    n_tokens = F.col("__n")
     n_chars = F.length(t)
     alpha_chars = n_chars - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
     digit_chars = n_chars - F.length(F.regexp_replace(t, "[0-9]", ""))
     punct_chars = F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", ""))
-    stop_hits = F.size(F.filter(words, lambda w: w.isin(EN_STOPWORDS)))
     avg_word_len = (n_chars - (n_tokens - 1)) * 1.0 / n_tokens
     bpe_tokens = F.regexp_count(t, F.lit(BPE_TOKEN_RE))
-    stop_ratio = stop_hits * 1.0 / n_tokens
+    stop_ratio = F.col("__stop") * 1.0 / n_tokens
     quality = F.round(
         F.lit(0.4) * stop_ratio
         + F.lit(0.4) * (alpha_chars * 1.0 / n_chars)
@@ -69,22 +81,46 @@ def language_id(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     the *shape* (scored multi-way CASE over token sets), which scales
     to real char-n-gram profile tables joined in as data.
     """
+    # r14 two-stage projection: the scored CASE chain below references
+    # each language score ~5x (greatest + per-language tie-break + the
+    # score column), and the lambda-filter hit counters are
+    # CodegenFallback expressions — no common-subexpression
+    # elimination, so a single-projection version re-ran every
+    # marker-filter pass per reference (~20 interpreted array passes
+    # per row; measured 2.3 s for 5k docs at sf0.1). Stage 1
+    # materializes the token array once and each per-language hit
+    # count once (multi-referenced non-cheap aliases — CollapseProject
+    # provably keeps the stages apart, SPARK-36718); stage 2 derives
+    # scores from the integer hit columns, where re-evaluation is a
+    # division. Same expressions, same rounding — bit-identical
+    # output, 0.44 s after (5x).
     words = _words(F.col(text))
-    n = F.size(words)
 
     def marker_hits(markers):
         # closure factory: a default-arg lambda would have 2 params and
         # F.filter would bind the array INDEX to the second one
-        return F.size(F.filter(words, lambda w: w.isin(markers)))
+        return F.size(F.filter(F.col("__w"), lambda w: w.isin(markers)))
 
-    scores = {lang: marker_hits(m) * 1.0 / n for lang, m in LANG_MARKERS.items()}
+    staged = df.select(
+        F.col(id_col),
+        F.col(text),
+        words.alias("__w"),
+    ).select(
+        F.col(id_col),
+        F.size("__w").alias("__n"),
+        (F.regexp_count(F.col(text), F.lit("[\\x{4e00}-\\x{9fff}]")) > 0).alias("__cjk"),
+        *[marker_hits(m).alias(f"__h_{lang}") for lang, m in LANG_MARKERS.items()],
+    )
+    scores = {
+        lang: F.col(f"__h_{lang}") * 1.0 / F.col("__n") for lang in LANG_MARKERS
+    }
     best_score = F.greatest(*scores.values())
     pred = F.lit("unknown")
     for lang in sorted(LANG_MARKERS, reverse=True):  # reverse so earlier codes win ties
         pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
     pred = F.when(best_score <= 0, F.lit("unknown")).otherwise(pred)
-    has_cjk = F.regexp_count(F.col(text), F.lit("[\\x{4e00}-\\x{9fff}]")) > 0
-    return df.select(
+    has_cjk = F.col("__cjk")
+    return staged.select(
         F.col(id_col),
         F.when(has_cjk, F.lit("zh")).otherwise(pred).alias("pred_lang"),
         F.round(F.when(has_cjk, F.lit(1.0)).otherwise(best_score), 6).alias("lang_score"),
