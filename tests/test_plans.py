@@ -28,6 +28,13 @@ EXPECT: dict[str, dict] = {
     "q04_top_orders": dict(max_exchanges=1),  # TakeOrderedAndProject, no full sort
     "q05_active_customers_by_segment": dict(min_bhj=1),
     "q10_topk_orders_per_customer": dict(max_exchanges=2),
+    # r14: per-partkey avg is a window over ONE fact shuffle — the agg +
+    # re-join plan (2 scans, broadcast, 3 exchanges) is gone
+    "q15_small_quantity_parts": dict(max_exchanges=2, max_smj=0, max_scans=1),
+    # r14: three single-column distinct subtrees (no Expand); every
+    # exchange carries distinct values or a 1-row aggregate
+    # (the 2 BNLs are the intended 1-row-side cross joins of the counts)
+    "q21_distinct_counts": dict(max_exchanges=8, max_smj=0, max_bnl=2, absent=["Expand"]),
     "q40_nearest_event": dict(max_exchanges=2),
     "q41_asof_attribution": dict(max_exchanges=2),
     "q60_exact_dedup": dict(max_exchanges=2),
