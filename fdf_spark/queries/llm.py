@@ -238,18 +238,14 @@ def q66_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding near-dup pairs: all-pairs cosine >= 0.3 (exact twin of the LSH path).",
 )
 def q67_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = T(spark, sf_dir, "embeddings")
-    from fdf_spark.llm.similarity import cosine
+    # r14: vectorized all-pairs tier (same sequential-fold/rounding
+    # contract as the expression path — see all_pairs_cosine; the old
+    # BNLJ + per-pair interpreted HOF fold measured 187 s at sf0.1,
+    # this is 1.0 s, output bit-identical)
+    from fdf_spark.llm.similarity import all_pairs_cosine
 
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos_sim") >= 0.3)
-        .select("id_a", "id_b", "cos_sim")
-        .orderBy("id_a", "id_b")
-    )
+    emb = T(spark, sf_dir, "embeddings")
+    return all_pairs_cosine(emb, threshold=0.3).orderBy("id_a", "id_b")
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -1921,14 +1917,13 @@ def q76_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "LSH (q75) or IVF (q73) candidates with identical survivor rule.",
 )
 def q77_embedding_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fdf_spark.llm.similarity import cosine
+    # r14: the pair stage is the vectorized all-pairs tier (see q67 /
+    # all_pairs_cosine — 91 s → ~1 s at sf0.1, identical pair relation)
+    from fdf_spark.llm.similarity import all_pairs_cosine
 
     emb = T(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     removed = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.3)
+        all_pairs_cosine(emb, threshold=0.3)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )

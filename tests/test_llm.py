@@ -876,6 +876,28 @@ def test_assign_modes_agree_and_kmeans_arrow(spark, emb):
     assert ca == cb  # trained centroids bit-identical across modes
 
 
+def test_all_pairs_cosine_matches_expression_path(spark, emb):
+    # r14: the vectorized all-pairs tier must reproduce the per-pair
+    # expression fold EXACTLY (sequential dot/norm accumulation,
+    # norm(a)*norm(b) division order, 6-dp half-away rounding) — the
+    # q67/q77 oracle replays the expression semantics
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.similarity import all_pairs_cosine, cosine
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    expr = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    want = {(r.id_a, r.id_b): r.cos_sim for r in expr.collect()}
+    got = {(r.id_a, r.id_b): r.cos_sim for r in all_pairs_cosine(emb, threshold=0.3).collect()}
+    assert want == got and len(got) > 0
+
+
 # ---------------------------------------------------------------------------
 # round-5: blocked record linkage (N22) and unigram-LM scoring (N21)
 # ---------------------------------------------------------------------------
