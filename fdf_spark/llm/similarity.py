@@ -28,6 +28,21 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _lit_vec(xs) -> Column:
+    """Literal double-array column in ONE py4j/parser round trip.
+
+    ``F.array(*[F.lit(float(x)) for x in xs])`` costs one py4j call per
+    element (~0.7 ms each on this stack) — a cells×dim centroid tree
+    spends seconds of DRIVER time just constructing Column objects
+    before Catalyst ever sees them (measured: 128 64-wide literal
+    arrays = 5.9 s as per-element lits vs 0.4 s via one parsed
+    ``array(…)`` expression). Values are bit-identical: ``repr`` of a
+    Python float is the shortest decimal that round-trips, and Spark's
+    ``1.5D`` double literal parses with ``Double.parseDouble`` —
+    bitwise equality is asserted in test_llm."""
+    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -97,7 +112,7 @@ def _cell_scores(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     return F.array(
         *[
             F.struct(
-                (-cosine(vec, F.array(*[F.lit(float(x)) for x in cvec]))).alias("neg_sim"),
+                (-cosine(vec, _lit_vec(cvec))).alias("neg_sim"),
                 F.lit(int(cid)).cast("long").alias("cent_id"),
             )
             for cid, cvec in cents
@@ -324,6 +339,7 @@ def semantic_dedup(
     threshold: float = 0.3,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    assign_mode: str = "expr",
 ) -> DataFrame:
     """Embedding-level near-duplicate removal (N14) — SemDeDup,
     Abbas et al. 2023 (arXiv:2303.09540): cluster the corpus coarsely,
@@ -341,24 +357,50 @@ def semantic_dedup(
     (the paper uses k ≈ √N clusters); a skewed giant cell is split by
     recursing the same operator over that cell.
     """
-    _, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
-    a = assigned.select(
-        F.col("cell"),
-        F.col(corpus_id).alias("__ida"),
-        F.col(corpus_vec).alias("__va"),
-    )
-    b = assigned.select(
-        F.col("cell"),
-        F.col(corpus_id).alias("__idb"),
-        F.col(corpus_vec).alias("__vb"),
-    )
+    import numpy as np
+    import pandas as pd
+
+    _, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
+
+    # Within-cell pairwise stage, vectorized (r14): the old cell-keyed
+    # self-join scored every within-cell pair with the interpreted HOF
+    # cosine fold (3 × dim lambda passes per pair — measured 6.3 s of
+    # the query's 6.6 s at sf0.1; 0.4 s vectorized, identical removed
+    # set). Each cell's rows land in one pandas group and numpy scores
+    # the pairwise matrix with the SAME numeric contract as
+    # :func:`all_pairs_cosine` (sequential per-dimension fold,
+    # norm(a)*norm(b) division order, 6 dp half-away rounding) —
+    # equivalence to the join+fold path is pytest-pinned. Same scale
+    # shape as before: work is cluster-bounded Σ|cell|² either way, and
+    # the A-side is blocked so a skewed giant cell bounds its score
+    # matrix instead of materializing |cell|² at once.
+    def cell_removed(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(corpus_id)
+        ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]])
+        d = X.shape[1] if len(ids) else 0
+        nn = np.zeros(len(ids))
+        for i in range(d):  # sequential fold == _norm
+            nn += X[:, i] * X[:, i]
+        n = np.sqrt(nn)
+        blk = max(1, (4 << 20) // max(1, len(ids)))
+        hit = np.zeros(len(ids), dtype=bool)
+        for lo in range(0, len(ids), blk):
+            hi = min(lo + blk, len(ids))
+            dot = np.zeros((hi - lo, len(ids)))
+            for i in range(d):  # sequential fold == _dot
+                dot += X[lo:hi, i : i + 1] * X[None, :, i]
+            cos = dot / (n[lo:hi, None] * n[None, :])
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            mask = (ids[lo:hi, None] < ids[None, :]) & (cos >= threshold)
+            hit |= mask.any(axis=0)
+        return pd.DataFrame({corpus_id: ids[hit]})
+
     removed = (
-        a.join(b, "cell")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
-        .select(F.col("__idb").alias(corpus_id))
-        .distinct()
-    )
+        assigned.select("cell", corpus_id, corpus_vec)
+        .groupBy("cell")
+        .applyInPandas(cell_removed, schema=f"{corpus_id} long")
+    )  # ids are unique per cell and cells partition the corpus — no distinct needed
     return assigned.join(removed, corpus_id, "left_anti").select(corpus_id, "cell")
 
 
@@ -543,7 +585,7 @@ def lsh_ann_topk(
                 F.aggregate(
                     F.zip_with(
                         vec,
-                        F.array(*[F.lit(w) for w in p]),
+                        _lit_vec(p),
                         lambda x, y: x.cast("double") * y,
                     ),
                     F.lit(0.0),
@@ -566,15 +608,29 @@ def lsh_ann_topk(
           for t, p in enumerate(tables)]
     )
     c = corpus.withColumn("__tb", F.explode(c_buckets))
+    # each table's signature is computed ONCE into a column and the
+    # (num_planes+1) probes are bit-flips of that column — the old form
+    # re-embedded the full planes×dim fold tree per probe
+    # ((num_planes+1)×num_tables copies), which cost more in Catalyst
+    # analysis of the replicated tree than the query ran in total
+    # (26.9 s build / 3.9 s exec at sf0.1 → 3.3 s end-to-end).
+    # CollapseProject keeps the staging projection because the
+    # aggregate fold is non-cheap and multiply-referenced; values and
+    # join semantics are unchanged (same bits, same XOR probes).
+    q_sigs = queries.select(
+        "*", *[signature(F.col(query_vec), p).alias(f"__sig{t}") for t, p in enumerate(tables)]
+    )
     q_probes = F.array(
         *[
             F.struct(F.lit(t).alias("tbl"), probe.alias("b"))
-            for t, p in enumerate(tables)
-            for probe in [signature(F.col(query_vec), p)]
-            + [signature(F.col(query_vec), p).bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
+            for t in range(len(tables))
+            for probe in [F.col(f"__sig{t}")]
+            + [F.col(f"__sig{t}").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)]
         ]
     )
-    q = queries.withColumn("__tb", F.explode(q_probes))
+    q = q_sigs.withColumn("__tb", F.explode(q_probes)).drop(
+        *[f"__sig{t}" for t in range(len(tables))]
+    )
     cand = c.join(F.broadcast(q), c["__tb"] == q["__tb"]).filter(
         F.col(query_id) != F.col(corpus_id)
     )
@@ -803,7 +859,7 @@ def _pq_code_col(vec: Column, book_j, base: int) -> Column:
     allocates."""
     sub = len(book_j[0])
     qsub = F.array(*[vec.getItem(base + i).cast("double") for i in range(sub)])
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in cvec]) for cvec in book_j])
+    cents = F.array(*[_lit_vec(cvec) for cvec in book_j])
     scores = F.transform(
         cents,
         lambda c, i: F.struct(_l2_sub(qsub, c).alias("dist"), i.alias("cent_ord")),
@@ -946,7 +1002,7 @@ def _pq_lut(books, query_vec: str | Column, m: int, ks: int, dim: int) -> Column
         # projection and tripped janino's 64 KB method limit (VERDICT
         # r10 #5) — interpreted fallback on the probe's hottest column
         qsub = F.array(*[vec.getItem(j * sub + i).cast("double") for i in range(sub)])
-        cents = F.array(*[F.array(*[F.lit(float(x)) for x in books[j][c]]) for c in range(ks)])
+        cents = F.array(*[_lit_vec(books[j][c]) for c in range(ks)])
         # closure factory, NOT a default arg: pyspark counts lambda
         # params, and a defaulted second param reads as (element, index)
         luts.append(F.transform(cents, (lambda q: lambda c: _l2_sub(q, c))(qsub)))
@@ -1019,7 +1075,7 @@ def _centroid_array(cents, cell_col: Column) -> Column:
     spends; stays whole-stage codegen, no join)."""
     expr = None
     for cid, cvec in cents:
-        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        arr = _lit_vec(cvec)
         cond = cell_col == int(cid)
         expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
     return expr
@@ -1123,7 +1179,21 @@ def _ivf_pq_build(
         seed_skip = num_cells  # the centroid rows' residuals are exactly zero
     else:
         src, vcol, seed_skip = assigned, corpus_vec, 0
-    books = _pq_seed_books(src, vcol, corpus_id, m, ks, dim // m, skip=seed_skip)
+    # Seed books need only the ks+skip smallest-id rows, and assignment/
+    # residual are row-wise — so take the head off the RAW corpus scan
+    # (TakeOrdered, no full-corpus assignment pass: collecting seeds
+    # from ``src`` forced every row through cell assignment just to
+    # keep 16-32 of them; r14, measured as the dominant build job) and
+    # transform just those rows. Identical rows, identical books.
+    head = corpus.select(corpus_id, corpus_vec).orderBy(corpus_id).limit(ks + seed_skip)
+    if by_residual:
+        head_src = _assign(head, cents, corpus_id, corpus_vec, assign_mode).select(
+            corpus_id,
+            _residual(F.col(corpus_vec), _centroid_array(cents, F.col("cell"))).alias(vcol),
+        )
+    else:
+        head_src = head
+    books = _pq_seed_books(head_src, vcol, corpus_id, m, ks, dim // m, skip=seed_skip)
     if train_iters:
         books = train_pq_codebooks(src, vcol, books, train_iters)
     books, codes = pq_encode(

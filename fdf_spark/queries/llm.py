@@ -295,7 +295,12 @@ def q73_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_ann_topk(queries, emb, k=5, num_cells=16, nprobe=2).orderBy("query_id", "rank")
+    # r14: arrow cell assignment (bit-identical to expr mode, pinned in
+    # test_llm::test_assign_modes_agree_and_kmeans_arrow) — the 16×dim
+    # interpreted lambda tree is the dominant per-row cost at any scale
+    return ivf_ann_topk(
+        queries, emb, k=5, num_cells=16, nprobe=2, assign_mode="arrow"
+    ).orderBy("query_id", "rank")
 
 
 @query(
@@ -330,7 +335,11 @@ def q108_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.llm.similarity import semantic_dedup
 
     emb = T(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, num_cells=16, threshold=0.3).orderBy("vec_id")
+    # r14: arrow cell assignment (bit-identical, pytest-pinned); the
+    # pair stage itself is vectorized inside semantic_dedup
+    return semantic_dedup(emb, num_cells=16, threshold=0.3, assign_mode="arrow").orderBy(
+        "vec_id"
+    )
 
 
 @query(
@@ -2794,7 +2803,12 @@ def q111_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.functions.scalar import davg
     from fdf_spark.llm.similarity import cosine, kmeans_refine
 
-    cents, assigned = kmeans_refine(T(spark, sf_dir, "embeddings"), num_cells=16, iters=2)
+    # r14: arrow assignment (bit-identical, pytest-pinned) — each Lloyd
+    # iteration re-assigns the whole corpus, so the expr-mode lambda
+    # tree was paid 3x here (2 iters + final state)
+    cents, assigned = kmeans_refine(
+        T(spark, sf_dir, "embeddings"), num_cells=16, iters=2, assign_mode="arrow"
+    )
     cdf = spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
         "cell long, cvec array<double>",
@@ -3542,7 +3556,10 @@ def q151_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_pq_ann_topk(qs, emb, k=5).orderBy("query_id", "rank")
+    # r14: arrow assign+encode (bit-identical to expr mode, pytest-pinned)
+    return ivf_pq_ann_topk(
+        qs, emb, k=5, assign_mode="arrow", encode_mode="arrow"
+    ).orderBy("query_id", "rank")
 
 
 def _ivfpq_residual_sql(num_cells: int = 16, nprobe: int = 2, m: int = 8, ks: int = 16,
@@ -3640,7 +3657,10 @@ def q152_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_pq_ann_topk(qs, emb, k=5, by_residual=True).orderBy("query_id", "rank")
+    # r14: arrow assign+encode (bit-identical to expr mode, pytest-pinned)
+    return ivf_pq_ann_topk(
+        qs, emb, k=5, by_residual=True, assign_mode="arrow", encode_mode="arrow"
+    ).orderBy("query_id", "rank")
 
 
 @query(
@@ -3806,7 +3826,8 @@ def q155_ivf_pq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     d = tempfile.mkdtemp(prefix="fdf_ivfpq_index_")
-    write_ivf_pq_index(emb, d)
+    # r14: arrow assign+encode for the build (bit-identical, pytest-pinned)
+    write_ivf_pq_index(emb, d, assign_mode="arrow", encode_mode="arrow")
     out = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank")
     return materialize_and_cleanup(out, d)
 
@@ -4173,7 +4194,12 @@ def q187_index_sync_via_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         cp, ip = f"{d}/corpus", f"{d}/index"
         commit_version(emb.filter(F.col("vec_id") >= 10), cp)
-        write_ivf_pq_index(read_version(spark, cp), ip, corpus_id="vec_id")
+        # r14: arrow assign+encode throughout the build/sync lifecycle
+        # (bit-identical to expr mode, pytest-pinned)
+        write_ivf_pq_index(
+            read_version(spark, cp), ip, corpus_id="vec_id",
+            assign_mode="arrow", encode_mode="arrow",
+        )
         commit_version(emb.filter(F.col("vec_id") < 10), cp)
         delete_where(spark, cp, "vec_id % 17 = 3")
         merge_on_read(
@@ -4183,7 +4209,9 @@ def q187_index_sync_via_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ["vec_id"],
         )
-        sync_ivf_pq_index(spark, cp, ip, "q187-etl")
+        sync_ivf_pq_index(
+            spark, cp, ip, "q187-etl", assign_mode="arrow", encode_mode="arrow"
+        )
         qs = emb.filter(F.col("vec_id") < 5).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )

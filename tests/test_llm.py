@@ -898,6 +898,59 @@ def test_all_pairs_cosine_matches_expression_path(spark, emb):
     assert want == got and len(got) > 0
 
 
+def test_lit_vec_bitwise_identical(spark):
+    # r14: the one-call parsed array literal must reproduce the
+    # per-element F.lit array BITWISE (repr is shortest-round-trip and
+    # the SQL double literal parses with Double.parseDouble)
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.similarity import _lit_vec
+
+    vals = [0.1 + 0.2, -3.5e18, 1e-300, 1.0, -0.0, 123456789.123456789, 2.5e-7]
+    r = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(float(x)) for x in vals]).alias("a"),
+            _lit_vec(vals).alias("b"),
+        )
+        .first()
+    )
+    pack = lambda v: [struct.pack("<d", x) for x in v]
+    assert pack(r.a) == pack(r.b)
+
+
+def test_semantic_dedup_pair_stage_matches_join_fold(spark, emb):
+    # r14: the vectorized within-cell pair stage must reproduce the old
+    # cell-keyed self-join + interpreted cosine fold exactly — same
+    # survivor set AND cells under both assign modes
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.similarity import cosine, ivf_assign, semantic_dedup
+
+    _, assigned = ivf_assign(emb, num_cells=8)
+    a = assigned.select("cell", F.col("vec_id").alias("__ida"), F.col("embedding").alias("__va"))
+    b = assigned.select("cell", F.col("vec_id").alias("__idb"), F.col("embedding").alias("__vb"))
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= 0.3)
+        .select(F.col("__idb").alias("vec_id"))
+        .distinct()
+    )
+    want = sorted(
+        (r.vec_id, r.cell)
+        for r in assigned.join(removed, "vec_id", "left_anti").select("vec_id", "cell").collect()
+    )
+    for mode in ("expr", "arrow"):
+        got = sorted(
+            (r.vec_id, r.cell)
+            for r in semantic_dedup(emb, num_cells=8, threshold=0.3, assign_mode=mode).collect()
+        )
+        assert got == want and len(got) > 0
+
+
 # ---------------------------------------------------------------------------
 # round-5: blocked record linkage (N22) and unigram-LM scoring (N21)
 # ---------------------------------------------------------------------------

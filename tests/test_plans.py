@@ -154,7 +154,12 @@ EXPECT: dict[str, dict] = {
     # blocked ER: candidate pairs via self-EQUI-join on the block key
     # (broadcast at fixture scale, hash at corpus scale) — never a
     # CartesianProduct; top-k is TakeOrdered, no full sort
-    "q121_fuzzy_match": dict(max_exchanges=1, min_bhj=1, max_smj=0, max_scans=2),
+    # r14: +1 round-robin exchange from spread() — the one-file fixture
+    # scan otherwise runs the whole ~2M-pair levenshtein stage in a
+    # single task (the exchange carries 20k narrow rows; no-op on a
+    # multi-split cluster scan). Still no fact shuffle: the join stays
+    # a broadcast on the block key.
+    "q121_fuzzy_match": dict(max_exchanges=2, min_bhj=1, max_smj=0, max_scans=2),
     # incremental view refresh: delta aggregates map-side to one row
     # per touched key; the one SMJ is the full-outer view⨝delta merge
     # (outer sides are |groups|-sized, not base-sized)
