@@ -410,6 +410,7 @@ def write_ivf_index(
     num_cells: int = 16,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    assign_mode: str = "expr",
 ) -> None:
     """Materialize the IVF index as a **cell-partitioned** parquet layout.
 
@@ -419,10 +420,16 @@ def write_ivf_index(
     layout SCALE.md describes: an ``nprobe`` query touches only the
     probed cells' files — a partition-pruned scan, not a corpus scan.
     """
-    cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec)
+    from fdf_spark.sources.tables import local_df
+
+    cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
     assigned.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/corpus")
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    # r14: Arrow-backed local frame — coalesce(1) over the pickle-RDD
+    # form computed its 32 parent partitions sequentially through
+    # Python workers (~5 s for 16 rows, every build)
+    local_df(
+        spark,
         [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
         "cent_id long, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")

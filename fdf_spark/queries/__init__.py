@@ -64,7 +64,11 @@ def materialize_and_cleanup(df: DataFrame, scratch_path: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(scratch_path, ignore_errors=True)
-    return df.sparkSession.createDataFrame(rows, df.schema)
+    # r14: Arrow-backed local frame — the pickle-RDD form re-ran every
+    # audit row through Python workers at each downstream execution
+    from fdf_spark.sources.tables import local_df
+
+    return local_df(df.sparkSession, rows, df.schema)
 
 
 def query(name: str, sql: str | None, operators: tuple[str, ...] = (), doc: str = ""):

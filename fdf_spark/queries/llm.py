@@ -22,6 +22,7 @@ from fdf_spark.llm.similarity import cosine_topk, knn_predict
 from fdf_spark.llm.textstats import LANG_MARKERS, language_id, fingerprint, text_stats
 from fdf_spark.queries import query
 from fdf_spark.sources.tables import load_table as T
+from fdf_spark.sources.tables import local_df as _local_df
 
 # --- shared DuckDB fragments ------------------------------------------------
 
@@ -2809,7 +2810,10 @@ def q111_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = kmeans_refine(
         T(spark, sf_dir, "embeddings"), num_cells=16, iters=2, assign_mode="arrow"
     )
-    cdf = spark.createDataFrame(
+    from fdf_spark.sources.tables import local_df
+
+    cdf = local_df(
+        spark,
         [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
         "cell long, cvec array<double>",
     )
@@ -2927,7 +2931,8 @@ def q114_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return pq_ann_topk(qs, emb, k=5).orderBy("query_id", "rank")
+    # r14: arrow encode (bit-identical to expr mode, pytest-pinned)
+    return pq_ann_topk(qs, emb, k=5, encode_mode="arrow").orderBy("query_id", "rank")
 
 
 _CHAR_VOCAB = {**{chr(c): c - 96 for c in range(97, 123)}, **{chr(c): c - 21 for c in range(48, 58)}}
@@ -3904,8 +3909,8 @@ def q156_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        out = spark.createDataFrame(
-            rows, "version int, doc_id long, change string, nchars int"
+        out = _local_df(
+            spark, rows, "version int, doc_id long, change string, nchars int"
         )
         return out.orderBy("version", "doc_id", "change")
     finally:
@@ -3970,7 +3975,9 @@ def q157_decontam_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 20)
     d = tempfile.mkdtemp(prefix="fdf_decontam_ivf_")
-    write_ivf_index(corpus, d, num_cells=16)
+    # r14: arrow cell assignment for the index build (bit-identical,
+    # pytest-pinned)
+    write_ivf_index(corpus, d, num_cells=16, assign_mode="arrow")
     out = semantic_decontaminate_indexed(
         spark, d, bench, threshold=0.35, nprobe=2
     ).orderBy("vec_id")
@@ -4220,6 +4227,8 @@ def q187_index_sync_via_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus=read_version(spark, cp),
         ).orderBy("query_id", "rank")
         rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        from fdf_spark.sources.tables import local_df
+
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)

@@ -37,6 +37,7 @@ from fdf_spark.functions.scalar import (
 from fdf_spark.queries import materialize_and_cleanup as _materialize_and_cleanup
 from fdf_spark.queries import query
 from fdf_spark.sources.tables import load_table as T
+from fdf_spark.sources.tables import local_df
 
 # ---------------------------------------------------------------------------
 # Aggregation core
@@ -706,12 +707,21 @@ def q23_salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q24_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
+    # r14: ONE percentile aggregate with an array of percentages — the
+    # three separate F.percentile calls each built and shuffled their
+    # own ObjectHashAggregate buffer holding every group value (3x the
+    # per-task state and 3x the exchange bytes for identical sorted
+    # buffers). Same Percentile evaluator, same interpolation, same
+    # values — just one buffer. Measured 2.9 -> 1.1 s steady at sf0.1.
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
-            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        .agg(pct.alias("ps"))
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p90"),
+            F.col("ps")[2].alias("p99"),
         )
         .orderBy("l_returnflag")
     )
@@ -1983,7 +1993,7 @@ def q163_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit_bad = agg(staged_batch.filter(F.col("o_totalprice") <= 0), "audit_bad")
     # materialize NOW: drop_staged below deletes the very files this
     # lazy plan reads (audit relations are a handful of rows)
-    audit_bad = spark.createDataFrame(audit_bad.collect(), audit_bad.schema)
+    audit_bad = local_df(spark, audit_bad.collect(), audit_bad.schema)
     # readers at the head never saw the staged rows
     head_during = (
         read_version(spark, p)
@@ -2550,7 +2560,8 @@ def q171_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
         .withColumn("pruned", F.lit(pruned))
         .unionByName(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(10_000_000, 0, 0.0)],
                 "o_orderkey long, n_orders long, total_price double",
             ).withColumn("pruned", F.lit(absent_pruned))
@@ -2622,7 +2633,7 @@ def q172_shallow_clone_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.limit(100_001).collect()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @query(
@@ -3313,7 +3324,7 @@ def q148_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("priority")
         )
         rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 @query(
@@ -3596,7 +3607,8 @@ def q184_table_properties_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         props = execute_sql(spark, path, "SHOW TBLPROPERTIES t")
         out = (
             props.unionByName(
-                spark.createDataFrame(
+                local_df(
+                    spark,
                     [("__delete_blocked", blocked),
                      ("__n_rows_intact", str(n_intact))],
                     "key string, value string",

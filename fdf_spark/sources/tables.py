@@ -93,6 +93,74 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-local DataFrame via the Arrow path (r14).
+
+    ``createDataFrame(list_of_rows)`` builds a PICKLE-serialized Python
+    RDD: every downstream execution runs its partitions through Python
+    workers (~0.15 s handshake each), and a ``coalesce(1)`` on top
+    computes all of them SEQUENTIALLY in one task — measured ~5 s per
+    execution for a 16-row frame, repeatedly, in the sidecar/audit
+    paths. Routing the same rows through pandas + Arrow yields a
+    JVM-local relation: bitwise-identical doubles (pinned in
+    test_llm), no Python at execution, ~0.1 s.
+
+    Falls back to the classic path when the exactness envelope is not
+    guaranteed symmetric: temporal columns (collect() hands back
+    datetimes localized by the CLASSIC path's rules; re-ingesting them
+    through Arrow applies the session-timezone rules instead) and
+    float NaN payloads (an object-dtype NaN can arrive as null through
+    Arrow). Empty inputs stay classic too — plan-only, already cheap.
+    """
+    from pyspark.sql.types import DataType, DateType, StructType, TimestampType, TimestampNTZType
+
+    if isinstance(schema, StructType):
+        st = schema
+    else:
+        try:
+            st = DataType.fromDDL(schema)
+        except Exception:
+            return spark.createDataFrame(rows, schema)
+    rows = list(rows)
+    if not rows or not isinstance(st, StructType):
+        return spark.createDataFrame(rows, st)
+
+    def temporal(dt) -> bool:
+        if isinstance(dt, (DateType, TimestampType, TimestampNTZType)):
+            return True
+        for child in getattr(dt, "fields", []) or []:
+            if temporal(child.dataType):
+                return True
+        et = getattr(dt, "elementType", None)
+        if et is not None and temporal(et):
+            return True
+        kt, vt = getattr(dt, "keyType", None), getattr(dt, "valueType", None)
+        return (kt is not None and temporal(kt)) or (vt is not None and temporal(vt))
+
+    def has_nan(v) -> bool:
+        if isinstance(v, float):
+            return v != v
+        if isinstance(v, (list, tuple)):
+            return any(has_nan(x) for x in v)
+        if isinstance(v, dict):
+            return any(has_nan(x) for x in v.values())
+        return False
+
+    if any(temporal(f.dataType) for f in st.fields) or any(
+        has_nan(v) for row in rows for v in row
+    ):
+        return spark.createDataFrame(rows, st)
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {f.name: pd.Series([row[i] for row in rows], dtype=object) for i, f in enumerate(st.fields)}
+        )
+        return spark.createDataFrame(pdf, st)
+    except Exception:
+        return spark.createDataFrame(rows, st)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Lazy: no job runs until an action.
 

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from fdf_spark.sources.tables import local_df
+
 MONITOR_STATE_SCHEMA = "n_events long, last_shot long"
 MONITOR_OUT_SCHEMA = "event_name string, n_events long, last_shot long, expired boolean"
 
@@ -230,8 +232,10 @@ def make_sketch_fold(
         if list_versions(path):
             batch_sketch = cm_merge(read_version(spark, path), batch_sketch)
         # materialize before the overwrite-commit reads the prior version
-        merged = spark.createDataFrame(
-            batch_sketch.collect(), "row int, bucket bigint, cnt bigint"
+        # (Arrow-backed local frame, r14: coalesce(1) over a pickle-RDD
+        # frame ran its partitions sequentially through Python workers)
+        merged = local_df(
+            spark, batch_sketch.collect(), "row int, bucket bigint, cnt bigint"
         ).coalesce(1)
         commit_version(
             merged, path, mode="overwrite", meta={"stream_id": stream_id, "batch_id": batch_id}
@@ -271,8 +275,8 @@ def make_hll_fold(path: str, col: str = "k", p: int = 12, stream_id: str = "run"
         sk = hll_sketch(batch_df, col, p=p)
         if list_versions(path):
             sk = hll_merge(read_version(spark, path), sk)
-        merged = spark.createDataFrame(
-            sk.collect(), "register int, maxrank int"
+        merged = local_df(
+            spark, sk.collect(), "register int, maxrank int"
         ).coalesce(1)
         commit_version(
             merged, path, mode="overwrite", meta={"stream_id": stream_id, "batch_id": batch_id}
@@ -326,7 +330,7 @@ def make_quantile_fold(
         sk = quantile_sketch(batch_df, col, id_col, k=k)
         if list_versions(path):
             sk = quantile_merge(read_version(spark, path), sk, k=k)
-        merged = spark.createDataFrame(sk.collect(), "h bigint, v double").coalesce(1)
+        merged = local_df(spark, sk.collect(), "h bigint, v double").coalesce(1)
         commit_version(
             merged, path, mode="overwrite", meta={"stream_id": stream_id, "batch_id": batch_id}
         )
