@@ -202,7 +202,12 @@ class Catalog:
     )
 
     def to_df(self, spark) -> DataFrame:
-        return spark.createDataFrame(self.rows(), self.CATALOG_SCHEMA)
+        # r14: Arrow-backed local relation — the pickle-RDD form ran
+        # the catalog rows through Python workers at every execution of
+        # every catalog-driven query (see sources.tables.local_df)
+        from fdf_spark.sources.tables import local_df
+
+        return local_df(spark, self.rows(), self.CATALOG_SCHEMA)
 
 
 @lru_cache(maxsize=1)

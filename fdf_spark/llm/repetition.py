@@ -101,7 +101,9 @@ def quality_funnel(df: DataFrame, text: str = "text", id_col: str = "doc_id") ->
     stages = [(i + 1, name) for i, (name, _) in enumerate(FUNNEL_RULES)] + [
         (len(FUNNEL_RULES) + 1, "kept")
     ]
-    order = df.sparkSession.createDataFrame(stages, "stage int, rule string")
+    from fdf_spark.sources.tables import local_df
+
+    order = local_df(df.sparkSession, stages, "stage int, rule string")
     joined = order.join(counts, "rule", "left").select(
         "stage",
         "rule",

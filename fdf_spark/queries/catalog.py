@@ -56,7 +56,10 @@ def _values_sql() -> str:
     "with zfill-padded names, re-derived relationally in both engines.",
 )
 def q80_channel_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    specs = spark.createDataFrame(
+    from fdf_spark.sources.tables import local_df
+
+    specs = local_df(
+        spark,
         TEMPLATE_SPECS, "container_path string, template string, lo int, hi int, digits int"
     )
     i_str = F.col("channel").cast("string")
@@ -245,8 +248,10 @@ def _availability_values() -> list[tuple[int, str]]:
 def q86_efit_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.catalog.descriptors import EFIT_CANDIDATES
 
-    avail = spark.createDataFrame(_availability_values(), "shot long, efit string")
-    cand = spark.createDataFrame([(t,) for t in EFIT_CANDIDATES], "efit string")
+    from fdf_spark.sources.tables import local_df
+
+    avail = local_df(spark, _availability_values(), "shot long, efit string")
+    cand = local_df(spark, [(t,) for t in EFIT_CANDIDATES], "efit string")
     shots = avail.select("shot").distinct()
     probe = shots.crossJoin(F.broadcast(cand))
     hit = avail.withColumn("available", F.lit(True))

@@ -750,7 +750,8 @@ def q25_value_tier_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.operators.rangejoin import range_join
 
     ev = T(spark, sf_dir, "events").select("event_id", "value")
-    tiers = spark.createDataFrame(
+    tiers = local_df(
+        spark,
         [("t0", 0.0, 50.0), ("t1", 50.0, 100.0), ("t2", 100.0, 150.0),
          ("t3", 150.0, 250.0), ("t4", 250.0, 400.0), ("t5", 400.0, 500.0)],
         "tier string, lo double, hi double",

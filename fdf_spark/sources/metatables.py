@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fdf_spark.sources.tables import local_df
+
 from fdf_spark.sources.versioned import (
     _delete_map,
     _eq_entries,
@@ -127,7 +129,7 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
             )
         )
         prev_files = fset
-    return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+    return local_df(spark, rows, _HISTORY_SCHEMA)
 
 
 def table_files(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -166,13 +168,13 @@ def table_files(spark: SparkSession, path: str, version: int | None = None) -> D
                 len(eqa.get(f, [])),
             )
         )
-    return spark.createDataFrame(rows, _FILES_SCHEMA)
+    return local_df(spark, rows, _FILES_SCHEMA)
 
 
 def table_refs(spark: SparkSession, path: str) -> DataFrame:
     """Named refs (tags/branches) as a relation."""
     rows = [(name, r["type"], r["version"]) for name, r in sorted(list_refs(path).items())]
-    return spark.createDataFrame(rows, _REFS_SCHEMA)
+    return local_df(spark, rows, _REFS_SCHEMA)
 
 
 def table_partitions(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -223,8 +225,8 @@ def table_partitions(spark: SparkSession, path: str, version: int | None = None)
     rows = [
         (sid, part, n, r, b) for (sid, part), (n, r, b) in sorted(groups.items())
     ]
-    return spark.createDataFrame(
-        rows, "spec_id int, partition string, n_files int, n_rows bigint, bytes bigint"
+    return local_df(
+        spark, rows, "spec_id int, partition string, n_files int, n_rows bigint, bytes bigint"
     )
 
 
@@ -245,7 +247,7 @@ def table_eq_deletes(spark: SparkSession, path: str, version: int | None = None)
         (eid, ",".join(e["cols"]), sum(_file_row_count(f) for f in e["files"]), scope.get(eid, 0))
         for eid, e in sorted(_eq_entries(m).items())
     ]
-    return spark.createDataFrame(rows, "entry string, cols string, keys bigint, files_scoped int")
+    return local_df(spark, rows, "entry string, cols string, keys bigint, files_scoped int")
 
 
 def table_blooms(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -282,7 +284,8 @@ def table_blooms(spark: SparkSession, path: str, version: int | None = None) -> 
                     e.get("algo"),
                 )
             )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "file string, col string, phys_col string, m_bits bigint, k int, "
         "n_rows bigint, fpp double, algo string",
@@ -602,8 +605,8 @@ def plan_maintenance(
                     f"{len(reclaim)} unreferenced files",
                 )
             )
-    return spark.createDataFrame(
-        rows, "action string, target string, files int, bytes bigint, "
+    return local_df(
+        spark, rows, "action string, target string, files int, bytes bigint, "
         "rows bigint, detail string",
     )
 

@@ -1060,8 +1060,10 @@ def execute_sql(
     if m:
         from fdf_spark.sources.versioned import table_properties
 
-        return spark.createDataFrame(
-            sorted(table_properties(path).items()), "key string, value string"
+        from fdf_spark.sources.tables import local_df
+
+        return local_df(
+            spark, sorted(table_properties(path).items()), "key string, value string"
         )
     m = _SHOW_PARTS_RE.match(stmt)
     if m:
@@ -1279,7 +1281,9 @@ def _describe(spark: SparkSession, path: str, kind: str) -> DataFrame:
             )
             for c, s in sorted(cs["columns"].items())
         ]
-        return spark.createDataFrame(rows, schema)
+        from fdf_spark.sources.tables import local_df
+
+        return local_df(spark, rows, schema)
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
@@ -1300,7 +1304,10 @@ def _describe(spark: SparkSession, path: str, kind: str) -> DataFrame:
         len(list_check_constraints(path)),
         len(list_refs(path)),
     )
-    return spark.createDataFrame(
+    from fdf_spark.sources.tables import local_df
+
+    return local_df(
+        spark,
         [row],
         "version int, num_files int, size_bytes bigint, num_rows bigint, "
         "partition_spec string, num_constraints int, num_refs int",
