@@ -625,18 +625,20 @@ def simhash(
     # rows: the explode would multiply the token relation ×bits before
     # its shuffle, while these sums combine map-side (the minhash fold
     # pattern) so the only exchange carries one row per document.
+    # The per-bit expressions are PARSED (F.expr), not Column-composed:
+    # each Column operator is a py4j round trip, and bits×~9 calls of
+    # construction cost more driver time than the query's execution
+    # (r14 — same finding as similarity._lit_vec; values identical,
+    # the parsed tree is the same expression).
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"_v{b}")
         for b in range(bits)
     ]
-    fingerprint = None
-    for b in range(bits):
-        term = F.shiftleft((F.col(f"_v{b}") >= 0).cast("bigint"), b)
-        fingerprint = term if fingerprint is None else fingerprint + term
+    fingerprint = F.expr(
+        " + ".join(f"shiftleft(cast((_v{b} >= 0) as bigint), {b})" for b in range(bits))
+    )
     return hashed.groupBy(id_col).agg(*votes).select(
         F.col(id_col), fingerprint.alias("simhash")
     )
@@ -810,22 +812,25 @@ def simhash128(
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("h0"),
         F.conv(F.substring(md5, 17, 15), 16, 10).cast("long").alias("h1"),
     )
+    # parsed per-bit expressions — see :func:`simhash` (r14): the
+    # 2×bits Column-composed vote sums cost ~3 s of py4j/driver time
+    # per plan build; the parsed form is the identical expression
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"h{w}"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h{w}, {b}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"_v{w}_{b}")
         for w in range(2)
         for b in range(bits_per_word)
     ]
-    words = []
-    for w in range(2):
-        word = None
-        for b in range(bits_per_word):
-            term = F.shiftleft((F.col(f"_v{w}_{b}") >= 0).cast("bigint"), b)
-            word = term if word is None else word + term
-        words.append(word)
+    words = [
+        F.expr(
+            " + ".join(
+                f"shiftleft(cast((_v{w}_{b} >= 0) as bigint), {b})"
+                for b in range(bits_per_word)
+            )
+        )
+        for w in range(2)
+    ]
     return hashed.groupBy(id_col).agg(*votes).select(
         F.col(id_col), F.array(*words).alias("simhash")
     )

@@ -685,10 +685,13 @@ def kmeans_refine(
     dim = len(corpus.select(corpus_vec).first()[0])
     cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
     for _ in range(iters):
+        # parsed expressions (r14): dim Column-composed aggregates cost
+        # more py4j/driver time per iteration than the scan they drive;
+        # the parsed tree is the identical expression
         aggs = [
-            (
-                F.sum(F.col(corpus_vec)[i].cast("double").cast("decimal(25,6)")).cast("double")
-                / F.count("*")
+            F.expr(
+                f"cast(sum(cast(cast(`{corpus_vec}`[{i}] as double) as decimal(25,6))) "
+                f"as double) / count(*)"
             ).alias(f"m{i}")
             for i in range(dim)
         ]
