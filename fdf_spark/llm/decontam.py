@@ -94,6 +94,7 @@ def semantic_decontaminate_indexed(
     bench_vec: str = "bench_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    probe_mode: str = "expr",
 ) -> DataFrame:
     """Semantic decontamination against a PERSISTED IVF index
     (``llm/similarity.write_ivf_index``'s cell-partitioned layout) —
@@ -120,7 +121,7 @@ def semantic_decontaminate_indexed(
     from fdf_spark.llm.similarity import _ivf_index_probes, cosine
 
     probes, cells = _ivf_index_probes(
-        spark, index_path, benchmark, bench_id, bench_vec, nprobe
+        spark, index_path, benchmark, bench_id, bench_vec, nprobe, probe_mode
     )
     corpus = spark.read.parquet(f"{index_path}/corpus").filter(F.col("cell").isin(cells))
     scored = (

@@ -299,6 +299,7 @@ def ivf_ann_topk(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     assign_mode: str = "expr",
+    probe_mode: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via an inverted-file (IVF) coarse quantizer.
 
@@ -314,13 +315,16 @@ def ivf_ann_topk(
     :func:`ivf_assign`).
     """
     cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
-    probes = queries.select(
-        query_id,
-        query_vec,
-        F.explode(
-            F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
-        ).alias("__pr"),
-    ).select(query_id, query_vec, F.col("__pr")["cent_id"].alias("cell"))
+    if probe_mode == "arrow":
+        probes = _cells_arrow(queries, cents, nprobe, query_id, query_vec)
+    else:
+        probes = queries.select(
+            query_id,
+            query_vec,
+            F.explode(
+                F.slice(F.array_sort(_cell_scores(F.col(query_vec), cents)), 1, nprobe)
+            ).alias("__pr"),
+        ).select(query_id, query_vec, F.col("__pr")["cent_id"].alias("cell"))
     cand = assigned.join(F.broadcast(probes), "cell")
     if exclude_self:
         cand = cand.filter(F.col(query_id) != F.col(corpus_id))
@@ -473,7 +477,8 @@ def ivf_probe_pruned(
 
 
 def _ivf_index_probes(
-    spark, index_path: str, df: DataFrame, id_col: str, vec_col: str, nprobe: int
+    spark, index_path: str, df: DataFrame, id_col: str, vec_col: str, nprobe: int,
+    probe_mode: str = "expr",
 ) -> tuple[DataFrame, list[int]]:
     """Shared probe construction over a :func:`write_ivf_index` layout:
     load the centroid sidecar, build the per-row (id, vec, cell) probe
@@ -490,13 +495,16 @@ def _ivf_index_probes(
             key=lambda r: r["cent_id"],
         )
     ]
-    probes = df.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.slice(F.array_sort(_cell_scores(F.col(vec_col), cents)), 1, nprobe)
-        ).alias("__pr"),
-    ).select(id_col, vec_col, F.col("__pr")["cent_id"].alias("cell")).localCheckpoint()
+    if probe_mode == "arrow":
+        probes = _cells_arrow(df, cents, nprobe, id_col, vec_col).localCheckpoint()
+    else:
+        probes = df.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.slice(F.array_sort(_cell_scores(F.col(vec_col), cents)), 1, nprobe)
+            ).alias("__pr"),
+        ).select(id_col, vec_col, F.col("__pr")["cent_id"].alias("cell")).localCheckpoint()
     cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     return probes, cells
 
@@ -1117,6 +1125,7 @@ def ivf_pq_ann_topk(
     encode_mode: str = "expr",
     by_residual: bool = False,
     train_iters: int = 0,
+    probe_mode: str = "expr",
 ) -> DataFrame:
     """IVF-PQ composition — the FAISS ``IVFx,PQy`` layout actually
     deployed at 100 TB: the coarse quantizer prunes WHICH vectors are
@@ -1156,7 +1165,8 @@ def ivf_pq_ann_topk(
         assign_mode, encode_mode, corpus_id, corpus_vec,
     )
     probes = _ivf_pq_probes(
-        queries, cents, books, nprobe, m, ks, dim, by_residual, query_id, query_vec
+        queries, cents, books, nprobe, m, ks, dim, by_residual, query_id, query_vec,
+        probe_mode,
     )
     scored = codes.join(F.broadcast(probes), "cell")
     return _adc_score_topk(
@@ -1212,7 +1222,7 @@ def _ivf_pq_build(
     return cents, books, codes
 
 
-def _ivf_pq_probes(
+def _probes_arrow(
     queries: DataFrame,
     cents,
     books,
@@ -1224,8 +1234,151 @@ def _ivf_pq_probes(
     query_id: str,
     query_vec: str,
 ) -> DataFrame:
+    """Arrow probe tier (r14): numerically identical to the expression
+    path of :func:`_ivf_pq_probes` — cosine cell routing uses the
+    :func:`_assign_arrow` contract (sequential fold, 6 dp half-away
+    rounding; −0.0 and +0.0 order equal under numpy exactly as the
+    rounded expression path's BigDecimal zero does under Java), probe
+    order is ascending (−cos, cent_id) like the expr path's struct
+    sort, the residual is the same float64 subtraction, and LUT
+    entries replay the ``_l2_sub`` fold (sequential squared-diff sum,
+    round 6 dp half-up — non-negative, so half-away == half-up; the
+    :func:`pq_encode` arrow convention). Equivalence to the expr path
+    is pytest-pinned for both residual modes. The win is DRIVER time:
+    the expr probe tree (cells×dim cosine structs + m×ks×sub LUT
+    lambdas, per projection step) cost ~3.6 s of construction/analysis
+    per plan build against ~0.3 s of execution (q152 profile)."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    ids = np.array([cents[i][0] for i in order], dtype=np.int64)
+    C = np.array([cents[i][1] for i in order], dtype=np.float64)  # (k, d)
+    d = C.shape[1]
+    cn = np.zeros(len(ids))
+    for i in range(d):  # sequential fold == _norm
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+    books_np = np.array(books)  # (m, ks, sub)
+    sub = dim // m
+    npr = min(nprobe, len(ids))
+
+    def gen(batches):
+        for pdf in batches:
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[query_vec]])
+            if not len(pdf):
+                continue
+            dot = np.zeros((len(pdf), len(ids)))
+            for i in range(d):  # sequential fold == _dot
+                dot += x[:, i : i + 1] * C[None, :, i]
+            qn = np.zeros(len(pdf))
+            for i in range(d):
+                qn += x[:, i] * x[:, i]
+            cos = dot / (np.sqrt(qn)[:, None] * cn[None, :])
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            out = {query_id: [], query_vec: [], "cell": [], "lut": []}
+            for r in range(len(pdf)):
+                probe_idx = np.lexsort((ids, -cos[r]))[:npr]
+                for ci in probe_idx:
+                    src = x[r] - C[ci] if by_residual else x[r]
+                    lut = []
+                    for j in range(m):
+                        qsub = src[j * sub : (j + 1) * sub]
+                        acc = np.zeros(ks)
+                        for i in range(sub):  # sequential fold == _l2_sub
+                            t = qsub[i] - books_np[j, :, i]
+                            acc += t * t
+                        lut.append(list(np.floor(acc * 1e6 + 0.5) / 1e6))
+                    out[query_id].append(pdf[query_id].iloc[r])
+                    out[query_vec].append(pdf[query_vec].iloc[r])
+                    out["cell"].append(ids[ci])
+                    out["lut"].append(lut)
+            yield pd.DataFrame(out)
+
+    id_type = queries.schema[query_id].dataType.simpleString()
+    vec_type = queries.schema[query_vec].dataType.simpleString()
+    return queries.select(query_id, query_vec).mapInPandas(
+        gen,
+        schema=(
+            f"{query_id} {id_type}, {query_vec} {vec_type}, "
+            "cell long, lut array<array<double>>"
+        ),
+    )
+
+
+def _cells_arrow(
+    df: DataFrame,
+    cents,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow cell ROUTER (r14): the (id, vec, cell) probe relation of
+    the non-PQ paths, numerically identical to
+    ``explode(slice(array_sort(_cell_scores(…)), 1, nprobe))`` — same
+    rounded-cosine order, ties to the smaller cent_id (the
+    :func:`_probes_arrow` contract, pytest-pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(cents)), key=lambda i: cents[i][0])
+    ids = np.array([cents[i][0] for i in order], dtype=np.int64)
+    C = np.array([cents[i][1] for i in order], dtype=np.float64)
+    d = C.shape[1]
+    cn = np.zeros(len(ids))
+    for i in range(d):  # sequential fold == _norm
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+    npr = min(nprobe, len(ids))
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            dot = np.zeros((len(pdf), len(ids)))
+            qn = np.zeros(len(pdf))
+            for i in range(d):  # sequential fold == _dot
+                dot += x[:, i : i + 1] * C[None, :, i]
+                qn += x[:, i] * x[:, i]
+            cos = dot / (np.sqrt(qn)[:, None] * cn[None, :])
+            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            out = {id_col: [], vec_col: [], "cell": []}
+            for r in range(len(pdf)):
+                for ci in np.lexsort((ids, -cos[r]))[:npr]:
+                    out[id_col].append(pdf[id_col].iloc[r])
+                    out[vec_col].append(pdf[vec_col].iloc[r])
+                    out["cell"].append(ids[ci])
+            yield pd.DataFrame(out)
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, cell long"
+    )
+
+
+def _ivf_pq_probes(
+    queries: DataFrame,
+    cents,
+    books,
+    nprobe: int,
+    m: int,
+    ks: int,
+    dim: int,
+    by_residual: bool,
+    query_id: str,
+    query_vec: str,
+    probe_mode: str = "expr",
+) -> DataFrame:
     """Per-query probe relation (query_id, query_vec, lut, cell) —
     shared by the inline and persisted-index paths."""
+    if probe_mode == "arrow":
+        return _probes_arrow(
+            queries, cents, books, nprobe, m, ks, dim, by_residual, query_id, query_vec
+        )
+    if probe_mode != "expr":
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
     if by_residual:
         # per-(query, probed cell) LUT over the query's residual — must
         # compute after the explode (it genuinely differs per cell).
@@ -1522,6 +1675,7 @@ def ivf_pq_probe_index(
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
     exact_decimal: bool = True,
+    probe_mode: str = "expr",
 ) -> DataFrame:
     """Probe a persisted IVF-PQ index (:func:`write_ivf_pq_index`) —
     identical results to the inline :func:`ivf_pq_ann_topk` with the
@@ -1551,7 +1705,7 @@ def ivf_pq_probe_index(
     # computed twice
     probes = _ivf_pq_probes(
         queries, cents, idx["books"], nprobe, p["m"], p["ks"], p["dim"],
-        p["by_residual"], query_id, query_vec,
+        p["by_residual"], query_id, query_vec, probe_mode,
     ).localCheckpoint()
     # the probed-cell set (bounded: ≤ num_cells values) prunes the
     # manifest file list before Spark ever plans the codes scan

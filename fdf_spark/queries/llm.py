@@ -300,7 +300,8 @@ def q73_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # test_llm::test_assign_modes_agree_and_kmeans_arrow) — the 16×dim
     # interpreted lambda tree is the dominant per-row cost at any scale
     return ivf_ann_topk(
-        queries, emb, k=5, num_cells=16, nprobe=2, assign_mode="arrow"
+        queries, emb, k=5, num_cells=16, nprobe=2, assign_mode="arrow",
+        probe_mode="arrow",
     ).orderBy("query_id", "rank")
 
 
@@ -3563,7 +3564,7 @@ def q151_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r14: arrow assign+encode (bit-identical to expr mode, pytest-pinned)
     return ivf_pq_ann_topk(
-        qs, emb, k=5, assign_mode="arrow", encode_mode="arrow"
+        qs, emb, k=5, assign_mode="arrow", encode_mode="arrow", probe_mode="arrow"
     ).orderBy("query_id", "rank")
 
 
@@ -3664,7 +3665,8 @@ def q152_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r14: arrow assign+encode (bit-identical to expr mode, pytest-pinned)
     return ivf_pq_ann_topk(
-        qs, emb, k=5, by_residual=True, assign_mode="arrow", encode_mode="arrow"
+        qs, emb, k=5, by_residual=True, assign_mode="arrow", encode_mode="arrow",
+        probe_mode="arrow",
     ).orderBy("query_id", "rank")
 
 
@@ -3833,7 +3835,9 @@ def q155_ivf_pq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="fdf_ivfpq_index_")
     # r14: arrow assign+encode for the build (bit-identical, pytest-pinned)
     write_ivf_pq_index(emb, d, assign_mode="arrow", encode_mode="arrow")
-    out = ivf_pq_probe_index(spark, d, qs, k=5).orderBy("query_id", "rank")
+    out = ivf_pq_probe_index(spark, d, qs, k=5, probe_mode="arrow").orderBy(
+        "query_id", "rank"
+    )
     return materialize_and_cleanup(out, d)
 
 
@@ -3979,7 +3983,7 @@ def q157_decontam_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pytest-pinned)
     write_ivf_index(corpus, d, num_cells=16, assign_mode="arrow")
     out = semantic_decontaminate_indexed(
-        spark, d, bench, threshold=0.35, nprobe=2
+        spark, d, bench, threshold=0.35, nprobe=2, probe_mode="arrow"
     ).orderBy("vec_id")
     return materialize_and_cleanup(out, d)
 
@@ -4224,7 +4228,7 @@ def q187_index_sync_via_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ivf_pq_probe_index(
             spark, ip, qs, k=5, nprobe=64, rerank=10**6,
-            corpus=read_version(spark, cp),
+            corpus=read_version(spark, cp), probe_mode="arrow",
         ).orderBy("query_id", "rank")
         rows = out.collect()
         from fdf_spark.sources.tables import local_df

@@ -921,6 +921,68 @@ def test_lit_vec_bitwise_identical(spark):
     assert pack(r.a) == pack(r.b)
 
 
+def test_ivf_pq_probe_modes_agree(spark, emb):
+    # r14: the Arrow probe tier must reproduce the expression probe
+    # relation EXACTLY — same probed cells per query (rounded-cosine
+    # order, ties to smaller cent_id) and bitwise-equal LUT entries —
+    # for both residual modes
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.similarity import _ivf_pq_build, _ivf_pq_probes
+
+    qs = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    for by_residual in (False, True):
+        cents, books, _ = _ivf_pq_build(
+            emb, 8, 8, 8, 64, by_residual, 0, "arrow", "arrow", "vec_id", "embedding"
+        )
+        def rel(mode):
+            rows = _ivf_pq_probes(
+                qs, cents, books, 3, 8, 8, 64, by_residual,
+                "query_id", "query_vec", mode,
+            ).collect()
+            return sorted(
+                (
+                    r["query_id"],
+                    r["cell"],
+                    tuple(
+                        tuple(_struct.pack("<d", x) for x in sub) for sub in r["lut"]
+                    ),
+                )
+                for r in rows
+            )
+        a, b = rel("expr"), rel("arrow")
+        assert a == b and len(a) == 7 * 3, f"by_residual={by_residual}"
+
+
+def test_cells_arrow_matches_expr_router(spark, emb):
+    # r14: the arrow cell router must emit the identical (id, cell)
+    # probe relation as explode(slice(array_sort(_cell_scores), 1, n))
+    from pyspark.sql import functions as F
+
+    from fdf_spark.llm.similarity import _cell_scores, _cells_arrow, ivf_assign
+
+    cents, _ = ivf_assign(emb, num_cells=8)
+    qs = emb.filter(F.col("vec_id") < 9).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    expr = qs.select(
+        "qid",
+        F.explode(
+            F.slice(F.array_sort(_cell_scores(F.col("qv"), cents)), 1, 3)
+        ).alias("__pr"),
+    ).select("qid", F.col("__pr")["cent_id"].alias("cell"))
+    want = sorted((r.qid, r.cell) for r in expr.collect())
+    got = sorted(
+        (r.qid, r.cell)
+        for r in _cells_arrow(qs, cents, 3, "qid", "qv").select("qid", "cell").collect()
+    )
+    assert want == got and len(got) == 9 * 3
+
+
 def test_semantic_dedup_pair_stage_matches_join_fold(spark, emb):
     # r14: the vectorized within-cell pair stage must reproduce the old
     # cell-keyed self-join + interpreted cosine fold exactly — same
