@@ -2731,6 +2731,27 @@ def unregister_versioned_view(spark: SparkSession, name: str) -> None:
         spark.catalog.dropTempView(f"{name}_{sub}")
 
 
+def _diff_scan_cap(df: DataFrame, files) -> DataFrame:
+    """Cap a CHANGED-FILES scan at its byte-derived split count.
+
+    The local session floors every scan at ``minPartitionNum`` (cores)
+    so full-table fixture reads parallelize, but a diff reads only the
+    files a commit touched — often a few KB — and the floor turns each
+    tiny side into 32 near-empty tasks (guide §2.1/§6: task scheduling
+    overhead, many small stages). ``coalesce`` to the 128 MB-split
+    count merges the narrow scan chain without an exchange; it never
+    INCREASES partitions, so on a cluster whose planner already sized
+    splits by bytes this is a no-op, and the cap itself scales with
+    the commit's actual bytes (never a local constant).
+    """
+    try:
+        total = sum(os.path.getsize(f) for f in files)
+    except OSError:
+        return df
+    cap = max(1, -(-total // (128 << 20)))
+    return df.coalesce(cap)
+
+
 def diff_versions(
     spark: SparkSession, path: str, v_from: int, v_to: int
 ) -> DataFrame:
@@ -2798,9 +2819,12 @@ def diff_versions(
         # are invisible on both sides) — but each side's OWN delete
         # masks, positional and equality (a removed file's masked rows
         # were never live at v_from and must not surface as deletes)
-        return _effective_rows(
-            spark,
-            {**m_to, "delete_files": dv, "eq_applies": eqa, "eq_deletes": eqd},
+        return _diff_scan_cap(
+            _effective_rows(
+                spark,
+                {**m_to, "delete_files": dv, "eq_applies": eqa, "eq_deletes": eqd},
+                files,
+            ),
             files,
         )
 
@@ -2822,7 +2846,10 @@ def diff_versions(
         all_t = {t for ts in newly_masked.values() for t in ts}
         if sum(os.path.getsize(t) for t in all_t) < (32 << 20):
             tomb = F.broadcast(tomb)
-        rows = _load_physical_with_pos(spark, m_to, sorted(newly_masked))
+        rows = _diff_scan_cap(
+            _load_physical_with_pos(spark, m_to, sorted(newly_masked)),
+            sorted(newly_masked),
+        )
         dv_deleted = _to_logical(
             rows.join(
                 tomb,
@@ -2928,41 +2955,24 @@ def table_changes(
         ):
             continue  # metadata-only commit — nothing happened to rows
         if v == 1:
-            d = read_version(spark, path, version=1).withColumn(
-                "change", F.lit("insert")
-            )
+            # commit 1's "diff" is the table's initial rows; cap its
+            # task count like any other diff side (the v1 manifest
+            # names the commit's files)
+            d = _diff_scan_cap(
+                read_version(spark, path, version=1), m_cur["files"]
+            ).withColumn("change", F.lit("insert"))
         else:
             d = diff_versions(spark, path, v - 1, v)
         if keys:
-            ins = d.filter(F.col("change") == "insert").drop("change")
-            dels = d.filter(F.col("change") == "delete").drop("change")
-            # keys present on BOTH sides of this one commit are updates;
-            # intersect/semi/anti all run on O(this commit's delta), and
-            # duplicate keys simply classify every row of that key
-            both = ins.select(*keys).intersect(dels.select(*keys))
-            d = (
-                dels.join(both, keys, "left_anti")
-                .withColumn("_change_type", F.lit("delete"))
-                .unionByName(
-                    dels.join(both, keys, "left_semi").withColumn(
-                        "_change_type", F.lit("update_preimage")
-                    )
+            missing = [k for k in keys if k not in d.columns]
+            if missing:
+                raise ValueError(
+                    f"key columns {missing} not in commit {v}'s schema"
                 )
-                .unionByName(
-                    ins.join(both, keys, "left_anti").withColumn(
-                        "_change_type", F.lit("insert")
-                    )
-                )
-                .unionByName(
-                    ins.join(both, keys, "left_semi").withColumn(
-                        "_change_type", F.lit("update_postimage")
-                    )
-                )
-            )
-        else:
-            d = d.withColumnRenamed("change", "_change_type")
         ts = eff_ts.get(v)
-        d = d.withColumn("_commit_version", F.lit(v).cast("long")).withColumn(
+        d = d.withColumnRenamed("change", "_change_type").withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        ).withColumn(
             "_commit_timestamp",
             F.timestamp_seconds(F.lit(ts)) if ts is not None
             else F.lit(None).cast("timestamp"),
@@ -2979,6 +2989,35 @@ def table_changes(
     out = steps[0]
     for s in steps[1:]:
         out = out.unionByName(s, allowMissingColumns=True)
+    if keys:
+        # keys present on BOTH sides of one commit are updates. r15:
+        # classified in ONE window pass over the unioned feed (was a
+        # per-commit intersect + 4 joins — O(commits) shuffling plan
+        # sections, guide §2.4); one partitionBy(commit, keys) exchange
+        # still runs on O(the range's delta), never O(table), and
+        # duplicate keys simply classify every row of that key.  A row
+        # with ANY NULL key column never reclassifies — the join-based
+        # classifier's null-unsafe equality pinned that semantics
+        # (tests/test_versioned.py) and the guard reproduces it.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_commit_version", *keys)
+        raw = F.col("_change_type")
+        upd = (
+            (F.max(F.when(raw == "insert", 1).otherwise(0)).over(w) == 1)
+            & (F.max(F.when(raw == "delete", 1).otherwise(0)).over(w) == 1)
+        )
+        for k in keys:
+            upd = upd & F.col(k).isNotNull()
+        out = out.withColumn(
+            "_change_type",
+            F.when(
+                upd,
+                F.when(raw == "delete", F.lit("update_preimage")).otherwise(
+                    F.lit("update_postimage")
+                ),
+            ).otherwise(raw),
+        )
     return out
 
 
