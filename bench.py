@@ -7,6 +7,15 @@ ONE JSON line:
 The metric is total wall time over the headline set (lower is better).
 Each query is executed with a count-style action that forces the full
 plan without collecting result rows to the driver.
+
+``python bench.py --sweep`` additionally times EVERY registered query
+(min-of-2 noop-sink runs, same session/warmup/env-var contract) and
+prints one JSON line with metric ``registry_sweep_total_wall_sec`` —
+the full-registry artifact VERDICT r14 #5 asked for, since the
+headline set is fixed-overhead-saturated at sf0.1 (its 8-core and
+32-core totals are equal) while most optimization movement lands in
+the registry tail.  The default invocation is byte-for-byte the same
+measurement as every prior round.
 """
 
 from __future__ import annotations
@@ -103,6 +112,10 @@ def main() -> None:
     for name in names:
         runs: list[float] = []
         for _ in range(3):
+            # structural guarantee that rep 2/3 never read a cache rep 1
+            # populated (VERDICT r14 #3: no headline query persists today,
+            # but nothing enforced it) — outside the timed region
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = registry[name].fn(spark, SF_DIR)
             # force full execution without driver-side result transfer
@@ -112,6 +125,7 @@ def main() -> None:
         timings[name] = min(runs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     out = {
         "metric": "headline_queries_total_wall_sec",
         "value": round(sum(timings.values()), 4),
@@ -121,9 +135,27 @@ def main() -> None:
         # about cross-run noise (VERDICT r11 #6) — "value" stays the
         # min-of-3 total, same shape as every prior round
         "runs": all_runs,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     print(json.dumps(out))
+
+    if "--sweep" in sys.argv:
+        sweep: dict[str, float] = {}
+        for name, q in registry.items():
+            runs = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 4))
+            sweep[name] = min(runs)
+        print(json.dumps({
+            "metric": "registry_sweep_total_wall_sec",
+            "value": round(sum(sweep.values()), 4),
+            "unit": "sec",
+            "queries": sweep,
+            "sf": sf_val,
+        }))
     spark.stop()
 
 

@@ -38,7 +38,21 @@ SUM_DECIMAL = "decimal(18,6)"
 
 
 def dsum(col: Column | str) -> Column:
-    """Order-independent sum of a double column (exact decimal accumulate)."""
+    """Order-independent sum of a double column (exact decimal accumulate).
+
+    Envelope (ADVICE r14): the per-row cast is decimal(18,6) — 12
+    integer digits — while the oracle twin :func:`sql_dsum` accumulates
+    at DECIMAL(25,6).  Under ANSI mode (Spark 4's DEFAULT, verified on
+    and relied upon here) an out-of-envelope value ``|v| >= 10^12``
+    RAISES ``NUMERIC_VALUE_OUT_OF_RANGE`` at execution — the loud
+    failure the envelope needs, at zero per-row guard cost (an explicit
+    per-row range check measured +10% on the whole headline decimal
+    family; ``tests/test_transforms.py::test_dsum_envelope_guard`` pins
+    the raise so an ansi=false session can't silently reintroduce the
+    drop).  NaN/Inf are the inputs ANSI still casts to NULL silently —
+    and DuckDB's DECIMAL cast errors on them — so non-finite measures
+    must be cleaned upstream of dsum; no fixture column carries them
+    (two-SF oracle sweeps)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(SUM_DECIMAL)).cast("double")
 

@@ -39,8 +39,48 @@ def _lit_vec(xs) -> Column:
     ``array(…)`` expression). Values are bit-identical: ``repr`` of a
     Python float is the shortest decimal that round-trips, and Spark's
     ``1.5D`` double literal parses with ``Double.parseDouble`` —
-    bitwise equality is asserted in test_llm."""
-    return F.expr("array(" + ",".join(repr(float(x)) + "D" for x in xs) + ")")
+    bitwise equality is asserted in test_llm.  Non-finite elements
+    (``repr`` gives ``nan``/``inf``, which the SQL parser rejects as
+    ``nanD``) fall back to the per-element ``F.lit`` path, which
+    builds valid NaN/Infinity literals (ADVICE r14)."""
+    vals = [float(x) for x in xs]
+    if not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
+def _round6_np(a):
+    """Vectorized 6-dp round matching ``F.round`` EXACTLY — including
+    at the ×1e6 half-way boundary (VERDICT r14 #8 / ADVICE r14).
+
+    Fast path: ``sign(x)·floor(|x|·1e6+0.5)/1e6`` (half-away-from-zero
+    in binary float64).  Spark's ``Round`` on a double is
+    ``BigDecimal.valueOf(x).setScale(6, HALF_UP)`` — DECIMAL arithmetic
+    on the shortest repr — so a value whose shortest decimal repr
+    terminates exactly at a 7th-digit 5 (e.g. ``5e-07``: scaled binary
+    product is 0.4999…94, floors DOWN; BigDecimal rounds UP) can
+    diverge.  Elements within ~an ulp of a half boundary therefore take
+    a scalar fixup through Python ``Decimal(repr(x))`` —
+    ``repr``/``Double.toString`` are both shortest-round-trip and
+    ``ROUND_HALF_UP`` matches Java's (away from zero) — which replays
+    the JVM result bit-for-bit.  The band is empty on real cosine/L2
+    folds (pytest boundary pin + two-SF oracle sweeps), so the hot path
+    stays one vectorized pass."""
+    import numpy as np
+
+    r = np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5) / 1e6
+    y = np.abs(a) * 1e6
+    frac = y - np.floor(y)
+    near = (np.abs(frac - 0.5) < 1e-8) & np.isfinite(a)
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        r[near] = [
+            float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+            for v in np.asarray(a)[near]
+        ]
+    return r
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -156,7 +196,7 @@ def _assign_arrow(
                 dot += x[:, i : i + 1] * c[None, :, i]
                 xn += x[:, i] * x[:, i]
             cos = dot / (np.sqrt(xn)[:, None] * cn[None, :])
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            cos = _round6_np(cos)  # 6 dp, F.round-exact incl. half boundaries
             yield pd.DataFrame(
                 {
                     corpus_id: pdf[corpus_id],
@@ -176,6 +216,7 @@ def all_pairs_cosine(
     threshold: float,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ ``threshold`` → (id_a, id_b, cos_sim),
     id_a < id_b — the oracle-checkable twin of the LSH/IVF candidate
@@ -201,13 +242,33 @@ def all_pairs_cosine(
     The corpus broadcast here is the same relation Spark's BNLJ
     broadcast built; each task scores its row block against it with
     one vectorized pass per dimension, blocked to bound the score
-    matrix, and ships only qualifying pairs back.
+    matrix, and ships only qualifying pairs back.  Because the
+    relation is COLLECTED to the driver before broadcasting,
+    ``max_rows`` fails fast (one cheap count, before any vector bytes
+    move) when the corpus outgrows the exact tier — rather than
+    silently OOMing the driver on an input the LSH/IVF tiers should
+    own.  Rounding caveat: the numpy half-away emulation
+    (``floor(|x|·1e6+0.5)``) matches ``F.round``'s
+    BigDecimal-on-shortest-repr semantics on every fixture and is
+    pytest-pinned, but a value whose shortest decimal repr terminates
+    exactly at a 7th-digit 5 could in principle round differently —
+    see ``test_round6_half_boundary_parity``.
     """
     import numpy as np
     import pandas as pd
 
     from fdf_spark.sources.tables import spread
 
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"all_pairs_cosine is the exact (quadratic, driver-collected) "
+            f"tier: corpus has {n} rows > max_rows={max_rows}. Use the "
+            f"LSH (lsh_ann_topk), IVF (ivf_ann_topk/ivf_pq_ann_topk) or "
+            f"SemDeDup (semantic_dedup) candidate tiers at this scale, "
+            f"or raise max_rows explicitly if the driver truly has the "
+            f"memory."
+        )
     rows = corpus.select(corpus_id, corpus_vec).collect()
     rows.sort(key=lambda r: r[0])
     ids_all = np.array([r[0] for r in rows], dtype=np.int64)
@@ -234,7 +295,7 @@ def all_pairs_cosine(
                     dot += X[:, i : i + 1] * B[None, :, i]
                     xn += X[:, i] * X[:, i]
                 cos = dot / (np.sqrt(xn)[:, None] * bn[None, :])
-                cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+                cos = _round6_np(cos)  # 6 dp, F.round-exact incl. half boundaries
                 mask = (ida[:, None] < ids_b[None, :]) & (cos >= threshold)
                 ai, bi = np.nonzero(mask)
                 yield pd.DataFrame(
@@ -315,6 +376,8 @@ def ivf_ann_topk(
     :func:`ivf_assign`).
     """
     cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
+    if probe_mode not in ("expr", "arrow"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")  # ADVICE r14
     if probe_mode == "arrow":
         probes = _cells_arrow(queries, cents, nprobe, query_id, query_vec)
     else:
@@ -395,7 +458,7 @@ def semantic_dedup(
             for i in range(d):  # sequential fold == _dot
                 dot += X[lo:hi, i : i + 1] * X[None, :, i]
             cos = dot / (n[lo:hi, None] * n[None, :])
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            cos = _round6_np(cos)  # 6 dp, F.round-exact incl. half boundaries
             mask = (ids[lo:hi, None] < ids[None, :]) & (cos >= threshold)
             hit |= mask.any(axis=0)
         return pd.DataFrame({corpus_id: ids[hit]})
@@ -495,6 +558,8 @@ def _ivf_index_probes(
             key=lambda r: r["cent_id"],
         )
     ]
+    if probe_mode not in ("expr", "arrow"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")  # ADVICE r14
     if probe_mode == "arrow":
         probes = _cells_arrow(df, cents, nprobe, id_col, vec_col).localCheckpoint()
     else:
@@ -820,7 +885,7 @@ def pq_encode(
                     for i in range(sub):  # sequential i-order == expr fold
                         d = xj[:, i : i + 1] - books_np[j][None, :, i]
                         acc += d * d
-                    dist = np.floor(acc * 1e6 + 0.5) / 1e6  # half-up (dists >= 0)
+                    dist = _round6_np(acc)  # half-up (dists >= 0), F.round-exact
                     codes[:, j] = np.argmin(dist, axis=1)  # first min == smaller ord
                 yield pd.DataFrame(
                     {
@@ -1275,7 +1340,7 @@ def _probes_arrow(
             for i in range(d):
                 qn += x[:, i] * x[:, i]
             cos = dot / (np.sqrt(qn)[:, None] * cn[None, :])
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            cos = _round6_np(cos)  # 6 dp, F.round-exact incl. half boundaries
             out = {query_id: [], query_vec: [], "cell": [], "lut": []}
             for r in range(len(pdf)):
                 probe_idx = np.lexsort((ids, -cos[r]))[:npr]
@@ -1288,7 +1353,7 @@ def _probes_arrow(
                         for i in range(sub):  # sequential fold == _l2_sub
                             t = qsub[i] - books_np[j, :, i]
                             acc += t * t
-                        lut.append(list(np.floor(acc * 1e6 + 0.5) / 1e6))
+                        lut.append(list(_round6_np(acc)))
                     out[query_id].append(pdf[query_id].iloc[r])
                     out[query_vec].append(pdf[query_vec].iloc[r])
                     out["cell"].append(ids[ci])
@@ -1342,7 +1407,7 @@ def _cells_arrow(
                 dot += x[:, i : i + 1] * C[None, :, i]
                 qn += x[:, i] * x[:, i]
             cos = dot / (np.sqrt(qn)[:, None] * cn[None, :])
-            cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            cos = _round6_np(cos)  # 6 dp, F.round-exact incl. half boundaries
             out = {id_col: [], vec_col: [], "cell": []}
             for r in range(len(pdf)):
                 for ci in np.lexsort((ids, -cos[r]))[:npr]:

@@ -1877,20 +1877,24 @@ def q76_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     # r14: ``kept`` feeds THREE consumers (the id spine, language_id,
-    # text_stats); unpersisted, each one re-ran the sha256 dedup AND
-    # the whole shingle/jaccard pipeline. Persist only the ID-LEVEL
+    # text_stats); unmaterialized, each one re-ran the sha256 dedup AND
+    # the whole shingle/jaccard pipeline. Pin only the ID-LEVEL
     # decisions (survivor ids, near-dup removals — 8 B/row, never the
     # text), so the expensive passes run once and each consumer
     # re-derives ``kept`` as a cheap scan + two id-joins (guide §5:
     # cache the small decision relation, not the payload; measured
     # min-of-3 at sf0.1: 5.71 s → 2.55 s, cold first run 28 s → 7 s).
-    surv_ids = exact_dedup(docs).select("doc_id").persist()
+    # r15: localCheckpoint, not persist — a registry query has no
+    # post-collect unpersist hook, and persist()'s CacheManager entry
+    # outlives the query; checkpoint blocks are GC-reclaimed with the
+    # DataFrame (VERDICT r14 #3).
+    surv_ids = exact_dedup(docs).select("doc_id").localCheckpoint()
     sdocs = docs.join(surv_ids, "doc_id", "left_semi")
     removed = (
         ngram_jaccard_pairs(sdocs, threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     kept = sdocs.join(removed, "doc_id", "left_anti")
     lang = language_id(kept).filter(F.col("pred_lang") == "en").select("doc_id")
@@ -3103,12 +3107,13 @@ def q120_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.llm.lmscore import score_docs, train_unigram_lm
 
     docs = T(spark, sf_dir, "documents")
-    # the LM is vocab-sized (tiny vs the corpus); persist it so the
-    # scoring pass and the OOV-scalar agg reuse one training scan
-    # instead of recomputing the count subtree per consumer. The cache
-    # is deliberately left to the session (a registry query has no
-    # post-collect hook to unpersist from): ~|vocab| rows per run.
-    lm = train_unigram_lm(docs).persist()
+    # the LM is vocab-sized (tiny vs the corpus); materialize it once
+    # (localCheckpoint) so the scoring pass and the OOV-scalar agg
+    # reuse one training scan instead of recomputing the count subtree
+    # per consumer — and, unlike persist(), the blocks are GC-reclaimed
+    # with the DataFrame instead of living in CacheManager until the
+    # session dies (VERDICT r14 #3).
+    lm = train_unigram_lm(docs).localCheckpoint()
     return (
         score_docs(docs, lm)
         .orderBy("avg_logp", "doc_id")
@@ -3236,18 +3241,19 @@ def q125_pipeline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.llm.sharding import assign_token_shards
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    # persist the NARROW stage verdicts (doc_id-only survivor sets, not
+    # pin the NARROW stage verdicts (doc_id-only survivor sets, not
     # the text-bearing relations — ~8 B/row, same footprint class as
     # q120's vocab cache): the expensive per-stage aggregations (sha2
     # dedup groupBy, shingle profile) compute once; each downstream
     # consumer rebuilds its text view with a cheap scan + semi-join
-    # against the cached ids. In production these verdicts ARE the
-    # landed inter-stage tables.
-    surv = exact_dedup(docs).select("doc_id").persist()
+    # against the pinned ids. In production these verdicts ARE the
+    # landed inter-stage tables. localCheckpoint (not persist) so the
+    # blocks die with the query, not the session (VERDICT r14 #3).
+    surv = exact_dedup(docs).select("doc_id").localCheckpoint()
     sdocs = docs.join(surv, "doc_id", "left_semi")
     bench = sdocs.filter(F.col("doc_id") % 97 == 0)
     prof = decontaminate(sdocs, bench, n=3, threshold=0.2)
-    clean_ids = prof.filter(~F.col("contaminated")).select("doc_id").persist()
+    clean_ids = prof.filter(~F.col("contaminated")).select("doc_id").localCheckpoint()
     clean = sdocs.join(clean_ids, "doc_id", "left_semi")
     mixed = mix_corpus(clean, _MIX_WEIGHTS, budget_tokens=2000)
     shards = assign_token_shards(mixed, n_shards=4, tokens_col="n_tokens")
@@ -3338,7 +3344,7 @@ def q126_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = emb.select(
         ((x0 + x1) > 0).cast("double").alias("y"),
         *[F.col("embedding").getItem(j).cast("double").alias(f"x{j}") for j in range(dim)],
-    ).persist()
+    ).localCheckpoint()
     w, b = train_logreg(feats, xcols, "y", iters=3, lr=0.5)
     scored = score_logreg(feats, xcols, w, b)
     out = (

@@ -106,11 +106,21 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     test_llm), no Python at execution, ~0.1 s.
 
     Falls back to the classic path when the exactness envelope is not
-    guaranteed symmetric: temporal columns (collect() hands back
-    datetimes localized by the CLASSIC path's rules; re-ingesting them
-    through Arrow applies the session-timezone rules instead) and
-    float NaN payloads (an object-dtype NaN can arrive as null through
-    Arrow). Empty inputs stay classic too — plan-only, already cheap.
+    guaranteed symmetric: NESTED temporal columns (arrays/structs of
+    datetimes — the classic path's per-element localization rules are
+    not replicated there) and float NaN payloads (an object-dtype NaN
+    can arrive as null through Arrow). Empty inputs stay classic too —
+    plan-only, already cheap.
+
+    TOP-LEVEL temporal columns go through Arrow since r15 (VERDICT r14
+    #10): each value is normalized to the exact internal micros the
+    CLASSIC ingest would store — naive datetimes through
+    ``time.mktime`` (OS-local, the classic ``TimestampType.toInternal``
+    rule, independent of the session timezone), aware ones through
+    ``utctimetuple`` — and handed to Arrow as a tz-aware UTC timestamp,
+    which Spark stores verbatim regardless of session tz.  Bitwise
+    equality incl. a non-UTC session tz is pinned in
+    tests/test_transforms.py.
     """
     from pyspark.sql.types import DataType, DateType, StructType, TimestampType, TimestampNTZType
 
@@ -137,6 +147,13 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         kt, vt = getattr(dt, "keyType", None), getattr(dt, "valueType", None)
         return (kt is not None and temporal(kt)) or (vt is not None and temporal(vt))
 
+    def nested_temporal(dt) -> bool:
+        # temporal anywhere BELOW the top level (the classic fallback's
+        # remaining scope)
+        return temporal(dt) and not isinstance(
+            dt, (DateType, TimestampType, TimestampNTZType)
+        )
+
     def has_nan(v) -> bool:
         if isinstance(v, float):
             return v != v
@@ -146,15 +163,44 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             return any(has_nan(x) for x in v.values())
         return False
 
-    if any(temporal(f.dataType) for f in st.fields) or any(
+    if any(nested_temporal(f.dataType) for f in st.fields) or any(
         has_nan(v) for row in rows for v in row
     ):
         return spark.createDataFrame(rows, st)
     try:
         import pandas as pd
 
+        def col_series(i: int, f):
+            vals = [row[i] for row in rows]
+            if isinstance(f.dataType, TimestampType):
+                import calendar
+                import time as _time
+
+                def to_utc(v):
+                    if v is None:
+                        return None
+                    # the classic TimestampType.toInternal rule, replayed
+                    sec = (
+                        calendar.timegm(v.utctimetuple())
+                        if v.tzinfo is not None
+                        else _time.mktime(v.timetuple())
+                    )
+                    return pd.Timestamp(
+                        int(sec) * 10**6 + v.microsecond, unit="us", tz="UTC"
+                    )
+
+                return pd.Series([to_utc(v) for v in vals], dtype="datetime64[us, UTC]")
+            if isinstance(f.dataType, TimestampNTZType):
+                # wall-clock semantics: stored as-is on both paths
+                return pd.Series(
+                    [None if v is None else pd.Timestamp(v) for v in vals],
+                    dtype="datetime64[us]",
+                )
+            # DateType carries no tz: date objects round-trip exactly
+            return pd.Series(vals, dtype=object)
+
         pdf = pd.DataFrame(
-            {f.name: pd.Series([row[i] for row in rows], dtype=object) for i, f in enumerate(st.fields)}
+            {f.name: col_series(i, f) for i, f in enumerate(st.fields)}
         )
         return spark.createDataFrame(pdf, st)
     except Exception:

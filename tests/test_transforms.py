@@ -354,3 +354,72 @@ def test_cluster_by_spec_hashes_under_declared_type(spark):
         .collect()
     }
     assert got != runtime
+
+
+def test_dsum_envelope_guard(spark):
+    # r15 (ADVICE r14 medium): dsum accumulates at decimal(18,6) while
+    # its oracle twin uses DECIMAL(25,6).  The envelope is enforced by
+    # ANSI mode (Spark 4 default): an out-of-envelope value must RAISE
+    # at execution, never cast to NULL and silently vanish from the
+    # sum.  This pin is what keeps an ansi=false session from
+    # reintroducing the silent drop unnoticed.
+    import pytest
+
+    from fdf_spark.functions.scalar import dsum
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    ok = spark.createDataFrame([(1.5,), (None,), (-2.25,)], "x double")
+    assert ok.agg(dsum("x")).first()[0] == -0.75
+    for bad_val in (2e12, -1e12):
+        bad = spark.createDataFrame([(1.0,), (bad_val,)], "x double")
+        with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+            bad.agg(dsum("x")).collect()
+
+
+def test_local_df_temporal_bitwise_classic_parity(spark):
+    # r15 (VERDICT r14 #10): top-level temporal columns now take the
+    # Arrow local-relation path; stored instants must equal the classic
+    # pickle path BITWISE — including when the session timezone is not
+    # UTC and when naive datetimes carry the OS-local interpretation.
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from fdf_spark.sources.tables import local_df
+
+    schema = "k int, ts timestamp, d date, tn timestamp_ntz"
+    rows = [
+        Row(1, dt.datetime(2031, 3, 1, 12, 30, 45, 123456), dt.date(2031, 3, 1),
+            dt.datetime(2031, 3, 1, 12, 30, 45, 123456)),
+        Row(2, dt.datetime(1999, 12, 31, 23, 59, 59, 999999), dt.date(1999, 12, 31),
+            dt.datetime(1999, 12, 31, 23, 59, 59, 999999)),
+        Row(3, None, None, None),
+        # an AWARE datetime exercises the utctimetuple branch
+        Row(4, dt.datetime(2031, 6, 1, 0, 0, 0, 7, tzinfo=dt.timezone(dt.timedelta(hours=5, minutes=30))),
+            dt.date(2031, 6, 1), dt.datetime(2031, 6, 1, 0, 0, 0, 7)),
+    ]
+
+    def internal(df):
+        # compare the stored INSTANT (session-tz-independent micros),
+        # not the collected datetime (both paths localize identically
+        # on the way out)
+        from pyspark.sql import functions as F
+        return df.select(
+            "k",
+            F.unix_micros("ts").alias("tsu"),
+            F.col("d").cast("string").alias("ds"),
+            F.col("tn").cast("string").alias("tns"),
+        ).orderBy("k").collect()
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in (prev_tz, "America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            classic = spark.createDataFrame(rows, schema)
+            arrow = local_df(spark, rows, schema)
+            # the Arrow path must actually engage (no silent classic
+            # fallback): its plan is a LocalRelation, not a python RDD
+            assert "Scan ExistingRDD" not in arrow._jdf.queryExecution().executedPlan().toString()
+            assert internal(classic) == internal(arrow), tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
