@@ -635,6 +635,52 @@ def lsh_planes(
     ]
 
 
+def _lsh_sig_arrow(df: DataFrame, tables, id_col: str, vec_col: str) -> DataFrame:
+    """Arrow LSH signature tier (r15, VERDICT r14 #6): the per-(row,
+    table) bucket relation of :func:`lsh_ann_topk`, numerically
+    identical to the expression fold — each plane bit is the SAME
+    sequential per-dimension fold (``acc += x[i]·p[i]`` from 0.0, the
+    :func:`_assign_arrow` convention) compared ``>= 0`` (IEEE: −0.0
+    qualifies on both engines), signatures are exact integer bit sums.
+    Equality with the expression path is pytest-pinned.  The win is the
+    same class as the ANN family's assign/probe tiers: tables×planes
+    zip_with/aggregate folds are CodegenFallback trees that cost more
+    in Catalyst analysis per plan build than the query executes
+    (q75 profile: 3.3 s build / 1.2 s exec at sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(tables, dtype=np.float64)  # (tables, planes, dim)
+    n_tables, n_planes, d = P.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            sigs = np.zeros((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for j in range(n_planes):
+                    acc = np.zeros(len(pdf))
+                    for i in range(d):  # sequential fold == signature()
+                        acc += x[:, i] * P[t, j, i]
+                    sigs[:, t] |= (acc >= 0).astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(n_tables)],
+                    "__tbl": np.tile(np.arange(n_tables, dtype=np.int64), len(pdf)),
+                    "__b": sigs.reshape(-1),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    vec_type = df.schema[vec_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, __tbl long, __b long"
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -647,6 +693,7 @@ def lsh_ann_topk(
     corpus_id: str = "vec_id",
     query_vec: str = "query_vec",
     corpus_vec: str = "embedding",
+    sig_mode: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -656,8 +703,44 @@ def lsh_ann_topk(
     multiprobe flip of the query's bucket; exact cosine re-rank on the
     candidate set only. Recall/cost dial: more tables → higher recall,
     more candidates; fewer planes → bigger buckets.
+    ``sig_mode="arrow"`` computes the signatures in the pinned
+    numerically-identical numpy tier (:func:`_lsh_sig_arrow`).
     """
     tables = lsh_planes(num_planes, num_tables, dim, seed)
+    if sig_mode not in ("expr", "arrow"):
+        raise ValueError(f"unknown sig_mode {sig_mode!r}")
+    if sig_mode == "arrow":
+        # only (id, vec) ever reach the output/re-rank — project early
+        # (guide §2.3) so the opaque Arrow stage ships two columns
+        c = _lsh_sig_arrow(
+            corpus.select(corpus_id, corpus_vec), tables, corpus_id, corpus_vec
+        )
+        qsig = _lsh_sig_arrow(
+            queries.select(query_id, query_vec), tables, query_id, query_vec
+        )
+        # probes are 1-bit flips of the signature COLUMN — identical
+        # (tbl, bucket) pairs to the expression path's struct array
+        q = qsig.withColumn(
+            "__b",
+            F.explode(
+                F.array(
+                    F.col("__b"),
+                    *[F.col("__b").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)],
+                )
+            ),
+        )
+        cand = c.join(F.broadcast(q), ["__tbl", "__b"]).filter(
+            F.col(query_id) != F.col(corpus_id)
+        ).drop("__tbl", "__b")
+        scored = cand.withColumn(
+            "cos_sim", cosine(F.col(query_vec), F.col(corpus_vec))
+        ).dropDuplicates([query_id, corpus_id])
+        w = W.partitionBy(query_id).orderBy(F.col("cos_sim").desc(), F.col(corpus_id))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, corpus_id, "cos_sim", "rank")
+        )
 
     def signature(vec: Column, planes: list[list[float]]) -> Column:
         bits = [

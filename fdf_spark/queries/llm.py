@@ -464,7 +464,10 @@ def q75_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_ann_topk(queries, emb, k=5).orderBy("query_id", "rank")
+    # r15: arrow signature tier (bit-identical to the expression fold,
+    # pytest-pinned) — the expr plan spent ~3.3 s of Catalyst analysis
+    # on tables*planes interpreted fold trees per build
+    return lsh_ann_topk(queries, emb, k=5, sig_mode="arrow").orderBy("query_id", "rank")
 
 
 _STOP = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])

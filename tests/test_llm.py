@@ -3366,3 +3366,23 @@ def test_lit_vec_nonfinite_fallback(spark):
 
     got = spark.range(1).select(_lit_vec([1.5, float("nan"), float("-inf")]).alias("v")).first()[0]
     assert got[0] == 1.5 and math.isnan(got[1]) and got[2] == float("-inf")
+
+
+def test_lsh_sig_modes_agree(spark, emb):
+    # r15 (VERDICT r14 #6): the arrow LSH signature tier must reproduce
+    # the expression fold exactly — same (id, table, bucket) relation
+    # and the same end-to-end top-k
+    from fdf_spark.llm.similarity import lsh_ann_topk
+
+    qs = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    def rel(mode):
+        return sorted(
+            (r.query_id, r.vec_id, r.cos_sim, r.rank)
+            for r in lsh_ann_topk(qs, emb, k=5, sig_mode=mode).collect()
+        )
+    a, b = rel("expr"), rel("arrow")
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="sig_mode"):
+        lsh_ann_topk(qs, emb, sig_mode="arow")

@@ -1,4 +1,4 @@
-"""r14 optimization lab: per-query timing + plan capture.
+"""Optimization lab (r14; plans dir r15 since r15): per-query timing + plan capture.
 
 ``python tools/perflab.py [--sf DIR] [--runs N] [--plans-to SUBDIR] [names...]``
 
@@ -6,9 +6,9 @@ For each named query (default: the bench HEADLINE set) on the bench
 session (same confs/master/core count as bench.py):
 
 - times ``N`` noop-sink executions (guide §1.4) and prints min/median,
-- writes ``plans/r14/<name>_<suffix>.txt`` with the
+- writes ``plans/r15/<name>_<suffix>.txt`` with the
   ``explain("formatted")`` output (suffix from ``--plans-to``,
-  default ``before``), so plan-shape claims in OPTIMIZATION_r14.md are
+  default ``before``), so plan-shape claims in OPTIMIZATION_r15.md are
   checkable without running Spark.
 
 Jobs are labelled (guide §1.5) so the UI/event log attributes stages.
@@ -45,7 +45,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r14"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r15"
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     # same warmup as bench.py so timings are comparable
