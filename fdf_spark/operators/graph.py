@@ -45,8 +45,17 @@ def connected_components(
     (including itself). ``nodes`` (optional) adds isolated vertices,
     which come back as singleton components.
     """
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # materialize the DIRECTED edge relation ONCE, then derive both
+    # directions and the vertex set from the blocks — the old shape
+    # checkpointed the union (each branch re-ran the upstream pair
+    # pipeline: 2 runs) and built labels from the raw plan (a 3rd run).
+    # r15 profile on q154: those duplicate runs were ~half the
+    # operator's wall time; values identical either way.
+    directed = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
+    und = directed.unionByName(
+        directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     vertices = und.select(F.col("u").alias("node"))
     if nodes is not None:
@@ -54,7 +63,6 @@ def connected_components(
             nodes.select(F.col(node_col or src).alias("node"))
         )
     labels = vertices.distinct().withColumn("component", F.col("node"))
-    und = und.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
