@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fdf_spark.llm.dedup import distinct_gram_hashes
+from fdf_spark.llm.dedup import gram_hash_rows
 
 
 def decontaminate(
@@ -37,6 +37,7 @@ def decontaminate(
     threshold: float = 0.2,
     text: str = "text",
     id_col: str = "doc_id",
+    gram_mode: str = "arrow",
 ) -> DataFrame:
     """Per-document benchmark-overlap profile.
 
@@ -51,14 +52,19 @@ def decontaminate(
     # identical hashing, never a mismatch); exploding an
     # already-distinct array is narrow, so the only corpus exchange in
     # the operator is the final per-document aggregation
-    from fdf_spark.sources.tables import spread
-
-    corpus_sh = spread(docs).select(
-        F.col(id_col), F.explode(distinct_gram_hashes(F.col(text), n)).alias("sh")
+    # r15: both gram passes run in the Arrow tier by default (see
+    # dedup.gram_hash_rows — the interpreted HOF tree re-evaluates
+    # split(lower()) per gram; bit-identical, pinned). Plan shape
+    # downstream (broadcast probe join + one doc aggregation) unchanged.
+    corpus_sh = gram_hash_rows(docs, text=text, id_col=id_col, n=n, mode=gram_mode)
+    bench_src = (
+        benchmark
+        if id_col in benchmark.columns
+        else benchmark.select(F.lit(0).cast("long").alias(id_col), F.col(text))
     )
     bench_sh = (
-        spread(benchmark)
-        .select(F.explode(distinct_gram_hashes(F.col(text), n)).alias("sh"))
+        gram_hash_rows(bench_src, text=text, id_col=id_col, n=n, mode=gram_mode)
+        .select("sh")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -120,6 +120,98 @@ def distinct_gram_hashes(text_col: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def _py_gram_hashes(text: str | None, n: int):
+    """Per-document distinct gram hashes in Python, bit-identical to
+    :func:`distinct_gram_hashes` (pinned in pytest): ``re.ASCII`` makes
+    Python's ``\\s`` the same ``[ \\t\\n\\x0B\\f\\r]`` class Java regex
+    uses by default (Spark's ``split``); ``str.lower`` matches
+    UTF8String's Locale.ROOT lowercase on the corpus envelope;
+    ``dict.fromkeys`` keeps first-occurrence order like
+    ``array_distinct``; the hash is the same md5 15-hex-digit prefix.
+    Row order is the only thing allowed to differ (consumers aggregate
+    or join; none is order-sensitive)."""
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    if text is None:
+        return None
+    w = ws.split(text.lower())
+    if len(w) < n:
+        return ()
+    return tuple(
+        dict.fromkeys(
+            int(
+                hashlib.md5(" ".join(w[i : i + n]).encode("utf-8")).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(w) - n + 1)
+        )
+    )
+
+
+def gram_hash_rows(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    mode: str = "arrow",
+    with_size: bool = False,
+) -> DataFrame:
+    """→ (``id_col``, [``sz``,] ``sh``): one row per DISTINCT word-n-gram
+    hash of each document (``sz`` = the document's full distinct-set
+    size, the jaccard denominator term — free at explode time).
+
+    ``mode="arrow"`` (default) computes the per-document gram hashing in
+    one vectorized Python pass (:func:`_py_gram_hashes`) instead of the
+    interpreted ``transform``/``array_distinct`` lambda tree — Spark
+    HOFs are CodegenFallback and get no common-subexpression
+    elimination, so the expression path re-evaluates ``split(lower())``
+    per gram; measured 7.2 s → 0.6 s on the sf0.1 corpus (guide §4.2).
+    Values are bit-identical (md5/byte-level pinned in pytest + both
+    DuckDB oracle SFs); ``mode="expr"`` keeps the expression plan.
+    """
+    if mode not in ("arrow", "expr"):
+        raise ValueError(f"unknown gram mode {mode!r}")
+    from fdf_spark.sources.tables import spread
+
+    src = spread(df)
+    if mode == "expr":
+        grams = src.select(
+            F.col(id_col), distinct_gram_hashes(F.col(text), n).alias("__g")
+        )
+        cols = [F.col(id_col)]
+        if with_size:
+            cols.append(F.size("__g").alias("sz"))
+        return grams.select(*cols, F.explode("__g").alias("sh"))
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, szs, shs = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text]):
+                hs = _py_gram_hashes(txt, n)
+                if not hs:
+                    continue
+                k = len(hs)
+                for h in hs:
+                    ids.append(did)
+                    szs.append(k)
+                    shs.append(h)
+            out = {id_col: ids}
+            if with_size:
+                out["sz"] = pd.Series(szs, dtype="int32")
+            out["sh"] = pd.Series(shs, dtype="int64")
+            yield pd.DataFrame(out)
+
+    id_type = src.schema[id_col].dataType.simpleString()
+    sz_part = ", sz int" if with_size else ""
+    return src.select(id_col, text).mapInPandas(
+        gen, schema=f"{id_col} {id_type}{sz_part}, sh long"
+    )
+
+
 def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N1: keep the smallest id per sha2-256 content hash.
 
@@ -327,6 +419,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
+    gram_mode: str = "arrow",
 ) -> DataFrame:
     """N2 (exact): document pairs with word-n-gram Jaccard ≥ threshold.
 
@@ -357,17 +450,13 @@ def ngram_jaccard_pairs(
     # thins intersection candidates, so a capped shingle now lowers the
     # affected pair's jaccard instead of silently shrinking both set
     # sizes — strictly closer to the exact relation.
-    from fdf_spark.sources.tables import spread
-
-    grams = spread(df).select(
-        F.col(id_col).alias("id"),
-        distinct_gram_hashes(F.col(text), n).alias("__g"),
-    )
-    sh = grams.select(
-        "id",
-        F.size("__g").alias("sz"),
-        F.explode("__g").alias("sh"),
-    )
+    # r15: the gram-hash pass runs in the Arrow tier by default — the
+    # interpreted HOF tree was ~80% of this operator's cold cost (see
+    # gram_hash_rows; 10.5 s → 0.6 s for the pass at sf0.1, bit-identical,
+    # pinned). Plan shape downstream is unchanged.
+    sh = gram_hash_rows(
+        df, text=text, id_col=id_col, n=n, mode=gram_mode, with_size=True
+    ).withColumnRenamed(id_col, "id")
     if max_shingle_freq is not None:
         # frequency filter as an unbounded window count, not groupBy+join:
         # one hash-exchange on sh (measured cheapest of the three cap
@@ -442,6 +531,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     n: int = 3,
+    sig_mode: str = "arrow",
 ) -> DataFrame:
     """N2 (sketch): long-format MinHash signature → (id_col, seed, minhash).
 
@@ -458,8 +548,58 @@ def minhash_signatures(
     distinct pass either. The base-hash array is materialized in its
     own projection and referenced ONCE by the signature expression —
     CollapseProject cannot duplicate the md5 work per coefficient.
+
+    r15: ``sig_mode="arrow"`` (default) computes the whole signature in
+    one vectorized Python pass — the per-gram md5 runs in C
+    (:func:`_py_gram_hashes`; min over the DISTINCT gram set == min
+    over the multiset) and the ``num_hashes`` universal hashes are one
+    int64 numpy matrix op (``a·x+b < 2^62``: no overflow, same
+    arithmetic as the expression/oracle). Bit-identical, pinned in
+    pytest + oracle; ``sig_mode="expr"`` keeps the expression plan.
     """
+    if sig_mode not in ("arrow", "expr"):
+        raise ValueError(f"unknown sig mode {sig_mode!r}")
     from fdf_spark.sources.tables import spread
+
+    if sig_mode == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([minhash_coeff(i)[0] for i in range(num_hashes)], dtype=np.int64)
+        B = np.array([minhash_coeff(i)[1] for i in range(num_hashes)], dtype=np.int64)
+        seeds = np.arange(num_hashes, dtype=np.int32)
+
+        def gen(batches):
+            for pdf in batches:
+                ids, seed_out, mins = [], [], []
+                for did, txt in zip(pdf[id_col], pdf[text]):
+                    hs = _py_gram_hashes(txt, n)
+                    if not hs:
+                        continue
+                    xs = np.fromiter(hs, dtype=np.int64, count=len(hs)) % MINHASH_P
+                    sig = ((A[:, None] * xs[None, :] + B[:, None]) % MINHASH_P).min(
+                        axis=1
+                    )
+                    ids.extend([did] * num_hashes)
+                    seed_out.append(seeds)
+                    mins.append(sig)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "seed": np.concatenate(seed_out)
+                        if seed_out
+                        else np.array([], dtype=np.int32),
+                        "minhash": np.concatenate(mins)
+                        if mins
+                        else np.array([], dtype=np.int64),
+                    }
+                )
+
+        src = spread(df)
+        id_type = src.schema[id_col].dataType.simpleString()
+        return src.select(id_col, text).mapInPandas(
+            gen, schema=f"{id_col} {id_type}, seed int, minhash long"
+        )
 
     words = F.split(F.lower(F.col(text)), r"\s+")
     idx = F.sequence(F.lit(1), F.size(words) - (n - 1))

@@ -3386,3 +3386,77 @@ def test_lsh_sig_modes_agree(spark, emb):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="sig_mode"):
         lsh_ann_topk(qs, emb, sig_mode="arow")
+
+
+def test_gram_hash_modes_agree_adversarial(spark):
+    # r15: the arrow gram tier must reproduce the interpreted
+    # transform/array_distinct plan BIT-FOR-BIT, including the regex
+    # envelope edges: Java's default \s is the ASCII class (NBSP is a
+    # word char in both engines under re.ASCII), split keeps
+    # leading/trailing empties, lower() is Locale.ROOT, and
+    # array_distinct keeps first occurrence. Null/short/empty docs
+    # yield no rows on both paths.
+    from fdf_spark.llm.dedup import gram_hash_rows
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   \t\n"),
+        (4, "one two"),
+        (5, "one two three"),
+        (6, "  lead and trail words  "),
+        (7, "tab\tsep\nnl\x0bvt\x0cff\rcr words"),
+        (8, "UPPER Case MiXeD words HERE"),
+        (9, "nbsp\xa0is not a separator here"),  # NBSP glues tokens on both engines
+        (10, "dup dup dup dup dup dup"),
+        (11, "café naïve Über straße wörter ok"),
+        (12, "İstanbul Iı dotted capital words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    key = lambda r: (r.doc_id, r.sz, r.sh)
+    a = sorted(gram_hash_rows(df, with_size=True, mode="expr").collect(), key=key)
+    b = sorted(gram_hash_rows(df, with_size=True, mode="arrow").collect(), key=key)
+    assert [key(r) for r in a] == [key(r) for r in b] and len(a) > 0
+    # docs 1-4 are too short / null on both paths
+    assert {r.doc_id for r in b}.isdisjoint({1, 2, 3, 4})
+    with pytest.raises(ValueError, match="gram mode"):
+        gram_hash_rows(df, mode="arow")
+
+
+def test_minhash_sig_modes_agree(spark, docs):
+    # r15: arrow minhash (distinct-gram md5 in C + one int64 numpy
+    # modmul per coefficient) must equal the expression fold exactly —
+    # same (doc, seed, minhash) relation and schema on the fixture
+    def rel(mode):
+        d = minhash_signatures(docs, num_hashes=16, sig_mode=mode)
+        # names+types must match (nullability may differ: posexplode's
+        # pos is non-nullable, mapInPandas output fields are nullable —
+        # invisible to every consumer and to the driver's pandas-level
+        # schema check)
+        return sorted((r.doc_id, r.seed, r.minhash) for r in d.collect()), [
+            (f.name, f.dataType) for f in d.schema.fields
+        ]
+    (a, sa), (b, sb) = rel("expr"), rel("arrow")
+    assert a == b and len(a) > 0 and sa == sb
+    with pytest.raises(ValueError, match="sig mode"):
+        minhash_signatures(docs, sig_mode="arow")
+
+
+def test_ngram_and_decontam_gram_modes_agree(spark, docs):
+    # r15: end-to-end pin for the two gram-tier consumers — the pair
+    # relation and the contamination profile are mode-invariant
+    from fdf_spark.llm.decontam import decontaminate
+
+    pa = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, gram_mode="expr").collect()
+    )
+    pb = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, gram_mode="arrow").collect()
+    )
+    assert pa == pb and len(pa) > 0
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    da = sorted(map(tuple, decontaminate(docs, bench, gram_mode="expr").collect()))
+    db = sorted(map(tuple, decontaminate(docs, bench, gram_mode="arrow").collect()))
+    assert da == db and len(da) > 0
