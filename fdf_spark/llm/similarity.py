@@ -83,6 +83,85 @@ def _round6_np(a):
     return r
 
 
+def _scaled6_int_np(a):
+    """Vectorized int64 of ``round6(x) × 1e6`` — the exact integer
+    behind Spark's ``cast(double AS decimal(p,6))`` (HALF_UP at 6 dp of
+    the shortest repr, the same contract :func:`_round6_np` pins).
+    Same fast path + half-boundary Decimal fixup; used by the Arrow
+    mean-partials tier so per-partition sums are plain int64 adds."""
+    import numpy as np
+
+    y = np.abs(a) * 1e6
+    k = np.floor(y + 0.5)
+    frac = y - np.floor(y)
+    near = (np.abs(frac - 0.5) < 1e-8) & np.isfinite(a)
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        k[near] = [
+            float(
+                Decimal(repr(abs(float(v)))).quantize(q, rounding=ROUND_HALF_UP)
+                * 1_000_000
+            )
+            for v in np.asarray(a)[near]
+        ]
+    return (np.sign(a) * k).astype(np.int64)
+
+
+def _cell_means_arrow(assigned: DataFrame, corpus_vec: str, dim: int):
+    """Per-cell per-dimension decimal-exact means, Arrow tier →
+    sorted ``[(cell, [mean_0..mean_dim-1]), ...]``.
+
+    Numerically identical to the ``cast(sum(cast(x as decimal(*,6)))
+    as double) / count(*)`` expression aggregate (pinned in pytest):
+    each element contributes its 6-dp HALF_UP decimal
+    (:func:`_scaled6_int_np` — an exact scaled int64), per-BATCH sums
+    stay within int64 (10k-row batches × |scaled| ≤ 1e12), cross-batch
+    totals accumulate as Python ints (unbounded), and the final
+    ``float(Decimal(total).scaleb(-6)) / n`` replays the JVM's
+    decimal→double nearest rounding then double division.  Why: the
+    expression form plans+codegens ``dim`` aggregate columns per Lloyd
+    iteration — 1.24 s per iteration at 64 dims on a 2k-row fixture,
+    ~all of it driver/codegen, none of it data (r15 measurement) —
+    while this tier ships one (cell, n, sums) row per cell per batch
+    (KB; the same O(cells×dim) driver state the model collect already
+    is).  Shuffle shape at scale: NO exchange at all — partials ride
+    the collect, the same contract as the expression groupBy's
+    map-side combine."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            cells = pdf["cell"].to_numpy()
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]]
+            )
+            s = _scaled6_int_np(x)
+            out_c, out_n, out_s = [], [], []
+            for c in np.unique(cells):
+                m = cells == c
+                out_c.append(int(c))
+                out_n.append(int(m.sum()))
+                out_s.append(s[m].sum(axis=0, dtype=np.int64))
+            yield pd.DataFrame({"cell": out_c, "n": out_n, "sums": out_s})
+
+    parts = assigned.select("cell", corpus_vec).mapInPandas(
+        gen, schema="cell long, n long, sums array<long>"
+    )
+    from decimal import Decimal
+
+    acc: dict[int, tuple[int, list[int]]] = {}
+    for r in parts.collect():
+        n, sums = acc.get(r.cell, (0, [0] * dim))
+        acc[r.cell] = (n + r.n, [a + b for a, b in zip(sums, r.sums)])
+    return sorted(
+        (c, [float(Decimal(t).scaleb(-6)) / n for t in sums])
+        for c, (n, sums) in acc.items()
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -815,6 +894,7 @@ def kmeans_refine(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     assign_mode: str = "expr",
+    mean_mode: str = "expr",
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Lloyd k-means refinement of the deterministic IVF seed centroids.
 
@@ -838,21 +918,33 @@ def kmeans_refine(
     aggregating). Empty cells drop out of the model, mirroring the SQL
     replay.
     """
+    if mean_mode not in ("arrow", "expr"):
+        raise ValueError(f"unknown mean_mode {mean_mode!r}")
     dim = len(corpus.select(corpus_vec).first()[0])
     cents, assigned = ivf_assign(corpus, num_cells, corpus_id, corpus_vec, assign_mode)
     for _ in range(iters):
-        # parsed expressions (r14): dim Column-composed aggregates cost
-        # more py4j/driver time per iteration than the scan they drive;
-        # the parsed tree is the identical expression
-        aggs = [
-            F.expr(
-                f"cast(sum(cast(cast(`{corpus_vec}`[{i}] as double) as decimal(25,6))) "
-                f"as double) / count(*)"
-            ).alias(f"m{i}")
-            for i in range(dim)
-        ]
-        rows = assigned.groupBy("cell").agg(*aggs).collect()
-        cents = sorted((int(r["cell"]), [r[f"m{i}"] for i in range(dim)]) for r in rows)
+        if mean_mode == "arrow":
+            # r15: one mapInPandas partial-sum pass instead of `dim`
+            # aggregate columns — the expression form's cost is the
+            # per-iteration plan/codegen of 64 aggregates (1.24 s at
+            # sf0.1, ~none of it data); numerically identical
+            # (_cell_means_arrow, pinned in pytest)
+            cents = _cell_means_arrow(assigned, corpus_vec, dim)
+        else:
+            # parsed expressions (r14): dim Column-composed aggregates
+            # cost more py4j/driver time per iteration than the scan
+            # they drive; the parsed tree is the identical expression
+            aggs = [
+                F.expr(
+                    f"cast(sum(cast(cast(`{corpus_vec}`[{i}] as double) as decimal(25,6))) "
+                    f"as double) / count(*)"
+                ).alias(f"m{i}")
+                for i in range(dim)
+            ]
+            rows = assigned.groupBy("cell").agg(*aggs).collect()
+            cents = sorted(
+                (int(r["cell"]), [r[f"m{i}"] for i in range(dim)]) for r in rows
+            )
         assigned = _assign(corpus, cents, corpus_id, corpus_vec, assign_mode)
     return cents, assigned
 

@@ -2815,8 +2815,13 @@ def q111_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r14: arrow assignment (bit-identical, pytest-pinned) — each Lloyd
     # iteration re-assigns the whole corpus, so the expr-mode lambda
     # tree was paid 3x here (2 iters + final state)
+    # r15: arrow means too — the expression mean is `dim` aggregate
+    # columns whose plan/codegen cost 1.24 s PER ITERATION at sf0.1
+    # (2k rows — none of it data); the partial-sum tier is numerically
+    # identical (pinned) and collects the same KB of model state
     cents, assigned = kmeans_refine(
-        T(spark, sf_dir, "embeddings"), num_cells=16, iters=2, assign_mode="arrow"
+        T(spark, sf_dir, "embeddings"), num_cells=16, iters=2,
+        assign_mode="arrow", mean_mode="arrow",
     )
     from fdf_spark.sources.tables import local_df
 
@@ -2859,7 +2864,13 @@ def q111_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q112_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fdf_spark.llm.ranking import inverted_index
 
-    idx = inverted_index(T(spark, sf_dir, "documents"), num_segments=2)
+    # r15: tf_mode="explode" — the map-side tf pass is an interpreted
+    # HOF tree (distinct × filter-count per doc, no CSE) that measured
+    # 2.35 s vs 0.68 s for the explode plan at sf0.1 even on these
+    # ~54-word docs; the explode plan's extra exchange carries one row
+    # per (doc, distinct term) (map-side partial agg) and is pure
+    # codegen. Output identical (asserted in pytest; oracle green).
+    idx = inverted_index(T(spark, sf_dir, "documents"), num_segments=2, tf_mode="explode")
     return idx.select(
         "term",
         "segment",

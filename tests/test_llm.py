@@ -3460,3 +3460,32 @@ def test_ngram_and_decontam_gram_modes_agree(spark, docs):
     da = sorted(map(tuple, decontaminate(docs, bench, gram_mode="expr").collect()))
     db = sorted(map(tuple, decontaminate(docs, bench, gram_mode="arrow").collect()))
     assert da == db and len(da) > 0
+
+
+def test_kmeans_mean_modes_agree(spark, emb):
+    # r15: the arrow mean-partials tier (scaled-int64 partial sums,
+    # Decimal scaleb + double division on the driver) must reproduce
+    # the `cast(sum(cast(x as decimal)) as double)/count(*)` expression
+    # aggregate BITWISE across Lloyd iterations
+    import struct
+
+    from fdf_spark.llm.similarity import kmeans_refine
+
+    pack = lambda cents: [(c, [struct.pack("<d", x) for x in v]) for c, v in cents]
+    a, _ = kmeans_refine(emb, num_cells=8, iters=2, assign_mode="arrow", mean_mode="expr")
+    b, _ = kmeans_refine(emb, num_cells=8, iters=2, assign_mode="arrow", mean_mode="arrow")
+    assert pack(a) == pack(b) and len(a) > 0
+    with pytest.raises(ValueError, match="mean_mode"):
+        kmeans_refine(emb, num_cells=8, iters=1, mean_mode="arow")
+
+
+def test_scaled6_int_matches_round6(spark):
+    # the scaled-int kernel must agree with the pinned rounder on the
+    # same adversarial half-boundary values test_round6 pins
+    import numpy as np
+
+    from fdf_spark.llm.similarity import _round6_np, _scaled6_int_np
+
+    vals = np.array([5e-07, 1.5e-06, 2.5e-06, -5e-07, -1.5e-06, 0.1234565,
+                     0.12345649999, -0.9999995, 1.0, 0.0, -0.0, 123.4567894999])
+    assert np.array_equal(_scaled6_int_np(vals), np.rint(_round6_np(vals) * 1e6).astype(np.int64))

@@ -122,9 +122,13 @@ EXPECT: dict[str, dict] = {
     # change-SIZED matched-keys distinct (appears 2x, subtree unshared),
     # the audit agg and the final sort — none carries base-sized data
     "q110_upsert_merge": dict(max_exchanges=4, min_bhj=3, max_smj=0),
-    # inverted index: per-doc tf is map-side (no per-occurrence rows);
-    # the 2 exchanges are the (term,segment) agg and the final sort
-    "q112_inverted_index": dict(max_exchanges=2, max_smj=0),
+    # inverted index (r15: explode tf): the map-side HOF tf pass was
+    # interpreted (distinct × filter-count per doc, no CSE — 2.35 s vs
+    # 0.68 s at sf0.1), so tf now explodes tokens and counts via
+    # groupBy whose map-side partial agg still collapses occurrences
+    # before the wire; the 3 exchanges are the (term,seg,doc) tf agg,
+    # the (term,segment) agg and the final sort — none per-occurrence
+    "q112_inverted_index": dict(max_exchanges=3, max_smj=0),
     # PQ ADC: encode + LUT scoring are map-side over the broadcast query
     # rows (the one BNL is the intended tiny-side cross join, as q65);
     # only the per-query top-k window and final sort exchange
