@@ -89,14 +89,27 @@ def bm25_topk(
     def tf(term: str):
         # closure factory, NOT a default-arg lambda: a 2-param lambda
         # would make F.filter bind the array INDEX to the second param
-        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+        return F.size(F.filter(F.col("__w"), lambda w: w == F.lit(term)))
 
     tf_names = _term_cols(len(terms))
+    # r15, two fixes measured together 1.35 s → 0.65 s at sf0.1
+    # (output identical):
+    # - stage the token array ONCE (__w): the split+filter chain is
+    #   CodegenFallback with no CSE, so referencing `words` in dl and
+    #   every per-term tf re-ran it 1+|terms| times per row (the
+    #   beea570 staged-counter pattern);
+    # - localCheckpoint `base`: it feeds BOTH the stats aggregate and
+    #   the scoring join, so unmaterialized the whole scan+tf pass ran
+    #   twice.  base is (id, dl, |terms| ints) — tens of bytes per doc,
+    #   the small decision relation (guide §5), never the text.
     base = docs.select(
         F.col(id_col),
-        F.size(words).alias("dl"),
+        words.alias("__w"),
+    ).select(
+        F.col(id_col),
+        F.size("__w").alias("dl"),
         *[tf(t).alias(name) for name, t in zip(tf_names, terms)],
-    )
+    ).localCheckpoint()
 
     stats = base.agg(
         F.count("*").alias("n_docs"),

@@ -3489,3 +3489,21 @@ def test_scaled6_int_matches_round6(spark):
     vals = np.array([5e-07, 1.5e-06, 2.5e-06, -5e-07, -1.5e-06, 0.1234565,
                      0.12345649999, -0.9999995, 1.0, 0.0, -0.0, 123.4567894999])
     assert np.array_equal(_scaled6_int_np(vals), np.rint(_round6_np(vals) * 1e6).astype(np.int64))
+
+
+def test_repetition_stats_modes_agree(spark, docs):
+    # r15: the arrow counter pass must equal the explode+groupBy
+    # expression plan exactly, incl. the <2-word / null-text null rows
+    from fdf_spark.llm.repetition import repetition_stats
+
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "one"), (9004, "a a a a"),
+         (9005, " x\ty z "), (9006, "b c b c b")],
+        "doc_id long, text string",
+    )
+    for frame in (docs, edge):
+        a = sorted(map(tuple, repetition_stats(frame, mode="expr").collect()))
+        b = sorted(map(tuple, repetition_stats(frame, mode="arrow").collect()))
+        assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="repetition mode"):
+        repetition_stats(docs, mode="arow")
