@@ -1900,8 +1900,24 @@ def q76_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     kept = sdocs.join(removed, "doc_id", "left_anti")
-    lang = language_id(kept).filter(F.col("pred_lang") == "en").select("doc_id")
-    stats = text_stats(kept).select("doc_id", "n_tokens", "quality_score")
+    # r15: materialize BOTH per-doc verdict relations BEFORE filtering
+    # on them.  The staged interpreted counters inside language_id/
+    # text_stats are kept apart from their derived columns by
+    # CollapseProject, but a FILTER on a derived column
+    # (pred_lang == 'en', quality_score >= 0.35) is pushed through both
+    # projections and its alias-substituted predicate re-evaluates the
+    # lambda-counter passes per reference — measured 0.39 s → 1.66 s on
+    # language_id(kept) from the filter alone (guide §4.4's
+    # duplicated-evaluation shape, with CodegenFallback expressions in
+    # place of UDFs).  The checkpoint executes the unfiltered plan once
+    # and the filters run against the materialized rows; both relations
+    # are id+scalars (≈20 B/row), the same decision-relation class as
+    # surv_ids/removed above.
+    lang_all = language_id(kept).select("doc_id", "pred_lang").localCheckpoint()
+    lang = lang_all.filter(F.col("pred_lang") == "en").select("doc_id")
+    stats = (
+        text_stats(kept).select("doc_id", "n_tokens", "quality_score").localCheckpoint()
+    )
     return (
         kept.select("doc_id")
         .join(lang, "doc_id", "left_semi")
