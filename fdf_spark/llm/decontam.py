@@ -154,6 +154,7 @@ def semantic_decontaminate(
     corpus_vec: str = "embedding",
     bench_id: str = "bench_id",
     bench_vec: str = "bench_vec",
+    score_mode: str = "arrow",
 ) -> DataFrame:
     """Embedding-level decontamination — the SEMANTIC twin of the
     n-gram pass: a paraphrased or translated benchmark question shares
@@ -183,8 +184,96 @@ def semantic_decontaminate(
     benchmark as queries instead.  Deterministic and
     oracle-replayable: the cosine is the engine's portable 6-dp
     expression (q153).
+
+    ``score_mode="arrow"`` (default, r15): the per-pair cosine fold is
+    an interpreted ``zip_with``/``aggregate`` HOF — |corpus|×|benchmark|
+    interpreted 64-dim passes; the Arrow tier scores each corpus batch
+    against the (tiny, collected — the same relation the broadcast
+    join shipped) benchmark matrix under the pinned ``_assign_arrow``
+    conventions (sequential dim accumulation, ``_round6_np``,
+    argmax-first over ascending bench ids == ties-to-smaller-id) and
+    emits one (id, best_bench, max_cos) row per matched corpus row —
+    the identical narrow relation the expression argmax aggregates
+    to, with ZERO corpus exchange (the expression plan's single
+    exchange is gone too).  Bit-identical, pinned in pytest + oracle;
+    ``score_mode="expr"`` keeps the expression plan.
     """
     from fdf_spark.llm.similarity import cosine
+
+    if score_mode not in ("arrow", "expr"):
+        raise ValueError(f"unknown score_mode {score_mode!r}")
+    if score_mode == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        from fdf_spark.llm.similarity import _round6_np
+
+        rows = benchmark.select(bench_id, bench_vec).collect()
+        rows.sort(key=lambda r: r[0])
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        bm = (
+            np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+            if rows
+            else np.zeros((0, 0))
+        )
+        k, d = bm.shape if rows else (0, 0)
+        bn = np.zeros(k)
+        for i in range(d):  # sequential fold == _norm
+            bn += bm[:, i] * bm[:, i]
+        bn = np.sqrt(bn)
+
+        def score(batches):
+            for pdf in batches:
+                if k == 0 or not len(pdf):
+                    yield pd.DataFrame(
+                        {
+                            corpus_id: pd.Series([], dtype="int64"),
+                            "best_bench": pd.Series([], dtype="int64"),
+                            "max_cos": pd.Series([], dtype="float64"),
+                        }
+                    )
+                    continue
+                x = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]]
+                )
+                dot = np.zeros((len(pdf), k))
+                xn = np.zeros(len(pdf))
+                for i in range(d):  # sequential fold == _dot
+                    dot += x[:, i : i + 1] * bm[None, :, i]
+                    xn += x[:, i] * x[:, i]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dot / (np.sqrt(xn)[:, None] * bn[None, :])
+                cos = _round6_np(cos)
+                # the expression path filters NULL cosines before the
+                # argmax: mask non-finite scores; rows with no finite
+                # score emit nothing (the caller's left join re-attaches)
+                finite = np.isfinite(cos)
+                any_ok = finite.any(axis=1)
+                masked = np.where(finite, cos, -np.inf)
+                # argmax picks the FIRST max over ascending bench ids —
+                # the ties-to-smaller-id rule of max(struct(cos, -id))
+                j = np.argmax(masked, axis=1)
+                sel = np.flatnonzero(any_ok)
+                yield pd.DataFrame(
+                    {
+                        corpus_id: pdf[corpus_id].to_numpy()[sel],
+                        "best_bench": ids[j[sel]],
+                        "max_cos": masked[sel, j[sel]],
+                    }
+                )
+
+        id_type = corpus.schema[corpus_id].dataType.simpleString()
+        best = corpus.select(corpus_id, corpus_vec).mapInPandas(
+            score, schema=f"{corpus_id} {id_type}, best_bench long, max_cos double"
+        )
+        return corpus.select(corpus_id).join(best, corpus_id, "left").select(
+            corpus_id,
+            "best_bench",
+            "max_cos",
+            F.coalesce(F.col("max_cos") >= threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
 
     b = F.broadcast(benchmark.select(bench_id, bench_vec))
     scored = corpus.select(corpus_id, corpus_vec).join(b).select(

@@ -3507,3 +3507,22 @@ def test_repetition_stats_modes_agree(spark, docs):
         assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="repetition mode"):
         repetition_stats(docs, mode="arow")
+
+
+def test_semantic_decontaminate_score_modes_agree(spark, emb):
+    # r15: the arrow score tier (batch numpy cosine under the pinned
+    # _assign_arrow conventions, argmax-first over ascending bench ids)
+    # must reproduce the expression broadcast-join + struct-max argmax
+    # exactly, incl. the every-row verdict and empty-benchmark contract
+    from fdf_spark.llm.decontam import semantic_decontaminate
+
+    bench = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bench_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 6)
+    for b in (bench, bench.filter(F.col("bench_id") < 0)):  # incl. empty set
+        a = sorted(map(tuple, semantic_decontaminate(corpus, b, 0.3, score_mode="expr").collect()))
+        c = sorted(map(tuple, semantic_decontaminate(corpus, b, 0.3, score_mode="arrow").collect()))
+        assert a == c and len(a) > 0
+    with pytest.raises(ValueError, match="score_mode"):
+        semantic_decontaminate(corpus, bench, score_mode="arow")

@@ -68,7 +68,9 @@ EXPECT: dict[str, dict] = {
     "q35_vector_components": dict(max_exchanges=1),
     "q36_array_hof": dict(max_exchanges=1),
     "q37_hash_sample": dict(max_exchanges=2),
-    "q46_grouping_sets": dict(max_exchanges=2),
+    # r15: q46 joined the pre-aggregate-then-Expand family (q19/q31) —
+    # the 3 exchanges (base-cell agg, sets agg, final sort) are tiny
+    "q46_grouping_sets": dict(max_exchanges=3),
     "q47_price_histogram": dict(max_exchanges=2),
     "q48_stats_moments": dict(max_exchanges=2),
     # spine side must broadcast; the fact side pre-aggregates to <=84 rows

@@ -33,3 +33,20 @@ def test_approx_distinct_error(spark):
     exact = REGISTRY["q21_distinct_counts"].fn(spark, SMOKE_DIR).collect()[0]
     assert abs(approx["approx_parts"] - exact["n_parts"]) <= 0.05 * exact["n_parts"] + 2
     assert abs(approx["approx_orders"] - exact["n_orders"]) <= 0.05 * exact["n_orders"] + 2
+
+
+def test_q46_pre_agg_matches_sql_text(spark):
+    # r15: the pre-aggregate-then-groupingSets shape must equal the
+    # shared SQL text (single Expand over fact rows) exactly — same
+    # columns, dtypes, rows incl. NULL grouping rows
+    from fdf_spark.queries import load_all
+    from fdf_spark.queries.relational import _Q46_SQL
+    from fdf_spark.sources.tables import register_views
+    from tests.conftest import SMOKE_DIR
+
+    register_views(spark, SMOKE_DIR)
+    want = spark.sql(_Q46_SQL).toPandas()
+    got = load_all()["q46_grouping_sets"].fn(spark, SMOKE_DIR).toPandas()
+    assert list(want.columns) == list(got.columns)
+    assert list(want.dtypes) == list(got.dtypes)
+    assert want.equals(got)
