@@ -1130,6 +1130,7 @@ def train_pq_codebooks(
     vec_col: str,
     initial: list[list[list[float]]],
     iters: int = 2,
+    mode: str = "arrow",
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd training of PQ codebooks — what FAISS's
     ProductQuantizer::train does, in the engine's deterministic
@@ -1154,8 +1155,77 @@ def train_pq_codebooks(
     """
     # shape is the initial codebooks' shape — a separate m/ks that
     # disagreed would silently truncate or crash mid-aggregation
+    if mode not in ("arrow", "expr"):
+        raise ValueError(f"unknown train mode {mode!r}")
     m, ks, sub = len(initial), len(initial[0]), len(initial[0][0])
     books = [list(b) for b in initial]
+    if mode == "arrow":
+        # r15 (VERDICT r14 #7): the expression iteration builds
+        # m·ks·(sub+1) Column-composed aggregates — the construction
+        # alone is thousands of py4j round trips and the resulting
+        # plan/codegen dwarfs the data (the q111 Lloyd finding at 18×
+        # the width).  One mapInPandas pass per iteration instead:
+        # codes via the pinned numpy encoder (same sequential i-order
+        # + _round6_np as encode_mode="arrow"), per-(j,c) partials as
+        # (n, scaled-int64 sums) — _scaled6_int_np is the exact integer
+        # behind the decimal(25,6) cast — combined on the driver with
+        # Decimal scaleb + the same Python float division the expr path
+        # already does.  Bit-identical (pinned in pytest); expr kept.
+        import numpy as np
+        import pandas as pd
+
+        from decimal import Decimal
+
+        for _ in range(iters):
+            books_np = np.array(books)  # (m, ks, sub)
+
+            def partials(batches):
+                for pdf in batches:
+                    x = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                    )
+                    out_j, out_c, out_n, out_s = [], [], [], []
+                    for j in range(m):
+                        xj = x[:, j * sub : (j + 1) * sub]
+                        acc = np.zeros((len(pdf), ks))
+                        for i in range(sub):  # sequential i-order == expr fold
+                            dlt = xj[:, i : i + 1] - books_np[j][None, :, i]
+                            acc += dlt * dlt
+                        dist = _round6_np(acc)
+                        codes = np.argmin(dist, axis=1)
+                        sj = _scaled6_int_np(xj)  # (rows, sub) exact ints
+                        for c in np.unique(codes):
+                            msk = codes == c
+                            out_j.append(j)
+                            out_c.append(int(c))
+                            out_n.append(int(msk.sum()))
+                            out_s.append(sj[msk].sum(axis=0, dtype=np.int64))
+                    yield pd.DataFrame(
+                        {"j": out_j, "c": out_c, "n": out_n, "s": out_s}
+                    )
+
+            parts = df.select(vec_col).mapInPandas(
+                partials, schema="j int, c int, n long, s array<long>"
+            )
+            acc: dict[tuple[int, int], tuple[int, list[int]]] = {}
+            for r in parts.collect():
+                n0, s0 = acc.get((r.j, r.c), (0, [0] * sub))
+                acc[(r.j, r.c)] = (n0 + r.n, [a + b for a, b in zip(s0, r.s)])
+            books = [
+                [
+                    (
+                        [
+                            float(Decimal(t).scaleb(-6)) / acc[(j, c)][0]
+                            for t in acc[(j, c)][1]
+                        ]
+                        if (j, c) in acc
+                        else books[j][c]
+                    )
+                    for c in range(ks)
+                ]
+                for j in range(m)
+            ]
+        return books
     for _ in range(iters):
         sel = df.select(
             F.col(vec_col).alias("__v"),

@@ -3526,3 +3526,22 @@ def test_semantic_decontaminate_score_modes_agree(spark, emb):
         assert a == c and len(a) > 0
     with pytest.raises(ValueError, match="score_mode"):
         semantic_decontaminate(corpus, bench, score_mode="arow")
+
+
+def test_train_pq_codebooks_modes_agree(spark, emb):
+    # r15 (VERDICT r14 #7): the arrow training pass (numpy codes under
+    # the pinned encode conventions + scaled-int64 partial sums) must
+    # reproduce the m*ks*(sub+1)-aggregate expression iteration BITWISE
+    # (measured 59 s -> 2.5 s on the smoke fixture; the expression
+    # construction alone is thousands of py4j round trips)
+    import struct
+
+    from fdf_spark.llm.similarity import _pq_seed_books, train_pq_codebooks
+
+    seeds = _pq_seed_books(emb, "embedding", "vec_id", 4, 8, 16)
+    pack = lambda books: [[tuple(struct.pack("<d", x) for x in c) for c in b] for b in books]
+    a = train_pq_codebooks(emb, "embedding", seeds, iters=1, mode="expr")
+    b = train_pq_codebooks(emb, "embedding", seeds, iters=1, mode="arrow")
+    assert pack(a) == pack(b)
+    with pytest.raises(ValueError, match="train mode"):
+        train_pq_codebooks(emb, "embedding", seeds, iters=1, mode="arow")
