@@ -65,24 +65,54 @@ from fdf_spark.sources.tables import local_df
     doc="TPC-H Q1 shape: scan-filter-group-agg, the map-side-combine workhorse.",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: the seven decimal accumulations ran as per-row BigDecimal
+    # casts inside the aggregate (~0.5 s per dsum column at 600k rows —
+    # the q48 decomposition); the Arrow partial-sum tier computes the
+    # same exact 6-dp scaled integers in one numpy pass per task and
+    # ships one narrow partial row per group per task (what dsum's
+    # map-side combine shipped too).  Finish is exact decimal division
+    # + the same correctly-rounded decimal→double (scalar.dsum_finish).
+    # Bitwise-equal output pinned in pytest against the dsum form;
+    # oracle green.  Measured 1.35 → 0.72 s at sf0.1.
+    from fdf_spark.functions.scalar import dsum_finish, dsum_partials_arrow
+
     li = T(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    src = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     )
+    # derived measures use the same IEEE op order as the Column exprs
+    measures = {
+        "qty": lambda pdf: pdf["l_quantity"].to_numpy("float64"),
+        "price": lambda pdf: pdf["l_extendedprice"].to_numpy("float64"),
+        "disc_price": lambda pdf: pdf["l_extendedprice"].to_numpy("float64")
+        * (1.0 - pdf["l_discount"].to_numpy("float64")),
+        "charge": lambda pdf: (
+            pdf["l_extendedprice"].to_numpy("float64")
+            * (1.0 - pdf["l_discount"].to_numpy("float64"))
+        )
+        * (1.0 + pdf["l_tax"].to_numpy("float64")),
+        "disc": lambda pdf: pdf["l_discount"].to_numpy("float64"),
+    }
+    parts = dsum_partials_arrow(src, ["l_returnflag", "l_linestatus"], measures)
+    comb = parts.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"s_{m}").alias(f"s_{m}") for m in measures],
+    )
+    return comb.select(
+        "l_returnflag",
+        "l_linestatus",
+        dsum_finish("qty").alias("sum_qty"),
+        dsum_finish("price").alias("sum_base_price"),
+        dsum_finish("disc_price").alias("sum_disc_price"),
+        dsum_finish("charge").alias("sum_charge"),
+        (dsum_finish("qty") / F.col("n")).alias("avg_qty"),
+        (dsum_finish("price") / F.col("n")).alias("avg_price"),
+        (dsum_finish("disc") / F.col("n")).alias("avg_disc"),
+        F.col("n").alias("count_order"),
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @query(
@@ -1154,15 +1184,38 @@ def q47_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle of 6 numbers per group.",
 )
 def q48_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: six dsum columns ≈ 6 × 0.5 s of per-row BigDecimal casts at
+    # 600k rows (decomposition in OPTIMIZATION_r15.md); same Arrow
+    # partial-sum tier as q01 — products (q*q, p*p, q*p) are double
+    # math in BOTH engines (the decimal wraps only the sum), computed
+    # here with the identical IEEE ops.  Bitwise-equal pinned; oracle
+    # green.  Measured 2.89 → 0.97 s.
+    from fdf_spark.functions.scalar import dsum_finish, dsum_partials_arrow
+
     li = T(spark, sf_dir, "lineitem")
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
-    m = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        dsum(q).alias("sx"),
-        dsum(q * q).alias("sxx"),
-        dsum(p).alias("sy"),
-        dsum(p * p).alias("syy"),
-        dsum(q * p).alias("sxy"),
+    src = li.select("l_returnflag", "l_quantity", "l_extendedprice")
+    qv = lambda pdf: pdf["l_quantity"].to_numpy("float64")
+    pv = lambda pdf: pdf["l_extendedprice"].to_numpy("float64")
+    measures = {
+        "sx": qv,
+        "sxx": lambda pdf: qv(pdf) * qv(pdf),
+        "sy": pv,
+        "syy": lambda pdf: pv(pdf) * pv(pdf),
+        "sxy": lambda pdf: qv(pdf) * pv(pdf),
+    }
+    parts = dsum_partials_arrow(src, ["l_returnflag"], measures)
+    m = (
+        parts.groupBy("l_returnflag")
+        .agg(F.sum("n").alias("n"), *[F.sum(f"s_{k}").alias(f"s_{k}") for k in measures])
+        .select(
+            "l_returnflag",
+            F.col("n"),
+            dsum_finish("sx").alias("sx"),
+            dsum_finish("sxx").alias("sxx"),
+            dsum_finish("sy").alias("sy"),
+            dsum_finish("syy").alias("syy"),
+            dsum_finish("sxy").alias("sxy"),
+        )
     )
     n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
     vx, vy = sxx - sx * sx / n, syy - sy * sy / n

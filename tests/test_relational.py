@@ -50,3 +50,77 @@ def test_q46_pre_agg_matches_sql_text(spark):
     assert list(want.columns) == list(got.columns)
     assert list(want.dtypes) == list(got.dtypes)
     assert want.equals(got)
+
+
+def test_q01_q48_arrow_partials_match_dsum_form(spark):
+    # r15: the Arrow partial-sum tier must reproduce the dsum aggregate
+    # BITWISE (exact scaled-int64/decimal(38,0) accumulation, exact
+    # decimal division, same correctly-rounded decimal->double)
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from fdf_spark.functions.scalar import davg, dsum
+    from fdf_spark.queries import load_all
+    from fdf_spark.sources.tables import load_table
+    from tests.conftest import SMOKE_DIR
+
+    packrow = lambda df: [
+        tuple(struct.pack("<d", v) if isinstance(v, float) else v for v in r)
+        for r in df.itertuples(index=False)
+    ]
+    li = load_table(spark, SMOKE_DIR, "lineitem")
+    reg = load_all()
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    old01 = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+    a, b = old01.toPandas(), reg["q01_pricing_summary"].fn(spark, SMOKE_DIR).toPandas()
+    assert list(a.dtypes) == list(b.dtypes) and packrow(a) == packrow(b)
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), dsum(q).alias("sx"), dsum(q * q).alias("sxx"),
+        dsum(p).alias("sy"), dsum(p * p).alias("syy"), dsum(q * p).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+    old48 = m.select(
+        "l_returnflag",
+        F.round(F.sqrt(vx / (n - 1)), 6).alias("std_qty"),
+        F.round(F.sqrt(vy / (n - 1)), 6).alias("std_price"),
+        F.round((sxy - sx * sy / n) / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+    a, b = old48.toPandas(), reg["q48_stats_moments"].fn(spark, SMOKE_DIR).toPandas()
+    assert list(a.dtypes) == list(b.dtypes) and packrow(a) == packrow(b)
+
+
+def test_dsum_partials_arrow_rejects_nonfinite(spark):
+    # the envelope must fail LOUDLY (dsum's ANSI discipline), never
+    # silently diverge
+    import pytest as _pytest
+
+    from pyspark.sql.utils import PythonException
+
+    from fdf_spark.functions.scalar import dsum_partials_arrow
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", float("nan"))], "k string, v double"
+    )
+    parts = dsum_partials_arrow(
+        df, ["k"], {"v": lambda pdf: pdf["v"].to_numpy("float64")}
+    )
+    with _pytest.raises(PythonException, match="non-finite"):
+        parts.collect()
