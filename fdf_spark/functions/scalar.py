@@ -126,11 +126,15 @@ def dsum_partials_arrow(df, keys, measures):
                         f"measure {name!r} — outside the dsum envelope"
                     )
                 vals.append(_scaled6_int_np(v))
-            codes, uniq = pd.factorize(list(zip(*(pdf[k] for k in keys))))
-            for gi, k in enumerate(uniq):
-                m = codes == gi
-                n = int(m.sum())
-                sums = [_exact_sum(v[m]) for v in vals]
+            # C-path grouping (pandas .indices), not a Python zip/tuple
+            # factorize — with one measure the Python key pass would
+            # dominate the batch (r15 q19 measurement)
+            idx = pdf.groupby(keys, sort=False, dropna=False).indices
+            for k, pos in idx.items():
+                if not isinstance(k, tuple):
+                    k = (k,)
+                n = len(pos)
+                sums = [_exact_sum(v[pos]) for v in vals]
                 a = acc.get(k)
                 if a is None:
                     acc[k] = [n, sums]

@@ -613,6 +613,12 @@ def q18_shot_byte_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never touches fact-table rows.",
 )
 def q19_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15: a dsum_partials_arrow conversion (the q01/q48 tier) was
+    # built, proven bitwise-equal, and MEASURED AT PARITY interleaved
+    # (mins 0.51 vs 0.52, overlapping runs): with only ONE decimal
+    # measure the Python-boundary cost cancels the BigDecimal saving.
+    # Reverted to the simpler all-JVM two-level form; q01 (7 measures)
+    # and q48 (5) keep the tier, where it is 2.2–3×.
     from fdf_spark.functions.scalar import SUM_DECIMAL
 
     li = T(spark, sf_dir, "lineitem")
